@@ -1,0 +1,49 @@
+"""Human-readable refresh-interval parsing.
+
+Same accepted language as the reference (refresh_interval.py:6-27), verified
+behavior preserved:
+  - units: minutes, hours, days only (singular or plural, any case,
+    punctuation between terms tolerated: "1 hour, 30 minutes")
+  - seconds / microseconds / weeks / months are rejected (reference
+    refresh_interval.py:16-19 rejects sub-minute and unknown units)
+  - a string with no recognized unit is rejected
+Returns datetime.timedelta so schedule arithmetic stays in pure Python; the
+Spark-side predicate uses an equivalent INTERVAL expression
+(control/scheduler.py).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import timedelta
+
+_ALLOWED = {"minute": "minutes", "hour": "hours", "day": "days"}
+_REJECTED = {"second", "microsecond", "millisecond", "week", "month", "year"}
+_TERM_RE = re.compile(r"(\d+)\s*([a-z]+)")
+
+
+def from_human(text: str) -> timedelta:
+    """Parse "90 minutes" / "1 day 6 hours" / "1 hour, 30 minutes" → timedelta."""
+    if not text or not text.strip():
+        raise ValueError("empty interval")
+    cleaned = re.sub(r"[^\w\s]", " ", text.lower())
+    kwargs: dict[str, int] = {}
+    matched = False
+    for amount, unit in _TERM_RE.findall(cleaned):
+        matched = True
+        singular = unit.rstrip("s") if unit != "s" else unit
+        if singular in _REJECTED:
+            raise ValueError(f"unsupported interval granularity: {unit!r} in {text!r}")
+        if singular not in _ALLOWED:
+            raise ValueError(f"unknown interval unit: {unit!r} in {text!r}")
+        key = _ALLOWED[singular]
+        kwargs[key] = kwargs.get(key, 0) + int(amount)
+    if not matched or not kwargs:
+        raise ValueError(f"no interval terms found in {text!r}")
+    return timedelta(**kwargs)
+
+
+def to_sql_interval(text: str) -> str:
+    """Same language → an ANSI ``INTERVAL`` literal body, e.g. "'90' MINUTE"."""
+    delta = from_human(text)
+    return f"INTERVAL {int(delta.total_seconds())} SECOND"

@@ -1,0 +1,46 @@
+"""from_human interval parser — verified against the reference's behavior
+(refresh_interval.py:14-27): "90 minutes"→1:30:00, "1 hour, 30 minutes"→1:30:00,
+"30 seconds"/"2 weeks" raise."""
+
+from datetime import timedelta
+
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+
+from flusher_spark.functions import from_human
+from flusher_spark.functions.intervals import to_sql_interval
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("90 minutes", timedelta(minutes=90)),
+        ("2 minutes", timedelta(minutes=2)),
+        ("1 minute", timedelta(minutes=1)),
+        ("1 hour, 30 minutes", timedelta(hours=1, minutes=30)),
+        ("1 day 6 hours", timedelta(days=1, hours=6)),
+        ("3 DAYS", timedelta(days=3)),
+        ("1 day; 1 hour; 1 minute", timedelta(days=1, hours=1, minutes=1)),
+    ],
+)
+def test_accepts(text, expected):
+    assert from_human(text) == expected
+
+
+@pytest.mark.parametrize(
+    "bad", ["30 seconds", "2 weeks", "1 month", "500 microseconds", "often", "", "  ", "5 parsecs"]
+)
+def test_rejects(bad):
+    with pytest.raises(ValueError):
+        from_human(bad)
+
+
+@given(st.integers(1, 10_000), st.sampled_from(["minute", "hour", "day"]), st.booleans())
+def test_property_single_term(n, unit, plural):
+    text = f"{n} {unit}{'s' if plural else ''}"
+    assert from_human(text) == timedelta(**{unit + "s": n})
+
+
+def test_sql_interval():
+    assert to_sql_interval("90 minutes") == "INTERVAL 5400 SECOND"
