@@ -38,7 +38,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns → µs truncation; identical to DuckDB's read of the same column.
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        # Integer division (`div`), NOT `/`: float division of an ~1.7e18 ns
+        # value loses the last microsecond digit (doubles are exact only to
+        # 2^53) — caught by the asof oracle check.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

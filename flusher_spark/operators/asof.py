@@ -1,0 +1,75 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+Implemented as a composition of built-in DataFrame ops (no UDFs): union the
+two sides, shuffle once on the join keys, and carry the most recent right-side
+row forward with a ``last(..., ignorenulls)`` running window. This is the
+scalable formulation — one shuffle + one in-partition sort, no range
+explosion, no driver-side work — equivalent to DuckDB's ASOF JOIN
+(``left.ts >= right.ts``, most recent right row wins; ties on identical
+timestamps resolve to the right side, i.e. an equal-timestamp right row is
+visible to the left row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right[right_ts] <= left[left_ts]`` within the same ``on`` keys.
+
+    Right rows that tie on timestamp among themselves resolve by descending
+    payload order (deterministic). Left rows with no prior right row get
+    nulls. Output: all left columns + ``value_cols`` (default: every
+    non-key, non-ts right column) renamed with ``suffix``.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in on and c != right_ts]
+
+    out_cols = [f"{c}{suffix}" for c in value_cols]
+    payload = F.struct(*[F.col(c).alias(c) for c in [right_ts, *value_cols]])
+
+    lhs = left.withColumn(_SIDE, F.lit(1)).withColumn(_PAYLOAD, F.lit(None).cast(
+        right.select(payload.alias(_PAYLOAD)).schema[_PAYLOAD].dataType
+    ))
+    rhs = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias(_SIDE),
+        payload.alias(_PAYLOAD),
+    )
+    # Align schemas: left keeps all its columns; right rows carry nulls there.
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(lhs.dtypes)[c]))
+    rhs = rhs.select(*lhs.columns)
+
+    # Right rows sort before left rows at equal timestamps (side 0 < 1), so an
+    # equal-ts right row is already visible — matching ASOF '>=' semantics.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(left_ts).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = lhs.unionByName(rhs).withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+    )
+    out = merged.where(F.col(_SIDE) == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"{_PAYLOAD}.{src}").alias(dst) for src, dst in zip(value_cols, out_cols)],
+        F.col(f"{_PAYLOAD}.{right_ts}").alias(f"{right_ts}{suffix}"),
+    )
+    return out

@@ -1,0 +1,91 @@
+"""Text-analysis operators for LLM data pipelines: tokenization stats,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure built-in column expressions (JVM-side, whole-stage codegen) — no
+Python UDFs anywhere, so these run at fact-table scale. Each returns columns
+designed to be reproducible bit-for-bit in ANSI SQL for the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Stopword profiles for the language-ID heuristic (word-boundary regexes —
+#: the same pattern text works in Java regex and RE2).
+LANG_PROFILES = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|dans|pour|que)\b",
+    "es": r"\b(el|los|las|es|una|con|para|por|del|como)\b",
+}
+CJK_PATTERN = "[一-鿿]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def n_unique_tokens(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: alpha runs, digit runs, and single
+    non-alphanumeric marks — a deterministic BPE stand-in."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).cast(
+        "long"
+    )
+
+
+def stopword_count(text: Column, profile: str = "en") -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(LANG_PROFILES[profile]), 0)).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"[.,!?;:]"), 0)).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]-ish: rewards stopword density and
+    moderate token length, penalizes punctuation soup. Deterministic IEEE
+    arithmetic (identical in the SQL oracle)."""
+    nt = n_tokens(text).cast("double")
+    stop_ratio = stopword_count(text).cast("double") / nt
+    punct_ratio = punct_count(text).cast("double") / nt
+    uniq_ratio = n_unique_tokens(text).cast("double") / nt
+    return F.lit(0.5) * stop_ratio + F.lit(0.3) * uniq_ratio - F.lit(0.2) * punct_ratio
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    scores = {k: F.size(F.regexp_extract_all(F.lower(text), F.lit(p), 0)) for k, p in LANG_PROFILES.items()}
+    scores["zh"] = F.size(F.regexp_extract_all(text, F.lit(CJK_PATTERN), 0))
+    return scores
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-profile argmax with a fixed tie-break chain (en>de>fr>es);
+    CJK characters trump everything. Mirrors the SQL oracle's CASE chain."""
+    s = lang_scores(text)
+    return (
+        F.when(s["zh"] > 0, "zh")
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    """Whitespace-collapsed lowercase — the dedup canonical form."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(F.encode(normalized_text(text), "UTF-8"))

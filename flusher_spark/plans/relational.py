@@ -1,0 +1,1113 @@
+"""Relational query surface: scans, filters, joins (all types), aggregations
+(incl. distinct/rollup/cube/grouping sets), window functions (ranking,
+running, lag, ntile, interval range frames), sorts/top-k, set ops, scalar
+string/date/math/json/array functions, pivot/unpivot, sessionization, sliding
+windows, and an as-of join.
+
+The reference implements none of these (SURVEY.md §2.B — it is a 413-line ETL
+runner); this module IS the engine's query surface, expressed with built-in
+Spark DataFrame/SQL ops only (whole-stage codegen, no Python UDFs anywhere).
+
+Scale notes are attached per query: broadcast hints go on genuinely small
+dims (region/nation: 5/25 rows at any SF), fact-fact joins shuffle on their
+keys and rely on AQE for skew, and the one intentionally single-partition
+window (range_scan_rows, the A1 row-slice semantic) is documented as
+spreadsheet-scale-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flusher_spark.io.tables import load_table, register_views
+from flusher_spark.operators.asof import asof_join
+from flusher_spark.plans.catalog import register
+from flusher_spark.plans.num import (
+    davg,
+    dec,
+    dsum,
+    dsum_exact,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_exact,
+)
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytics (flagship pricing summary first)
+# ---------------------------------------------------------------------------
+
+# Exact-decimal revenue expressions (see plans/num.py for why arithmetic is
+# done in decimal from the base columns instead of casting double products).
+_DISC = "(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))))"
+_CHARGE = f"(CAST({_DISC} AS DECIMAL(18,8)) * (1 + CAST(l_tax AS DECIMAL(12,4))))"
+
+
+def _disc():
+    return dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+
+
+def _charge():
+    return _disc().cast("decimal(18,8)") * (F.lit(1) + dec("l_tax"))
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum_exact(_DISC)} AS sum_disc_price,
+           {sql_dsum_exact(_CHARGE)} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: scan→filter→project→agg→sort (TPC-H Q1 shape). Partial
+    aggregation is map-side; six groups total, so the shuffle is tiny."""
+    l = load_table(spark, sf_dir, "lineitem")
+
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_exact(_disc()).alias("sum_disc_price"),
+            dsum_exact(_charge()).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q6_revenue_filter",
+    oracle=f"""
+    SELECT COALESCE({sql_dsum_exact('(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(12,4)))')}, 0.0) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter-aggregate (TPC-H Q6 shape); all predicates push to parquet."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.coalesce(
+                dsum_exact(dec("l_extendedprice") * dec("l_discount")), F.lit(0.0)
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum_exact(_DISC)} AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15'
+      AND l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + top-k (TPC-H Q3 shape). customer is filtered before
+    the join so Catalyst can broadcast it; orders⋈lineitem shuffles on the
+    order key (the natural co-partitioning at scale)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"), "o_orderpriority")
+        .agg(dsum_exact(_disc()).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q4_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join with a non-equi residual (TPC-H Q4 shape)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n_name, {sql_dsum_exact(_DISC)} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way join through a dimension chain (TPC-H Q5 shape). region/nation
+    are broadcast explicitly (5/25 rows at every SF); supplier joins on the
+    composite (suppkey, nationkey) after the fact-fact shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum_exact(_disc()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, {sql_dsum_exact(_DISC)} AS revenue, c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item ranking (TPC-H Q10 shape): join + agg + global top-20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum_exact(_disc()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "top_suppliers_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS s_suppkey, {sql_dsum_exact(_DISC)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier s ON rev.s_suppkey = s.s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_suppliers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax via an unpartitioned max window over a pre-aggregated (small)
+    input (TPC-H Q15 shape). Exact decimal sums make the equality safe."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(dsum_exact(_disc()).alias("total_revenue"))
+    )
+    w = Window.partitionBy()  # rev is one row per supplier: already small
+    best = rev.withColumn("__mx", F.max("total_revenue").over(w)).where(
+        F.col("total_revenue") == F.col("__mx")
+    )
+    return (
+        best.join(s, "s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-type coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_dim",
+    oracle=f"""
+    SELECT p_brand, {sql_dsum_exact(_DISC)} AS revenue, COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size < 15
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with an explicit broadcast hint — no shuffle of lineitem."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") < 15)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum_exact(_disc()).alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1),
+         c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1)
+    SELECT COALESCE(s.nationkey, c.nationkey) AS nationkey,
+           COALESCE(n_suppliers, 0) AS n_suppliers,
+           COALESCE(n_customers, 0) AS n_customers
+    FROM s FULL JOIN c ON s.nationkey = c.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregations (aggregate-then-join keeps the
+    shuffled data minimal — the scalable order of operations)."""
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return (
+        s.join(c, "nationkey", "full")
+        .select(
+            "nationkey",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+      AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): building-segment customers with urgent orders."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers who never ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_acctbal")
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny dims (125 rows; broadcast nested loop)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg under the hood)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"), F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grand total + per-flag + per-pair)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations of the two dims."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (same Catalyst plan)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               {sql_dsum('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "agg_variance_manual",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n,
+           {sql_dsum('l_quantity')} / COUNT(*) AS mean_qty,
+           ({sql_dsum('l_quantity * l_quantity')}
+            - {sql_dsum('l_quantity')} * {sql_dsum('l_quantity')} / COUNT(*)) / (COUNT(*) - 1) AS var_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_variance_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance from exact decimal sums (deterministic across engines,
+    unlike streaming variance implementations)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s1 = dsum(q)
+    s2 = dsum(q * q)
+    n = F.count("*")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            (s1 / n).alias("mean_qty"),
+            ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("var_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("count_rows", oracle="SELECT COUNT(*) AS n FROM lineitem")
+def count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row count (the reference's numrows operator, export.py:31-32 — which
+    fetched every cell to count rows; here it's a metadata-only parquet scan)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_acctbal, rn FROM (
+      SELECT s_nationkey, s_suppkey, s_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rn
+      FROM supplier) t
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers per nation — the scalable top-k-per-group pattern
+    (one shuffle on the partition key; no global sort)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("s_nationkey", "s_suppkey", "s_acctbal", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend (deterministic via the orderkey tiebreak)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id, value,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG analytic: per-user event-over-event change."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", "value", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles over a total order (single-partition window: fine for
+    ranking a dimension table; a fact-scale version would bucket by
+    percentile_approx instead)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select("c_custkey", F.ntile(4).over(w).cast("long").alias("quartile"))
+
+
+@register(
+    "window_range_interval",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_30d
+    FROM orders
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: 30-day rolling spend per customer (SQL surface;
+    the DataFrame API's rangeBetween is numeric-only)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS rolling_30d
+        FROM orders
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / distinct / sort-limit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers with both urgent and low-priority orders."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    low = o.where(F.col("o_orderpriority") == "5-LOW").select(F.col("o_custkey").alias("custkey"))
+    return urgent.intersect(low)
+
+
+@register(
+    "setop_except",
+    oracle="""
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey FROM lineitem
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: parts never ordered."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    l = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return p.exceptAll(l).distinct()
+
+
+@register("distinct_values", oracle="SELECT DISTINCT c_mktsegment FROM customer")
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (exact dedup on a projection)."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "topk_orders_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (Spark executes as a per-partition take + merge, not a
+    full sort — the right plan at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "range_scan_rows",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem) t
+    WHERE rn BETWEEN 11 AND 50
+    """,
+)
+def range_scan_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1 cell-range scan semantic (reference export.py:46-51): a column
+    projection plus a row-slice over the canonical order. The global
+    row_number is single-partition by design — A1 addressing is a
+    spreadsheet-scale operation (≤10M cells per Google's own limits), not a
+    fact-table one."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn").between(11, 50))
+        .drop("rn")
+    )
+
+
+@register(
+    "filter_projection_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '2000-01-01'
+    """,
+)
+def filter_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain filter+project — both reach the parquet scan (PushedFilters /
+    ReadSchema; asserted in tests/test_plans.py)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.where(
+        (F.col("l_quantity") > 45)
+        & (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# Scalar function coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs",
+    oracle=r"""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           SUBSTRING(p_name, 1, 5) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, '#', p_type) AS brand_type,
+           REGEXP_EXTRACT(p_name, '^(\w+)', 1) AS first_word,
+           REPLACE(p_type, ' ', '_') AS type_snake
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function coverage: case, substring, length, concat, regexp,
+    replace — all JVM-side built-ins."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+           CAST(QUARTER(o_orderdate) AS INTEGER) AS order_quarter,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month_start,
+           CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_1995
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function coverage: extract, truncate, diff."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz")).alias(
+            "days_since_1995"
+        ),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(0.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS price_tenth,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           SQRT(l_quantity) AS qty_sqrt,
+           l_quantity * l_quantity AS qty_sq,
+           l_orderkey % 7 AS key_mod
+    FROM lineitem
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function coverage, restricted to IEEE-exact ops (sqrt/abs/round/
+    ceil/floor/mod) so the oracle comparison is bit-stable."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        # Decimal, not double: price*0.1 has 3 decimal digits, so rounding
+        # the double at scale 2 hits midpoints where engines disagree.
+        F.round(dec("l_extendedprice") * F.expr("CAST(0.1 AS DECIMAL(2,1))"), 2)
+        .cast("double")
+        .alias("price_tenth"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "scalar_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column (FIXTURES.md)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def _sql_array_fold(col: str, dim: int, term: str = "CAST({c}[{i}] AS DOUBLE)") -> str:
+    """Left-associated explicit fold over array elements — matches Spark's
+    F.aggregate fold order bit-for-bit (see plans/catalog.py numeric notes)."""
+    return "(" + " + ".join(term.format(c=col, i=i) for i in range(1, dim + 1)) + ")"
+
+
+EMBEDDING_DIM = 64  # fixed by the fixtures (FIXTURES.md embeddings.embedding)
+
+
+@register(
+    "scalar_array_ops",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INTEGER) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           CAST(embedding[{EMBEDDING_DIM}] AS DOUBLE) AS last_elem,
+           {_sql_array_fold('embedding', EMBEDDING_DIM)} AS elem_sum
+    FROM embeddings
+    """,
+)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function coverage on the embedding column: size, element access,
+    and an exact left-fold sum (F.aggregate — no UDF)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.element_at("embedding", EMBEDDING_DIM).cast("double").alias("last_elem"),
+        F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")).alias("elem_sum"),
+    )
+
+
+@register(
+    "case_when_bucketing",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+)
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "pivot_linestatus",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS "F",
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS "O"
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: linestatus columns out of rows (explicit value list — no extra
+    distinct-scan job, which matters at scale)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "unpivot_part_attrs",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    """,
+)
+def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide attributes to long (id, attr, val) rows."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("double").alias("p_size")
+    )
+    return p.unpivot("p_partkey", ["p_retailprice", "p_size"], "attr", "val")
+
+
+# ---------------------------------------------------------------------------
+# Event-time operators (batch shape; streaming versions in streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+    SELECT EPOCH_US(DATE_TRUNC('hour', ts)) AS window_start_us, event_type,
+           COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over event time."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_2h_1h",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT DATE_TRUNC('hour', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events)
+    SELECT EPOCH_US(ws) AS window_start_us, event_type,
+           COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def events_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): each event lands in two windows."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sessionize_30m",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, EPOCH_US(ts) AS ts_us,
+             LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events)
+    SELECT user_id, CAST(SUM(CASE WHEN prev_us IS NULL
+                                  OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions
+    FROM gaps GROUP BY user_id
+    """,
+)
+def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + marker sum — one
+    shuffle on user_id; the streaming twin uses session_window."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    new_session = (
+        F.lag(ts_us).over(w).isNull() | ((ts_us - F.lag(ts_us).over(w)) > 1_800_000_000)
+    ).cast("long")
+    return (
+        e.select("user_id", new_session.alias("new_s"))
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"))
+    )
+
+
+@register(
+    "asof_purchase_last_view",
+    oracle="""
+    SELECT p.event_id, p.user_id, EPOCH_US(p.ts) AS purchase_ts_us,
+           EPOCH_US(v.ts) AS last_view_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent prior (or simultaneous)
+    view by the same user — composed from union + running window
+    (operators/asof.py), one shuffle, no range explosion."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = e.where(F.col("event_type") == "view").select("user_id", F.col("ts").alias("view_ts"))
+    joined = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="view_ts", value_cols=[]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("view_ts_right").alias("last_view_ts_us"),
+    )

@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's correctness harness.
+
+Runs every catalog entry's Spark plan and (when present) its DuckDB oracle on
+the same parquet tables, then compares row count, column names, and an
+order-insensitive canonical value dump. Stricter than the driver can be
+assumed to be: floats must repr() identically after float() coercion.
+
+Usage: python tools/check_oracle.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+from flusher_spark.io.tables import TABLES
+from flusher_spark.plans.catalog import registry
+from flusher_spark.session import get_session
+
+
+def canon_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(canon_value(r[i]) for i in idx) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    name_filter = sys.argv[2:]
+    spark = get_session("oracle_check", cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    entries = registry()
+    failures = []
+    for name, entry in sorted(entries.items()):
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        t0 = time.time()
+        try:
+            sdf = entry.fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception:
+            print(f"FAIL  {name}: spark error")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        if entry.oracle is None:
+            print(f"rows  {name}: {len(srows)} rows (rows-only check) [{time.time()-t0:.1f}s]")
+            if len(srows) == 0:
+                print(f"  WARNING: {name} returned 0 rows")
+            continue
+        try:
+            ores = con.sql(entry.oracle)
+            ocols = [c.lower() for c in ores.columns]
+            orows = ores.fetchall()
+        except Exception:
+            print(f"FAIL  {name}: duckdb error")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        sc = [c.lower() for c in scols]
+        ok = True
+        if sorted(sc) != sorted(ocols):
+            print(f"FAIL  {name}: columns differ spark={sorted(sc)} oracle={sorted(ocols)}")
+            ok = False
+        elif len(srows) != len(orows):
+            print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            ok = False
+        else:
+            s_canon = canon_rows(scols, [tuple(r) for r in srows])
+            o_canon = canon_rows(ores.columns, orows)
+            if s_canon != o_canon:
+                diffs = [(a, b) for a, b in zip(s_canon, o_canon) if a != b]
+                print(f"FAIL  {name}: {len(diffs)} differing rows of {len(s_canon)}")
+                for a, b in diffs[:3]:
+                    print(f"  spark : {a}\n  oracle: {b}")
+                ok = False
+        if ok:
+            print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+        else:
+            failures.append(name)
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
