@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (ArrayType(FloatType)).
+
+Two paths, as a 100 TB engine needs both:
+
+- Brute-force cosine top-k against a small query set: broadcast the queries,
+  scan the candidates once — embarrassingly parallel, exact, and the right
+  plan whenever |queries| is small (the common "find neighbors of these
+  documents" shape).
+- Random-hyperplane LSH bucketing for all-pairs / large query sets: 2^P
+  signature buckets turn the quadratic problem into per-bucket joins.
+
+All dot products / norms are built-in higher-order functions (F.aggregate /
+F.zip_with) with double accumulation in array order — deterministic, and
+bit-identical to an explicitly left-associated SQL fold, which is what the
+DuckDB oracles use.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def vec_norm_sq(col: Column) -> Column:
+    """Sum of squares, double accumulation in array order (fold-left)."""
+    return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+
+
+def vec_dot(a: Column, b: Column) -> Column:
+    """Dot product, double accumulation in array order (fold-left)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return vec_dot(a, b) / (F.sqrt(norm_a) * F.sqrt(norm_b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query rows against one scan of the
+    candidates. Output: (query_id, vec_id, cosine_sim) with a deterministic
+    (sim DESC, vec_id) ranking."""
+    base = df.select(F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq"))
+    q = base.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("__nsq").alias("__qnsq"),
+    )
+    pairs = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    sim = cosine(F.col("__qvec"), F.col(vec_col), F.col("__qnsq"), F.col("__nsq"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        pairs.select("query_id", id_col, sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def neardup_cosine_exact(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine near-duplicates (exact baseline; O(n²) — correct at
+    oracle scale, superseded by lsh_topk at 100 TB). Pairs with id_a < id_b."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), vec_norm_sq(F.col(vec_col)).alias("nsq")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"), F.col("a.nsq"), F.col("b.nsq"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(v · plane_i); int bucket id."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane_col, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the query's LSH
+    bucket (2^n_planes buckets), then exact re-ranking inside the bucket.
+    The scale path: the candidate join is an equi-join on the signature, so
+    cost is per-bucket, not all-pairs. Recall < 1 by construction (rows-only
+    correctness check; the exact twin is brute_force_topk)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        vec_norm_sq(F.col(vec_col)).alias("__nsq"),
+        lsh_signature(F.col(vec_col), planes).alias("__sig"),
+    )
+    q = base.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("__nsq").alias("__qnsq"),
+        F.col("__sig").alias("__qsig"),
+    )
+    pairs = base.join(
+        F.broadcast(q), (F.col("__sig") == F.col("__qsig")) & (F.col(id_col) != F.col("query_id"))
+    )
+    sim = cosine(F.col("__qvec"), F.col(vec_col), F.col("__qnsq"), F.col("__nsq"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        pairs.select("query_id", id_col, sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,2 +1,287 @@
-"""LLM-data-pipeline operator queries (dedup, similarity, text analysis,
-multimodal) — populated as the operators land (operators/*.py)."""
+"""LLM-data-pipeline catalog entries: dedup (exact, n-gram Jaccard,
+MinHash-LSH, SimHash), similarity search (brute-force + LSH), and text
+analysis (token stats, quality, language-ID, fingerprints), plus the
+multimodal binary-stats plumbing check.
+
+Oracle policy: everything deterministic and SQL-expressible gets a DuckDB
+oracle (including exact n-gram Jaccard and exact cosine similarity — the
+array folds are written left-associated to match Spark's F.aggregate
+bit-for-bit). The genuinely approximate/hash-seeded operators (MinHash-LSH,
+SimHash, hyperplane-LSH) are rows-only by design; their exact twins are the
+oracle-checked queries, and tests/test_operators.py cross-checks the
+approximate results against the exact ones (recall ≥ threshold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flusher_spark.io.tables import load_table
+from flusher_spark.operators import dedup as D
+from flusher_spark.operators import similarity as S
+from flusher_spark.operators import text as T
+from flusher_spark.plans.catalog import register
+
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKENS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+EMBEDDING_DIM = 64
+
+
+def _fold(terms: list[str]) -> str:
+    """Left-associated sum — matches F.aggregate's fold order exactly."""
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dot_sql(a: str, b: str, dim: int = EMBEDDING_DIM) -> str:
+    return _fold(
+        [f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)]
+    )
+
+
+def _normsq_sql(a: str, dim: int = EMBEDDING_DIM) -> str:
+    return _fold(
+        [f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)" for i in range(1, dim + 1)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY {_NORM_SQL}
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on whitespace-normalized text, keep min id."""
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_fingerprint",
+    oracle=f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text (join-key for
+    cross-corpus dedup without shipping the text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w) - 1),
+                                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+           FROM toks WHERE len(w) >= 3),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    keep AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= 1000),
+    inv2 AS (SELECT inv.doc_id, inv.s FROM inv JOIN keep USING (s)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM inv2 a JOIN inv2 b ON a.s = b.s AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_a
+    JOIN sh sb ON sb.doc_id = cand.doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via inverted-index join —
+    no cartesian product; the SQL oracle replays the identical algorithm."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5, max_bucket=1000
+    )
+
+
+@register("dedup_minhash_lsh")  # rows-only: seeded-hash approximate operator
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (32 perms, 8 bands, Jaccard ≥ 0.5
+    verification). The scalable near-dup path; recall vs the exact
+    dedup_ngram_jaccard is asserted in tests/test_operators.py."""
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("dedup_simhash")  # rows-only: seeded-hash approximate operator
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit, Hamming ≤ 3 via pigeonhole banding)."""
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT) AS n_unique,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_ish,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, unique tokens, BPE-ish sub-word
+    count, and character length — all JVM-side regexp/array built-ins."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.n_tokens(t).alias("n_tokens"),
+        T.n_unique_tokens(t).alias("n_unique"),
+        T.bpe_ish_token_count(t).alias("n_bpe_ish"),
+        F.length(t).cast("long").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len({_TOKENS_SQL}) AS DOUBLE) AS nt,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE) AS n_uniq,
+             CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct
+      FROM documents)
+    SELECT doc_id,
+           CAST(0.5 AS DOUBLE) * (n_stop / nt)
+             + CAST(0.3 AS DOUBLE) * (n_uniq / nt)
+             - CAST(0.2 AS DOUBLE) * (n_punct / nt) AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (stopword density + lexical diversity −
+    punctuation soup); identical IEEE arithmetic in the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_lang_id",
+    oracle=rf"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{T.LANG_PROFILES["en"]}')) AS s_en,
+             len(regexp_extract_all(lower(text), '{T.LANG_PROFILES["de"]}')) AS s_de,
+             len(regexp_extract_all(lower(text), '{T.LANG_PROFILES["fr"]}')) AS s_fr,
+             len(regexp_extract_all(lower(text), '{T.LANG_PROFILES["es"]}')) AS s_es,
+             len(regexp_extract_all(text, '{T.CJK_PATTERN}')) AS s_zh
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN s_zh > 0 THEN 'zh'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS lang_guess
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-profile argmax with a fixed tie-break
+    chain; CJK presence short-circuits to zh."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_QUERY_IDS = (0, 1, 2, 3, 4)
+
+
+@register(
+    "similarity_topk_exact",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_normsq_sql('embedding')} AS nsq FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, nsq AS qnsq FROM base
+          WHERE vec_id IN {_QUERY_IDS}),
+    sims AS (
+      SELECT q.query_id, b.vec_id,
+             {_dot_sql('q.qv', 'b.embedding')} / (SQRT(q.qnsq) * SQRT(b.nsq)) AS cosine_sim
+      FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, vec_id) AS BIGINT) AS rank
+      FROM sims)
+    SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for a small query set: broadcast the queries
+    against one scan of the candidates (exact ANN baseline). The fold-ordered
+    double arithmetic is bit-identical to the SQL oracle."""
+    return S.brute_force_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10)
+
+
+@register(
+    "similarity_neardup_cosine",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id AS id, embedding AS v, {_normsq_sql('embedding')} AS nsq FROM embeddings)
+    SELECT a.id AS id_a, b.id AS id_b,
+           {_dot_sql('a.v', 'b.v')} / (SQRT(a.nsq) * SQRT(b.nsq)) AS cosine_sim
+    FROM base a JOIN base b ON a.id < b.id
+    WHERE {_dot_sql('a.v', 'b.v')} / (SQRT(a.nsq) * SQRT(b.nsq)) >= 0.4
+    """,
+)
+def similarity_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline.
+    Threshold 0.4 because the fixture embeddings are i.i.d. (max pairwise
+    cosine ≈ 0.51) — real corpora would use ≥0.9
+    (the LSH-bucketed twin is the 100 TB path)."""
+    return S.neardup_cosine_exact(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register("similarity_topk_lsh")  # rows-only: approximate by construction
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-10: candidates restricted to the
+    query's signature bucket, exact re-rank inside. Recall vs the exact twin
+    is asserted in tests/test_operators.py."""
+    return S.lsh_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payloads; decode is stubbed, schema is real)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary handling: byte length + content hash over a binary
+    payload column (here derived from text; real pipelines read image/audio
+    bytes — see operators/multimodal.py for the typed schema + decode stubs)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+    )
