@@ -1,0 +1,184 @@
+"""Scheduler: the reference's polling loop rebuilt as micro-batch ticks.
+
+One tick (reference run(), manager.py:206-214) =
+  scan control table → fail+disable jobs with unparsable intervals
+  (filter_fixing_invalid_schedules, manager.py:167-175) → filter due jobs
+  (should_run, manager.py:178-180) → run each due job's pipeline.
+
+The due-predicate is a real Spark filter over the jobs DataFrame
+(``due_jobs``): interval strings are parsed once on the driver (there are
+only distinct-few in a control table) and folded in as a literal map — no
+UDF. Job pipelines are one lazy Spark plan each, source→sink, with no
+temp-CSV hop (the reference materializes to local disk between export and
+load, export.py:59-66 / manager.py:195-196).
+
+The reference runs jobs serially (manager.py:211-214; parallelism is its
+open TODO manager.py:22). Each of our jobs is internally cluster-parallel;
+cross-job concurrency stays sequential per tick for deterministic state
+transitions, which matches the single-writer store.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flusher_spark.control.model import EPOCH_NEVER, STATE_RUNNING, Job, RunRecord
+from flusher_spark.control.store import JobStore, utcnow_iso
+from flusher_spark.functions.intervals import from_human
+from flusher_spark.sinks.csv import to_csv
+from flusher_spark.sinks.table import Warehouse
+from flusher_spark.sources.sheet import SheetSource, cast_with_schema, infer_schema, read_sheet
+
+
+def parse_intervals(jobs: list[Job]) -> tuple[dict[str, int], dict[int, str]]:
+    """Driver-side parse of the distinct interval strings. Returns
+    (interval→seconds, job_id→error) — the error half feeds
+    fix_invalid_schedules."""
+    seconds: dict[str, int] = {}
+    errors: dict[int, str] = {}
+    for j in jobs:
+        if not j.refresh_interval:
+            continue
+        if j.refresh_interval in seconds:
+            continue
+        try:
+            seconds[j.refresh_interval] = int(from_human(j.refresh_interval).total_seconds())
+        except ValueError as exc:
+            errors[j.job_id] = str(exc)
+    return seconds, errors
+
+
+def due_jobs(
+    jobs_df: DataFrame,
+    interval_seconds: dict[str, int],
+    now: str,
+    lease_seconds: int = 3600,
+) -> DataFrame:
+    """The should_run predicate as a Spark filter (reference
+    manager.py:178-180 + refresh_interval.py:30-34):
+
+      not Running (or the Running lease has expired — engine addition)
+      AND (refresh_now OR elapsed-since-last-success > interval)
+
+    Empty last_success counts from 1900-01-01 (refresh_interval.py:32);
+    jobs with no interval and no refresh_now never fire (is_scheduled
+    returns falsy None, refresh_interval.py:33-34)."""
+    now_ts = F.to_timestamp(F.lit(now))
+    if interval_seconds:
+        imap = F.create_map(*[F.lit(x) for kv in interval_seconds.items() for x in kv])
+        secs = imap.getItem(F.col("refresh_interval"))
+    else:
+        secs = F.lit(None).cast("int")
+    last = F.coalesce(
+        F.to_timestamp(F.when(F.col("last_success") == "", None).otherwise(F.col("last_success"))),
+        F.to_timestamp(F.lit(EPOCH_NEVER)),
+    )
+    elapsed = now_ts.cast("long") - last.cast("long")
+    lease_age = now_ts.cast("long") - F.to_timestamp(
+        F.when(F.col("lease_ts") == "", None).otherwise(F.col("lease_ts"))
+    ).cast("long")
+    not_running = (F.col("state") != STATE_RUNNING) | (
+        F.coalesce(lease_age, F.lit(0)) > lease_seconds
+    )
+    scheduled = secs.isNotNull() & (elapsed > secs)
+    return jobs_df.where(
+        (F.col("document") != "") & not_running & (F.col("refresh_now") | scheduled)
+    )
+
+
+def translate_error(exc: Exception, job: Job, source: SheetSource) -> str:
+    """Error enrichment (reference translate_error, manager.py:69-80)."""
+    msg = str(exc)
+    if isinstance(exc, KeyError) and "document" in msg:
+        return (
+            f"Could not open document {job.document!r} — does it exist, and is it "
+            "shared with the service account?"
+        )
+    if isinstance(exc, KeyError) and "worksheet" in msg:
+        try:
+            candidates = source.available_sheets(job.document)
+        except Exception:
+            candidates = []
+        return f"Worksheet {job.sheet!r} not found. Available: {candidates}"
+    return msg
+
+
+@dataclass
+class Scheduler:
+    """Wires source → store → sinks and runs ticks."""
+
+    spark: SparkSession
+    store: JobStore
+    source: SheetSource
+    warehouse: Warehouse
+    export_dir: str
+    lease_seconds: int = 3600
+    on_tick: list = field(default_factory=list)
+
+    def run_job(self, job: Job) -> str:
+        """One job pipeline: read → (type+load) | csv-export. A single lazy
+        plan; no intermediate materialization (reference hops through a local
+        CSV and deletes it, manager.py:195-196)."""
+        grid = self.source.worksheet(job.document, job.sheet)
+        df = read_sheet(self.spark, grid, job.cellrange)
+        if job.target_system:
+            if job.target_system.lower() not in ("warehouse", "bigquery"):
+                # Reference: only bigquery is implemented (manager.py:52-58).
+                raise NotImplementedError(f"target system {job.target_system!r}")
+            schema = self.store.get_pinned_schema(job.job_id)
+            if schema is None:
+                schema = infer_schema(df)
+                self.store.pin_schema(job.job_id, schema)  # drift detection, SURVEY §1.2
+            typed = cast_with_schema(df, schema)
+            return self.warehouse.load(typed, job.destination, job.incremental)
+        # Export-only job: the CSV is the product (reference manager.py:193).
+        return to_csv(df, self.export_dir, job.document, job.sheet)
+
+    def tick(self, now: str | None = None) -> list[tuple[int, str, str]]:
+        """One micro-batch: returns [(job_id, status, result)]."""
+        now = now or utcnow_iso()
+        jobs = self.store.jobs()
+        interval_seconds, invalid = parse_intervals(jobs)
+        # Validation failure disables the schedule and drops the job from
+        # this tick (reference filter_fixing_invalid_schedules,
+        # manager.py:167-175).
+        for job_id, err in invalid.items():
+            self.store.mark_invalid_schedule(job_id, err)
+        jobs_df = self.store.jobs_df()
+        due = [
+            r["job_id"]
+            for r in due_jobs(jobs_df, interval_seconds, now, self.lease_seconds)
+            .select("job_id")
+            .collect()
+            if r["job_id"] not in invalid
+        ]
+        results: list[tuple[int, str, str]] = []
+        for job_id in due:
+            job = self.store.get(job_id)
+            start = self.store.mark_running(job_id, now)
+            try:
+                result = self.run_job(job)
+                end = self.store.mark_success(job_id, result, now)
+                status = "Success"
+            except Exception as exc:  # noqa: BLE001 — job isolation boundary
+                result = translate_error(exc, job, self.source)
+                end = self.store.mark_failure(job_id, result, now)
+                status = "Failure"
+            self.store.append_log(
+                RunRecord(start, end, job.document, job.sheet, job.cellrange, status, result)
+            )
+            results.append((job_id, status, result))
+        return results
+
+    def run_loop(self, poll_seconds: float = 1.0, max_ticks: int | None = None) -> None:
+        """The daemon loop (reference run(), manager.py:206-214): poll every
+        ``poll_seconds``. ``max_ticks`` bounds it for tests; None = forever."""
+        ticks = 0
+        while max_ticks is None or ticks < max_ticks:
+            time.sleep(poll_seconds)
+            self.tick()
+            ticks += 1

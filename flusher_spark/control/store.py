@@ -1,0 +1,176 @@
+"""JobStore: the jobs control table + audit log + pinned schemas on disk.
+
+The control table is spreadsheet-scale by construction (the reference's is a
+literal worksheet), so state transitions are driver-side upserts persisted to
+parquet — the single-writer discipline the reference also has (one polling
+loop). On a cluster deployment the same interface fronts a Delta table with
+MERGE; nothing else changes.
+
+State-machine semantics preserved from the reference (these are behavioral
+specs, SURVEY.md §2.A row 20):
+- mark_running consumes Refresh Now even if the run later fails
+  (manager.py:87-88)
+- mark_success sets Last Success and keeps the schedule (manager.py:97-112)
+- mark_failure CLEARS Refresh Interval — failed jobs stop rescheduling until
+  a human re-enters it (manager.py:115-130, clear at :121-122)
+- mark_invalid_schedule = Failure + cleared interval for unparsable
+  schedules (manager.py:133-144)
+Engine addition: mark_running takes a lease (model.py) so crashed runs
+re-schedule after lease expiry instead of wedging.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flusher_spark.control.model import (
+    EPOCH_NEVER,
+    JOBS_COLUMNS,
+    RUN_LOG_COLUMNS,
+    STATE_FAILURE,
+    STATE_RUNNING,
+    STATE_SUCCESS,
+    Job,
+    RunRecord,
+)
+
+
+def utcnow_iso() -> str:
+    return datetime.now(timezone.utc).replace(tzinfo=None).isoformat(timespec="seconds")
+
+
+class JobStore:
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        os.makedirs(os.path.join(root, "schemas"), exist_ok=True)
+        self._jobs: dict[int, Job] = {}
+        self._load()
+
+    # -- persistence --------------------------------------------------------
+
+    @property
+    def _jobs_path(self) -> str:
+        return os.path.join(self.root, "jobs.parquet")
+
+    @property
+    def _log_path(self) -> str:
+        return os.path.join(self.root, "run_log")
+
+    def _load(self) -> None:
+        if os.path.exists(self._jobs_path):
+            table = pq.read_table(self._jobs_path).to_pylist()
+            self._jobs = {r["job_id"]: Job(**r) for r in table}
+
+    def _save(self) -> None:
+        rows = [j.__dict__ for j in self._jobs.values()]
+        schema = pa.schema(
+            [(c, pa.int64() if c == "job_id" else pa.bool_() if c in ("incremental", "refresh_now") else pa.string()) for c in JOBS_COLUMNS]
+        )
+        table = pa.Table.from_pylist(rows, schema=schema)
+        tmp = self._jobs_path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, self._jobs_path)  # atomic swap: readers never see a torn file
+
+    # -- job CRUD -----------------------------------------------------------
+
+    def put(self, job: Job) -> None:
+        self._jobs[job.job_id] = job
+        self._save()
+
+    def get(self, job_id: int) -> Job:
+        return self._jobs[job_id]
+
+    def jobs(self) -> list[Job]:
+        """Control-table scan, skipping empty-Document rows (reference
+        read_control_sheet, manager.py:33-37)."""
+        return [j for j in self._jobs.values() if j.document]
+
+    def jobs_df(self) -> DataFrame:
+        """The jobs table as a DataFrame for Spark-side predicates."""
+        rows = [j.as_row() for j in self._jobs.values()]
+        return self.spark.createDataFrame(
+            rows,
+            "job_id long, document string, sheet string, cellrange string, "
+            "target_system string, destination string, incremental boolean, "
+            "refresh_now boolean, refresh_interval string, last_success string, "
+            "state string, last_result string, lease_ts string",
+        )
+
+    # -- state machine ------------------------------------------------------
+
+    def mark_running(self, job_id: int, now: str | None = None) -> str:
+        now = now or utcnow_iso()
+        j = self._jobs[job_id]
+        j.refresh_now = False  # one-shot trigger consumed at run START
+        j.state = STATE_RUNNING
+        j.lease_ts = now
+        self._save()
+        return now
+
+    def mark_success(self, job_id: int, result: str, now: str | None = None) -> str:
+        now = now or utcnow_iso()
+        j = self._jobs[job_id]
+        j.state = STATE_SUCCESS
+        j.last_success = now
+        j.last_result = result
+        j.lease_ts = ""
+        self._save()
+        return now
+
+    def mark_failure(self, job_id: int, error: str, now: str | None = None) -> str:
+        now = now or utcnow_iso()
+        j = self._jobs[job_id]
+        j.state = STATE_FAILURE
+        j.last_result = error
+        j.refresh_interval = ""  # failure disables the schedule (reference :121-122)
+        j.lease_ts = ""
+        self._save()
+        return now
+
+    def mark_invalid_schedule(self, job_id: int, error: str) -> str:
+        return self.mark_failure(job_id, f"invalid refresh interval: {error}")
+
+    # -- audit log ----------------------------------------------------------
+
+    def append_log(self, record: RunRecord) -> None:
+        """Synchronous append — strengthens the reference's fire-and-forget
+        daemon-thread log (manager.py:147-164, at-most-once, lost on crash)
+        to exactly-recorded."""
+        df = self.spark.createDataFrame(
+            [record.as_row()],
+            "start string, end string, document string, sheet string, "
+            "cellrange string, status string, result string",
+        )
+        df.write.mode("append").parquet(self._log_path)
+
+    def run_log(self) -> DataFrame:
+        if not os.path.isdir(self._log_path):
+            return self.spark.createDataFrame([], "start string, end string, document string, sheet string, cellrange string, status string, result string")
+        return self.spark.read.parquet(self._log_path)
+
+    # -- pinned schemas (drift detection; SURVEY §1.2) ----------------------
+
+    def _schema_path(self, job_id: int) -> str:
+        return os.path.join(self.root, "schemas", f"{job_id}.json")
+
+    def get_pinned_schema(self, job_id: int):
+        from pyspark.sql import types as T
+
+        path = self._schema_path(job_id)
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return T.StructType.fromJson(json.load(fh))
+
+    def pin_schema(self, job_id: int, schema) -> None:
+        with open(self._schema_path(job_id), "w") as fh:
+            json.dump(schema.jsonValue(), fh)

@@ -1,0 +1,38 @@
+"""CSV export sink (reference to_csv, export.py:35-66).
+
+The reference writes a single timestamped CSV file with QUOTE_NONNUMERIC.
+Here the export is a distributed ``df.write.csv`` into a timestamped
+directory (quoteAll — every value a worksheet yields is a string, so the
+reference's 'quote non-numeric' degenerates to quote-everything); a
+``single_file`` mode coalesces to one part for spreadsheet-scale exports
+that need a literal file.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+
+
+def _now_str() -> str:
+    # Reference now_str (export.py:14-15): filesystem-safe UTC timestamp.
+    return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H-%M-%S")
+
+
+def to_csv(
+    df: DataFrame,
+    out_dir: str,
+    document: str,
+    sheet: str = "",
+    single_file: bool = False,
+    now_str: str | None = None,
+) -> str:
+    """Write a timestamped CSV export; returns the output path (the
+    reference returns the temp filename, export.py:66)."""
+    name = f"{now_str or _now_str()} {document}" + (f" - {sheet}" if sheet else "")
+    path = os.path.join(out_dir, name)
+    writer = df.coalesce(1) if single_file else df
+    writer.write.option("header", True).option("quoteAll", True).mode("overwrite").csv(path)
+    return path

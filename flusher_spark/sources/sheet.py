@@ -1,0 +1,202 @@
+"""Worksheet sources: the reference's export semantics on Spark.
+
+The reference reads a Google Sheets worksheet (optionally an A1 cell range)
+as an untyped cell grid and defers all typing to the BigQuery autodetect load
+(reference export.py:35-66, bigquery.py:22-23). Here:
+
+- ``SheetGrid`` models a worksheet as an in-memory grid of strings (the unit
+  a Sheets API fetch returns; a spreadsheet is ≤10M cells by Google's own
+  limit, so a driver-side fetch + ``createDataFrame`` is the right scale
+  trade-off — the *data lake* side is where 100 TB lives, not the
+  control-plane spreadsheets).
+- ``read_sheet`` applies the A1 range view (column projection + row slice —
+  reference export.py:46-51) with the CORRECT base-26 column arithmetic
+  (the reference's is broken past column Z, export.py:22-24; see
+  functions/a1.py).
+- ``infer_schema`` / ``cast_with_schema`` are the explicit two-stage
+  untyped→typed model replacing per-load autodetect: inference is a real
+  Spark job over the string DataFrame, and the result is a pinned schema the
+  caller persists per job (schema-drift detection instead of silent
+  re-inference — fixing a documented hazard of the reference design).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flusher_spark.functions.a1 import parse_a1_range
+
+
+@dataclass
+class SheetGrid:
+    """An untyped worksheet: rows of string cells; first row is the header
+    when ``header`` is True (reference get_all_values semantics)."""
+
+    name: str
+    rows: list[list[str]] = field(default_factory=list)
+    header: bool = True
+
+    @classmethod
+    def from_csv(cls, name: str, text: str, header: bool = True) -> SheetGrid:
+        return cls(name, [list(r) for r in csv.reader(io.StringIO(text))], header)
+
+    @property
+    def num_rows(self) -> int:
+        return len(self.rows)
+
+    @property
+    def num_columns(self) -> int:
+        return max((len(r) for r in self.rows), default=0)
+
+
+@dataclass
+class SheetSource:
+    """A 'spreadsheet service': named documents each holding named sheets.
+    Stands in for the Sheets API client; tests and local pipelines populate
+    it directly, a real deployment would back it with the HTTP fetch."""
+
+    documents: dict[str, dict[str, SheetGrid]] = field(default_factory=dict)
+
+    def open(self, document: str) -> dict[str, SheetGrid]:
+        if document not in self.documents:
+            raise KeyError(f"document not found: {document!r}")
+        return self.documents[document]
+
+    def worksheet(self, document: str, sheet: str = "") -> SheetGrid:
+        doc = self.open(document)
+        if not sheet:
+            # Reference: empty Sheet ⇒ first worksheet (export.py:38-39).
+            return next(iter(doc.values()))
+        if sheet not in doc:
+            raise KeyError(f"worksheet not found: {sheet!r} (available: {sorted(doc)})")
+        return doc[sheet]
+
+    def available_sheets(self, document: str) -> list[str]:
+        return sorted(self.open(document))
+
+
+def read_sheet(
+    spark: SparkSession,
+    grid: SheetGrid,
+    cellrange: str = "",
+) -> DataFrame:
+    """Untyped scan of a worksheet (or an A1 sub-rectangle) as a DataFrame of
+    strings. Row bounds are 1-based inclusive spreadsheet coordinates
+    counting the header as row 1, like A1 notation; open-ended ranges
+    (``A2:F``) run to the last row (reference export.py:47-48)."""
+    rows = grid.rows
+    ncols = grid.num_columns
+    col_lo, col_hi = 1, ncols
+    row_lo, row_hi = 1, len(rows)
+    if cellrange:
+        rng = parse_a1_range(cellrange)
+        col_lo, col_hi = rng.col_start, min(rng.col_end, ncols)
+        if rng.row_start is not None:
+            row_lo = rng.row_start
+        if rng.row_end is not None:
+            row_hi = min(rng.row_end, len(rows))
+
+    if grid.header and grid.rows:
+        names = [str(c) for c in rows[0][col_lo - 1 : col_hi]]
+        # A range that excludes row 1 still needs the header names.
+        data_rows = rows[max(row_lo, 2) - 1 : row_hi]
+    else:
+        names = [f"col_{i}" for i in range(col_lo, col_hi + 1)]
+        data_rows = rows[row_lo - 1 : row_hi]
+    names = [n if n else f"col_{i}" for i, n in enumerate(names, start=col_lo)]
+
+    width = col_hi - col_lo + 1
+    padded = [
+        [str(c) if c is not None else "" for c in r[col_lo - 1 : col_hi]] + [""] * (width - len(r[col_lo - 1 : col_hi]))
+        for r in data_rows
+    ]
+    schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+    return spark.createDataFrame(padded, schema)
+
+
+# -- untyped → typed ---------------------------------------------------------
+
+_BOOL_VALUES = {"true", "false", "yes", "no"}
+
+
+def infer_schema(df: DataFrame, sample_rows: int | None = None) -> T.StructType:
+    """Infer a typed schema from a string DataFrame — the explicit stand-in
+    for BigQuery autodetect (reference bigquery.py:22-23), computed as ONE
+    distributed aggregation (no driver-side row scan): a column is long if
+    every non-empty cell casts to long, else double, else timestamp, else
+    boolean, else string."""
+    checks = []
+    for name in df.columns:
+        c = F.when(F.col(name) == "", None).otherwise(F.col(name))
+        checks.extend(
+            [
+                F.min(c.isNull() | c.try_cast("long").isNotNull()).alias(f"{name}__long"),
+                F.min(c.isNull() | c.try_cast("double").isNotNull()).alias(f"{name}__double"),
+                F.min(c.isNull() | c.try_cast("timestamp_ntz").isNotNull()).alias(
+                    f"{name}__timestamp"
+                ),
+                F.min(c.isNull() | F.lower(c).isin(*_BOOL_VALUES)).alias(f"{name}__boolean"),
+                F.max(c.isNotNull()).alias(f"{name}__nonempty"),
+            ]
+        )
+    sample = df.limit(sample_rows) if sample_rows else df
+    row = sample.agg(*checks).collect()[0].asDict()
+
+    fields = []
+    for name in df.columns:
+        if not row[f"{name}__nonempty"]:
+            dtype: T.DataType = T.StringType()
+        elif row[f"{name}__long"]:
+            dtype = T.LongType()
+        elif row[f"{name}__double"]:
+            dtype = T.DoubleType()
+        elif row[f"{name}__timestamp"]:
+            dtype = T.TimestampNTZType()
+        elif row[f"{name}__boolean"]:
+            dtype = T.BooleanType()
+        else:
+            dtype = T.StringType()
+        fields.append(T.StructField(name, dtype, True))
+    return T.StructType(fields)
+
+
+def cast_with_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Apply a pinned schema to a string DataFrame. ``try_cast`` semantics:
+    drifted cells become NULL rather than failing the load; callers can count
+    nulls to detect drift (tests/test_etl.py)."""
+    cols = []
+    for f_ in schema.fields:
+        c = F.when(F.col(f_.name) == "", None).otherwise(F.col(f_.name))
+        if isinstance(f_.dataType, T.BooleanType):
+            cols.append(F.lower(c).isin("true", "yes").alias(f_.name))
+        elif isinstance(f_.dataType, T.StringType):
+            cols.append(c.alias(f_.name))
+        else:
+            cols.append(c.try_cast(f_.dataType.simpleString()).alias(f_.name))
+    return df.select(*cols)
+
+
+def schema_drift(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Per-column count of cells that no longer fit the pinned schema —
+    the drift report the reference could never produce."""
+    typed = cast_with_schema(df, schema)
+    checks = [
+        F.sum(
+            (F.when(F.col(f"__raw.{f_.name}") == "", None).otherwise(F.col(f"__raw.{f_.name}"))).isNotNull().cast("long")
+            * F.col(f"__typed.{f_.name}").isNull().cast("long")
+        ).alias(f_.name)
+        for f_ in schema.fields
+    ]
+    raw_s = df.select(F.struct(*df.columns).alias("__raw"))
+    typed_s = typed.select(F.struct(*typed.columns).alias("__typed"))
+    # Align by zip: both frames derive from the same rows in order.
+    joined = raw_s.withColumn("__rid", F.monotonically_increasing_id()).join(
+        typed_s.withColumn("__rid", F.monotonically_increasing_id()), "__rid"
+    )
+    return joined.agg(*checks)

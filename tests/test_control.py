@@ -1,0 +1,174 @@
+"""Control plane: job state machine, due-predicate, invalid-schedule repair,
+lease recovery, audit log, end-to-end scheduler ticks. Each semantic rule
+cites the reference behavior it preserves (SURVEY.md §2.A rows 15-24)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flusher_spark.control.model import Job
+from flusher_spark.control.scheduler import Scheduler, due_jobs, parse_intervals
+from flusher_spark.control.store import JobStore
+from flusher_spark.sinks.table import Warehouse
+from flusher_spark.sources.sheet import SheetGrid, SheetSource
+
+GRID = SheetGrid("s1", [["a", "b"], ["1", "x"], ["2", "y"]])
+NOW = "2024-06-01T12:00:00"
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    store = JobStore(spark, str(tmp_path / "control"))
+    source = SheetSource({"doc": {"s1": GRID, "s2": SheetGrid("s2", [["c"], ["9"]])}})
+    wh = Warehouse(spark, str(tmp_path / "lake"))
+    sched = Scheduler(spark, store, source, wh, str(tmp_path / "exports"))
+    return store, source, wh, sched
+
+
+def test_refresh_now_runs_and_is_consumed(env):
+    store, _, wh, sched = env
+    store.put(Job(1, "doc", "s1", target_system="warehouse", destination="t1", refresh_now=True))
+    results = sched.tick(NOW)
+    assert results == [(1, "Success", "g_sheets.t1")]
+    job = store.get(1)
+    # Refresh Now cleared at run start (manager.py:87-88); Success recorded.
+    assert job.refresh_now is False and job.state == "Success"
+    assert job.last_success == NOW and job.last_result == "g_sheets.t1"
+    assert wh.read("t1").count() == 2
+    # Not due again: one-shot consumed.
+    assert sched.tick("2024-06-01T12:01:00") == []
+
+
+def test_interval_scheduling(env):
+    store, _, _, sched = env
+    store.put(Job(1, "doc", "s1", target_system="warehouse", destination="t1",
+                  refresh_interval="2 minutes"))
+    # Never ran (empty last_success ⇒ epoch 1900, refresh_interval.py:32) → due.
+    assert [r[0] for r in sched.tick(NOW)] == [1]
+    # Immediately after: not elapsed.
+    assert sched.tick("2024-06-01T12:01:00") == []
+    # After the interval: due again (success kept the schedule).
+    assert [r[0] for r in sched.tick("2024-06-01T12:03:01")] == [1]
+
+
+def test_failure_clears_interval(env):
+    store, _, _, sched = env
+    store.put(Job(1, "missing-doc", "s1", refresh_interval="2 minutes"))
+    results = sched.tick(NOW)
+    assert results[0][1] == "Failure"
+    job = store.get(1)
+    # Failure clears the schedule (manager.py:121-122): job stops rescheduling.
+    assert job.refresh_interval == "" and job.state == "Failure"
+    assert "share" in job.last_result or "not" in job.last_result.lower()
+    assert sched.tick("2024-06-02T12:00:00") == []
+
+
+def test_invalid_interval_failed_and_disabled(env):
+    store, _, _, sched = env
+    store.put(Job(1, "doc", "s1", refresh_interval="2 weeks"))
+    assert sched.tick(NOW) == []  # dropped from the tick, not run
+    job = store.get(1)
+    # Reference filter_fixing_invalid_schedules (manager.py:167-175):
+    # unparsable interval ⇒ Failure + interval cleared.
+    assert job.state == "Failure" and job.refresh_interval == ""
+    assert "invalid refresh interval" in job.last_result
+
+
+def test_running_skipped_until_lease_expires(env):
+    store, _, _, sched = env
+    store.put(Job(1, "doc", "s1", refresh_now=True, state="Running", lease_ts=NOW))
+    # Running jobs are skipped (manager.py:179)...
+    assert sched.tick("2024-06-01T12:30:00") == []
+    # ...but unlike the reference (stuck-Running hazard), an expired lease
+    # lets the job run again.
+    assert [r[0] for r in sched.tick("2024-06-01T13:30:01")] == [1]
+
+
+def test_empty_document_rows_ignored(env):
+    store, _, _, sched = env
+    store.put(Job(1, "", "s1", refresh_now=True))
+    assert sched.tick(NOW) == []  # reference read_control_sheet (manager.py:37)
+
+
+def test_export_only_job(env, tmp_path):
+    store, _, _, sched = env
+    store.put(Job(1, "doc", "s2", refresh_now=True))  # no target system
+    results = sched.tick(NOW)
+    assert results[0][1] == "Success"
+    # The CSV is the product (manager.py:193).
+    assert "doc - s2" in results[0][2]
+
+
+def test_unknown_target_system(env):
+    store, _, _, sched = env
+    store.put(Job(1, "doc", "s1", target_system="redshift", destination="x", refresh_now=True))
+    results = sched.tick(NOW)
+    # Only the warehouse target is implemented (reference raises
+    # NotImplementedError for non-bigquery targets, manager.py:52-58).
+    assert results[0][1] == "Failure" and "redshift" in results[0][2]
+
+
+def test_worksheet_error_lists_candidates(env):
+    store, _, _, sched = env
+    store.put(Job(1, "doc", "nope", refresh_now=True))
+    results = sched.tick(NOW)
+    assert results[0][1] == "Failure"
+    assert "s1" in results[0][2] and "s2" in results[0][2]  # manager.py:64-66
+
+
+def test_audit_log_appended(env):
+    store, _, _, sched = env
+    store.put(Job(1, "doc", "s1", target_system="warehouse", destination="t1", refresh_now=True))
+    store.put(Job(2, "missing", "", refresh_now=True))
+    sched.tick(NOW)
+    log = store.run_log().collect()
+    assert len(log) == 2
+    statuses = {r["status"] for r in log}
+    assert statuses == {"Success", "Failure"}  # schema: manager.py:155-163
+
+
+def test_incremental_vs_full_refresh_jobs(env):
+    store, _, wh, sched = env
+    store.put(Job(1, "doc", "s1", target_system="warehouse", destination="t", refresh_now=True))
+    sched.tick(NOW)
+    assert wh.read("t").count() == 2
+    store.put(Job(1, "doc", "s1", target_system="warehouse", destination="t",
+                  refresh_now=True, incremental=True))
+    sched.tick("2024-06-01T13:00:00")
+    assert wh.read("t").count() == 4  # append (bigquery.py:45,47)
+
+
+def test_schema_pinned_across_runs(env):
+    store, source, wh, sched = env
+    store.put(Job(1, "doc", "s1", target_system="warehouse", destination="t", refresh_now=True))
+    sched.tick(NOW)
+    pinned = store.get_pinned_schema(1)
+    assert pinned is not None
+    assert [f.name for f in pinned.fields] == ["a", "b"]
+    # Second run re-uses the pinned schema (no re-inference drift).
+    source.documents["doc"]["s1"] = SheetGrid("s1", [["a", "b"], ["not-a-number", "z"]])
+    store.put(Job(1, "doc", "s1", target_system="warehouse", destination="t", refresh_now=True))
+    sched.tick("2024-06-01T14:00:00")
+    row = wh.read("t").collect()[0]
+    assert row["a"] is None  # drifted cell nulled under the pinned LongType
+
+
+def test_due_jobs_is_a_spark_filter(env):
+    store, _, _, _ = env
+    store.put(Job(1, "doc", "s1", refresh_interval="2 minutes", last_success="2024-06-01T11:00:00"))
+    store.put(Job(2, "doc", "s1", refresh_interval="1 day", last_success="2024-06-01T11:00:00"))
+    store.put(Job(3, "doc", "s1", refresh_now=True))
+    store.put(Job(4, "doc", "s1"))  # no trigger, no schedule → never due
+    seconds, errors = parse_intervals(store.jobs())
+    assert errors == {}
+    due = due_jobs(store.jobs_df(), seconds, NOW).select("job_id").collect()
+    assert sorted(r["job_id"] for r in due) == [1, 3]
+
+
+def test_store_persistence(spark, tmp_path):
+    store = JobStore(spark, str(tmp_path / "c"))
+    store.put(Job(7, "doc", "s1", refresh_interval="5 minutes"))
+    store.mark_running(7, NOW)
+    reloaded = JobStore(spark, str(tmp_path / "c"))
+    j = reloaded.get(7)
+    assert j.state == "Running" and j.lease_ts == NOW

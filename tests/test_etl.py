@@ -1,0 +1,135 @@
+"""ETL core: worksheet source with A1 ranges, schema inference/pinning/drift,
+table sink overwrite/append, CSV export."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from flusher_spark.sinks.csv import to_csv
+from flusher_spark.sinks.table import Warehouse
+from flusher_spark.sources.sheet import (
+    SheetGrid,
+    SheetSource,
+    cast_with_schema,
+    infer_schema,
+    read_sheet,
+)
+
+GRID = SheetGrid(
+    "metrics",
+    [
+        ["id", "amount", "when", "flag", "note"],
+        ["1", "1.5", "2024-01-01T00:00:00", "true", "a"],
+        ["2", "2.5", "2024-01-02T00:00:00", "false", ""],
+        ["3", "", "2024-01-03T00:00:00", "true", "c"],
+        ["4", "4.25", "2024-01-04T00:00:00", "false", "d"],
+    ],
+)
+
+
+def test_full_scan(spark):
+    df = read_sheet(spark, GRID)
+    assert df.columns == ["id", "amount", "when", "flag", "note"]
+    assert df.count() == 4
+    assert all(t == "string" for _, t in df.dtypes)  # untyped scan
+
+
+def test_range_scan_projection_and_rows(spark):
+    # B2:C4 → columns amount,when; spreadsheet rows 2..4 = data rows 1..3.
+    df = read_sheet(spark, GRID, "B2:C4")
+    assert df.columns == ["amount", "when"]
+    assert df.count() == 3
+
+
+def test_open_ended_range(spark):
+    # A2:B — open-ended rows (reference export.py:47-48).
+    df = read_sheet(spark, GRID, "A2:B")
+    assert df.columns == ["id", "amount"]
+    assert df.count() == 4
+
+
+def test_wide_grid_past_column_z(spark):
+    # >26 columns exercises true base-26 (reference's math breaks at AA).
+    header = [f"c{i}" for i in range(30)]
+    row = [str(i) for i in range(30)]
+    grid = SheetGrid("wide", [header, row])
+    df = read_sheet(spark, grid, "AA1:AD2")
+    assert df.columns == ["c26", "c27", "c28", "c29"]
+    assert df.collect()[0]["c26"] == "26"
+
+
+def test_infer_schema(spark):
+    df = read_sheet(spark, GRID)
+    schema = infer_schema(df)
+    types = {f.name: type(f.dataType) for f in schema.fields}
+    assert types == {
+        "id": T.LongType,
+        "amount": T.DoubleType,
+        "when": T.TimestampNTZType,
+        "flag": T.BooleanType,
+        "note": T.StringType,
+    }
+
+
+def test_cast_with_schema_and_drift_nulls(spark):
+    df = read_sheet(spark, GRID)
+    schema = infer_schema(df)
+    typed = cast_with_schema(df, schema)
+    rows = {r["id"]: r for r in typed.collect()}
+    assert rows[1]["amount"] == 1.5 and rows[3]["amount"] is None
+    assert rows[1]["flag"] is True and rows[2]["flag"] is False
+
+    # Drifted data (text in a numeric column) → NULL, not a failed load.
+    drifted = SheetGrid("m", [["id", "amount"], ["9", "not-a-number"]])
+    t2 = cast_with_schema(
+        read_sheet(spark, drifted),
+        T.StructType([T.StructField("id", T.LongType()), T.StructField("amount", T.DoubleType())]),
+    )
+    row = t2.collect()[0]
+    assert row["id"] == 9 and row["amount"] is None
+
+
+def test_warehouse_overwrite_vs_append(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    df = read_sheet(spark, GRID)
+    name = wh.load(df, "metrics")  # full refresh
+    assert name == "g_sheets.metrics"
+    assert wh.read("metrics").count() == 4
+    wh.load(df, "metrics")  # full refresh again: drop + recreate
+    assert wh.read("metrics").count() == 4
+    wh.load(df, "metrics", incremental=True)  # append
+    assert wh.read("metrics").count() == 8
+    assert wh.table_exists("metrics")
+    wh.drop("metrics")
+    assert not wh.table_exists("metrics")
+
+
+def test_load_is_synchronous(spark, tmp_path):
+    """The reference never awaits its load job (bigquery.py:25-28) so a
+    failed load could be recorded Success. Spark writes are synchronous:
+    when load() returns, the files exist."""
+    wh = Warehouse(spark, str(tmp_path))
+    wh.load(read_sheet(spark, GRID), "sync_check")
+    files = glob.glob(os.path.join(str(tmp_path), "g_sheets", "sync_check", "*.parquet"))
+    assert files, "parquet files must exist the moment load() returns"
+
+
+def test_csv_export(spark, tmp_path):
+    path = to_csv(read_sheet(spark, GRID), str(tmp_path), "doc", "metrics", single_file=True, now_str="t0")
+    assert os.path.basename(path) == "t0 doc - metrics"
+    out = spark.read.option("header", True).csv(path)
+    assert out.count() == 4 and out.columns == GRID.rows[0]
+
+
+def test_sheet_source_lookup():
+    src = SheetSource({"doc": {"s1": GRID}})
+    assert src.worksheet("doc", "s1") is GRID
+    assert src.worksheet("doc") is GRID  # empty sheet ⇒ first (export.py:39)
+    with pytest.raises(KeyError):
+        src.worksheet("nope")
+    with pytest.raises(KeyError):
+        src.worksheet("doc", "missing")
