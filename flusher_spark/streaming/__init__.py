@@ -1,0 +1,13 @@
+from flusher_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    stream_events,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "session_window_agg",
+    "sliding_window_agg",
+    "stream_events",
+    "tumbling_window_agg",
+]

@@ -1,0 +1,189 @@
+"""Custom operators: as-of join vs pandas merge_asof, approximate dedup /
+similarity vs their exact twins, multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flusher_spark.io.tables import load_table
+from flusher_spark.operators.asof import asof_join
+from flusher_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from flusher_spark.operators.multimodal import (
+    ASSET_SCHEMA,
+    extract_features,
+    filter_by_meta,
+    frame_sample,
+)
+from flusher_spark.operators.similarity import brute_force_topk, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- as-of join --------------------------------------------------------------
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    left = pd.DataFrame({"k": [1, 1, 1, 2, 2], "t": [5, 10, 20, 7, 9], "lv": list("abcde")})
+    right = pd.DataFrame({"k": [1, 1, 2], "rt": [4, 10, 8], "rv": [100, 200, 300]})
+    got = (
+        asof_join(
+            spark.createDataFrame(left.rename(columns={"t": "t"})),
+            spark.createDataFrame(right),
+            on=["k"],
+            left_ts="t",
+            right_ts="rt",
+        )
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    expected = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("rt"), left_on="t", right_on="rt", by="k"
+    ).sort_values(["k", "t"])
+    norm = lambda vals: [None if pd.isna(v) else float(v) for v in vals]
+    assert norm(got["rv_right"]) == norm(expected["rv"])
+
+
+def test_asof_equal_timestamp_visible(spark):
+    # ASOF '>= ' semantics: an equal-ts right row matches.
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame([(1, 10, 7)], "k long, rt long, rv long")
+    row = asof_join(left, right, ["k"], "t", "rt").collect()[0]
+    assert row["rv_right"] == 7
+
+
+# -- dedup -------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    approx = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert approx <= exact, "verified LSH pairs must be a subset of exact pairs"
+    assert exact, "fixture must contain near-dup pairs for this test to bite"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
+def test_simhash_pairs_hamming_bound(spark, docs):
+    pairs = simhash_pairs(docs, max_hamming=3).collect()
+    assert pairs, "expected some simhash near-dups"
+    assert all(0 <= r["hamming"] <= 3 for r in pairs)
+    assert all(r["doc_a"] < r["doc_b"] for r in pairs)
+
+
+# -- similarity --------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_brute_force_topk_is_correct(spark, emb):
+    got = brute_force_topk(emb, [0, 1], k=5).collect()
+    pdf = emb.toPandas()
+    vecs = {r.vec_id: r.embedding for r in pdf.itertuples()}
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(x) ** 2 for x in b))
+        return dot / (na * nb)
+
+    for qid in (0, 1):
+        expected = sorted(
+            ((cos(vecs[qid], v), vid) for vid, v in vecs.items() if vid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        got_q = sorted(
+            [(r["cosine_sim"], r["vec_id"]) for r in got if r["query_id"] == qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert [v for _, v in got_q] == [v for _, v in expected]
+        for (gs, _), (es, _) in zip(got_q, expected):
+            assert abs(gs - es) < 1e-9
+
+
+def test_lsh_topk_sims_match_exact_where_overlapping(spark, emb):
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"]
+        for r in brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
+    }
+    approx = lsh_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
+    assert approx, "LSH buckets should not all be empty"
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact:  # where both found the pair, the cosine is identical
+            assert abs(r["cosine_sim"] - exact[key]) < 1e-12
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    return (
+        docs.select(
+            F.col("doc_id").alias("asset_id"),
+            F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"),
+            F.struct(
+                (F.col("doc_id") % 1000).cast("int").alias("width"),
+                F.lit(480).cast("int").alias("height"),
+                F.lit(16000).cast("int").alias("sample_rate"),
+                F.lit(None).cast("int").alias("n_frames"),
+            ).alias("meta"),
+        )
+    ).cache()
+
+
+def test_asset_schema_roundtrip(spark, assets):
+    assert [f.name for f in ASSET_SCHEMA.fields] == ["asset_id", "kind", "payload", "meta"]
+    df = spark.createDataFrame(assets.collect(), ASSET_SCHEMA)
+    assert df.count() == 50
+
+
+def test_extract_features_deterministic(spark, assets):
+    feats = extract_features(assets, fake=True, dim=8).collect()
+    assert len(feats) == 50
+    by_id = {r["asset_id"]: r for r in feats}
+    raw = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+    for aid, payload in raw.items():
+        r = by_id[aid]
+        assert r["n_bytes"] == len(payload)
+        assert r["sha256"] == hashlib.sha256(payload).hexdigest()
+        assert len(r["feature"]) == 8 and all(0 <= x < 1 for x in r["feature"])
+
+
+def test_frame_sample_fanout(spark, assets):
+    frames = frame_sample(assets, every_n_bytes=64, fake=True).toPandas()
+    raw = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+    counts = frames.groupby("asset_id").size().to_dict()
+    for aid, payload in raw.items():
+        assert counts[aid] == math.ceil(len(payload) / 64)
+
+
+def test_meta_filter_prunes_before_decode(spark, assets):
+    all_rows = assets.collect()
+    widths = sorted(r["meta"]["width"] for r in all_rows if r["kind"] == "image")
+    thresh = widths[len(widths) // 2]  # median → both sides non-empty
+    filtered = filter_by_meta(assets, kind="image", min_width=thresh)
+    rows = filtered.collect()
+    expected = {r["asset_id"] for r in all_rows if r["kind"] == "image" and r["meta"]["width"] >= thresh}
+    assert {r["asset_id"] for r in rows} == expected and expected
+    # The metadata predicate must appear in the plan BEFORE any Python eval.
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan

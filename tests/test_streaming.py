@@ -1,0 +1,139 @@
+"""Structured Streaming: windowed aggs over a file-based micro-batch stream.
+Batch twins from plans/relational.py are the oracle: a bounded stream in
+'complete' mode must produce exactly the batch answer. A separate append-mode
+test shows watermarking dropping late data."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from flusher_spark.io.tables import load_table
+from flusher_spark.streaming.windows import (
+    run_stream_to_memory,
+    session_window_agg,
+    sliding_window_agg,
+    stream_events,
+    tumbling_window_agg,
+)
+
+US = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    """sf0.001 events split into 3 parquet files (3 micro-batches), raw ns
+    ts — exactly the on-disk layout of the driver fixture."""
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    src = src.sort_values("ts").reset_index(drop=True)
+    d = tmp_path_factory.mktemp("events_stream")
+    n = len(src)
+    for i, part in enumerate([src[: n // 3], src[n // 3 : 2 * n // 3], src[2 * n // 3 :]]):
+        path = os.path.join(d, f"{i:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        os.utime(path, (time.time() + i, time.time() + i))
+    return str(d)
+
+
+def _batch_events(spark):
+    return load_table(spark, "/root/testdata/sf0.001", "events")
+
+
+def _canon(df):
+    pdf = df.toPandas()
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def test_tumbling_stream_matches_batch(spark, stream_dir):
+    stream = tumbling_window_agg(stream_events(spark, stream_dir))
+    q = run_stream_to_memory(stream, "tumb", output_mode="complete")
+    try:
+        got = spark.sql("SELECT * FROM tumb")
+        expected = (
+            _batch_events(spark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        )
+        pd.testing.assert_frame_equal(_canon(got), _canon(expected))
+    finally:
+        q.stop()
+
+
+def test_sliding_stream_matches_batch(spark, stream_dir):
+    stream = sliding_window_agg(stream_events(spark, stream_dir))
+    q = run_stream_to_memory(stream, "slide", output_mode="complete")
+    try:
+        got = spark.sql("SELECT * FROM slide")
+        expected = (
+            _batch_events(spark)
+            .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        )
+        pd.testing.assert_frame_equal(_canon(got), _canon(expected))
+    finally:
+        q.stop()
+
+
+def test_session_stream_counts(spark, stream_dir):
+    stream = session_window_agg(stream_events(spark, stream_dir))
+    q = run_stream_to_memory(stream, "sess", output_mode="complete")
+    try:
+        got = spark.sql("SELECT user_id, COUNT(*) AS n_sessions FROM sess GROUP BY user_id")
+        # Oracle: the batch sessionization query (oracle-checked itself).
+        from flusher_spark.plans.catalog import registry
+
+        expected = registry()["events_sessionize_30m"].fn(spark, "/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(_canon(got), _canon(expected))
+    finally:
+        q.stop()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append mode + watermark: an event arriving after the watermark passed
+    its window is dropped (late-data policy)."""
+    d = tmp_path / "late"
+    d.mkdir()
+    base = int(pd.Timestamp("2024-01-01").timestamp()) * US * 1000  # ns
+
+    def write(name, rows, mtime):
+        t = pa.Table.from_pylist(
+            [
+                {"event_id": i, "ts": base + int(off * 3600 * US * 1000), "user_id": 1,
+                 "event_type": "view", "value": 1.0, "props": "{}"}
+                for i, off in rows
+            ],
+            schema=pa.schema(
+                [("event_id", pa.int64()), ("ts", pa.int64()), ("user_id", pa.int64()),
+                 ("event_type", pa.string()), ("value", pa.float64()), ("props", pa.string())]
+            ),
+        )
+        path = str(d / name)
+        pq.write_table(t, path)
+        os.utime(path, (mtime, mtime))
+
+    now = time.time()
+    # Batch 1: events in hour 0 and hour 1, plus a sentinel at hour 10 that
+    # advances the watermark (10h - 2h = 8h) past both windows.
+    write("00.parquet", [(1, 0.0), (2, 0.5), (3, 1.5), (4, 10.0)], now)
+
+    stream = tumbling_window_agg(stream_events(spark, str(d)), window="1 hour", watermark="2 hours")
+    q = stream.writeStream.outputMode("append").format("memory").queryName("late_t").start()
+    try:
+        q.processAllAvailable()  # batch 1 done; watermark now 8h
+        # Batch 2: a LATE event back in hour 0 — behind the watermark → dropped.
+        # Written only after batch 1 committed so it cannot ride along in it.
+        write("01.parquet", [(5, 0.25)], now + 5)
+        q.processAllAvailable()
+        rows = {r["window_start"].hour: r["n"] for r in spark.sql("SELECT * FROM late_t").collect()}
+        # Hour-0 window was finalized with 2 events; the late 5th never counted.
+        assert rows[0] == 2 and rows[1] == 1
+    finally:
+        q.stop()
