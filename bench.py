@@ -42,11 +42,20 @@ def main() -> None:
     spark = get_session("flusher_spark_bench")
     reg = registry()
     names = [n for n in HEADLINE if n in reg]
-    # Warmup: touch the fact table once so JVM/classloading doesn't bill q1.
+    # Warmup: exercise the scan, shuffle, whole-stage-codegen, and noop-sink
+    # machinery once on a tiny slice so one-time JVM/classloader costs don't
+    # bill q1. (Different query shape than any headline — no result caching.)
+    warm = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    warm.groupBy("n_regionkey").count().write.format("noop").mode("overwrite").save()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in names:
+        # One untimed execution first: whole-stage codegen compiles once per
+        # query shape (~0.5-2 s on this JVM) and would otherwise dominate the
+        # sub-second queries. The timed run measures steady-state execution —
+        # scan + shuffle + compute — which is what scales with data volume.
+        reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         df = reg[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -291,8 +291,10 @@ def top_suppliers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
         .agg(dsum_exact(_disc()).alias("total_revenue"))
     )
-    w = Window.partitionBy()  # rev is one row per supplier: already small
-    best = rev.withColumn("__mx", F.max("total_revenue").over(w)).where(
+    # Argmax via a broadcast 1-row scalar max, not an unpartitioned window:
+    # rev stays fully distributed, the max is a tiny all-to-one agg.
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    best = rev.crossJoin(F.broadcast(mx)).where(
         F.col("total_revenue") == F.col("__mx")
     )
     return (
@@ -636,12 +638,15 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE quartiles over a total order (single-partition window: fine for
-    ranking a dimension table; a fact-scale version would bucket by
-    percentile_approx instead)."""
+    """NTILE quartiles over a total order — computed DISTRIBUTED via
+    operators.ranking (range partition + per-partition offsets), not the
+    single-partition ``Window.orderBy`` that WindowExec warns about."""
+    from flusher_spark.operators.ranking import with_global_ntile
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select("c_custkey", F.ntile(4).over(w).cast("long").alias("quartile"))
+    return with_global_ntile(c, ["c_acctbal", "c_custkey"], 4, out="quartile").select(
+        "c_custkey", "quartile"
+    )
 
 
 @register(
@@ -758,17 +763,18 @@ def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def range_scan_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A1 cell-range scan semantic (reference export.py:46-51): a column
-    projection plus a row-slice over the canonical order. The global
-    row_number is single-partition by design — A1 addressing is a
-    spreadsheet-scale operation (≤10M cells per Google's own limits), not a
-    fact-table one."""
+    projection plus a row-slice over the canonical order. Distributed via
+    operators.ranking.global_row_slice — A1 addressing is spreadsheet-scale
+    (≤10M cells per Google's limits) but the same slice works on a fact
+    table without a single-partition window."""
+    from flusher_spark.operators.ranking import global_row_slice
+
     l = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    return (
-        l.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn").between(11, 50))
-        .drop("rn")
+    return global_row_slice(
+        l.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"),
+        ["l_orderkey", "l_linenumber"],
+        11,
+        50,
     )
 
 

@@ -187,3 +187,55 @@ def test_meta_filter_prunes_before_decode(spark, assets):
     # The metadata predicate must appear in the plan BEFORE any Python eval.
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "Filter" in plan
+
+
+# -- distributed ranking -----------------------------------------------------
+
+
+def test_global_row_number_matches_window(spark):
+    from flusher_spark.operators.ranking import with_global_row_number
+    from pyspark.sql import Window
+
+    o = load_table(spark, SF, "orders")
+    got = with_global_row_number(o, ["o_orderdate", "o_orderkey"], out="rn")
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    expected = o.withColumn("rn", F.row_number().over(w).cast("long"))
+    a = {(r["o_orderkey"], r["rn"]) for r in got.select("o_orderkey", "rn").collect()}
+    b = {(r["o_orderkey"], r["rn"]) for r in expected.select("o_orderkey", "rn").collect()}
+    assert a == b
+
+
+def test_global_ntile_matches_window(spark):
+    from flusher_spark.operators.ranking import with_global_ntile
+    from pyspark.sql import Window
+
+    c = load_table(spark, SF, "customer")
+    for n in (3, 4, 7):
+        got = with_global_ntile(c, ["c_acctbal", "c_custkey"], n, out="b")
+        w = Window.orderBy("c_acctbal", "c_custkey")
+        expected = c.withColumn("b", F.ntile(n).over(w).cast("long"))
+        a = {(r["c_custkey"], r["b"]) for r in got.select("c_custkey", "b").collect()}
+        bb = {(r["c_custkey"], r["b"]) for r in expected.select("c_custkey", "b").collect()}
+        assert a == bb, f"ntile({n}) mismatch"
+
+
+def test_global_row_slice_bounds(spark):
+    from flusher_spark.operators.ranking import global_row_slice
+
+    o = load_table(spark, SF, "orders").select("o_orderkey")
+    got = sorted(r["o_orderkey"] for r in global_row_slice(o, ["o_orderkey"], 5, 14).collect())
+    expected = sorted(r["o_orderkey"] for r in o.collect())[4:14]
+    assert got == expected
+
+
+def test_global_row_number_plan_has_no_single_partition_window(spark):
+    from flusher_spark.operators.ranking import with_global_row_number
+
+    o = load_table(spark, SF, "orders")
+    df = with_global_row_number(o, ["o_orderdate", "o_orderkey"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The data-bearing window must be partitioned by __pid; the only
+    # unpartitioned window runs over the #partitions-sized offsets side.
+    for line in plan.splitlines():
+        if "Window" in line and "__pid" not in line and "__cnt" not in line and "__offset" not in line:
+            raise AssertionError(f"unexpected unpartitioned window: {line}")
