@@ -1,0 +1,68 @@
+"""Binned range join: point-in-interval joins without a cartesian product.
+
+Spark has no native interval-overlap join; the naive formulation
+``left.join(right, (p >= s) & (p <= e))`` (plus any equi keys) plans as a
+BroadcastNestedLoopJoin or CartesianProduct — O(|L|·|R|) comparisons, dead at
+fact scale. The standard scale-out trick (same idea as Databricks' range-join
+bin optimization): quantize time into fixed-width bins, explode each interval
+across the bins it covers, equi-join on the bin id (+ any extra keys), then
+re-check the exact predicate. Shuffle is by (bin, keys) — fully parallel,
+skew bounded by bin width.
+
+Bin-width choice: ≈ the typical interval length. Much larger → many false
+candidates per bin; much smaller → each interval explodes across many bins.
+The explode factor is ceil(interval_len / bin_width) + 1.
+
+The reference has no joins at all (SURVEY.md §2.B); this extends the as-of
+operator family (operators/asof.py) with the interval-overlap case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    on: list[str] | None = None,
+    bin_width: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each left row to every right interval containing its point:
+    ``right_start <= left_point < right_end`` (half-open, the time-window
+    convention), optionally also matching equi-keys ``on``.
+
+    All three columns must be timestamps. Output columns: left columns +
+    right columns (equi-keys deduplicated); right's interval bounds are
+    suffixed ``_right`` if they collide with left names.
+    """
+    on = on or []
+    secs = F.unix_timestamp  # timestamp -> epoch seconds
+
+    width = F.expr(f"INTERVAL {bin_width}")
+    # width in seconds, evaluated once via a literal interval on epoch 0.
+    width_s = F.unix_timestamp(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + width)
+
+    lhs = left.withColumn("__bin", F.floor(secs(F.col(left_point)) / width_s))
+    rhs = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(secs(F.col(right_start)) / width_s),
+                F.floor(secs(F.col(right_end)) / width_s),
+            )
+        ),
+    )
+    for c in set(lhs.columns) & set(rhs.columns) - {"__bin"} - set(on):
+        rhs = rhs.withColumnRenamed(c, f"{c}_right")
+    r_start = f"{right_start}_right" if right_start in left.columns else right_start
+    r_end = f"{right_end}_right" if right_end in left.columns else right_end
+    joined = lhs.join(rhs, ["__bin", *on], how).where(
+        (F.col(left_point) >= F.col(r_start)) & (F.col(left_point) < F.col(r_end))
+    )
+    return joined.drop("__bin")

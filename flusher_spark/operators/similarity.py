@@ -151,3 +151,74 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other standard ANN scale
+    path next to lsh_topk.
+
+    Index build: pick ``n_lists`` seed centroids deterministically (the rows
+    with the smallest ids — one pass; a production build would Lloyd-iterate,
+    which refines recall but not the plan shape), then assign every vector to
+    its nearest centroid by cosine. The assignment is a broadcast join against
+    the tiny centroid set + one argmax window per vector — a single parallel
+    scan of the data.
+
+    Search: each query probes its ``n_probe`` nearest centroid lists and
+    re-ranks exactly inside them — an equi-join on the list id, so cost is
+    |probed lists| / |lists| of a full scan, not all-pairs. Recall < 1 by
+    construction (rows-only check; exact twin: brute_force_topk).
+    """
+    base = df.select(F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq"))
+
+    cents = (
+        base.orderBy(id_col)
+        .limit(n_lists)
+        .select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+            F.col("__nsq").alias("__cnsq"),
+        )
+    )
+
+    def nearest_lists(side: DataFrame, keep: int, out: str) -> DataFrame:
+        """Attach the ``keep`` nearest centroid ids to each row of ``side``."""
+        sim = cosine(F.col(vec_col), F.col("__cvec"), F.col("__nsq"), F.col("__cnsq"))
+        w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("__cid"))
+        return (
+            side.crossJoin(F.broadcast(cents))
+            .withColumn("__csim", sim)
+            .withColumn("__crank", F.row_number().over(w))
+            .where(F.col("__crank") <= keep)
+            .withColumnRenamed("__cid", out)
+            .drop("__cvec", "__cnsq", "__csim", "__crank")
+        )
+
+    assigned = nearest_lists(base, 1, "__list")  # index: every vector in one list
+    probes = nearest_lists(
+        base.where(F.col(id_col).isin(list(query_ids))), n_probe, "__list"
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("__nsq").alias("__qnsq"),
+        "__list",
+    )
+    pairs = assigned.join(F.broadcast(probes), "__list").where(F.col(id_col) != F.col("query_id"))
+    sim = cosine(F.col("__qvec"), F.col(vec_col), F.col("__qnsq"), F.col("__nsq"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        # Each vector lives in exactly one list, so (query, vector) pairs are
+        # already unique — no dedup shuffle needed.
+        pairs.select("query_id", id_col, sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )

@@ -10,12 +10,14 @@ Column-name discipline: every computed column is aliased identically in the
 Spark plan and the oracle SQL — the correctness harness sorts columns by name
 and hashes values, so names must line up exactly.
 
-Numeric discipline (why the ``decimal(18,4)`` casts everywhere): double
-summation is order-sensitive, and Spark's partial aggregation order differs
-from DuckDB's sequential scan. Casting each addend to DECIMAL(18,4) makes the
-sum exact and associative in both engines, so results compare bit-for-bit
-after the final cast back to double. Averages divide that exact sum by an
-exact count — one deterministic IEEE division on each side.
+Numeric discipline (why sums cast to DECIMAL everywhere): double summation
+is order-sensitive, and Spark's partial aggregation order differs from
+DuckDB's sequential scan. Casting each addend to decimal makes the sum exact
+and associative in both engines, so results compare bit-for-bit after the
+final cast back to double. Averages divide that exact sum by an exact
+count — one deterministic IEEE division on each side. Precision choices
+(DECIMAL(8,2) for base money columns — compact-long fast path — and wider
+for computed revenue expressions) are documented in plans/num.py.
 """
 
 from __future__ import annotations

@@ -285,3 +285,14 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).cast("long").alias("n_bytes"),
         F.sha2(payload, 256).alias("payload_sha256"),
     )
+
+
+@register("similarity_topk_ivf")  # rows-only: approximate by construction
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: vectors partitioned into centroid lists, each
+    query probes its nearest lists and re-ranks exactly inside them (the
+    inverted-file ANN scale path next to the LSH one). Recall vs the exact
+    twin is asserted in tests/test_operators.py."""
+    return S.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10, n_lists=8, n_probe=3
+    )

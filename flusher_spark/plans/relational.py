@@ -10,9 +10,9 @@ Spark DataFrame/SQL ops only (whole-stage codegen, no Python UDFs anywhere).
 
 Scale notes are attached per query: broadcast hints go on genuinely small
 dims (region/nation: 5/25 rows at any SF), fact-fact joins shuffle on their
-keys and rely on AQE for skew, and the one intentionally single-partition
-window (range_scan_rows, the A1 row-slice semantic) is documented as
-spreadsheet-scale-only.
+keys and rely on AQE for skew, and total-order operations (row slices,
+ntile, argmax) go through operators/ranking.py or broadcast scalar
+aggregates rather than single-partition windows.
 """
 
 from __future__ import annotations
@@ -1116,4 +1116,77 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("ts").alias("purchase_ts_us"),
         F.unix_micros("view_ts_right").alias("last_view_ts_us"),
+    )
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    WITH promo AS (
+      SELECT event_id AS promo_id, user_id, ts AS win_start,
+             ts + INTERVAL 30 MINUTE AS win_end
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.promo_id, p.user_id, COUNT(e.event_id) AS n_views_in_window
+    FROM promo p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') e
+      ON e.user_id = p.user_id AND e.ts >= p.win_start AND e.ts < p.win_end
+    GROUP BY p.promo_id, p.user_id
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via operators/rangejoin.py bin trick:
+    views landing inside each purchase's 30-minute follow-up window, counted
+    per window. The bin equi-join keeps it shuffle-parallel — no
+    BroadcastNestedLoopJoin / CartesianProduct (asserted in test_plans)."""
+    from flusher_spark.operators.rangejoin import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    promo = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("promo_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+    )
+    views = e.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    hits = range_join(
+        views, promo, left_point="ts", right_start="win_start", right_end="win_end",
+        on=["user_id"], bin_width="30 minutes",
+    )
+    counted = hits.groupBy("promo_id", "user_id").agg(
+        F.count("*").alias("n_views_in_window")
+    )
+    # LEFT semantics: windows with zero views still appear (count 0).
+    return (
+        promo.join(counted, ["promo_id", "user_id"], "left")
+        .select(
+            "promo_id",
+            "user_id",
+            F.coalesce("n_views_in_window", F.lit(0)).cast("long").alias("n_views_in_window"),
+        )
+    )
+
+
+@register(
+    "events_rollup_day_hour",
+    oracle=f"""
+    SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+           EXTRACT(hour FROM ts) AS hour,
+           COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY ROLLUP (CAST(DATE_TRUNC('day', ts) AS DATE), EXTRACT(hour FROM ts))
+    """,
+)
+def events_rollup_day_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: (day, hour) hierarchy with subtotal and
+    grand-total rows via ROLLUP — partial aggregation map-side, one shuffle,
+    the continuous-aggregate pattern at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.col("ts").cast("date").alias("day"),
+            F.hour("ts").cast("long").alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
     )

@@ -1,0 +1,119 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+Built-in windowed aggs (streaming/windows.py) cover time-bucketed state;
+these cover the semantics they can't express:
+
+- ``running_user_totals``: per-user lifetime counters that emit an updated
+  row every micro-batch the user is active in — the streaming twin of a
+  batch groupBy, but with incremental emission (a dashboard/feature-store
+  feed). State per key is O(1) (three numbers), so state-store size is
+  bounded by |users|, not |events|.
+
+- ``streaming_dedup_first_seen``: exactly-once pass-through of the FIRST
+  occurrence of each key — streaming exact dedup. State per key is a single
+  marker. (Spark's built-in ``dropDuplicates`` on a stream keeps state per
+  key too but can't emit which row won; this one emits the surviving row.)
+
+Both run on the shuffled-by-key micro-batch model: state lives in the state
+store, partitioned by the grouping key, so a 1000-executor cluster splits
+the key space 1000 ways. No watermark is required for NoTimeout state, but
+production deployments should add one (``withWatermark`` upstream) so the
+store can evict idle keys via timeouts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+_TOTALS_STATE_SCHEMA = "n_events long, sum_value double, max_value double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, sum_value, max_value), updated each batch.
+
+    Output mode must be ``update``/``append`` (applyInPandasWithState does
+    its own emission); each active user emits one row per batch with their
+    lifetime totals so far.
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, s, m = state.get
+        else:
+            n, s, m = 0, 0.0, float("-inf")
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            if len(pdf):
+                m = max(m, float(pdf["value"].max()))
+        state.update((n, s, m))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "max_value": [m]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_TOTALS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+FIRST_SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def streaming_dedup_first_seen(events: DataFrame, key_col: str = "event_id") -> DataFrame:
+    """Emit only the first-ever occurrence of each key across the stream.
+
+    Replays of the same key in later batches (or later in the same batch)
+    are dropped. The canonical LLM-pipeline ingestion guard: exactly-once
+    document admission over an at-least-once feed.
+    """
+
+    def first_only(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf):
+                first = pdf.iloc[:1]
+                break
+        if first is not None:
+            state.update((True,))
+            yield first[["event_id", "user_id", "event_type", "value"]]
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        first_only,
+        outputStructType=FIRST_SEEN_SCHEMA,
+        stateStructType="seen boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -239,3 +239,91 @@ def test_global_row_number_plan_has_no_single_partition_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "__pid" not in line and "__cnt" not in line and "__offset" not in line:
             raise AssertionError(f"unexpected unpartitioned window: {line}")
+
+
+# -- range join --------------------------------------------------------------
+
+
+def test_range_join_matches_theta_join(spark):
+    from flusher_spark.operators.rangejoin import range_join
+
+    e = load_table(spark, SF, "events")
+    promo = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("promo_id"), "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    got = {
+        (r["view_id"], r["promo_id"])
+        for r in range_join(
+            views, promo, "ts", "win_start", "win_end", on=["user_id"], bin_width="30 minutes"
+        ).collect()
+    }
+    naive = {
+        (r["view_id"], r["promo_id"])
+        for r in views.alias("v")
+        .join(
+            promo.alias("p"),
+            (F.col("v.user_id") == F.col("p.user_id"))
+            & (F.col("v.ts") >= F.col("p.win_start"))
+            & (F.col("v.ts") < F.col("p.win_end")),
+        )
+        .collect()
+    }
+    assert got == naive and naive, "bin trick must reproduce the theta join exactly"
+
+
+def test_range_join_plan_has_no_cartesian(spark):
+    from flusher_spark.operators.rangejoin import range_join
+
+    e = load_table(spark, SF, "events")
+    promo = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("promo_id"), "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+    )
+    views = e.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    plan = range_join(
+        views, promo, "ts", "win_start", "win_end", on=["user_id"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_join_interval_spanning_many_bins(spark):
+    # An interval much longer than the bin width must still match exactly once.
+    from flusher_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame([(1, "2024-01-01 05:00:00")], "id long, ts string").select(
+        "id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    right = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", "2024-01-02 00:00:00")], "rid long, s string, e string"
+    ).select("rid", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
+    rows = range_join(left, right, "ts", "s", "e", bin_width="30 minutes").collect()
+    assert len(rows) == 1 and rows[0]["rid"] == 7
+
+
+# -- IVF ANN -----------------------------------------------------------------
+
+
+def test_ivf_topk_recall_and_exactness(spark, emb):
+    from flusher_spark.operators.similarity import ivf_topk
+
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"]
+        for r in brute_force_topk(emb, qids, k=10).collect()
+    }
+    approx = ivf_topk(emb, qids, k=10, n_lists=8, n_probe=3).collect()
+    assert approx, "IVF probes should not all be empty"
+    overlap = 0
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact:
+            overlap += 1
+            assert abs(r["cosine_sim"] - exact[key]) < 1e-12
+    recall = overlap / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

@@ -137,3 +137,74 @@ def test_watermark_drops_late_data(spark, tmp_path):
         assert rows[0] == 2 and rows[1] == 1
     finally:
         q.stop()
+
+
+# -- custom stateful operators (applyInPandasWithState) ----------------------
+
+
+def test_running_user_totals_converges_to_batch(spark, stream_dir):
+    from flusher_spark.streaming.stateful import running_user_totals
+
+    stream = running_user_totals(stream_events(spark, stream_dir))
+    q = stream.writeStream.outputMode("update").format("memory").queryName("tot").start()
+    try:
+        q.processAllAvailable()
+        # update mode emits one row per user per active batch; the LAST row
+        # per user is their lifetime total -> compare against batch groupBy.
+        pdf = spark.sql("SELECT * FROM tot").toPandas()
+        last = pdf.groupby("user_id").last()  # memory sink preserves batch order
+        expected = (
+            _batch_events(spark)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("sum_value"),
+                F.max("value").alias("max_value"),
+            )
+            .toPandas()
+            .set_index("user_id")
+        )
+        assert sorted(last.index) == sorted(expected.index)
+        for uid in expected.index:
+            assert last.loc[uid, "n_events"] == expected.loc[uid, "n_events"]
+            assert abs(last.loc[uid, "sum_value"] - expected.loc[uid, "sum_value"]) < 1e-6
+            assert last.loc[uid, "max_value"] == expected.loc[uid, "max_value"]
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_first_seen_drops_replays(spark, tmp_path):
+    from flusher_spark.streaming.stateful import streaming_dedup_first_seen
+
+    d = tmp_path / "replay"
+    d.mkdir()
+    US_ = 1_000_000
+
+    def write(name, ids, mtime):
+        t = pa.Table.from_pylist(
+            [
+                {"event_id": i, "ts": 1704067200 * US_ * 1000, "user_id": 1,
+                 "event_type": "view", "value": float(i), "props": "{}"}
+                for i in ids
+            ],
+            schema=pa.schema(
+                [("event_id", pa.int64()), ("ts", pa.int64()), ("user_id", pa.int64()),
+                 ("event_type", pa.string()), ("value", pa.float64()), ("props", pa.string())]
+            ),
+        )
+        path = str(d / name)
+        pq.write_table(t, path)
+        os.utime(path, (mtime, mtime))
+
+    now = time.time()
+    write("00.parquet", [1, 2, 3, 2], now)  # in-batch replay of 2
+    stream = streaming_dedup_first_seen(stream_events(spark, str(d)))
+    q = stream.writeStream.outputMode("update").format("memory").queryName("ded").start()
+    try:
+        q.processAllAvailable()
+        write("01.parquet", [3, 4, 1], now + 5)  # cross-batch replays of 3 and 1
+        q.processAllAvailable()
+        rows = sorted(r["event_id"] for r in spark.sql("SELECT * FROM ded").collect())
+        assert rows == [1, 2, 3, 4], rows
+    finally:
+        q.stop()
