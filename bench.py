@@ -32,7 +32,12 @@ HEADLINE = [
     "window_topk_per_group",
     "events_tumbling_hourly",
     "events_sessionize_30m",
+    "events_rollup_day_hour",
     "asof_purchase_last_view",
+    "join_range_binned",
+    "dedup_minhash_lsh",
+    "similarity_topk_exact",
+    "text_quality_score",
 ]
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from flusher_spark.operators.text import normalized_text, tokens
 
@@ -40,7 +40,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles as an array column (built-ins only)."""
+    """Distinct word n-gram shingles as an array column (built-ins only).
+
+    Prefer ``shingles_table`` in operator pipelines: inlining this Column in
+    a plan re-evaluates the tokenizer once per element_at reference."""
     toks = tokens(F.col(text_col))
     count = F.size(toks) - (n - 1)
     joined = F.transform(
@@ -48,6 +51,54 @@ def word_shingles(text_col: str, n: int = 3) -> F.Column:
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
     return F.when(count >= 1, F.array_distinct(joined)).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """One row per word-n-gram occurrence: (doc_id, s).
+
+    Formulation is load-bearing at scale: the obvious higher-order-function
+    version (transform + element_at over the token array) is CodegenFallback —
+    it drops the WHOLE stage containing it out of whole-stage codegen into
+    interpreted evaluation (measured ~10× slower end-to-end on the documents
+    fixture). posexplode + lead window + concat is plain codegen'd
+    expressions throughout; the window's doc_id shuffle doubles as the
+    repartitioning every downstream per-doc aggregate needs anyway."""
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")).where(
+        F.size("__t") >= n
+    )
+    pe = toks.select("doc_id", F.posexplode("__t").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"__l{j}") for j in range(1, n)]
+    withl = pe.select("doc_id", "tok", *leads).where(F.col(f"__l{n-1}").isNotNull())
+    return withl.select(
+        "doc_id", F.concat_ws(" ", "tok", *[f"__l{j}" for j in range(1, n)]).alias("s")
+    )
+
+
+def shingles_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingles): the distinct shingle SET per document (for Jaccard
+    verification), via shingle_rows + collect_set — same set semantics as
+    array_distinct of the inline version, minus the interpreted stage."""
+    return (
+        shingle_rows(df, text_col, id_col, n)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("shingles"))
+    )
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition CPU-bound inputs that arrive under-split (e.g. a single
+    row group): the shuffle of a document table is trivia next to running
+    the shingle/hash pipeline on one core. No-op when the source already has
+    enough partitions — i.e. always, at real scale."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
 
 
 def ngram_jaccard_pairs(
@@ -59,33 +110,57 @@ def ngram_jaccard_pairs(
     max_bucket: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join: only
-    pairs sharing ≥1 shingle are ever materialized (no cartesian). Shingles
-    shared by more than ``max_bucket`` docs are dropped from pairing (they
-    cannot discriminate; this bounds join fan-out at scale)."""
-    sh = df.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")).where(
-        F.size("shingles") > 0
+    pairs sharing ≥1 rare shingle are ever materialized (no cartesian).
+    Shingles shared by more than ``max_bucket`` docs don't GENERATE
+    candidates (bounding join fan-out — the standard web-dedup guard) but
+    still COUNT toward the Jaccard of pairs found via rare shingles, so the
+    similarity value is exact.
+
+    Jaccard comes from set-size arithmetic, not array materialization:
+    |A∩B| = number of co-occurring shingles (a count over the index join),
+    |A∪B| = |A| + |B| − |A∩B|. No collect_set / array_intersect — those are
+    interpreted per-pair array scans; this is three codegen'd aggregates."""
+    df = _ensure_parallelism(df)
+    inv = shingle_rows(df, text_col, id_col, n).dropDuplicates(["doc_id", "s"])
+    freq = inv.groupBy("s").agg(F.count("*").alias("df_count"))
+    inv_rare = inv.join(freq.where(F.col("df_count") <= max_bucket).select("s"), "s")
+    inv_hot = inv.join(freq.where(F.col("df_count") > max_bucket).select("s"), "s")
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    inter_rare = (
+        inv_rare.alias("a")
+        .join(
+            inv_rare.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("__i_rare"))
     )
-    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
-    rare = inv.groupBy("s").agg(F.count("*").alias("df_count")).where(F.col("df_count") <= max_bucket)
-    inv = inv.join(rare.select("s"), "s")
-    cand = (
-        inv.alias("a")
-        .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # Correction term: capped shingles shared by an already-found pair. The
+    # join is per-candidate (bounded), never per-hot-shingle-pair (quadratic).
+    inter_hot = (
+        inter_rare.select("doc_a", "doc_b")
+        .join(inv_hot.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(inv_hot.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("__i_hot"))
     )
-    verified = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+    inter = inter_rare.join(inter_hot, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        (F.col("__i_rare") + F.coalesce("__i_hot", F.lit(0))).alias("__inter"),
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("__sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("__sz_b")), "doc_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+            F.col("__inter").cast("double")
+            / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return verified
 
 
 def _permutation_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -103,22 +178,29 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signature per document: xxhash64 each shingle once, then apply
-    ``num_perm`` affine permutations (a*h+b mod 2^61-1) and take the min of
-    each — all as nested higher-order functions, fully codegen'd."""
+    """MinHash signature per document, as explode + hash-aggregate.
+
+    Formulation matters at scale: higher-order functions (transform /
+    array_min) are evaluated INTERPRETED in Spark — num_perm nested lambdas
+    per row fall off the codegen path (measured ~20 s for 5000 docs). Instead
+    we explode shingles and compute each permutation as a plain
+    ``min(pmod(a*h+b))`` aggregate: whole-stage-codegen'd, map-side partial
+    mins, and the shuffle carries only num_perm longs per doc."""
     params = _permutation_params(num_perm, seed)
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, shingle_n).alias("shingles")
-    ).where(F.size("shingles") > 0)
     # Mask the base hash to 32 bits so a(31-bit) * h(32-bit) + b never
     # overflows a signed 64-bit long (ANSI mode would raise on overflow).
-    hashes = F.transform(F.col("shingles"), lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)))
-
-    def _perm(a: int, b: int):
-        return lambda h: F.pmod(a * h + b, F.lit(_MERSENNE))
-
-    mins = F.array(*[F.array_min(F.transform(hashes, _perm(a, b))) for a, b in params])
-    return sh.select("doc_id", "shingles", mins.alias("sig"))
+    h = F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF))
+    exploded = shingle_rows(_ensure_parallelism(df), text_col, id_col, shingle_n)
+    # min() is duplicate-insensitive: no distinct pass over occurrences.
+    aggs = [
+        F.min(F.pmod(a * h + b, F.lit(_MERSENNE))).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        exploded.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -139,6 +221,8 @@ def minhash_lsh_pairs(
     Each band signature is one equi-join key: shuffle is per-band, never
     quadratic. Oversized buckets are capped (see module docstring)."""
     rows = num_perm // bands
+    df = _ensure_parallelism(df)
+    sh = shingles_table(df, text_col, id_col, shingle_n)
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
     band_cols = [
         F.struct(
@@ -147,8 +231,11 @@ def minhash_lsh_pairs(
         )
         for i in range(bands)
     ]
-    buckets = sig.select("doc_id", "shingles", F.explode(F.array(*band_cols)).alias("b")).select(
-        "doc_id", "shingles", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig")
+    # Buckets carry ONLY (doc_id, band, bsig): the heavy shingle arrays never
+    # ride through the bands-fold explode or the candidate self-join shuffle —
+    # they re-attach once per surviving candidate for verification.
+    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig")
     )
     sizes = buckets.groupBy("band", "bsig").agg(F.count("*").alias("n")).where(F.col("n") <= max_bucket)
     buckets = buckets.join(sizes.select("band", "bsig"), ["band", "bsig"])
@@ -160,16 +247,13 @@ def minhash_lsh_pairs(
             & (F.col("a.bsig") == F.col("b.bsig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return (
-        cand.withColumn(
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
             / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
@@ -179,25 +263,29 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(text_col: str, id_col: str = "doc_id") -> F.Column:
-    """64-bit SimHash of the token multiset: per bit, sum ±1 over token
-    hashes and take the sign — expressed as a fold over bit positions."""
-    toks = tokens(F.col(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document, as explode + hash-aggregate.
 
-    def _vote(i: int):
-        # Count of set minus unset bits at position i across token hashes.
-        return lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
-
+    Per bit i, the vote is sum(±1) over token hashes; sign(vote) sets the
+    bit. Like minhash_signatures, the folds are expressed as plain SUM
+    aggregates over exploded tokens (whole-stage codegen, map-side partials)
+    instead of interpreted higher-order lambdas."""
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    ).where(F.size("t") > 0)
+    h = F.xxhash64("s")
+    exploded = toks.select("doc_id", F.explode("t").alias("s"))
+    votes = [
+        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__v{i}")
+        for i in range(64)
+    ]
     sig = F.lit(0).cast("long")
     for i in range(64):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote(i))
         sig = sig.bitwiseOR(
-            F.when(vote > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(F.col(f"__v{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
         )
-    return sig
+    return exploded.groupBy("doc_id").agg(*votes).select("doc_id", sig.alias("sig"))
 
 
 def simhash_pairs(
@@ -213,7 +301,7 @@ def simhash_pairs(
     pair within Hamming ≤ 3 must agree exactly on ≥1 chunk, so an equi-join
     per chunk finds all candidates without a cartesian product; bit_count of
     xor verifies."""
-    sigs = df.select(F.col(id_col).alias("doc_id"), simhash(text_col).alias("sig"))
+    sigs = simhash_signatures(df, text_col, id_col)
     chunks = sigs.select(
         "doc_id",
         "sig",

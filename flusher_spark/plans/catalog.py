@@ -55,6 +55,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def registry() -> dict[str, CatalogEntry]:
     """All catalog entries (importing the defining modules on first use)."""
+    import flusher_spark.plans.etl  # noqa: F401
     import flusher_spark.plans.llm  # noqa: F401
     import flusher_spark.plans.relational  # noqa: F401
 

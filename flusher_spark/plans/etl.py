@@ -1,0 +1,118 @@
+"""ETL-surface catalog entries: the reference's own operator inventory
+(SURVEY.md §2.A) exercised end-to-end inside the oracle-checked registry.
+
+Each entry drives the real engine components — SheetGrid/read_sheet A1 range
+scans (reference export.py:35-66), the untyped→typed inference stage
+(bigquery.py:22-23 autodetect, made explicit and pinned), the warehouse sink
+with full-refresh vs incremental load modes (bigquery.py:42-47), and the CSV
+export sink (export.py:59-64) — against the driver fixture tables, with an
+ANSI-SQL oracle describing the expected result. Control-plane semantics
+(state machine, scheduling, leases) are covered by tests/test_control.py;
+they are stateful workflows, not queries, so they don't appear here.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flusher_spark.io.tables import load_table
+from flusher_spark.plans.catalog import register
+from flusher_spark.sinks.csv import to_csv
+from flusher_spark.sinks.table import Warehouse
+from flusher_spark.sources.sheet import SheetGrid, cast_with_schema, infer_schema, read_sheet
+
+
+def _grid_from_table(spark: SparkSession, sf_dir: str, name: str, order_col: str) -> SheetGrid:
+    """Render a (small) fixture table as an untyped worksheet grid — the
+    shape a Sheets API fetch returns. Driver-side by design: spreadsheets
+    are ≤10M cells (sources/sheet.py docstring)."""
+    df = load_table(spark, sf_dir, name).orderBy(order_col)
+    header = df.columns
+    rows = [[("" if v is None else str(v)) for v in r] for r in df.collect()]
+    return SheetGrid(name, [header, *rows], header=True)
+
+
+@register(
+    "etl_sheet_range_scan",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation WHERE n_nationkey BETWEEN 0 AND 11 ORDER BY n_nationkey
+    """,
+)
+def etl_sheet_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 cell-range scan (reference export.py:46-51): read rows 2-13 ×
+    columns A-C of the nation worksheet through the sheet source (correct
+    base-26 column math, header-row naming), then the untyped→typed cast
+    stage."""
+    grid = _grid_from_table(spark, sf_dir, "nation", "n_nationkey")
+    raw = read_sheet(spark, grid, "A1:C13")  # header + 12 data rows, 3 cols
+    typed = cast_with_schema(raw, infer_schema(raw))
+    return typed.orderBy("n_nationkey")
+
+
+@register(
+    "etl_schema_inference_typed",
+    oracle="""
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    """,
+)
+def etl_schema_inference_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit two-stage untyped→typed model replacing the reference's
+    per-load BigQuery autodetect (bigquery.py:22-23): stringify the supplier
+    worksheet, infer a pinned schema with ONE distributed aggregation, cast —
+    values round-trip exactly (long/double/string inference)."""
+    grid = _grid_from_table(spark, sf_dir, "supplier", "s_suppkey")
+    raw = read_sheet(spark, grid)
+    schema = infer_schema(raw)
+    return cast_with_schema(raw, schema).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+@register(
+    "etl_load_full_vs_incremental",
+    oracle="""
+    SELECT r_regionkey, r_name, COUNT(*) AS n
+    FROM (SELECT * FROM region UNION ALL SELECT * FROM region)
+    GROUP BY r_regionkey, r_name
+    """,
+)
+def etl_load_full_vs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse load modes (reference bigquery.py:42-47): full-refresh
+    (drop + recreate) then incremental append of the same rows → every key
+    appears exactly twice. Spark's synchronous write fixes the reference's
+    never-awaited LoadJob by construction."""
+    region = load_table(spark, sf_dir, "region")
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="flusher_wh_"))
+    wh.load(region, "region_copy", incremental=False)  # full refresh
+    wh.load(region, "region_copy", incremental=False)  # overwrite is idempotent
+    wh.load(region, "region_copy", incremental=True)  # append
+    return (
+        wh.read("region_copy")
+        .groupBy("r_regionkey", "r_name")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "etl_csv_export_roundtrip",
+    oracle="""
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+    FROM region
+    """,
+)
+def etl_csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV export sink (reference export.py:59-64, quoteAll ≈
+    QUOTE_NONNUMERIC) then re-ingest as untyped strings + typed cast — the
+    full export→load pipeline the reference runs per job, minus the temp-file
+    deletion (Spark pipelines don't need the disk hop; this query exists to
+    prove the sink round-trips losslessly)."""
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = to_csv(region, tempfile.mkdtemp(prefix="flusher_csv_"), "Flush Control", "region")
+    raw = spark.read.option("header", True).csv(path)  # untyped: all strings
+    typed = cast_with_schema(raw, infer_schema(raw))
+    return typed

@@ -87,7 +87,8 @@ def test_entry_contract(spark):
     assert set(oracles) <= set(qs)
     # Every operator family from SURVEY §2 is represented.
     for family in ["q1_", "join_", "agg_", "window_", "setop_", "scalar_",
-                   "events_", "asof_", "dedup_", "similarity_", "text_", "multimodal_"]:
+                   "events_", "asof_", "dedup_", "similarity_", "text_", "multimodal_",
+                   "etl_"]:
         assert any(k.startswith(family) for k in qs), f"missing family {family}"
 
 
