@@ -1,0 +1,129 @@
+"""A registrable Spark DataSource for worksheets (Python Data Source API).
+
+SURVEY.md §4 names the one optional custom-source piece of the engine: a
+Sheets DataSource with RANGE PUSHDOWN. This is it, built on Spark 4's Python
+Data Source API (``pyspark.sql.datasource``) — the idiomatic way to add a
+connector without JVM code:
+
+    spark.dataSource.register(WorksheetDataSource)
+    df = (spark.read.format("worksheet")
+          .option("path", "/data/flush_control/jobs.csv")
+          .option("cellrange", "B2:D50")
+          .option("numPartitions", "8")
+          .load())
+
+Semantics mirror the reference's export path (reference export.py:35-66):
+- the worksheet is an untyped string grid with a header row (row 1);
+- ``cellrange`` (A1 notation, correct base-26 — the reference's column math
+  is broken past Z, export.py:22-24) prunes BOTH columns and rows inside the
+  reader, so only requested cells are ever parsed into rows — pushdown, not
+  post-filter;
+- rows split into ``numPartitions`` contiguous row-range partitions, each
+  read independently on an executor (the reference fetches the whole grid on
+  one thread).
+
+The backing store is a CSV file standing in for the Sheets HTTP fetch — the
+API surface (options, schema, partitions, pushdown) is the real deliverable;
+a production deployment swaps ``_open`` for the authenticated fetch.
+Spreadsheets cap at ~10M cells (Google's limit), so driver-side planning
+metadata (header + row count) is trivially cheap at any scale the source can
+legally have.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from flusher_spark.functions.a1 import parse_a1_range
+
+
+def _open(path: str) -> io.TextIOWrapper:
+    # Stand-in for the authenticated Sheets fetch; see module docstring.
+    return open(path, newline="", encoding="utf-8")
+
+
+def _read_grid(path: str) -> list[list[str]]:
+    with _open(path) as f:
+        return [list(r) for r in csv.reader(f)]
+
+
+@dataclass
+class _RowRange(InputPartition):
+    start: int  # 0-based index into the data rows (header excluded)
+    end: int  # exclusive
+
+
+class WorksheetReader(DataSourceReader):
+    def __init__(self, options: dict, schema: T.StructType) -> None:
+        self.path = options["path"]
+        self.cellrange = options.get("cellrange", "")
+        self.num_partitions = int(options.get("numpartitions", options.get("numPartitions", 4)))
+        self.schema_names = [f.name for f in schema.fields]
+
+    def _bounds(self, n_rows: int) -> tuple[int, int, int, int]:
+        """(col_lo, col_hi, row_lo, row_hi) — 1-based inclusive, rows in
+        spreadsheet coordinates (header is row 1)."""
+        col_lo, col_hi, row_lo, row_hi = 1, -1, 2, n_rows
+        if self.cellrange:
+            rng = parse_a1_range(self.cellrange)
+            col_lo, col_hi = rng.col_start, rng.col_end
+            if rng.row_start is not None:
+                row_lo = max(rng.row_start, 2)  # the header is never data
+            if rng.row_end is not None:
+                row_hi = min(rng.row_end, n_rows)
+        return col_lo, col_hi, row_lo, row_hi
+
+    def partitions(self) -> list[_RowRange]:
+        # Planning pass: only the row COUNT is needed (cells aren't shipped).
+        n_rows = len(_read_grid(self.path))
+        _, _, row_lo, row_hi = self._bounds(n_rows)
+        data_start, data_end = row_lo - 2, row_hi - 1  # 0-based data-row idx
+        total = max(data_end - data_start, 0)
+        n = max(min(self.num_partitions, total), 1)
+        step = (total + n - 1) // n if total else 1
+        return [
+            _RowRange(data_start + i * step, min(data_start + (i + 1) * step, data_end))
+            for i in range(n)
+            if data_start + i * step < data_end or (i == 0 and total == 0)
+        ]
+
+    def read(self, partition: _RowRange):
+        rows = _read_grid(self.path)
+        n_rows = len(rows)
+        col_lo, col_hi, _, _ = self._bounds(n_rows)
+        width = len(self.schema_names)
+        for r in rows[partition.start + 1 : partition.end + 1]:  # +1 skips header
+            cells = r[col_lo - 1 : (col_hi if col_hi != -1 else len(r))]
+            padded = [str(c) if c is not None else "" for c in cells] + [""] * (width - len(cells))
+            yield tuple(padded[:width])
+
+
+class WorksheetDataSource(DataSource):
+    """format("worksheet"): untyped worksheet scan with A1 range pushdown."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "worksheet"
+
+    def schema(self) -> T.StructType:
+        rows = _read_grid(self.options["path"])
+        header = rows[0] if rows else []
+        cellrange = self.options.get("cellrange", "")
+        col_lo, col_hi = 1, len(header)
+        if cellrange:
+            rng = parse_a1_range(cellrange)
+            col_lo = rng.col_start
+            col_hi = min(rng.col_end, len(header)) if rng.col_end != -1 else len(header)
+        names = [
+            (str(h) if str(h) else f"col_{i}")
+            for i, h in enumerate(header[col_lo - 1 : col_hi], start=col_lo)
+        ]
+        return T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+
+    def reader(self, schema: T.StructType) -> WorksheetReader:
+        return WorksheetReader(dict(self.options), schema)

@@ -133,3 +133,76 @@ def test_sheet_source_lookup():
         src.worksheet("nope")
     with pytest.raises(KeyError):
         src.worksheet("doc", "missing")
+
+
+# -- Python DataSource (format("worksheet")) ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def jobs_csv(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wsds")
+    p = str(d / "jobs.csv")
+    with open(p, "w") as f:
+        f.write("Document,Sheet,Range,Target\n")
+        for i in range(25):
+            f.write(f"doc{i},sheet{i % 3},A1:B{i + 2},{'bigquery' if i % 2 else ''}\n")
+    return p
+
+
+def _register_ws(spark):
+    from flusher_spark.sources.datasource import WorksheetDataSource
+
+    try:
+        spark.dataSource.register(WorksheetDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+def test_worksheet_datasource_full_scan(spark, jobs_csv):
+    _register_ws(spark)
+    df = spark.read.format("worksheet").option("path", jobs_csv).load()
+    assert df.columns == ["Document", "Sheet", "Range", "Target"]
+    assert df.count() == 25
+    assert df.schema[0].dataType.simpleString() == "string"  # untyped by design
+
+
+def test_worksheet_datasource_range_pushdown(spark, jobs_csv):
+    _register_ws(spark)
+    df = (
+        spark.read.format("worksheet")
+        .option("path", jobs_csv)
+        .option("cellrange", "B2:C11")
+        .option("numPartitions", "4")
+        .load()
+    )
+    # Column pruning reached the schema (only B..C surface at all).
+    assert df.columns == ["Sheet", "Range"]
+    rows = df.collect()
+    assert len(rows) == 10  # spreadsheet rows 2-11
+    assert rows[0]["Sheet"] == "sheet0" and rows[0]["Range"] == "A1:B2"
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_worksheet_datasource_open_ended_range(spark, jobs_csv):
+    _register_ws(spark)
+    df = (
+        spark.read.format("worksheet")
+        .option("path", jobs_csv)
+        .option("cellrange", "A20:D")
+        .load()
+    )
+    # Rows 20..end → data rows 19..25 (header is row 1).
+    assert df.count() == 7
+    assert df.columns == ["Document", "Sheet", "Range", "Target"]
+
+
+def test_worksheet_datasource_matches_read_sheet(spark, jobs_csv):
+    """The DataSource and the driver-side SheetGrid path agree cell-for-cell."""
+    _register_ws(spark)
+    from flusher_spark.sources.sheet import SheetGrid, read_sheet
+
+    with open(jobs_csv) as f:
+        grid = SheetGrid.from_csv("jobs", f.read())
+    a = spark.read.format("worksheet").option("path", jobs_csv).option("cellrange", "A2:C13").load()
+    b = read_sheet(spark, grid, "A2:C13")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

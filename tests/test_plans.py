@@ -98,3 +98,28 @@ def test_every_query_builds_a_plan(spark, name):
     df = registry()[name].fn(spark, SF)
     df.explain("extended") if False else df.schema  # analysis happens here
     assert df.columns
+
+
+#: Entries where a nested-loop/cartesian is BY DESIGN and bounded: either the
+#: query is an intentional cross join, or the loop side is a broadcast of a
+#: provably tiny relation (query set, centroid set, 1-row total).
+_NESTED_LOOP_OK = {
+    "join_cross",  # the CROSS JOIN catalog entry itself
+    "similarity_neardup_cosine",  # documented O(n²) exact baseline (oracle twin of LSH)
+    "similarity_topk_exact",  # broadcast query-set × candidates, |queries| small
+    "similarity_topk_ivf",  # broadcast centroid set (n_lists rows)
+    "window_ntile",  # broadcast 1-row total count
+}
+
+
+@pytest.mark.parametrize("name", sorted(registry()))
+def test_no_unbounded_nested_loops_anywhere(spark, name):
+    """Catalog-wide scale guard: no plan may contain a cartesian product, and
+    nested-loop joins only where the whitelist documents a bounded broadcast."""
+    plan = _plan(registry()[name].fn(spark, SF))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in _NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a BroadcastNestedLoopJoin; add to whitelist only "
+            "with a documented boundedness argument"
+        )
