@@ -296,3 +296,11 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10, n_lists=8, n_probe=3
     )
+
+
+@register("similarity_topk_arrow")  # rows-only: float order differs ≤1e-12 from the oracle fold
+def similarity_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/BLAS brute-force top-10 (pandas UDF, one matmul per batch) —
+    the wide-scan throughput twin of similarity_topk_exact; ranking equality
+    is asserted in tests/test_operators.py."""
+    return S.brute_force_topk_arrow(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10)

@@ -327,3 +327,17 @@ def test_ivf_topk_recall_and_exactness(spark, emb):
             assert abs(r["cosine_sim"] - exact[key]) < 1e-12
     recall = overlap / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_arrow_cosine_matches_fold_left(spark, emb):
+    from flusher_spark.operators.similarity import brute_force_topk_arrow
+
+    qids = [0, 1, 2, 3, 4]
+    a = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine_sim"])
+         for r in brute_force_topk(emb, qids, k=10).collect()}
+    b = {(r["query_id"], r["rank"]): (r["vec_id"], r["cosine_sim"])
+         for r in brute_force_topk_arrow(emb, qids, k=10).collect()}
+    assert set(a) == set(b)
+    for kk in a:
+        assert a[kk][0] == b[kk][0], f"ranking diverged at {kk}"
+        assert abs(a[kk][1] - b[kk][1]) < 1e-12
