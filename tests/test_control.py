@@ -172,3 +172,36 @@ def test_store_persistence(spark, tmp_path):
     reloaded = JobStore(spark, str(tmp_path / "c"))
     j = reloaded.get(7)
     assert j.state == "Running" and j.lease_ts == NOW
+
+
+def test_streaming_scheduler_trigger(spark, tmp_path):
+    """run_stream: the rate-source trigger drives ticks; a due job gets
+    executed and marked Success without any manual tick() calls."""
+    import time as _time
+
+    from flusher_spark.control.model import Job
+    from flusher_spark.control.scheduler import Scheduler
+    from flusher_spark.control.store import JobStore
+    from flusher_spark.sinks.table import Warehouse
+    from flusher_spark.sources.sheet import SheetGrid, SheetSource
+
+    store = JobStore(spark, str(tmp_path / "ctrl"))
+    src = SheetSource(
+        {"Doc": {"S1": SheetGrid.from_csv("S1", "a,b\n1,x\n2,y\n")}}
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    store.put(Job(job_id=1, document="Doc", sheet="S1", cellrange="",
+                  target_system="warehouse", destination="t1", incremental=False,
+                  refresh_now=True, refresh_interval="", last_success="", state=""))
+    sched = Scheduler(spark, store, src, wh, str(tmp_path / "exports"))
+    q = sched.run_stream(processing_time="1 second")
+    try:
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            if store.get(1).state == "Success":
+                break
+            _time.sleep(0.5)
+        assert store.get(1).state == "Success", store.get(1)
+        assert wh.read("t1").count() == 2
+    finally:
+        q.stop()

@@ -341,3 +341,62 @@ def test_arrow_cosine_matches_fold_left(spark, emb):
     for kk in a:
         assert a[kk][0] == b[kk][0], f"ranking diverged at {kk}"
         assert abs(a[kk][1] - b[kk][1]) < 1e-12
+
+
+# -- scale toolkit: bucketed joins, salting ----------------------------------
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from flusher_spark.operators.scale import bucketed_join, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        l = load_table(spark, SF, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        )
+        write_bucketed(o, "b_orders", "o_orderkey", buckets=8)
+        write_bucketed(l, "b_lineitem", "o_orderkey", buckets=8)
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        expected = o.join(l, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_equals_plain_join(spark):
+    from flusher_spark.operators.scale import salted_join
+
+    e = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    u = load_table(spark, SF, "events").groupBy("user_id").agg(F.count("*").alias("n_total"))
+    plain = e.join(u, "user_id")
+    salted = salted_join(e, u, "user_id", n_salt=5)
+    assert salted.count() == plain.count()
+    a = sorted(map(tuple, plain.select("user_id", "event_id", "n_total").collect()))
+    b = sorted(map(tuple, salted.select("user_id", "event_id", "n_total").collect()))
+    assert a == b
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from flusher_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    right = spark.createDataFrame([(1, 100)], "k long, w long")
+    rows = {r["k"]: r["w"] for r in salted_join(left, right, "k", n_salt=3, how="left").collect()}
+    assert rows == {1: 100, 2: None}
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from flusher_spark.operators.scale import salted_join
+
+    hot = spark.range(0, 10000).select(F.lit(7).alias("k"), F.col("id"))
+    dim = spark.createDataFrame([(7, "x")], "k long, tag string")
+    out = salted_join(hot, dim, "k", n_salt=8)
+    assert out.count() == 10000
+    # The physical join key must include the salt → hot key splits 8 ways.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
