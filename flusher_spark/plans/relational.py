@@ -1190,3 +1190,22 @@ def events_rollup_day_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("day", "hour")
         .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
     )
+
+
+@register("agg_approx_sketches")  # rows-only: HLL/quantile sketches differ across engines by design
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the constant-memory path when exact distinct /
+    quantiles would spill at scale: HyperLogLog++ distinct counts and
+    approximate percentiles, one pass, mergeable partials (the 100 TB answer
+    to COUNT(DISTINCT) over a high-cardinality key). Accuracy vs the exact
+    twins is asserted in tests/test_plans.py."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -123,3 +123,26 @@ def test_no_unbounded_nested_loops_anywhere(spark, name):
             f"{name} plans a BroadcastNestedLoopJoin; add to whitelist only "
             "with a documented boundedness argument"
         )
+
+
+def test_approx_sketches_accuracy(spark):
+    """Sketch results must track the exact twins: HLL within its rsd bound,
+    approx median within 2% of the exact median."""
+    from flusher_spark.io.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r["l_returnflag"]: r for r in registry()["agg_approx_sketches"].fn(spark, SF).collect()}
+    l = load_table(spark, SF, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = rows[flag]
+        assert abs(a["approx_orders"] - e["n_orders"]) / e["n_orders"] < 0.1
+        assert abs(a["price_quantiles"][0] - e["median"]) / e["median"] < 0.02
