@@ -121,3 +121,28 @@ def filter_by_meta(df: DataFrame, kind: str | None = None, min_width: int | None
     if min_width is not None:
         out = out.where(F.col("meta.width") >= min_width)
     return out
+
+
+def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize stub: real codecs (PIL) are absent in this container, so the
+    transform is a deterministic fake — payload re-hashed to the target
+    'pixel count', meta updated — while the Spark plumbing (mapInPandas
+    batch shape, schema evolution of the meta struct) is real. A production
+    deployment replaces the body with PIL.Image.resize."""
+
+    target = ASSET_SCHEMA.simpleString()[len("struct<") : -1]  # reuse asset schema
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real image resize needs PIL — not in this container")
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(
+                lambda b: hashlib.sha256(bytes(b or b"")).digest() * max(1, (width * height) // 32)
+            )
+            out["meta"] = out["meta"].map(
+                lambda m: {**(dict(m) if m is not None else {}), "width": width, "height": height}
+            )
+            yield out
+
+    return df.mapInPandas(op, ASSET_SCHEMA)

@@ -304,3 +304,34 @@ def similarity_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wide-scan throughput twin of similarity_topk_exact; ranking equality
     is asserted in tests/test_operators.py."""
     return S.brute_force_topk_arrow(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10)
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode/feature pipeline (operators/multimodal.py)
+    checked against SQL: byte counts and content digests of the binary
+    payloads must match DuckDB computing the same over the source text —
+    proving the Arrow batch plumbing is lossless. (The feature vector column
+    is sketch-derived and tested separately; it has no SQL twin.)"""
+    from flusher_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    return extract_features(assets, fake=True).select("asset_id", "n_bytes", "sha256")

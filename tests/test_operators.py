@@ -400,3 +400,17 @@ def test_salted_join_spreads_hot_key(spark):
     # The physical join key must include the salt → hot key splits 8 ways.
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def test_resize_updates_meta_and_payload(spark, assets):
+    from flusher_spark.operators.multimodal import resize
+
+    out = resize(assets, 64, 48).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r["meta"]["width"] == 64 and r["meta"]["height"] == 48
+        assert len(r["payload"]) > 0
+    # Deterministic: same input → same fake payload bytes.
+    again = {r["asset_id"]: bytes(r["payload"]) for r in resize(assets, 64, 48).collect()}
+    for r in out:
+        assert bytes(r["payload"]) == again[r["asset_id"]]
