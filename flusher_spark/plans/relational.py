@@ -1209,3 +1209,200 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q12_conditional_agg",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_priority,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_priority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q12_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation over a fact-fact join (TPC-H Q12 shape):
+    CASE-summing inside a single hash agg — one shuffle on the order key,
+    one on the tiny group key."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-of-counts (TPC-H Q13 shape): left join keeps zero-order
+    customers, then a second aggregation over the first's result — the
+    double-shuffle histogram pattern."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q14_promo_ratio",
+    oracle=f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC} ELSE CAST(0 AS DECIMAL(13,4)) END) AS DOUBLE)
+                 / CAST(SUM({_DISC}) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional revenue ratio (TPC-H Q14 shape): part is a dimension —
+    filtered lineitem joins it broadcast. Both sums are exact decimals; the
+    ratio is computed in doubles AFTER casting each sum, so Spark and the
+    oracle perform the identical two IEEE ops (decimal division rules differ
+    between engines — doubles don't)."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    disc = _disc()
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(13,4)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(disc).cast("double"))
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    oracle=f"""
+    SELECT {sql_dsum_exact(_DISC)} AS revenue, COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#9' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-branch predicate spanning both join sides (TPC-H
+    Q19 shape): Catalyst extracts the common l_partkey equi-key so the join
+    stays a hash join with the OR as a residual filter."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#20") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#9") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(dsum_exact(_disc()).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+           {sql_dsum('l_quantity')} AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(8,2))) > 150)
+    GROUP BY c_name, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery over an aggregate (TPC-H Q18 shape) as a semi-join
+    against the aggregated key set — the two lineitem scans share the
+    shuffle key, and the final top-k is TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(8,2)")).alias("__q"))
+        .where(F.col("__q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q22_global_avg_anti",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(8,2))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q22_global_avg_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + anti join (TPC-H Q22 shape): the global average is
+    a broadcast 1-row aggregate; customers-without-a-large-order is a
+    left-anti join — no correlated per-row subquery execution anywhere."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("__avg"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(o.where(F.col("o_totalprice") > 300000.0), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(8,2)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -109,6 +109,7 @@ _NESTED_LOOP_OK = {
     "similarity_topk_exact",  # broadcast query-set × candidates, |queries| small
     "similarity_topk_ivf",  # broadcast centroid set (n_lists rows)
     "window_ntile",  # broadcast 1-row total count
+    "q22_global_avg_anti",  # broadcast 1-row global average (scalar subquery)
 }
 
 
