@@ -335,3 +335,33 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return extract_features(assets, fake=True).select("asset_id", "n_bytes", "sha256")
+
+
+@register(
+    "text_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS BIGINT) AS edit_dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 10 = 0
+    """,
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Levenshtein on consecutive documents (JVM built-in, codegen):
+    the character-level near-dup check that complements token-level Jaccard —
+    here bounded to an 80-char prefix and a 1-in-10 sample of adjacent pairs,
+    the way a production pipeline bounds edit-distance cost (it is O(len²)
+    per pair; reserve it for verification of already-bucketed candidates)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a"), F.substring("text", 1, 80).alias("__ta")
+    )
+    b = d.select((F.col("doc_id")).alias("__bid"), F.substring("text", 1, 80).alias("__tb"))
+    return (
+        a.join(b, F.col("__bid") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            F.col("__bid").alias("doc_b"),
+            F.levenshtein("__ta", "__tb").cast("long").alias("edit_dist"),
+        )
+    )
