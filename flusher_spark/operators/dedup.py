@@ -222,7 +222,6 @@ def minhash_lsh_pairs(
     quadratic. Oversized buckets are capped (see module docstring)."""
     rows = num_perm // bands
     df = _ensure_parallelism(df)
-    sh = shingles_table(df, text_col, id_col, shingle_n)
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
     band_cols = [
         F.struct(
@@ -237,8 +236,15 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig")
     )
-    sizes = buckets.groupBy("band", "bsig").agg(F.count("*").alias("n")).where(F.col("n") <= max_bucket)
-    buckets = buckets.join(sizes.select("band", "bsig"), ["band", "bsig"])
+    # Bucket-size cap as a window count, not groupBy+join-back: one shuffle
+    # on (band, bsig) instead of two, and it leaves the data partitioned by
+    # exactly the key the candidate self-join needs next.
+    wcap = Window.partitionBy("band", "bsig")
+    buckets = (
+        buckets.withColumn("__n", F.count("*").over(wcap))
+        .where(F.col("__n") <= max_bucket)
+        .drop("__n")
+    )
     cand = (
         buckets.alias("a")
         .join(
@@ -250,13 +256,25 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Verification by set-size arithmetic (same trick as ngram_jaccard_pairs):
+    # |A∩B| = co-occurring distinct shingles counted per candidate pair,
+    # |A∪B| = |A| + |B| − |A∩B|. No collect_set arrays, no interpreted
+    # array_intersect; the per-candidate join is bounded by |cand| × shingles.
+    inv = shingle_rows(df, text_col, id_col, shingle_n).dropDuplicates(["doc_id", "s"])
+    sizes_inv = inv.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(inv.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(inv.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("__inter"))
+    )
     return (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        inter.join(sizes_inv.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("__sz_a")), "doc_a")
+        .join(sizes_inv.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("__sz_b")), "doc_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+            F.col("__inter").cast("double")
+            / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
