@@ -20,6 +20,9 @@ The two shuffle levers the DataFrame API doesn't apply for you:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,6 +40,14 @@ def write_bucketed(
     table bucketed the same way is exchange-free (and sort-free when
     ``sort``). The bucket count is a layout contract — both join sides must
     match it."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A previous SESSION may have left the managed location behind while this
+    # session's in-memory catalog has no entry for it — saveAsTable then
+    # fails with LOCATION_ALREADY_EXISTS. Clear the orphan.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = os.path.join(warehouse.removeprefix("file:"), table)
+    shutil.rmtree(path, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
         writer = writer.sortBy(key)

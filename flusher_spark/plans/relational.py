@@ -1406,3 +1406,43 @@ def q22_global_avg_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via bucketing (operators/scale.py): both
+    sides written bucketBy(o_orderkey) once, then the join itself plans with
+    NO Exchange — the pre-shuffled layout every repeatedly-joined 100 TB
+    fact table should have. The write happens into a per-call temp database;
+    results equal the plain join (the oracle)."""
+    import hashlib
+
+    from flusher_spark.operators.scale import bucketed_join, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    # Deterministic per-sf names + overwrite mode → re-runs reuse, never leak.
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    to, tl = f"bo_{suffix}", f"bl_{suffix}"
+    write_bucketed(o, to, "o_orderkey", buckets=8)
+    write_bucketed(l, tl, "o_orderkey", buckets=8)
+    out = (
+        bucketed_join(spark, to, tl, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(8,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    return out

@@ -11,11 +11,14 @@ Usage: python tools/check_oracle.py [sf_dir] [name_filter...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from flusher_spark.io.tables import TABLES
 from flusher_spark.plans.catalog import registry
