@@ -1,8 +1,6 @@
 """Deduplication operators for LLM data pipelines.
 
-Four tiers, all expressed with built-in Spark ops (no Python UDFs — the hash
-pipelines are higher-order column functions that stay inside whole-stage
-codegen):
+Four tiers, all expressed with built-in Spark ops (no Python UDFs):
 
 - exact_dedup          hash-groupBy on normalized text (one shuffle)
 - ngram_jaccard_pairs  exact n-gram Jaccard over an inverted-index join
@@ -10,6 +8,13 @@ codegen):
                        candidate pairs (the 100 TB near-dup path)
 - simhash_pairs        64-bit SimHash + pigeonhole banding on 16-bit chunks,
                        Hamming-verified
+
+Formulation note: everything is posexplode/window/aggregate — deliberately
+NOT higher-order array functions. HOFs (transform/aggregate over arrays) are
+CodegenFallback in Spark: one in a stage drops the whole stage to
+interpreted evaluation (measured ~10× on these pipelines; see shingle_rows).
+Jaccard is computed from set-size arithmetic over the inverted index, never
+per-pair array intersection.
 
 Scale design: every pairing step goes through an equi-join on a bucket key
 (shingle, band signature, or chunk value) — never a cartesian product. Hot
