@@ -116,3 +116,35 @@ def etl_csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.option("header", True).csv(path)  # untyped: all strings
     typed = cast_with_schema(raw, infer_schema(raw))
     return typed
+
+
+@register(
+    "etl_schema_drift_report",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN s_suppkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS s_acctbal_drifted,
+           CAST(0 AS BIGINT) AS s_suppkey_drifted
+    FROM supplier
+    """,
+)
+def etl_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift detection — the hazard the reference's per-load
+    autodetect can't see (SURVEY §1.2): pin a schema on the clean worksheet,
+    then a later fetch arrives with corrupted acctbal cells (every 7th
+    supplier). The drift report counts exactly those cells per column; the
+    oracle computes the same count arithmetically."""
+    from flusher_spark.sources.sheet import schema_drift
+
+    grid = _grid_from_table(spark, sf_dir, "supplier", "s_suppkey")
+    clean = read_sheet(spark, grid)
+    pinned = infer_schema(clean)
+    # The 'next fetch': acctbal cells of every 7th supplier turn non-numeric.
+    drifted = clean.withColumn(
+        "s_acctbal",
+        F.when(F.col("s_suppkey").cast("long") % 7 == 0, F.concat(F.lit("bad:"), F.col("s_acctbal")))
+        .otherwise(F.col("s_acctbal")),
+    )
+    report = schema_drift(drifted, pinned)
+    return report.select(
+        F.col("s_acctbal").alias("s_acctbal_drifted"),
+        F.col("s_suppkey").alias("s_suppkey_drifted"),
+    )
