@@ -25,6 +25,10 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Post-shuffle partition target: 64 MB keeps a partition's working set
+    # well inside executor memory even with wide rows and agg buffers (the
+    # 100 TB sizing lever the brief calls out; AQE coalesces up to it).
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     # Arrow transfer for the pandas-UDF operators (similarity, multimodal).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
