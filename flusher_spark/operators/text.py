@@ -89,3 +89,40 @@ def normalized_text(text: Column) -> Column:
 def fingerprint_md5(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(F.encode(normalized_text(text), "UTF-8"))
+
+
+def winnow_fingerprints(df, k: int = 7, w: int = 4, text_col: str = "text", id_col: str = "doc_id"):
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme): hash
+    every character k-gram, slide a window of w consecutive hashes, keep each
+    window's minimum, dedupe. Guarantees: any shared substring of length
+    ≥ k+w-1 between two documents yields at least one shared fingerprint —
+    the local, position-robust fingerprint set that md5-of-whole-doc
+    (fingerprint_md5) cannot give.
+
+    All codegen'd built-ins: posexplode over positions, SQL substring with a
+    column offset, md5 (lexicographic min over hex = deterministic and
+    engine-portable, unlike numeric hash functions), one ROWS window. One
+    shuffle on doc_id; output (doc_id, fp) rows.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lowered = F.lower(F.col(text_col))
+    n_grams = F.length(lowered) - (k - 1)  # k-gram count
+    pos = df.select(
+        F.col(id_col).alias("doc_id"),
+        lowered.alias("__t"),
+        F.posexplode(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0)))).alias("__i", "pos"),
+    ).where(F.col("pos") >= 1)
+    grams = pos.select(
+        "doc_id", "pos", F.md5(F.expr(f"substring(__t, pos, {k})")).alias("__h"),
+        (F.length("__t") - (k - 1)).alias("__n")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fp", F.min("__h").over(win))
+        # only full windows: the last w-1 positions have truncated windows
+        .where(F.col("pos") <= F.col("__n") - (w - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )

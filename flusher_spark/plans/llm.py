@@ -365,3 +365,30 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("__ta", "__tb").cast("long").alias("edit_dist"),
         )
     )
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, pos,
+             md5(substr(lower(text), CAST(pos AS INTEGER), 7)) AS h,
+             length(lower(text)) - 6 AS n
+      FROM documents, LATERAL unnest(range(1, length(lower(text)) - 5)) AS u(pos)
+      WHERE doc_id < 100),
+    wins AS (
+      SELECT doc_id, pos, n,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM g)
+    SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n - 3
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=7 char-grams, w=4 windows) over
+    the first 100 documents — the substring-robust dedup sketch; every
+    fingerprint set identical to DuckDB computing the same scheme."""
+    from flusher_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return winnow_fingerprints(docs, k=7, w=4)

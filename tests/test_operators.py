@@ -414,3 +414,25 @@ def test_resize_updates_meta_and_payload(spark, assets):
     again = {r["asset_id"]: bytes(r["payload"]) for r in resize(assets, 64, 48).collect()}
     for r in out:
         assert bytes(r["payload"]) == again[r["asset_id"]]
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length >= k+w-1
+    share at least one fingerprint; disjoint documents share none."""
+    from flusher_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAAA {shared} BBBB"),
+            (2, f"XXXXXXX {shared} YYYY"),
+            (3, "completely unrelated content with different words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=7, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "docs sharing a long substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]), "disjoint docs should not collide"
