@@ -363,3 +363,50 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    The end of the dedup pipeline: pair lists (from minhash_lsh_pairs /
+    ngram_jaccard_pairs / simhash_pairs) become duplicate CLUSTERS, each
+    labeled by its minimum member id — the canonical representative to keep.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in O(diameter)
+    rounds (near-dup clusters are tiny cliques, so 2-3 rounds in practice;
+    ``max_iter`` bounds pathological chains). Each round is one equi-join +
+    one aggregate — fully distributed; ``localCheckpoint`` truncates the
+    growing lineage so round N's plan doesn't replay rounds 1..N-1. The
+    convergence probe is a driver-side count of changed labels (a scalar per
+    round, not a collect of the data).
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("__changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.where(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

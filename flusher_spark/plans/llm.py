@@ -392,3 +392,13 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return winnow_fingerprints(docs, k=7, w=4)
+
+
+@register("dedup_clusters_minhash")  # rows-only: iterative algorithm, not SQL-expressible
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs → connected-component duplicate clusters, each labeled
+    by its min member (the representative to keep). Iterative min-label
+    propagation; cluster correctness vs union-find asserted in
+    tests/test_operators.py."""
+    pairs = D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return D.dedup_clusters(pairs)

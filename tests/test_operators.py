@@ -436,3 +436,32 @@ def test_winnow_shared_substring_guarantee(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2], "docs sharing a long substring must share a fingerprint"
     assert not (by_doc[1] & by_doc[3]), "disjoint docs should not collide"
+
+
+def test_dedup_clusters_match_union_find(spark, docs):
+    from flusher_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+
+    # Oracle: plain union-find on the collected pairs.
+    parent: dict = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    assert got == expected and expected, "cluster labels must equal union-find components"
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    from flusher_spark.operators.dedup import dedup_clusters
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
+    assert dedup_clusters(empty).count() == 0
