@@ -227,7 +227,17 @@ def minhash_lsh_pairs(
     quadratic. Oversized buckets are capped (see module docstring)."""
     rows = num_perm // bands
     df = _ensure_parallelism(df)
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
+    # ONE shingle pass serves both signatures and verification: signatures
+    # aggregate over the deduplicated index (min is duplicate-insensitive,
+    # so distinct vs raw occurrences give identical MinHash values).
+    inv = shingle_rows(df, text_col, id_col, shingle_n).dropDuplicates(["doc_id", "s"])
+    params = _permutation_params(num_perm, seed)
+    h = F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF))
+    sig = (
+        inv.groupBy("doc_id")
+        .agg(*[F.min(F.pmod(a * h + b, F.lit(_MERSENNE))).alias(f"__m{i}") for i, (a, b) in enumerate(params)])
+        .select("doc_id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig"))
+    )
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
@@ -265,7 +275,7 @@ def minhash_lsh_pairs(
     # |A∩B| = co-occurring distinct shingles counted per candidate pair,
     # |A∪B| = |A| + |B| − |A∩B|. No collect_set arrays, no interpreted
     # array_intersect; the per-candidate join is bounded by |cand| × shingles.
-    inv = shingle_rows(df, text_col, id_col, shingle_n).dropDuplicates(["doc_id", "s"])
+    # Reuses the same `inv` the signatures aggregated over (one shingle pass).
     sizes_inv = inv.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         cand.join(inv.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
