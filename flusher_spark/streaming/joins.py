@@ -1,0 +1,56 @@
+"""Streaming joins: stream-static enrichment and stream-stream interval
+joins — the two join capabilities a streaming pipeline needs beyond windowed
+aggregation (streaming/windows.py).
+
+- ``enrich_with_dim``: micro-batch stream ⋈ static dimension. The dim is a
+  plain DataFrame; Spark re-plans it per micro-batch, so broadcast hints
+  work exactly as in batch — the streaming twin of join_broadcast_dim.
+
+- ``join_purchases_to_views``: watermarked stream-stream inner join with an
+  event-time range condition (view within [purchase−Δ, purchase]). Both
+  sides buffer state bounded by their watermarks + the range bound — the
+  streaming twin of the batch as-of/range joins (operators/asof.py,
+  operators/rangejoin.py). State eviction needs BOTH watermarks and the
+  time-bound condition; without the range condition state grows forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Enrich a stream with a static dimension (broadcast per micro-batch)."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def join_purchases_to_views(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream join: each purchase paired with every prior view by the
+    same user within ``max_gap``. Event-time range condition + watermarks on
+    both sides bound the join state."""
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (purchases.user_id == views.user_id)
+        & (views.view_ts <= purchases.purchase_ts)
+        & (views.view_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select("purchase_id", purchases.user_id, "purchase_ts", "view_id", "view_ts")

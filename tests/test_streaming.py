@@ -208,3 +208,57 @@ def test_streaming_dedup_first_seen_drops_replays(spark, tmp_path):
         assert rows == [1, 2, 3, 4], rows
     finally:
         q.stop()
+
+
+# -- streaming joins ---------------------------------------------------------
+
+
+def test_stream_static_enrichment_matches_batch(spark, stream_dir):
+    from flusher_spark.streaming.joins import enrich_with_dim
+
+    dim = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = enrich_with_dim(stream_events(spark, stream_dir), dim)
+    q = run_stream_to_memory(stream, "enr", output_mode="append")
+    try:
+        got = spark.sql("SELECT event_id, c_mktsegment FROM enr")
+        expected = _batch_events(spark).join(dim, "user_id", "left").select(
+            "event_id", "c_mktsegment"
+        )
+        pd.testing.assert_frame_equal(_canon(got), _canon(expected))
+    finally:
+        q.stop()
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, stream_dir):
+    from flusher_spark.streaming.joins import join_purchases_to_views
+
+    stream = join_purchases_to_views(stream_events(spark, stream_dir), max_gap="1 hour")
+    q = run_stream_to_memory(stream, "ssj", output_mode="append")
+    try:
+        got = {
+            (r["purchase_id"], r["view_id"])
+            for r in spark.sql("SELECT purchase_id, view_id FROM ssj").collect()
+        }
+        e = _batch_events(spark)
+        p = e.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+        )
+        v = e.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"), F.col("user_id").alias("vuid"), F.col("ts").alias("vts")
+        )
+        expected = {
+            (r["purchase_id"], r["view_id"])
+            for r in p.join(
+                v,
+                (p.user_id == v.vuid)
+                & (v.vts <= p.pts)
+                & (v.vts >= p.pts - F.expr("INTERVAL 1 HOUR")),
+            ).collect()
+        }
+        # The bounded stream emits exactly the batch pairs (nothing dropped:
+        # all data arrives before the final watermark advance).
+        assert got == expected and expected
+    finally:
+        q.stop()
