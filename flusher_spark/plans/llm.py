@@ -402,3 +402,27 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py."""
     pairs = D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
     return D.dedup_clusters(pairs)
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+    SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+                THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split (operators/sampling.py) —
+    reproducible across runs, partitionings, and engines (the oracle computes
+    the identical md5 split in DuckDB): the held-out set can never leak into
+    training on a rerun, unlike seed-based df.sample."""
+    from flusher_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    train, test = hash_split(docs, "doc_id", test_pct=10)
+    agg = lambda d, name: d.agg(  # noqa: E731
+        F.count("*").alias("n"), F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id")
+    ).select(F.lit(name).alias("split"), "n", "min_id", "max_id")
+    return agg(test, "test").unionByName(agg(train, "train")).orderBy("split")

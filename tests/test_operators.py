@@ -465,3 +465,23 @@ def test_dedup_clusters_empty_pairs(spark):
 
     empty = spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
     assert dedup_clusters(empty).count() == 0
+
+
+# -- deterministic sampling --------------------------------------------------
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark, docs):
+    from flusher_spark.operators.sampling import hash_split
+
+    train, test = hash_split(docs, "doc_id", test_pct=10)
+    n, nt, ns = docs.count(), train.count(), test.count()
+    assert nt + ns == n
+    assert ns > 0 and nt > 0
+    assert 0.03 < ns / n < 0.25, f"10% split badly off: {ns / n}"
+    # Disjoint
+    assert train.join(test, "doc_id", "inner").count() == 0
+    # Append-stable: the same rows get the same membership when the input is
+    # a subset (no dependence on partition layout or data volume).
+    sub_train, sub_test = hash_split(docs.where(F.col("doc_id") < 100), "doc_id", test_pct=10)
+    full_test_ids = {r["doc_id"] for r in test.collect()}
+    assert {r["doc_id"] for r in sub_test.collect()} == {i for i in full_test_ids if i < 100}
