@@ -42,3 +42,21 @@ def hash_split(
         df = df.withColumn(bucket_col, b)
         b = F.col(bucket_col)
     return df.where(b >= test_pct), df.where(b < test_pct)
+
+
+def stratified_hash_split(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    test_pct: dict[str, int],
+    default_pct: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-stratum deterministic split: each stratum value gets its own
+    held-out percentage (e.g. over-sample rare languages into eval). Same
+    hash-bucket membership as hash_split — reproducible and append-stable —
+    with the threshold looked up per row from a literal map (codegen'd; no
+    join, no shuffle)."""
+    b = hash_bucket(F.col(key))
+    mapping = F.create_map(*[F.lit(x) for kv in test_pct.items() for x in kv])
+    threshold = F.coalesce(mapping.getItem(F.col(strata_col)), F.lit(default_pct))
+    return df.where(b >= threshold), df.where(b < threshold)

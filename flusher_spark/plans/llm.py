@@ -426,3 +426,27 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id")
     ).select(F.lit(name).alias("split"), "n", "min_id", "max_id")
     return agg(test, "test").unionByName(agg(train, "train")).orderBy("split")
+
+
+@register(
+    "sample_stratified_split",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_test
+    FROM b
+    WHERE bucket < CASE lang WHEN 'zh' THEN 30 WHEN 'de' THEN 30 ELSE 10 END
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic split: rare languages (zh, de) hold out 30%,
+    the rest 10% — per-row literal-map threshold over the same md5 buckets,
+    reproduced exactly by the DuckDB oracle."""
+    from flusher_spark.operators.sampling import stratified_hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, test = stratified_hash_split(docs, "doc_id", "lang", {"zh": 30, "de": 30}, default_pct=10)
+    return test.groupBy("lang").agg(F.count("*").alias("n_test")).orderBy("lang")

@@ -485,3 +485,23 @@ def test_hash_split_disjoint_exhaustive_stable(spark, docs):
     sub_train, sub_test = hash_split(docs.where(F.col("doc_id") < 100), "doc_id", test_pct=10)
     full_test_ids = {r["doc_id"] for r in test.collect()}
     assert {r["doc_id"] for r in sub_test.collect()} == {i for i in full_test_ids if i < 100}
+
+
+def test_stratified_split_respects_per_stratum_pct(spark, docs):
+    from flusher_spark.operators.sampling import stratified_hash_split
+
+    train, test = stratified_hash_split(docs, "doc_id", "lang", {"zh": 50}, default_pct=10)
+    # Disjoint + exhaustive
+    assert train.count() + test.count() == docs.count()
+    assert train.join(test, "doc_id").count() == 0
+    rates = {
+        r["lang"]: r["r"]
+        for r in test.groupBy("lang").count()
+        .join(docs.groupBy("lang").agg(F.count("*").alias("tot")), "lang")
+        .select("lang", (F.col("count") / F.col("tot")).alias("r"))
+        .collect()
+    }
+    assert rates["zh"] > 0.3, f"zh held-out rate too low: {rates}"
+    for lang, r in rates.items():
+        if lang != "zh":
+            assert r < 0.25, f"{lang} held-out rate too high: {rates}"
