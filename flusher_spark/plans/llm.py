@@ -450,3 +450,51 @@ def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     _, test = stratified_hash_split(docs, "doc_id", "lang", {"zh": 30, "de": 30}, default_pct=10)
     return test.groupBy("lang").agg(F.count("*").alias("n_test")).orderBy("lang")
+
+
+@register(
+    "text_quality_filter_pipeline",
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len({_TOKENS_SQL}) AS DOUBLE) AS nt,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS DOUBLE) AS n_stop,
+             CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE) AS n_uniq,
+             CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang, n_chars, nt,
+             CAST(0.5 AS DOUBLE) * (n_stop / nt)
+               + CAST(0.3 AS DOUBLE) * (n_uniq / nt)
+               - CAST(0.2 AS DOUBLE) * (n_punct / nt) AS quality
+      FROM m)
+    SELECT doc_id, lang, quality
+    FROM scored
+    WHERE lang = 'en' AND nt >= 25 AND n_chars <= 2000 AND quality >= 0.15
+    ORDER BY doc_id
+    """,
+)
+def text_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed data-cleaning pass every pretraining corpus goes through:
+    language gate + length gates + quality threshold, in one codegen'd
+    filter over a single scan (no UDFs, no multiple passes). Survivor set
+    hash-matches DuckDB running the identical rules."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        T.n_tokens(F.col("text")).alias("nt"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    return (
+        scored.where(
+            (F.col("lang") == "en")
+            & (F.col("nt") >= 25)
+            & (F.col("n_chars") <= 2000)
+            & (F.col("quality") >= 0.15)
+        )
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    )

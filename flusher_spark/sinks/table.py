@@ -51,3 +51,33 @@ class Warehouse:
 
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self._path(table))
+
+    def compact(self, table: str, target_partitions: int | None = None) -> int:
+        """Small-files compaction: rewrite the table into ``target_partitions``
+        files (default: size-based — one file per 64 MB, min 1).
+
+        Incremental append (the reference's load mode, bigquery.py:45-47)
+        accumulates one file-set per load; at high cadence the table becomes
+        thousands of tiny files and every scan pays per-file open cost. This
+        is the maintenance half of an append-mode sink. Returns the new file
+        count. Rewrite is staged through a sibling directory + atomic rename,
+        so a crash mid-compact never loses the table.
+        """
+        path = self._path(table)
+        df = self.read(table)
+        if target_partitions is None:
+            size = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path)
+                for f in fs
+            )
+            target_partitions = max(1, size // (64 * 1024 * 1024))
+        staged = path + ".__compacting"
+        shutil.rmtree(staged, ignore_errors=True)
+        df.coalesce(int(target_partitions)).write.mode("overwrite").parquet(staged)
+        old = path + ".__old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(staged, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return len([f for f in os.listdir(path) if f.endswith(".parquet")])

@@ -206,3 +206,27 @@ def test_worksheet_datasource_matches_read_sheet(spark, jobs_csv):
     a = spark.read.format("worksheet").option("path", jobs_csv).option("cellrange", "A2:C13").load()
     b = read_sheet(spark, grid, "A2:C13")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_warehouse_compaction(spark, tmp_path):
+    from flusher_spark.io.tables import load_table
+    from flusher_spark.sinks.table import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    region = load_table(spark, "/root/testdata/sf0.001", "region")
+    # Simulate high-cadence incremental loads: many small files.
+    for _ in range(4):
+        wh.load(region.repartition(8), "r", incremental=True)
+    path = wh._path("r")
+    import os as _os
+
+    before = len([f for f in _os.listdir(path) if f.endswith(".parquet")])
+    assert before >= 16  # several files per load (empty partitions write none)
+    expected = wh.read("r").count()
+    n_files = wh.compact("r", target_partitions=2)
+    assert n_files == 2
+    assert wh.read("r").count() == expected  # data identical
+    # Values survive byte-for-byte
+    assert sorted(map(tuple, wh.read("r").collect())) == sorted(
+        list(map(tuple, region.collect())) * 4
+    )
