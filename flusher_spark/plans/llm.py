@@ -1,7 +1,9 @@
 """LLM-data-pipeline catalog entries: dedup (exact, n-gram Jaccard,
-MinHash-LSH, SimHash), similarity search (brute-force + LSH), and text
-analysis (token stats, quality, language-ID, fingerprints), plus the
-multimodal binary-stats plumbing check.
+MinHash-LSH, SimHash, connected-component clustering), similarity search
+(fold-left exact, Arrow/BLAS, hyperplane-LSH, IVF), text analysis (token
+stats, quality + composed corpus cleaning, language-ID, edit distance, md5 +
+winnowing fingerprints), deterministic hash sampling/splits, and the
+multimodal binary/feature plumbing checks.
 
 Oracle policy: everything deterministic and SQL-expressible gets a DuckDB
 oracle (including exact n-gram Jaccard and exact cosine similarity — the

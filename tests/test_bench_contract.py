@@ -1,0 +1,29 @@
+"""The driver contract for bench.py: prints exactly ONE JSON line on stdout
+with the agreed keys — guarded here so stray prints or logging can never
+break the per-round BENCH_r{N}.json recording."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_one_json_line():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="8")
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+        check=True,
+    ).stdout
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"bench stdout must be ONE line, got {len(lines)}: {lines[:3]}"
+    payload = json.loads(lines[0])
+    assert payload["unit"] == "sec" and payload["sf"] == 0.001
+    assert isinstance(payload["value"], (int, float)) and payload["value"] > 0
+    assert set(payload["queries"]) and all(v >= 0 for v in payload["queries"].values())
+    assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.01 * len(payload["queries"])
