@@ -61,6 +61,9 @@ def get_session(app_name: str = "flusher_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Progress bars interleave \r into stdout of CLI tools (bench,
+        # check_oracle) whose output is machine-parsed.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
