@@ -166,22 +166,26 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_lists: int = 16,
     n_probe: int = 4,
+    n_iter: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the other standard ANN scale
     path next to lsh_topk.
 
-    Index build: pick ``n_lists`` seed centroids deterministically (the rows
-    with the smallest ids — one pass; a production build would Lloyd-iterate,
-    which refines recall but not the plan shape), then assign every vector to
-    its nearest centroid by cosine. The assignment is a broadcast join against
-    the tiny centroid set + one argmax window per vector — a single parallel
-    scan of the data.
+    Index build: seed ``n_lists`` centroids deterministically (the rows with
+    the smallest ids), optionally refine them with ``n_iter`` Lloyd
+    iterations (assign → per-list mean → reassign; the per-list means are a
+    distributed posexplode+avg aggregation whose n_lists×dim result is
+    driver-sized by construction — k-means centroids are always tiny), then
+    assign every vector to its nearest centroid by cosine. Each assignment
+    is a broadcast join against the tiny centroid set + one argmax window —
+    a single parallel scan per iteration.
 
     Search: each query probes its ``n_probe`` nearest centroid lists and
     re-ranks exactly inside them — an equi-join on the list id, so cost is
     |probed lists| / |lists| of a full scan, not all-pairs. Recall < 1 by
     construction (rows-only check; exact twin: brute_force_topk).
     """
+    spark = df.sparkSession
     base = df.select(F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq"))
 
     cents = (
@@ -194,7 +198,7 @@ def ivf_topk(
         )
     )
 
-    def nearest_lists(side: DataFrame, keep: int, out: str) -> DataFrame:
+    def nearest_lists(side: DataFrame, cents: DataFrame, keep: int, out: str) -> DataFrame:
         """Attach the ``keep`` nearest centroid ids to each row of ``side``."""
         sim = cosine(F.col(vec_col), F.col("__cvec"), F.col("__nsq"), F.col("__cnsq"))
         w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("__cid"))
@@ -207,9 +211,30 @@ def ivf_topk(
             .drop("__cvec", "__cnsq", "__csim", "__crank")
         )
 
-    assigned = nearest_lists(base, 1, "__list")  # index: every vector in one list
+    for _ in range(n_iter):
+        assigned0 = nearest_lists(base, cents, 1, "__list")
+        means = (
+            assigned0.select("__list", F.posexplode(F.col(vec_col)).alias("__d", "__x"))
+            .groupBy("__list", "__d")
+            .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+            .collect()
+        )
+        by_list: dict = {}
+        for r in means:
+            by_list.setdefault(r["__list"], {})[r["__d"]] = r["__m"]
+        # A list that lost every member keeps its previous centroid.
+        prev = {r["__cid"]: [float(x) for x in r["__cvec"]] for r in cents.collect()}
+        data = [
+            (int(cid), [by_list[cid][i] for i in sorted(by_list[cid])] if cid in by_list else vec)
+            for cid, vec in sorted(prev.items())
+        ]
+        cents = spark.createDataFrame(data, "__cid long, __cvec array<double>").select(
+            "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
+        )
+
+    assigned = nearest_lists(base, cents, 1, "__list")  # index: every vector in one list
     probes = nearest_lists(
-        base.where(F.col(id_col).isin(list(query_ids))), n_probe, "__list"
+        base.where(F.col(id_col).isin(list(query_ids))), cents, n_probe, "__list"
     ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),

@@ -296,7 +296,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-file ANN scale path next to the LSH one). Recall vs the exact
     twin is asserted in tests/test_operators.py."""
     return S.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10, n_lists=8, n_probe=3
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10, n_lists=8, n_probe=3, n_iter=1
     )
 
 

@@ -505,3 +505,18 @@ def test_stratified_split_respects_per_stratum_pct(spark, docs):
     for lang, r in rates.items():
         if lang != "zh":
             assert r < 0.25, f"{lang} held-out rate too high: {rates}"
+
+
+def test_ivf_lloyd_iteration_runs_and_recall_holds(spark, emb):
+    from flusher_spark.operators.similarity import ivf_topk
+
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, qids, k=10).collect()}
+    refined = ivf_topk(emb, qids, k=10, n_lists=8, n_probe=3, n_iter=2).collect()
+    assert refined, "refined IVF should return results"
+    overlap = sum(1 for r in refined if (r["query_id"], r["vec_id"]) in exact)
+    recall = overlap / len(exact)
+    assert recall >= 0.5, f"refined IVF recall too low: {recall}"
+    # Determinism: the same call twice gives identical results (no rand()).
+    again = ivf_topk(emb, qids, k=10, n_lists=8, n_probe=3, n_iter=2).collect()
+    assert sorted(map(tuple, refined)) == sorted(map(tuple, again))
