@@ -1446,3 +1446,384 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderpriority")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# TPC-H hard plan shapes, round 2: correlated subqueries, multi-fact join
+# trees, global-scalar filters, nested semi/anti joins. The fixtures carry no
+# partsupp table and no commit/receipt dates, so each query keeps the
+# *shape* (what stresses the planner) re-keyed onto the available columns;
+# the classic TPC-H number is noted per entry.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+    FROM supply JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_size BETWEEN 1 AND 15 AND p_type = 'LARGE'
+      AND cost = (SELECT MIN(s2.cost) FROM supply s2 WHERE s2.l_partkey = supply.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-per-group correlated subquery (TPC-H Q2 shape; lineitem stands in
+    for partsupp as the part↔supplier link). Decorrelated as aggregate +
+    join-back: per-(part,supplier) min cost, per-part global min, one equi
+    join on the part key — both aggregates share the partkey shuffle, so at
+    scale this is two map-side-combined aggs and one co-partitioned join,
+    never a per-row subquery. MIN over doubles is exact (no arithmetic), so
+    the double-equality join matches the oracle bit-for-bit."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").between(1, 15) & (F.col("p_type") == "LARGE")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    supply = l.groupBy("l_partkey", "l_suppkey").agg(F.min("l_extendedprice").alias("cost"))
+    min_cost = supply.groupBy("l_partkey").agg(F.min("cost").alias("__min_cost"))
+    return (
+        supply.join(min_cost, "l_partkey")
+        .where(F.col("cost") == F.col("__min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q7_nation_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS INT) AS l_year,
+           {sql_dsum_exact(_DISC)} AS revenue
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1','NATION_2','NATION_3')
+      AND n2.n_name IN ('NATION_1','NATION_2','NATION_3')
+      AND n1.n_name <> n2.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume between nation sets by year (TPC-H Q7 shape):
+    the same dimension joined twice under different roles. Both nation legs
+    are filtered *before* broadcast so supplier/customer prune early; the
+    cross-role inequality is a residual on already-joined rows (never a
+    nested loop). Fact-fact shuffle is on the order key only."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    picked = ("NATION_1", "NATION_2", "NATION_3")
+    n1 = n.where(F.col("n_name").isin(*picked)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.where(F.col("n_name").isin(*picked)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(dsum_exact(_disc()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           100.0 * CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                                 ELSE CAST(0 AS DECIMAL(13,4)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE) AS mkt_share_pct
+    FROM (SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, {_DISC} AS volume, n2.n_name AS nation
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+            AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01') t
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share within a region (TPC-H Q8 shape): the deepest
+    join tree in the catalog — two facts plus four dimension legs, nation in
+    two roles. Market-share ratio follows the q14 discipline: both sums stay
+    decimal until a single double division per group."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), "n_regionkey")
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    vol = _disc()
+    in_nation = F.when(F.col("nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(13,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.lit(100.0) * F.sum(in_nation).cast("double") / F.sum(vol).cast("double"))
+            .alias("mkt_share_pct")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, {sql_dsum_exact('amount')} AS sum_profit
+    FROM (SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                 {_DISC} - CAST(p_retailprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4)) AS amount
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%bolt%') t
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and year over a name-pattern part filter
+    (TPC-H Q9 shape; retail cost stands in for ps_supplycost). amount =
+    disc_price − retail_cost stays decimal end-to-end (≤6 real decimal
+    digits, so dsum_exact is lossless even for negative profits); the part
+    filter broadcasts, the two facts shuffle once on the order key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = _disc() - dec("p_retailprice") * dec("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum_exact(amount).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_partkey, {_DISC} AS v
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5'))
+    SELECT l_partkey, CAST(CAST(SUM(v) AS DECIMAL(38,6)) AS DOUBLE) AS value
+    FROM base GROUP BY l_partkey
+    HAVING CAST(CAST(SUM(v) AS DECIMAL(38,6)) AS DOUBLE) >
+           (SELECT CAST(CAST(SUM(v) AS DECIMAL(38,6)) AS DOUBLE) FROM base) * CAST(0.001 AS DOUBLE)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group filter against a global scalar (TPC-H Q11 shape): per-part value
+    vs a fraction of the grand total. The total is re-aggregated from the
+    per-group decimal sums (exact — decimal addition is associative), so the
+    grand total is a 1-row broadcast and the base is scanned once per branch
+    with no driver-side collect. Threshold comparison is a single IEEE
+    multiply per side, identical in both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5")
+    )
+    supp_keys = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi").select(
+        "s_suppkey"
+    )
+    base = l.join(F.broadcast(supp_keys), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+    val = base.groupBy("l_partkey").agg(
+        F.sum(_disc()).cast("decimal(38,6)").alias("__value_dec")
+    )
+    tot = val.agg(F.sum("__value_dec").cast("decimal(38,6)").cast("double").alias("__total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("__value_dec").cast("double") > F.col("__total") * F.lit(0.001))
+        .select("l_partkey", F.col("__value_dec").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+      AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key correlated scalar (TPC-H Q17 shape): rows below 20% of their
+    part's average quantity. Decorrelated as a per-part average joined back
+    on the part key — and the average is computed only over lineitems of the
+    *filtered* parts (semantically identical: the subquery is only evaluated
+    for those parts), so the scan is pruned by the same broadcast filter on
+    both branches. Quantities are integer-valued doubles, so the plain
+    double average is exact and order-insensitive in both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    pkeys = p.select("p_partkey")
+    relevant = l.join(F.broadcast(pkeys), l.l_partkey == pkeys.p_partkey, "left_semi")
+    avg_q = relevant.groupBy("l_partkey").agg(F.avg("l_quantity").alias("__avg_q"))
+    return (
+        relevant.join(avg_q.withColumnRenamed("l_partkey", "__pk"), F.col("l_partkey") == F.col("__pk"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("__avg_q"))
+        .agg(
+            (
+                F.sum(dec("l_extendedprice")).cast("decimal(38,6)").cast("double") / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q20_qualified_suppliers",
+    oracle="""
+    SELECT s_name, n_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(8,2))) > 50)
+    ORDER BY s_name
+    """,
+)
+def q20_qualified_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN-subqueries (TPC-H Q20 shape): suppliers who moved >50 units
+    of any red part in 1996. Both IN levels become semi-joins — the part
+    filter broadcasts into the lineitem scan, the HAVING is a partial-agg
+    shuffle on (suppkey, partkey), and the supplier probe is a second
+    semi-join. No distinct needed anywhere: semi-join semantics dedup for
+    free."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    qualified = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(8,2)")).alias("__qty"))
+        .where(F.col("__qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qualified, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_sole_flagged_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def q21_sole_flagged_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS over the same fact (TPC-H Q21 shape, returnflag
+    standing in for the late-delivery dates): suppliers who were the *only*
+    flagged supplier in a multi-supplier finalized order. Plans as a semi
+    join then an anti join, both equi on the order key with the supplier
+    inequality as a hash-join residual — three lineitem legs all sharing one
+    shuffle key, then a broadcast supplier lookup and a tiny top-k."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = l.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = l.select(F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey"))
+    l3 = l.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

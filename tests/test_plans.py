@@ -110,6 +110,7 @@ _NESTED_LOOP_OK = {
     "similarity_topk_ivf",  # broadcast centroid set (n_lists rows)
     "window_ntile",  # broadcast 1-row total count
     "q22_global_avg_anti",  # broadcast 1-row global average (scalar subquery)
+    "q11_important_parts",  # broadcast 1-row grand total (scalar subquery)
 }
 
 
