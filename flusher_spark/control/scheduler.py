@@ -109,7 +109,12 @@ def translate_error(exc: Exception, job: Job, source: SheetSource) -> str:
 
 @dataclass
 class Scheduler:
-    """Wires source → store → sinks and runs ticks."""
+    """Wires source → store → sinks and runs ticks.
+
+    ``clock`` is the wall-clock used for every state transition (injectable
+    for simulated-time tests). Each transition reads it FRESH — the reference
+    records real time at every update_* call (manager.py:83-144), so audit
+    rows carry true start/end and run durations are recoverable."""
 
     spark: SparkSession
     store: JobStore
@@ -118,6 +123,7 @@ class Scheduler:
     export_dir: str
     lease_seconds: int = 3600
     on_tick: list = field(default_factory=list)
+    clock: object = utcnow_iso
 
     def run_job(self, job: Job) -> str:
         """One job pipeline: read → (type+load) | csv-export. A single lazy
@@ -139,8 +145,9 @@ class Scheduler:
         return to_csv(df, self.export_dir, job.document, job.sheet)
 
     def tick(self, now: str | None = None) -> list[tuple[int, str, str]]:
-        """One micro-batch: returns [(job_id, status, result)]."""
-        now = now or utcnow_iso()
+        """One micro-batch: returns [(job_id, status, result)]. ``now`` is
+        only the due-predicate's clock; transitions stamp ``self.clock()``."""
+        now = now or self.clock()
         jobs = self.store.jobs()
         interval_seconds, invalid = parse_intervals(jobs)
         # Validation failure disables the schedule and drops the job from
@@ -157,21 +164,27 @@ class Scheduler:
             if r["job_id"] not in invalid
         ]
         results: list[tuple[int, str, str]] = []
+        records: list[RunRecord] = []
         for job_id in due:
             job = self.store.get(job_id)
-            start = self.store.mark_running(job_id, now)
+            start = self.store.mark_running(job_id, self.clock())
             try:
                 result = self.run_job(job)
-                end = self.store.mark_success(job_id, result, now)
+                end = self.store.mark_success(job_id, result, self.clock())
                 status = "Success"
             except Exception as exc:  # noqa: BLE001 — job isolation boundary
                 result = translate_error(exc, job, self.source)
-                end = self.store.mark_failure(job_id, result, now)
+                end = self.store.mark_failure(job_id, result, self.clock())
                 status = "Failure"
-            self.store.append_log(
+            records.append(
                 RunRecord(start, end, job.document, job.sheet, job.cellrange, status, result)
             )
             results.append((job_id, status, result))
+        if records:
+            # One log file per tick, not per run — at a 1-second poll cadence
+            # a per-run write is the exact small-files hazard Warehouse.compact
+            # exists to fix.
+            self.store.append_logs(records)
         return results
 
     def run_loop(self, poll_seconds: float = 1.0, max_ticks: int | None = None) -> None:

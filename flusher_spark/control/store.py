@@ -142,15 +142,24 @@ class JobStore:
     # -- audit log ----------------------------------------------------------
 
     def append_log(self, record: RunRecord) -> None:
+        """Single-record append (see append_logs for the batched path)."""
+        self.append_logs([record])
+
+    def append_logs(self, records: list[RunRecord]) -> None:
         """Synchronous append — strengthens the reference's fire-and-forget
         daemon-thread log (manager.py:147-164, at-most-once, lost on crash)
-        to exactly-recorded."""
+        to exactly-recorded. Batched: the scheduler passes a whole tick's
+        records at once and ``coalesce(1)`` writes them as ONE parquet file,
+        so a 1-second poll cadence grows the log directory by at most one
+        file per busy tick instead of one per run."""
+        if not records:
+            return
         df = self.spark.createDataFrame(
-            [record.as_row()],
+            [r.as_row() for r in records],
             "start string, end string, document string, sheet string, "
             "cellrange string, status string, result string",
         )
-        df.write.mode("append").parquet(self._log_path)
+        df.coalesce(1).write.mode("append").parquet(self._log_path)
 
     def run_log(self) -> DataFrame:
         if not os.path.isdir(self._log_path):

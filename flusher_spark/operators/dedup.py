@@ -44,20 +44,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles as an array column (built-ins only).
-
-    Prefer ``shingles_table`` in operator pipelines: inlining this Column in
-    a plan re-evaluates the tokenizer once per element_at reference."""
-    toks = tokens(F.col(text_col))
-    count = F.size(toks) - (n - 1)
-    joined = F.transform(
-        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
-    return F.when(count >= 1, F.array_distinct(joined)).otherwise(F.array().cast("array<string>"))
-
-
 def shingle_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -101,7 +87,9 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     the shingle/hash pipeline on one core. No-op when the source already has
     enough partitions — i.e. always, at real scale."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    # JVM-side partition probe: df.rdd would also build the Python
+    # deserialization plan for every row just to ask a partition count.
+    if df._jdf.rdd().getNumPartitions() < p:
         return df.repartition(p)
     return df
 

@@ -19,8 +19,31 @@ operator family (operators/asof.py) with the interval-overlap case.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import re
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+_TERM_RE = re.compile(r"(\d+)\s*([a-z]+)")
+
+
+def _width_seconds(text: str) -> int:
+    """Parse a bin width like "30 minutes" / "1 hour 30 minutes" into seconds,
+    in the driver. Evaluating the width Spark-side via an interval anchored at
+    an epoch literal is session-timezone dependent (the literal is
+    reinterpreted in local time), which would silently mis-bin — and the
+    equi-join on bins can only ever DROP candidates, so the residual predicate
+    cannot recover them. A Python-side integer is timezone-proof."""
+    total = 0
+    for amount, unit in _TERM_RE.findall(text.lower()):
+        singular = unit.rstrip("s")
+        if singular not in _UNIT_SECONDS:
+            raise ValueError(f"unknown bin-width unit: {unit!r} in {text!r}")
+        total += int(amount) * _UNIT_SECONDS[singular]
+    if total <= 0:
+        raise ValueError(f"bin width must be positive: {text!r}")
+    return total
 
 
 def range_join(
@@ -44,9 +67,7 @@ def range_join(
     on = on or []
     secs = F.unix_timestamp  # timestamp -> epoch seconds
 
-    width = F.expr(f"INTERVAL {bin_width}")
-    # width in seconds, evaluated once via a literal interval on epoch 0.
-    width_s = F.unix_timestamp(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + width)
+    width_s = F.lit(_width_seconds(bin_width))
 
     lhs = left.withColumn("__bin", F.floor(secs(F.col(left_point)) / width_s))
     rhs = right.withColumn(

@@ -44,9 +44,11 @@ def sql_davg(expr: str) -> str:
 
 # -- exact-decimal arithmetic on computed expressions ------------------------
 #
-# dsum/sql_dsum cast their input to DECIMAL(18,4), which is only safe for
-# BASE columns (prices/discounts carry ≤2 decimal digits, so the cast never
-# rounds). A double PRODUCT like l_extendedprice*(1-l_discount) has exactly 4
+# dsum/sql_dsum cast their input to DECIMAL(8,2) (the module docstring's
+# contract: inputs must carry ≤2 decimal digits and stay < 1e6, or the sum
+# overflows to NULL), which is only safe for BASE columns (prices/discounts
+# carry ≤2 decimal digits, so the cast never rounds). A double PRODUCT like
+# l_extendedprice*(1-l_discount) has exactly 4
 # decimal digits, and its double representation sits an epsilon away from the
 # true value — Spark (shortest-repr BigDecimal) and DuckDB (exact binary)
 # then round the boundary cases differently. The fix: cast the base columns

@@ -174,7 +174,14 @@ def cast_with_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     for f_ in schema.fields:
         c = F.when(F.col(f_.name) == "", None).otherwise(F.col(f_.name))
         if isinstance(f_.dataType, T.BooleanType):
-            cols.append(F.lower(c).isin("true", "yes").alias(f_.name))
+            # try_cast semantics by hand: junk outside the accepted boolean
+            # vocabulary must become NULL (drift), not False.
+            lc = F.lower(c)
+            cols.append(
+                F.when(lc.isin("true", "yes"), F.lit(True))
+                .when(lc.isin("false", "no"), F.lit(False))
+                .alias(f_.name)
+            )
         elif isinstance(f_.dataType, T.StringType):
             cols.append(c.alias(f_.name))
         else:

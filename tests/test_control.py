@@ -21,7 +21,9 @@ def env(spark, tmp_path):
     store = JobStore(spark, str(tmp_path / "control"))
     source = SheetSource({"doc": {"s1": GRID, "s2": SheetGrid("s2", [["c"], ["9"]])}})
     wh = Warehouse(spark, str(tmp_path / "lake"))
-    sched = Scheduler(spark, store, source, wh, str(tmp_path / "exports"))
+    # Simulated time: transitions stamp the injected clock, ticks pass their
+    # own due-predicate `now` explicitly.
+    sched = Scheduler(spark, store, source, wh, str(tmp_path / "exports"), clock=lambda: NOW)
     return store, source, wh, sched
 
 
@@ -125,6 +127,35 @@ def test_audit_log_appended(env):
     assert len(log) == 2
     statuses = {r["status"] for r in log}
     assert statuses == {"Success", "Failure"}  # schema: manager.py:155-163
+
+
+def test_transitions_stamp_fresh_clock(env):
+    """Run start/end come from separate clock reads (real durations in the
+    audit log), not the tick's due-predicate time — the reference records
+    real wall-clock at every update_* call (manager.py:83-144)."""
+    store, _, _, sched = env
+    times = iter(["2024-06-01T12:00:01", "2024-06-01T12:00:05"])
+    sched.clock = lambda: next(times)
+    store.put(Job(1, "doc", "s1", target_system="warehouse", destination="t1", refresh_now=True))
+    sched.tick(NOW)
+    log = store.run_log().collect()[0]
+    assert log["start"] == "2024-06-01T12:00:01"  # first clock read
+    assert log["end"] == "2024-06-01T12:00:05"  # second read: duration = 4s
+    assert store.get(1).last_success == "2024-06-01T12:00:05"  # completion, not tick start
+
+
+def test_tick_writes_one_log_file(env, tmp_path):
+    """A busy tick appends ONE parquet file for all its runs — a per-run file
+    at a 1-second poll cadence is the small-files hazard Warehouse.compact
+    exists to fix."""
+    store, _, _, sched = env
+    store.put(Job(1, "doc", "s1", target_system="warehouse", destination="t1", refresh_now=True))
+    store.put(Job(2, "doc", "s2", target_system="warehouse", destination="t2", refresh_now=True))
+    sched.tick(NOW)
+    log_dir = tmp_path / "control" / "run_log"
+    data_files = [f for f in log_dir.iterdir() if f.suffix == ".parquet"]
+    assert len(data_files) == 1
+    assert store.run_log().count() == 2
 
 
 def test_incremental_vs_full_refresh_jobs(env):

@@ -17,6 +17,7 @@ from flusher_spark.sources.sheet import (
     cast_with_schema,
     infer_schema,
     read_sheet,
+    schema_drift,
 )
 
 GRID = SheetGrid(
@@ -91,6 +92,21 @@ def test_cast_with_schema_and_drift_nulls(spark):
     )
     row = t2.collect()[0]
     assert row["id"] == 9 and row["amount"] is None
+
+
+def test_boolean_drift_becomes_null(spark):
+    """Junk in a boolean column is DRIFT (NULL), not False — the try_cast
+    contract must hold for booleans too, or schema_drift undercounts and
+    corrupted cells silently load as False."""
+    grid = SheetGrid(
+        "b", [["flag"], ["true"], ["YES"], ["false"], ["No"], ["bad:xyz"], [""]]
+    )
+    schema = T.StructType([T.StructField("flag", T.BooleanType())])
+    vals = [r["flag"] for r in cast_with_schema(read_sheet(spark, grid), schema).collect()]
+    assert vals == [True, True, False, False, None, None]
+
+    drift = schema_drift(read_sheet(spark, grid), schema).collect()[0]
+    assert drift["flag"] == 1  # only "bad:xyz": empty cells are not drift
 
 
 def test_warehouse_overwrite_vs_append(spark, tmp_path):

@@ -292,6 +292,29 @@ def test_range_join_plan_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_range_join_timezone_independent(spark):
+    """Bin assignment must not depend on the session timezone: the width is a
+    driver-side integer, so a non-UTC session yields identical matches (the
+    old interval-anchored-at-epoch formulation silently DROPPED matches off
+    UTC)."""
+    from flusher_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame([(1, "2024-01-01 05:10:00")], "id long, ts string").select(
+        "id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    right = spark.createDataFrame(
+        [(7, "2024-01-01 05:00:00", "2024-01-01 05:30:00")], "rid long, s string, e string"
+    ).select("rid", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("America/Los_Angeles", "Asia/Tokyo", "UTC"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            rows = range_join(left, right, "ts", "s", "e", bin_width="30 minutes").collect()
+            assert len(rows) == 1 and rows[0]["rid"] == 7, f"dropped match under {tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_range_join_interval_spanning_many_bins(spark):
     # An interval much longer than the bin width must still match exactly once.
     from flusher_spark.operators.rangejoin import range_join
