@@ -112,7 +112,13 @@ def etl_csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletion (Spark pipelines don't need the disk hop; this query exists to
     prove the sink round-trips losslessly)."""
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    path = to_csv(region, tempfile.mkdtemp(prefix="flusher_csv_"), "Flush Control", "region")
+    # single_file: region is 5 rows at any SF — one write task and a
+    # 1-partition re-read keep the roundtrip's job count (and the harness's
+    # per-entry wall time) proportional to the data, not the core count.
+    path = to_csv(
+        region, tempfile.mkdtemp(prefix="flusher_csv_"), "Flush Control", "region",
+        single_file=True,
+    )
     raw = spark.read.option("header", True).csv(path)  # untyped: all strings
     typed = cast_with_schema(raw, infer_schema(raw))
     return typed

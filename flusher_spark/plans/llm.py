@@ -336,6 +336,11 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
+    # Bound the Python-worker fan-out at fixture scale: mapInPandas spawns
+    # one worker per partition, and worker startup (not the sha256 work)
+    # dominated this entry's harness time. Real deployments size partitions
+    # to data; 4 is plenty for ≤50k fixture docs.
+    assets = assets.coalesce(4)
     return extract_features(assets, fake=True).select("asset_id", "n_bytes", "sha256")
 
 

@@ -78,6 +78,17 @@ def test_registry_unique_and_documented():
         assert e.doc, f"{name} has no docstring"
 
 
+def test_registry_priority_prefix():
+    """The driver's harness covers a bounded registry prefix; the curated
+    PRIORITY names must all exist (typo guard) and lead the ordering."""
+    from flusher_spark.plans.catalog import PRIORITY
+
+    reg = registry()
+    missing = [n for n in PRIORITY if n not in reg]
+    assert not missing, f"PRIORITY names not registered: {missing}"
+    assert list(reg)[: len(PRIORITY)] == list(PRIORITY)
+
+
 def test_entry_contract(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
