@@ -13,6 +13,8 @@ they are stateful workflows, not queries, so they don't appear here.
 
 from __future__ import annotations
 
+import csv
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +37,34 @@ def _grid_from_table(spark: SparkSession, sf_dir: str, name: str, order_col: str
     return SheetGrid(name, [header, *rows], header=True)
 
 
+#: Worksheet backing files, one per (sf_dir, table) per process — the CSV
+#: stands in for the Sheets HTTP fetch (sources/datasource.py docstring).
+_WS_CSV_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _worksheet_csv(spark: SparkSession, sf_dir: str, name: str, order_col: str) -> str:
+    """Materialize a fixture table as a worksheet backing file (cached)."""
+    key = (sf_dir, name)
+    path = _WS_CSV_CACHE.get(key)
+    if path and os.path.exists(path):
+        return path
+    grid = _grid_from_table(spark, sf_dir, name, order_col)
+    path = os.path.join(tempfile.mkdtemp(prefix="flusher_ws_"), f"{name}.csv")
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        csv.writer(f).writerows(grid.rows)
+    _WS_CSV_CACHE[key] = path
+    return path
+
+
+def _register_worksheet(spark: SparkSession) -> None:
+    from flusher_spark.sources.datasource import WorksheetDataSource
+
+    try:
+        spark.dataSource.register(WorksheetDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
 @register(
     "etl_sheet_range_scan",
     oracle="""
@@ -43,12 +73,22 @@ def _grid_from_table(spark: SparkSession, sf_dir: str, name: str, order_col: str
     """,
 )
 def etl_sheet_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 cell-range scan (reference export.py:46-51): read rows 2-13 ×
-    columns A-C of the nation worksheet through the sheet source (correct
-    base-26 column math, header-row naming), then the untyped→typed cast
+    """A1 cell-range scan (reference export.py:46-51) driven through the
+    REGISTERED worksheet DataSource (sources/datasource.py), not a
+    driver-built grid: the A1 range prunes columns and rows inside the
+    reader (pushdown) and the scan splits into row-range partitions — so the
+    oracle verifies the same code path a production read uses. Rows 2-13 ×
+    columns A-C of the nation worksheet, then the untyped→typed cast
     stage."""
-    grid = _grid_from_table(spark, sf_dir, "nation", "n_nationkey")
-    raw = read_sheet(spark, grid, "A1:C13")  # header + 12 data rows, 3 cols
+    path = _worksheet_csv(spark, sf_dir, "nation", "n_nationkey")
+    _register_worksheet(spark)
+    raw = (
+        spark.read.format("worksheet")
+        .option("path", path)
+        .option("cellrange", "A1:C13")  # header + 12 data rows, 3 cols
+        .option("numPartitions", "2")
+        .load()
+    )
     typed = cast_with_schema(raw, infer_schema(raw))
     return typed.orderBy("n_nationkey")
 

@@ -29,6 +29,18 @@ def test_filter_and_projection_push_to_parquet(spark):
     assert "l_returnflag" not in read_schema and "l_extendedprice" in read_schema
 
 
+def test_etl_range_scan_uses_worksheet_datasource(spark):
+    """The oracle-checked range-scan entry must exercise the registered
+    Python DataSource (range pushdown + row-range partitions), not a
+    driver-built grid: its plan contains the worksheet BatchScan and the
+    scan's schema is already pruned to the requested A-C columns."""
+    df = registry()["etl_sheet_range_scan"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BatchScan worksheet" in plan
+    scan_line = next(line for line in plan.splitlines() if "BatchScan worksheet" in line)
+    assert "n_nationkey" in scan_line and "n_comment" not in scan_line
+
+
 def test_small_dims_broadcast_in_q5(spark):
     plan = _plan(registry()["q5_region_revenue"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
