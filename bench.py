@@ -17,16 +17,27 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import Observation  # noqa: E402
+
+from flusher_spark.instrumentation import Recorder, observed  # noqa: E402
 from flusher_spark.plans.catalog import registry  # noqa: E402
 from flusher_spark.session import get_session  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority_exists",
     "q5_region_revenue",
     "q6_revenue_filter",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
+    "q11_important_parts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q21_sole_flagged_supplier",
     "join_broadcast_dim",
     "agg_distinct",
     "window_topk_per_group",
@@ -54,17 +65,25 @@ def main() -> None:
     warm.groupBy("n_regionkey").count().write.format("noop").mode("overwrite").save()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # Structured instrumentation (instrumentation.py): per-query wall time +
+    # result row count to stderr, leaving stdout's one-line JSON contract
+    # untouched.
+    rec = Recorder(logfunc=lambda msg: print(msg, file=sys.stderr))
     timings: dict[str, float] = {}
     for name in names:
         # One untimed execution first: whole-stage codegen compiles once per
         # query shape (~0.5-2 s on this JVM) and would otherwise dominate the
         # sub-second queries. The timed run measures steady-state execution —
         # scan + shuffle + compute — which is what scales with data volume.
-        reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # The row-count Observation rides this run so the timed plan below
+        # stays exactly the plan under measurement (no CollectMetrics node).
+        obs = Observation()
+        observed(reg[name].fn(spark, sf_dir), obs).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         df = reg[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        rec.observe(name, timings[name], rows=int(obs.get["rows"]))
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -23,11 +23,12 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from flusher_spark.control.model import EPOCH_NEVER, STATE_RUNNING, Job, RunRecord
 from flusher_spark.control.store import JobStore, utcnow_iso
+from flusher_spark.instrumentation import Recorder, observed
 from flusher_spark.functions.intervals import from_human
 from flusher_spark.sinks.csv import to_csv
 from flusher_spark.sinks.table import Warehouse
@@ -124,25 +125,38 @@ class Scheduler:
     lease_seconds: int = 3600
     on_tick: list = field(default_factory=list)
     clock: object = utcnow_iso
+    recorder: Recorder = field(default_factory=Recorder)
 
     def run_job(self, job: Job) -> str:
         """One job pipeline: read → (type+load) | csv-export. A single lazy
         plan; no intermediate materialization (reference hops through a local
-        CSV and deletes it, manager.py:195-196)."""
-        grid = self.source.worksheet(job.document, job.sheet)
-        df = read_sheet(self.spark, grid, job.cellrange)
-        if job.target_system:
-            if job.target_system.lower() not in ("warehouse", "bigquery"):
-                # Reference: only bigquery is implemented (manager.py:52-58).
-                raise NotImplementedError(f"target system {job.target_system!r}")
-            schema = self.store.get_pinned_schema(job.job_id)
-            if schema is None:
-                schema = infer_schema(df)
-                self.store.pin_schema(job.job_id, schema)  # drift detection, SURVEY §1.2
-            typed = cast_with_schema(df, schema)
-            return self.warehouse.load(typed, job.destination, job.incremental)
-        # Export-only job: the CSV is the product (reference manager.py:193).
-        return to_csv(df, self.export_dir, job.document, job.sheet)
+        CSV and deletes it, manager.py:195-196).
+
+        Instrumented like the reference's ``@instrumented`` manager methods
+        (utils.py:5-25): args + wall time recorded, plus the loaded row count
+        captured by an ``Observation`` aggregated inside the executing plan —
+        no second pass over the data."""
+        with self.recorder.timed(
+            "run_job", document=job.document, sheet=job.sheet, cellrange=job.cellrange
+        ) as ctx:
+            grid = self.source.worksheet(job.document, job.sheet)
+            df = read_sheet(self.spark, grid, job.cellrange)
+            obs = Observation()
+            if job.target_system:
+                if job.target_system.lower() not in ("warehouse", "bigquery"):
+                    # Reference: only bigquery is implemented (manager.py:52-58).
+                    raise NotImplementedError(f"target system {job.target_system!r}")
+                schema = self.store.get_pinned_schema(job.job_id)
+                if schema is None:
+                    schema = infer_schema(df)
+                    self.store.pin_schema(job.job_id, schema)  # drift detection, SURVEY §1.2
+                typed = observed(cast_with_schema(df, schema), obs)
+                result = self.warehouse.load(typed, job.destination, job.incremental)
+            else:
+                # Export-only job: the CSV is the product (reference manager.py:193).
+                result = to_csv(observed(df, obs), self.export_dir, job.document, job.sheet)
+            ctx["rows"] = int(obs.get["rows"])
+            return result
 
     def tick(self, now: str | None = None) -> list[tuple[int, str, str]]:
         """One micro-batch: returns [(job_id, status, result)]. ``now`` is
@@ -183,8 +197,9 @@ class Scheduler:
         if records:
             # One log file per tick, not per run — at a 1-second poll cadence
             # a per-run write is the exact small-files hazard Warehouse.compact
-            # exists to fix.
+            # exists to fix. Metrics flush on the same cadence.
             self.store.append_logs(records)
+            self.store.append_metrics(self.recorder.drain())
         return results
 
     def run_loop(self, poll_seconds: float = 1.0, max_ticks: int | None = None) -> None:

@@ -166,6 +166,27 @@ class JobStore:
             return self.spark.createDataFrame([], "start string, end string, document string, sheet string, cellrange string, status string, result string")
         return self.spark.read.parquet(self._log_path)
 
+    # -- metrics table (instrumentation.py; reference @instrumented) ---------
+
+    _METRICS_SCHEMA = "ts string, op string, args string, seconds double, rows long"
+
+    @property
+    def _metrics_path(self) -> str:
+        return os.path.join(self.root, "metrics")
+
+    def append_metrics(self, metrics: list) -> None:
+        """Persist Recorder output (anything with ``as_row()`` matching
+        METRICS_COLUMNS), batched like append_logs: one file per flush."""
+        if not metrics:
+            return
+        df = self.spark.createDataFrame([m.as_row() for m in metrics], self._METRICS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self._metrics_path)
+
+    def metrics_df(self) -> DataFrame:
+        if not os.path.isdir(self._metrics_path):
+            return self.spark.createDataFrame([], self._METRICS_SCHEMA)
+        return self.spark.read.parquet(self._metrics_path)
+
     # -- pinned schemas (drift detection; SURVEY §1.2) ----------------------
 
     def _schema_path(self, job_id: int) -> str:

@@ -158,6 +158,45 @@ def test_tick_writes_one_log_file(env, tmp_path):
     assert store.run_log().count() == 2
 
 
+def test_metrics_recorded_per_run(env):
+    """Instrumentation (reference @instrumented, utils.py:5-25): every
+    executed job leaves a metrics row with wall time, call args, and the
+    loaded row count observed inside the plan — and failures still record
+    their timing (rows unknown)."""
+    store, _, _, sched = env
+    store.put(Job(1, "doc", "s1", target_system="warehouse", destination="t1", refresh_now=True))
+    store.put(Job(2, "missing", "x", refresh_now=True))  # fails: no such doc
+    sched.tick(NOW)
+    rows = {r["args"]: r for r in store.metrics_df().collect()}
+    assert len(rows) == 2
+    ok = next(r for a, r in rows.items() if "'doc'" in a)
+    bad = next(r for a, r in rows.items() if "'missing'" in a)
+    assert ok["op"] == "run_job" and ok["rows"] == 2  # GRID has 2 data rows
+    assert ok["seconds"] >= 0
+    assert bad["rows"] == -1  # failed before any action completed
+    # Batched flush: one metrics file per tick.
+    import pathlib
+
+    mdir = pathlib.Path(store.root) / "metrics"
+    assert len([f for f in mdir.iterdir() if f.suffix == ".parquet"]) == 1
+
+
+def test_instrumented_decorator_logs_args_and_time():
+    """The reference decorator contract (utils.py:5-25): args logged before,
+    'took N secs' after, return value passed through."""
+    from flusher_spark.instrumentation import instrumented
+
+    lines: list[str] = []
+
+    @instrumented(lines.append)
+    def add(a, b=0):
+        return a + b
+
+    assert add(1, b=2) == 3
+    assert "add: called with arguments (1,) {'b': 2}" == lines[0]
+    assert lines[1].startswith("add: took ")
+
+
 def test_incremental_vs_full_refresh_jobs(env):
     store, _, wh, sched = env
     store.put(Job(1, "doc", "s1", target_system="warehouse", destination="t", refresh_now=True))
