@@ -8,11 +8,15 @@ are derived deterministically in tests):
 - Decode / feature-extract / resize / frame-sample run as ``mapInPandas``
   (Arrow-batched, partition-parallel — the only layer where Python is
   justified, because media codecs are native libraries anyway).
-- The actual codec calls are STUBBED: this container has no image/audio
-  libraries, so ``decode_image``/``decode_audio`` raise NotImplementedError
-  unless ``fake=True``, which substitutes a deterministic synthetic decode
-  (byte-hash-seeded) — making the Spark-side plumbing (schema, batching,
-  partitioning, UDF signatures) fully real and testable.
+- WAV (RIFF/PCM) and binary PPM decode are REAL — stdlib ``wave``/``struct``
+  and a hand parse need no external library (``decode_wav``/``decode_ppm``
+  below, oracle-checked through ``multimodal_wav_decode`` /
+  ``multimodal_ppm_decode``). Codecs that genuinely need native libraries
+  (JPEG/MP3/video) stay stubbed: ``extract_features``/``resize``/
+  ``frame_sample`` raise NotImplementedError unless ``fake=True``, which
+  substitutes a deterministic synthetic decode (byte-hash-seeded) — making
+  the Spark-side plumbing (schema, batching, partitioning, UDF signatures)
+  fully real and testable either way.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (spark.sql.execution.arrow.maxRecordsPerBatch bounds batch bytes); metadata
@@ -23,6 +27,9 @@ pushdown work before any Python runs.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -110,6 +117,156 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64, fake: bool = True) -> D
             yield pd.DataFrame(out, columns=["asset_id", "frame_no", "frame_sha256", "frame_bytes"])
 
     return df.mapInPandas(op, "asset_id long, frame_no int, frame_sha256 string, frame_bytes int")
+
+
+# -- real stdlib codecs (NOT stubs) ------------------------------------------
+#
+# The container has no PIL/librosa/ffmpeg, but WAV (RIFF/PCM via the stdlib
+# ``wave`` module + ``struct``) and binary PPM (P6: a text header + raw RGB
+# bytes) need no external library. These decode actual bytes — the features
+# they emit are recovered from the container format, not echoed metadata.
+
+
+def synth_wav(sample_rate: int, n_samples: int, amplitude: int) -> bytes:
+    """Mono 16-bit PCM WAV with every sample equal to ``amplitude``."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{n_samples}h", *([amplitude] * n_samples)))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a PCM WAV: container fields from the RIFF header, amplitude
+    stats from the actual samples. Raises on non-WAV bytes (callers decide
+    whether that is drift or error)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        sample_rate = w.getframerate()
+        n_samples = w.getnframes()
+        if w.getsampwidth() != 2:
+            raise ValueError(f"only 16-bit PCM supported, got width {w.getsampwidth()}")
+        frames = w.readframes(n_samples)
+    samples = struct.unpack(f"<{n_samples * n_channels}h", frames)
+    peak = max((abs(s) for s in samples), default=0)
+    return {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "n_samples": n_samples,
+        "duration_s": n_samples / sample_rate,
+        "peak_amplitude": peak,
+    }
+
+
+def synth_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Binary PPM (P6) filled with one color."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return header + bytes(rgb) * (width * height)
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse a binary PPM: dimensions from the header, channel means from
+    the actual pixel bytes."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # Header: magic, width, height, maxval — whitespace-separated tokens,
+    # then a single whitespace byte before raw pixel data.
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    pixels = payload[pos : pos + width * height * 3]
+    if len(pixels) != width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    n = width * height
+    sums = [0, 0, 0]
+    for i, b in enumerate(pixels):
+        sums[i % 3] += b
+    return {
+        "width": width,
+        "height": height,
+        "mean_r": sums[0] / n,
+        "mean_g": sums[1] / n,
+        "mean_b": sums[2] / n,
+    }
+
+
+WAV_FEATURE_SCHEMA = (
+    "asset_id long, n_channels int, sample_rate long, n_samples long, "
+    "duration_s double, peak_amplitude long"
+)
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads (real RIFF/PCM parse) via Arrow-batched
+    mapInPandas: ``(asset_id, payload)`` → container + amplitude stats.
+    Non-WAV payloads surface as NULL feature columns (drift, not failure —
+    same contract as cast_with_schema)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = decode_wav(bytes(payload))
+                except Exception:
+                    d = {}
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "n_channels": d.get("n_channels"),
+                        "sample_rate": d.get("sample_rate"),
+                        "n_samples": d.get("n_samples"),
+                        "duration_s": d.get("duration_s"),
+                        "peak_amplitude": d.get("peak_amplitude"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_channels", "sample_rate", "n_samples",
+                    "duration_s", "peak_amplitude",
+                ],
+            )
+
+    return df.mapInPandas(op, WAV_FEATURE_SCHEMA)
+
+
+PPM_FEATURE_SCHEMA = (
+    "asset_id long, width long, height long, mean_r double, mean_g double, mean_b double"
+)
+
+
+def ppm_features(df: DataFrame) -> DataFrame:
+    """Decode binary-PPM payloads (real header + pixel parse) via
+    mapInPandas; non-PPM payloads yield NULL features."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = decode_ppm(bytes(payload))
+                except Exception:
+                    d = {}
+                rows.append({"asset_id": aid, **{k: d.get(k) for k in
+                             ("width", "height", "mean_r", "mean_g", "mean_b")}})
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return df.mapInPandas(op, PPM_FEATURE_SCHEMA)
 
 
 def filter_by_meta(df: DataFrame, kind: str | None = None, min_width: int | None = None) -> DataFrame:

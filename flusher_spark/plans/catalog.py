@@ -109,7 +109,7 @@ PRIORITY = (
     "similarity_topk_lsh",
     "text_quality_filter_pipeline",
     "sample_stratified_split",
-    "multimodal_feature_extract",
+    "multimodal_wav_decode",
 )
 
 

@@ -263,8 +263,91 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (binary payloads; decode is stubbed, schema is real)
+# Multimodal: real stdlib codecs (WAV/PPM) + stubbed native-lib plumbing
 # ---------------------------------------------------------------------------
+
+
+def _synth_assets(docs: DataFrame, build) -> DataFrame:
+    """(doc_id, n_chars) → (asset_id, payload) via mapInPandas: payloads are
+    REAL container bytes built by ``build(doc_id, n_chars)``, so the decode
+    stage downstream parses actual WAV/PPM structure, and the oracle can
+    recompute every decoded feature arithmetically from the table."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [
+                        build(int(d), int(c)) for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    # Bound Python-worker fan-out at fixture scale (cf. multimodal_feature_extract).
+    return docs.select("doc_id", "n_chars").coalesce(4).mapInPandas(
+        op, "asset_id long, payload binary"
+    )
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+           CAST(100 + (n_chars % 400) AS BIGINT) AS n_samples,
+           CAST(100 + (n_chars % 400) AS DOUBLE) / CAST(8000 + (doc_id % 8) * 1000 AS DOUBLE)
+             AS duration_s,
+           CAST(doc_id % 3000 AS BIGINT) AS peak_amplitude
+    FROM documents
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (no stub): each document synthesizes a genuine
+    RIFF/PCM WAV (stdlib wave+struct, operators/multimodal.py synth_wav),
+    and wav_features parses the container back — sample rate and frame count
+    from the header, peak amplitude from the actual samples. The oracle
+    recomputes every feature arithmetically, so a hash match proves the
+    values survived a real encode→decode roundtrip, not an echo."""
+    from flusher_spark.operators.multimodal import synth_wav, wav_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = _synth_assets(
+        docs,
+        lambda d, c: synth_wav(8000 + (d % 8) * 1000, 100 + (c % 400), d % 3000),
+    )
+    return wav_features(assets)
+
+
+@register(
+    "multimodal_ppm_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(4 + (doc_id % 13) AS BIGINT) AS width,
+           CAST(3 + (n_chars % 17) AS BIGINT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST(n_chars % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id + n_chars) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (no stub): binary PPM (P6) payloads parsed by hand
+    — dimensions from the text header, channel means from the raw pixel
+    bytes (operators/multimodal.py decode_ppm). Same roundtrip-proof oracle
+    scheme as multimodal_wav_decode."""
+    from flusher_spark.operators.multimodal import ppm_features, synth_ppm
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = _synth_assets(
+        docs,
+        lambda d, c: synth_ppm(4 + (d % 13), 3 + (c % 17), (d % 256, c % 256, (d + c) % 256)),
+    )
+    return ppm_features(assets)
 
 
 @register(

@@ -176,6 +176,47 @@ def test_frame_sample_fanout(spark, assets):
         assert counts[aid] == math.ceil(len(payload) / 64)
 
 
+def test_wav_codec_roundtrip():
+    """Real RIFF/PCM roundtrip, driver-side: every synthesized parameter is
+    recovered from the bytes (no Spark needed — the codec is pure)."""
+    from flusher_spark.operators.multimodal import decode_wav, synth_wav
+
+    for rate, n, amp in [(8000, 1, 0), (11025, 137, 2999), (44100, 500, 32767)]:
+        d = decode_wav(synth_wav(rate, n, amp))
+        assert d["n_channels"] == 1 and d["sample_rate"] == rate
+        assert d["n_samples"] == n and d["peak_amplitude"] == amp
+        assert d["duration_s"] == n / rate
+    with pytest.raises(Exception):
+        decode_wav(b"not a wav at all")
+
+
+def test_ppm_codec_roundtrip():
+    from flusher_spark.operators.multimodal import decode_ppm, synth_ppm
+
+    d = decode_ppm(synth_ppm(7, 5, (10, 128, 255)))
+    assert (d["width"], d["height"]) == (7, 5)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (10.0, 128.0, 255.0)
+    # Mixed pixels: means are true byte averages, not header echoes.
+    payload = b"P6\n2 1\n255\n" + bytes([0, 0, 0, 255, 255, 255])
+    d2 = decode_ppm(payload)
+    assert d2["mean_r"] == 127.5
+    with pytest.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n0 0 0")  # ASCII PPM is not supported
+
+
+def test_wav_features_null_on_junk(spark):
+    """Undecodable payloads surface as NULL features (drift, not failure)."""
+    from flusher_spark.operators.multimodal import synth_wav, wav_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(synth_wav(8000, 10, 5))), (2, bytearray(b"junk"))],
+        "asset_id long, payload binary",
+    )
+    rows = {r["asset_id"]: r for r in wav_features(df).collect()}
+    assert rows[1]["sample_rate"] == 8000 and rows[1]["peak_amplitude"] == 5
+    assert rows[2]["sample_rate"] is None and rows[2]["duration_s"] is None
+
+
 def test_meta_filter_prunes_before_decode(spark, assets):
     all_rows = assets.collect()
     widths = sorted(r["meta"]["width"] for r in all_rows if r["kind"] == "image")
