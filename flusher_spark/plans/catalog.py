@@ -85,16 +85,16 @@ PRIORITY = (
     "join_broadcast_dim",
     "join_range_binned",
     "asof_purchase_last_view",
-    "join_semi",
-    "join_anti",
     "events_tumbling_hourly",
     "events_sliding_2h_1h",
     "events_sessionize_30m",
     "events_rollup_day_hour",
+    "events_stateful_running_totals",
+    "events_stateful_dedup_first",
+    "events_stream_stream_join",
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    "agg_distinct",
     "agg_approx_sketches",
     "window_topk_per_group",
     "window_running_sum",

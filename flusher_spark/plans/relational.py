@@ -17,6 +17,9 @@ aggregates rather than single-partition windows.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1826,4 +1829,156 @@ def q21_sole_flagged_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming execution entries: the stateful operators and the stream-stream
+# join RUN AS STREAMS here — a staged file micro-batch source driven to
+# completion inside the entry — so the correctness harness checks actual
+# streaming execution, not just the batch twins above.
+# ---------------------------------------------------------------------------
+
+_STREAM_STAGE_CACHE: dict[tuple, str] = {}
+
+
+def _run_stream_entry(spark: SparkSession, build, name: str, mode: str, partitions: int = 8):
+    """Drive a bounded stream to completion with shuffle partitions sized to
+    the state volume: every stateful micro-batch instantiates one state
+    store per shuffle partition, so the session-wide 32 would pay 4× the
+    store setup for fixture-sized state. (A real deployment sizes this per
+    query the same way — state partitioning is fixed at first checkpoint.)"""
+    from flusher_spark.streaming.windows import run_stream_to_memory
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        q = run_stream_to_memory(build(), name, mode)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+def _stage_event_stream(spark: SparkSession, sf_dir: str, n_files: int = 4, dup: bool = False) -> str:
+    """Split events.parquet into ``n_files`` time-ordered files (one per
+    micro-batch under maxFilesPerTrigger=1) with increasing mtimes, so the
+    file source replays them chronologically and watermarks only ever
+    advance. ``dup=True`` doubles every row *within its file* — duplicate
+    pairs always share a batch, so first-seen output is batch-split
+    independent. Exact ts percentiles are three longs to the driver (a
+    100 TB deployment would use approxQuantile; the boundary choice only
+    shapes batches, not results)."""
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    from flusher_spark.streaming.windows import EVENTS_RAW_SCHEMA
+
+    key = (sf_dir, n_files, dup)
+    cached = _STREAM_STAGE_CACHE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(os.path.join(sf_dir, "events.parquet"))
+    fracs = [i / n_files for i in range(1, n_files)]
+    cuts = raw.select(F.expr(f"percentile(ts, array({','.join(map(str, fracs))}))")).first()[0]
+    bounds = [None, *cuts, None]
+    out = tempfile.mkdtemp(prefix="flusher_stream_")
+    base = _time.time() - 3600
+    for i in range(n_files):
+        part = raw
+        if bounds[i] is not None:
+            part = part.where(F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("ts") <= bounds[i + 1])
+        if dup:
+            part = part.unionAll(part)
+        stage = os.path.join(out, f"_stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(out, f"{i:04d}.parquet")
+        os.replace(src, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base + i, base + i))
+    _STREAM_STAGE_CACHE[key] = out
+    return out
+
+
+@register(
+    "events_stateful_running_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState EXECUTED as a stream (streaming/stateful.py
+    running_user_totals): four micro-batches through the state store, then
+    the final lifetime totals per user — n_events and max_value are
+    monotone, so the last emission equals the batch aggregate regardless of
+    how files split into batches, and the oracle is the plain batch groupBy.
+    (sum_value is excluded by design: float accumulation order across
+    batches is not comparable bit-for-bit.)"""
+    from flusher_spark.streaming.stateful import running_user_totals
+    from flusher_spark.streaming.windows import stream_events
+
+    path = _stage_event_stream(spark, sf_dir)
+    totals = _run_stream_entry(
+        spark,
+        lambda: running_user_totals(stream_events(spark, path)),
+        "cat_running_totals",
+        "update",
+    )
+    return (
+        totals
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value"))
+    )
+
+
+@register(
+    "events_stateful_dedup_first",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events WHERE user_id % 5 = 0
+    """,
+)
+def events_stateful_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup EXECUTED as a stream (streaming/stateful.py
+    streaming_dedup_first_seen): every event is fed TWICE (duplicates share
+    a batch by construction), the state store admits exactly one row per
+    event_id, and the surviving set must equal the original table — the
+    exactly-once ingestion guard, oracle-checked end to end. The stream is
+    bounded to a 1-in-5 user slice: applyInPandasWithState pays a per-key
+    pandas call, and per-EVENT keys make the unsliced fixture run ~17 s in
+    the harness for no extra semantic coverage (state behavior is identical
+    per key)."""
+    from flusher_spark.streaming.stateful import streaming_dedup_first_seen
+    from flusher_spark.streaming.windows import stream_events
+
+    path = _stage_event_stream(spark, sf_dir, dup=True)
+    stream = stream_events(spark, path).where(F.col("user_id") % 5 == 0)
+    return _run_stream_entry(
+        spark, lambda: streaming_dedup_first_seen(stream), "cat_first_seen", "update"
+    )
+
+
+@register("events_stream_stream_join")  # rows-only: append-mode emission is gated
+# by the final watermark (pairs newer than max_ts − watermark stay buffered when
+# the bounded stream ends), which no single batch SQL statement reproduces.
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join EXECUTED as a stream
+    (streaming/joins.py join_purchases_to_views): purchases ⋈ prior views
+    within 1 hour, both sides buffering watermark-bounded state across four
+    chronological micro-batches. Pair-completeness vs the batch theta-join
+    is asserted in tests/test_streaming.py; here the driver sees the
+    operator run to completion on the micro-batch source."""
+    from flusher_spark.streaming.joins import join_purchases_to_views
+    from flusher_spark.streaming.windows import stream_events
+
+    path = _stage_event_stream(spark, sf_dir)
+    return _run_stream_entry(
+        spark,
+        lambda: join_purchases_to_views(stream_events(spark, path)),
+        "cat_ss_join",
+        "append",
     )
