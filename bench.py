@@ -39,6 +39,7 @@ HEADLINE = [
     "q18_large_orders",
     "q21_sole_flagged_supplier",
     "join_broadcast_dim",
+    "join_salted_skew",
     "agg_distinct",
     "window_topk_per_group",
     "events_tumbling_hourly",

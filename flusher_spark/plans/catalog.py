@@ -83,6 +83,7 @@ PRIORITY = (
     "top_suppliers_revenue",
     "join_bucketed_colocated",
     "join_broadcast_dim",
+    "join_salted_skew",
     "join_range_binned",
     "asof_purchase_last_view",
     "events_tumbling_hourly",
@@ -97,7 +98,6 @@ PRIORITY = (
     "agg_grouping_sets",
     "agg_approx_sketches",
     "window_topk_per_group",
-    "window_running_sum",
     "window_ntile",
     "window_range_interval",
     "dedup_exact",

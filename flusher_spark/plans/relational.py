@@ -1982,3 +1982,50 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cat_ss_join",
         "append",
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle=f"""
+    WITH skewed AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN CAST(1 AS BIGINT) ELSE user_id END AS skew_user,
+             value
+      FROM events),
+    dim AS (
+      SELECT user_id AS skew_user, user_id % 7 AS segment
+      FROM (SELECT DISTINCT user_id FROM events))
+    SELECT segment, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+    FROM skewed JOIN dim USING (skew_user)
+    GROUP BY segment ORDER BY segment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (operators/scale.py salted_join) on a pathologically
+    skewed key: half of all events are remapped onto ONE user, the regime
+    where an unsalted shuffle join puts 50% of the fact table in a single
+    task. The salt splits that key across 8 sub-keys (deterministic row
+    hash), the dim side replicates 8×, and the result is provably identical
+    to the plain join — the oracle is the unsalted SQL. The dim carries a
+    shuffle_hash hint because salting only matters when the build side is
+    too big to broadcast; the hint reproduces that regime at fixture scale.
+    Partition balance (hot key actually split) is asserted in
+    tests/test_operators.py."""
+    from flusher_spark.operators.scale import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    skewed = e.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit(1).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("skew_user"),
+        "value",
+    )
+    dim = (
+        e.select("user_id").distinct()
+        .select(F.col("user_id").alias("skew_user"), (F.col("user_id") % 7).alias("segment"))
+    )
+    return (
+        salted_join(skewed, dim.hint("shuffle_hash"), "skew_user")
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .orderBy("segment")
+    )

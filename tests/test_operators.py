@@ -333,6 +333,49 @@ def test_range_join_plan_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_salted_join_splits_hot_key(spark):
+    """The point of salting, asserted structurally (not by flaky wall time):
+    with broadcast off and one key owning ~half the fact rows, the unsalted
+    shuffle join concentrates ≥40% of output in one task while the salted
+    join's largest task stays under 25%; and the salt column is part of the
+    join's partitioning."""
+    from flusher_spark.operators.scale import salted_join
+
+    e = load_table(spark, SF, "events")
+    skewed = e.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit(1).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("skew_user"),
+        "value",
+    )
+    dim = e.select("user_id").distinct().select(F.col("user_id").alias("skew_user"))
+
+    def max_share(df):
+        counts = [r["n"] for r in df.groupBy(F.spark_partition_id().alias("p"))
+                  .agg(F.count("*").alias("n")).collect()]
+        return max(counts) / sum(counts)
+
+    unsalted = skewed.join(dim.hint("shuffle_hash"), "skew_user")
+    salted = salted_join(skewed, dim.hint("shuffle_hash"), "skew_user")
+    # AQE would coalesce the fixture-sized shuffle into one partition and
+    # mask the distribution; the balance claim is about the partitioner.
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        u = max_share(unsalted)
+        s = max_share(salted)
+        assert u >= 0.4, "fixture not skewed enough to test salting"
+        # Relative bound: at sf0.001 only ~22 distinct (key, salt) values hash
+        # into 32 partitions, so birthday collisions put a floor on absolute
+        # balance; the claim is that salting removes the hot-key share.
+        assert s <= 0.6 * u, f"salt failed to split the hot key: {s:.3f} vs {u:.3f}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    # The salt participates in the shuffle: partitioning covers __salt.
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan.split("Exchange")[1]
+
+
 def test_range_join_timezone_independent(spark):
     """Bin assignment must not depend on the session timezone: the width is a
     driver-side integer, so a non-UTC session yields identical matches (the
