@@ -158,6 +158,50 @@ def lsh_topk(
     )
 
 
+def _seed_centroids(
+    base: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    sample_size: int = 1024,
+) -> DataFrame:
+    """k-means++-style seeding from a sample: greedy farthest-point (max-min
+    cosine distance) over a hash-ordered sample of the data — the
+    deterministic limit of k-means++'s D² sampling, so seeds spread across
+    the data's modes instead of clumping wherever the lowest ids happen to
+    sit (the old seeding, which collapsed lists when early ids were
+    near-duplicates).
+
+    Scale contract: driver state is ``sample_size × dim`` floats (bounded,
+    like the centroid set itself); the sample is a distributed top-k by
+    hashed id (TakeOrdered — one scan, no full sort), deterministic across
+    runs and partitionings."""
+    import numpy as np
+
+    spark = base.sparkSession
+    sample = (
+        base.orderBy(F.pmod(F.hash(F.col(id_col)), F.lit(7919)), F.col(id_col))
+        .limit(sample_size)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    ids = [int(r[id_col]) for r in sample]
+    V = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    U = V / norms[:, None]
+    chosen = [0]
+    best_sim = U @ U[0]  # cosine to the nearest chosen seed, per sample row
+    while len(chosen) < min(n_lists, len(ids)):
+        nxt = int(np.argmin(best_sim))  # farthest point; ties → first (stable)
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, U @ U[nxt])
+    rows = [(ids[i], [float(x) for x in V[i]]) for i in chosen]
+    return spark.createDataFrame(rows, "__cid long, __cvec array<double>").select(
+        "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_ids,
@@ -171,14 +215,15 @@ def ivf_topk(
     """IVF (inverted-file) approximate top-k — the other standard ANN scale
     path next to lsh_topk.
 
-    Index build: seed ``n_lists`` centroids deterministically (the rows with
-    the smallest ids), optionally refine them with ``n_iter`` Lloyd
-    iterations (assign → per-list mean → reassign; the per-list means are a
-    distributed posexplode+avg aggregation whose n_lists×dim result is
-    driver-sized by construction — k-means centroids are always tiny), then
-    assign every vector to its nearest centroid by cosine. Each assignment
-    is a broadcast join against the tiny centroid set + one argmax window —
-    a single parallel scan per iteration.
+    Index build: seed ``n_lists`` centroids k-means++-style from a sample
+    (``_seed_centroids`` — farthest-point over a hash-ordered sample),
+    optionally refine them with ``n_iter`` Lloyd iterations (assign →
+    per-list mean → reassign; the per-list means are a distributed
+    posexplode+avg aggregation whose n_lists×dim result is driver-sized by
+    construction — k-means centroids are always tiny), then assign every
+    vector to its nearest centroid by cosine. Each assignment is a broadcast
+    join against the tiny centroid set + one argmax window — a single
+    parallel scan per iteration.
 
     Search: each query probes its ``n_probe`` nearest centroid lists and
     re-ranks exactly inside them — an equi-join on the list id, so cost is
@@ -188,15 +233,7 @@ def ivf_topk(
     spark = df.sparkSession
     base = df.select(F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq"))
 
-    cents = (
-        base.orderBy(id_col)
-        .limit(n_lists)
-        .select(
-            F.col(id_col).alias("__cid"),
-            F.col(vec_col).alias("__cvec"),
-            F.col("__nsq").alias("__cnsq"),
-        )
-    )
+    cents = _seed_centroids(base, id_col, vec_col, n_lists)
 
     def nearest_lists(side: DataFrame, cents: DataFrame, keep: int, out: str) -> DataFrame:
         """Attach the ``keep`` nearest centroid ids to each row of ``side``."""

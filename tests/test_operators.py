@@ -433,7 +433,14 @@ def test_ivf_topk_recall_and_exactness(spark, emb):
             overlap += 1
             assert abs(r["cosine_sim"] - exact[key]) < 1e-12
     recall = overlap / len(exact)
-    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # k-means++-style sample seeding (deterministic): 0.58 measured; the old
+    # lowest-id seeding was the weak link. Everything is derandomized, so
+    # these bounds are stable, not statistical.
+    assert recall >= 0.55, f"IVF recall too low: {recall}"
+    # Lloyd refinement on top of the spread seeds must lift recall further.
+    refined = ivf_topk(emb, qids, k=10, n_lists=8, n_probe=3, n_iter=2).collect()
+    r_recall = sum(1 for r in refined if (r["query_id"], r["vec_id"]) in exact) / len(exact)
+    assert r_recall >= 0.7, f"refined IVF recall too low: {r_recall}"
 
 
 def test_arrow_cosine_matches_fold_left(spark, emb):
