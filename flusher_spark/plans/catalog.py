@@ -74,6 +74,7 @@ PRIORITY = (
     "q12_conditional_agg",
     "q13_order_distribution",
     "q14_promo_ratio",
+    "q16_supplier_variety",
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_filter",
@@ -93,7 +94,6 @@ PRIORITY = (
     "events_stateful_running_totals",
     "events_stateful_dedup_first",
     "events_stream_stream_join",
-    "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
     "agg_approx_sketches",

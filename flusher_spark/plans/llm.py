@@ -16,7 +16,7 @@ approximate results against the exact ones (recall ≥ threshold).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flusher_spark.io.tables import load_table
@@ -587,4 +587,49 @@ def text_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "quality")
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    ranked AS (SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rnk
+               FROM tf JOIN dfreq USING (term))
+    SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tf-idf, top-3 most-distinctive terms per document. The idf
+    factor is the exact rational 1/df rather than log((N+1)/(df+1)) — the
+    ranking it induces per document is identical for any monotone transform,
+    and an exact division is bit-comparable across engines while libm logs
+    are not. One explode pass, two hash aggregates (term frequency per doc,
+    document frequency per term — the second reuses the first's output, not
+    the corpus), a term-keyed join, and a per-doc top-k window."""
+    from flusher_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term")).where(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), "term"
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("score", F.col("tf").cast("double") / F.col("df"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+        .orderBy("doc_id", "rnk")
     )
