@@ -87,8 +87,14 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     the shingle/hash pipeline on one core. No-op when the source already has
     enough partitions — i.e. always, at real scale."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    # JVM-side partition probe: df.rdd would also build the Python
-    # deserialization plan for every row just to ask a partition count.
+    # Cheap metadata probe first: inputFiles() only analyzes the plan, while
+    # any RDD conversion (Python or JVM) compiles a full physical plan
+    # (~1 s of bench time per query) just to ask a partition count. A scan
+    # with >= p files always yields >= p partitions, so the file count is a
+    # sufficient under-split signal for file-backed inputs.
+    files = df.inputFiles()
+    if files:
+        return df.repartition(p) if len(files) < p else df
     if df._jdf.rdd().getNumPartitions() < p:
         return df.repartition(p)
     return df

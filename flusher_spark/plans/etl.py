@@ -17,7 +17,7 @@ import csv
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flusher_spark.io.tables import load_table
@@ -193,4 +193,86 @@ def etl_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.select(
         F.col("s_acctbal").alias("s_acctbal_drifted"),
         F.col("s_suppkey").alias("s_suppkey_drifted"),
+    )
+
+
+#: Partitioned-lake staging dirs, one per (sf_dir) per process.
+_PART_DIR_CACHE: dict[str, str] = {}
+
+
+@register(
+    "etl_partitioned_write_pruning",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def etl_partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned lake layout + partition pruning — the first thing a
+    100 TB table needs: events written once as parquet partitioned by
+    event_date, then a single-day query whose scan touches ONE partition
+    directory (PartitionFilters, plan-asserted in tests/test_plans.py)
+    instead of the whole table. The oracle runs the same day-filter over the
+    unpartitioned source."""
+    key = sf_dir
+    path = _PART_DIR_CACHE.get(key)
+    if not (path and os.path.isdir(path)):
+        path = os.path.join(tempfile.mkdtemp(prefix="flusher_lake_"), "events_by_day")
+        e = load_table(spark, sf_dir, "events")
+        (
+            e.withColumn("event_date", F.to_date("ts"))
+            # ~30 day-partitions; coalesce keeps it to one file per day at
+            # fixture scale rather than cores x days tiny files.
+            .coalesce(4)
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+        _PART_DIR_CACHE[key] = path
+    return (
+        spark.read.parquet(path)
+        .where(F.col("event_date") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(8,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "etl_upsert_latest",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice,
+           CAST(CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS INTEGER) AS version
+    FROM orders
+    """,
+)
+def etl_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert without a table format: base ∪ updates, keep the
+    latest version per key via one row_number window — the shuffle-on-key
+    pattern every incremental lake load reduces to (Delta/Iceberg MERGE
+    plans the same join under the hood). Updates touch every 10th order;
+    the oracle expresses the merged result as a CASE over the base table."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_totalprice", F.lit(1).cast("int").alias("version"))
+    updates = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+            F.lit(2).cast("int").alias("version"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        base.unionByName(updates)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )

@@ -41,6 +41,16 @@ def test_etl_range_scan_uses_worksheet_datasource(spark):
     assert "n_nationkey" in scan_line and "n_comment" not in scan_line
 
 
+def test_partitioned_write_prunes_partitions(spark):
+    """The single-day query over the date-partitioned lake layout must scan
+    one partition (PartitionFilters on event_date), not the whole table."""
+    df = registry()["etl_partitioned_write_pruning"].fn(spark, SF)
+    plan = _formatted(df)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "event_date" in pf
+
+
 def test_small_dims_broadcast_in_q5(spark):
     plan = _plan(registry()["q5_region_revenue"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
