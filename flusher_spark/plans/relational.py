@@ -1478,12 +1478,10 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-per-group correlated subquery (TPC-H Q2 shape; lineitem stands in
-    for partsupp as the part↔supplier link). Decorrelated as aggregate +
-    join-back: per-(part,supplier) min cost, per-part global min, one equi
-    join on the part key — both aggregates share the partkey shuffle, so at
-    scale this is two map-side-combined aggs and one co-partitioned join,
-    never a per-row subquery. MIN over doubles is exact (no arithmetic), so
-    the double-equality join matches the oracle bit-for-bit."""
+    for partsupp as the part↔supplier link). Decorrelated as one aggregate
+    plus an unordered per-part window min — never a per-row subquery. MIN
+    over doubles is exact (no arithmetic), so the equality filter against
+    the window min matches the oracle bit-for-bit."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(
         F.col("p_size").between(1, 15) & (F.col("p_type") == "LARGE")
@@ -1491,9 +1489,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     supply = l.groupBy("l_partkey", "l_suppkey").agg(F.min("l_extendedprice").alias("cost"))
-    min_cost = supply.groupBy("l_partkey").agg(F.min("cost").alias("__min_cost"))
+    # Per-part minimum as an unordered window over supply, NOT a second
+    # aggregate joined back: one lineitem scan and one partkey shuffle
+    # instead of two scans + a double-equality join (Spark 4 doesn't reuse
+    # the agg exchange across those branches — verified on the executed
+    # plan), and it degrades gracefully when parts outgrow a broadcast.
+    min_w = Window.partitionBy("l_partkey")
     return (
-        supply.join(min_cost, "l_partkey")
+        supply.withColumn("__min_cost", F.min("cost").over(min_w))
         .where(F.col("cost") == F.col("__min_cost"))
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
@@ -1712,21 +1715,23 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key correlated scalar (TPC-H Q17 shape): rows below 20% of their
-    part's average quantity. Decorrelated as a per-part average joined back
-    on the part key — and the average is computed only over lineitems of the
-    *filtered* parts (semantically identical: the subquery is only evaluated
-    for those parts), so the scan is pruned by the same broadcast filter on
-    both branches. Quantities are integer-valued doubles, so the plain
-    double average is exact and order-insensitive in both engines."""
+    part's average quantity. Decorrelated as an unordered per-part window
+    average — computed only over lineitems of the *filtered* parts
+    (semantically identical: the subquery is only evaluated for those
+    parts), so one pruned scan serves both the predicate and the revenue
+    sum. Quantities are integer-valued doubles, so the plain double average
+    is exact and order-insensitive in both engines."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
     )
     pkeys = p.select("p_partkey")
     relevant = l.join(F.broadcast(pkeys), l.l_partkey == pkeys.p_partkey, "left_semi")
-    avg_q = relevant.groupBy("l_partkey").agg(F.avg("l_quantity").alias("__avg_q"))
+    # The correlated scalar as an unordered window — one scan + one partkey
+    # shuffle, instead of aggregating a second scan and joining it back.
+    avg_q = F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
     return (
-        relevant.join(avg_q.withColumnRenamed("l_partkey", "__pk"), F.col("l_partkey") == F.col("__pk"))
+        relevant.withColumn("__avg_q", avg_q)
         .where(F.col("l_quantity") < F.lit(0.2) * F.col("__avg_q"))
         .agg(
             (
