@@ -126,3 +126,43 @@ def winnow_fingerprints(df, k: int = 7, w: int = 4, text_col: str = "text", id_c
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+# -- fuzzy (typo-tolerant) joining -------------------------------------------
+
+
+def deletion_variants(df, col: str, keep_pos: bool = False):
+    """One row per (input row, variant): the string itself (``__d`` = 0) plus
+    every single-character deletion (``__d`` = position). All codegen'd
+    concat/substr — fan-out is len+1, bounded by the string length."""
+    s = F.col(col)
+    out = df.select(
+        "*", F.explode(F.sequence(F.lit(0), F.length(s))).alias("__d")
+    ).select(
+        "*",
+        F.when(F.col("__d") == 0, s)
+        .otherwise(F.expr(f"concat(substr({col}, 1, __d - 1), substr({col}, __d + 1))"))
+        .alias("__variant"),
+    )
+    return out if keep_pos else out.drop("__d")
+
+
+def fuzzy_join_ed1(left, right, left_col: str, right_col: str):
+    """Edit-distance-≤-1 join via SymSpell-style deletion neighborhoods.
+
+    Two strings within one edit (insert/delete/substitute/equal) always
+    share at least one member of each other's deletion neighborhood, so the
+    candidate set is an EQUI-join on the variant key — never an all-pairs
+    Levenshtein scan. Candidates dedup (a pair can share several variants)
+    and then verify with the exact JVM ``levenshtein``; the verify cost is
+    per candidate pair, bounded by the neighborhood fan-out (len+1 per row),
+    not |L|·|R|. The standard scale path for typo-tolerant entity matching;
+    distance > 1 generalizes by deleting up to d characters."""
+    lv = deletion_variants(left, left_col)
+    rv = deletion_variants(right, right_col)
+    return (
+        lv.join(rv, "__variant")
+        .drop("__variant")
+        .distinct()
+        .where(F.levenshtein(F.col(left_col), F.col(right_col)) <= 1)
+    )

@@ -633,3 +633,38 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "score", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+@register(
+    "text_fuzzy_join_typos",
+    oracle="""
+    WITH probes AS (SELECT p_partkey AS probe_id, substr(p_name, 2) AS probe
+                    FROM part WHERE p_partkey % 7 = 0),
+    names AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT probe_id, probe, name, CAST(levenshtein(probe, name) AS BIGINT) AS dist
+    FROM probes JOIN names ON levenshtein(probe, name) <= 1
+    ORDER BY probe_id, name
+    """,
+)
+def text_fuzzy_join_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant join (operators/text.py fuzzy_join_ed1): corrupted part
+    names (first character dropped) matched back to the clean vocabulary at
+    edit distance ≤ 1 through the SymSpell deletion-neighborhood EQUI-join —
+    the oracle is the naive all-pairs Levenshtein theta join, so a hash
+    match proves the neighborhood candidates cover exactly the true
+    matches."""
+    from flusher_spark.operators.text import fuzzy_join_ed1
+
+    part = load_table(spark, sf_dir, "part")
+    probes = part.where(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("probe_id"), F.expr("substr(p_name, 2)").alias("probe")
+    )
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    return (
+        fuzzy_join_ed1(probes, names, "probe", "name")
+        .select(
+            "probe_id", "probe", "name",
+            F.levenshtein("probe", "name").cast("long").alias("dist"),
+        )
+        .orderBy("probe_id", "name")
+    )

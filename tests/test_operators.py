@@ -333,6 +333,28 @@ def test_range_join_plan_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_fuzzy_join_ed1_equals_theta_join(spark):
+    """Deletion-neighborhood candidates must cover EXACTLY the edit-distance
+    ≤1 pairs (the SymSpell completeness property), and plan as an equi-join
+    on the variant key — no nested loop."""
+    from flusher_spark.operators.text import fuzzy_join_ed1
+
+    left = spark.createDataFrame(
+        [(1, "widget"), (2, "wdget"), (3, "gadget"), (4, "")], "lid long, a string"
+    )
+    right = spark.createDataFrame(
+        [(10, "widget"), (11, "widgets"), (12, "gidget"), (13, "x")], "rid long, b string"
+    )
+    got = {(r["lid"], r["rid"]) for r in fuzzy_join_ed1(left, right, "a", "b").collect()}
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.crossJoin(right).where(F.levenshtein("a", "b") <= 1).collect()
+    }
+    assert got == naive and naive
+    plan = fuzzy_join_ed1(left, right, "a", "b")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_salted_join_splits_hot_key(spark):
     """The point of salting, asserted structurally (not by flaky wall time):
     with broadcast off and one key owning ~half the fact rows, the unsalted
