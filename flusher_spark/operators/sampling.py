@@ -60,3 +60,17 @@ def stratified_hash_split(
     mapping = F.create_map(*[F.lit(x) for kv in test_pct.items() for x in kv])
     threshold = F.coalesce(mapping.getItem(F.col(strata_col)), F.lit(default_pct))
     return df.where(b >= threshold), df.where(b < threshold)
+
+
+def take_per_group(df: DataFrame, key_col: str, group_col: str, k: int) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group by the
+    md5 of their key — an unbiased, append-stable pseudo-random order any
+    engine reproduces — and keep the first k. One shuffle on the group key
+    (the same partitioning downstream per-group work needs); no rand(), so
+    task retries and re-runs return identical samples."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")

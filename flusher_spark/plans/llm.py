@@ -668,3 +668,71 @@ def text_fuzzy_join_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id", "name")
     )
+
+
+@register(
+    "sample_per_group_topk",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY lang, doc_id
+    """,
+)
+def sample_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sampling (operators/sampling.py
+    take_per_group): 20 documents per language, ranked by md5 of the id —
+    the eval-set construction primitive: append-stable, retry-safe, and
+    reproduced bit-for-bit by any engine that can md5 (the oracle does)."""
+    from flusher_spark.operators.sampling import take_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        take_per_group(docs, "doc_id", "lang", k=20)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "profile_lineitem_columns",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(l_quantity) AS BIGINT) AS qty_non_null,
+           CAST(MIN(l_quantity) AS DOUBLE) AS qty_min,
+           CAST(MAX(l_quantity) AS DOUBLE) AS qty_max,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) / COUNT(l_quantity) AS qty_avg,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS price_min,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS price_max,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) / COUNT(l_extendedprice)
+             AS price_avg,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS flag_cardinality,
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_nulls
+    FROM lineitem
+    """,
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling — the look-before-you-train staple: row
+    count, per-column null counts, exact min/max, decimal-exact averages,
+    and a categorical cardinality, all in a single map-side-combined
+    aggregate (one scan, one 1-row shuffle) rather than a per-column loop
+    of actions."""
+    from flusher_spark.plans.num import davg
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_quantity").alias("qty_non_null"),
+        F.min("l_quantity").cast("double").alias("qty_min"),
+        F.max("l_quantity").cast("double").alias("qty_max"),
+        davg("l_quantity").alias("qty_avg"),
+        F.min("l_extendedprice").cast("double").alias("price_min"),
+        F.max("l_extendedprice").cast("double").alias("price_max"),
+        davg("l_extendedprice").alias("price_avg"),
+        F.countDistinct("l_returnflag").alias("flag_cardinality"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("shipdate_nulls"),
+    )
