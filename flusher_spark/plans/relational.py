@@ -2069,3 +2069,94 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'view' AND e.ts > s.t0 GROUP BY e.user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT CAST(1 AS INTEGER) AS stage_no, 'signup' AS stage, (SELECT COUNT(*) FROM s) AS n_users
+    UNION ALL SELECT 2, 'view_after_signup', (SELECT COUNT(*) FROM v)
+    UNION ALL SELECT 3, 'click_after_view', (SELECT COUNT(*) FROM c)
+    UNION ALL SELECT 4, 'purchase_after_click', (SELECT COUNT(*) FROM p)
+    ORDER BY stage_no
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → view → click → purchase, each
+    stage strictly after the user's previous stage time): a chain of
+    per-stage min-aggregates joined on user_id — every stage reuses the
+    same user-key shuffle, each stage's scan is type-filtered at the parquet
+    level, and the four 1-row stage counts union (no scalar-subquery nested
+    loops)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame, etype: str, prev_t: str, out_t: str) -> DataFrame:
+        f = e.where(F.col("event_type") == etype).select("user_id", "ts")
+        return (
+            f.join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    s0 = (
+        e.where(F.col("event_type") == "signup").groupBy("user_id").agg(F.min("ts").alias("t0"))
+    )
+    v = stage(s0, "view", "t0", "t1")
+    c = stage(v, "click", "t1", "t2")
+    p = stage(c, "purchase", "t2", "t3")
+    parts = [
+        (1, "signup", s0), (2, "view_after_signup", v),
+        (3, "click_after_view", c), (4, "purchase_after_click", p),
+    ]
+    out = None
+    for no, name, df in parts:
+        row = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(no).cast("int").alias("stage_no"), F.lit(name).alias("stage"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage_no")
+
+
+@register(
+    "agg_exact_median_ranked",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+    SELECT l_returnflag, AVG(l_extendedprice) AS median_price, MIN(n) AS n
+    FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_exact_median_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median at scale: rank within each group (one sort
+    shuffle on the group key), pick the middle element(s) by integer
+    arithmetic, average the ≤2 picked values — a deterministic two-double
+    mean, unlike interpolated percentile_cont whose expression order varies
+    by engine. The constant-memory approximate twin is
+    agg_approx_sketches' percentile_approx."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("l_returnflag")
+    r = l.select(
+        "l_returnflag", "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        r.where((F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2")))
+        .groupBy("l_returnflag")
+        .agg(F.avg("l_extendedprice").alias("median_price"), F.min("n").alias("n"))
+        .orderBy("l_returnflag")
+    )
