@@ -116,6 +116,7 @@ PRIORITY = (
 def registry() -> dict[str, CatalogEntry]:
     """All catalog entries, PRIORITY names first (importing the defining
     modules on first use)."""
+    import flusher_spark.plans.corpus  # noqa: F401
     import flusher_spark.plans.etl  # noqa: F401
     import flusher_spark.plans.llm  # noqa: F401
     import flusher_spark.plans.relational  # noqa: F401

@@ -1,0 +1,288 @@
+"""Training-corpus preparation entries: PII redaction, HTML stripping,
+benchmark decontamination, sequence packing, reproducible corpus shuffling,
+and BPE-style pair counting.
+
+These are the operations a 100 TB pretraining pipeline runs between "raw
+crawl" and "tokenizer input"; none exist in the reference (it has no query
+surface at all — see SURVEY.md §2.C). Everything here is JVM-side built-in
+expressions (regexp/window/aggregate) — no Python UDFs — so the hot path
+stays inside whole-stage codegen.
+
+Fixture note: the synthetic ``documents`` table is a clean word-bag corpus
+with no PII or markup, so the redaction/stripping entries first *synthesize*
+a deterministic artifact (an email + phone, or an HTML wrapper) from
+``doc_id`` — identically in the Spark plan and the DuckDB oracle — then
+remove it. That makes the regex path meaningfully exercised and
+oracle-checked instead of trivially matching on zero occurrences.
+
+Cross-engine regex discipline: patterns restricted to the syntax subset Java
+``java.util.regex`` and DuckDB's RE2 interpret identically (character
+classes, bounded quantifiers — no backrefs, no lookaround); DuckDB's
+``regexp_replace`` needs the explicit ``'g'`` flag to match Spark's
+replace-all default, and ``len(regexp_extract_all(..))`` stands in for
+``regexp_count``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flusher_spark.io.tables import load_table
+from flusher_spark.operators.dedup import shingle_rows
+from flusher_spark.operators.text import n_tokens, tokens
+from flusher_spark.plans.catalog import register
+
+_TOKENS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+
+#: Java-regex == RE2 subset; '%' is dropped from the local-part class vs the
+#: usual RFC-ish pattern purely to stay printf-safe in logs/oracles.
+EMAIL_RE = r"[a-z0-9._+\-]+@[a-z0-9.\-]+\.[a-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+TAG_RE = r"<[^>]+>"
+
+
+def _aug_pii(spark_side: bool) -> str:
+    """The deterministic PII suffix, as a SQL expression string (same text
+    on both engines): ' contact user<id>@example.com or +1-555-<id%%10000>.'"""
+    return (
+        "concat(substring(text, 1, 40), ' contact user', cast(doc_id as string)"
+        ", '@example.com or +1-555-', lpad(cast(doc_id % 10000 as string), 4, '0'), '.')"
+        if spark_side
+        else "concat(text[1:40], ' contact user', CAST(doc_id AS VARCHAR)"
+        ", '@example.com or +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '.')"
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_aug_pii(False)} AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM aug ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count then mask email/phone occurrences with
+    codegen'd regexp expressions — a pure projection, zero shuffles, so at
+    100 TB it runs at scan speed and pushes straight into the rewrite of
+    each parquet split. The fixture has no real PII, so a deterministic
+    email+phone is synthesized from doc_id first (see module docstring)."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select("doc_id", F.expr(_aug_pii(True)).alias("t"))
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_html_strip",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id,
+           concat('<p id="d', CAST(doc_id AS VARCHAR), '">', text, '</p>', chr(10), '<br/>') AS t
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{TAG_RE}')) AS n_tags,
+           trim(regexp_replace(regexp_replace(t, '{TAG_RE}', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS clean_text
+    FROM aug ORDER BY doc_id
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal for crawled corpora: strip tags, collapse whitespace,
+    trim — all codegen'd regexps in one projection (no shuffle). A real
+    pipeline would put this before tokenization; a deterministic HTML
+    wrapper is synthesized around the clean fixture text first."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p id="d'), F.col("doc_id").cast("string"), F.lit('">'),
+            F.col("text"), F.lit("</p>\n<br/>"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(TAG_RE)).cast("long").alias("n_tags"),
+        F.trim(
+            F.regexp_replace(F.regexp_replace("t", TAG_RE, " "), r"\s+", " ")
+        ).alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+#: Word-n-gram width for decontamination. Real pipelines use 8-13-gram
+#: matching (WMDP/GPT-3 style); the fixture's ~30-word vocabulary makes
+#: 3-grams the width where cross-document collisions actually occur, which
+#: is what the check needs to exercise.
+DECON_N = 3
+#: Every 97th document plays the held-out benchmark.
+DECON_EVAL_MOD = 97
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{DECON_N - 1}], ' ') AS s
+          FROM t, UNNEST(generate_series(1, len(toks) - {DECON_N - 1})) AS u(i)),
+    ev AS (SELECT DISTINCT s FROM g WHERE doc_id % {DECON_EVAL_MOD} = 0),
+    tr AS (SELECT * FROM g WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+    n AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+    o AS (SELECT tr.doc_id, COUNT(*) AS n_overlap FROM tr JOIN ev USING (s) GROUP BY tr.doc_id)
+    SELECT n.doc_id, o.n_overlap, n.n_shingles,
+           CAST(o.n_overlap AS DOUBLE) / CAST(n.n_shingles AS DOUBLE) AS overlap_ratio
+    FROM n JOIN o USING (doc_id)
+    ORDER BY overlap_ratio DESC, doc_id LIMIT 50
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for each training document, the fraction
+    of its distinct word-n-grams (n = DECON_N) that also occur in a held-out
+    evaluation set (docs with doc_id % DECON_EVAL_MOD == 0).
+
+    Scale shape: the eval side is a benchmark suite — small by nature — so
+    its distinct-shingle set is BROADCAST and the overlap count is a
+    broadcast semi-ish join at corpus-scan speed; the only shuffles are the
+    two per-doc distinct aggregates, which reuse the doc_id partitioning
+    shingle_rows already established (operators/dedup.py:47). No all-pairs
+    comparison anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    g = shingle_rows(d, n=DECON_N).distinct()
+    ev = F.broadcast(
+        g.where(F.col("doc_id") % DECON_EVAL_MOD == 0).select("s").distinct()
+    )
+    tr = g.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    n = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    o = tr.join(ev, "s").groupBy("doc_id").agg(F.count("*").alias("n_overlap"))
+    return (
+        n.join(o, "doc_id")
+        .select(
+            "doc_id", "n_overlap", "n_shingles",
+            (F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "overlap_ratio"
+            ),
+        )
+        .orderBy(F.col("overlap_ratio").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+#: Tokens per pack. Fixture docs run ~100 tokens, so 1024 gives ~10 docs a
+#: pack — the same fill factor a 2k/4k-context packer sees on real data.
+PACK_BUDGET = 1024
+#: Independent packing streams. At 100 TB this is the parallelism unit —
+#: thousands of buckets, each packed independently inside one partition of
+#: one window; doc_id % k keeps the oracle trivially identical cross-engine
+#: (production would hash a stable key the same way sample_hash_split does).
+PACK_BUCKETS = 8
+
+
+@register(
+    "pack_sequences_fill",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, doc_id % {PACK_BUCKETS} AS bucket,
+                      len({_TOKENS_SQL}) AS n_tok FROM documents),
+    c AS (SELECT doc_id, bucket, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d),
+    p AS (SELECT bucket, (cum - n_tok) // {PACK_BUDGET} AS pack_id, doc_id, n_tok FROM c)
+    SELECT bucket, pack_id, COUNT(*) AS n_docs, SUM(n_tok) AS pack_tokens
+    FROM p GROUP BY bucket, pack_id ORDER BY bucket, pack_id
+    """,
+)
+def pack_sequences_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for tokenizer input: contiguous-fill documents into
+    ~PACK_BUDGET-token packs. Docs are striped into PACK_BUCKETS
+    independent buckets; within a bucket a running token sum (one window,
+    partitioned by bucket — never a global single-partition sort) assigns
+    each doc to the pack its start offset falls in. This is the
+    deterministic, one-shuffle approximation of greedy bin packing: packs
+    can overshoot by at most one document, and every engine that orders by
+    doc_id produces the identical packing — which is exactly what a
+    resumable 100 TB tokenization job needs."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
+        n_tokens(F.col("text")).alias("n_tok"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select("bucket", "n_tok", F.sum("n_tok").over(w).alias("cum"))
+    p = c.select("bucket", "n_tok", F.expr(f"(cum - n_tok) div {PACK_BUDGET}").alias("pack_id"))
+    return (
+        p.groupBy("bucket", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("pack_tokens"))
+        .orderBy("bucket", "pack_id")
+    )
+
+
+@register(
+    "shuffle_deterministic_order",
+    oracle="""
+    SELECT doc_id, md5(concat('seed42:', CAST(doc_id AS VARCHAR))) AS shuffle_key
+    FROM documents ORDER BY shuffle_key, doc_id LIMIT 100
+    """,
+)
+def shuffle_deterministic_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global corpus shuffle: order by md5(seed || doc_id).
+    Seeded and content-independent, so re-runs (and engines) agree exactly —
+    the property a resumable training-data job needs from its shuffle. The
+    entry surfaces the first 100 positions, which Spark executes as
+    TakeOrderedAndProject (per-partition top-k, no global sort); the
+    full-permutation variant is the same projection feeding a sortWithinPartitions
+    write with the key as the file sort column."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string"))).alias(
+                "shuffle_key"
+            ),
+        )
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "vocab_bigram_counts",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    pair AS (SELECT array_to_string(toks[i:i+1], ' ') AS bigram
+             FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i))
+    SELECT bigram, COUNT(*) AS n
+    FROM pair GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def vocab_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency count — the inner loop of a BPE vocabulary
+    build (the top pair is the next merge candidate). posexplode + lead
+    window keeps the pair construction inside whole-stage codegen (the HOF
+    zip formulation is CodegenFallback — same finding as
+    operators/dedup.py:47), the count is a partial-aggregated groupBy, and
+    the top-20 is TakeOrderedAndProject. One doc_id window shuffle + one
+    pair-key agg shuffle, independent of corpus width."""
+    d = load_table(spark, sf_dir, "documents")
+    pe = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pair = pe.select(
+        F.concat_ws(" ", "tok", F.lead("tok").over(w)).alias("bigram"),
+        F.lead("tok").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    return (
+        pair.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

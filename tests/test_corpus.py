@@ -1,0 +1,101 @@
+"""Semantic invariants for the training-corpus entries (plans/corpus.py).
+
+The oracle harness already proves cross-engine value equality; these tests
+pin the properties the oracle comparison can't see — redaction completeness,
+packing bounds, shuffle reproducibility, decontamination set discipline.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from flusher_spark.plans import corpus as C
+from tests.conftest import SF_DIR
+
+
+def test_pii_redact_removes_every_match(spark):
+    out = C.text_pii_redact(spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "empty redaction output"
+    email = re.compile(C.EMAIL_RE)
+    phone = re.compile(C.PHONE_RE)
+    for r in rows:
+        # The synthesized artifact guarantees at least one of each per doc.
+        assert r.n_emails >= 1 and r.n_phones >= 1
+        assert not email.search(r.redacted)
+        assert not phone.search(r.redacted)
+        assert "<EMAIL>" in r.redacted and "<PHONE>" in r.redacted
+
+
+def test_html_strip_leaves_no_tags_and_single_spaces(spark):
+    out = C.text_html_strip(spark, SF_DIR)
+    rows = out.collect()
+    tag = re.compile(C.TAG_RE)
+    for r in rows:
+        assert r.n_tags >= 3  # <p ...>, </p>, <br/>
+        assert not tag.search(r.clean_text)
+        assert "  " not in r.clean_text
+        assert r.clean_text == r.clean_text.strip()
+
+
+def test_pack_fill_bounds_and_conservation(spark):
+    packs = C.pack_sequences_fill(spark, SF_DIR).collect()
+    docs = C.load_table(spark, SF_DIR, "documents").select(
+        (F.col("doc_id") % C.PACK_BUCKETS).alias("bucket"),
+        C.n_tokens(F.col("text")).alias("n_tok"),
+    )
+    totals = {r.bucket: (r.n, r.tok) for r in
+              docs.groupBy("bucket").agg(F.count("*").alias("n"),
+                                         F.sum("n_tok").alias("tok")).collect()}
+    max_doc = docs.agg(F.max("n_tok")).first()[0]
+    by_bucket: dict[int, list] = {}
+    for p in packs:
+        by_bucket.setdefault(p.bucket, []).append(p)
+        # Contiguous fill overshoots by at most the straddling document.
+        assert p.pack_tokens <= C.PACK_BUDGET + max_doc
+    for bucket, ps in by_bucket.items():
+        n_docs, n_tok = totals[bucket]
+        assert sum(p.n_docs for p in ps) == n_docs  # every doc packed once
+        assert sum(p.pack_tokens for p in ps) == n_tok
+        ids = sorted(p.pack_id for p in ps)
+        assert ids == list(range(len(ids)))  # dense pack ids per bucket
+        # Contiguous-fill law: each pack's first document starts inside the
+        # pack's own [pB, (p+1)B) span of the cumulative token stream.
+        cum = 0
+        for p in sorted(ps, key=lambda p: p.pack_id):
+            assert C.PACK_BUDGET * p.pack_id <= cum < C.PACK_BUDGET * (p.pack_id + 1)
+            cum += p.pack_tokens
+
+
+def test_shuffle_order_is_reproducible_and_sorted(spark):
+    a = [tuple(r) for r in C.shuffle_deterministic_order(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in C.shuffle_deterministic_order(spark, SF_DIR).collect()]
+    assert a == b
+    keys = [k for _, k in a]
+    assert keys == sorted(keys)
+    assert len(a) == 100
+
+
+def test_decontaminate_excludes_eval_docs_and_bounds_ratio(spark):
+    rows = C.decontaminate_ngram_overlap(spark, SF_DIR).collect()
+    assert rows, "fixture vocabulary should produce trigram overlap"
+    for r in rows:
+        assert r.doc_id % C.DECON_EVAL_MOD != 0  # train side only
+        assert 0 < r.n_overlap <= r.n_shingles
+        assert 0.0 < r.overlap_ratio <= 1.0
+
+
+def test_bigram_counts_match_python_recount(spark):
+    top = C.vocab_bigram_counts(spark, SF_DIR).collect()
+    assert len(top) == 20
+    texts = [r.text for r in
+             C.load_table(spark, SF_DIR, "documents").select("text").collect()]
+    counts: dict[str, int] = {}
+    for t in texts:
+        toks = t.strip().lower().split()
+        for a, b in zip(toks, toks[1:]):
+            counts[f"{a} {b}"] = counts.get(f"{a} {b}", 0) + 1
+    best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.bigram, r.n) for r in top] == best
