@@ -276,3 +276,55 @@ def etl_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+@register(
+    "quality_expectations_orders",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
+             CAST(COUNT(*) - COUNT(o_custkey) AS DOUBLE) AS n_null_cust,
+             CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS n_distinct_key,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n_bad_status
+      FROM orders)
+    SELECT * FROM (
+      SELECT 'row_count_at_least_100' AS expectation, n_rows AS observed,
+             n_rows >= 100 AS passed FROM m
+      UNION ALL SELECT 'o_custkey_not_null', n_null_cust, n_null_cust = 0 FROM m
+      UNION ALL SELECT 'o_orderkey_unique', n_distinct_key, n_distinct_key = n_rows FROM m
+      UNION ALL SELECT 'o_totalprice_non_negative', min_price, min_price >= 0 FROM m
+      UNION ALL SELECT 'o_orderstatus_in_domain', n_bad_status, n_bad_status = 0 FROM m)
+    ORDER BY expectation
+    """,
+)
+def quality_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality gate: five expectations (row count,
+    not-null, key uniqueness, value range, accepted domain) verified from
+    ONE full-scan aggregate — every observation is a metric of the same
+    HashAggregate pass, then a 1-row→5-row stack projection. At 100 TB this
+    is the cheapest possible formulation: one scan, one (distinct-key)
+    shuffle, constant driver state; a pipeline runs it as the admission
+    check before promoting a load (sinks/table.py) to consumers."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count("*").cast("double").alias("n_rows"),
+        (F.count("*") - F.count("o_custkey")).cast("double").alias("n_null_cust"),
+        F.countDistinct("o_orderkey").cast("double").alias("n_distinct_key"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).cast("double").alias("n_bad_status"),
+    )
+    return m.select(
+        F.expr(
+            "stack(5,"
+            " 'row_count_at_least_100', n_rows, n_rows >= 100D,"
+            " 'o_custkey_not_null', n_null_cust, n_null_cust = 0D,"
+            " 'o_orderkey_unique', n_distinct_key, n_distinct_key = n_rows,"
+            " 'o_totalprice_non_negative', min_price, min_price >= 0D,"
+            " 'o_orderstatus_in_domain', n_bad_status, n_bad_status = 0D)"
+            " AS (expectation, observed, passed)"
+        )
+    ).orderBy("expectation")

@@ -2160,3 +2160,74 @@ def agg_exact_median_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg("l_extendedprice").alias("median_price"), F.min("n").alias("n"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "events_stream_upsert_latest",
+    oracle="""
+    WITH r AS (SELECT user_id, event_id, event_type, value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events)
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
+def events_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE via foreachBatch EXECUTED as a stream: each
+    micro-batch reduces to its per-user latest row (argmax on (ts, event_id)),
+    merges with the previous keyed snapshot, and writes a NEW snapshot
+    version (read-old/write-new — never overwrite-in-place, the same
+    versioned-snapshot move Warehouse.compact uses). Per-key lexicographic
+    max is associative, so the final snapshot equals the batch argmax no
+    matter how files split into micro-batches — which is what makes the
+    plain batch SQL above a valid oracle for a four-batch streaming run.
+
+    Scale shape: each merge shuffles only (batch latest ∪ snapshot), both
+    bounded by key cardinality, not event volume — the dimension-table CDC
+    pattern. Fact-scale upserts take the append+compaction path
+    (sinks/table.py) or a table format's MERGE instead. Ordering compares
+    µs-truncated timestamps on both engines (epoch_us in the oracle,
+    timestamp_micros in stream_events) so a ns-precision tie cannot pick
+    different winners."""
+    from flusher_spark.streaming.windows import stream_events
+
+    path = _stage_event_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="flusher_upsert_")
+    state: dict[str, str | None] = {"snap": None}
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("__ts_us").desc(), F.col("last_event_id").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        inc = batch.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.unix_micros("ts").alias("__ts_us"),
+        )
+        if state["snap"] is not None:
+            inc = inc.unionByName(batch.sparkSession.read.parquet(state["snap"]))
+        new_snap = os.path.join(root, f"v{batch_id}")
+        latest_per_user(inc).write.mode("overwrite").parquet(new_snap)
+        state["snap"] = new_snap
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_events(spark, path).writeStream.foreachBatch(merge).start()
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert state["snap"] is not None
+    return spark.read.parquet(state["snap"]).drop("__ts_us")
