@@ -50,6 +50,14 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk_exact",
     "text_quality_score",
+    # round 2 additions
+    "events_funnel_conversion",
+    "agg_exact_median_ranked",
+    "decontaminate_ngram_overlap",
+    "pack_sequences_fill",
+    "vocab_bigram_counts",
+    "text_pii_redact",
+    "quality_expectations_orders",
 ]
 
 
