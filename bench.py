@@ -35,6 +35,7 @@ HEADLINE = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_parts",
+    "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q21_sole_flagged_supplier",

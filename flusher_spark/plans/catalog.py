@@ -74,6 +74,7 @@ PRIORITY = (
     "q12_conditional_agg",
     "q13_order_distribution",
     "q14_promo_ratio",
+    "q15_top_supplier",
     "q16_supplier_variety",
     "q17_small_quantity_revenue",
     "q18_large_orders",

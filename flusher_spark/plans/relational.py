@@ -1308,6 +1308,49 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey, CAST(SUM({_DISC}) AS DECIMAL(38,6)) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE rev = (SELECT MAX(rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max over a derived aggregate (TPC-H Q15 shape: the ``revenue`` view +
+    top-supplier probe). The view is one pruned fact scan + one suppkey
+    shuffle; the global max is an unpartitioned window over the
+    POST-aggregate rows — one row per supplier, i.e. dimension cardinality,
+    so the single-partition window is bounded by construction — which avoids
+    the second fact scan that joining back to ``SELECT MAX(...)`` would cost
+    (Spark 4 does not reuse the aggregate exchange across both branches).
+    The max-equality compare happens on exact decimal(38,6) sums, so the tie
+    set is identical in both engines; revenue is cast to double only for
+    output."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(F.sum(_disc()).cast("decimal(38,6)").alias("__rev"))
+    best = (
+        rev.withColumn("__max_rev", F.max("__rev").over(Window.partitionBy()))
+        .where(F.col("__rev") == F.col("__max_rev"))
+        .select("l_suppkey", "__rev")
+    )
+    return (
+        s.join(F.broadcast(best), s.s_suppkey == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", F.col("__rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "q19_disjunctive_filter",
     oracle=f"""
     SELECT {sql_dsum_exact(_DISC)} AS revenue, COUNT(*) AS n
