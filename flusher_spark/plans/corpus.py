@@ -286,3 +286,41 @@ def vocab_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "docs_chunk_overlap",
+    oracle="""
+    SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+           substring(text, CAST(start AS INTEGER), 200) AS chunk_text,
+           length(substring(text, CAST(start AS INTEGER), 200)) AS chunk_len
+    FROM documents, UNNEST(generate_series(1, GREATEST(n_chars - 50, 1), 150)) AS u(start)
+    ORDER BY doc_id, chunk_start
+    """,
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: 200-char windows on a 150-char stride
+    (50-char overlap), start offsets from sequence()+explode so the whole
+    op is a codegen'd Generate + projection — no Python, no shuffle at all
+    until a consumer asks for one. The start cap at n_chars-50 drops tail
+    starts that would yield sub-overlap fragments already fully covered by
+    the previous chunk. Chunk count per doc is ceil-bounded by its own
+    length, so output scales linearly with corpus bytes — the partition
+    layout of the scan is preserved (narrow op), which is exactly what you
+    want before a repartition-by-chunk-hash write at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1).cast("bigint"),
+        F.greatest(F.col("n_chars") - 50, F.lit(1).cast("bigint")),
+        F.lit(150).cast("bigint"),
+    )
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.expr("substring(text, cast(chunk_start as int), 200)").alias("chunk_text"),
+            F.length(F.expr("substring(text, cast(chunk_start as int), 200)")).alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_start")
+    )

@@ -736,3 +736,40 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shipdate_nulls"),
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, UNNEST(embedding) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS pos
+      FROM embeddings),
+    m AS (SELECT vec_id, MAX(ABS(CAST(x AS DOUBLE))) AS maxabs FROM flat GROUP BY vec_id)
+    SELECT f.vec_id, f.pos,
+           CAST(ROUND(CAST(f.x AS DOUBLE) * 127.0 / m.maxabs) AS INTEGER) AS q
+    FROM flat f JOIN m USING (vec_id)
+    ORDER BY f.vec_id, f.pos
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax scaling — the storage/bandwidth prep step before a quantized ANN
+    index). Emitted in long form (vec_id, pos, q): posexplode once, take the
+    per-vector absmax as an UNORDERED window over the vec_id partition (one
+    scan + one shuffle carrying dim rows per vector; the array-HOF
+    formulation would be CodegenFallback — see operators/dedup.py:47), then
+    one round+cast per element. float→double widening is exact, and
+    round-half-away-from-zero agrees between Spark and DuckDB, so the
+    quantized codes hash-match exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select("vec_id", F.posexplode("embedding").alias("pos0", "x"))
+    maxabs = F.max(F.abs(F.col("x").cast("double"))).over(Window.partitionBy("vec_id"))
+    return (
+        flat.select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("x").cast("double") * 127.0 / maxabs).cast("int").alias("q"),
+        )
+        .orderBy("vec_id", "pos")
+    )

@@ -2169,6 +2169,191 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_day FROM events)
+    SELECT cohort_day, date_diff('day', cohort_day, active_day) AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity JOIN first USING (user_id)
+    WHERE date_diff('day', cohort_day, active_day) BETWEEN 0 AND 13
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (day-0 cohort × day offset, two weeks out):
+    the classic product-analytics rollup. One (user, day) distinct and one
+    per-user min both shuffle on user_id; the countDistinct is avoided by
+    pre-distincting activity, so the final cell aggregate is a plain COUNT
+    over already-unique (user, day) pairs. Nothing here holds state
+    proportional to events — both intermediates are bounded by
+    users × active-days."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("DAY", F.col("ts"))).alias("active_day")
+    )
+    first = e.groupBy("user_id").agg(F.min("active_day").alias("cohort_day"))
+    activity = e.distinct()
+    offset = F.datediff(F.col("active_day"), F.col("cohort_day"))
+    return (
+        activity.join(first, "user_id")
+        .select("cohort_day", offset.alias("day_offset"))
+        .where(F.col("day_offset").between(0, 13))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "events_resample_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DECIMAL(38,6)) AS DOUBLE) AS value_sum
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    bounds AS (
+      SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY event_type),
+    spine AS (
+      SELECT event_type, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds)
+    SELECT s.event_type, s.hour,
+           COALESCE(h.value_sum, 0.0) AS value_sum,
+           LAST_VALUE(h.value_sum IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+           (h.value_sum IS NULL) AS gap_filled
+    FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+    ORDER BY s.event_type, s.hour
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a dense hourly grid with zero-fill AND
+    forward-fill: the spine is generated per event_type from that type's own
+    [min, max] hour via sequence+explode (spine size is types × hours — a
+    function of wall-clock span, not event volume, so it stays tiny at any
+    SF), left-joined to the hourly aggregate, then forward-filled with an
+    ignore-nulls last() window per type. Hour sums go through exact decimals
+    so the zero-filled and forward-filled doubles are bit-identical across
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy("event_type", F.date_trunc("HOUR", F.col("ts")).alias("hour")).agg(
+        F.sum(dec("value", "decimal(8,2)")).cast("decimal(38,6)").cast("double").alias("value_sum")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("value_sum"), F.lit(0.0)).alias("value_sum"),
+            F.last("value_sum", ignorenulls=True).over(w).alias("value_ffill"),
+            F.col("value_sum").isNull().alias("gap_filled"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_id, ts, event_type FROM marked
+      WHERE prev_type IS NULL OR event_type <> prev_type)
+    SELECT user_id, event_type AS status, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM changes ORDER BY user_id, valid_from, status
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an event stream: collapse each
+    user's event sequence to its status CHANGES (lag filter), then stamp
+    [valid_from, valid_to) validity intervals with lead(), open-ended on the
+    current row — the standard warehouse dimension-versioning op. Both
+    windows partition by user_id and order by (ts, event_id) — the id
+    tiebreak makes the interval set deterministic even under timestamp
+    collisions — and reuse ONE user_id sort shuffle (same partitioning and
+    ordering, so Spark plans a single Window node pair over one Exchange)."""
+    e = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(wseq))
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    return (
+        changes.withColumn("valid_to", F.lead("ts").over(wseq))
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "status")
+    )
+
+
+@register(
+    "events_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(8,2)) * CAST(value AS DECIMAL(8,2)))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, MIN(s.n) AS n,
+           SUM(CASE WHEN ABS((e.value - s.s1 / s.n)
+                             / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 2.5
+                    THEN 1 ELSE 0 END) AS outlier_cnt
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group anomaly flagging: |z| > 2.5 against the group's own
+    mean/stddev. Moments come from exact decimal sums (value is a 2-decimal
+    money-style column, its decimal square is exact), so mean/variance are
+    the same deterministic IEEE expressions in both engines and the
+    threshold compare cannot flip on aggregation order. Spark computes the
+    moments as UNORDERED windows over the event_type partition — one scan
+    and one shuffle, instead of the aggregate-and-join-back double scan (the
+    oracle keeps the join form: semantically identical)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    vdec = dec("value", "decimal(8,2)")
+    n = F.count("*").over(w)
+    s1 = F.sum(vdec).over(w).cast("double")
+    s2 = F.sum(vdec * vdec).over(w).cast("decimal(38,6)").cast("double")
+    z = (F.col("value") - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1)))
+    return (
+        e.select("event_type", n.alias("n"), F.when(F.abs(z) > 2.5, 1).otherwise(0).alias("f"))
+        .groupBy("event_type")
+        .agg(F.min("n").alias("n"), F.sum("f").alias("outlier_cnt"))
+        .orderBy("event_type")
+    )
+
+
+@register(
     "agg_exact_median_ranked",
     oracle="""
     WITH r AS (
