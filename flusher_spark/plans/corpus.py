@@ -324,3 +324,62 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_start")
     )
+
+
+@register(
+    "docs_repetition_signals",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+               WHERE len({_TOKENS_SQL}) >= 3),
+    g AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+          FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)),
+    gc AS (SELECT doc_id, s, COUNT(*) AS c FROM g GROUP BY doc_id, s),
+    gs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                  COUNT(*) AS n_distinct_grams FROM gc GROUP BY doc_id),
+    tok AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+    ts AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_tok,
+                  CAST(SUM(c) AS BIGINT) AS n_tok FROM tc GROUP BY doc_id)
+    SELECT gs.doc_id, gs.n_grams, gs.n_distinct_grams,
+           CAST(gs.n_grams - gs.n_distinct_grams AS DOUBLE) / gs.n_grams AS dup_gram_frac,
+           CAST(ts.max_tok AS DOUBLE) / ts.n_tok AS top_token_frac
+    FROM gs JOIN ts USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals (the Gopher/Dolma-style
+    repetitious-text filter): duplicate 3-gram fraction and top-token mass
+    per document. Both signals come from (doc, key) pre-aggregates that
+    partial-aggregate map-side before ONE doc-keyed shuffle each — never a
+    per-doc countDistinct over raw occurrence rows — and the final per-doc
+    frames (one row per doc) join on doc_id. Fractions are single integer→
+    double divisions, so they hash-match DuckDB exactly."""
+    d = load_table(spark, sf_dir, "documents").where(F.size(tokens(F.col("text"))) >= 3)
+    gc = (
+        shingle_rows(d, n=3)
+        .groupBy("doc_id", "s")
+        .agg(F.count("*").alias("c"))
+    )
+    gs = gc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"), F.count("*").alias("n_distinct_grams")
+    )
+    tc = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ts = tc.groupBy("doc_id").agg(F.max("c").alias("max_tok"), F.sum("c").alias("n_tok"))
+    return (
+        gs.join(ts, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct_grams",
+            ((F.col("n_grams") - F.col("n_distinct_grams")).cast("double") / F.col("n_grams")).alias(
+                "dup_gram_frac"
+            ),
+            (F.col("max_tok").cast("double") / F.col("n_tok")).alias("top_token_frac"),
+        )
+        .orderBy("doc_id")
+    )
