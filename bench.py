@@ -54,6 +54,7 @@ HEADLINE = [
     # round 2 additions
     "events_funnel_conversion",
     "agg_exact_median_ranked",
+    "agg_exact_median_histogram",
     "decontaminate_ngram_overlap",
     "pack_sequences_fill",
     "vocab_bigram_counts",

@@ -67,6 +67,56 @@ def with_global_row_number(
     )
 
 
+def with_group_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str | Column],
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ROW_NUMBER() OVER (PARTITION BY group ORDER BY ...)`` for LOW-
+    cardinality groups, distributed.
+
+    A plain partitioned window puts each group in ONE task — fine for
+    thousands of groups, fatal when a fact has 3 distinct flags. Same
+    offsets trick as :func:`with_global_row_number`, but range-partitioned
+    on (group, order) so a group spans many contiguous partitions, with the
+    count map keyed by (partition, group): rank = local rank within
+    (partition, group) + the group's prefix count over earlier partitions.
+    The offsets table has ≤ partitions × groups rows — broadcast-joined.
+    ``order_cols`` must totally order rows WITHIN a group (add a unique
+    tiebreak) for determinism.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    cols = [*group_cols, *order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    ranged = ranged.cache()
+    counts = ranged.groupBy("__pid", *group_cols).agg(F.count("*").alias("__cnt"))
+    offsets = counts.select(
+        "__pid",
+        *group_cols,
+        (
+            F.sum("__cnt").over(
+                Window.partitionBy(*group_cols)
+                .orderBy("__pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("__offset"),
+    ).fillna(0, ["__offset"])
+    w = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+    return (
+        ranged.withColumn("__local_rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn(out, (F.col("__offset") + F.col("__local_rn")).cast("long"))
+        .drop("__pid", "__local_rn", "__offset")
+    )
+
+
 def with_global_ntile(
     df: DataFrame,
     order_cols: list[str | Column],

@@ -1531,7 +1531,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    supply = l.groupBy("l_partkey", "l_suppkey").agg(F.min("l_extendedprice").alias("cost"))
+    # The correlated min is PER PART, so restricting supply to the filtered
+    # parts up front (broadcast semi-join before the aggregate) is
+    # semantically identical — the subquery is only ever evaluated for those
+    # parts — and shrinks the agg+window shuffles by the part-filter
+    # selectivity (same decorrelation-pushdown as q17).
+    pkeys = p.select("p_partkey")
+    supply = (
+        l.join(F.broadcast(pkeys), l.l_partkey == pkeys.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
     # Per-part minimum as an unordered window over supply, NOT a second
     # aggregate joined back: one lineitem scan and one partkey shuffle
     # instead of two scans + a double-equality join (Spark 4 doesn't reuse
@@ -2368,24 +2378,86 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_exact_median_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT per-group median at scale: rank within each group (one sort
-    shuffle on the group key), pick the middle element(s) by integer
-    arithmetic, average the ≤2 picked values — a deterministic two-double
-    mean, unlike interpolated percentile_cont whose expression order varies
-    by engine. The constant-memory approximate twin is
-    agg_approx_sketches' percentile_approx."""
-    l = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    wn = Window.partitionBy("l_returnflag")
-    r = l.select(
-        "l_returnflag", "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+    """EXACT per-group median over HIGH-cardinality values with LOW-
+    cardinality groups — the shape where a plain partitioned window is
+    fatal at scale (3 returnflag groups ⇒ a third of a 100 TB fact per
+    window task). Ranks come from operators/ranking.py's
+    with_group_row_number: range-partition on (group, value, tiebreak) so
+    each group spans many contiguous partitions, rank = local row_number +
+    the group's broadcast per-partition prefix count. Group sizes join back
+    from a 3-row broadcast aggregate; the middle element(s) are picked by
+    integer arithmetic and averaged — the same ≤2-double mean the oracle
+    computes, so results hash-match. For values with a domain-bounded
+    distinct count, agg_exact_median_histogram is the cheaper plan; the
+    constant-memory approximate twin is agg_approx_sketches'
+    percentile_approx."""
+    from flusher_spark.operators.ranking import with_group_row_number
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
     )
+    ranked = with_group_row_number(
+        l, ["l_returnflag"], ["l_extendedprice", "l_orderkey", "l_linenumber"], out="rn"
+    )
+    sizes = l.groupBy("l_returnflag").agg(F.count("*").alias("n"))
     return (
-        r.where((F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2")))
+        ranked.join(F.broadcast(sizes), "l_returnflag")
+        .where((F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2")))
         .groupBy("l_returnflag")
         .agg(F.avg("l_extendedprice").alias("median_price"), F.min("n").alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_exact_median_histogram",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+    SELECT l_returnflag, AVG(l_quantity) AS median_qty, MIN(n) AS n
+    FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_exact_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median for DOMAIN-BOUNDED values (quantity: ≤50
+    distinct regardless of row volume): aggregate a (group, value) count
+    histogram — one partial-aggregated shuffle whose reduce side is groups ×
+    distinct values — then locate the bucket(s) covering the middle rank(s)
+    with a cumulative count over histogram rows. No raw row is ever sorted
+    or windowed. The value at a given rank depends only on the sorted value
+    multiset, so the oracle's row-ranked formulation picks the same values;
+    the weighted bucket average reduces to the identical ≤2-double IEEE
+    mean. Complements agg_exact_median_ranked (high-cardinality values)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    h = l.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = h.select(
+        "l_returnflag", "l_quantity", "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    k1, k2 = F.expr("(n + 1) div 2"), F.expr("(n + 2) div 2")
+    lo = F.col("cum") - F.col("c")
+    weight = ((lo < k1) & (k1 <= F.col("cum"))).cast("int") + (
+        (lo < k2) & (k2 <= F.col("cum"))
+    ).cast("int")
+    return (
+        r.select("l_returnflag", "l_quantity", "n", weight.alias("w"))
+        .where(F.col("w") > 0)
+        .groupBy("l_returnflag")
+        .agg(
+            (F.sum(F.col("l_quantity") * F.col("w")) / F.lit(2)).alias("median_qty"),
+            F.min("n").alias("n"),
+        )
         .orderBy("l_returnflag")
     )
 

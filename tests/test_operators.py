@@ -656,3 +656,32 @@ def test_ivf_lloyd_iteration_runs_and_recall_holds(spark, emb):
     # Determinism: the same call twice gives identical results (no rand()).
     again = ivf_topk(emb, qids, k=10, n_lists=8, n_probe=3, n_iter=2).collect()
     assert sorted(map(tuple, refined)) == sorted(map(tuple, again))
+
+def test_group_row_number_matches_window(spark):
+    from flusher_spark.operators.ranking import with_group_row_number
+    from pyspark.sql import Window
+
+    o = load_table(spark, SF, "orders")
+    got = with_group_row_number(
+        o, ["o_orderstatus"], ["o_orderdate", "o_orderkey"], out="rn"
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate", "o_orderkey")
+    expected = o.withColumn("rn", F.row_number().over(w).cast("long"))
+    a = {(r["o_orderkey"], r["rn"]) for r in got.select("o_orderkey", "rn").collect()}
+    b = {(r["o_orderkey"], r["rn"]) for r in expected.select("o_orderkey", "rn").collect()}
+    assert a == b
+
+
+def test_group_row_number_plan_has_no_per_group_window(spark):
+    from flusher_spark.operators.ranking import with_group_row_number
+
+    o = load_table(spark, SF, "orders")
+    df = with_group_row_number(o, ["o_orderstatus"], ["o_orderdate", "o_orderkey"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Every data-bearing window must include __pid in its partition spec —
+    # a window keyed on the group alone would put one group per task.
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line and "__pid" not in line:
+            if "__cnt" in line or "__offset" in line:
+                continue
+            raise AssertionError(f"window not partitioned by __pid: {line}")
