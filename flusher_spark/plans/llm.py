@@ -773,3 +773,62 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "pos")
     )
+
+
+@register(
+    "similarity_topk_quantized",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, UNNEST(embedding) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS pos
+      FROM embeddings),
+    m AS (SELECT vec_id, MAX(ABS(CAST(x AS DOUBLE))) AS maxabs FROM flat GROUP BY vec_id),
+    codes AS (
+      SELECT f.vec_id, f.pos, CAST(ROUND(CAST(f.x AS DOUBLE) * 127.0 / m.maxabs) AS INTEGER) AS q
+      FROM flat f JOIN m USING (vec_id)),
+    qs AS (SELECT vec_id AS q_id, pos, q AS qq FROM codes WHERE vec_id IN {_QUERY_IDS}),
+    db AS (SELECT * FROM codes WHERE vec_id NOT IN {_QUERY_IDS}),
+    dots AS (SELECT qs.q_id, db.vec_id, CAST(SUM(db.q * qs.qq) AS BIGINT) AS qdot
+             FROM db JOIN qs USING (pos) GROUP BY qs.q_id, db.vec_id),
+    ranked AS (SELECT q_id, vec_id, qdot,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                              ORDER BY qdot DESC, vec_id) AS BIGINT) AS rank
+               FROM dots)
+    SELECT q_id, vec_id, qdot, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 maximum-inner-product search over int8-quantized codes — the
+    memory-bandwidth-bound scale path a quantized ANN index serves. Unlike
+    the float cosine variants, the score is a pure INTEGER sum of code
+    products (per-vector symmetric absmax quantization, embedding_quantize_
+    int8's scheme), so ranking is exactly reproducible across engines and
+    this approximate operator gets a full hash-matched oracle instead of a
+    rows-only check; the accuracy cost vs float cosine is pinned by the
+    recall test (tests/test_operators.py). Plan: one posexplode + one
+    vec-partition absmax window builds the code table, the 5 query vectors'
+    codes broadcast into a pos-equi-join, and the per-(query, candidate)
+    dot is a map-side-combined SUM — no cartesian, no Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select("vec_id", F.posexplode("embedding").alias("pos0", "x"))
+    maxabs = F.max(F.abs(F.col("x").cast("double"))).over(Window.partitionBy("vec_id"))
+    codes = flat.select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * 127.0 / maxabs).cast("int").alias("q"),
+    )
+    qs = codes.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), "pos", F.col("q").alias("qq")
+    )
+    db = codes.where(~F.col("vec_id").isin(*_QUERY_IDS))
+    dots = (
+        db.join(F.broadcast(qs), "pos")
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.col("q") * F.col("qq")).cast("long").alias("qdot"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qdot").desc(), "vec_id")
+    return (
+        dots.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("q_id", "vec_id", "qdot", "rank")
+    )
