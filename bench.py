@@ -81,6 +81,7 @@ def main() -> None:
     # untouched.
     rec = Recorder(logfunc=lambda msg: print(msg, file=sys.stderr))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         # One untimed execution first: whole-stage codegen compiles once per
         # query shape (~0.5-2 s on this JVM) and would otherwise dominate the
@@ -88,25 +89,31 @@ def main() -> None:
         # scan + shuffle + compute — which is what scales with data volume.
         # The row-count Observation rides this run so the timed plan below
         # stays exactly the plan under measurement (no CollectMetrics node).
-        obs = Observation()
-        observed(reg[name].fn(spark, sf_dir), obs).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        df = reg[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        rec.observe(name, timings[name], rows=int(obs.get["rows"]))
+        # Per-query fault isolation: one failing query must never kill the
+        # whole run — the JSON contract line prints no matter what, with the
+        # failure recorded in "errors".
+        try:
+            obs = Observation()
+            observed(reg[name].fn(spark, sf_dir), obs).write.format("noop").mode("overwrite").save()
+            t0 = time.time()
+            df = reg[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+            rec.observe(name, timings[name], rows=int(obs.get["rows"]))
+        except Exception as exc:  # noqa: BLE001 — survive any per-query failure
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench ERROR {name}: {errors[name]}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

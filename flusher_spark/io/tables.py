@@ -1,11 +1,20 @@
 """Typed loaders for the driver-generated analytics tables.
 
-One quirk handled here: ``events.parquet`` stores ``ts`` as INT64
-TIMESTAMP(NANOS) which Spark 4 only reads with
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.configure).
-We convert nanoseconds → microsecond timestamps by truncation, which matches
-exactly how DuckDB reads the same file (its TIMESTAMP is µs, ns truncated),
-so oracle comparisons line up.
+One quirk handled here: ``events.parquet`` has shipped with two different
+physical encodings for ``ts`` across driver testdata generations:
+
+* INT64 TIMESTAMP(NANOS), which Spark 4 only reads with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.configure)
+  and surfaces as ``bigint`` — we truncate ns → µs, matching exactly how
+  DuckDB reads the same file (its TIMESTAMP is µs, ns truncated);
+* plain ``timestamp[us]`` (no UTC flag), which Spark 4 surfaces as
+  ``TIMESTAMP_NTZ`` — we cast to the session-local ``TIMESTAMP`` (session tz
+  is pinned to UTC in session.py, so the wall-clock instant is unchanged and
+  DuckDB's naive read lines up).
+
+``normalize_event_ts`` handles both so every consumer — batch loaders here
+and the streaming reader in streaming/windows.py — sees one canonical
+``timestamp`` column regardless of which testdata generation is on disk.
 """
 
 from __future__ import annotations
@@ -32,16 +41,35 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one analytics table as a typed DataFrame."""
-    configure(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Canonicalize the events ``ts`` column to session-tz ``timestamp``.
+
+    Handles every encoding the driver's testdata generator has produced:
+    ``bigint`` (INT64 ns under nanosAsLong), ``timestamp_ntz``
+    (parquet timestamp[us] with no UTC flag), and the already-canonical
+    ``timestamp``. Downstream code (``F.unix_micros``, ``F.window``,
+    watermarks) requires plain TIMESTAMP.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
         # ns → µs truncation; identical to DuckDB's read of the same column.
         # Integer division (`div`), NOT `/`: float division of an ~1.7e18 ns
         # value loses the last microsecond digit (doubles are exact only to
         # 2^53) — caught by the asof oracle check.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        # Session tz is UTC (session.py), so NTZ → TIMESTAMP preserves the
+        # wall-clock value and matches DuckDB's naive read bit-for-bit.
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one analytics table as a typed DataFrame."""
+    configure(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

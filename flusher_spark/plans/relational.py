@@ -1201,13 +1201,20 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantiles would spill at scale: HyperLogLog++ distinct counts and
     approximate percentiles, one pass, mergeable partials (the 100 TB answer
     to COUNT(DISTINCT) over a high-cardinality key). Accuracy vs the exact
-    twins is asserted in tests/test_plans.py."""
+    twins is asserted in tests/test_plans.py.
+
+    The three quantiles are projected to scalar doubles (not an
+    array<double> column): the driver's result canonicalizer sorts/hashes
+    column values and numpy arrays are unhashable there."""
     l = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return (
         l.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles"),
+            q.getItem(0).alias("price_p50"),
+            q.getItem(1).alias("price_p95"),
+            q.getItem(2).alias("price_p99"),
             F.count("*").alias("n"),
         )
         .orderBy("l_returnflag")
@@ -1931,24 +1938,29 @@ def _stage_event_stream(spark: SparkSession, sf_dir: str, n_files: int = 4, dup:
     import shutil
     import time as _time
 
-    from flusher_spark.streaming.windows import EVENTS_RAW_SCHEMA
+    from flusher_spark.io.tables import normalize_event_ts
 
     key = (sf_dir, n_files, dup)
     cached = _STREAM_STAGE_CACHE.get(key)
     if cached and os.path.isdir(cached):
         return cached
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(os.path.join(sf_dir, "events.parquet"))
+    # Stage files with ts already canonicalized to TIMESTAMP (io/tables.py):
+    # the stream reader's footer probe then sees one encoding regardless of
+    # which testdata generation (INT64-ns vs timestamp[us]) is on disk.
+    raw = normalize_event_ts(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     fracs = [i / n_files for i in range(1, n_files)]
-    cuts = raw.select(F.expr(f"percentile(ts, array({','.join(map(str, fracs))}))")).first()[0]
+    cuts = raw.select(
+        F.expr(f"percentile(unix_micros(ts), array({','.join(map(str, fracs))}))")
+    ).first()[0]
     bounds = [None, *cuts, None]
     out = tempfile.mkdtemp(prefix="flusher_stream_")
     base = _time.time() - 3600
     for i in range(n_files):
         part = raw
         if bounds[i] is not None:
-            part = part.where(F.col("ts") > bounds[i])
+            part = part.where(F.unix_micros(F.col("ts")) > bounds[i])
         if bounds[i + 1] is not None:
-            part = part.where(F.col("ts") <= bounds[i + 1])
+            part = part.where(F.unix_micros(F.col("ts")) <= bounds[i + 1])
         if dup:
             part = part.unionAll(part)
         stage = os.path.join(out, f"_stage{i}")

@@ -18,33 +18,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from flusher_spark.io.tables import normalize_event_ts
 from flusher_spark.session import configure
 
-#: events.parquet carries ns timestamps as longs under nanosAsLong (see
-#: io/tables.py); the stream reader does the same µs conversion.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+#: Legacy generation: ns timestamps as longs under nanosAsLong (io/tables.py).
+EVENTS_RAW_SCHEMA = _events_schema(T.LongType())
 
 
 def stream_events(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-based micro-batch stream of events (one parquet per trigger —
     in production this is the Kafka/queue reader; the transformations are
-    identical)."""
+    identical).
+
+    A streaming source needs its schema up front, but the driver's testdata
+    generator has shipped ``ts`` as both INT64-ns (→ ``bigint``) and
+    timestamp[us] (→ ``timestamp_ntz``). One batch footer read resolves the
+    on-disk encoding; ``normalize_event_ts`` then canonicalizes either to
+    session-tz ``timestamp`` so every window/watermark downstream is
+    encoding-agnostic.
+    """
     configure(spark)
+    on_disk = spark.read.parquet(path).schema["ts"].dataType
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_schema(on_disk))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def tumbling_window_agg(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -180,4 +180,4 @@ def test_approx_sketches_accuracy(spark):
     for flag, e in exact.items():
         a = rows[flag]
         assert abs(a["approx_orders"] - e["n_orders"]) / e["n_orders"] < 0.1
-        assert abs(a["price_quantiles"][0] - e["median"]) / e["median"] < 0.02
+        assert abs(a["price_p50"] - e["median"]) / e["median"] < 0.02
