@@ -13,14 +13,20 @@ temp-CSV hop (the reference materializes to local disk between export and
 load, export.py:59-66 / manager.py:195-196).
 
 The reference runs jobs serially (manager.py:211-214; parallelism is its
-open TODO manager.py:22). Each of our jobs is internally cluster-parallel;
-cross-job concurrency stays sequential per tick for deterministic state
-transitions, which matches the single-writer store.
+open TODO manager.py:22, TODO.md:9). Each of our jobs is internally
+cluster-parallel; cross-job concurrency is the engine's answer to that
+TODO: ``max_concurrency`` dispatches a tick's due jobs onto a bounded
+thread pool. Claims are serial (mark_running + lease BEFORE dispatch, so a
+job can never be double-dispatched), pipelines run concurrently (the Spark
+scheduler interleaves their cluster jobs), and completion transitions
+serialize through the store's lock. FIFO fairness within a tick is kept:
+results are reported in due order regardless of completion order.
 """
 
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -126,6 +132,9 @@ class Scheduler:
     on_tick: list = field(default_factory=list)
     clock: object = utcnow_iso
     recorder: Recorder = field(default_factory=Recorder)
+    #: Cross-job parallelism per tick (the reference's open TODO,
+    #: manager.py:22 / TODO.md:9). 1 = reference-faithful serial execution.
+    max_concurrency: int = 1
 
     def run_job(self, job: Job) -> str:
         """One job pipeline: read → (type+load) | csv-export. A single lazy
@@ -177,11 +186,17 @@ class Scheduler:
             .collect()
             if r["job_id"] not in invalid
         ]
-        results: list[tuple[int, str, str]] = []
-        records: list[RunRecord] = []
+        # Claim serially FIRST: mark_running consumes refresh_now and takes
+        # the lease before any pipeline starts, so a job is never visible as
+        # due to anything else while it runs (no double-dispatch).
+        claimed: list[tuple[int, Job, str]] = []
         for job_id in due:
             job = self.store.get(job_id)
             start = self.store.mark_running(job_id, self.clock())
+            claimed.append((job_id, job, start))
+
+        def execute(claim: tuple[int, Job, str]) -> tuple[int, Job, str, str, str, str]:
+            job_id, job, start = claim
             try:
                 result = self.run_job(job)
                 end = self.store.mark_success(job_id, result, self.clock())
@@ -190,6 +205,19 @@ class Scheduler:
                 result = translate_error(exc, job, self.source)
                 end = self.store.mark_failure(job_id, result, self.clock())
                 status = "Failure"
+            return (job_id, job, start, end, status, result)
+
+        if self.max_concurrency > 1 and len(claimed) > 1:
+            # Bounded pool; pool.map preserves due order, so results/log
+            # rows are deterministic even when completion order isn't.
+            with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
+                outcomes = list(pool.map(execute, claimed))
+        else:
+            outcomes = [execute(c) for c in claimed]
+
+        results: list[tuple[int, str, str]] = []
+        records: list[RunRecord] = []
+        for job_id, job, start, end, status, result in outcomes:
             records.append(
                 RunRecord(start, end, job.document, job.sheet, job.cellrange, status, result)
             )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from datetime import datetime, timezone
 
 import pyarrow as pa
@@ -53,6 +54,12 @@ class JobStore:
         os.makedirs(root, exist_ok=True)
         os.makedirs(os.path.join(root, "schemas"), exist_ok=True)
         self._jobs: dict[int, Job] = {}
+        # Concurrent-scheduler support: state transitions arrive from worker
+        # threads (Scheduler.max_concurrency > 1). One lock serializes every
+        # mutation + parquet snapshot — the same single-writer discipline,
+        # now explicit. A cluster deployment swaps this for Delta MERGE
+        # transactionality.
+        self._lock = threading.RLock()
         self._load()
 
     # -- persistence --------------------------------------------------------
@@ -83,8 +90,9 @@ class JobStore:
     # -- job CRUD -----------------------------------------------------------
 
     def put(self, job: Job) -> None:
-        self._jobs[job.job_id] = job
-        self._save()
+        with self._lock:
+            self._jobs[job.job_id] = job
+            self._save()
 
     def get(self, job_id: int) -> Job:
         return self._jobs[job_id]
@@ -109,31 +117,34 @@ class JobStore:
 
     def mark_running(self, job_id: int, now: str | None = None) -> str:
         now = now or utcnow_iso()
-        j = self._jobs[job_id]
-        j.refresh_now = False  # one-shot trigger consumed at run START
-        j.state = STATE_RUNNING
-        j.lease_ts = now
-        self._save()
+        with self._lock:
+            j = self._jobs[job_id]
+            j.refresh_now = False  # one-shot trigger consumed at run START
+            j.state = STATE_RUNNING
+            j.lease_ts = now
+            self._save()
         return now
 
     def mark_success(self, job_id: int, result: str, now: str | None = None) -> str:
         now = now or utcnow_iso()
-        j = self._jobs[job_id]
-        j.state = STATE_SUCCESS
-        j.last_success = now
-        j.last_result = result
-        j.lease_ts = ""
-        self._save()
+        with self._lock:
+            j = self._jobs[job_id]
+            j.state = STATE_SUCCESS
+            j.last_success = now
+            j.last_result = result
+            j.lease_ts = ""
+            self._save()
         return now
 
     def mark_failure(self, job_id: int, error: str, now: str | None = None) -> str:
         now = now or utcnow_iso()
-        j = self._jobs[job_id]
-        j.state = STATE_FAILURE
-        j.last_result = error
-        j.refresh_interval = ""  # failure disables the schedule (reference :121-122)
-        j.lease_ts = ""
-        self._save()
+        with self._lock:
+            j = self._jobs[job_id]
+            j.state = STATE_FAILURE
+            j.last_result = error
+            j.refresh_interval = ""  # failure disables the schedule (reference :121-122)
+            j.lease_ts = ""
+            self._save()
         return now
 
     def mark_invalid_schedule(self, job_id: int, error: str) -> str:

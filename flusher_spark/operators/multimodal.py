@@ -8,10 +8,11 @@ are derived deterministically in tests):
 - Decode / feature-extract / resize / frame-sample run as ``mapInPandas``
   (Arrow-batched, partition-parallel — the only layer where Python is
   justified, because media codecs are native libraries anyway).
-- WAV (RIFF/PCM) and binary PPM decode are REAL — stdlib ``wave``/``struct``
-  and a hand parse need no external library (``decode_wav``/``decode_ppm``
-  below, oracle-checked through ``multimodal_wav_decode`` /
-  ``multimodal_ppm_decode``). Codecs that genuinely need native libraries
+- WAV (RIFF/PCM), binary PPM, and PNG decode are REAL — stdlib
+  ``wave``/``struct``/``zlib`` need no external library
+  (``decode_wav``/``decode_ppm``/``decode_png`` below, oracle-checked
+  through ``multimodal_wav_decode`` / ``multimodal_ppm_decode`` /
+  ``multimodal_png_decode``). Codecs that genuinely need native libraries
   (JPEG/MP3/video) stay stubbed: ``extract_features``/``resize``/
   ``frame_sample`` raise NotImplementedError unless ``fake=True``, which
   substitutes a deterministic synthetic decode (byte-hash-seeded) — making
@@ -267,6 +268,149 @@ def ppm_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(op, PPM_FEATURE_SCHEMA)
+
+
+def synth_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal true-color PNG filled with one color (8-bit RGB, filter 0,
+    no interlace) — stdlib zlib/struct only."""
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    scanline = b"\x00" + bytes(rgb) * width
+    idat = zlib.compress(scanline * height)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Undo PNG scanline filtering (types 0-4: None/Sub/Up/Average/Paeth)."""
+    stride = width * bpp
+    out = bytearray(stride * height)
+    prev_start = -1
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            if prev_start >= 0:
+                for i in range(stride):
+                    line[i] = (line[i] + out[prev_start + i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                line[i] = (line[i] + (left + up) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = out[prev_start + i] if prev_start >= 0 else 0
+                c = out[prev_start + i - bpp] if (prev_start >= 0 and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        start = y * stride
+        out[start : start + stride] = line
+        prev_start = start
+    return out
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse a PNG by hand: chunk walk with CRC verification, IHDR dims,
+    zlib-inflated IDAT, full scanline unfiltering (all five filter types).
+    Supports 8-bit grayscale (0), RGB (2), and RGBA (6), non-interlaced —
+    the formats a training pipeline normalizes to anyway. Channel means come
+    from the actual decoded pixels."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    bpp = {0: 1, 2: 3, 6: 4}.get(color)
+    if bpp is None:
+        raise ValueError(f"unsupported color type {color}")
+    pixels = _png_unfilter(zlib.decompress(bytes(idat)), width, height, bpp)
+    if len(pixels) != width * height * bpp:
+        raise ValueError("truncated PNG pixel data")
+    n = width * height
+    if color == 0:
+        mean = sum(pixels) / n
+        means = (mean, mean, mean)
+    else:
+        sums = [0, 0, 0]
+        for i in range(0, len(pixels), bpp):
+            sums[0] += pixels[i]
+            sums[1] += pixels[i + 1]
+            sums[2] += pixels[i + 2]
+        means = (sums[0] / n, sums[1] / n, sums[2] / n)
+    return {
+        "width": width,
+        "height": height,
+        "mean_r": means[0],
+        "mean_g": means[1],
+        "mean_b": means[2],
+    }
+
+
+PNG_FEATURE_SCHEMA = PPM_FEATURE_SCHEMA
+
+
+def png_features(df: DataFrame) -> DataFrame:
+    """Decode PNG payloads (real chunk/zlib/unfilter parse) via mapInPandas;
+    non-PNG payloads yield NULL features — same contract as wav/ppm."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = decode_png(bytes(payload))
+                except Exception:
+                    d = {}
+                rows.append({"asset_id": aid, **{k: d.get(k) for k in
+                             ("width", "height", "mean_r", "mean_g", "mean_b")}})
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return df.mapInPandas(op, PNG_FEATURE_SCHEMA)
 
 
 def filter_by_meta(df: DataFrame, kind: str | None = None, min_width: int | None = None) -> DataFrame:

@@ -54,63 +54,69 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 #: Names surfaced first by ``registry()``. The driver's correctness harness
-#: covers a bounded prefix of the registry (50 entries in round 1), so the
-#: entries whose driver-recorded verdict matters most — the hard TPC-H plan
-#: shapes, the scale-critical joins, the streaming twins, and the LLM-pipeline
-#: headliners — must register ahead of the long tail. Every name here must
-#: exist (asserted in tests/test_plans.py); the rest follow in import order.
+#: covers a bounded prefix of the registry (50 entries per round), so this
+#: list rotates per round toward the entries whose driver-recorded verdict is
+#: still missing. Round-3 rotation: the 42 entries never yet covered by any
+#: CORRECTNESS_r*.json window (rounds 1+2 covered 78 of 120), plus the five
+#: entries fixed this round (TIMESTAMP_NTZ regression + sketch column shape)
+#: so the fixes land as green driver rows, plus the entries changed this
+#: round (stream-stream oracle, PNG decode, MinHash perf). Union of r1-r3
+#: windows = all 120 entries. Every name here must exist (asserted in
+#: tests/test_plans.py); the rest follow in import order.
 PRIORITY = (
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q5_region_revenue",
-    "q6_revenue_filter",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_conditional_agg",
-    "q13_order_distribution",
-    "q14_promo_ratio",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q20_qualified_suppliers",
-    "q21_sole_flagged_supplier",
-    "q22_global_avg_anti",
-    "top_suppliers_revenue",
-    "join_bucketed_colocated",
-    "join_broadcast_dim",
-    "join_salted_skew",
-    "join_range_binned",
+    # fixed this round — prove the fix with a green driver row
     "asof_purchase_last_view",
     "events_tumbling_hourly",
     "events_sliding_2h_1h",
     "events_sessionize_30m",
-    "events_rollup_day_hour",
-    "events_stateful_running_totals",
-    "events_stateful_dedup_first",
-    "events_stream_stream_join",
-    "agg_cube",
-    "agg_grouping_sets",
     "agg_approx_sketches",
-    "window_topk_per_group",
-    "window_ntile",
-    "window_range_interval",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
+    # changed this round
+    "events_stream_stream_join",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters_minhash",
-    "similarity_topk_exact",
-    "similarity_topk_lsh",
-    "text_quality_filter_pipeline",
-    "sample_stratified_split",
+    "multimodal_png_decode",
+    # never in a driver window before round 3 (42 entries)
+    "setop_union",
+    "setop_intersect",
+    "setop_except",
+    "distinct_values",
+    "topk_orders_global",
+    "range_scan_rows",
+    "filter_projection_pushdown",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_json_extract",
+    "scalar_array_ops",
+    "case_when_bucketing",
+    "pivot_linestatus",
+    "unpivot_part_attrs",
+    "agg_exact_median_ranked",
+    "agg_exact_median_histogram",
+    "profile_lineitem_columns",
+    "quality_expectations_orders",
+    "etl_partitioned_write_pruning",
+    "etl_upsert_latest",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_resample_gapfill",
+    "events_scd2_intervals",
+    "events_zscore_outliers",
+    "events_stream_upsert_latest",
+    "text_pii_redact",
+    "text_html_strip",
+    "text_tfidf_top_terms",
+    "text_fuzzy_join_typos",
+    "decontaminate_ngram_overlap",
+    "pack_sequences_fill",
+    "shuffle_deterministic_order",
+    "vocab_bigram_counts",
+    "docs_chunk_overlap",
+    "docs_repetition_signals",
+    "embedding_quantize_int8",
+    "similarity_topk_quantized",
+    "sample_per_group_topk",
     "multimodal_wav_decode",
+    "multimodal_ppm_decode",
 )
 
 

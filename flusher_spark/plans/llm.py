@@ -351,6 +351,37 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(5 + (doc_id % 11) AS BIGINT) AS width,
+           CAST(2 + (n_chars % 19) AS BIGINT) AS height,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_r,
+           CAST((n_chars * 3) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id + 2 * n_chars) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (no stub, no PIL): each document synthesizes a
+    genuine PNG (zlib-compressed IDAT, CRC'd chunks —
+    operators/multimodal.py synth_png) and decode_png parses it back:
+    chunk walk + CRC verification, IHDR dims, inflate, scanline unfilter
+    (all five PNG filter types), channel means from the decoded pixels.
+    Same roundtrip-proof oracle scheme as multimodal_wav_decode."""
+    from flusher_spark.operators.multimodal import png_features, synth_png
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = _synth_assets(
+        docs,
+        lambda d, c: synth_png(
+            5 + (d % 11), 2 + (c % 19), ((d * 7) % 256, (c * 3) % 256, (d + 2 * c) % 256)
+        ),
+    )
+    return png_features(assets)
+
+
+@register(
     "multimodal_binary_stats",
     oracle="""
     SELECT doc_id,

@@ -2032,16 +2032,35 @@ def events_stateful_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_stream_stream_join")  # rows-only: append-mode emission is gated
-# by the final watermark (pairs newer than max_ts − watermark stay buffered when
-# the bounded stream ends), which no single batch SQL statement reproduces.
+@register(
+    "events_stream_stream_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM events WHERE event_type = 'view')
+    SELECT purchase_id, user_id, purchase_ts, view_id, view_ts
+    FROM p JOIN v USING (user_id)
+    WHERE view_ts <= purchase_ts AND view_ts >= purchase_ts - INTERVAL 1 HOUR
+    """,
+)
 def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join EXECUTED as a stream
     (streaming/joins.py join_purchases_to_views): purchases ⋈ prior views
     within 1 hour, both sides buffering watermark-bounded state across four
-    chronological micro-batches. Pair-completeness vs the batch theta-join
-    is asserted in tests/test_streaming.py; here the driver sees the
-    operator run to completion on the micro-batch source."""
+    chronological micro-batches.
+
+    Full batch-SQL oracle: INNER stream-stream joins emit each pair in the
+    micro-batch where both sides are present (watermarks bound STATE, not
+    emission — only outer-join NULLs wait for the watermark), and the staged
+    source replays files chronologically, so a view is never evicted before
+    its last matchable purchase (eviction needs watermark > view_ts + 1 h,
+    watermark lags max event time by 2 h, and matchable purchases are ≤ 1 h
+    ahead of the view). The bounded stream therefore emits exactly the batch
+    interval-join pair set — asserted pairwise in tests/test_streaming.py
+    and hash-checked against DuckDB here."""
     from flusher_spark.streaming.joins import join_purchases_to_views
     from flusher_spark.streaming.windows import stream_events
 

@@ -204,6 +204,68 @@ def test_ppm_codec_roundtrip():
         decode_ppm(b"P3\n1 1\n255\n0 0 0")  # ASCII PPM is not supported
 
 
+def test_png_codec_roundtrip():
+    from flusher_spark.operators.multimodal import decode_png, synth_png
+
+    d = decode_png(synth_png(7, 5, (10, 128, 255)))
+    assert (d["width"], d["height"]) == (7, 5)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (10.0, 128.0, 255.0)
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    # Corrupt one IDAT byte: the CRC check must catch it.
+    p = bytearray(synth_png(4, 4, (1, 2, 3)))
+    p[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(p))
+
+
+def test_png_unfilter_all_filter_types():
+    """Encode one 3x3 RGB image five times, once per PNG filter type, and
+    assert the decoder reconstructs identical pixels each way — exercises
+    Sub/Up/Average/Paeth, not just the filter-0 path synth_png emits."""
+    import struct
+    import zlib
+
+    from flusher_spark.operators.multimodal import decode_png
+
+    w = h = 3
+    # Pixel (x, y) = (10x+y, 20x, 30y): distinct per channel and position.
+    raw = [
+        [(10 * x + y, 20 * x, 30 * y) for x in range(w)]
+        for y in range(h)
+    ]
+
+    def encode(ftype: int) -> bytes:
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        stream = bytearray()
+        prev = [0] * (w * 3)
+        for y in range(h):
+            line = [v for px in raw[y] for v in px]
+            stream.append(ftype)
+            for i in range(w * 3):
+                left = line[i - 3] if i >= 3 else 0
+                up = prev[i]
+                ul = prev[i - 3] if i >= 3 else 0
+                pred = {0: 0, 1: left, 2: up, 3: (left + up) // 2, 4: paeth(left, up, ul)}[ftype]
+                stream.append((line[i] - pred) & 0xFF)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(stream))) + chunk(b"IEND", b""))
+
+    expect = decode_png(encode(0))
+    for ftype in (1, 2, 3, 4):
+        assert decode_png(encode(ftype)) == expect
+
+
 def test_wav_features_null_on_junk(spark):
     """Undecodable payloads surface as NULL features (drift, not failure)."""
     from flusher_spark.operators.multimodal import synth_wav, wav_features
