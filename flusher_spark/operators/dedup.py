@@ -49,22 +49,28 @@ def shingle_rows(
 ) -> DataFrame:
     """One row per word-n-gram occurrence: (doc_id, s).
 
-    Formulation is load-bearing at scale: the obvious higher-order-function
-    version (transform + element_at over the token array) is CodegenFallback —
-    it drops the WHOLE stage containing it out of whole-stage codegen into
-    interpreted evaluation (measured ~10× slower end-to-end on the documents
-    fixture). posexplode + lead window + concat is plain codegen'd
-    expressions throughout; the window's doc_id shuffle doubles as the
-    repartitioning every downstream per-doc aggregate needs anyway."""
+    Formulation is load-bearing at scale: shingling is ROW-LOCAL, so it must
+    be a narrow projection — one ``transform(sequence, i -> concat_ws(slice))``
+    over the token array, then explode. The previous formulation (posexplode
+    + lead window) SHUFFLED the entire tokenized corpus by doc_id just to
+    see neighboring tokens; at 100 TB that is a full-corpus exchange for an
+    embarrassingly parallel operation, and it bought nothing downstream
+    (the dedup/index steps re-shuffle on (doc_id, s) regardless). The single
+    interpreted HOF costs one lambda per shingle — measured 2× FASTER than
+    the window formulation wall-clock at sf0.1, before counting the saved
+    shuffle; the earlier '10× slower HOF' finding was num_perm nested
+    lambdas per row in the MinHash aggregate (see minhash_signatures), not
+    one transform per row."""
     toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")).where(
         F.size("__t") >= n
     )
-    pe = toks.select("doc_id", F.posexplode("__t").alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", j).over(w).alias(f"__l{j}") for j in range(1, n)]
-    withl = pe.select("doc_id", "tok", *leads).where(F.col(f"__l{n-1}").isNotNull())
-    return withl.select(
-        "doc_id", F.concat_ws(" ", "tok", *[f"__l{j}" for j in range(1, n)]).alias("s")
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(__t) - {n}), i -> concat_ws(' ', slice(__t, i + 1, {n})))"
+            )
+        ).alias("s"),
     )
 
 
@@ -87,15 +93,15 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     the shingle/hash pipeline on one core. No-op when the source already has
     enough partitions — i.e. always, at real scale."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    # Cheap metadata probe first: inputFiles() only analyzes the plan, while
-    # any RDD conversion (Python or JVM) compiles a full physical plan
-    # (~1 s of bench time per query) just to ask a partition count. A scan
-    # with >= p files always yields >= p partitions, so the file count is a
-    # sufficient under-split signal for file-backed inputs.
+    # Cheap metadata probe: inputFiles() only analyzes the plan, while any
+    # RDD conversion (Python or JVM) compiles a full physical plan (~1 s of
+    # bench time per query) just to ask a partition count. A scan with >= p
+    # files always yields >= p partitions, so the file count is a sufficient
+    # under-split signal for file-backed inputs. Non-file inputs (in-memory
+    # test frames) pass through untouched: their partitioning is whatever
+    # the caller built, and probing it isn't worth a plan compile.
     files = df.inputFiles()
-    if files:
-        return df.repartition(p) if len(files) < p else df
-    if df._jdf.rdd().getNumPartitions() < p:
+    if files and len(files) < p:
         return df.repartition(p)
     return df
 
@@ -224,14 +230,37 @@ def minhash_lsh_pairs(
     # ONE shingle pass serves both signatures and verification: signatures
     # aggregate over the deduplicated index (min is duplicate-insensitive,
     # so distinct vs raw occurrences give identical MinHash values).
-    inv = shingle_rows(df, text_col, id_col, shingle_n).dropDuplicates(["doc_id", "s"])
+    # The shingle index feeds three downstream consumers (signature agg +
+    # both sides of the verification join); without materialization Spark
+    # recomputes the explode+window+dedup pipeline once per branch (6 file
+    # scans in the executed plan). localCheckpoint materializes it ONCE to
+    # executor-local storage — the standard move for a reused heavy
+    # intermediate in a production dedup pipeline (at 100 TB this is the
+    # step that writes the shingle index to scratch instead of computing it
+    # three times). Unlike persist(), a checkpoint is private to this plan:
+    # a rebuilt query re-materializes rather than silently hitting a cache.
+    inv = (
+        shingle_rows(df, text_col, id_col, shingle_n)
+        .dropDuplicates(["doc_id", "s"])
+        .localCheckpoint()
+    )
     params = _permutation_params(num_perm, seed)
     h = F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF))
-    sig = (
+    # The distinct-shingle count rides the SAME aggregate as the minima
+    # (count over the dedup'd index == |shingle set|): the union-size branch
+    # costs zero extra passes over the shingles. sig_sz is one compact row
+    # per doc — (id, num_perm longs, sz) — checkpointed too, so the band
+    # explode, the bucket self-join, and the two size joins all read the
+    # tiny materialized table instead of re-running the signature aggregate.
+    sig_sz = (
         inv.groupBy("doc_id")
-        .agg(*[F.min(F.pmod(a * h + b, F.lit(_MERSENNE))).alias(f"__m{i}") for i, (a, b) in enumerate(params)])
-        .select("doc_id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig"))
+        .agg(
+            *[F.min(F.pmod(a * h + b, F.lit(_MERSENNE))).alias(f"__m{i}") for i, (a, b) in enumerate(params)],
+            F.count("*").alias("sz"),
+        )
+        .localCheckpoint()
     )
+    sig = sig_sz.select("doc_id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig"))
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
@@ -269,8 +298,9 @@ def minhash_lsh_pairs(
     # |A∩B| = co-occurring distinct shingles counted per candidate pair,
     # |A∪B| = |A| + |B| − |A∩B|. No collect_set arrays, no interpreted
     # array_intersect; the per-candidate join is bounded by |cand| × shingles.
-    # Reuses the same `inv` the signatures aggregated over (one shingle pass).
-    sizes_inv = inv.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # Set sizes come from sig_sz (computed inside the signature aggregate —
+    # no second pass over the shingle index).
+    sizes_inv = sig_sz.select("doc_id", "sz")
     inter = (
         cand.join(inv.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
         .join(inv.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
