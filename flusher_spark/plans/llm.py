@@ -65,6 +65,89 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY {_NORM_SQL}
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY {_NORM_SQL}) AS n_copies
+      FROM documents)
+    SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies, n_chars
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the BEST copy per group, not the first: the
+    production policy when duplicate pages differ in extraction quality
+    (keep the longest; ties broken by lowest id for determinism). Argmax
+    via max(struct(quality, -id)) — ONE partial-aggregated shuffle on the
+    normalized-text key, no window over raw rows (the oracle's ROW_NUMBER
+    formulation picks the same rows but would sort every group's rows at
+    scale; the struct-max is a constant-memory aggregate)."""
+    from flusher_spark.operators.text import normalized_text
+
+    d = load_table(spark, sf_dir, "documents")
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid")))
+    return (
+        d.groupBy(normalized_text(F.col("text")).alias("__norm"))
+        .agg(best.alias("__best"), F.count("*").alias("n_copies"))
+        .select(
+            (-F.col("__best.nid")).alias("doc_id"),
+            "n_copies",
+            F.col("__best.n_chars").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "corpus_source_mix",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS nt FROM documents),
+    agg AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+      FROM per_doc GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share,
+           LEAST(
+             CAST(1.0 AS DOUBLE),
+             (CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE))
+               / (CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE))
+           ) AS sample_frac
+    FROM agg
+    """,
+)
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-source token counts, corpus share,
+    and the downsample-only fraction that equalizes every source's token
+    contribution (target = uniform 1/n_sources; sources under target keep
+    frac 1.0 — upsampling is a separate repeat pass). The heavy part is ONE
+    partial-aggregated shuffle over per-doc token counts; the share/target
+    arithmetic runs as unpartitioned windows over the tiny per-source
+    aggregate (rows = #sources, bounded by construction). Token sums are
+    exact bigints, so the shares compare bit-for-bit with the oracle."""
+    from flusher_spark.operators.text import n_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    agg = (
+        d.select("source", n_tokens(F.col("text")).alias("__nt"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("__nt").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double")
+    target = F.lit(1.0) / F.count("*").over(w).cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.least(F.lit(1.0), target / share).alias("sample_frac"),
+    )
+
+
+@register(
     "dedup_fingerprint",
     oracle=f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
 )
