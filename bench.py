@@ -60,6 +60,9 @@ HEADLINE = [
     "vocab_bigram_counts",
     "text_pii_redact",
     "quality_expectations_orders",
+    # round 3 additions
+    "dedup_keep_best",
+    "corpus_source_mix",
 ]
 
 

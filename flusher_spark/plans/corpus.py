@@ -150,22 +150,29 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation set (docs with doc_id % DECON_EVAL_MOD == 0).
 
     Scale shape: the eval side is a benchmark suite — small by nature — so
-    its distinct-shingle set is BROADCAST and the overlap count is a
-    broadcast semi-ish join at corpus-scan speed; the only shuffles are the
-    two per-doc distinct aggregates, which reuse the doc_id partitioning
-    shingle_rows already established (operators/dedup.py:47). No all-pairs
-    comparison anywhere."""
+    its distinct-shingle set is BROADCAST (with a hit marker), and BOTH
+    per-doc counts ride ONE aggregate over the left-joined training
+    shingles: count(*) = |doc's shingle set|, count(hit) = |overlap|. One
+    shuffle total after the broadcast build. (Unlike minhash_lsh_pairs, the
+    shingle table is NOT checkpointed: only two branches read it and one is
+    the small eval build — measured, the narrow-shingle recompute is
+    cheaper than materializing 2.8M rows.) The zero-overlap filter
+    reproduces the oracle's inner n⋈o join. No all-pairs comparison
+    anywhere; top-50 is TakeOrderedAndProject."""
     d = load_table(spark, sf_dir, "documents")
     g = shingle_rows(d, n=DECON_N).distinct()
     ev = F.broadcast(
         g.where(F.col("doc_id") % DECON_EVAL_MOD == 0).select("s").distinct()
     )
     tr = g.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
-    n = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    o = tr.join(ev, "s").groupBy("doc_id").agg(F.count("*").alias("n_overlap"))
+    per = (
+        tr.join(ev.withColumn("__hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"), F.count("__hit").alias("n_overlap"))
+        .where(F.col("n_overlap") > 0)
+    )
     return (
-        n.join(o, "doc_id")
-        .select(
+        per.select(
             "doc_id", "n_overlap", "n_shingles",
             (F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")).alias(
                 "overlap_ratio"
