@@ -75,6 +75,31 @@ def test_semi_and_anti_joins_planned_as_joins(spark):
     assert "LeftAnti" in _plan(registry()["join_anti"].fn(spark, SF))
 
 
+def test_shingling_is_a_narrow_projection(spark):
+    """Shingle generation must never shuffle: it is row-local work, and at
+    corpus scale a windowed formulation exchanges the entire tokenized
+    corpus. Locks in the transform+slice formulation (operators/dedup.py)."""
+    from flusher_spark.io.tables import load_table
+    from flusher_spark.operators.dedup import shingle_rows
+
+    plan = _plan(shingle_rows(load_table(spark, SF, "documents")))
+    assert "Exchange" not in plan and "Window" not in plan
+
+
+def test_decontaminate_single_aggregate_after_broadcast(spark):
+    """Both per-doc counts (shingle-set size, eval overlap) must ride one
+    aggregate over the broadcast left join: exactly one exchange on doc_id
+    downstream of the broadcast build, not two aggregates plus a join."""
+    df = registry()["decontaminate_ngram_overlap"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin LeftOuter" in plan or "BroadcastHashJoin" in plan
+    # One doc_id-only hash-partitioning exchange for the combined aggregate;
+    # the (doc_id, s) exchange is the distinct(), plus the broadcast itself.
+    import re
+
+    assert len(re.findall(r"hashpartitioning\(doc_id#\d+L?, \d+\)", plan)) == 1
+
+
 def test_no_cartesian_in_lsh_dedup(spark):
     from flusher_spark.io.tables import load_table
     from flusher_spark.operators.dedup import minhash_lsh_pairs
