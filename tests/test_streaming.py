@@ -45,6 +45,24 @@ def _batch_events(spark):
     return load_table(spark, "/root/testdata/sf0.001", "events")
 
 
+def test_normalize_event_ts_all_encodings(spark):
+    """Every encoding the testdata generator has shipped — INT64-ns as
+    bigint, timestamp_ntz, and canonical timestamp — normalizes to the same
+    session-tz TIMESTAMP instant."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.tables import normalize_event_ts
+
+    us = 1_704_067_200_000_000  # 2024-01-01T00:00:00 in µs
+    as_ns = spark.createDataFrame([(us * 1000,)], "ts long")
+    as_ntz = spark.range(1).select(F.timestamp_micros(F.lit(us)).cast("timestamp_ntz").alias("ts"))
+    as_ts = spark.range(1).select(F.timestamp_micros(F.lit(us)).alias("ts"))
+    outs = [normalize_event_ts(df) for df in (as_ns, as_ntz, as_ts)]
+    for out in outs:
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        assert out.select(F.unix_micros("ts")).first()[0] == us
+
+
 def _canon(df):
     pdf = df.toPandas()
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
