@@ -357,8 +357,13 @@ def simhash_pairs(
     Pigeonhole banding: split the 64-bit signature into 4 16-bit chunks; any
     pair within Hamming ≤ 3 must agree exactly on ≥1 chunk, so an equi-join
     per chunk finds all candidates without a cartesian product; bit_count of
-    xor verifies."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    xor verifies.
+
+    The signature table (one long per doc) is localCheckpoint'ed: it feeds
+    the bucket-size filter and both sides of the candidate self-join, and
+    without materialization each branch replays the full-corpus explode +
+    64-vote aggregate (same reasoning as minhash_lsh_pairs)."""
+    sigs = simhash_signatures(df, text_col, id_col).localCheckpoint()
     chunks = sigs.select(
         "doc_id",
         "sig",
@@ -416,9 +421,14 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     round, not a collect of the data).
     """
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # Materialize the edge list once: every propagation round joins against
+    # it, and without a checkpoint each round replays the entire upstream
+    # pair pipeline (LSH bucketing + verification) — O(rounds) corpus passes.
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
