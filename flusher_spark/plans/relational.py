@@ -2033,6 +2033,31 @@ def events_stateful_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_dedup_native",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def events_stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup via Spark's BUILT-IN stateful operator: the
+    idiomatic 100 TB path next to the applyInPandasWithState demo
+    (events_stateful_dedup_first). ``dropDuplicates`` on a stream keeps its
+    key set in the JVM state store — no Python worker, no per-key pandas
+    call — so the FULL doubled event stream dedups in one pass with no
+    user-slice concession. Production bounds state with
+    ``withWatermark``/``dropDuplicatesWithinWatermark``; the bounded
+    catalog stream completes before eviction matters, so the surviving set
+    equals the original table exactly (full oracle)."""
+    from flusher_spark.streaming.windows import stream_events
+
+    path = _stage_event_stream(spark, sf_dir, dup=True)
+    stream = stream_events(spark, path).select("event_id", "user_id", "event_type", "value")
+    return _run_stream_entry(
+        spark, lambda: stream.dropDuplicates(["event_id"]), "cat_native_dedup", "append"
+    )
+
+
+@register(
     "events_stream_stream_join",
     oracle="""
     WITH p AS (
