@@ -73,3 +73,81 @@ def asof_join(
         F.col(f"{_PAYLOAD}.{right_ts}").alias(f"{right_ts}{suffix}"),
     )
     return out
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance_us: int,
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the right row whose timestamp is NEAREST
+    (either direction) within ``tolerance_us`` — pandas
+    ``merge_asof(direction='nearest')``, scalably. The tolerance is in
+    microseconds for TIMESTAMP columns and in the column's own units for
+    numeric timestamps (matching asof_join, which is type-agnostic too).
+
+    Same shape as :func:`asof_join` — union both sides, ONE shuffle on the
+    keys — but with TWO running windows over the same sort (Spark plans
+    them as one Window node): the latest prior right row and the earliest
+    following right row. Each left row then picks the closer candidate
+    (ties prefer the prior row; equal-timestamp right rows count as prior
+    with distance 0) and drops it if beyond tolerance. No range explosion:
+    cost is the one sort, not tolerance-proportional fan-out.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in on and c != right_ts]
+
+    out_cols = [f"{c}{suffix}" for c in value_cols]
+    payload = F.struct(*[F.col(c).alias(c) for c in [right_ts, *value_cols]])
+    ptype = right.select(payload.alias(_PAYLOAD)).schema[_PAYLOAD].dataType
+
+    lhs = left.withColumn(_SIDE, F.lit(1)).withColumn(_PAYLOAD, F.lit(None).cast(ptype))
+    rhs = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias(_SIDE),
+        payload.alias(_PAYLOAD),
+    )
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(lhs.dtypes)[c]))
+    rhs = rhs.select(*lhs.columns)
+
+    order = [F.col(left_ts).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).desc()]
+    w_back = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.partitionBy(*on).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    merged = (
+        lhs.unionByName(rhs)
+        .withColumn("__back", F.last(_PAYLOAD, ignorenulls=True).over(w_back))
+        .withColumn("__fwd", F.first(_PAYLOAD, ignorenulls=True).over(w_fwd))
+    )
+
+    is_ts = dict(left.dtypes).get(left_ts, "").startswith("timestamp")
+
+    def tnum(c):
+        return F.unix_micros(c) if is_ts else c.cast("long")
+
+    ts_us = tnum(F.col(left_ts))
+    back_diff = ts_us - tnum(F.col(f"__back.{right_ts}"))
+    fwd_diff = tnum(F.col(f"__fwd.{right_ts}")) - ts_us
+    back_ok = F.col("__back").isNotNull() & (back_diff <= tolerance_us)
+    fwd_ok = F.col("__fwd").isNotNull() & (fwd_diff <= tolerance_us)
+    chosen = (
+        F.when(back_ok & (~fwd_ok | (back_diff <= fwd_diff)), F.col("__back"))
+        .when(fwd_ok, F.col("__fwd"))
+        .otherwise(F.lit(None).cast(ptype))
+    )
+    return (
+        merged.where(F.col(_SIDE) == 1)
+        .withColumn(_PAYLOAD, chosen)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"{_PAYLOAD}.{src}").alias(dst) for src, dst in zip(value_cols, out_cols)],
+            F.col(f"{_PAYLOAD}.{right_ts}").alias(f"{right_ts}{suffix}"),
+        )
+    )

@@ -1123,6 +1123,48 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_nearest_view",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+    best AS (
+      SELECT p.event_id, EPOCH_US(v.vts) AS nearest_view_ts_us
+      FROM p JOIN v ON p.user_id = v.user_id
+        AND ABS(EPOCH_US(p.ts) - EPOCH_US(v.vts)) <= 3600000000
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY p.event_id
+        ORDER BY ABS(EPOCH_US(p.ts) - EPOCH_US(v.vts)), EPOCH_US(v.vts)) = 1)
+    SELECT p.event_id, p.user_id, EPOCH_US(p.ts) AS purchase_ts_us,
+           best.nearest_view_ts_us
+    FROM p LEFT JOIN best USING (event_id)
+    """,
+)
+def asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof direction='nearest'):
+    each purchase paired with the closest view by the same user within ±1 h,
+    whichever side is closer (ties prefer the prior view). Composed from the
+    union + dual running-window formulation (operators/asof.py
+    asof_join_nearest) — ONE shuffle, both direction passes in one Window
+    node, no tolerance-proportional join fan-out (the oracle's |Δt| ≤ tol
+    theta-join explodes with tolerance; the engine's cost is the sort)."""
+    from flusher_spark.operators.asof import asof_join_nearest
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = e.where(F.col("event_type") == "view").select("user_id", F.col("ts").alias("view_ts"))
+    joined = asof_join_nearest(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="view_ts",
+        tolerance_us=3_600_000_000, value_cols=[],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("view_ts_right").alias("nearest_view_ts_us"),
+    )
+
+
+@register(
     "join_range_binned",
     oracle="""
     WITH promo AS (

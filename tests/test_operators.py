@@ -56,6 +56,41 @@ def test_asof_equal_timestamp_visible(spark):
     assert row["rv_right"] == 7
 
 
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    from flusher_spark.operators.asof import asof_join_nearest
+
+    left = pd.DataFrame({"k": [1, 1, 1, 2, 2], "t": [5, 10, 20, 7, 9], "lv": list("abcde")})
+    right = pd.DataFrame({"k": [1, 1, 2], "rt": [4, 12, 30], "rv": [100, 200, 300]})
+    got = (
+        asof_join_nearest(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on=["k"], left_ts="t", right_ts="rt", tolerance_us=6,
+        )
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    expected = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("rt"), left_on="t", right_on="rt",
+        by="k", direction="nearest", tolerance=6,
+    ).sort_values(["k", "t"])
+    norm = lambda vals: [None if pd.isna(v) else float(v) for v in vals]
+    assert norm(got["rv_right"]) == norm(expected["rv"])
+
+
+def test_asof_nearest_tie_prefers_prior_and_tolerance_excludes(spark):
+    from flusher_spark.operators.asof import asof_join_nearest
+
+    # t=10 is equidistant from rt=8 and rt=12 → prior (8) wins the tie.
+    left = spark.createDataFrame([(1, 10), (1, 100)], "k long, t long")
+    right = spark.createDataFrame([(1, 8, 7), (1, 12, 9)], "k long, rt long, rv long")
+    rows = {r["t"]: r for r in
+            asof_join_nearest(left, right, ["k"], "t", "rt", tolerance_us=5).collect()}
+    assert rows[10]["rv_right"] == 7
+    # t=100: nearest candidate is 88 away — beyond tolerance → null.
+    assert rows[100]["rv_right"] is None
+
+
 # -- dedup -------------------------------------------------------------------
 
 
