@@ -63,6 +63,7 @@ HEADLINE = [
     # round 3 additions
     "dedup_keep_best",
     "corpus_source_mix",
+    "asof_nearest_view",
 ]
 
 
