@@ -148,6 +148,61 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mix_apply",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS nt FROM documents),
+    agg AS (
+      SELECT d.source, SUM(p.nt) AS n_tokens
+      FROM documents d JOIN per_doc p USING (doc_id) GROUP BY d.source),
+    mix AS (
+      SELECT source,
+             CAST(LEAST(
+               CAST(1.0 AS DOUBLE),
+               (CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE))
+                 / (CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE))
+             ) * 1000000 AS BIGINT) AS keep_below
+      FROM agg)
+    SELECT d.source, COUNT(*) AS n_kept, SUM(p.nt) AS tokens_kept,
+           MIN(d.doc_id) AS min_id, MAX(d.doc_id) AS max_id
+    FROM documents d
+    JOIN per_doc p USING (doc_id)
+    JOIN mix USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+          < mix.keep_below
+    GROUP BY d.source
+    """,
+)
+def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the training-mixture reweighting computed by corpus_source_mix:
+    each document survives iff its deterministic hash bucket (md5 of doc_id,
+    one-in-a-million resolution) falls under its source's downsample
+    fraction. The mix table is #sources rows — broadcast — so application
+    is a codegen'd projection + filter over one corpus scan: reproducible
+    across runs, partitionings, and engines (same md5 arithmetic as
+    sample_hash_split), append-stable, and shuffle-free except the final
+    per-source summary aggregate that makes the result assertable."""
+    from flusher_spark.operators.sampling import hash_bucket
+    from flusher_spark.operators.text import n_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    mix = corpus_source_mix(spark, sf_dir).select(
+        "source", (F.col("sample_frac") * 1_000_000).cast("long").alias("keep_below")
+    )
+    kept = (
+        d.select("source", "doc_id", n_tokens(F.col("text")).alias("__nt"))
+        .join(F.broadcast(mix), "source")
+        .where(hash_bucket(F.col("doc_id"), 1_000_000) < F.col("keep_below"))
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("__nt").alias("tokens_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
     "dedup_fingerprint",
     oracle=f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
 )
