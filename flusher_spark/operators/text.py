@@ -22,9 +22,16 @@ LANG_PROFILES = {
 CJK_PATTERN = "[一-鿿]"
 
 
+# Java's default \s, spelled out. Written explicitly (here AND in every
+# DuckDB oracle) because the shorthand is engine-specific: Java \s includes
+# \x0B, RE2/DuckDB \s does not — an implicit class silently diverges the
+# token counts the first time a fixture contains a vertical tab.
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of trimmed, lowercased text."""
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    return F.split(F.lower(F.trim(text)), WS_CLASS + "+")
 
 
 def n_tokens(text: Column) -> Column:
@@ -38,9 +45,9 @@ def n_unique_tokens(text: Column) -> Column:
 def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word-ish token count: alpha runs, digit runs, and single
     non-alphanumeric marks — a deterministic BPE stand-in."""
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).cast(
-        "long"
-    )
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]"), 0)
+    ).cast("long")
 
 
 def stopword_count(text: Column, profile: str = "en") -> Column:
@@ -83,7 +90,7 @@ def lang_id(text: Column) -> Column:
 
 def normalized_text(text: Column) -> Column:
     """Whitespace-collapsed lowercase — the dedup canonical form."""
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(text)), WS_CLASS + "+", " ")
 
 
 def fingerprint_md5(text: Column) -> Column:

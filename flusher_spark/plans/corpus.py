@@ -33,7 +33,10 @@ from flusher_spark.operators.dedup import shingle_rows
 from flusher_spark.operators.text import n_tokens, tokens
 from flusher_spark.plans.catalog import register
 
-_TOKENS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+# The whitespace class is spelled out (not '\s') in every oracle: DuckDB's
+# RE2 \s excludes \x0B while Spark/Java's includes it — the explicit class
+# keeps both engines' tokenization identical on any fixture.
+_TOKENS_SQL = r"string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')"
 
 #: Java-regex == RE2 subset; '%' is dropped from the local-part class vs the
 #: usual RFC-ish pattern purely to stay printf-safe in logs/oracles.
@@ -93,7 +96,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(regexp_extract_all(t, '{TAG_RE}')) AS n_tags,
            trim(regexp_replace(regexp_replace(t, '{TAG_RE}', ' ', 'g'),
-                               '\\s+', ' ', 'g')) AS clean_text
+                               '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS clean_text
     FROM aug ORDER BY doc_id
     """,
 )
@@ -114,7 +117,7 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_count("t", F.lit(TAG_RE)).cast("long").alias("n_tags"),
         F.trim(
-            F.regexp_replace(F.regexp_replace("t", TAG_RE, " "), r"\s+", " ")
+            F.regexp_replace(F.regexp_replace("t", TAG_RE, " "), "[ \\t\\n\\x0B\\f\\r]+", " ")
         ).alias("clean_text"),
     ).orderBy("doc_id")
 
@@ -199,7 +202,7 @@ PACK_BUCKETS = 8
     WITH d AS (SELECT doc_id, doc_id % {PACK_BUCKETS} AS bucket,
                       len({_TOKENS_SQL}) AS n_tok FROM documents),
     c AS (SELECT doc_id, bucket, n_tok,
-                 SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                 SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id, n_tok
                                   ROWS UNBOUNDED PRECEDING) AS cum
           FROM d),
     p AS (SELECT bucket, (cum - n_tok) // {PACK_BUDGET} AS pack_id, doc_id, n_tok FROM c)
@@ -216,13 +219,18 @@ def pack_sequences_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, one-shuffle approximation of greedy bin packing: packs
     can overshoot by at most one document, and every engine that orders by
     doc_id produces the identical packing — which is exactly what a
-    resumable 100 TB tokenization job needs."""
+    resumable 100 TB tokenization job needs. The cumsum ORDER BY key is
+    (doc_id, n_tok): doc_id is unique on every fixture seen so far, but if
+    a regenerated fixture ever duplicates it, rows tied on the FULL key are
+    interchangeable for the (bucket, pack_id) aggregate — bucket derives
+    from doc_id and n_tok is in the key — so the packing stays engine- and
+    run-deterministic instead of silently depending on tie order."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
         n_tokens(F.col("text")).alias("n_tok"),
     )
-    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+    w = Window.partitionBy("bucket").orderBy("doc_id", "n_tok").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     c = d.select("bucket", "n_tok", F.sum("n_tok").over(w).alias("cum"))

@@ -25,8 +25,10 @@ from flusher_spark.operators import similarity as S
 from flusher_spark.operators import text as T
 from flusher_spark.plans.catalog import register
 
-_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
-_TOKENS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+# Whitespace class spelled out (not '\s'): DuckDB's RE2 \s excludes \x0B
+# while Spark/Java's includes it — explicit keeps both engines identical.
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')"
+_TOKENS_SQL = r"string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')"
 EMBEDDING_DIM = 64
 
 
@@ -157,11 +159,11 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d JOIN per_doc p USING (doc_id) GROUP BY d.source),
     mix AS (
       SELECT source,
-             CAST(LEAST(
+             CAST(FLOOR(LEAST(
                CAST(1.0 AS DOUBLE),
                (CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE))
                  / (CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE))
-             ) * 1000000 AS BIGINT) AS keep_below
+             ) * 1000000) AS BIGINT) AS keep_below
       FROM agg)
     SELECT d.source, COUNT(*) AS n_kept, SUM(p.nt) AS tokens_kept,
            MIN(d.doc_id) AS min_id, MAX(d.doc_id) AS max_id
@@ -181,13 +183,16 @@ def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a codegen'd projection + filter over one corpus scan: reproducible
     across runs, partitionings, and engines (same md5 arithmetic as
     sample_hash_split), append-stable, and shuffle-free except the final
-    per-source summary aggregate that makes the result assertable."""
+    per-source summary aggregate that makes the result assertable. The
+    double->long boundary is floor()ed EXPLICITLY on both sides: Spark's
+    bare cast truncates while DuckDB's rounds to nearest, so an implicit
+    cast diverges whenever frac(sample_frac*1e6) >= 0.5."""
     from flusher_spark.operators.sampling import hash_bucket
     from flusher_spark.operators.text import n_tokens
 
     d = load_table(spark, sf_dir, "documents")
     mix = corpus_source_mix(spark, sf_dir).select(
-        "source", (F.col("sample_frac") * 1_000_000).cast("long").alias("keep_below")
+        "source", F.floor(F.col("sample_frac") * 1_000_000).cast("long").alias("keep_below")
     )
     kept = (
         d.select("source", "doc_id", n_tokens(F.col("text")).alias("__nt"))
@@ -269,7 +274,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT) AS n_unique,
-           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_ish,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]')) AS BIGINT) AS n_bpe_ish,
            CAST(LENGTH(text) AS BIGINT) AS n_chars_actual
     FROM documents
     """,
@@ -763,7 +768,7 @@ def text_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tfidf_top_terms",
     oracle=r"""
     WITH toks AS (
-      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS term
       FROM documents),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
     dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),

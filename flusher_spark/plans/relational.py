@@ -2423,38 +2423,58 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_zscore_outliers",
     oracle="""
-    WITH stats AS (
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cv
+      FROM events),
+    stats AS (
       SELECT event_type, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS s1,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(8,2)) * CAST(value AS DECIMAL(8,2)))
-                  AS DECIMAL(38,6)) AS DOUBLE) AS s2
-      FROM events GROUP BY event_type)
-    SELECT e.event_type, MIN(s.n) AS n,
-           SUM(CASE WHEN ABS((e.value - s.s1 / s.n)
-                             / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 2.5
+             CAST(SUM(cv) AS HUGEINT) AS s1,
+             CAST(SUM(cv * cv) AS HUGEINT) AS s2
+      FROM v GROUP BY event_type)
+    SELECT v.event_type, MIN(s.n) AS n,
+           SUM(CASE WHEN 4 * CAST(s.n * v.cv - s.s1 AS HUGEINT)
+                        * CAST(s.n * v.cv - s.s1 AS HUGEINT)
+                        * CAST(s.n - 1 AS HUGEINT)
+                      > 25 * CAST(s.n AS HUGEINT)
+                           * (CAST(s.n AS HUGEINT) * s.s2 - s.s1 * s.s1)
                     THEN 1 ELSE 0 END) AS outlier_cnt
-    FROM events e JOIN stats s ON e.event_type = s.event_type
-    GROUP BY e.event_type ORDER BY e.event_type
+    FROM v JOIN stats s USING (event_type)
+    GROUP BY v.event_type ORDER BY v.event_type
     """,
 )
 def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group anomaly flagging: |z| > 2.5 against the group's own
-    mean/stddev. Moments come from exact decimal sums (value is a 2-decimal
-    money-style column, its decimal square is exact), so mean/variance are
-    the same deterministic IEEE expressions in both engines and the
-    threshold compare cannot flip on aggregation order. Spark computes the
+    mean/stddev, decided in EXACT integer arithmetic. value is a 2-decimal
+    money-style column, so cv = 100*value is an exact integer; with
+    n = count, s1 = SUM(cv), s2 = SUM(cv^2) the test
+
+        |z| > 5/2  <=>  4*(n*cv - s1)^2*(n-1) > 25*n*(n*s2 - s1^2)
+
+    (the /100 scale cancels on both sides). No sqrt, no doubles: the
+    boundary cannot flip on engine-version FMA/rounding differences, which
+    is exactly how the double formulation hash-mismatched in the round-3
+    driver while passing locally (boundary gap was ~1.4e-4). Both engines
+    evaluate in 128-bit-class exact types (Spark decimal(38,0), DuckDB
+    HUGEINT): with |value| <= 10^6 the largest term is ~25*n^3*cv^2, inside
+    38 digits for n up to ~7e8 rows per group — document-scale safe, and a
+    scale-out would shard the group first anyway. Spark computes the
     moments as UNORDERED windows over the event_type partition — one scan
-    and one shuffle, instead of the aggregate-and-join-back double scan (the
-    oracle keeps the join form: semantically identical)."""
+    and one shuffle, instead of the aggregate-and-join-back double scan
+    (the oracle keeps the join form: semantically identical)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type")
-    vdec = dec("value", "decimal(8,2)")
+    d38 = "decimal(38,0)"
+    cv = (dec("value", "decimal(8,2)") * 100).cast("long")
+    ev = e.select("event_type", cv.alias("cv"))
     n = F.count("*").over(w)
-    s1 = F.sum(vdec).over(w).cast("double")
-    s2 = F.sum(vdec * vdec).over(w).cast("decimal(38,6)").cast("double")
-    z = (F.col("value") - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1)))
+    s1 = F.sum("cv").over(w).cast(d38)
+    s2 = F.sum(F.col("cv") * F.col("cv")).over(w).cast(d38)
+    dev = (n.cast(d38) * F.col("cv").cast(d38) - s1)
+    lhs = F.lit(4).cast(d38) * dev * dev * (n - F.lit(1)).cast(d38)
+    rhs = F.lit(25).cast(d38) * n.cast(d38) * (n.cast(d38) * s2 - s1 * s1)
     return (
-        e.select("event_type", n.alias("n"), F.when(F.abs(z) > 2.5, 1).otherwise(0).alias("f"))
+        ev.select("event_type", n.alias("n"), F.when(lhs > rhs, 1).otherwise(0).alias("f"))
         .groupBy("event_type")
         .agg(F.min("n").alias("n"), F.sum("f").alias("outlier_cnt"))
         .orderBy("event_type")

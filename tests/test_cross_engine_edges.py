@@ -1,0 +1,142 @@
+"""Cross-engine boundary tests for the razor-edge classes the round-3 driver
+hit: whitespace-class tokenizer divergence (Java \\s includes \\x0B, RE2's
+does not), double->long cast semantics (Spark truncates, DuckDB rounds), and
+the exact-integer z-score threshold. Each test runs BOTH engines on the same
+adversarial micro-fixture — not the clean driver fixtures — so the edge is
+actually exercised.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from flusher_spark.operators.text import bpe_ish_token_count, n_tokens, normalized_text
+
+# Texts chosen so every whitespace character Java's \s covers appears, plus
+# unicode spaces NEITHER engine's class covers (must count as token chars).
+EDGE_TEXTS = [
+    "plain text here",
+    "tab\tsep",
+    "newline\nsep",
+    "vertical\x0btab",  # THE divergent char between Java \s and RE2 \s
+    "formfeed\x0csep",
+    "carriage\rreturn",
+    "nbsp joined",  # NBSP: not whitespace in either engine's class
+    "thin space",
+    " \x0b \t mixed \r\n edges \x0c ",
+    "",
+    "   ",
+    "\x0b",
+]
+
+_TOKENS_SQL = r"string_split_regex(lower(trim(t)), '[ \t\n\x0b\f\r]+')"
+_NORM_SQL = r"regexp_replace(lower(trim(t)), '[ \t\n\x0b\f\r]+', ' ', 'g')"
+
+
+@pytest.fixture(scope="module")
+def edge_df(spark):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(EDGE_TEXTS)], "i long, t string")
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (i BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", list(enumerate(EDGE_TEXTS)))
+    return con.sql(sql).fetchall()
+
+
+def test_token_count_matches_duckdb_on_exotic_whitespace(edge_df):
+    got = {
+        r["i"]: r["n"]
+        for r in edge_df.select("i", n_tokens(F.col("t")).alias("n")).collect()
+    }
+    want = dict(_duck(f"SELECT i, CAST(len({_TOKENS_SQL}) AS BIGINT) FROM docs ORDER BY i"))
+    assert got == want
+
+
+def test_normalized_text_matches_duckdb_on_exotic_whitespace(edge_df):
+    got = {
+        r["i"]: r["nt"]
+        for r in edge_df.select("i", normalized_text(F.col("t")).alias("nt")).collect()
+    }
+    want = dict(_duck(f"SELECT i, {_NORM_SQL} FROM docs ORDER BY i"))
+    assert got == want
+
+
+def test_bpe_ish_count_matches_duckdb_on_exotic_whitespace(edge_df):
+    got = {
+        r["i"]: r["n"]
+        for r in edge_df.select("i", bpe_ish_token_count(F.col("t")).alias("n")).collect()
+    }
+    want = dict(
+        _duck(
+            "SELECT i, CAST(len(regexp_extract_all(lower(t),"
+            " '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]')) AS BIGINT) FROM docs ORDER BY i"
+        )
+    )
+    assert got == want
+
+
+def test_floor_cast_boundary_matches_duckdb():
+    """Spark's double->long cast truncates; DuckDB's CAST rounds to nearest.
+    Every keep_below-style boundary MUST therefore go through floor() on both
+    sides (plans/llm.py corpus_mix_apply). Prove the raw divergence exists
+    AND that the floor()ed form agrees, so a future edit that drops the
+    floor() re-breaks this test, not the driver."""
+    fracs = [0.1234565, 0.9999995, 0.5, 1.0, 0.3333335, 0.0000005]
+    con = duckdb.connect()
+    raw = [
+        con.sql(f"SELECT CAST({f} * 1000000 AS BIGINT)").fetchone()[0] for f in fracs
+    ]
+    floored = [
+        con.sql(f"SELECT CAST(FLOOR({f} * 1000000) AS BIGINT)").fetchone()[0] for f in fracs
+    ]
+    spark_trunc = [int(f * 1_000_000) for f in fracs]  # Spark cast('long') semantics
+    assert raw != spark_trunc, "DuckDB no longer rounds — revisit the floor() rationale"
+    assert floored == spark_trunc
+
+
+def test_zscore_exact_inequality_matches_double_formulation(spark):
+    """The exact-integer threshold test 4*(n*cv-s1)^2*(n-1) > 25*n*(n*s2-s1^2)
+    must agree with the double |z|>2.5 formulation away from the boundary,
+    and be total (no NaN/inf surprises) on degenerate groups."""
+    rows = [
+        ("a", 1.00), ("a", 1.00), ("a", 1.00), ("a", 100.00),  # clear outlier
+        ("b", 5.00), ("b", 5.00), ("b", 5.00),                  # zero variance
+        ("c", 7.25),                                            # n == 1
+        ("d", 1.00), ("d", 2.00), ("d", 3.00), ("d", 4.00),     # no outliers
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    d38 = "decimal(38,0)"
+    cv = (F.col("value").cast("decimal(8,2)") * 100).cast("long")
+    ev = df.select("event_type", cv.alias("cv"), "value")
+    n = F.count("*").over(w)
+    s1 = F.sum("cv").over(w).cast(d38)
+    s2 = F.sum(F.col("cv") * F.col("cv")).over(w).cast(d38)
+    dev = n.cast(d38) * F.col("cv").cast(d38) - s1
+    lhs = F.lit(4).cast(d38) * dev * dev * (n - F.lit(1)).cast(d38)
+    rhs = F.lit(25).cast(d38) * n.cast(d38) * (n.cast(d38) * s2 - s1 * s1)
+    got = {
+        (r["event_type"], r["value"]): r["flag"]
+        for r in ev.select(
+            "event_type", "value", F.when(lhs > rhs, 1).otherwise(0).alias("flag")
+        ).collect()
+    }
+    import statistics
+
+    by_group: dict[str, list[float]] = {}
+    for t, v in rows:
+        by_group.setdefault(t, []).append(v)
+    for (t, v), flag in got.items():
+        vals = by_group[t]
+        if len(vals) < 2 or statistics.pstdev(vals) == 0:
+            expect = 0
+        else:
+            z = (v - statistics.mean(vals)) / statistics.stdev(vals)
+            expect = 1 if abs(z) > 2.5 else 0
+        assert flag == expect, (t, v, flag, expect)
