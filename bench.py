@@ -107,7 +107,11 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — survive any per-query failure
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench ERROR {name}: {errors[name]}", file=sys.stderr)
-    total = round(sum(timings.values()), 3)
+    # A crashed query drops out of `timings`, so a summed total would READ
+    # as a round-over-round speedup exactly when a regression made a query
+    # die. With any error the headline value is null — totals are only
+    # comparable between runs that executed the same query set.
+    total = round(sum(timings.values()), 3) if not errors else None
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -117,6 +121,7 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+        out["completed_total"] = round(sum(timings.values()), 3)
     print(json.dumps(out))
 
 

@@ -233,16 +233,18 @@ def minhash_lsh_pairs(
     # The shingle index feeds three downstream consumers (signature agg +
     # both sides of the verification join); without materialization Spark
     # recomputes the explode+window+dedup pipeline once per branch (6 file
-    # scans in the executed plan). localCheckpoint materializes it ONCE to
-    # executor-local storage — the standard move for a reused heavy
-    # intermediate in a production dedup pipeline (at 100 TB this is the
-    # step that writes the shingle index to scratch instead of computing it
-    # three times). Unlike persist(), a checkpoint is private to this plan:
-    # a rebuilt query re-materializes rather than silently hitting a cache.
+    # scans in the executed plan). localCheckpoint(eager=False) keeps this
+    # function a lazy plan builder (materialization happens on the FIRST
+    # action, once, not at construction time) while still truncating the
+    # lineage so downstream branches share one materialized index.
+    # localCheckpoint data is executor-local and unrecoverable on executor
+    # loss — fine for a single-JVM bench; a 1000-executor production run
+    # would persist(DISK_ONLY) or write the index to a scratch table and
+    # accept the re-run-from-source cost on loss instead.
     inv = (
         shingle_rows(df, text_col, id_col, shingle_n)
         .dropDuplicates(["doc_id", "s"])
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     params = _permutation_params(num_perm, seed)
     h = F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF))
@@ -258,7 +260,7 @@ def minhash_lsh_pairs(
             *[F.min(F.pmod(a * h + b, F.lit(_MERSENNE))).alias(f"__m{i}") for i, (a, b) in enumerate(params)],
             F.count("*").alias("sz"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sig = sig_sz.select("doc_id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig"))
     band_cols = [
@@ -363,7 +365,7 @@ def simhash_pairs(
     the bucket-size filter and both sides of the candidate self-join, and
     without materialization each branch replays the full-corpus explode +
     64-vote aggregate (same reasoning as minhash_lsh_pairs)."""
-    sigs = simhash_signatures(df, text_col, id_col).localCheckpoint()
+    sigs = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=False)
     chunks = sigs.select(
         "doc_id",
         "sig",

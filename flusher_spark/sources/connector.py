@@ -31,6 +31,7 @@ limit); the 100 TB data path lives in the lake tables, not here.
 
 from __future__ import annotations
 
+import threading
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -40,6 +41,15 @@ from flusher_spark.sources.sheet import SheetGrid
 
 class TransientError(Exception):
     """A fault worth retrying: rate limit, 5xx, connection reset."""
+
+
+class AuthExpiredError(TransientError):
+    """A 401-shaped transient: the presented credential was rejected.
+    Retryable like any transient, but ALSO the only fault that should
+    invalidate a cached token — a plain 429/5xx says nothing about the
+    credential, and discarding a still-valid token on every retry would
+    force a fresh auth exchange per attempt (the auth fetch itself runs
+    outside retry protection)."""
 
 
 class PermanentError(Exception):
@@ -67,15 +77,23 @@ class CredentialProvider:
     refresh_skew_s: float = 60.0
     clock: Callable[[], float] = time.time
     _cached: Token | None = field(default=None, repr=False)
+    # Scheduler(max_concurrency>1) calls token() from worker threads; the
+    # lock makes refresh atomic so concurrent expiry can't double-fetch.
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False, compare=False)
 
     def token(self) -> str:
-        if self._cached is None or self.clock() >= self._cached.expires_at - self.refresh_skew_s:
-            self._cached = self.fetch()
-        return self._cached.value
+        with self._lock:
+            if (
+                self._cached is None
+                or self.clock() >= self._cached.expires_at - self.refresh_skew_s
+            ):
+                self._cached = self.fetch()
+            return self._cached.value
 
     def invalidate(self) -> None:
-        """Drop the cached token (e.g. after a 401: force re-auth)."""
-        self._cached = None
+        """Drop the cached token (after an AuthExpiredError: force re-auth)."""
+        with self._lock:
+            self._cached = None
 
 
 @dataclass(frozen=True)
@@ -102,17 +120,18 @@ def with_retries(
 ):
     """Run ``fn``, retrying TransientError up to ``policy.max_attempts``
     times with exponential backoff. PermanentError (and anything else)
-    propagates immediately. ``on_auth_error`` runs before each retry so an
-    expired-credential transient can force a re-auth."""
+    propagates immediately. ``on_auth_error`` runs before the retry only
+    when the fault was :class:`AuthExpiredError` — a rate limit or 5xx says
+    nothing about the credential, so the cached token survives those."""
     attempt = 0
     while True:
         attempt += 1
         try:
             return fn()
-        except TransientError:
+        except TransientError as exc:
             if attempt >= policy.max_attempts:
                 raise
-            if on_auth_error is not None:
+            if on_auth_error is not None and isinstance(exc, AuthExpiredError):
                 on_auth_error()
             sleep(policy.delay(attempt))
 

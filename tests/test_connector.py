@@ -12,6 +12,7 @@ from flusher_spark.control.scheduler import Scheduler
 from flusher_spark.control.store import JobStore
 from flusher_spark.sinks.table import Warehouse
 from flusher_spark.sources.connector import (
+    AuthExpiredError,
     CredentialProvider,
     DictTransport,
     PermanentError,
@@ -100,6 +101,96 @@ def test_permanent_error_not_retried():
     with pytest.raises(PermanentError):
         with_retries(fn, RetryPolicy(max_attempts=5), sleep=lambda s: None)
     assert len(calls) == 1
+
+
+def test_plain_transient_keeps_cached_token():
+    """A 429/5xx says nothing about the credential: the cached token must
+    survive the retry (no per-retry auth exchange)."""
+    invalidations = []
+    calls = []
+
+    def fn():
+        calls.append(1)
+        if len(calls) < 3:
+            raise TransientError("429")
+        return "ok"
+
+    assert (
+        with_retries(
+            fn,
+            RetryPolicy(max_attempts=4),
+            sleep=lambda s: None,
+            on_auth_error=lambda: invalidations.append(1),
+        )
+        == "ok"
+    )
+    assert invalidations == []
+
+
+def test_auth_expired_invalidates_then_retries():
+    calls = []
+
+    def fn():
+        calls.append(1)
+        if len(calls) == 1:
+            raise AuthExpiredError("401")
+        return "ok"
+
+    invalidations = []
+    assert (
+        with_retries(
+            fn,
+            RetryPolicy(max_attempts=3),
+            sleep=lambda s: None,
+            on_auth_error=lambda: invalidations.append(1),
+        )
+        == "ok"
+    )
+    assert invalidations == [1]
+
+
+def test_remote_source_reauths_only_on_auth_expiry():
+    """End-to-end through RemoteSheetSource: a 401-then-healthy endpoint
+    triggers exactly one re-auth; the retried call presents the NEW token."""
+    clock = FakeClock()
+    prov, fetches = _provider(clock)
+    transport = DictTransport({"doc": {"s1": GRID}}, {"doc/s1": [AuthExpiredError("401")]})
+    src = RemoteSheetSource(
+        transport, prov, RetryPolicy(max_attempts=3, base_delay_s=0.01), sleep=lambda s: None
+    )
+    assert src.worksheet("doc", "s1").rows == GRID.rows
+    assert len(fetches) == 2  # initial fetch + the forced re-auth, nothing more
+    tokens = [c[2] for c in transport.calls if c[0] == "fetch"]
+    assert tokens == ["tok1", "tok2"]
+
+
+def test_token_refresh_is_thread_safe():
+    """Scheduler(max_concurrency>1) hits token() from worker threads; an
+    expired cache must refresh exactly once, not once per racer."""
+    import threading
+
+    clock = FakeClock()
+    started = threading.Barrier(8)
+    fetches = []
+
+    def fetch():
+        fetches.append(1)
+        return Token("tok", clock.now + 100.0)
+
+    prov = CredentialProvider(fetch, refresh_skew_s=10.0, clock=lambda: clock.now)
+    results = []
+
+    def grab():
+        started.wait()
+        results.append(prov.token())
+
+    threads = [threading.Thread(target=grab) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == ["tok"] * 8
+    assert len(fetches) == 1
 
 
 def _remote(docs, fail_script=None):
