@@ -64,6 +64,8 @@ HEADLINE = [
     "dedup_keep_best",
     "corpus_source_mix",
     "asof_nearest_view",
+    # round 4 additions
+    "join_interval_overlap",
 ]
 
 

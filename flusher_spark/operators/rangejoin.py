@@ -87,3 +87,62 @@ def range_join(
         (F.col(left_point) >= F.col(r_start)) & (F.col(left_point) < F.col(r_end))
     )
     return joined.drop("__bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: list[str] | None = None,
+    bin_width: str = "30 minutes",
+) -> DataFrame:
+    """Join interval×interval on overlap: half-open ``[left_start, left_end)``
+    meets ``[right_start, right_end)`` iff ``left_start < right_end AND
+    right_start < left_end`` — the SCD2/maintenance-window/meeting-conflict
+    join. All four columns must be timestamps; extra equi-keys via ``on``.
+
+    Scale design: BOTH sides explode across the fixed-width bins their
+    interval covers and equi-join on the bin id (+ keys) — shuffle-parallel,
+    never a nested loop. A pair overlapping k shared bins would surface k
+    times, so instead of a post-join ``distinct`` (a second full-width
+    shuffle), each surviving row is kept only at its CANONICAL bin — the bin
+    of ``greatest(left_start, right_start)``. For an overlapping pair that
+    bin is guaranteed present in both explode ranges exactly once
+    (max(starts) lies in [s_i, min(ends)) ⊆ [s_i, e_i] for both sides), so
+    every overlapping pair appears exactly once and the dedup costs a
+    codegen'd filter, not a shuffle. Explode factor per row is
+    ceil(len/width)+1 — pick the width near the typical interval length.
+    """
+    on = on or []
+    secs = F.unix_timestamp
+    width_s = F.lit(_width_seconds(bin_width))
+
+    def binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(secs(F.col(start)) / width_s),
+                    F.floor(secs(F.col(end)) / width_s),
+                )
+            ),
+        )
+
+    lhs = binned(left, left_start, left_end)
+    rhs = binned(right, right_start, right_end)
+    for c in set(lhs.columns) & set(rhs.columns) - {"__bin"} - set(on):
+        rhs = rhs.withColumnRenamed(c, f"{c}_right")
+    r_start = f"{right_start}_right" if right_start in left.columns else right_start
+    r_end = f"{right_end}_right" if right_end in left.columns else right_end
+    canonical = F.floor(
+        F.greatest(secs(F.col(left_start)), secs(F.col(r_start))) / width_s
+    )
+    joined = (
+        lhs.join(rhs, ["__bin", *on], "inner")
+        .where((F.col(left_start) < F.col(r_end)) & (F.col(r_start) < F.col(left_end)))
+        .where(F.col("__bin") == canonical)
+    )
+    return joined.drop("__bin")

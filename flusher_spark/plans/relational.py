@@ -1212,6 +1212,54 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_interval_overlap",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, ts AS p_start, ts + INTERVAL 90 MINUTE AS p_end
+      FROM events WHERE event_type = 'purchase'),
+    i AS (
+      SELECT event_id AS i_id, ts AS i_start, ts + INTERVAL 45 MINUTE AS i_end
+      FROM events WHERE event_type = 'error')
+    SELECT p.p_id, COUNT(*) AS n_incidents,
+           MIN(i.i_id) AS first_incident, MAX(i.i_id) AS last_incident
+    FROM p JOIN i ON p.p_start < i.i_end AND i.i_start < p.p_end
+    GROUP BY p.p_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (the SCD2/maintenance-window shape):
+    purchase follow-up windows [ts, ts+90m) × incident windows [ts, ts+45m),
+    summarized per purchase. Runs through
+    operators/rangejoin.py::interval_overlap_join — both sides exploded
+    across 30-minute bins, equi-joined on the bin id, deduplicated by the
+    canonical greatest-start bin (a filter, not a distinct shuffle). The
+    oracle states the same join as the plain theta join DuckDB can afford at
+    oracle scale; Spark would plan that form as a nested loop, which is the
+    whole point of the bin rewrite (no-nested-loop asserted in test_plans)."""
+    from flusher_spark.operators.rangejoin import interval_overlap_join
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("p_end"),
+    )
+    i = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("i_id"),
+        F.col("ts").alias("i_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("i_end"),
+    )
+    pairs = interval_overlap_join(
+        p, i, "p_start", "p_end", "i_start", "i_end", bin_width="30 minutes"
+    )
+    return pairs.groupBy("p_id").agg(
+        F.count("*").alias("n_incidents"),
+        F.min("i_id").alias("first_incident"),
+        F.max("i_id").alias("last_incident"),
+    )
+
+
+@register(
     "events_rollup_day_hour",
     oracle=f"""
     SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,

@@ -532,6 +532,92 @@ def test_range_join_interval_spanning_many_bins(spark):
     assert len(rows) == 1 and rows[0]["rid"] == 7
 
 
+def _iv(spark, rows, schema="id long, s string, e string"):
+    return spark.createDataFrame(rows, schema).select(
+        "id", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e")
+    )
+
+
+def test_interval_overlap_join_matches_theta_join(spark):
+    """The bin rewrite must reproduce the half-open overlap theta join
+    EXACTLY — including pairs sharing many bins (dedup via the canonical
+    greatest-start bin must emit them exactly once)."""
+    from flusher_spark.operators.rangejoin import interval_overlap_join
+
+    e = load_table(spark, SF, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("p_end"),
+    )
+    i = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("i_id"),
+        F.col("ts").alias("i_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("i_end"),
+    )
+    got = [
+        (r["p_id"], r["i_id"])
+        for r in interval_overlap_join(
+            p, i, "p_start", "p_end", "i_start", "i_end", bin_width="30 minutes"
+        ).collect()
+    ]
+    naive = {
+        (r["p_id"], r["i_id"])
+        for r in p.join(
+            i, (F.col("p_start") < F.col("i_end")) & (F.col("i_start") < F.col("p_end"))
+        ).collect()
+    }
+    assert len(got) == len(set(got)), "canonical-bin dedup emitted a pair twice"
+    assert set(got) == naive and naive
+
+
+def test_interval_overlap_half_open_touching_is_no_overlap(spark):
+    from flusher_spark.operators.rangejoin import interval_overlap_join
+
+    left = _iv(spark, [(1, "2024-01-01 05:00:00", "2024-01-01 06:00:00")])
+    # touches at 06:00 (no overlap), contained, contains, disjoint
+    right = _iv(
+        spark,
+        [
+            (10, "2024-01-01 06:00:00", "2024-01-01 07:00:00"),
+            (11, "2024-01-01 05:20:00", "2024-01-01 05:40:00"),
+            (12, "2024-01-01 04:00:00", "2024-01-01 08:00:00"),
+            (13, "2024-01-01 09:00:00", "2024-01-01 10:00:00"),
+            (14, "2024-01-01 04:00:00", "2024-01-01 05:00:00"),  # touches at start
+        ],
+        "id long, s string, e string",
+    )
+    rows = interval_overlap_join(
+        left, right, "s", "e", "s", "e", bin_width="30 minutes"
+    ).collect()
+    assert sorted(r["id_right"] for r in rows) == [11, 12]
+
+
+def test_interval_overlap_spanning_many_bins_once(spark):
+    from flusher_spark.operators.rangejoin import interval_overlap_join
+
+    left = _iv(spark, [(1, "2024-01-01 00:00:00", "2024-01-03 00:00:00")])
+    right = _iv(spark, [(7, "2024-01-02 11:00:00", "2024-01-02 12:00:00")])
+    rows = interval_overlap_join(
+        left, right, "s", "e", "s", "e", bin_width="30 minutes"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["id_right"] == 7
+
+
+def test_interval_overlap_plan_has_no_nested_loop(spark):
+    from flusher_spark.operators.rangejoin import interval_overlap_join
+
+    left = _iv(spark, [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00")])
+    right = _iv(spark, [(7, "2024-01-01 00:30:00", "2024-01-01 02:00:00")])
+    plan = (
+        interval_overlap_join(left, right, "s", "e", "s", "e")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 # -- IVF ANN -----------------------------------------------------------------
 
 
