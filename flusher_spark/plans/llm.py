@@ -208,6 +208,96 @@ def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mix_upsample",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS nt FROM documents),
+    agg AS (
+      SELECT source, SUM(nt) AS n_tokens FROM per_doc GROUP BY source),
+    mix AS (
+      SELECT source,
+             GREATEST(
+               CAST(1.0 AS DOUBLE),
+               (CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE))
+                 / (CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE))
+             ) AS r
+      FROM agg),
+    cop AS (
+      SELECT p.source, p.doc_id, p.nt,
+             CAST(FLOOR(m.r) AS BIGINT)
+             + CASE WHEN CAST(('0x' || substr(md5('up:' || CAST(p.doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 1000000
+                      < CAST(FLOOR((m.r - FLOOR(m.r)) * 1000000) AS BIGINT)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM per_doc p JOIN mix m USING (source)),
+    ex AS (
+      SELECT source, doc_id, nt
+      FROM (SELECT c.source, c.doc_id, c.nt,
+                   unnest(range(1, c.n_copies + 1)) AS i
+            FROM cop c))
+    SELECT source, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+           SUM(nt) AS tokens_emitted
+    FROM ex GROUP BY source
+    """,
+)
+def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPEAT pass of training-mixture reweighting — the complement of
+    corpus_mix_apply's downsample: sources UNDER the uniform token target
+    emit each document r >= 1 times, where r = target_share / share. Whole
+    copies come from floor(r); the fractional remainder becomes one extra
+    copy for the docs whose salted hash bucket ('up:' prefix, so the
+    decision is independent of the downsample pass's buckets) falls below
+    floor(frac(r)*1e6) — the same explicit-floor boundary semantics the
+    downsample uses (Spark truncates double->long, DuckDB rounds). The mix
+    table is #sources rows, broadcast; copies materialize via
+    explode(sequence(1, n_copies)) — a narrow per-row generator, no shuffle
+    until the final assertable per-source summary. At 100 TB the exploded
+    stream feeds the shuffle-writer/pack stage directly; repeats never
+    collect anywhere."""
+    from flusher_spark.operators.sampling import hash_bucket
+    from flusher_spark.operators.text import n_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    agg = (
+        d.select("source", n_tokens(F.col("text")).alias("__nt"))
+        .groupBy("source")
+        .agg(F.sum("__nt").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double")
+    target = F.lit(1.0) / F.count("*").over(w).cast("double")
+    mix = agg.select(
+        "source",
+        F.greatest(F.lit(1.0), target / share).alias("r"),
+    ).select(
+        "source",
+        F.floor("r").cast("long").alias("base_copies"),
+        F.floor((F.col("r") - F.floor("r")) * 1_000_000).cast("long").alias("extra_below"),
+    )
+    cop = (
+        d.select("source", "doc_id", n_tokens(F.col("text")).alias("nt"))
+        .join(F.broadcast(mix), "source")
+        .withColumn(
+            "n_copies",
+            F.col("base_copies")
+            + F.when(
+                hash_bucket(F.concat(F.lit("up:"), F.col("doc_id").cast("string")), 1_000_000)
+                < F.col("extra_below"),
+                1,
+            ).otherwise(0),
+        )
+    )
+    ex = cop.select(
+        "source", "doc_id", "nt", F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("__i")
+    )
+    return ex.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("nt").alias("tokens_emitted"),
+    )
+
+
+@register(
     "dedup_fingerprint",
     oracle=f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
 )

@@ -99,3 +99,32 @@ def test_bigram_counts_match_python_recount(spark):
             counts[f"{a} {b}"] = counts.get(f"{a} {b}", 0) + 1
     best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert [(r.bigram, r.n) for r in top] == best
+
+
+def test_mix_upsample_invariants(spark):
+    """Every source repeats r >= 1 times: emitted rows and tokens never drop
+    below the originals, every doc appears (n_docs == original count), and
+    the per-source amplification sits inside [floor(r), ceil(r)]."""
+    from flusher_spark.plans.llm import corpus_mix_upsample, corpus_source_mix
+    from flusher_spark.operators.text import n_tokens
+
+    up = {r["source"]: r for r in corpus_mix_upsample(spark, SF_DIR).collect()}
+    d = C.load_table(spark, SF_DIR, "documents")
+    orig = {
+        r["source"]: r
+        for r in d.select("source", n_tokens(F.col("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("tokens"))
+        .collect()
+    }
+    shares = {r["source"]: r for r in corpus_source_mix(spark, SF_DIR).collect()}
+    assert set(up) == set(orig)
+    for src, row in up.items():
+        o = orig[src]
+        assert row["n_docs"] == o["n_docs"], src  # every doc survives
+        assert row["tokens_emitted"] >= o["tokens"], src
+        # r from the share table: target/share floored/ceiled bounds the blow-up
+        r = max(1.0, (1.0 / len(shares)) / shares[src]["token_share"])
+        import math
+
+        assert math.floor(r) * o["n_docs"] <= row["n_rows"] <= math.ceil(r) * o["n_docs"], src
