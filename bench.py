@@ -66,6 +66,8 @@ HEADLINE = [
     "asof_nearest_view",
     # round 4 additions
     "join_interval_overlap",
+    "events_funnel_single_scan",
+    "corpus_mix_upsample",
 ]
 
 

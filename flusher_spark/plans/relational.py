@@ -1311,6 +1311,42 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_count_min_freq")  # rows-only: no CMS in DuckDB; bounds asserted in tests
+def agg_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates — the constant-memory answer to
+    "how often does key k appear?" over a 100 TB stream, where an exact
+    per-key count would shuffle the full key space. The sketch is built by
+    the built-in F.count_min_sketch aggregate (eps=0.001, conf=0.99, fixed
+    seed): partials are d×w counter arrays merged by addition, so the
+    result is independent of partitioning AND deterministic for a fixed
+    seed — rows-only only because DuckDB has no CMS, not because the output
+    wobbles. Querying happens driver-side against the per-group sketches
+    via the JVM CountMinSketch class: bounded by construction (one ~100 KB
+    sketch per event_type, 5 groups) — the distributed work is the build +
+    merge, which is the part that scales with data. Estimates are
+    guaranteed >= the true count, and <= true + eps*N with prob 1-delta
+    (asserted against exact counts in tests/test_plans.py)."""
+    e = load_table(spark, sf_dir, "events")
+    sketches = (
+        e.groupBy("event_type")
+        .agg(
+            F.count_min_sketch("user_id", F.lit(0.001), F.lit(0.99), F.lit(42)).alias("cms"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()  # bounded: |event_type| rows, each a ~100 KB sketch
+    )
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    query_keys = list(range(1, 11))  # fixed probe set: user_ids 1..10
+    out = []
+    for row in sketches:
+        sk = jcms.readFrom(bytes(row["cms"]))
+        for k in query_keys:
+            out.append((row["event_type"], k, sk.estimateCount(k), row["n_events"]))
+    return spark.createDataFrame(
+        out, "event_type string, user_id long, est_count long, n_events long"
+    ).orderBy("event_type", "user_id")
+
+
 @register(
     "q12_conditional_agg",
     oracle="""
@@ -2322,6 +2358,78 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("stage_no")
+
+
+@register(
+    "events_funnel_single_scan",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'view' AND e.ts > s.t0 GROUP BY e.user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT CAST(1 AS INTEGER) AS stage_no, 'signup' AS stage, (SELECT COUNT(*) FROM s) AS n_users
+    UNION ALL SELECT 2, 'view_after_signup', (SELECT COUNT(*) FROM v)
+    UNION ALL SELECT 3, 'click_after_view', (SELECT COUNT(*) FROM c)
+    UNION ALL SELECT 4, 'purchase_after_click', (SELECT COUNT(*) FROM p)
+    ORDER BY stage_no
+    """,
+)
+def events_funnel_single_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME funnel as events_funnel_conversion, reformulated to read
+    events ONCE: one type-pruned scan, one shuffle to the user key, then a
+    codegen'd F.aggregate fold over each user's time-sorted events that
+    walks the signup→view→click→purchase chain in order (an element can
+    only advance the stage its type matches, and the strict ts > prev-stage
+    comparisons make tie order irrelevant, so the fold is deterministic).
+    At funnel depth d the chained form scans the fact d times and joins
+    d-1 times; this form is depth-independent — the trade is a per-user
+    in-memory event array, bounded by per-user activity (product-analytics
+    cardinality, thousands not billions; a pathological user would need
+    the sessionized variant). Oracle identical to the chained twin — both
+    entries must hash to the same stage counts."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.where(
+        F.col("event_type").isin("signup", "view", "click", "purchase")
+    ).select("user_id", "ts", "event_type")
+    per = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    nothing = F.lit(None).cast("timestamp")
+    state0 = F.struct(
+        nothing.alias("t0"), nothing.alias("t1"), nothing.alias("t2"), nothing.alias("t3")
+    )
+
+    def step(acc, x):
+        def advance(slot, etype, prev):
+            cond = (
+                slot.isNull()
+                & (x["event_type"] == etype)
+                & (F.lit(True) if prev is None else prev.isNotNull() & (x["ts"] > prev))
+            )
+            return F.when(cond, x["ts"]).otherwise(slot)
+
+        return F.struct(
+            advance(acc["t0"], "signup", None).alias("t0"),
+            advance(acc["t1"], "view", acc["t0"]).alias("t1"),
+            advance(acc["t2"], "click", acc["t1"]).alias("t2"),
+            advance(acc["t3"], "purchase", acc["t2"]).alias("t3"),
+        )
+
+    walked = per.select(F.aggregate("evs", state0, step).alias("st"))
+    agg = walked.agg(
+        *[
+            F.sum(F.col(f"st.t{i}").isNotNull().cast("long")).alias(f"n{i + 1}")
+            for i in range(4)
+        ]
+    )
+    return agg.selectExpr(
+        "stack(4, 1, 'signup', n1, 2, 'view_after_signup', n2,"
+        " 3, 'click_after_view', n3, 4, 'purchase_after_click', n4)"
+        " AS (stage_no, stage, n_users)"
+    ).select(F.col("stage_no").cast("int"), "stage", "n_users").orderBy("stage_no")
 
 
 @register(

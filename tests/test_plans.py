@@ -206,3 +206,32 @@ def test_approx_sketches_accuracy(spark):
         a = rows[flag]
         assert abs(a["approx_orders"] - e["n_orders"]) / e["n_orders"] < 0.1
         assert abs(a["price_p50"] - e["median"]) / e["median"] < 0.02
+
+
+def test_count_min_estimates_bound_exact_counts(spark):
+    """CMS guarantees: est >= exact always (one-sided error), and
+    est <= exact + eps*N with prob 1-delta — with eps=0.001 and 5 groups x
+    10 probes, even one bound violation means the sketch is wired wrong.
+    Also pins determinism: two runs must estimate identically (fixed seed,
+    merge-order-independent counters)."""
+    from flusher_spark.io.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = registry()["agg_count_min_freq"].fn(spark, SF).collect()
+    again = registry()["agg_count_min_freq"].fn(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    e = load_table(spark, SF, "events")
+    exact = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in e.where(F.col("user_id").between(1, 10))
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got
+    for r in got:
+        true_n = exact.get((r["event_type"], r["user_id"]), 0)
+        assert r["est_count"] >= true_n, "CMS must never under-count"
+        assert r["est_count"] <= true_n + 0.001 * r["n_events"] + 1, (
+            r["event_type"], r["user_id"], r["est_count"], true_n,
+        )
