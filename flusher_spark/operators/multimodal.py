@@ -8,12 +8,12 @@ are derived deterministically in tests):
 - Decode / feature-extract / resize / frame-sample run as ``mapInPandas``
   (Arrow-batched, partition-parallel — the only layer where Python is
   justified, because media codecs are native libraries anyway).
-- WAV (RIFF/PCM), binary PPM, and PNG decode are REAL — stdlib
-  ``wave``/``struct``/``zlib`` need no external library
-  (``decode_wav``/``decode_ppm``/``decode_png`` below, oracle-checked
-  through ``multimodal_wav_decode`` / ``multimodal_ppm_decode`` /
-  ``multimodal_png_decode``). Codecs that genuinely need native libraries
-  (JPEG/MP3/video) stay stubbed: ``extract_features``/``resize``/
+- WAV (RIFF/PCM), binary PPM, PNG, BMP, and GIF (incl. a real LZW
+  encoder/decoder pair) decode are REAL — stdlib ``wave``/``struct``/
+  ``zlib`` need no external library (``decode_wav``/``decode_ppm``/
+  ``decode_png``/``decode_bmp``/``decode_gif`` below, oracle-checked
+  through the ``multimodal_*_decode`` catalog entries). Codecs that
+  genuinely need native libraries (JPEG/MP3/video) stay stubbed: ``extract_features``/``resize``/
   ``frame_sample`` raise NotImplementedError unless ``fake=True``, which
   substitutes a deterministic synthetic decode (byte-hash-seeded) — making
   the Spark-side plumbing (schema, batching, partitioning, UDF signatures)
@@ -411,6 +411,284 @@ def png_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(op, PNG_FEATURE_SCHEMA)
+
+
+def synth_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding) filled with one color — stdlib struct only."""
+    row = bytes((rgb[2], rgb[1], rgb[0])) * width  # BGR on disk
+    pad = (-len(row)) % 4
+    pixel_data = (row + b"\x00" * pad) * height
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 14 + 40)
+    return file_header + info + pixel_data
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a BMP by hand: BITMAPINFOHEADER (or larger V4/V5 headers),
+    24/32-bit uncompressed pixels, bottom-up OR top-down row order, 4-byte
+    row padding. Channel means come from the actual pixel bytes. Row order
+    does not affect means, but the parse honors it anyway so a future
+    pixel-grid consumer is correct."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    (header_size,) = struct.unpack_from("<I", payload, 14)
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if planes != 1 or compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"only uncompressed 24/32-bit BMP supported (bpp={bpp})")
+    height = abs(height_raw)
+    nbytes = bpp // 8
+    stride = (width * nbytes + 3) & ~3
+    if len(payload) < data_offset + stride * height:
+        raise ValueError("truncated BMP pixel data")
+    sums = [0, 0, 0]
+    for y in range(height):
+        base = data_offset + y * stride
+        for x in range(width):
+            i = base + x * nbytes
+            sums[0] += payload[i + 2]  # R (stored BGR)
+            sums[1] += payload[i + 1]
+            sums[2] += payload[i]
+    n = width * height
+    return {
+        "width": width,
+        "height": height,
+        "mean_r": sums[0] / n,
+        "mean_g": sums[1] / n,
+        "mean_b": sums[2] / n,
+    }
+
+
+BMP_FEATURE_SCHEMA = PPM_FEATURE_SCHEMA
+
+
+def bmp_features(df: DataFrame) -> DataFrame:
+    """Decode BMP payloads (real header/stride/BGR parse) via mapInPandas;
+    non-BMP payloads yield NULL features — same contract as wav/ppm/png."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = decode_bmp(bytes(payload))
+                except Exception:
+                    d = {}
+                rows.append({"asset_id": aid, **{k: d.get(k) for k in
+                             ("width", "height", "mean_r", "mean_g", "mean_b")}})
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return df.mapInPandas(op, BMP_FEATURE_SCHEMA)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: emits a clear code first, grows code width . 12 bits,
+    re-clears on a full table, ends with EOI. Variable-width codes packed
+    LSB-first (the GIF bit order)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(1 << min_code_size)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    seq = b""
+    for b in indices:
+        cand = seq + bytes([b])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= (1 << 12):
+            emit(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        seq = bytes([b])
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytearray:
+    """GIF LZW decode: variable-width LSB-first codes, clear/EOI handling,
+    the KwKwK special case, 12-bit cap."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    bitbuf = bitcnt = pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while len(out) < n_expected:
+        while bitcnt < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            bitbuf |= data[pos] << bitcnt
+            bitcnt += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return out
+
+
+def synth_gif(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal GIF89a: 2-entry global color table (the fill color + black),
+    one image block, REAL LZW-compressed index stream (every pixel index 0)."""
+    screen = struct.pack("<HHBBB", width, height, 0x80, 0, 0)  # GCT, 2 entries
+    gct = bytes(rgb) + b"\x00\x00\x00"
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    min_code_size = 2  # GIF minimum even for 2 colors
+    lzw = _lzw_encode(bytes(width * height), min_code_size)
+    blocks = bytearray([min_code_size])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    return b"GIF89a" + screen + gct + img_desc + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Parse a GIF by hand: header + logical screen, global color table,
+    skip extensions, first image descriptor (honoring a local color table
+    if present), sub-block reassembly, REAL LZW decode of the index stream,
+    channel means via the palette. Interlace is rejected (means would still
+    be exact, but a pixel-grid consumer would be wrong silently)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            left, top, width, height, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            palette = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                palette = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("GIF image has no color table")
+            min_code_size = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                sz = payload[pos]
+                lzw.extend(payload[pos + 1 : pos + 1 + sz])
+                pos += 1 + sz
+            indices = _lzw_decode(bytes(lzw), min_code_size, width * height)
+            if len(indices) < width * height:
+                raise ValueError("truncated GIF index stream")
+            sums = [0, 0, 0]
+            for idx in indices[: width * height]:
+                sums[0] += palette[3 * idx]
+                sums[1] += palette[3 * idx + 1]
+                sums[2] += palette[3 * idx + 2]
+            n = width * height
+            return {
+                "width": width,
+                "height": height,
+                "mean_r": sums[0] / n,
+                "mean_g": sums[1] / n,
+                "mean_b": sums[2] / n,
+            }
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image block")
+
+
+GIF_FEATURE_SCHEMA = PPM_FEATURE_SCHEMA
+
+
+def gif_features(df: DataFrame) -> DataFrame:
+    """Decode GIF payloads (real LZW) via mapInPandas; non-GIF payloads
+    yield NULL features — same contract as the other codecs."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = decode_gif(bytes(payload))
+                except Exception:
+                    d = {}
+                rows.append({"asset_id": aid, **{k: d.get(k) for k in
+                             ("width", "height", "mean_r", "mean_g", "mean_b")}})
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return df.mapInPandas(op, GIF_FEATURE_SCHEMA)
 
 
 def filter_by_meta(df: DataFrame, kind: str | None = None, min_width: int | None = None) -> DataFrame:

@@ -615,6 +615,69 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_bmp_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(3 + (doc_id % 14) AS BIGINT) AS width,
+           CAST(2 + (n_chars % 12) AS BIGINT) AS height,
+           CAST((doc_id * 5) % 256 AS DOUBLE) AS mean_r,
+           CAST((n_chars * 7) % 256 AS DOUBLE) AS mean_g,
+           CAST((3 * doc_id + n_chars) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode (no stub, no PIL): each document synthesizes a
+    genuine 24-bit BMP (BITMAPINFOHEADER, BGR rows, 4-byte stride padding —
+    operators/multimodal.py synth_bmp) and decode_bmp parses it back:
+    header walk, stride arithmetic, BGR->RGB, bottom-up/top-down row order.
+    Same roundtrip-proof oracle scheme as the WAV/PPM/PNG entries."""
+    from flusher_spark.operators.multimodal import bmp_features, synth_bmp
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = _synth_assets(
+        docs,
+        lambda d, c: synth_bmp(
+            3 + (d % 14), 2 + (c % 12), ((d * 5) % 256, (c * 7) % 256, (3 * d + c) % 256)
+        ),
+    )
+    return bmp_features(assets)
+
+
+@register(
+    "multimodal_gif_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(2 + (doc_id % 9) AS BIGINT) AS width,
+           CAST(2 + (n_chars % 7) AS BIGINT) AS height,
+           CAST((doc_id * 11) % 256 AS DOUBLE) AS mean_r,
+           CAST((n_chars * 13) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id + 5 * n_chars) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode including LZW (no stub, no PIL): each document
+    synthesizes a genuine GIF89a (global color table, sub-block-packed
+    LZW-compressed index stream — operators/multimodal.py synth_gif) and
+    decode_gif parses it back: block walk, sub-block reassembly,
+    variable-width LSB-first LZW with clear/EOI/KwKwK handling, palette
+    lookup. The encoder is a real LZW compressor (dictionary growth,
+    12-bit cap, re-clear), exercised against the decoder on random index
+    streams in tests. Same roundtrip-proof oracle scheme as WAV/PPM/PNG."""
+    from flusher_spark.operators.multimodal import gif_features, synth_gif
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = _synth_assets(
+        docs,
+        lambda d, c: synth_gif(
+            2 + (d % 9), 2 + (c % 7), ((d * 11) % 256, (c * 13) % 256, (d + 5 * c) % 256)
+        ),
+    )
+    return gif_features(assets)
+
+
+@register(
     "multimodal_binary_stats",
     oracle="""
     SELECT doc_id,
