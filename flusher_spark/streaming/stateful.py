@@ -117,3 +117,117 @@ def streaming_dedup_first_seen(events: DataFrame, key_col: str = "event_id") -> 
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twins (Spark 4's successor API)
+#
+# Same semantics as the two operators above, expressed as StatefulProcessor
+# classes — the API the ecosystem is migrating to (typed per-key state
+# handles, timers, RocksDB-backed stores). The PROCESSOR LOGIC is identical
+# and unit-tested in-container through a fake handle; LIVE execution needs
+# two things this environment cannot provide: the RocksDB state-store
+# provider config (set by the builders below) and the google.protobuf
+# package the TWS Python state-server protocol imports (absent here, and
+# installs are not possible). tws_available() probes for it; tests skip the
+# end-to-end path when the probe fails and always run the logic tests.
+# ---------------------------------------------------------------------------
+
+TWS_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually execute: its state
+    server speaks protobuf from the Python side."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+try:  # the processor base class exists from Spark 4.0 on
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+except ImportError:  # pragma: no cover - older Spark
+
+    class StatefulProcessor:  # type: ignore[no-redef]
+        pass
+
+    StatefulProcessorHandle = Any  # type: ignore[assignment]
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """transformWithStateInPandas twin of running_user_totals: one ValueState
+    tuple per user, updated per batch, lifetime totals emitted every batch
+    the user is active in."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", _TOTALS_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, s, m = self._totals.get() if self._totals.exists() else (0, 0.0, float("-inf"))
+        for pdf in rows:
+            if len(pdf):
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                m = max(m, float(pdf["value"].max()))
+        self._totals.update((n, s, m))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "max_value": [m]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+class FirstSeenProcessor(StatefulProcessor):
+    """transformWithStateInPandas twin of streaming_dedup_first_seen: a
+    single marker per key; only the first-ever row passes."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState("seen", "seen boolean")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self._seen.exists():
+            return
+        for pdf in rows:
+            if len(pdf):
+                self._seen.update((True,))
+                yield pdf.iloc[:1][["event_id", "user_id", "event_type", "value"]]
+                return
+
+    def close(self) -> None:
+        pass
+
+
+def _with_tws_provider(events: DataFrame):
+    spark = events.sparkSession
+    if spark.conf.get("spark.sql.streaming.stateStore.providerClass", "") != TWS_PROVIDER:
+        # transformWithState refuses the default HDFS-backed provider; the
+        # conf is per-query-start, so setting it here is what a caller needs.
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", TWS_PROVIDER)
+    return events
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """running_user_totals on the transformWithStateInPandas API."""
+    return _with_tws_provider(events).groupBy("user_id").transformWithStateInPandas(
+        RunningTotalsProcessor(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def streaming_dedup_first_seen_tws(events: DataFrame, key_col: str = "event_id") -> DataFrame:
+    """streaming_dedup_first_seen on the transformWithStateInPandas API."""
+    return _with_tws_provider(events).groupBy(key_col).transformWithStateInPandas(
+        FirstSeenProcessor(),
+        outputStructType=FIRST_SEEN_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -228,6 +228,130 @@ def test_streaming_dedup_first_seen_drops_replays(spark, tmp_path):
         q.stop()
 
 
+# -- transformWithStateInPandas twins ----------------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+        self._set = False
+
+    def exists(self):
+        return self._set
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self._set = tuple(v), True
+
+    def clear(self):
+        self._v, self._set = None, False
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def _drive_processor(proc_cls, batches_per_key):
+    """Run a StatefulProcessor's lifecycle by hand: one processor+handle per
+    key (what one state-store partition does), handleInputRows once per
+    micro-batch, collecting emissions. Pure-Python — covers the state
+    transitions the protobuf-dependent runner would execute."""
+    out = []
+    for key, batches in batches_per_key.items():
+        proc = proc_cls()
+        proc.init(_FakeHandle())
+        for pdf in batches:
+            out.extend(df for df in proc.handleInputRows((key,), iter([pdf]), None) or [])
+        proc.close()
+    return out
+
+
+def test_tws_running_totals_matches_applyinpandas_logic():
+    """The TWS processor and the applyInPandasWithState twin must walk the
+    same state trajectory: same per-batch emissions, same lifetime totals."""
+    import pandas as pd
+
+    from flusher_spark.streaming.stateful import RunningTotalsProcessor
+
+    batches = {
+        7: [pd.DataFrame({"value": [1.0, 2.0]}), pd.DataFrame({"value": [10.0]})],
+        8: [pd.DataFrame({"value": [5.0]})],
+    }
+    rows = pd.concat(_drive_processor(RunningTotalsProcessor, batches))
+    by_user = rows.groupby("user_id").last()
+    assert by_user.loc[7, "n_events"] == 3
+    assert by_user.loc[7, "sum_value"] == 13.0
+    assert by_user.loc[7, "max_value"] == 10.0
+    assert by_user.loc[8, "n_events"] == 1
+    # per-batch emission: user 7 emitted twice (once per active batch)
+    assert (rows["user_id"] == 7).sum() == 2
+
+
+def test_tws_first_seen_matches_applyinpandas_logic():
+    import pandas as pd
+
+    from flusher_spark.streaming.stateful import FirstSeenProcessor
+
+    def ev(ids):
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "user_id": [1] * len(ids),
+                "event_type": ["view"] * len(ids),
+                "value": [float(i) for i in ids],
+            }
+        )
+
+    # key 3 replayed across batches, key 2 replayed in-batch
+    batches = {
+        2: [ev([2, 2])],
+        3: [ev([3]), ev([3])],
+        4: [ev([4])],
+    }
+    rows = pd.concat(_drive_processor(FirstSeenProcessor, batches))
+    assert sorted(rows["event_id"]) == [2, 3, 4]
+
+
+def test_tws_end_to_end_if_available(spark, stream_dir):
+    """Live transformWithStateInPandas run — skipped where google.protobuf
+    (the TWS state-server dependency) is not installed."""
+    import pytest as _pytest
+
+    from flusher_spark.streaming.stateful import running_user_totals_tws, tws_available
+
+    if not tws_available():
+        _pytest.skip("google.protobuf absent: transformWithStateInPandas runner cannot start")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    try:
+        stream = running_user_totals_tws(stream_events(spark, stream_dir))
+        q = stream.writeStream.outputMode("update").format("memory").queryName("tws_tot").start()
+        try:
+            q.processAllAvailable()
+            pdf = spark.sql("SELECT * FROM tws_tot").toPandas()
+            last = pdf.groupby("user_id").last()
+            expected = (
+                _batch_events(spark)
+                .groupBy("user_id")
+                .agg(F.count("*").alias("n_events"), F.max("value").alias("max_value"))
+                .toPandas()
+                .set_index("user_id")
+            )
+            assert sorted(last.index) == sorted(expected.index)
+            for uid in expected.index:
+                assert last.loc[uid, "n_events"] == expected.loc[uid, "n_events"]
+        finally:
+            q.stop()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 # -- streaming joins ---------------------------------------------------------
 
 
