@@ -56,67 +56,73 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Names surfaced first by ``registry()``. The driver's correctness harness
 #: covers a bounded prefix of the registry (50 entries per round), so this
 #: list rotates per round toward the entries whose driver-recorded verdict is
-#: still missing. Round-3 rotation: the 42 entries never yet covered by any
-#: CORRECTNESS_r*.json window (rounds 1+2 covered 78 of 120), plus the five
-#: entries fixed this round (TIMESTAMP_NTZ regression + sketch column shape)
-#: so the fixes land as green driver rows, plus the entries changed this
-#: round (stream-stream oracle, PNG decode, MinHash perf). Union of r1-r3
-#: windows = all 120 entries. Every name here must exist (asserted in
+#: still missing. Round-4 rotation, in order: (1) the 11 entries outside
+#: every r1-r3 window — the 5 added after the r3 rotation plus this round's
+#: 6 new entries; (2) the two r3 hash-FAILs, re-windowed after their
+#: exact-arithmetic reformulations (VERDICT r3 "What's wrong"); (3) the
+#: entries whose ORACLE text changed this round (the whitespace-class pin)
+#: so the driver re-records them against the new SQL; (4) back-fill with
+#: the highest-value re-checks — all 22 TPC-H shapes and the scale-join
+#: family. Union of r1..r4 windows = every entry that has an oracle or
+#: rows-only check. Every name here must exist (asserted in
 #: tests/test_plans.py); the rest follow in import order.
 PRIORITY = (
-    # fixed this round — prove the fix with a green driver row
-    "asof_purchase_last_view",
-    "events_tumbling_hourly",
-    "events_sliding_2h_1h",
-    "events_sessionize_30m",
-    "agg_approx_sketches",
-    # changed this round
-    "events_stream_stream_join",
-    "dedup_minhash_lsh",
-    "multimodal_png_decode",
-    # never in a driver window before round 3 (42 entries)
-    "setop_union",
-    "setop_intersect",
-    "setop_except",
-    "distinct_values",
-    "topk_orders_global",
-    "range_scan_rows",
-    "filter_projection_pushdown",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_json_extract",
-    "scalar_array_ops",
-    "case_when_bucketing",
-    "pivot_linestatus",
-    "unpivot_part_attrs",
-    "agg_exact_median_ranked",
-    "agg_exact_median_histogram",
-    "profile_lineitem_columns",
-    "quality_expectations_orders",
-    "etl_partitioned_write_pruning",
-    "etl_upsert_latest",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "events_resample_gapfill",
-    "events_scd2_intervals",
+    # (1) never in any driver window
+    "corpus_mix_apply",
+    "corpus_source_mix",
+    "dedup_keep_best",
+    "events_stream_dedup_native",
+    "asof_nearest_view",
+    "join_interval_overlap",
+    "corpus_mix_upsample",
+    "events_funnel_single_scan",
+    "agg_count_min_freq",
+    "multimodal_bmp_decode",
+    "multimodal_gif_decode",
+    # (2) r3 hash-FAILs, hardened this round — prove with green driver rows
     "events_zscore_outliers",
-    "events_stream_upsert_latest",
-    "text_pii_redact",
-    "text_html_strip",
-    "text_tfidf_top_terms",
-    "text_fuzzy_join_typos",
-    "decontaminate_ngram_overlap",
     "pack_sequences_fill",
-    "shuffle_deterministic_order",
+    # (3) oracle text changed this round (explicit whitespace class)
+    "text_token_stats",
+    "text_tfidf_top_terms",
+    "text_html_strip",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_ngram_jaccard",
     "vocab_bigram_counts",
-    "docs_chunk_overlap",
     "docs_repetition_signals",
-    "embedding_quantize_int8",
-    "similarity_topk_quantized",
-    "sample_per_group_topk",
-    "multimodal_wav_decode",
-    "multimodal_ppm_decode",
+    "docs_chunk_overlap",
+    "decontaminate_ngram_overlap",
+    # (4) back-fill: TPC-H all 22 + the scale-join family
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q5_region_revenue",
+    "q6_revenue_filter",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_conditional_agg",
+    "q13_order_distribution",
+    "q14_promo_ratio",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q20_qualified_suppliers",
+    "q21_sole_flagged_supplier",
+    "q22_global_avg_anti",
+    "join_broadcast_dim",
+    "join_bucketed_colocated",
+    "join_salted_skew",
+    "join_range_binned",
+    # twin of events_funnel_single_scan — the driver records both hashing
+    # identically in the same window
+    "events_funnel_conversion",
 )
 
 
