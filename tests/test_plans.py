@@ -235,3 +235,51 @@ def test_count_min_estimates_bound_exact_counts(spark):
         assert r["est_count"] <= true_n + 0.001 * r["n_events"] + 1, (
             r["event_type"], r["user_id"], r["est_count"], true_n,
         )
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """The 100 TB selective-join pattern: when a big fact SMJ-joins a
+    filtered creation side, Spark injects a runtime bloom filter
+    (BloomFilterMightContain on the application side) that prunes fact rows
+    BEFORE the shuffle. Verify (a) the injection actually fires under
+    scale-shaped thresholds, and (b) it never changes results — the bloom
+    is a may-contain pre-filter, the join re-checks exactly. Confs are
+    scoped try/finally; the test controls execution timing so the restore
+    is sound (an entry fn could not do this lazily, which is why this lives
+    here and not in the catalog)."""
+    from flusher_spark.io.tables import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    l = load_table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+
+    def run():
+        j = l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+        agg = j.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total"),
+        )
+        return agg, agg.collect()
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        agg, with_bloom = run()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan or "BloomFilter" in plan, (
+            "runtime bloom filter did not inject — scale-shaped selective "
+            "joins would shuffle unpruned fact rows"
+        )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    _, without_bloom = run()
+    assert [tuple(r) for r in with_bloom] == [tuple(r) for r in without_bloom]
