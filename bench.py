@@ -35,10 +35,17 @@ HEADLINE = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_parts",
+    "q12_conditional_agg",
+    "q13_order_distribution",
+    "q14_promo_ratio",
     "q15_top_supplier",
+    "q16_supplier_variety",
     "q17_small_quantity_revenue",
     "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q20_qualified_suppliers",
     "q21_sole_flagged_supplier",
+    "q22_global_avg_anti",
     "join_broadcast_dim",
     "join_salted_skew",
     "agg_distinct",
