@@ -668,6 +668,43 @@ def test_interval_overlap_spanning_many_bins_once(spark):
     assert len(rows) == 1 and rows[0]["id_right"] == 7
 
 
+def test_interval_overlap_join_with_equi_keys(spark):
+    """The on=[keys] path: overlap pairs must also match the equi-key, and
+    the result must equal the keyed theta join exactly."""
+    from flusher_spark.operators.rangejoin import interval_overlap_join
+
+    e = load_table(spark, SF, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("p_end"),
+    )
+    i = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("i_id"), "user_id",
+        F.col("ts").alias("i_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("i_end"),
+    )
+    got = {
+        (r["p_id"], r["i_id"])
+        for r in interval_overlap_join(
+            p, i, "p_start", "p_end", "i_start", "i_end",
+            on=["user_id"], bin_width="1 hour",
+        ).collect()
+    }
+    naive = {
+        (r["p_id"], r["i_id"])
+        for r in p.alias("a")
+        .join(
+            i.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.p_start") < F.col("b.i_end"))
+            & (F.col("b.i_start") < F.col("a.p_end")),
+        )
+        .collect()
+    }
+    assert got == naive and naive
+
+
 def test_interval_overlap_plan_has_no_nested_loop(spark):
     from flusher_spark.operators.rangejoin import interval_overlap_join
 
