@@ -79,6 +79,7 @@ PRIORITY = (
     "agg_count_min_freq",
     "multimodal_bmp_decode",
     "multimodal_gif_decode",
+    "events_minmax_norm_arrow",
     # (2) r3 hash-FAILs, hardened this round — prove with green driver rows
     "events_zscore_outliers",
     "pack_sequences_fill",
@@ -116,7 +117,6 @@ PRIORITY = (
     "q20_qualified_suppliers",
     "q21_sole_flagged_supplier",
     "q22_global_avg_anti",
-    "join_broadcast_dim",
     "join_bucketed_colocated",
     "join_salted_skew",
     "join_range_binned",

@@ -2638,6 +2638,53 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_minmax_norm_arrow",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, event_type, value,
+             MIN(value) OVER (PARTITION BY event_type) AS mn,
+             MAX(value) OVER (PARTITION BY event_type) AS mx
+      FROM events)
+    SELECT event_id, event_type,
+           CASE WHEN mx = mn THEN CAST(0.0 AS DOUBLE)
+                ELSE (value - mn) / (mx - mn) END AS v_norm
+    FROM s
+    """,
+)
+def events_minmax_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature normalization via groupBy().applyInArrow —
+    Spark 4's Arrow-NATIVE group API (zero pandas conversion; pyarrow.compute
+    kernels on the shuffled group batches). This is the API-coverage twin of
+    the pandas paths in operators/similarity.py: the normalization itself IS
+    window-expressible (the oracle states that formulation, and it is the
+    recommended plan when groups are unbounded — applyInArrow materializes
+    one group per call, fine for bounded categorical groups like
+    event_type, wrong for billion-row keys). Results hash-match the SQL
+    window form exactly: min/max/subtract/divide are the same IEEE doubles
+    in Arrow kernels, Spark, and DuckDB."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def norm(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        mn = pc.min(v).as_py()
+        mx = pc.max(v).as_py()
+        if mx == mn:
+            out = pa.array([0.0] * len(t), pa.float64())
+        else:
+            out = pc.divide(pc.subtract(v, mn), mx - mn)
+        return pa.table(
+            {"event_id": t.column("event_id"), "event_type": t.column("event_type"), "v_norm": out}
+        )
+
+    return e.groupBy("event_type").applyInArrow(
+        norm, schema="event_id long, event_type string, v_norm double"
+    )
+
+
+@register(
     "agg_exact_median_ranked",
     oracle="""
     WITH r AS (
