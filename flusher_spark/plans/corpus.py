@@ -205,8 +205,9 @@ PACK_BUCKETS = 8
                  SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id, n_tok
                                   ROWS UNBOUNDED PRECEDING) AS cum
           FROM d),
-    p AS (SELECT bucket, (cum - n_tok) // {PACK_BUDGET} AS pack_id, doc_id, n_tok FROM c)
-    SELECT bucket, pack_id, COUNT(*) AS n_docs, SUM(n_tok) AS pack_tokens
+    p AS (SELECT bucket, CAST((cum - n_tok) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+                 doc_id, n_tok FROM c)
+    SELECT bucket, pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
     FROM p GROUP BY bucket, pack_id ORDER BY bucket, pack_id
     """,
 )

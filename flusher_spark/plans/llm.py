@@ -108,7 +108,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_doc AS (
       SELECT source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS nt FROM documents),
     agg AS (
-      SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
       FROM per_doc GROUP BY source)
     SELECT source, n_docs, n_tokens,
            CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share,
@@ -165,7 +165,7 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE))
              ) * 1000000) AS BIGINT) AS keep_below
       FROM agg)
-    SELECT d.source, COUNT(*) AS n_kept, SUM(p.nt) AS tokens_kept,
+    SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(p.nt) AS BIGINT) AS tokens_kept,
            MIN(d.doc_id) AS min_id, MAX(d.doc_id) AS max_id
     FROM documents d
     JOIN per_doc p USING (doc_id)
@@ -236,7 +236,7 @@ def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                    unnest(range(1, c.n_copies + 1)) AS i
             FROM cop c))
     SELECT source, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
-           SUM(nt) AS tokens_emitted
+           CAST(SUM(nt) AS BIGINT) AS tokens_emitted
     FROM ex GROUP BY source
     """,
 )

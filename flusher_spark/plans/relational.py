@@ -2589,12 +2589,12 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(cv * cv) AS HUGEINT) AS s2
       FROM v GROUP BY event_type)
     SELECT v.event_type, MIN(s.n) AS n,
-           SUM(CASE WHEN 4 * CAST(s.n * v.cv - s.s1 AS HUGEINT)
-                        * CAST(s.n * v.cv - s.s1 AS HUGEINT)
-                        * CAST(s.n - 1 AS HUGEINT)
-                      > 25 * CAST(s.n AS HUGEINT)
-                           * (CAST(s.n AS HUGEINT) * s.s2 - s.s1 * s.s1)
-                    THEN 1 ELSE 0 END) AS outlier_cnt
+           CAST(SUM(CASE WHEN 4 * CAST(s.n * v.cv - s.s1 AS HUGEINT)
+                             * CAST(s.n * v.cv - s.s1 AS HUGEINT)
+                             * CAST(s.n - 1 AS HUGEINT)
+                           > 25 * CAST(s.n AS HUGEINT)
+                                * (CAST(s.n AS HUGEINT) * s.s2 - s.s1 * s.s1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS outlier_cnt
     FROM v JOIN stats s USING (event_type)
     GROUP BY v.event_type ORDER BY v.event_type
     """,

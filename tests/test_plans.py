@@ -136,6 +136,37 @@ def test_registry_priority_prefix():
     assert list(reg)[: len(PRIORITY)] == list(PRIORITY)
 
 
+def test_oracle_output_types_are_spark_expressible():
+    """Typing lint over every registered DuckDB oracle: bind the SQL (DESCRIBE
+    — no execution) against the sf0.001 views and fail any output column whose
+    DuckDB type Spark cannot emit. The round-1..4 recurring bug class: a bare
+    top-level ``SUM(bigint_col)`` types as HUGEINT (int128) in DuckDB while
+    Spark emits int64 — names and stringified values match, but the driver's
+    type-aware value hash differs (five entries hash-failed for four rounds on
+    exactly this). Binding the real SQL catches every spelling of the bug —
+    windowed sums, sums smuggled through CTE columns, integer division of a
+    windowed cumulative — which a regex over the SQL text cannot."""
+    import duckdb
+
+    from flusher_spark.io.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    bad = []
+    for name, e in registry().items():
+        if e.oracle is None:
+            continue
+        desc = con.sql(f"DESCRIBE {e.oracle}").fetchall()
+        for col, dtype, *_ in desc:
+            if dtype.upper() in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+                bad.append(f"{name}.{col}: {dtype}")
+    assert not bad, (
+        "oracle output columns typed beyond int64 — wrap the aggregate in "
+        f"CAST(... AS BIGINT): {bad}"
+    )
+
+
 def test_entry_contract(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0

@@ -25,6 +25,36 @@ from flusher_spark.plans.catalog import registry
 from flusher_spark.session import get_session
 
 
+def _type_family(arrow_type: str) -> str | None:
+    """Coarse type family for a DuckDB-arrow type string. Families are the
+    granularity at which a type-aware value hash can diverge: int64 vs
+    int128/decimal, float vs decimal, etc. Returns None for types we don't
+    police (strings, dates, lists, structs — those round-trip identically)."""
+    t = arrow_type.lower()
+    if t in ("int8", "int16", "int32", "int64", "uint8", "uint16", "uint32"):
+        return "int"
+    if t in ("uint64", "int128") or t.startswith("decimal"):
+        return "bigdecimal"
+    if t in ("float", "double", "halffloat", "float32", "float64"):
+        return "float"
+    if t == "bool":
+        return "bool"
+    return None
+
+
+def _spark_type_family(spark_type: str) -> str | None:
+    t = spark_type.lower()
+    if t in ("tinyint", "smallint", "int", "bigint", "byte", "short", "integer", "long"):
+        return "int"
+    if t.startswith("decimal"):
+        return "bigdecimal"
+    if t in ("float", "double"):
+        return "float"
+    if t == "boolean":
+        return "bool"
+    return None
+
+
 def canon_value(v):
     if v is None:
         return "NULL"
@@ -73,6 +103,7 @@ def main() -> int:
         try:
             ores = con.sql(entry.oracle)
             ocols = [c.lower() for c in ores.columns]
+            oschema = ores.arrow().schema
             orows = ores.fetchall()
         except Exception:
             print(f"FAIL  {name}: duckdb error")
@@ -81,6 +112,25 @@ def main() -> int:
             continue
         sc = [c.lower() for c in scols]
         ok = True
+        # Physical-type parity: the driver's value hash is type-aware (an
+        # uncast DuckDB SUM is HUGEINT/int128 while Spark emits int64, and
+        # the values hash differently even when they stringify identically —
+        # the round-4 failure mode). Compare arrow-level type families.
+        try:
+            sarrow_schema = {f.name.lower(): f.dataType.simpleString() for f in sdf.schema.fields}
+            for fname, ftype in zip(oschema.names, oschema.types):
+                st = sarrow_schema.get(fname.lower())
+                ot = str(ftype)
+                fam_o = _type_family(ot)
+                fam_s = _spark_type_family(st) if st else None
+                if fam_s and fam_o and fam_s != fam_o:
+                    print(
+                        f"TYPE  {name}: column '{fname}' spark={st}({fam_s}) "
+                        f"oracle={ot}({fam_o}) — driver hash will differ"
+                    )
+                    ok = False
+        except Exception:
+            traceback.print_exc()
         if sorted(sc) != sorted(ocols):
             print(f"FAIL  {name}: columns differ spark={sorted(sc)} oracle={sorted(ocols)}")
             ok = False
