@@ -282,8 +282,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_suppliers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Argmax via an unpartitioned max window over a pre-aggregated (small)
-    input (TPC-H Q15 shape). Exact decimal sums make the equality safe."""
+    """Argmax via a broadcast 1-row scalar max over the distributed
+    per-supplier aggregate (TPC-H Q15 shape) — no single-partition window;
+    AQE reuses the aggregate exchange across both branches so the fact is
+    scanned once. Exact decimal sums make the max-equality tie set safe."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     rev = (
@@ -1457,22 +1459,25 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max over a derived aggregate (TPC-H Q15 shape: the ``revenue`` view +
     top-supplier probe). The view is one pruned fact scan + one suppkey
-    shuffle; the global max is an unpartitioned window over the
-    POST-aggregate rows — one row per supplier, i.e. dimension cardinality,
-    so the single-partition window is bounded by construction — which avoids
-    the second fact scan that joining back to ``SELECT MAX(...)`` would cost
-    (Spark 4 does not reuse the aggregate exchange across both branches).
-    The max-equality compare happens on exact decimal(38,6) sums, so the tie
-    set is identical in both engines; revenue is cast to double only for
-    output."""
+    shuffle. The global max is a 1-row ``agg(F.max)`` broadcast back onto the
+    distributed per-supplier aggregate — NOT an unpartitioned window, which
+    would funnel the whole post-aggregate (supplier cardinality: ~10⁷ rows at
+    100 TB TPC-H scaling) through a single partition. The two plan branches
+    share the aggregate's shuffle at runtime: AQE injects ReusedExchange for
+    the canonical-identical subtree, so the fact is scanned once (verified on
+    the executed plan — static planning shows two scans, the adaptive plan
+    reuses). The max-equality compare happens on exact decimal(38,6) sums, so
+    the tie set is identical in both engines; revenue is cast to double only
+    for output."""
     l = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
     s = load_table(spark, sf_dir, "supplier")
     rev = l.groupBy("l_suppkey").agg(F.sum(_disc()).cast("decimal(38,6)").alias("__rev"))
+    mx = rev.agg(F.max("__rev").alias("__max_rev"))
     best = (
-        rev.withColumn("__max_rev", F.max("__rev").over(Window.partitionBy()))
+        rev.crossJoin(F.broadcast(mx))
         .where(F.col("__rev") == F.col("__max_rev"))
         .select("l_suppkey", "__rev")
     )
