@@ -447,8 +447,14 @@ def decode_bmp(payload: bytes) -> dict:
     if len(payload) < data_offset + stride * height:
         raise ValueError("truncated BMP pixel data")
     sums = [0, 0, 0]
+    # Iterate image rows top-down: a positive height_raw means the file
+    # stores rows bottom-up, so image row y lives at file row height-1-y.
+    # Means are order-independent, but keeping the traversal in image order
+    # means a pixel-grid consumer can extend this loop without re-deriving
+    # the orientation rule.
     for y in range(height):
-        base = data_offset + y * stride
+        file_row = (height - 1 - y) if height_raw > 0 else y
+        base = data_offset + file_row * stride
         for x in range(width):
             i = base + x * nbytes
             sums[0] += payload[i + 2]  # R (stored BGR)

@@ -1323,11 +1323,16 @@ def agg_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is independent of partitioning AND deterministic for a fixed
     seed — rows-only only because DuckDB has no CMS, not because the output
     wobbles. Querying happens driver-side against the per-group sketches
-    via the JVM CountMinSketch class: bounded by construction (one ~100 KB
-    sketch per event_type, 5 groups) — the distributed work is the build +
-    merge, which is the part that scales with data. Estimates are
-    guaranteed >= the true count, and <= true + eps*N with prob 1-delta
-    (asserted against exact counts in tests/test_plans.py)."""
+    via a pure-Python reader of the sketch's public V1 serialization
+    (functions/sketch.py — no spark._jvm, so the probe works identically
+    under Spark Connect): bounded by construction (one ~100 KB sketch per
+    event_type, 5 groups) — the distributed work is the build + merge,
+    which is the part that scales with data. Estimates are guaranteed >=
+    the true count, and <= true + eps*N with prob 1-delta (asserted
+    against exact counts, and bit-for-bit against the JVM reader, in
+    tests/test_plans.py)."""
+    from flusher_spark.functions.sketch import CountMinSketch
+
     e = load_table(spark, sf_dir, "events")
     sketches = (
         e.groupBy("event_type")
@@ -1337,13 +1342,12 @@ def agg_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()  # bounded: |event_type| rows, each a ~100 KB sketch
     )
-    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
     query_keys = list(range(1, 11))  # fixed probe set: user_ids 1..10
     out = []
     for row in sketches:
-        sk = jcms.readFrom(bytes(row["cms"]))
+        sk = CountMinSketch.from_bytes(bytes(row["cms"]))
         for k in query_keys:
-            out.append((row["event_type"], k, sk.estimateCount(k), row["n_events"]))
+            out.append((row["event_type"], k, sk.estimate_count(k), row["n_events"]))
     return spark.createDataFrame(
         out, "event_type string, user_id long, est_count long, n_events long"
     ).orderBy("event_type", "user_id")
@@ -2616,9 +2620,13 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary cannot flip on engine-version FMA/rounding differences, which
     is exactly how the double formulation hash-mismatched in the round-3
     driver while passing locally (boundary gap was ~1.4e-4). Both engines
-    evaluate in 128-bit-class exact types (Spark decimal(38,0), DuckDB
-    HUGEINT): with |value| <= 10^6 the largest term is ~25*n^3*cv^2, inside
-    38 digits for n up to ~7e8 rows per group — document-scale safe, and a
+    evaluate END TO END in 128-bit-class exact types — Spark casts cv to
+    decimal(38,0) BEFORE the sums (a long SUM would wrap silently at ~922
+    rows of cv^2 terms at |value|=10^6), mirroring the oracle's HUGEINT
+    sums. Headroom: the largest term is rhs ~ 25*n^3*cv_max^2; with
+    |value| <= 10^6 (cv_max = 10^8) that stays inside 38 digits for n up
+    to ~7e6 rows per group — and past that, Spark decimal overflow yields
+    NULL (detectable) rather than a silently wrapped comparison; a
     scale-out would shard the group first anyway. Spark computes the
     moments as UNORDERED windows over the event_type partition — one scan
     and one shuffle, instead of the aggregate-and-join-back double scan
@@ -2628,9 +2636,10 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d38 = "decimal(38,0)"
     cv = (dec("value", "decimal(8,2)") * 100).cast("long")
     ev = e.select("event_type", cv.alias("cv"))
+    cvd = F.col("cv").cast(d38)
     n = F.count("*").over(w)
-    s1 = F.sum("cv").over(w).cast(d38)
-    s2 = F.sum(F.col("cv") * F.col("cv")).over(w).cast(d38)
+    s1 = F.sum(cvd).over(w)
+    s2 = F.sum(cvd * cvd).over(w)
     dev = (n.cast(d38) * F.col("cv").cast(d38) - s1)
     lhs = F.lit(4).cast(d38) * dev * dev * (n - F.lit(1)).cast(d38)
     rhs = F.lit(25).cast(d38) * n.cast(d38) * (n.cast(d38) * s2 - s1 * s1)
@@ -2676,7 +2685,11 @@ def events_minmax_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = t.column("value")
         mn = pc.min(v).as_py()
         mx = pc.max(v).as_py()
-        if mx == mn:
+        if mn is None:
+            # All-null group: SQL's CASE WHEN mx = mn is NULL=NULL -> NULL,
+            # so the window form emits NULL — match it, don't emit 0.0.
+            out = pa.nulls(len(t), pa.float64())
+        elif mx == mn:
             out = pa.array([0.0] * len(t), pa.float64())
         else:
             out = pc.divide(pc.subtract(v, mn), mx - mn)

@@ -268,6 +268,31 @@ def test_count_min_estimates_bound_exact_counts(spark):
         )
 
 
+def test_count_min_python_reader_matches_jvm(spark):
+    """The pure-Python sketch reader (functions/sketch.py — the
+    Connect-safe replacement for the old spark._jvm probe) must agree
+    bit-for-bit with the JVM CountMinSketch on the same serialized bytes,
+    across a probe set that includes negative keys and keys far outside the
+    data (the wrapping-multiply/fold arithmetic is where a port would
+    diverge). Classic mode exposes both paths, so the JVM is the oracle."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.functions.sketch import CountMinSketch
+    from flusher_spark.io.tables import load_table
+
+    e = load_table(spark, SF, "events")
+    row = e.agg(
+        F.count_min_sketch("user_id", F.lit(0.001), F.lit(0.99), F.lit(42)).alias("cms")
+    ).collect()[0]
+    raw = bytes(row["cms"])
+    py = CountMinSketch.from_bytes(raw)
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(raw)
+    assert py.total_count == jcms.totalCount()
+    probes = list(range(-5, 15)) + [2**31, -(2**31), 2**62, -(2**62), 999_999_999_999]
+    for k in probes:
+        assert py.estimate_count(k) == jcms.estimateCount(k), k
+
+
 def test_runtime_bloom_filter_join_injection(spark):
     """The 100 TB selective-join pattern: when a big fact SMJ-joins a
     filtered creation side, Spark injects a runtime bloom filter
