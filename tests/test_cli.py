@@ -1,0 +1,57 @@
+"""CLI surface (flusher_spark/__main__.py + bin/flusher-spark): the
+packaged entry points over the same engine the tests drive directly —
+reference TODO.md:2's bin/ executables, re-expressed for Spark."""
+
+from __future__ import annotations
+
+import os
+
+from flusher_spark.__main__ import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cli_list_names_every_catalog_entry(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    from flusher_spark.plans.catalog import registry
+
+    for name in registry():
+        assert name in out
+
+
+def test_cli_oracle_prints_sql_and_flags_rows_only(capsys):
+    assert main(["oracle", "q1_pricing_summary"]) == 0
+    assert "SELECT" in capsys.readouterr().out.upper()
+    assert main(["oracle", "dedup_minhash_lsh"]) == 1  # rows-only
+    assert main(["oracle", "nope_never"]) == 2
+
+
+def test_cli_query_writes_parquet(spark, tmp_path, capsys):
+    out_dir = str(tmp_path / "out")
+    assert main(["query", "count_rows", "--sf-dir", SF, "--output", out_dir]) == 0
+    files = os.listdir(out_dir)
+    assert any(f.endswith(".parquet") for f in files)
+    assert spark.read.parquet(out_dir).collect()[0]["n"] == 6000
+
+
+def test_cli_job_and_schedule_end_to_end(spark, tmp_path, capsys):
+    sheets = tmp_path / "sheets" / "doc1"
+    sheets.mkdir(parents=True)
+    (sheets / "inventory.csv").write_text("name,qty\nwidget,3\ngadget,5\n")
+    root = str(tmp_path / "run")
+    assert main([
+        "job", "add", "--root", root, "--job-id", "1", "--document", "doc1",
+        "--sheet", "inventory", "--target-system", "warehouse",
+        "--destination", "inv", "--refresh-now",
+    ]) == 0
+    assert main([
+        "schedule", "--root", root, "--sheets", str(tmp_path / "sheets"),
+        "--max-ticks", "1", "--poll-seconds", "0.01",
+    ]) == 0
+    loaded = spark.read.parquet(os.path.join(root, "lake", "g_sheets", "inv"))
+    assert {tuple(r) for r in loaded.select("name", "qty").collect()} == {
+        ("widget", 3), ("gadget", 5),
+    }
+    assert main(["job", "list", "--root", root]) == 0
+    assert "Success" in capsys.readouterr().out
