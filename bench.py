@@ -75,6 +75,9 @@ HEADLINE = [
     "join_interval_overlap",
     "events_funnel_single_scan",
     "corpus_mix_upsample",
+    # round 5 additions — the re-typed oracle family now fully hash-checked
+    "corpus_mix_apply",
+    "events_zscore_outliers",
 ]
 
 
