@@ -358,3 +358,151 @@ def brute_force_topk_arrow(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def _train_pq_codebooks(
+    base: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ksub: int,
+    sample_size: int = 1024,
+    n_iter: int = 5,
+):
+    """Train product-quantization codebooks on a bounded sample.
+
+    PQ training is sample-based by design (FAISS trains on a slice, not the
+    index): driver state is ``sample_size × dim`` floats plus the
+    ``m × ksub × dim/m`` codebooks — both bounded regardless of |df|. The
+    sample is the same deterministic hash-ordered TakeOrdered used by
+    ``_seed_centroids``; per-subspace k-means runs in numpy with
+    farthest-point seeding and ``n_iter`` Lloyd steps, all deterministic
+    (no RNG), so the index is reproducible across runs and partitionings.
+
+    Returns a numpy array of shape (m, ksub, dsub).
+    """
+    import numpy as np
+
+    sample = (
+        base.orderBy(F.pmod(F.hash(F.col(id_col)), F.lit(7919)), F.col(id_col))
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    V = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
+    n, dim = V.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    k = min(ksub, n)
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        X = V[:, j * dsub : (j + 1) * dsub]
+        # Farthest-point seeding (deterministic k-means++ limit).
+        chosen = [0]
+        d2 = ((X - X[0]) ** 2).sum(axis=1)
+        while len(chosen) < k:
+            nxt = int(np.argmax(d2))
+            chosen.append(nxt)
+            d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+        C = X[chosen].copy()
+        for _ in range(n_iter):
+            # Assign to nearest centroid (L2), recompute means.
+            dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for c in range(k):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+) -> DataFrame:
+    """Product-quantization approximate cosine top-k — the codebook
+    COMPRESSION scale path next to lsh_topk (bucketing) and ivf_topk
+    (partitioning). At 100 TB the win is memory: each vector stores as m
+    small codes (here 8 codes ≤ 1 byte each vs 64 floats = 32× smaller), so
+    the scan that scores candidates reads codes, not vectors.
+
+    Index: train codebooks on a bounded sample (``_train_pq_codebooks``)
+    and broadcast them (m×ksub×dsub doubles — tiny). Encoding (per
+    subspace, argmin L2 to the codebook rows) and scoring FUSE into one
+    Arrow-batched pandas UDF here because this entry doesn't persist the
+    index: one narrow scan, no shuffle, a single numpy distance computation
+    per batch. A production index would store the (id, codes) table —
+    32× smaller than the vectors — and run only the lookup half per query.
+
+    Search (ADC — asymmetric distance): queries stay exact; each query
+    precomputes a distance table T[q][j][c] = q_j · codebook[j][c] so a
+    candidate's approximate dot is ``sum_j T[q][j][code_j]`` — numpy fancy
+    indexing per batch, no per-row Python. Cosine denominator uses the
+    reconstructed candidate norm ``sum_j ||codebook[j][code_j]||²`` (the
+    standard ADC norm estimate). Approximate by construction → rows-only
+    entry; recall vs the exact twin asserted in tests/test_operators.py."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    books = _train_pq_codebooks(df.select(id_col, vec_col), id_col, vec_col, m, ksub)
+    dsub = books.shape[2]
+
+    q_rows = df.where(F.col(id_col).isin(list(query_ids))).select(id_col, vec_col).collect()
+    if not q_rows:
+        return df.sparkSession.createDataFrame(
+            [], f"query_id long, {id_col} long, cosine_sim double, rank long"
+        )
+    q_ids = [r[id_col] for r in q_rows]
+    qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    # T[q, j, c] = dot(query q's subvector j, codebook[j][c]); cnorm[j, c] =
+    # ||codebook[j][c]||² — together they score any code row without touching
+    # the original vector.
+    T = np.einsum("qjd,jcd->qjc", qm.reshape(len(q_ids), m, dsub), books)
+    cnorm2 = (books**2).sum(axis=2)  # (m, ksub)
+
+    @pandas_udf("array<double>")
+    def adc_sims(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        X = np.array(vecs.tolist(), dtype=np.float64).reshape(len(vecs), m, dsub)
+        # Encode: per subspace argmin L2 to the codebook rows.
+        # dist (n, m, ksub) = ||x||² - 2 x·c + ||c||²; ||x||² is rank-constant.
+        cross = np.einsum("njd,jcd->njc", X, books)
+        codes = (cnorm2[None, :, :] - 2.0 * cross).argmin(axis=2)  # (n, m)
+        jj = np.arange(m)[None, :]
+        approx_dot = T[:, jj, codes].sum(axis=2)  # (queries, n)
+        approx_norm = np.sqrt(cnorm2[jj, codes].sum(axis=1))  # (n,)
+        approx_norm[approx_norm == 0] = 1.0
+        sims = (approx_dot / approx_norm[None, :]).T  # (n, queries)
+        return pd.Series(list(sims))
+
+    q_id_arr = F.array(*[F.lit(i) for i in q_ids])
+    scored = (
+        df.select(F.col(id_col), adc_sims(F.col(vec_col)).alias("__sims"))
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(q_id_arr.alias("query_id"), F.col("__sims").alias("cosine_sim"))
+            ).alias("__z"),
+        )
+        .select(
+            F.col("__z.query_id").alias("query_id"),
+            F.col(id_col),
+            F.col("__z.cosine_sim").alias("cosine_sim"),
+        )
+        .where(F.col(id_col) != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )

@@ -718,6 +718,17 @@ def similarity_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk_arrow(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10)
 
 
+@register("similarity_topk_pq")  # rows-only: approximate by construction (ADC estimate)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-10 (operators/similarity.py
+    pq_topk): sample-trained per-subspace codebooks, asymmetric-distance
+    scoring via broadcast lookup tables — the code-compression ANN scale
+    path completing the family (exact fold / Arrow-BLAS / LSH buckets / IVF
+    lists / int8 MIPS / PQ-ADC). Recall vs the exact twin is asserted in
+    tests/test_operators.py."""
+    return S.pq_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10, m=16, ksub=256)
+
+
 @register(
     "multimodal_feature_extract",
     oracle="""

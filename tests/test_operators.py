@@ -719,6 +719,41 @@ def test_interval_overlap_plan_has_no_nested_loop(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+# -- PQ ANN ------------------------------------------------------------------
+
+
+def test_pq_topk_recall_and_determinism(spark, emb):
+    """ADC scores are estimates, so only set-overlap with the exact top-10 is
+    asserted — plus bit-determinism across runs (sample, k-means, and the
+    fused encode/score UDF are all RNG-free by construction)."""
+    from flusher_spark.operators.similarity import pq_topk
+
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, qids, k=10).collect()
+    }
+    approx = pq_topk(emb, qids, k=10, m=16, ksub=256).collect()
+    assert len(approx) == len(exact), "PQ must return a full top-10 per query"
+    recall = sum(1 for r in approx if (r["query_id"], r["vec_id"]) in exact) / len(exact)
+    # Measured 0.86 with FAISS-standard 16x256 codebooks (1-byte codes,
+    # 16x compression) on the 64-dim fixture; deterministic, not
+    # statistical (see docstring).
+    assert recall >= 0.8, f"PQ recall too low: {recall}"
+    again = pq_topk(emb, qids, k=10, m=16, ksub=256).collect()
+    assert [tuple(r) for r in approx] == [tuple(r) for r in again]
+
+
+def test_pq_codebooks_bounded_and_deterministic(spark, emb):
+    from flusher_spark.operators.similarity import _train_pq_codebooks
+
+    base = emb.select("vec_id", "embedding")
+    b1 = _train_pq_codebooks(base, "vec_id", "embedding", m=8, ksub=16)
+    b2 = _train_pq_codebooks(base, "vec_id", "embedding", m=8, ksub=16)
+    assert b1.shape == (8, 16, 8)  # ksub capped by sample size when smaller
+    assert (b1 == b2).all()
+
+
 # -- IVF ANN -----------------------------------------------------------------
 
 
