@@ -399,3 +399,130 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Boilerplate set size: the K most document-frequent shingles. A fixed-K
+#: head (not an absolute doc-count threshold) is the scale-stable policy —
+#: the boilerplate navigation/footer spans a crawl repeats sit in the head
+#: of the document-frequency distribution at every corpus size, while any
+#: absolute threshold has to be re-tuned per scale.
+BOILER_K = 200
+#: Shingle width for boilerplate detection (3 tokens — wide enough that the
+#: head is real repeated phrasing, not single-word noise).
+BOILER_N = 3
+
+
+@register(
+    "docs_boilerplate_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{BOILER_N - 1}], ' ') AS s
+          FROM t, UNNEST(generate_series(1, len(toks) - {BOILER_N - 1})) AS u(i)),
+    c AS (SELECT s, COUNT(*) AS nd FROM g GROUP BY s),
+    b AS (SELECT s FROM c ORDER BY nd DESC, s LIMIT {BOILER_K}),
+    per AS (SELECT g.doc_id, COUNT(*) AS n_shingles, COUNT(b.s) AS n_boiler
+            FROM g LEFT JOIN b USING (s) GROUP BY g.doc_id)
+    SELECT doc_id, n_shingles, n_boiler,
+           CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS boiler_ratio
+    FROM per WHERE n_boiler > 0
+    ORDER BY boiler_ratio DESC, doc_id LIMIT 100
+    """,
+)
+def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate span detection (the C4/RefinedWeb cleanup step that strips
+    nav bars, cookie banners, and footer text): the BOILER_K most
+    document-frequent word-3-grams form the boilerplate set, and each doc
+    reports what fraction of its distinct shingles are boilerplate — the
+    docs ranking highest are templates, the cut a real pipeline drops or
+    line-filters.
+
+    Scale shape: distinct (doc, shingle) pairs are one shuffle; the
+    document-frequency count is a second partial-aggregated shuffle; the
+    top-K head is TakeOrderedAndProject (K rows on the driver — bounded by
+    the constant, not the corpus) and BROADCAST back, so scoring every
+    document is a map-side left join + one aggregate. Ties at the K
+    boundary break on the shingle string in both engines, so the set —
+    and every downstream ratio — is deterministic cross-engine."""
+    from flusher_spark.operators.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    g = shingle_rows(d, n=BOILER_N).distinct()
+    b = (
+        g.groupBy("s")
+        .agg(F.count("*").alias("nd"))
+        .orderBy(F.col("nd").desc(), "s")
+        .limit(BOILER_K)
+        .select("s", F.lit(1).alias("__hit"))
+    )
+    per = (
+        g.join(F.broadcast(b), "s", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"), F.count("__hit").alias("n_boiler"))
+        .where(F.col("n_boiler") > 0)
+    )
+    return (
+        per.select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "boiler_ratio"
+            ),
+        )
+        .orderBy(F.col("boiler_ratio").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "docs_bigram_familiarity",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS b
+           FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+    c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY b),
+    per AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(c.cnt) AS BIGINT) AS familiarity_sum
+            FROM bg JOIN c USING (b) GROUP BY bg.doc_id)
+    SELECT doc_id, n_bigrams, familiarity_sum,
+           CAST(familiarity_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS familiarity
+    FROM per ORDER BY doc_id
+    """,
+)
+def docs_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-grounded fluency signal: each document's mean corpus frequency
+    of its bigram OCCURRENCES — the integer-exact stand-in for an n-gram LM
+    perplexity score (documents full of corpus-common transitions score
+    high; gibberish, OCR noise, and wrong-language docs score low, the
+    classic KenLM-filter signal). Everything before the final division is
+    integer (counts summed as exact bigints on both engines), so the score
+    compares bit-for-bit cross-engine — a log-prob formulation would hinge
+    on libm rounding.
+
+    Scale shape: bigram occurrences are a narrow projection (the same
+    transform+explode as shingling); the frequency table is one
+    partial-aggregated shuffle, vocab²-bounded, and joins back on the
+    bigram key — a plain shuffle join that AQE downgrades to broadcast
+    when the vocabulary is small; the per-doc rollup is the final
+    aggregate. No all-pairs, no Python."""
+    from flusher_spark.operators.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    bg = shingle_rows(d, n=2).withColumnRenamed("s", "b")
+    c = bg.groupBy("b").agg(F.count("*").cast("long").alias("cnt"))
+    per = (
+        bg.join(c, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cnt").cast("long").alias("familiarity_sum"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        "familiarity_sum",
+        (F.col("familiarity_sum").cast("double") / F.col("n_bigrams").cast("double")).alias(
+            "familiarity"
+        ),
+    ).orderBy("doc_id")

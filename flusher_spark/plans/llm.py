@@ -1170,3 +1170,96 @@ def similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("q_id", "vec_id", "qdot", "rank")
     )
+
+
+@register(
+    "sample_split_by_source",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST(('0x' || substr(md5('grp:' || source), 1, 8)) AS BIGINT) % 100 < 10
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents)
+    SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+def sample_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/test split: the hash bucket is computed on the
+    SOURCE (domain/site), not the document, so every document from one
+    source lands in the same split — the leakage guard real eval protocols
+    require (near-duplicate pages from one site must never straddle the
+    split; a per-doc hash split puts them on both sides). Same md5 bucket
+    arithmetic as sample_hash_split with a 'grp:' salt so the source-level
+    decision is independent of any doc-level split in the same pipeline.
+    Pure projection + one summary aggregate: append-stable, engine-portable,
+    shuffle-free until the assertable rollup."""
+    from flusher_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        hash_bucket(F.concat(F.lit("grp:"), F.col("source")), 100) < 10, "test"
+    ).otherwise("train")
+    return (
+        d.select("doc_id", "source", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "corpus_importance_resample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                              CAST(n_chars AS DOUBLE) / CAST(400 AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS keep_below
+      FROM documents)
+    SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM w
+    WHERE CAST(('0x' || substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+          < keep_below
+    GROUP BY source ORDER BY source
+    """,
+)
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOCUMENT importance resampling (DSIR-style shape): each document
+    keeps with probability proportional to its own quality feature — here
+    w = min(1, n_chars/400), i.e. short fragments are downweighted
+    linearly — decided by the same deterministic md5 bucket-vs-floor(w·1e6)
+    comparison the mixture passes use ('imp:' salt keeps it independent of
+    both). This is the per-row generalization of corpus_mix_apply's
+    per-SOURCE fraction: no mix table at all, the weight is a codegen'd
+    expression on the row, so the pass is a pure scan-filter — shuffle-free
+    until the assertable per-source rollup — and rerunning it on an
+    appended corpus never flips a prior keep decision. The double->long
+    boundary is floor()ed explicitly on both sides (Spark truncates,
+    DuckDB rounds — the corpus_mix_apply lesson)."""
+    from flusher_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(400.0))
+    keep_below = F.floor(w * 1_000_000).cast("long")
+    kept = d.where(
+        hash_bucket(F.concat(F.lit("imp:"), F.col("doc_id").cast("string")), 1_000_000)
+        < keep_below
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
