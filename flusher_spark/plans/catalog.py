@@ -87,7 +87,14 @@ PRIORITY = (
     # (3) plan changed this round (global-max de-single-partitioned)
     "q15_top_supplier",
     "top_suppliers_revenue",
-    # (4) back-fill: recent r4 additions worth a second verdict, then TPC-H
+    # (4) round-5 additions — first driver verdict
+    "similarity_topk_pq",
+    "docs_boilerplate_ngrams",
+    "docs_bigram_familiarity",
+    "sample_split_by_source",
+    "corpus_importance_resample",
+    "events_stream_stream_left_join",
+    # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     "dedup_keep_best",
     "events_stream_dedup_native",
     "asof_nearest_view",
@@ -96,7 +103,6 @@ PRIORITY = (
     "multimodal_bmp_decode",
     "multimodal_gif_decode",
     "events_minmax_norm_arrow",
-    "text_token_stats",
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -120,13 +126,6 @@ PRIORITY = (
     "q20_qualified_suppliers",
     "q21_sole_flagged_supplier",
     "q22_global_avg_anti",
-    "join_bucketed_colocated",
-    "join_salted_skew",
-    "join_range_binned",
-    # twin of events_funnel_single_scan — the driver records both hashing
-    # identically in the same window
-    "events_funnel_conversion",
-    "decontaminate_ngram_overlap",
 )
 
 

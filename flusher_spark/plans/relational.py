@@ -2060,7 +2060,13 @@ def _run_stream_entry(spark: SparkSession, build, name: str, mode: str, partitio
     return spark.table(name)
 
 
-def _stage_event_stream(spark: SparkSession, sf_dir: str, n_files: int = 4, dup: bool = False) -> str:
+def _stage_event_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    dup: bool = False,
+    sentinel: bool = False,
+) -> str:
     """Split events.parquet into ``n_files`` time-ordered files (one per
     micro-batch under maxFilesPerTrigger=1) with increasing mtimes, so the
     file source replays them chronologically and watermarks only ever
@@ -2075,7 +2081,7 @@ def _stage_event_stream(spark: SparkSession, sf_dir: str, n_files: int = 4, dup:
 
     from flusher_spark.io.tables import normalize_event_ts
 
-    key = (sf_dir, n_files, dup)
+    key = (sf_dir, n_files, dup, sentinel)
     cached = _STREAM_STAGE_CACHE.get(key)
     if cached and os.path.isdir(cached):
         return cached
@@ -2105,6 +2111,38 @@ def _stage_event_stream(spark: SparkSession, sf_dir: str, n_files: int = 4, dup:
         os.replace(src, dst)
         shutil.rmtree(stage)
         os.utime(dst, (base + i, base + i))
+    if sentinel:
+        # A final watermark-flush file: one purchase + one view for the
+        # impossible user -1, timestamped far past every real event. Outer
+        # stream-stream joins only emit their NULL rows once the global
+        # watermark proves no match can still arrive; on a bounded stream
+        # the watermark stalls at max_real_ts - delay, stranding every
+        # late purchase's NULL row in state. The sentinel rows advance
+        # BOTH sides' watermarks past max_real_ts (then get filtered out
+        # of the result by user_id >= 0), so the bounded run emits the
+        # complete batch-left-join answer. Production streams don't need
+        # this — their watermark keeps moving with live traffic.
+        far = raw.agg(
+            (F.max(F.unix_micros(F.col("ts"))) + 36_000_000_000).alias("us")
+        ).first()["us"]
+        sent = spark.createDataFrame(
+            [(-1, -1, "purchase", 0.0, "{}"), (-2, -1, "view", 0.0, "{}")],
+            "event_id long, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.lit(far)).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        stage = os.path.join(out, "_stage_sentinel")
+        sent.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(out, f"{n_files:04d}.parquet")
+        os.replace(src, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base + n_files, base + n_files))
     _STREAM_STAGE_CACHE[key] = out
     return out
 
@@ -2231,6 +2269,46 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cat_ss_join",
         "append",
     )
+
+
+@register(
+    "events_stream_stream_left_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM events WHERE event_type = 'view')
+    SELECT p.purchase_id, p.user_id, p.purchase_ts, v.view_id, v.view_ts
+    FROM p LEFT JOIN v
+      ON p.user_id = v.user_id
+     AND v.view_ts <= p.purchase_ts
+     AND v.view_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    """,
+)
+def events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join executed as a stream
+    (streaming/joins.py join_purchases_to_views_left): the outer twin of
+    events_stream_stream_join, covering the semantics inner joins never
+    exercise — NULL rows for match-less purchases, emitted only after the
+    global watermark proves the match window closed. Bounded-stream
+    completeness comes from a sentinel flush file (_stage_event_stream
+    sentinel=True: far-future purchase+view for user -1 advance both
+    watermarks past every real event, then the user filter drops them), so
+    the stream emits exactly the batch LEFT JOIN row set and the entry gets
+    a full DuckDB hash oracle, not a rows-only waiver."""
+    from flusher_spark.streaming.joins import join_purchases_to_views_left
+    from flusher_spark.streaming.windows import stream_events
+
+    path = _stage_event_stream(spark, sf_dir, sentinel=True)
+    out = _run_stream_entry(
+        spark,
+        lambda: join_purchases_to_views_left(stream_events(spark, path)),
+        "cat_ss_left_join",
+        "append",
+    )
+    return out.where(F.col("user_id") >= 0)
 
 
 @register(

@@ -54,3 +54,41 @@ def join_purchases_to_views(
         & (views.view_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}")),
         "inner",
     ).select("purchase_id", purchases.user_id, "purchase_ts", "view_id", "view_ts")
+
+
+def join_purchases_to_views_left(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase emits — paired with its
+    prior views within ``max_gap``, or once with NULL view columns if none
+    arrived. The outer semantics are the streaming-specific part: a NULL
+    row can only be emitted when the (global, min-of-both-sides) watermark
+    has passed the purchase's match window, proving no matching view can
+    still arrive — so unmatched results trail the inner ones by exactly the
+    watermark delay, and a bounded run needs the watermark pushed past the
+    last purchase before its final NULLs flush (see the catalog entry's
+    sentinel file)."""
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (purchases.user_id == views.v_user_id)
+        & (views.view_ts <= purchases.purchase_ts)
+        & (views.view_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}")),
+        "leftOuter",
+    ).select("purchase_id", purchases.user_id, "purchase_ts", "view_id", "view_ts")

@@ -404,3 +404,87 @@ def test_stream_stream_join_matches_batch_range_join(spark, stream_dir):
         assert got == expected and expected
     finally:
         q.stop()
+
+
+def test_left_outer_stream_join_nulls_wait_for_watermark(spark, stream_dir, tmp_path):
+    """The left-outer semantics that distinguish it from the inner join:
+    (a) WITHOUT a watermark-advancing flush, match-less purchases near the
+    stream's end stay stranded in state (their NULL rows never emit on a
+    bounded stream); (b) WITH a far-future sentinel row on both sides, the
+    full batch LEFT JOIN row set emits — inner pairs identical, plus exactly
+    one NULL row per match-less purchase."""
+    import glob
+    import shutil
+    import time as _time
+
+    from flusher_spark.streaming.joins import join_purchases_to_views_left
+
+    # (a) bounded run, no flush: strictly fewer rows than the batch answer.
+    stream = join_purchases_to_views_left(stream_events(spark, stream_dir), max_gap="1 hour")
+    q = run_stream_to_memory(stream, "ssl_noflush", output_mode="append")
+    try:
+        n_noflush = spark.table("ssl_noflush").where(F.col("user_id") >= 0).count()
+    finally:
+        q.stop()
+
+    # (b) same files + sentinel purchase/view for user -1, 10 h past the end.
+    d2 = tmp_path / "with_sentinel"
+    d2.mkdir()
+    # Copy with explicit increasing mtimes: the file source replays in mtime
+    # order, and shutil.copy would stamp all three copies "now" — an
+    # arbitrary tie-break can replay them out of event-time order and the
+    # watermark then DROPS late rows (observed as an order-dependent flake).
+    base = _time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(stream_dir, "*.parquet")))):
+        dst = d2 / os.path.basename(f)
+        shutil.copy(f, dst)
+        os.utime(str(dst), (base + i, base + i))
+    e = _batch_events(spark)
+    # The sentinel must use the SAME on-disk ts encoding as the fixture
+    # (raw INT64 ns here — the stream reader fixes its schema from the
+    # first footer, and a timestamp[us] sentinel would read as garbage and
+    # never advance the watermark).
+    raw0 = pq.read_table(os.path.join(stream_dir, sorted(os.listdir(stream_dir))[0]))
+    far_ns = int(
+        e.agg((F.max(F.unix_micros(F.col("ts"))) + 36_000_000_000).alias("us")).first()["us"]
+    ) * 1000
+    sent_tbl = pa.table(
+        {
+            "event_id": pa.array([-1, -2], pa.int64()),
+            "ts": pa.array([far_ns, far_ns], raw0.schema.field("ts").type),
+            "user_id": pa.array([-1, -1], pa.int64()),
+            "event_type": pa.array(["purchase", "view"]),
+            "value": pa.array([0.0, 0.0], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    ).select(raw0.schema.names)
+    pq.write_table(sent_tbl, str(d2 / "99.parquet"))
+    os.utime(str(d2 / "99.parquet"), (_time.time() + 99, _time.time() + 99))
+
+    stream = join_purchases_to_views_left(stream_events(spark, str(d2)), max_gap="1 hour")
+    q = run_stream_to_memory(stream, "ssl_flush", output_mode="append")
+    try:
+        got = spark.table("ssl_flush").where(F.col("user_id") >= 0)
+        p = e.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+        )
+        v = e.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"), F.col("user_id").alias("vuid"),
+            F.col("ts").alias("vts"),
+        )
+        expected = p.join(
+            v,
+            (p.user_id == v.vuid) & (v.vts <= p.pts) & (v.vts >= p.pts - F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        exp_rows = {
+            (r["purchase_id"], r["view_id"]) for r in expected.collect()
+        }
+        got_rows = {(r["purchase_id"], r["view_id"]) for r in got.collect()}
+        assert got_rows == exp_rows and exp_rows
+        n_nulls = sum(1 for _, vid in got_rows if vid is None)
+        assert n_nulls > 0, "fixture should contain match-less purchases"
+        # The flush is what surfaced the stranded NULL rows.
+        assert len(got_rows) > n_noflush
+    finally:
+        q.stop()
