@@ -2706,23 +2706,53 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~7e6 rows per group — and past that, Spark decimal overflow yields
     NULL (detectable) rather than a silently wrapped comparison; a
     scale-out would shard the group first anyway. Spark computes the
-    moments as UNORDERED windows over the event_type partition — one scan
-    and one shuffle, instead of the aggregate-and-join-back double scan
-    (the oracle keeps the join form: semantically identical)."""
+    moments as a partial-aggregated groupBy BROADCAST-joined back onto the
+    rows (the oracle's join form exactly) — NOT as windows partitioned by
+    event_type: with ~5 distinct types, a raw-row window funnels a fifth of
+    the fact through each of 5 tasks (the low-cardinality-group hazard
+    agg_exact_median_* documents), while the aggregate's 5-group reduce
+    only ever carries one partial row per map task.
+
+    Hot-path typing: Spark's decimal(38) SUM runs interpreted (measured 17×
+    slower than a long SUM on this aggregate), so the per-row work stays in
+    pure-long codegen: cv² is exact in a long (≤10¹⁶ < 2⁶³), summed as TWO
+    wrap-safe limbs (high = cv²>>32, low = cv² & (2³²−1); the low limb is
+    long-safe to ~2·10⁹ rows/group, high to ~4·10¹²), and s2 is reassembled
+    in decimal only at the 5-row stats level where rhs is also precomputed.
+    The per-row compare is then 3 decimal multiplies (4·dev²·(n−1)) against
+    a per-group constant."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
     d38 = "decimal(38,0)"
     cv = (dec("value", "decimal(8,2)") * 100).cast("long")
     ev = e.select("event_type", cv.alias("cv"))
     cvd = F.col("cv").cast(d38)
-    n = F.count("*").over(w)
-    s1 = F.sum(cvd).over(w)
-    s2 = F.sum(cvd * cvd).over(w)
-    dev = (n.cast(d38) * F.col("cv").cast(d38) - s1)
+    sq = F.col("cv") * F.col("cv")
+    n = F.col("n")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cv").alias("s1l"),
+            F.sum(F.shiftright(sq, 32)).alias("s2q"),
+            F.sum(sq.bitwiseAND(F.lit(4294967295))).alias("s2r"),
+        )
+        .withColumn("s1", F.col("s1l").cast(d38))
+        .withColumn(
+            "s2",
+            F.lit(4294967296).cast(d38) * F.col("s2q").cast(d38) + F.col("s2r").cast(d38),
+        )
+        .withColumn(
+            "rhs",
+            F.lit(25).cast(d38) * n.cast(d38)
+            * (n.cast(d38) * F.col("s2") - F.col("s1") * F.col("s1")),
+        )
+        .select("event_type", "n", "s1", "rhs")
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    dev = (n.cast(d38) * cvd - F.col("s1"))
     lhs = F.lit(4).cast(d38) * dev * dev * (n - F.lit(1)).cast(d38)
-    rhs = F.lit(25).cast(d38) * n.cast(d38) * (n.cast(d38) * s2 - s1 * s1)
     return (
-        ev.select("event_type", n.alias("n"), F.when(lhs > rhs, 1).otherwise(0).alias("f"))
+        j.select("event_type", n.alias("n"), F.when(lhs > F.col("rhs"), 1).otherwise(0).alias("f"))
         .groupBy("event_type")
         .agg(F.min("n").alias("n"), F.sum("f").alias("outlier_cnt"))
         .orderBy("event_type")
