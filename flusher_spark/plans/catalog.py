@@ -94,13 +94,13 @@ PRIORITY = (
     "sample_split_by_source",
     "corpus_importance_resample",
     "events_stream_stream_left_join",
+    "join_dynamic_partition_pruning",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     "dedup_keep_best",
     "events_stream_dedup_native",
     "asof_nearest_view",
     "join_interval_overlap",
     "events_funnel_single_scan",
-    "multimodal_bmp_decode",
     "multimodal_gif_decode",
     "events_minmax_norm_arrow",
     # (4) back-fill: TPC-H all 22 + the scale-join family

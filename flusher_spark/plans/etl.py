@@ -200,6 +200,28 @@ def etl_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PART_DIR_CACHE: dict[str, str] = {}
 
 
+def events_by_day_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf_dir) and return the date-partitioned lake copy of
+    events — the layout both the static-pruning and dynamic-partition-
+    pruning entries scan."""
+    key = sf_dir
+    path = _PART_DIR_CACHE.get(key)
+    if not (path and os.path.isdir(path)):
+        path = os.path.join(tempfile.mkdtemp(prefix="flusher_lake_"), "events_by_day")
+        e = load_table(spark, sf_dir, "events")
+        (
+            e.withColumn("event_date", F.to_date("ts"))
+            # ~30 day-partitions; coalesce keeps it to one file per day at
+            # fixture scale rather than cores x days tiny files.
+            .coalesce(4)
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+        _PART_DIR_CACHE[key] = path
+    return path
+
+
 @register(
     "etl_partitioned_write_pruning",
     oracle="""
@@ -216,23 +238,8 @@ def etl_partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     directory (PartitionFilters, plan-asserted in tests/test_plans.py)
     instead of the whole table. The oracle runs the same day-filter over the
     unpartitioned source."""
-    key = sf_dir
-    path = _PART_DIR_CACHE.get(key)
-    if not (path and os.path.isdir(path)):
-        path = os.path.join(tempfile.mkdtemp(prefix="flusher_lake_"), "events_by_day")
-        e = load_table(spark, sf_dir, "events")
-        (
-            e.withColumn("event_date", F.to_date("ts"))
-            # ~30 day-partitions; coalesce keeps it to one file per day at
-            # fixture scale rather than cores x days tiny files.
-            .coalesce(4)
-            .write.mode("overwrite")
-            .partitionBy("event_date")
-            .parquet(path)
-        )
-        _PART_DIR_CACHE[key] = path
     return (
-        spark.read.parquet(path)
+        spark.read.parquet(events_by_day_path(spark, sf_dir))
         .where(F.col("event_date") == F.lit("2024-01-15").cast("date"))
         .groupBy("event_type")
         .agg(
@@ -328,3 +335,47 @@ def quality_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (expectation, observed, passed)"
         )
     ).orderBy("expectation")
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events
+      WHERE date_part('day', ts) IN (10, 20)),
+    f AS (SELECT CAST(ts AS DATE) AS event_date, event_type, value FROM events)
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS sum_value
+    FROM f JOIN days USING (event_date)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the star-join scale feature static
+    pruning can't give: the filter lives on the DIM side (days whose
+    day-of-month ∈ {10, 20}), so the partitioned fact's pruning predicate
+    only exists at runtime. Catalyst injects a DynamicPruningExpression
+    subquery into the fact scan's PartitionFilters (reusing the join's
+    broadcast), and the scan reads only the ~2/30 matching day directories
+    instead of the whole table — at 100 TB the difference between touching
+    6 TB and touching all of it. Fires-and-preserves-results is asserted in
+    tests/test_plans.py (plan contains dynamicpruning; result identical
+    with spark.sql.optimizer.dynamicPartitionPruning.enabled=false); the
+    oracle computes the same dim-filtered join over the unpartitioned
+    source."""
+    fact = spark.read.parquet(events_by_day_path(spark, sf_dir))
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .where(F.dayofmonth("ts").isin(10, 20))
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(8,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

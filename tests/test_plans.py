@@ -339,3 +339,22 @@ def test_runtime_bloom_filter_join_injection(spark):
             spark.conf.set(k, v)
     _, without_bloom = run()
     assert [tuple(r) for r in with_bloom] == [tuple(r) for r in without_bloom]
+
+
+def test_dynamic_partition_pruning_fires_and_preserves_results(spark):
+    """join_dynamic_partition_pruning's contract: (a) the partitioned fact
+    scan's PartitionFilters carry a DynamicPruningExpression (the pruning
+    predicate exists only at runtime — a static filter can't express it);
+    (b) results are identical with the optimization disabled, because DPP
+    is a scan-reduction, never a semantics change."""
+    fn = registry()["join_dynamic_partition_pruning"].fn
+    df = fn(spark, SF)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), "DPP did not fire"
+    with_dpp = [tuple(r) for r in df.collect()]
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try:
+        without = [tuple(r) for r in fn(spark, SF).collect()]
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    assert with_dpp == without and with_dpp
