@@ -379,3 +379,90 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+#: Deterministic malformed lines appended to the staged JSONL corpus — the
+#: reality of crawled training data (truncated uploads, half-written shards).
+_JSONL_CORRUPT_LINES = [
+    '{"doc_id": 900000001, "text": "unterminated',
+    "not json at all",
+    '{"doc_id": ["wrong", "shape"], "text": 7}',
+]
+
+
+def _documents_jsonl_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per sf_dir) the documents table as a JSONL directory plus
+    one shard of deterministic corrupt lines."""
+    key = ("jsonl", sf_dir)
+    path = _PART_DIR_CACHE.get(key)
+    if not (path and os.path.isdir(path)):
+        path = os.path.join(tempfile.mkdtemp(prefix="flusher_jsonl_"), "documents_jsonl")
+        d = load_table(spark, sf_dir, "documents")
+        d.coalesce(4).write.mode("overwrite").json(path)
+        with open(os.path.join(path, "part-corrupt.json"), "w", encoding="utf-8") as f:
+            f.write("\n".join(_JSONL_CORRUPT_LINES) + "\n")
+        _PART_DIR_CACHE[key] = path
+    return path
+
+
+@register(
+    "etl_jsonl_ingest",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT '__corrupt__' AS source, CAST({len(_JSONL_CORRUPT_LINES)} AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS chars_total
+    ORDER BY source
+    """,
+)
+def etl_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest — the de-facto interchange format for LLM training
+    corpora: the documents table staged as line-delimited JSON shards (plus
+    one shard of deterministic malformed lines) and read back with an
+    EXPLICIT schema + PERMISSIVE corrupt-record capture. The explicit
+    schema is the scale decision: schema inference reads the entire corpus
+    once before the real scan (2× the 100 TB bill), and a pinned schema
+    also can't drift between shards. Malformed lines land in
+    _corrupt_record instead of failing the job — quarantined and COUNTED
+    (the '__corrupt__' summary row), which is the difference between a
+    100 TB ingest that finishes with a quarantine report and one that dies
+    at hour 30 on byte garbage. PERMISSIVE has a subtlety worth pinning:
+    the third staged line is PARSEABLE JSON with wrong field shapes, and
+    Spark nulls the mismatched fields WITHOUT setting _corrupt_record — so
+    the quarantine test is (source IS NULL OR _corrupt_record IS NOT NULL),
+    never the corrupt column alone (a required-field null check is what
+    catches shape-corrupt rows). Valid rows aggregate per source and must
+    reproduce the parquet-side oracle exactly — proving the JSON round-trip
+    is lossless for every value in the corpus."""
+    path = _documents_jsonl_path(spark, sf_dir)
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long, "
+        "_corrupt_record string"
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    valid = raw.where(F.col("_corrupt_record").isNull() & F.col("source").isNotNull())
+    per_source = valid.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+    )
+    # Spark disallows any branch whose referenced file columns reduce to the
+    # corrupt-record column alone (QUERY_ONLY_CORRUPT_RECORD_COLUMN), even
+    # alongside other references — so the quarantine COUNT is computed
+    # without touching it: corrupt rows null every schema field (source is
+    # never null in valid data), and count(*) − count(source) is exactly
+    # the captured-line count. The _corrupt_record capture itself is still
+    # exercised by the valid-branch filter above.
+    corrupt_row = raw.agg(
+        (F.count("*") - F.count("source")).alias("n_docs")
+    ).select(
+        F.lit("__corrupt__").alias("source"),
+        "n_docs",
+        F.lit(None).cast("long").alias("chars_total"),
+    )
+    return per_source.unionByName(corrupt_row).orderBy("source")
