@@ -2978,3 +2978,95 @@ def events_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert state["snap"] is not None
     return spark.read.parquet(state["snap"]).drop("__ts_us")
+
+
+@register(
+    "events_ewma_per_user",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             list_transform(
+               list_sort(list(struct_pack(ts := ts, eid := event_id,
+                                          v := CAST(value AS DOUBLE)))),
+               s -> s.v) AS vals
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           list_reduce(vals, (acc, x) -> 0.5 * acc + 0.5 * x) AS ewma
+    FROM per ORDER BY user_id
+    """,
+)
+def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average over the event stream
+    — the classic recursive time-series signal NO window function can
+    express (each output depends on the previous output, not a frame of
+    inputs), so the only batch formulations are a fold or a self-join
+    chain. Same shape as events_funnel_single_scan: one scan, one user-key
+    shuffle, then a row-local F.aggregate fold over the user's time-sorted
+    values, seeded with the first value and folding the rest — mirrored
+    exactly by DuckDB's list_reduce (also a seed-with-first left fold).
+
+    Exactness: alpha = 0.5 makes every step two exact halvings plus one
+    correctly-rounded IEEE add, and both engines execute the identical
+    operation sequence in the identical (ts, event_id)-sorted order — so
+    the doubles hash bit-for-bit with no decimal machinery. Per-user event
+    arrays are bounded by per-user activity (the funnel entry's documented
+    caveat); the streaming twin of this operator is a stateful
+    value-per-key processor (streaming/stateful.py)."""
+    e = load_table(spark, sf_dir, "events")
+    per = (
+        e.select(
+            "user_id", "ts", F.col("event_id").alias("eid"), F.col("value").cast("double").alias("v")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sort_array(F.collect_list(F.struct("ts", "eid", "v"))).alias("evs"),
+        )
+    )
+    vals = F.expr("transform(evs, s -> s.v)")
+    ewma = F.expr(
+        "aggregate(slice(transform(evs, s -> s.v), 2, size(evs) - 1), "
+        "transform(evs, s -> s.v)[0], (acc, x) -> 0.5D * acc + 0.5D * x)"
+    )
+    return per.select("user_id", "n_events", ewma.alias("ewma")).orderBy("user_id")
+
+
+@register(
+    "scalar_variant_extract",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN k >= 50 THEN k END) AS BIGINT) AS sum_big_k,
+           CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM x GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type — the
+    parse-once/extract-many successor to per-path get_json_object:
+    ``parse_json`` decodes props into the binary variant encoding a single
+    time, then every ``try_variant_get`` is a cheap binary probe instead of
+    a fresh JSON parse (with N extraction paths the string-JSON plan parses
+    each row N times — the cost that makes wide semi-structured scans at
+    100 TB parse-bound). try_variant_get (vs variant_get) also makes
+    missing/mistyped paths NULL instead of failing the job — the same
+    quarantine-not-crash policy as the JSONL ingest entry. The oracle
+    states the equivalent one-parse plan over DuckDB's JSON functions."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "long")
+    x = v.select("event_type", k.alias("k"))
+    big = F.col("k") >= 50
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.sum(F.when(big, F.col("k"))).alias("sum_big_k"),
+            F.sum(F.when(big, 1).otherwise(0)).alias("n_big"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
