@@ -85,3 +85,48 @@ def salted_join(
     lhs = left.withColumn("__salt", salt)
     rhs = right.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
     return lhs.join(rhs, [on, "__salt"], how).drop("__salt")
+
+
+def zorder_key(cols: list, bits: int = 8):
+    """Morton (Z-order) interleave of ``len(cols)`` already-normalized
+    integer columns — the multi-dimensional clustering key behind
+    lakehouse OPTIMIZE ZORDER: range-partitioning + sorting by this key
+    groups rows that are close in EVERY dimension into the same files, so
+    per-file min/max statistics prune scans filtered on ANY of the
+    dimensions (a lexicographic sort only prunes its leading column).
+
+    Inputs must already be normalized to [0, 2^bits) longs (see
+    ``normalize_to_bits`` — integer arithmetic, so the key is a pure
+    deterministic function reproducible in ANSI SQL). The interleave is a
+    statically generated codegen'd expression: bit b of column j lands at
+    output bit b*len(cols)+j — ``bits × len(cols)`` shift/mask/or terms,
+    no Python at row time."""
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        expr = F.col(c) if isinstance(c, str) else c
+        for b in range(bits):
+            terms.append(F.shiftleft(F.shiftright(expr, b).bitwiseAND(F.lit(1)), b * n + j))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def normalize_to_bits(col, vmin, vmax, bits: int = 8):
+    """Map an integer column with known [vmin, vmax] bounds (columns or
+    literals — e.g. a broadcast 1-row global min/max) onto [0, 2^bits) via
+    (v − min)·(2^bits − 1) div (max − min), computed exactly: the numerator
+    is integer, and the division subtracts ``pmod`` first so the double
+    divide is of an exact multiple — exact for numerators < 2^53 (inputs up
+    to ~3.5e13 at bits=8; the fixture keys are ≤1e6). Engine-portable — the
+    oracle states the same arithmetic with DuckDB's ``//`` — which is what
+    lets the z-order key be oracle-checked bit-for-bit."""
+    top = F.lit((1 << bits) - 1)
+    lo = F.lit(vmin) if isinstance(vmin, int) else vmin
+    hi = F.lit(vmax) if isinstance(vmax, int) else vmax
+    c = F.col(col) if isinstance(col, str) else col
+    span = (hi - lo).cast("long")
+    num = ((c.cast("long") - lo.cast("long")) * top).cast("long")
+    exact_div = ((num - F.pmod(num, span)) / span).cast("long")
+    return F.when(span > 0, exact_div).otherwise(F.lit(0))

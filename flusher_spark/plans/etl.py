@@ -466,3 +466,77 @@ def etl_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("chars_total"),
     )
     return per_source.unionByName(corrupt_row).orderBy("source")
+
+
+ZBITS = 8
+
+
+def _sql_interleave(a: str, b: str, bits: int = ZBITS) -> str:
+    """DuckDB twin of operators/scale.py::zorder_key for two columns."""
+    terms = []
+    for bit in range(bits):
+        terms.append(f"((({a} >> {bit}) & 1) << {2 * bit})")
+        terms.append(f"((({b} >> {bit}) & 1) << {2 * bit + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "etl_zorder_layout",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+      FROM events),
+    bnd AS (SELECT MIN(user_id) umin, MAX(user_id) umax,
+                   MIN(cents) cmin, MAX(cents) cmax FROM c),
+    n AS (SELECT
+            CASE WHEN umax > umin
+                 THEN ((user_id - umin) * {(1 << ZBITS) - 1}) // (umax - umin)
+                 ELSE 0 END AS u8,
+            CASE WHEN cmax > cmin
+                 THEN ((cents - cmin) * {(1 << ZBITS) - 1}) // (cmax - cmin)
+                 ELSE 0 END AS c8
+          FROM c, bnd),
+    z AS (SELECT {_sql_interleave('u8', 'c8')} AS zkey FROM n)
+    SELECT CAST(zkey >> {ZBITS} AS BIGINT) AS bucket, COUNT(*) AS n,
+           CAST(MIN(zkey) AS BIGINT) AS zmin, CAST(MAX(zkey) AS BIGINT) AS zmax
+    FROM z GROUP BY bucket ORDER BY bucket
+    """,
+)
+def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, value) — the layout
+    behind lakehouse OPTIMIZE ZORDER: range-partition + sort by the
+    interleaved key and rows close in EVERY dimension land in the same
+    files, so per-file min/max statistics prune scans filtered on ANY
+    dimension (a lexicographic sort only serves its leading column — the
+    quantitative advantage is asserted in tests/test_operators.py by
+    comparing per-partition spans of the trailing dimension). The key is
+    pure bigint arithmetic end to end — exact global-bounds normalization
+    (broadcast 1-row min/max, integer div) + statically generated
+    shift/mask/or interleave, all codegen'd — so the oracle reproduces it
+    bit-for-bit in SQL; the entry emits the per-bucket histogram of the
+    16-bit key space as the assertable surface."""
+    from flusher_spark.operators.scale import normalize_to_bits, zorder_key
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "user_id",
+        (F.col("value").cast("decimal(8,2)") * 100).cast("long").alias("cents"),
+    )
+    bnd = c.agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+        F.min("cents").alias("cmin"), F.max("cents").alias("cmax"),
+    )
+    n = c.crossJoin(F.broadcast(bnd)).select(
+        normalize_to_bits("user_id", F.col("umin"), F.col("umax"), ZBITS).alias("u8"),
+        normalize_to_bits("cents", F.col("cmin"), F.col("cmax"), ZBITS).alias("c8"),
+    )
+    z = n.select(zorder_key(["u8", "c8"], ZBITS).alias("zkey"))
+    return (
+        z.groupBy(F.shiftright("zkey", ZBITS).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("zkey").cast("long").alias("zmin"),
+            F.max("zkey").cast("long").alias("zmax"),
+        )
+        .orderBy("bucket")
+    )

@@ -1004,3 +1004,54 @@ def test_group_row_number_plan_has_no_per_group_window(spark):
             if "__cnt" in line or "__offset" in line:
                 continue
             raise AssertionError(f"window not partitioned by __pid: {line}")
+
+
+# -- Z-order layout ----------------------------------------------------------
+
+
+def test_zorder_layout_bounds_both_dimensions(spark):
+    """The reason z-order exists: range-partition by the Morton key and
+    EVERY dimension's per-partition span stays bounded, so per-file min/max
+    stats prune filters on any column. A lexicographic sort serves only its
+    leading column — its trailing-column spans cover ~the whole domain.
+    Asserted quantitatively: mean per-partition span of the TRAILING
+    dimension under z-order must be under half the lexicographic layout's."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.tables import load_table
+    from flusher_spark.operators.scale import normalize_to_bits, zorder_key
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    c = e.select(
+        "user_id", (F.col("value").cast("decimal(8,2)") * 100).cast("long").alias("cents")
+    )
+    bnd = c.agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+        F.min("cents").alias("cmin"), F.max("cents").alias("cmax"),
+    )
+    n = c.crossJoin(F.broadcast(bnd)).select(
+        "user_id", "cents",
+        normalize_to_bits("user_id", F.col("umin"), F.col("umax"), 8).alias("u8"),
+        normalize_to_bits("cents", F.col("cmin"), F.col("cmax"), 8).alias("c8"),
+    )
+    z = n.withColumn("zkey", zorder_key(["u8", "c8"], 8))
+
+    def mean_trailing_span(df, order_col):
+        parts = (
+            df.repartitionByRange(16, F.col(order_col))
+            .select("cents", F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .agg((F.max("cents") - F.min("cents")).alias("span"))
+        )
+        return parts.agg(F.avg("span")).first()[0]
+
+    z_span = mean_trailing_span(z, "zkey")
+    lex_span = mean_trailing_span(z, "user_id")  # leading=user_id, trailing=cents
+    assert z_span < lex_span / 2, (z_span, lex_span)
+
+    # Key exactness: interleave is invertible over the normalized grid.
+    probe = n.select("u8", "c8", zorder_key(["u8", "c8"], 8).alias("zk")).limit(200).collect()
+    for r in probe:
+        u = sum(((r["zk"] >> (2 * b)) & 1) << b for b in range(8))
+        cc = sum(((r["zk"] >> (2 * b + 1)) & 1) << b for b in range(8))
+        assert (u, cc) == (r["u8"], r["c8"])
