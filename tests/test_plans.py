@@ -200,6 +200,7 @@ _NESTED_LOOP_OK = {
     "window_ntile",  # broadcast 1-row total count
     "q22_global_avg_anti",  # broadcast 1-row global average (scalar subquery)
     "q11_important_parts",  # broadcast 1-row grand total (scalar subquery)
+    "etl_zorder_layout",  # broadcast 1-row global min/max bounds for key normalization
 }
 
 
