@@ -359,3 +359,58 @@ def test_dynamic_partition_pruning_fires_and_preserves_results(spark):
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
     assert with_dpp == without and with_dpp
+
+
+def test_aqe_skew_join_splits_hot_partition_and_preserves_results(spark):
+    """The runtime complement of operators/scale.py's manual salting: AQE's
+    OptimizeSkewedJoin splits a skewed reduce partition into per-map-chunk
+    reads (SortMergeJoin(skew=true) + 'AQEShuffleRead … skewed' in the
+    final adaptive plan) with results identical to the unoptimized join.
+    Two non-obvious preconditions this test documents: (a) skew splitting
+    happens at MAP-output granularity, so a single-mapper input can never
+    be split — the fact side is repartitioned to 16 mappers first (the
+    fixture parquet is one file; a 100 TB fact has thousands of mappers and
+    never hits this); (b) thresholds are scaled down to fixture bytes —
+    at sf0.01, since the smallest fixture's hot partition can't clear any
+    sane byte threshold. Confs are scoped try/finally around controlled
+    execution."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.tables import load_table
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8192",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    sf_med = "/root/testdata/sf0.01"
+    e = load_table(spark, sf_med, "events").repartition(16)
+    c = load_table(spark, sf_med, "customer")
+    skewed = e.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(F.col("user_id")).alias("k"),
+        "value",
+    )
+    dim = c.select(F.col("c_custkey").alias("k"), (F.col("c_custkey") % 7).alias("seg"))
+    j = skewed.join(dim, "k").groupBy("seg").agg(F.count("*").alias("n"))
+    baseline = {tuple(r) for r in j.collect()}
+
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j2 = skewed.join(dim, "k")
+        got = j2.collect()
+        plan = j2._jdf.queryExecution().toString()
+        assert "skew=true" in plan, "AQE skew join did not fire"
+        assert "skewed" in plan
+        agg = {}
+        for r in got:
+            agg[r["seg"]] = agg.get(r["seg"], 0) + 1
+        assert {(s, n) for s, n in agg.items()} == baseline
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
