@@ -78,6 +78,18 @@ HEADLINE = [
     # round 5 additions — the re-typed oracle family now fully hash-checked
     "corpus_mix_apply",
     "events_zscore_outliers",
+    # round 5 new operators (batch entries; the streaming left join runs a
+    # full staged stream and is timed by its own tests instead)
+    "similarity_topk_pq",
+    "docs_boilerplate_ngrams",
+    "docs_bigram_familiarity",
+    "sample_split_by_source",
+    "corpus_importance_resample",
+    "join_dynamic_partition_pruning",
+    "etl_jsonl_ingest",
+    "events_ewma_per_user",
+    "scalar_variant_extract",
+    "etl_zorder_layout",
 ]
 
 

@@ -173,3 +173,87 @@ def fuzzy_join_ed1(left, right, left_col: str, right_col: str):
         .distinct()
         .where(F.levenshtein(F.col(left_col), F.col(right_col)) <= 1)
     )
+
+
+def bpe_merge_pair(toks: Column, left: str, right: str, merged: str) -> Column:
+    """Apply ONE BPE merge rule to a token array: replace every greedy,
+    left-to-right, non-overlapping adjacent (left, right) pair with
+    ``merged``. Expressed as a codegen'd left fold with a one-token pending
+    buffer — the pending slot holds the previous unconsumed token, so an
+    element can either complete a merge with it, flush it, or become the
+    new pending token. Greedy non-overlap falls out of the fold order
+    (after a merge the buffer is empty, so 'x x x' under ('x','x') yields
+    ['xx', 'x'], matching reference BPE)."""
+    l, r, m = (F.lit(v) for v in (left, right, merged))
+    empty = F.array().cast("array<string>")
+    init = F.struct(empty.alias("out"), F.lit(None).cast("string").alias("pend"))
+
+    def step(acc, x):
+        flush_merge = acc["pend"].isNotNull() & (acc["pend"] == l) & (x == r)
+        return (
+            F.when(acc["pend"].isNull(), F.struct(acc["out"].alias("out"), x.alias("pend")))
+            .when(
+                flush_merge,
+                F.struct(
+                    F.concat(acc["out"], F.array(m)).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(F.concat(acc["out"], F.array(acc["pend"])).alias("out"), x.alias("pend"))
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(toks, init, step, finish)
+
+
+def bpe_learn_merges(df, n_merges: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+    """Learn ``n_merges`` BPE merge rules over the corpus — the iterative
+    heart of tokenizer training (vocab_bigram_counts is one iteration's
+    counting step; this runs the full count→argmax→merge→recount loop).
+
+    Each iteration: adjacent-pair counts over the CURRENT token arrays
+    (posexplode + lead, one partial-aggregated shuffle), global top pair as
+    a 2-row-bounded TakeOrdered (ties broken lexicographically — fully
+    deterministic), then the merge applied corpus-wide with bpe_merge_pair
+    (row-local fold, no shuffle). The evolving corpus is
+    ``localCheckpoint(eager=False)``-ed per iteration so plan lineage stays
+    constant across iterations instead of nesting n_merges folds deep —
+    the same iterative-algorithm discipline as dedup_clusters. Driver
+    state: one (pair, count) row per iteration. Merged tokens join with a
+    space, matching the classic BPE convention of merging the SPELLINGS.
+
+    Returns (rules_df, final_corpus_df): rules as (step, left, right,
+    merged, pair_count), corpus as (doc_id, toks) after all merges."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    cur = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+    rules = []
+    for step_no in range(1, n_merges + 1):
+        pe = cur.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        pairs = (
+            pe.select("tok", F.lead("tok").over(w).alias("nxt"))
+            .where(F.col("nxt").isNotNull())
+            .groupBy("tok", "nxt")
+            .agg(F.count("*").alias("c"))
+        )
+        top = pairs.orderBy(F.col("c").desc(), "tok", "nxt").limit(1).collect()
+        if not top:
+            break
+        a, b, c = top[0]["tok"], top[0]["nxt"], int(top[0]["c"])
+        merged = f"{a} {b}"
+        rules.append((step_no, a, b, merged, c))
+        cur = cur.select(
+            "doc_id", bpe_merge_pair(F.col("toks"), a, b, merged).alias("toks")
+        ).localCheckpoint(eager=False)
+    rules_df = spark.createDataFrame(
+        rules, "step int, left string, right string, merged string, pair_count long"
+    )
+    return rules_df, cur

@@ -99,10 +99,10 @@ PRIORITY = (
     "events_ewma_per_user",
     "scalar_variant_extract",
     "etl_zorder_layout",
+    "vocab_bpe_merges",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     "dedup_keep_best",
     "events_stream_dedup_native",
-    "asof_nearest_view",
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",
     "q2_min_cost_supplier",

@@ -1263,3 +1263,27 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("vocab_bpe_merges")  # rows-only: iterative count->argmax->merge loop, no SQL twin
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 3 BPE merge rules over the corpus (operators/text.py
+    bpe_learn_merges) and report each rule with its pair count plus a final
+    summary row (step 0) carrying the corpus token count after all merges.
+    The full iterative tokenizer-training loop — count pairs, take the
+    global argmax (2-field TakeOrdered, deterministic tie-break), apply the
+    merge as a row-local fold, recount — with per-iteration lazy
+    localCheckpoints keeping the plan depth constant. Exact equality with
+    a pure-Python reference BPE (greedy left-to-right non-overlapping
+    merges) is asserted in tests/test_operators.py; no SQL oracle because
+    the loop's fixpoint state is inherently iterative."""
+    from flusher_spark.operators.text import bpe_learn_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    rules, corpus = bpe_learn_merges(d, n_merges=3)
+    total = corpus.select(F.sum(F.size("toks")).cast("long").alias("n")).first()["n"]
+    summary = spark.createDataFrame(
+        [(0, "", "", "__corpus_tokens_after__", int(total))],
+        "step int, left string, right string, merged string, pair_count long",
+    )
+    return rules.unionByName(summary).orderBy("step")

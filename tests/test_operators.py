@@ -1055,3 +1055,58 @@ def test_zorder_layout_bounds_both_dimensions(spark):
         u = sum(((r["zk"] >> (2 * b)) & 1) << b for b in range(8))
         cc = sum(((r["zk"] >> (2 * b + 1)) & 1) << b for b in range(8))
         assert (u, cc) == (r["u8"], r["c8"])
+
+
+# -- BPE merge learning ------------------------------------------------------
+
+
+def test_bpe_learn_merges_matches_reference(spark, docs):
+    """The distributed count->argmax->merge loop must equal a pure-Python
+    reference BPE exactly: same rules in the same order (counts included)
+    and the same final corpus token count. Greedy non-overlap is the
+    subtle part — 'x x x' under rule (x, x) must yield ['x x', 'x']."""
+    from collections import Counter
+
+    from flusher_spark.operators.text import bpe_learn_merges
+
+    rules_df, corpus = bpe_learn_merges(docs, n_merges=3)
+    got = [(r["step"], r["left"], r["right"], r["pair_count"]) for r in rules_df.collect()]
+
+    py = [r["text"].lower().strip().split() for r in docs.select("text").collect()]
+
+    def merge(seq, a, b):
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(f"{a} {b}")
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return out
+
+    expected = []
+    for step in range(1, 4):
+        counts = Counter()
+        for seq in py:
+            for x, y in zip(seq, seq[1:]):
+                counts[(x, y)] += 1
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, a, b, c))
+        py = [merge(seq, a, b) for seq in py]
+    assert got == expected
+    assert corpus.select(F.sum(F.size("toks"))).first()[0] == sum(len(s) for s in py)
+
+
+def test_bpe_merge_pair_greedy_non_overlap(spark):
+    from flusher_spark.operators.text import bpe_merge_pair
+
+    df = spark.createDataFrame(
+        [(["x", "x", "x"],), (["a", "b", "a", "b"],), (["q"],), ([],)],
+        "toks array<string>",
+    )
+    out = [r[0] for r in df.select(bpe_merge_pair(F.col("toks"), "x", "x", "x x")).collect()]
+    assert out[0] == ["x x", "x"]
+    out2 = [r[0] for r in df.select(bpe_merge_pair(F.col("toks"), "a", "b", "a b")).collect()]
+    assert out2[1] == ["a b", "a b"]
+    assert out2[2] == ["q"] and out2[3] == []
