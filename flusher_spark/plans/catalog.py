@@ -100,8 +100,8 @@ PRIORITY = (
     "scalar_variant_extract",
     "etl_zorder_layout",
     "vocab_bpe_merges",
+    "agg_hll_rollup_reuse",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
-    "dedup_keep_best",
     "events_stream_dedup_native",
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",

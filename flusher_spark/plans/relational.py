@@ -3070,3 +3070,34 @@ def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register("agg_hll_rollup_reuse")  # rows-only: sketch estimates have no DuckDB twin
+def agg_hll_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup reuse — the pattern that makes distinct
+    counting tractable at 100 TB: build per-(event_type, day) HLL sketches
+    once (Spark 4's Datasketches hll_sketch_agg), then answer the coarser
+    per-type question by UNIONING the daily sketches (hll_union_agg)
+    instead of rescanning the fact. HLL registers are per-slot maxima, so
+    union-of-disjoint-parts equals the directly-built whole sketch
+    REGISTER-FOR-REGISTER — the entry emits both estimates and the test
+    asserts exact equality plus the rsd accuracy bound vs true distinct
+    counts. At scale the daily sketch table is the materialized rollup
+    layer: days × types rows of ~KB sketches serving any date-range
+    distinct query with zero fact scans."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rollup = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("users_rollup"),
+        F.count("*").alias("n_days"),
+    )
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("users_direct")
+    )
+    return (
+        rollup.join(direct, "event_type")
+        .select("event_type", "users_rollup", "users_direct", "n_days")
+        .orderBy("event_type")
+    )

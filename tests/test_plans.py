@@ -414,3 +414,26 @@ def test_aqe_skew_join_splits_hot_partition_and_preserves_results(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hll_rollup_union_equals_direct_and_tracks_exact(spark):
+    """Mergeability is the load-bearing property: the union of per-day HLL
+    sketches must equal the directly-built per-type sketch exactly
+    (registers are slot-maxima — associative, partition- and
+    order-insensitive), and both estimates must track the true distinct
+    count within the default-lgk rsd bound."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.tables import load_table
+
+    rows = registry()["agg_hll_rollup_reuse"].fn(spark, SF).collect()
+    assert rows
+    e = load_table(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for r in rows:
+        assert r["users_rollup"] == r["users_direct"], r
+        true_n = exact[r["event_type"]]
+        assert abs(r["users_rollup"] - true_n) <= max(2, 0.05 * true_n), (r, true_n)
