@@ -101,8 +101,9 @@ PRIORITY = (
     "etl_zorder_layout",
     "vocab_bpe_merges",
     "agg_hll_rollup_reuse",
+    "window_rank_distributions",
+    "agg_mode_exact",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
-    "events_stream_dedup_native",
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -119,7 +120,6 @@ PRIORITY = (
     "q13_order_distribution",
     "q14_promo_ratio",
     # q15_top_supplier already windowed in group (3) above
-    "q16_supplier_variety",
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_filter",

@@ -3101,3 +3101,86 @@ def agg_hll_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "users_rollup", "users_direct", "n_days")
         .orderBy("event_type")
     )
+
+
+@register(
+    "window_rank_distributions",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS pr,
+             CUME_DIST() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS cd,
+             NTH_VALUE(o_orderkey, 3) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key,
+             o_orderpriority
+      FROM orders)
+    SELECT o_orderpriority, o_orderkey, pr, cd, third_key
+    FROM r WHERE pr >= 0.99
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def window_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family — percent_rank, cume_dist, and a
+    framed nth_value in ONE window node (same partition + ordering, so
+    Catalyst computes all three in a single sort pass per partition). The
+    (price, key) ordering is total, which is what makes both rank
+    fractions and the nth row deterministic cross-engine; the pr >= 0.99
+    filter keeps the assertable surface to the top percentile (the
+    'flag the outlier tail' use these functions exist for). Scale note:
+    this partitions RAW rows by a ~5-value key — correct for the API
+    demonstration, but past memory-per-task scale the rank arithmetic
+    moves to operators/ranking.py's range-partition + per-partition-offset
+    formulation (with_group_row_number), exactly as agg_exact_median_ranked
+    does; rank = f(row_number, count) makes the rewrite mechanical."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
+    )
+    return r.where(F.col("pr") >= 0.99).orderBy("o_orderpriority", "o_orderkey")
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_quantity),
+    m AS (
+      SELECT l_returnflag, l_quantity, n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_quantity) AS rn
+      FROM c)
+    SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_count
+    FROM m WHERE rn = 1 ORDER BY l_returnflag
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with a DETERMINISTIC tie-break (smallest value
+    wins) — built-in F.mode is tie-nondeterministic, so this uses the
+    histogram + struct-argmax pattern instead: one partial-aggregated
+    count shuffle whose reduce side is groups × distinct values, then a
+    constant-memory max(struct(n, -value)) per group — no window over raw
+    rows, no per-group sort (dedup_keep_best's argmax discipline applied
+    to the histogram)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    c = l.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("n"))
+    best = F.max(F.struct(F.col("n"), (-F.col("l_quantity")).alias("negq")))
+    return (
+        c.groupBy("l_returnflag")
+        .agg(best.alias("b"))
+        .select(
+            "l_returnflag",
+            (-F.col("b.negq")).alias("mode_qty"),
+            F.col("b.n").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )
