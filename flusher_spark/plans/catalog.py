@@ -103,6 +103,7 @@ PRIORITY = (
     "agg_hll_rollup_reuse",
     "window_rank_distributions",
     "agg_mode_exact",
+    "etl_schema_evolution_merge",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",
@@ -120,7 +121,6 @@ PRIORITY = (
     "q13_order_distribution",
     "q14_promo_ratio",
     # q15_top_supplier already windowed in group (3) above
-    "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_filter",
     "q20_qualified_suppliers",

@@ -540,3 +540,64 @@ def etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _evolving_lake_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per sf_dir) a parquet table whose schema EVOLVED between
+    writes: generation 1 holds (o_orderkey, o_totalprice) for even keys,
+    generation 2 adds o_orderpriority for odd keys — the append-with-new-
+    column shape every long-lived lake table eventually has."""
+    key = ("evolve", sf_dir)
+    path = _PART_DIR_CACHE.get(key)
+    if not (path and os.path.isdir(path)):
+        path = os.path.join(tempfile.mkdtemp(prefix="flusher_evolve_"), "orders_evolving")
+        o = load_table(spark, sf_dir, "orders")
+        g1 = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+        g1.coalesce(2).write.mode("overwrite").parquet(path)
+        g2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        g2.coalesce(2).write.mode("append").parquet(path)
+        _PART_DIR_CACHE[key] = path
+    return path
+
+
+@register(
+    "etl_schema_evolution_merge",
+    oracle="""
+    WITH unified AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM unified GROUP BY priority ORDER BY priority
+    """,
+)
+def etl_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake: a column added mid-life means old
+    parquet files simply lack it, and ``mergeSchema`` unions the footers so
+    old rows surface the new column as NULL — no rewrite of historical
+    data (the 100 TB property: evolution costs nothing at write time and a
+    footer merge at read time; the default reader takes ONE footer and
+    would silently drop the new column if it sampled a generation-1 file).
+    The entry reads the two-generation staged table and aggregates by the
+    evolved column with an explicit pre-evolution bucket; the oracle
+    reconstructs the same union from the source table. Production note
+    pinned by the test: schema inference direction matters — mergeSchema
+    handles ADDED columns; type CHANGES still need an explicit schema."""
+    path = _evolving_lake_path(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        df.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias("priority")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .orderBy("priority")
+    )
