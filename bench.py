@@ -90,6 +90,13 @@ HEADLINE = [
     "events_ewma_per_user",
     "scalar_variant_extract",
     "etl_zorder_layout",
+    "etl_schema_evolution_merge",
+    "agg_hll_rollup_reuse",
+    "window_rank_distributions",
+    "agg_mode_exact",
+    # (vocab_bpe_merges is excluded: the iterative merge loop runs ~5-13 s
+    # at sf0.1 and would dominate the headline total; it is covered by its
+    # reference-equality tests and the driver's rows-only check.)
 ]
 
 
