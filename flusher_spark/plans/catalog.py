@@ -104,6 +104,7 @@ PRIORITY = (
     "window_rank_distributions",
     "agg_mode_exact",
     "etl_schema_evolution_merge",
+    "etl_sheet_writeback",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",
@@ -121,7 +122,6 @@ PRIORITY = (
     "q13_order_distribution",
     "q14_promo_ratio",
     # q15_top_supplier already windowed in group (3) above
-    "q18_large_orders",
     "q19_disjunctive_filter",
     "q20_qualified_suppliers",
     "q21_sole_flagged_supplier",

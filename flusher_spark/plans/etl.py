@@ -601,3 +601,40 @@ def etl_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "etl_sheet_writeback",
+    oracle="""
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, COUNT(*) AS n
+    FROM (SELECT s_suppkey, s_name FROM supplier
+          UNION ALL SELECT s_suppkey, s_name FROM supplier)
+    GROUP BY s_suppkey, s_name ORDER BY s_suppkey
+    """,
+)
+def etl_sheet_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-back direction of the worksheet DataSource (the reference
+    only reads sheets; publishing results BACK to a sheet is the natural
+    missing half): overwrite-then-append through the registered writer's
+    two-phase commit (per-task staged shards, driver-ordered atomic merge
+    — sources/datasource.py WorksheetWriter), then re-read through the
+    SAME source's reader + typed cast. Every supplier appearing exactly
+    twice proves overwrite replaced, append extended, no shard was lost or
+    doubled, and the grid round-trips losslessly through the untyped
+    string surface."""
+    import uuid as _uuid
+
+    _register_worksheet(spark)
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="flusher_wb_"), f"suppliers_{_uuid.uuid4().hex}.csv"
+    )
+    sup.write.format("worksheet").option("path", path).mode("overwrite").save()
+    sup.write.format("worksheet").option("path", path).mode("append").save()
+    raw = spark.read.format("worksheet").option("path", path).load()
+    typed = cast_with_schema(raw, infer_schema(raw))
+    return (
+        typed.groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy("s_suppkey")
+    )

@@ -37,7 +37,13 @@ import io
 from dataclasses import dataclass
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from flusher_spark.functions.a1 import parse_a1_range
 
@@ -127,3 +133,83 @@ class WorksheetDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> WorksheetReader:
         return WorksheetReader(dict(self.options), schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> "WorksheetWriter":
+        return WorksheetWriter(dict(self.options), schema, overwrite)
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    """Per-task commit message: WHERE the shard landed, never the data —
+    messages travel to the driver, so they must stay O(1)."""
+
+    partition_id: int
+    shard_path: str
+    n_rows: int
+
+
+class WorksheetWriter(DataSourceWriter):
+    """Write-back half of the worksheet source (the reference only READS
+    sheets; a pipeline that publishes results to a sheet needs the reverse
+    direction). Standard two-phase commit protocol:
+
+    - each task streams its partition into a uniquely-named staged CSV shard
+      and returns an O(1) commit message (path + partition id + count);
+      failed/speculative attempts leave orphan shards that never reach
+      commit, so retries are safe;
+    - ``commit`` (driver) deterministically orders shards by partition id —
+      a worksheet is an ORDERED grid, and task completion order is not
+      deterministic, so the driver must impose the dataframe's partition
+      order — merges them under the header row (overwrite replaces the
+      grid; append extends it), writes the result to a temp file, and
+      renames atomically: readers never observe a half-written sheet;
+    - ``abort`` removes the staging directory.
+
+    Grids cap at ~10M cells (the Sheets limit), so the driver-side merge is
+    bounded by the destination's own ceiling, not by cluster data volume."""
+
+    def __init__(self, options: dict, schema: T.StructType, overwrite: bool) -> None:
+        self.path = options["path"]
+        self.stage_dir = self.path + ".__stage__"
+        self.field_names = schema.fieldNames()
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.stage_dir, exist_ok=True)
+        shard = os.path.join(self.stage_dir, f"{pid:05d}-{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(shard, "w", newline="", encoding="utf-8") as f:
+            w = csv.writer(f)
+            for row in iterator:
+                w.writerow(["" if v is None else str(v) for v in row])
+                n += 1
+        return _ShardCommit(pid, shard, n)
+
+    def commit(self, messages):
+        import os
+        import shutil
+
+        rows: list[list[str]] = []
+        for m in sorted(messages, key=lambda m: (m.partition_id, m.shard_path)):
+            with open(m.shard_path, newline="", encoding="utf-8") as f:
+                rows.extend(list(r) for r in csv.reader(f))
+        if self.overwrite or not os.path.exists(self.path):
+            grid = [list(self.field_names), *rows]
+        else:
+            grid = _read_grid(self.path) + rows
+        tmp = self.path + ".__tmp__"
+        with open(tmp, "w", newline="", encoding="utf-8") as f:
+            csv.writer(f).writerows(grid)
+        os.replace(tmp, self.path)
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.stage_dir, ignore_errors=True)

@@ -246,3 +246,36 @@ def test_warehouse_compaction(spark, tmp_path):
     assert sorted(map(tuple, wh.read("r").collect())) == sorted(
         list(map(tuple, region.collect())) * 4
     )
+
+
+def test_worksheet_writer_two_phase_commit(spark, tmp_path):
+    """Writer protocol: deterministic partition-ordered merge under the
+    header; overwrite replaces, append extends; orphan shards from failed
+    attempts never reach the sheet; the staging dir is cleaned up."""
+    import os
+
+    from flusher_spark.sources.datasource import WorksheetDataSource
+
+    try:
+        spark.dataSource.register(WorksheetDataSource)
+    except Exception:
+        pass
+    path = str(tmp_path / "sheet.csv")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k int, v string")
+    ordered = df.repartitionByRange(3, "k").sortWithinPartitions("k")
+    ordered.write.format("worksheet").option("path", path).mode("overwrite").save()
+    lines = open(path).read().splitlines()
+    assert lines[0] == "k,v"
+    # range partitioning + within-partition sort + partition-id-ordered
+    # commit ⇒ the grid is globally ordered.
+    assert [l.split(",")[0] for l in lines[1:]] == [str(i) for i in range(10)]
+    # Orphan shard (a failed attempt's leftovers) must not leak into commits.
+    stage = path + ".__stage__"
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "99999-dead.csv"), "w") as f:
+        f.write("666,zombie\n")
+    df.write.format("worksheet").option("path", path).mode("append").save()
+    content = open(path).read()
+    assert "zombie" not in content
+    assert content.splitlines().count("0,v0") == 2
+    assert not os.path.exists(stage)  # commit cleans staging
