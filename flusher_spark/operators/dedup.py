@@ -125,6 +125,55 @@ def ngram_jaccard_pairs(
     |A∩B| = number of co-occurring shingles (a count over the index join),
     |A∪B| = |A| + |B| − |A∩B|. No collect_set / array_intersect — those are
     interpreted per-pair array scans; this is three codegen'd aggregates."""
+    sized = _ngram_pair_intersections(df, text_col, id_col, n, max_bucket)
+    return (
+        sized.withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|, |B|).
+
+    Containment is the inclusion detector Jaccard structurally cannot be: a
+    short document fully quoted inside a long one has tiny Jaccard (the union
+    is dominated by the long side) but containment 1.0. Corpus curation needs
+    both — Jaccard for near-identical page pairs, containment for
+    quote/boilerplate/subset relations (the Broder resemblance-vs-containment
+    distinction). Shares the inverted-index core with ngram_jaccard_pairs:
+    candidate pairs come only from rare-shingle co-occurrence (no cartesian),
+    hot shingles still count toward |A∩B| of found pairs, and the score is
+    pure set-size arithmetic — one IEEE division per pair, so the DuckDB
+    oracle reproduces it bit-for-bit."""
+    sized = _ngram_pair_intersections(df, text_col, id_col, n, max_bucket)
+    return (
+        sized.withColumn(
+            "containment",
+            F.col("__inter").cast("double") / F.least("__sz_a", "__sz_b").cast("double"),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+def _ngram_pair_intersections(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_bucket: int
+) -> DataFrame:
+    """Shared inverted-index core: (doc_a, doc_b, __inter, __sz_a, __sz_b)
+    for every pair sharing ≥1 rare shingle. See ngram_jaccard_pairs for the
+    scale rationale (hot-shingle candidate cap + exact correction term)."""
     df = _ensure_parallelism(df)
     inv = shingle_rows(df, text_col, id_col, n).dropDuplicates(["doc_id", "s"])
     freq = inv.groupBy("s").agg(F.count("*").alias("df_count"))
@@ -155,17 +204,9 @@ def ngram_jaccard_pairs(
         "doc_b",
         (F.col("__i_rare") + F.coalesce("__i_hot", F.lit(0))).alias("__inter"),
     )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("__sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("__sz_b")), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("__inter").cast("double")
-            / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return inter.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("__sz_a")), "doc_a"
+    ).join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("__sz_b")), "doc_b")
 
 
 def _permutation_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:

@@ -105,6 +105,9 @@ PRIORITY = (
     "agg_mode_exact",
     "etl_schema_evolution_merge",
     "etl_sheet_writeback",
+    "dedup_containment_ngram",
+    "agg_incremental_merge",
+    "etl_orc_roundtrip",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",

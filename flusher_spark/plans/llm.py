@@ -339,6 +339,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment_ngram",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w) - 1),
+                                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+           FROM toks WHERE len(w) >= 3),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    keep AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= 1000),
+    inv2 AS (SELECT inv.doc_id, inv.s FROM inv JOIN keep USING (s)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM inv2 a JOIN inv2 b ON a.s = b.s AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / CAST(LEAST(len(sa.shingles), len(sb.shingles)) AS DOUBLE) AS containment
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_a
+    JOIN sh sb ON sb.doc_id = cand.doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / CAST(LEAST(len(sa.shingles), len(sb.shingles)) AS DOUBLE) >= 0.6
+    """,
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram CONTAINMENT pairs (|A∩B| / min|A|,|B| ≥ 0.6) — the
+    inclusion detector for quoted/subset documents that Jaccard misses when
+    one side is much longer. Same inverted-index core as
+    dedup_ngram_jaccard (no cartesian); the SQL oracle replays the identical
+    candidate generation and set-size arithmetic."""
+    return D.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.6, max_bucket=1000
+    )
+
+
 @register("dedup_minhash_lsh")  # rows-only: seeded-hash approximate operator
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (32 perms, 8 bands, Jaccard ≥ 0.5

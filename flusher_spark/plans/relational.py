@@ -3072,6 +3072,53 @@ def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_incremental_merge",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS order_cnt,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the materialized-view refresh
+    pattern that makes daily rollups tractable at 100 TB. The pre-cutoff
+    history is aggregated ONCE into a stored partial state — (count, exact
+    decimal sum) per group, a commutative monoid — and written to the lake;
+    each refresh then scans only the delta partitions, aggregates them to
+    the same partial shape, and MERGES (union + re-aggregate: counts add,
+    decimal sums add). The oracle is the full recompute over all of
+    ``orders``, so the driver hash proves merge-of-parts == whole. At scale
+    the stored state is #groups rows vs a multi-TB fact rescan per refresh;
+    correctness rests on the partials being associative — which is exactly
+    why the sum is carried as DECIMAL (exact, order-insensitive) and only
+    surfaced as double at the end (plans/num.py discipline). The parquet
+    roundtrip of the partial state is deliberate: it pins that the decimal
+    schema survives storage, i.e. the MV can actually live in the lake."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01")
+    partials = [
+        F.count("*").alias("cnt"),
+        F.sum(dec("o_totalprice", "decimal(8,2)")).alias("tp"),
+    ]
+    path = os.path.join(tempfile.mkdtemp(prefix="flusher_mv_"), "orders_priority_mv")
+    o.where(F.col("o_orderdate") < cutoff).groupBy("o_orderpriority").agg(
+        *partials
+    ).write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    delta = o.where(F.col("o_orderdate") >= cutoff).groupBy("o_orderpriority").agg(*partials)
+    return (
+        stored.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("cnt").alias("order_cnt"),
+            F.sum("tp").cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 @register("agg_hll_rollup_reuse")  # rows-only: sketch estimates have no DuckDB twin
 def agg_hll_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE-sketch rollup reuse — the pattern that makes distinct

@@ -279,3 +279,19 @@ def test_worksheet_writer_two_phase_commit(spark, tmp_path):
     assert "zombie" not in content
     assert content.splitlines().count("0,v0") == 2
     assert not os.path.exists(stage)  # commit cleans staging
+
+
+def test_orc_scan_pushdown(spark):
+    """The ORC reader must keep parquet's pushdown surface: the date
+    predicate reaches the scan as a pushed filter and the ReadSchema is
+    pruned to the referenced columns (no full-width scan of the fact)."""
+    from flusher_spark.plans.etl import etl_orc_roundtrip
+
+    df = etl_orc_roundtrip(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed
+    # column pruning: the unreferenced wide columns never leave the reader
+    schema_part = plan.split("ReadSchema")[1][:400]
+    assert "l_comment" not in schema_part and "l_orderkey" not in schema_part

@@ -111,6 +111,27 @@ def test_minhash_recall_vs_exact(spark, docs):
     assert recall >= 0.7, f"LSH recall too low: {recall}"
 
 
+def test_containment_dominates_jaccard(spark, docs):
+    """For any pair, containment = i/min(a,b) ≥ jaccard = i/(a+b−i); pairs
+    are canonically ordered; and every exact-jaccard pair at a threshold is
+    also a containment pair at the same threshold (min ≤ union)."""
+    from flusher_spark.operators.dedup import ngram_containment_pairs
+
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(docs, threshold=0.5).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert cont, "fixture must contain containment pairs for this test to bite"
+    assert all(a < b for a, b in cont)
+    assert set(jac) <= set(cont)
+    for pair, j in jac.items():
+        assert cont[pair] >= j - 1e-12
+
+
 def test_simhash_pairs_hamming_bound(spark, docs):
     pairs = simhash_pairs(docs, max_hamming=3).collect()
     assert pairs, "expected some simhash near-dups"
