@@ -108,6 +108,8 @@ PRIORITY = (
     "dedup_containment_ngram",
     "agg_incremental_merge",
     "etl_orc_roundtrip",
+    "events_winsorized_stats",
+    "vocab_bpe_encode",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",

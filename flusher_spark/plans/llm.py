@@ -1321,3 +1321,39 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step int, left string, right string, merged string, pair_count long",
     )
     return rules.unionByName(summary).orderBy("step")
+
+
+@register("vocab_bpe_encode")  # rows-only: applies rules from the iterative learn loop
+def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-once / apply-everywhere half of the tokenizer story:
+    vocab_bpe_merges learns the rules iteratively, but PRODUCTION
+    tokenization applies a FIXED rule list to every document in one pass.
+    The 3 learned rules (a bounded driver collect — rule tables are KBs
+    even for a 50k-merge vocab) are composed as chained row-local
+    bpe_merge_pair folds inside a single projection: no shuffle, no
+    iteration checkpoints, embarrassingly parallel over the corpus — the
+    shape a 100 TB tokenize-and-count job must have, where the learn
+    loop's per-iteration recount would be ruinous. Output is per-source
+    token accounting (docs, raw tokens, encoded tokens) — the compression
+    bookkeeping a mixture-weighting pipeline consumes.
+    tests/test_operators.py asserts the single-pass composition reproduces
+    the learn loop's final corpus exactly."""
+    from flusher_spark.operators.text import bpe_learn_merges, bpe_merge_pair, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    rules, _ = bpe_learn_merges(d, n_merges=3)
+    rlist = sorted(rules.collect(), key=lambda r: r["step"])
+    enc = F.col("toks")
+    for r in rlist:
+        enc = bpe_merge_pair(enc, r["left"], r["right"], r["merged"])
+    return (
+        d.select("source", tokens(F.col("text")).alias("toks"))
+        .select("source", F.size("toks").alias("nb"), F.size(enc).alias("na"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nb").alias("tokens_raw"),
+            F.sum("na").alias("tokens_encoded"),
+        )
+        .orderBy("source")
+    )

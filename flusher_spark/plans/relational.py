@@ -2760,6 +2760,92 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_winsorized_stats",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cv
+      FROM events),
+    tot AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY event_type),
+    h AS (SELECT event_type, cv, COUNT(*) AS c FROM v GROUP BY event_type, cv),
+    cum AS (SELECT event_type, cv,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY cv) AS cum
+            FROM h),
+    th AS (SELECT cum.event_type,
+                  MIN(CASE WHEN cum >= (n + 9) // 10 THEN cv END) AS lo_cv,
+                  MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN cv END) AS hi_cv,
+                  MIN(n) AS n
+           FROM cum JOIN tot USING (event_type) GROUP BY cum.event_type)
+    SELECT v.event_type, MIN(th.n) AS n,
+           CAST(MIN(th.lo_cv) AS BIGINT) AS lo_cv,
+           CAST(MIN(th.hi_cv) AS BIGINT) AS hi_cv,
+           CAST(SUM(LEAST(GREATEST(v.cv, th.lo_cv), th.hi_cv)) AS BIGINT)
+             AS winsorized_sum
+    FROM v JOIN th USING (event_type)
+    GROUP BY v.event_type ORDER BY v.event_type
+    """,
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clamp to the exact [p10, p90]) — the robust
+    aggregation step that keeps a handful of corrupt extreme rows from
+    dominating a metric, decided ENTIRELY in integer arithmetic. value is a
+    2-decimal money-style column, so cv = 100·value is an exact long; the
+    percentile is NEAREST-RANK (k-th smallest, k = ceil(q·n) computed as
+    integer div (q·n+9) div 10 — no 0.1·n double ever exists), so both
+    engines select the same threshold from the same total order with no
+    interpolation to drift.
+
+    The rank selection never sorts raw rows: thresholds come from a VALUE
+    HISTOGRAM — groupBy (type, cv) counts (partial-aggregated map-side),
+    a running sum over the histogram (window over #distinct-values rows,
+    bounded by the value domain — here ≤49 002 rows/group regardless of
+    fact size, NOT the raw-row low-cardinality-window hazard the zscore
+    docstring documents), and min-cv-where-cum≥k. The 5-row threshold
+    table broadcasts back onto the fact for a codegen'd
+    least(greatest(cv, lo), hi) clamp + long SUM — one fact scan, one
+    histogram shuffle, one 5-group reduce. Headroom: cv ≤ 10⁸ keeps the
+    clamped long sum exact to ~9·10¹⁰ rows/group; past that the sum moves
+    to the two-limb split events_zscore_outliers already uses."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select("event_type", (dec("value", "decimal(8,2)") * 100).cast("long").alias("cv"))
+    tot = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    h = ev.groupBy("event_type", "cv").agg(F.count("*").alias("c"))
+    wc = Window.partitionBy("event_type").orderBy("cv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = h.select("event_type", "cv", F.sum("c").over(wc).alias("cum"))
+    th = (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.expr("(n + 9) div 10"), F.col("cv"))).alias("lo_cv"),
+            F.min(F.when(F.col("cum") >= F.expr("(9 * n + 9) div 10"), F.col("cv"))).alias(
+                "hi_cv"
+            ),
+            F.min("n").alias("n"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "lo_cv",
+            "hi_cv",
+            F.least(F.greatest(F.col("cv"), F.col("lo_cv")), F.col("hi_cv")).alias("w"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.min("lo_cv").alias("lo_cv"),
+            F.min("hi_cv").alias("hi_cv"),
+            F.sum("w").alias("winsorized_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "events_minmax_norm_arrow",
     oracle="""
     WITH s AS (

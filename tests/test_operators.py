@@ -1131,3 +1131,27 @@ def test_bpe_merge_pair_greedy_non_overlap(spark):
     out2 = [r[0] for r in df.select(bpe_merge_pair(F.col("toks"), "a", "b", "a b")).collect()]
     assert out2[1] == ["a b", "a b"]
     assert out2[2] == ["q"] and out2[3] == []
+
+
+def test_bpe_encode_single_pass_matches_learn_corpus(spark, docs):
+    """Composing the learned rules as chained folds in ONE projection must
+    reproduce the learn loop's final corpus exactly (same merges, applied
+    in rule order) — pinning the production tokenize pass against the
+    training loop it derives from."""
+    from flusher_spark.operators.text import bpe_learn_merges, bpe_merge_pair, tokens
+
+    rules_df, corpus = bpe_learn_merges(docs, n_merges=3)
+    enc = F.col("toks")
+    for r in sorted(rules_df.collect(), key=lambda r: r["step"]):
+        enc = bpe_merge_pair(enc, r["left"], r["right"], r["merged"])
+    one_pass = docs.select(F.col("doc_id"), tokens(F.col("text")).alias("toks")).select(
+        "doc_id", enc.alias("toks")
+    )
+    diff = (
+        one_pass.alias("a")
+        .join(corpus.alias("b"), "doc_id")
+        .where(F.col("a.toks") != F.col("b.toks"))
+        .count()
+    )
+    assert diff == 0
+    assert one_pass.count() == corpus.count()
