@@ -94,9 +94,17 @@ HEADLINE = [
     "agg_hll_rollup_reuse",
     "window_rank_distributions",
     "agg_mode_exact",
-    # (vocab_bpe_merges is excluded: the iterative merge loop runs ~5-13 s
-    # at sf0.1 and would dominate the headline total; it is covered by its
-    # reference-equality tests and the driver's rows-only check.)
+    "dedup_containment_ngram",
+    "agg_incremental_merge",
+    "etl_orc_roundtrip",
+    "events_winsorized_stats",
+    "agg_corr_exact",
+    "events_audience_overlap",
+    "etl_table_diff",
+    # (vocab_bpe_merges and vocab_bpe_encode are excluded: both run the
+    # iterative merge-learning loop, ~5-13 s at sf0.1, and would dominate
+    # the headline total; they are covered by their reference-equality
+    # tests and the driver's rows-only checks.)
 ]
 
 

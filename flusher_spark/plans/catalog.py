@@ -110,6 +110,9 @@ PRIORITY = (
     "etl_orc_roundtrip",
     "events_winsorized_stats",
     "vocab_bpe_encode",
+    "agg_corr_exact",
+    "events_audience_overlap",
+    "etl_table_diff",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from flusher_spark.io.tables import load_table
 from flusher_spark.plans.catalog import register
+from flusher_spark.plans.num import dec
 from flusher_spark.sinks.csv import to_csv
 from flusher_spark.sinks.table import Warehouse
 from flusher_spark.sources.sheet import SheetGrid, cast_with_schema, infer_schema, read_sheet
@@ -689,4 +690,67 @@ def etl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.to_date("l_shipdate")).cast("string").alias("last_ship"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "etl_table_diff",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(8,2)) AS p
+               FROM orders),
+    n AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 101 = 1 THEN p + CAST(1.00 AS DECIMAL(8,2))
+                  ELSE p END AS p
+      FROM o WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000 AS o_orderkey, p
+      FROM o WHERE o_orderkey % 103 = 0),
+    j AS (SELECT CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                      WHEN a.o_orderkey IS NULL THEN 'added'
+                      WHEN a.p <> b.p THEN 'changed'
+                      ELSE 'same' END AS change_type
+          FROM o a FULL OUTER JOIN n b ON a.o_orderkey = b.o_orderkey)
+    SELECT change_type, COUNT(*) AS cnt
+    FROM j GROUP BY change_type ORDER BY change_type
+    """,
+)
+def etl_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation (data-diff): classify every key of two table
+    versions as added / removed / changed / same and report the counts —
+    the audit primitive behind snapshot comparison, replication checks,
+    and migration sign-off. The 'new' version is derived deterministically
+    from the old (modular deletes, +1.00 price updates, key-shifted
+    inserts) so both engines diff the identical pair. The diff itself is
+    ONE full-outer join on the key plus a codegen'd CASE — at 100 TB this
+    is the plan you want: the join shuffles both sides by key once (or not
+    at all when both snapshots share a bucketed layout — the
+    join_bucketed_colocated machinery applies verbatim), classification
+    adds no extra pass, and the output is #keys rows reduced to 4. Values
+    compare as DECIMAL(8,2), not doubles, so 'changed' can never flicker
+    on float representation. A row-hash variant (md5 over concatenated
+    normalized columns, as dedup_fingerprint builds) generalizes the
+    equality test to wide schemas without widening the shuffle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", dec("o_totalprice", "decimal(8,2)").alias("p")
+    )
+    one = F.expr("CAST(1.00 AS DECIMAL(8,2))")
+    k = F.col("o_orderkey")
+    updated = o.where(k % 97 != 0).select(
+        "o_orderkey", F.when(k % 101 == 1, F.col("p") + one).otherwise(F.col("p")).alias("p")
+    )
+    inserted = o.where(k % 103 == 0).select((k + 1000000000).alias("o_orderkey"), "p")
+    new = updated.unionByName(inserted)
+    j = o.alias("a").join(new.alias("b"), "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("b.p").isNull() & F.col("a.p").isNotNull(), "removed")
+        .when(F.col("a.p").isNull(), "added")
+        .when(F.col("a.p") != F.col("b.p"), "changed")
+        .otherwise("same")
+    )
+    return (
+        j.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("change_type")
     )

@@ -2760,6 +2760,105 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_audience_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS users_both
+    FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY type_a, type_b ORDER BY type_a, type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix: for every pair of event types, how
+    many distinct users did BOTH — the set-intersection cardinality behind
+    cohort targeting and funnel design. The oracle states the textbook
+    formulation (distinct user×type self-joined on user), but the Spark
+    plan deliberately avoids the self-join: one groupBy(user) collect_set
+    (bounded — the type domain is categorical, ≤5 values), then a row-local
+    double-explode of each user's type set into its ordered pairs, then a
+    pair count. One user-key shuffle total, no join fan-out: the self-join
+    form shuffles the distinct table twice and materializes (user × deg²)
+    join rows; this shape carries each user's ≤C(5,2)=10 pair rows out of
+    a single pass. At web scale (per-user set sizes in the hundreds) the
+    same plan holds because the explode is quadratic only in the PER-USER
+    degree, never in users."""
+    e = load_table(spark, sf_dir, "events")
+    sets = e.groupBy("user_id").agg(F.collect_set("event_type").alias("types"))
+    pairs = (
+        sets.select(F.explode("types").alias("type_a"), F.col("types"))
+        .select("type_a", F.explode("types").alias("type_b"))
+        .where(F.col("type_a") < F.col("type_b"))
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("users_both"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "agg_corr_exact",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(8,2)) * 100 AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(8,2)) * 100 AS BIGINT) AS y
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM v GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT integer moments — the deterministic
+    twin of F.corr, whose streaming-covariance implementation accumulates
+    doubles in partition order and so drifts in the last bits between
+    engines (and between runs with different partitioning). Here both
+    columns are 2-decimal money-style values, so x=100·qty, y=100·price
+    are exact longs; the five moments (Σx, Σy, Σxy, Σx², Σy²) are summed
+    in decimal(38,0)/HUGEINT — exact and order-insensitive — and only the
+    final n·Σxy−ΣxΣy and variance terms are cast to double for one
+    division and two correctly-rounded sqrts, evaluated in the SAME
+    expression shape on both engines, making the correlation bit-stable.
+    Headroom: |x|≤5e3·|y|≤1e8 keeps Σxy terms ≤5e11, inside 38 digits to
+    ~1e26 rows. Perf note: the decimal(38) sums run interpreted; past
+    fixture scale the two-limb long split events_zscore_outliers uses
+    applies verbatim to each product sum."""
+    l = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    v = l.select(
+        "l_returnflag",
+        (dec("l_quantity", "decimal(8,2)") * 100).cast("long").alias("x"),
+        (dec("l_extendedprice", "decimal(8,2)") * 100).cast("long").alias("y"),
+    )
+    xd, yd = F.col("x").cast(d38), F.col("y").cast(d38)
+    m = v.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    nd = F.col("n").cast(d38)
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        "l_returnflag", "n", (num / (dx * dy)).alias("corr_qty_price")
+    ).orderBy("l_returnflag")
+
+
+@register(
     "events_winsorized_stats",
     oracle="""
     WITH v AS (
