@@ -101,6 +101,8 @@ HEADLINE = [
     "agg_corr_exact",
     "events_audience_overlap",
     "etl_table_diff",
+    "events_attribution_first_touch",
+    "etl_cdc_apply",
     # (vocab_bpe_merges and vocab_bpe_encode are excluded: both run the
     # iterative merge-learning loop, ~5-13 s at sf0.1, and would dominate
     # the headline total; they are covered by their reference-equality

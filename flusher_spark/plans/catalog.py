@@ -113,6 +113,8 @@ PRIORITY = (
     "agg_corr_exact",
     "events_audience_overlap",
     "etl_table_diff",
+    "events_attribution_first_touch",
+    "etl_cdc_apply",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",

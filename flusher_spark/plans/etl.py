@@ -754,3 +754,90 @@ def etl_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy("change_type")
     )
+
+
+@register(
+    "etl_cdc_apply",
+    oracle="""
+    WITH snap AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(8,2)) AS p,
+                         0 AS seq, 'U' AS op FROM orders),
+    log AS (
+      SELECT o_orderkey AS k,
+             CAST(o_totalprice AS DECIMAL(8,2)) + CAST(10.00 AS DECIMAL(8,2)) AS p,
+             1 AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, NULL, 2, 'D' FROM orders WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey, CAST(5.00 AS DECIMAL(8,2)), 3, 'U'
+      FROM orders WHERE o_orderkey % 22 = 0
+      UNION ALL
+      SELECT o_orderkey + 2000000000, CAST(1.00 AS DECIMAL(8,2)), 3, 'U'
+      FROM orders WHERE o_orderkey % 13 = 0),
+    u AS (SELECT * FROM snap UNION ALL SELECT * FROM log),
+    latest AS (SELECT k, op, p,
+                      ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+               FROM u)
+    SELECT k % 5 AS bucket, COUNT(*) AS n_rows, CAST(SUM(p) AS DOUBLE) AS total
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: fold an ordered change log (upserts + deletes with
+    sequence numbers, including a delete-then-reinsert resurrection) onto
+    a base snapshot to produce the current table — the replication /
+    lakehouse-merge primitive. The log is derived deterministically from
+    the snapshot so both engines apply the identical changes. The Spark
+    plan treats the snapshot as seq-0 upserts, unions the log, and takes
+    per key the MAX of struct(seq, op, p) — ONE partial-aggregated shuffle
+    with constant per-key state, then filters out keys whose winning op is
+    a delete. The oracle states the textbook row_number()-latest window
+    form; the struct-argmax is the 100 TB shape (no per-key sort, map-side
+    combine collapses the log before the exchange — the same argmax
+    discipline as dedup_keep_best and events_stream_upsert_latest, which
+    holds because last-writer-wins merge is associative). Values stay
+    DECIMAL end to end; sequence ties cannot occur by construction (one
+    op per key per log generation)."""
+    o = load_table(spark, sf_dir, "orders")
+    k, ten = F.col("o_orderkey"), F.expr("CAST(10.00 AS DECIMAL(8,2))")
+    p = dec("o_totalprice", "decimal(8,2)")
+    snap = o.select(k.alias("k"), p.alias("p"), F.lit(0).alias("seq"), F.lit("U").alias("op"))
+    null_p = F.lit(None).cast("decimal(9,2)")
+    log = (
+        o.where(k % 7 == 0)
+        .select(k.alias("k"), (p + ten).alias("p"), F.lit(1).alias("seq"), F.lit("U").alias("op"))
+        .unionByName(
+            o.where(k % 11 == 0).select(
+                k.alias("k"), null_p.alias("p"), F.lit(2).alias("seq"), F.lit("D").alias("op")
+            )
+        )
+        .unionByName(
+            o.where(k % 22 == 0).select(
+                k.alias("k"),
+                F.expr("CAST(5.00 AS DECIMAL(9,2))").alias("p"),
+                F.lit(3).alias("seq"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            o.where(k % 13 == 0).select(
+                (k + 2000000000).alias("k"),
+                F.expr("CAST(1.00 AS DECIMAL(9,2))").alias("p"),
+                F.lit(3).alias("seq"),
+                F.lit("U").alias("op"),
+            )
+        )
+    )
+    latest = (
+        snap.unionByName(log)
+        .groupBy("k")
+        .agg(F.max(F.struct("seq", "op", "p")).alias("w"))
+        .select("k", F.col("w.op").alias("op"), F.col("w.p").alias("p"))
+    )
+    return (
+        latest.where(F.col("op") != "D")
+        .groupBy((F.col("k") % 5).alias("bucket"))
+        .agg(F.count("*").alias("n_rows"), F.sum("p").cast("double").alias("total"))
+        .orderBy("bucket")
+    )

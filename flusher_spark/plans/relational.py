@@ -2760,6 +2760,74 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_attribution_first_touch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t,
+             CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS ch,
+             CAST(value AS DECIMAL(8,2)) AS val
+      FROM events),
+    a AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'view' THEN t * 4 + ch END)
+               OVER (PARTITION BY user_id ORDER BY t
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS fv
+      FROM e)
+    SELECT COALESCE(fv % 4, -1) AS channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(val) AS DOUBLE) AS attributed_value
+    FROM a WHERE event_type = 'purchase'
+    GROUP BY channel ORDER BY channel
+    """,
+)
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase is credited wholly to the
+    EARLIEST view in the preceding hour of the same user's stream (channel
+    = a deterministic campaign id derived from the event's JSON props);
+    purchases with no qualifying view land in channel −1. Two techniques
+    carry the entry: (1) the earliest-qualifying-event lookup is ONE
+    range-frame window min over the user's time-ordered stream — no
+    purchase×view self-join, so cost is one user-key sort shuffle
+    regardless of fan-in (the same frame family as window_range_interval,
+    here doing an analytics join's job); (2) the (ts, channel) argmin is
+    ENCODED as the single long t·4+ch — min of the encoding is
+    lexicographic (earliest ts, tie → lowest channel), decoded with %4 —
+    keeping the window state one long instead of a struct and making the
+    tie-break integer-exact in both engines. Partitioning is by user_id
+    (high-cardinality — the safe side of the raw-row-window hazard the
+    zscore entry documents). Credit sums are exact decimal; fractional
+    multi-touch splits are the one shape this can't do exactly (rational
+    credits with per-purchase denominators don't sum associatively in
+    doubles) — last-touch lives in asof_purchase_last_view."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        (F.get_json_object("props", "$.k").cast("long") % 4).alias("ch"),
+        dec("value", "decimal(8,2)").alias("val"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-3600 * 1000 * 1000, Window.currentRow)
+    )
+    fv = F.min(
+        F.when(F.col("event_type") == "view", F.col("t") * 4 + F.col("ch"))
+    ).over(w)
+    return (
+        base.withColumn("fv", fv)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("fv") % 4, F.lit(-1)).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("val").cast("double").alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
     "events_audience_overlap",
     oracle="""
     WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
