@@ -103,6 +103,7 @@ HEADLINE = [
     "etl_table_diff",
     "events_attribution_first_touch",
     "etl_cdc_apply",
+    "events_top_paths",
     # (vocab_bpe_merges and vocab_bpe_encode are excluded: both run the
     # iterative merge-learning loop, ~5-13 s at sf0.1, and would dominate
     # the headline total; they are covered by their reference-equality

@@ -115,6 +115,7 @@ PRIORITY = (
     "etl_table_diff",
     "events_attribution_first_touch",
     "etl_cdc_apply",
+    "events_top_paths",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",

@@ -2760,6 +2760,51 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_top_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events),
+    p AS (SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path, COUNT(*) AS n
+          FROM s WHERE e3 IS NOT NULL GROUP BY path)
+    SELECT path, n FROM p ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event paths: the 10 most frequent 3-step behavioral sequences
+    across all user streams — the path-analysis primitive behind funnel
+    discovery (which journeys actually happen, before you pin a funnel to
+    test). Sequences come from two LEADs over each user's (ts, event_id)-
+    ordered stream — ONE user-key sort shuffle produces every overlapping
+    trigram as a row-local projection (the event-stream twin of the token
+    shingling in operators/dedup.py, same no-extra-shuffle reasoning) —
+    then a partial-aggregated count and a TakeOrdered top-10 with a
+    deterministic (count desc, path) tie-break. The event_id tiebreak in
+    the ordering makes same-timestamp streams deterministic cross-engine.
+    At 100 TB: trigram cardinality is |types|³ (bounded, here ≤125), so
+    the count shuffle carries at most that many rows per map task."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.where(F.col("e3").isNotNull())
+        .select(F.concat_ws(" > ", "event_type", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
+
+
+@register(
     "events_attribution_first_touch",
     oracle="""
     WITH e AS (
