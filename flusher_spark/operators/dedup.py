@@ -173,9 +173,22 @@ def _ngram_pair_intersections(
 ) -> DataFrame:
     """Shared inverted-index core: (doc_a, doc_b, __inter, __sz_a, __sz_b)
     for every pair sharing ≥1 rare shingle. See ngram_jaccard_pairs for the
-    scale rationale (hot-shingle candidate cap + exact correction term)."""
+    scale rationale (hot-shingle candidate cap + exact correction term).
+
+    The distinct shingle index feeds FIVE consumers (rare/hot splits, both
+    sides of the candidate self-join, and the doc sizes); without
+    materialization each consumer replans the tokenize+explode+distinct
+    subtree — the audit showed 38 static shuffles for what is logically 5.
+    ``localCheckpoint(eager=False)`` computes the index once at first use
+    and lets every consumer read the materialized partitions (same
+    discipline, same executor-loss caveat as the MinHash signature reuse
+    below)."""
     df = _ensure_parallelism(df)
-    inv = shingle_rows(df, text_col, id_col, n).dropDuplicates(["doc_id", "s"])
+    inv = (
+        shingle_rows(df, text_col, id_col, n)
+        .dropDuplicates(["doc_id", "s"])
+        .localCheckpoint(eager=False)
+    )
     freq = inv.groupBy("s").agg(F.count("*").alias("df_count"))
     inv_rare = inv.join(freq.where(F.col("df_count") <= max_bucket).select("s"), "s")
     inv_hot = inv.join(freq.where(F.col("df_count") > max_bucket).select("s"), "s")
