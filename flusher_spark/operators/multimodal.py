@@ -697,6 +697,158 @@ def gif_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(op, GIF_FEATURE_SCHEMA)
 
 
+def synth_tiff(
+    width: int, height: int, rgb: tuple[int, int, int], big_endian: bool = False
+) -> bytes:
+    """Minimal baseline TIFF 6.0 (uncompressed RGB, 8 bits/sample) filled
+    with one color — stdlib struct only. Deliberately exercises the parts
+    of the format a lazy encoder would skip: either byte order (II/MM), and
+    MULTI-STRIP pixel data (RowsPerStrip ≈ height/2) so StripOffsets /
+    StripByteCounts are genuine LONG arrays stored out-of-line, not inline
+    scalar values."""
+    e = ">" if big_endian else "<"
+    row = bytes(rgb) * width
+    rows_per_strip = max(1, (height + 1) // 2)
+    strips: list[bytes] = []
+    y = 0
+    while y < height:
+        n = min(rows_per_strip, height - y)
+        strips.append(row * n)
+        y += n
+    ns = len(strips)
+    n_entries = 9
+    ifd_off = 8
+    bits_off = ifd_off + 2 + n_entries * 12 + 4
+    pos = bits_off + 6
+    if ns > 1:
+        so_off, pos = pos, pos + 4 * ns
+        sc_off, pos = pos, pos + 4 * ns
+    offsets = []
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+
+    def short(tag: int, value: int) -> bytes:
+        # SHORT values are left-justified in the 4-byte field (TIFF 6.0 §2).
+        return struct.pack(e + "HHI", tag, 3, 1) + struct.pack(e + "H", value) + b"\x00\x00"
+
+    def long_(tag: int, value: int) -> bytes:
+        return struct.pack(e + "HHII", tag, 4, 1, value)
+
+    def long_arr(tag: int, values: list[int], off: int) -> bytes:
+        if len(values) == 1:
+            return struct.pack(e + "HHII", tag, 4, 1, values[0])
+        return struct.pack(e + "HHII", tag, 4, len(values), off)
+
+    entries = [  # tags must be ascending
+        long_(256, width),
+        long_(257, height),
+        struct.pack(e + "HHII", 258, 3, 3, bits_off),  # BitsPerSample [8,8,8]
+        short(259, 1),  # Compression: none
+        short(262, 2),  # Photometric: RGB
+        long_arr(273, offsets, so_off if ns > 1 else 0),
+        short(277, 3),  # SamplesPerPixel
+        long_(278, rows_per_strip),
+        long_arr(279, [len(s) for s in strips], sc_off if ns > 1 else 0),
+    ]
+    out = bytearray()
+    out += struct.pack(e + "2sHI", b"II" if e == "<" else b"MM", 42, ifd_off)
+    out += struct.pack(e + "H", n_entries) + b"".join(entries) + struct.pack(e + "I", 0)
+    out += struct.pack(e + "HHH", 8, 8, 8)
+    if ns > 1:
+        out += struct.pack(e + f"{ns}I", *offsets)
+        out += struct.pack(e + f"{ns}I", *[len(s) for s in strips])
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """Parse a baseline TIFF by hand: byte-order probe (II little / MM big),
+    IFD walk with SHORT/LONG value decoding (inline when the value fits the
+    4-byte field, out-of-line otherwise), multi-strip pixel reassembly via
+    StripOffsets/StripByteCounts, then channel means from the raw RGB
+    samples. Supports exactly baseline uncompressed 8-bit RGB — anything
+    else (compression, palette, planar, tiles) raises, because a silent
+    wrong parse is worse than an error."""
+    if payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    e = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(e + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, base)
+        if typ == 3:  # SHORT
+            if cnt * 2 <= 4:
+                vals = list(struct.unpack_from(e + f"{cnt}H", payload, base + 8))
+            else:
+                (off,) = struct.unpack_from(e + "I", payload, base + 8)
+                vals = list(struct.unpack_from(e + f"{cnt}H", payload, off))
+        elif typ == 4:  # LONG
+            if cnt == 1:
+                vals = [struct.unpack_from(e + "I", payload, base + 8)[0]]
+            else:
+                (off,) = struct.unpack_from(e + "I", payload, base + 8)
+                vals = list(struct.unpack_from(e + f"{cnt}I", payload, off))
+        else:
+            continue  # tags of other types are irrelevant to baseline RGB
+        tags[tag] = vals
+    width, height = tags[256][0], tags[257][0]
+    if tags.get(259, [1])[0] != 1:
+        raise ValueError("only uncompressed TIFF supported")
+    if tags.get(262, [2])[0] != 2 or tags.get(277, [3])[0] != 3:
+        raise ValueError("only RGB 3-sample TIFF supported")
+    if tags.get(258, [8, 8, 8]) != [8, 8, 8]:
+        raise ValueError("only 8-bit samples supported")
+    data = b"".join(
+        payload[o : o + c] for o, c in zip(tags[273], tags[279])
+    )
+    if len(data) != width * height * 3:
+        raise ValueError("strip data does not match dimensions")
+    sums = [0, 0, 0]
+    for i in range(0, len(data), 3):
+        sums[0] += data[i]
+        sums[1] += data[i + 1]
+        sums[2] += data[i + 2]
+    n = width * height
+    return {
+        "width": width,
+        "height": height,
+        "mean_r": sums[0] / n,
+        "mean_g": sums[1] / n,
+        "mean_b": sums[2] / n,
+    }
+
+
+TIFF_FEATURE_SCHEMA = PPM_FEATURE_SCHEMA
+
+
+def tiff_features(df: DataFrame) -> DataFrame:
+    """Decode TIFF payloads (real IFD/strip parse, both byte orders) via
+    mapInPandas; non-TIFF payloads yield NULL features — same contract as
+    the other codecs."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = decode_tiff(bytes(payload))
+                except Exception:
+                    d = {}
+                rows.append({"asset_id": aid, **{k: d.get(k) for k in
+                             ("width", "height", "mean_r", "mean_g", "mean_b")}})
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "mean_r", "mean_g", "mean_b"]
+            )
+
+    return df.mapInPandas(op, TIFF_FEATURE_SCHEMA)
+
+
 def filter_by_meta(df: DataFrame, kind: str | None = None, min_width: int | None = None) -> DataFrame:
     """Metadata predicates are plain columns — they prune BEFORE any decode
     UDF runs (the point of keeping meta typed next to the opaque payload)."""

@@ -116,6 +116,7 @@ PRIORITY = (
     "events_attribution_first_touch",
     "etl_cdc_apply",
     "events_top_paths",
+    "multimodal_tiff_decode",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",

@@ -679,6 +679,42 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_tiff_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(2 + (doc_id % 10) AS BIGINT) AS width,
+           CAST(3 + (n_chars % 13) AS BIGINT) AS height,
+           CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_r,
+           CAST((n_chars * 5) % 256 AS DOUBLE) AS mean_g,
+           CAST((7 * doc_id + 2 * n_chars) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode (no stub, no PIL): each document synthesizes a
+    genuine baseline TIFF 6.0 (IFD directory, out-of-line LONG strip
+    arrays, MULTI-strip pixel data — operators/multimodal.py synth_tiff)
+    and decode_tiff parses it back: byte-order probe, IFD walk with
+    inline-vs-offset value decoding, strip reassembly, channel means from
+    raw RGB samples. Endianness alternates per document (odd doc_id →
+    big-endian MM), so one catalog run exercises both byte orders. Same
+    roundtrip-proof oracle scheme as the WAV/PPM/PNG/BMP/GIF entries."""
+    from flusher_spark.operators.multimodal import synth_tiff, tiff_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = _synth_assets(
+        docs,
+        lambda d, c: synth_tiff(
+            2 + (d % 10),
+            3 + (c % 13),
+            ((d * 3) % 256, (c * 5) % 256, (7 * d + 2 * c) % 256),
+            big_endian=bool(d % 2),
+        ),
+    )
+    return tiff_features(assets)
+
+
+@register(
     "multimodal_gif_decode",
     oracle="""
     SELECT doc_id AS asset_id,

@@ -341,6 +341,34 @@ def test_bmp_codec_roundtrip_and_variants():
     assert (top_down["mean_r"], top_down["mean_g"], top_down["mean_b"]) == (9.0, 8.0, 7.0)
 
 
+def test_tiff_codec_roundtrip_both_endians_and_strips():
+    import random as _r
+
+    from flusher_spark.operators.multimodal import decode_tiff, synth_tiff
+
+    rng = _r.Random(11)
+    for _ in range(60):
+        w, h = rng.randrange(1, 12), rng.randrange(1, 15)
+        rgb = (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        d = decode_tiff(synth_tiff(w, h, rgb, big_endian=bool(rng.getrandbits(1))))
+        assert (d["width"], d["height"]) == (w, h)
+        assert (d["mean_r"], d["mean_g"], d["mean_b"]) == tuple(float(c) for c in rgb)
+    # height ≥ 2 → synth emits two strips with out-of-line LONG arrays; a
+    # 1-row image keeps the inline scalar path — both exercised above.
+    with pytest.raises(ValueError):
+        decode_tiff(b"not a tiff")
+    # Unsupported shapes must raise, never silently mis-parse: flip the
+    # compression SHORT (tag 259, entry index 3) to LZW=5.
+    import struct as _s
+
+    b = bytearray(synth_tiff(4, 4, (1, 2, 3)))
+    base = 8 + 2 + 3 * 12  # IFD entries are 12 bytes; value field at +8
+    assert _s.unpack_from("<H", b, base)[0] == 259
+    _s.pack_into("<H", b, base + 8, 5)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(b))
+
+
 def test_gif_codec_roundtrip_and_lzw():
     import random
 
