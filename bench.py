@@ -104,6 +104,7 @@ HEADLINE = [
     "events_attribution_first_touch",
     "etl_cdc_apply",
     "events_top_paths",
+    "agg_bitmap_distinct",
     # (vocab_bpe_merges and vocab_bpe_encode are excluded: both run the
     # iterative merge-learning loop, ~5-13 s at sf0.1, and would dominate
     # the headline total; they are covered by their reference-equality

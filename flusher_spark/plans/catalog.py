@@ -117,6 +117,7 @@ PRIORITY = (
     "etl_cdc_apply",
     "events_top_paths",
     "multimodal_tiff_decode",
+    "agg_bitmap_distinct",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",

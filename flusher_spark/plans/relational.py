@@ -3417,6 +3417,46 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via chunked bitmaps — the roaring-bitmap
+    pattern, expressed with built-in aggregates: user ids are packed into
+    64-bit words (chunk = id div 64, bit = id mod 64), a bit_or aggregate
+    merges each (group, chunk) word, and bit_count + a second sum yields
+    the exact cardinality. Why this beats COUNT(DISTINCT) at 100 TB:
+    Spark's exact distinct keeps every distinct VALUE in the aggregation
+    hash map and (for multiple distincts) expands rows; the bitmap carries
+    at most one LONG per 64-id chunk per group, the bit_or partials are
+    mergeable map-side (same associativity story as the HLL rollup twin —
+    this is its exact counterpart, the right choice when the id domain is
+    dense integers), and the per-chunk words can be PERSISTED as an
+    incremental layer exactly like agg_incremental_merge's partials. Two
+    partial-aggregated shuffles, both carrying (group × chunks) rows,
+    never raw events. The oracle is plain COUNT(DISTINCT) — matching
+    hashes prove the bitmap arithmetic loses nothing."""
+    e = load_table(spark, sf_dir, "events")
+    words = (
+        e.select(
+            "event_type",
+            (F.col("user_id") / 64).cast("long").alias("chunk"),
+            F.expr("shiftleft(1L, CAST(user_id % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("event_type", "chunk")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    return (
+        words.groupBy("event_type")
+        .agg(F.sum(F.bit_count("word")).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
 @register("agg_hll_rollup_reuse")  # rows-only: sketch estimates have no DuckDB twin
 def agg_hll_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE-sketch rollup reuse — the pattern that makes distinct
