@@ -118,6 +118,8 @@ PRIORITY = (
     "events_top_paths",
     "multimodal_tiff_decode",
     "agg_bitmap_distinct",
+    "events_histogram_equiwidth",
+    "join_null_safe",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",

@@ -3418,6 +3418,109 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_histogram_equiwidth",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cv
+      FROM events),
+    b AS (SELECT event_type, MIN(cv) AS lo, MAX(cv) AS hi
+          FROM v GROUP BY event_type)
+    SELECT v.event_type,
+           CAST((v.cv - b.lo) * 10 // (b.hi - b.lo + 1) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM v JOIN b USING (event_type)
+    GROUP BY v.event_type, bucket ORDER BY v.event_type, bucket
+    """,
+)
+def events_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per group — the profiling primitive behind
+    data-quality dashboards and optimizer statistics — with bucket
+    boundaries decided in PURE integer arithmetic: cv = 100·value is an
+    exact long, and bucket = (cv − lo)·10 div (hi − lo + 1) maps the
+    inclusive [lo, hi] range onto exactly 10 buckets with no double
+    division anywhere (the naive floor((v−lo)/width) computes width as a
+    double and flickers at bucket edges between engines — the same
+    boundary-drift class the zscore entry eliminated). The per-group
+    [lo, hi] bounds come from one partial-aggregated scan broadcast back
+    onto the fact (5 rows), the bucket assignment is a codegen'd
+    projection, and the count is a second partial-aggregated shuffle
+    carrying ≤ groups×10 rows — two fact scans total, both pruned to two
+    columns. At 100 TB the bounds scan amortizes across every profile
+    column computed in the same pass (profile_lineitem_columns shows the
+    one-scan multi-column variant)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", (dec("value", "decimal(8,2)") * 100).cast("long").alias("cv")
+    )
+    b = v.groupBy("event_type").agg(F.min("cv").alias("lo"), F.max("cv").alias("hi"))
+    return (
+        v.join(F.broadcast(b), "event_type")
+        .select(
+            "event_type",
+            F.expr("(cv - lo) * 10 div (hi - lo + 1)").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH o AS (SELECT CASE WHEN o_custkey % 500 = 0 THEN NULL
+                           ELSE o_custkey END AS k, o_totalprice FROM orders),
+    c AS (SELECT CASE WHEN c_custkey % 500 = 0 THEN NULL
+                      ELSE c_custkey END AS k, c_mktsegment FROM customer)
+    SELECT c.c_mktsegment,
+           CAST(SUM(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_key_matches,
+           COUNT(*) AS n
+    FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (Spark `<=>` ⇔ SQL IS NOT DISTINCT FROM):
+    unlike `=`, NULL keys MATCH each other — the semantic needed when NULL
+    is a real category ('unknown customer') rather than absent data, e.g.
+    reconciling two systems that both use NULL sentinels. The fixture
+    nullifies every 500th key on both sides deterministically, and the
+    output counts per-segment matches plus how many came from the NULL
+    bucket. Scale hazard, stated honestly: NULL behaves as ONE join key
+    value, so null×null matches are a cross product of the null buckets —
+    fine when NULL rows are bounded (here ~0.2%), but a high-null-rate
+    join should pre-split the NULL bucket (union of a plain join on
+    non-null keys + an explicit cross of the null sides) or salt it, the
+    join_salted_skew machinery verbatim. Spark plans `<=>` as a regular
+    hash/sort-merge join key (Coalesce+IsNull tuple), NOT a nested loop —
+    the plan keeps the one-shuffle equi-join shape."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 500 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("ok"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 500 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("ck"),
+        "c_mktsegment",
+    )
+    j = o.join(c, F.col("ok").eqNullSafe(F.col("ck")))
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(F.col("ok").isNull(), 1).otherwise(0)).cast("long").alias(
+                "null_key_matches"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "agg_bitmap_distinct",
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users
