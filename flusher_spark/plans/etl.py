@@ -841,3 +841,59 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"), F.sum("p").cast("double").alias("total"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "etl_backfill_partition_overwrite",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_date ORDER BY event_date
+    """,
+)
+def etl_backfill_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill via DYNAMIC partition overwrite — the
+    lake repair primitive: a bad pipeline run corrupts one day, the
+    backfill recomputes THAT day and `mode("overwrite")` under
+    partitionOverwriteMode=dynamic replaces only the partitions present in
+    the written data, leaving every other day's files untouched (static
+    mode would wipe the whole table — the classic data-loss footgun this
+    entry pins shut). The backfill runs TWICE to prove idempotence —
+    re-running a repair must be safe — and the final whole-lake readback
+    must equal the clean source per day, so the oracle catches all three
+    failure modes at once: unrepaired corruption (sums off), static-mode
+    wipe (days missing), non-idempotent append (counts doubled). At
+    100 TB this is the shape of every day-partitioned backfill: cost is
+    ONE day's recompute + rewrite, never a table rewrite; the fresh
+    staging dir per call is deliberate (the entry mutates its lake copy,
+    so it must not share the cached read-only layout other entries
+    scan)."""
+    e = load_table(spark, sf_dir, "events")
+    bad_day = "2024-01-15"
+    base = e.withColumn("event_date", F.to_date("ts"))
+    path = os.path.join(tempfile.mkdtemp(prefix="flusher_backfill_"), "events_lake")
+    corrupt = base.withColumn(
+        "value",
+        F.when(F.col("event_date") == F.lit(bad_day), F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    corrupt.coalesce(4).write.mode("overwrite").partitionBy("event_date").parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        fix = base.where(F.col("event_date") == F.lit(bad_day))
+        for _ in range(2):  # idempotent: re-running the repair is a no-op
+            fix.coalesce(1).write.mode("overwrite").partitionBy("event_date").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    lake = spark.read.parquet(path)
+    return (
+        lake.groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value", "decimal(8,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_date")
+    )
