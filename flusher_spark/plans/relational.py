@@ -3418,6 +3418,104 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cv
+      FROM events),
+    tot AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY event_type),
+    h1 AS (SELECT event_type, cv, COUNT(*) AS c FROM v GROUP BY event_type, cv),
+    c1 AS (SELECT event_type, cv,
+                  SUM(c) OVER (PARTITION BY event_type ORDER BY cv) AS cum
+           FROM h1),
+    med AS (SELECT c1.event_type,
+                   MIN(CASE WHEN cum >= (n + 1) // 2 THEN cv END) AS med,
+                   MIN(n) AS n
+            FROM c1 JOIN tot USING (event_type) GROUP BY c1.event_type),
+    d AS (SELECT v.event_type, ABS(v.cv - med.med) AS dev
+          FROM v JOIN med USING (event_type)),
+    h2 AS (SELECT event_type, dev, COUNT(*) AS c FROM d GROUP BY event_type, dev),
+    c2 AS (SELECT event_type, dev,
+                  SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+           FROM h2),
+    mad AS (SELECT c2.event_type,
+                   MIN(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad
+            FROM c2 JOIN med USING (event_type) GROUP BY c2.event_type)
+    SELECT d.event_type, MIN(med.n) AS n,
+           CAST(MIN(med.med) AS BIGINT) AS median_cv,
+           CAST(MIN(mad.mad) AS BIGINT) AS mad_cv,
+           CAST(SUM(CASE WHEN d.dev > 5 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS outlier_cnt
+    FROM d JOIN mad USING (event_type) JOIN med USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flagging via MEDIAN ABSOLUTE DEVIATION — the
+    breakdown-resistant twin of events_zscore_outliers: mean/stddev move
+    with the outliers they are supposed to find (one corrupt 10⁶ row
+    shifts every z-score), while median and MAD have a 50% breakdown
+    point. Flag = |cv − median| > 5·MAD, decided entirely in integers:
+    both the median and the MAD are NEAREST-RANK selections (k = (n+1)
+    div 2) from VALUE HISTOGRAMS — the same histogram-running-sum trick
+    as events_winsorized_stats, COMPOSED twice: pass one selects the
+    per-group median from the value histogram, pass two builds the
+    histogram of |cv − median| and selects ITS median. No doubles exist
+    anywhere, so the flag boundary cannot flip between engines. Cost
+    shape at 100 TB: two pruned fact scans (the second computes
+    deviations against the broadcast 5-row median table), two
+    histogram-sized shuffles, windows only over distinct values — never
+    raw rows. MAD = 0 (over half the group at one value) degenerates to
+    flagging any deviation, which is the standard and correct MAD
+    behavior."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", (dec("value", "decimal(8,2)") * 100).cast("long").alias("cv")
+    )
+    tot = v.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    def nearest_rank(df: DataFrame, col: str) -> DataFrame:
+        """Per event_type: min value whose histogram running count reaches
+        rank (n+1) div 2 — the nearest-rank median of ``col``."""
+        h = df.groupBy("event_type", col).agg(F.count("*").alias("c"))
+        wc = Window.partitionBy("event_type").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = h.select("event_type", col, F.sum("c").over(wc).alias("cum"))
+        return (
+            cum.join(F.broadcast(tot), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.min(
+                    F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col(col))
+                ).alias(f"{col}_med")
+            )
+        )
+
+    med = nearest_rank(v, "cv").withColumnRenamed("cv_med", "med")
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("cv") - F.col("med")).alias("dev")
+    )
+    mad = nearest_rank(d, "dev").withColumnRenamed("dev_med", "mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.min("med").alias("median_cv"),
+            F.min("mad").alias("mad_cv"),
+            F.sum(F.when(F.col("dev") > 5 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("outlier_cnt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "events_histogram_equiwidth",
     oracle="""
     WITH v AS (
