@@ -295,3 +295,33 @@ def test_orc_scan_pushdown(spark):
     # column pruning: the unreferenced wide columns never leave the reader
     schema_part = plan.split("ReadSchema")[1][:400]
     assert "l_comment" not in schema_part and "l_orderkey" not in schema_part
+
+
+def test_partition_overwrite_dynamic_vs_static(spark, tmp_path):
+    """Pin the semantics the backfill entry depends on: under
+    partitionOverwriteMode=dynamic, overwriting with one partition's rows
+    replaces ONLY that partition; under the default static mode the same
+    write wipes every other partition — the data-loss footgun the entry's
+    conf guard exists to prevent."""
+    import pyspark.sql.functions as F
+
+    base = spark.createDataFrame(
+        [(d, i) for d in ("d1", "d2", "d3") for i in range(4)], "day string, v int"
+    )
+    fix = base.where(F.col("day") == "d2").withColumn("v", F.col("v") + 100)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        for mode, expected_days in (("dynamic", {"d1", "d2", "d3"}), ("static", {"d2"})):
+            path = str(tmp_path / f"lake_{mode}")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+            base.write.mode("overwrite").partitionBy("day").parquet(path)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+            fix.write.mode("overwrite").partitionBy("day").parquet(path)
+            back = spark.read.parquet(path)
+            days = {r["day"] for r in back.select("day").distinct().collect()}
+            assert days == expected_days, (mode, days)
+            d2 = [r["v"] for r in back.where(F.col("day") == "d2").collect()]
+            assert sorted(d2) == [100, 101, 102, 103], (mode, d2)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
