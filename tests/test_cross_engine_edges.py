@@ -140,3 +140,24 @@ def test_zscore_exact_inequality_matches_double_formulation(spark):
             z = (v - statistics.mean(vals)) / statistics.stdev(vals)
             expect = 1 if abs(z) > 2.5 else 0
         assert flag == expect, (t, v, flag, expect)
+
+
+def test_integer_div_matches_duckdb_including_negatives(spark):
+    """Spark's `div` truncates toward zero, and — measured here, contrary
+    to what 'floor division' syntax suggests — DuckDB's integer `//` ALSO
+    truncates toward zero ((-7)//2 = -3, not -4). So every rank/bucket
+    expression in the round-5 entries (winsorize's (n+9) div 10, MAD's
+    (n+1) div 2, the histogram's (cv-lo)*10 div (hi-lo+1)) is portable
+    even at signed inputs; all of them additionally keep numerators
+    non-negative by construction, which this test pins on the exact
+    boundary cases."""
+    cases = [(0, 10), (1, 10), (9, 10), (10, 10), (19, 10), (7, 64), (12345, 64), (-7, 2), (7, -2)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["q"]
+        for r in df.selectExpr("a", "b", "a div b AS q").collect()
+    }
+    con = duckdb.connect()
+    for a, b in cases:
+        assert got[(a, b)] == con.sql(f"SELECT ({a}) // ({b})").fetchone()[0], (a, b)
+    assert got[(-7, 2)] == -3  # truncation, both engines
