@@ -108,6 +108,7 @@ HEADLINE = [
     "events_histogram_equiwidth",
     "join_null_safe",
     "events_anomaly_mad",
+    "events_tz_local_days",
     # (vocab_bpe_merges and vocab_bpe_encode are excluded: both run the
     # iterative merge-learning loop, ~5-13 s at sf0.1, and would dominate
     # the headline total; they are covered by their reference-equality

@@ -3418,6 +3418,49 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_tz_local_days",
+    oracle="""
+    SELECT CAST(CAST(timezone('America/New_York', timezone('UTC', ts)) AS DATE)
+                AS VARCHAR) AS local_date,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY local_date ORDER BY local_date
+    """,
+)
+def events_tz_local_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-correct daily rollup: events land in the LOCAL calendar day
+    of America/New_York, not the UTC day — the difference every
+    user-facing daily metric hinges on (a 23:30 UTC event belongs to the
+    previous NY day; the UTC-day rollup misassigns ~21% of a uniform
+    stream at UTC−5). Cross-engine this is a parity minefield worth
+    pinning: both engines resolve the SAME IANA zone database rules —
+    Spark via from_utc_timestamp (instant → zone wall clock), DuckDB via
+    the two-step timezone('UTC', ts) → timestamptz instant, then
+    timezone('America/New_York', …) → local naive — and the matching
+    hashes prove the fixture's UTC-naive timestamps regroup identically.
+    The conversion is a codegen'd per-row projection (no shuffle beyond
+    the day aggregate); at 100 TB the only scale note is that local-day
+    PARTITIONING of a lake should store the UTC instant and derive local
+    days at query time exactly like this, because zone rules change and
+    baked-in local days can't be re-derived."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.to_date(F.from_utc_timestamp("ts", "America/New_York")).cast("string").alias(
+                "local_date"
+            ),
+            "value",
+        )
+        .groupBy("local_date")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value", "decimal(8,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("local_date")
+    )
+
+
+@register(
     "events_anomaly_mad",
     oracle="""
     WITH v AS (
