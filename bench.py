@@ -109,6 +109,7 @@ HEADLINE = [
     "join_null_safe",
     "events_anomaly_mad",
     "events_tz_local_days",
+    "etl_content_checksum",
     # (vocab_bpe_merges and vocab_bpe_encode are excluded: both run the
     # iterative merge-learning loop, ~5-13 s at sf0.1, and would dominate
     # the headline total; they are covered by their reference-equality

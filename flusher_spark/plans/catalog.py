@@ -123,6 +123,7 @@ PRIORITY = (
     "etl_backfill_partition_overwrite",
     "events_anomaly_mad",
     "events_tz_local_days",
+    "etl_content_checksum",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",

@@ -897,3 +897,57 @@ def etl_backfill_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_date")
     )
+
+
+@register(
+    "etl_content_checksum",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey % 4 AS bucket,
+             CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderpriority || '|' ||
+               CAST(CAST(o_totalprice AS DECIMAL(8,2)) AS VARCHAR)
+             ), 1, 14)) AS BIGINT) AS d
+      FROM orders)
+    SELECT bucket, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(d AS HUGEINT)) AS HUGEINT)
+                % 4611686018427387904 AS BIGINT) AS checksum
+    FROM c GROUP BY bucket ORDER BY bucket
+    """,
+)
+def etl_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content checksum — the integrity primitive
+    for replication and migration sign-off when etl_table_diff's key join
+    is overkill: a SUM of per-row md5 digests is identical regardless of
+    row order, partitioning, or engine, so two copies compare with one
+    number per bucket instead of a cross-system join. Construction rules
+    that make it portable: rows serialize through a CANONICAL text form
+    (explicit '|' separators; money via DECIMAL(8,2)→string, never raw
+    double formatting — engines disagree on shortest-repr doubles), the
+    digest is the first 56 bits of md5 (the repo's standard md5-arithmetic
+    idiom, sampling.py), the sum runs exact in decimal(38,0)/HUGEINT
+    (headroom to ~10²¹ rows), and the result is folded mod 2⁶² into a
+    BIGINT both engines hash identically. Bucketing by key % 4 keeps the
+    comparison granular enough to localize a mismatch without shipping
+    per-row state. One pruned scan, one partial-aggregated shuffle of 4
+    rows."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderpriority"),
+        dec("o_totalprice", "decimal(8,2)").cast("string"),
+    )
+    digest = F.conv(F.substring(F.md5(canon), 1, 14), 16, 10).cast("decimal(38,0)")
+    return (
+        o.select((F.col("o_orderkey") % 4).alias("bucket"), digest.alias("d"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.sum("d") % F.lit(4611686018427387904)).cast("long").alias("checksum"),
+        )
+        .orderBy("bucket")
+    )
