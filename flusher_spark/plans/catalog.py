@@ -82,7 +82,6 @@ PRIORITY = (
     "dedup_simhash",
     "dedup_clusters_minhash",
     "dedup_minhash_lsh",
-    "agg_approx_sketches",
     "agg_count_min_freq",
     # (3) plan changed this round (global-max de-single-partitioned)
     "q15_top_supplier",
@@ -124,6 +123,12 @@ PRIORITY = (
     "events_anomaly_mad",
     "events_tz_local_days",
     "etl_content_checksum",
+    # agg_approx_sketches yields its group-(2) slot to keep every round-5
+    # entry's FIRST driver verdict inside the 50-entry window: it is
+    # rows-only (weakest verdict class), its fixtures are the most stable
+    # of that family, and its r5 local sweep is green — it re-enters the
+    # window here, first of the back-fills.
+    "agg_approx_sketches",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",
