@@ -198,7 +198,7 @@ def etl_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Partitioned-lake staging dirs, one per (sf_dir) per process.
-_PART_DIR_CACHE: dict[str, str] = {}
+_PART_DIR_CACHE: dict[object, str] = {}  # sf_dir or (kind, sf_dir) tuples
 
 
 def events_by_day_path(spark: SparkSession, sf_dir: str) -> str:
