@@ -64,10 +64,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: rows-only check, including agg_count_min_freq after its Spark-Connect-safe
 #: rewrite; (3) the two global-max entries whose physical plan changed this
 #: round (single-partition window → 1-row broadcast max) — keep them in the
-#: window to prove no regression; (4) back-fill with the highest-value
-#: re-checks — the full TPC-H suite and the scale-join family. Union of
-#: r1..r5 windows = every entry. Every name here must exist (asserted in
-#: tests/test_plans.py); the rest follow in import order.
+#: window to prove no regression; (4) every round-5 NEW entry in the order
+#: added — the 50-entry window exactly covers groups (1)-(4) (minus
+#: agg_approx_sketches, which yields its slot; see below), so each new
+#: entry gets its FIRST driver verdict this round; (5) back-fill with the
+#: highest-value re-checks — the full TPC-H suite (all green r4,
+#: unchanged). Union of r1..r5 windows = every entry. Every name here must
+#: exist (asserted in tests/test_plans.py); the rest follow in import
+#: order.
 PRIORITY = (
     # (1) re-typed oracles (CAST(SUM(...) AS BIGINT)) — prove hash-green
     "corpus_mix_apply",
