@@ -3511,17 +3511,24 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram-sized shuffles, windows only over distinct values — never
     raw rows. MAD = 0 (over half the group at one value) degenerates to
     flagging any deviation, which is the standard and correct MAD
-    behavior."""
+    behavior.
+
+    Everything downstream of the two histograms derives FROM the
+    histograms: group totals are the sum of histogram counts (not a third
+    fact aggregate), and the final outlier count is a weighted sum over
+    the deviation histogram (sum of c where dev > 5·MAD) — so the fact is
+    scanned exactly twice, and each lazily-checkpointed histogram feeds
+    its cumulative window, its rank selection, and the final reduce
+    without replanning the scan (the same reuse discipline as the n-gram
+    pair core)."""
     e = load_table(spark, sf_dir, "events")
     v = e.select(
         "event_type", (dec("value", "decimal(8,2)") * 100).cast("long").alias("cv")
     )
-    tot = v.groupBy("event_type").agg(F.count("*").alias("n"))
 
-    def nearest_rank(df: DataFrame, col: str) -> DataFrame:
+    def nearest_rank(h: DataFrame, col: str, tot: DataFrame) -> DataFrame:
         """Per event_type: min value whose histogram running count reaches
         rank (n+1) div 2 — the nearest-rank median of ``col``."""
-        h = df.groupBy("event_type", col).agg(F.count("*").alias("c"))
         wc = Window.partitionBy("event_type").orderBy(col).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
@@ -3536,21 +3543,27 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    med = nearest_rank(v, "cv").withColumnRenamed("cv_med", "med")
-    d = v.join(F.broadcast(med), "event_type").select(
-        "event_type", F.abs(F.col("cv") - F.col("med")).alias("dev")
+    h1 = v.groupBy("event_type", "cv").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
     )
-    mad = nearest_rank(d, "dev").withColumnRenamed("dev_med", "mad")
+    tot = h1.groupBy("event_type").agg(F.sum("c").alias("n"))
+    med = nearest_rank(h1, "cv", tot).withColumnRenamed("cv_med", "med")
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("cv") - F.col("med")).alias("dev")
+    )
+    h2 = d.groupBy("event_type", "med", "dev").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
+    )
+    mad = nearest_rank(h2, "dev", tot).withColumnRenamed("dev_med", "mad")
     return (
-        d.join(F.broadcast(mad), "event_type")
-        .join(F.broadcast(med), "event_type")
+        h2.join(F.broadcast(mad), "event_type")
         .join(F.broadcast(tot), "event_type")
         .groupBy("event_type")
         .agg(
             F.min("n").alias("n"),
             F.min("med").alias("median_cv"),
             F.min("mad").alias("mad_cv"),
-            F.sum(F.when(F.col("dev") > 5 * F.col("mad"), 1).otherwise(0))
+            F.sum(F.when(F.col("dev") > 5 * F.col("mad"), F.col("c")).otherwise(0))
             .cast("long")
             .alias("outlier_cnt"),
         )
