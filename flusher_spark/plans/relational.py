@@ -3020,8 +3020,12 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the two-limb split events_zscore_outliers already uses."""
     e = load_table(spark, sf_dir, "events")
     ev = e.select("event_type", (dec("value", "decimal(8,2)") * 100).cast("long").alias("cv"))
-    tot = ev.groupBy("event_type").agg(F.count("*").alias("n"))
-    h = ev.groupBy("event_type", "cv").agg(F.count("*").alias("c"))
+    # Group totals derive from the histogram (sum of counts), not a second
+    # fact aggregate — the fact is scanned twice total: histogram + clamp.
+    h = ev.groupBy("event_type", "cv").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
+    )
+    tot = h.groupBy("event_type").agg(F.sum("c").alias("n"))
     wc = Window.partitionBy("event_type").orderBy("cv").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
