@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import math
 import struct
 import wave
 from collections.abc import Iterator
@@ -242,6 +243,80 @@ def wav_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(op, WAV_FEATURE_SCHEMA)
+
+
+def synth_sine_wav(sample_rate: int, n_samples: int, freq_bin: int, amplitude: int) -> bytes:
+    """Mono 16-bit PCM WAV of a pure sine completing exactly ``freq_bin``
+    cycles over the window — so its DFT concentrates in one bin and the
+    spectral features are arithmetically predictable."""
+    two_pi_k = 2.0 * math.pi * freq_bin
+    samples = [
+        int(round(amplitude * math.sin(two_pi_k * i / n_samples))) for i in range(n_samples)
+    ]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{n_samples}h", *samples))
+    return buf.getvalue()
+
+
+SPECTRAL_SCHEMA = (
+    "asset_id long, n_samples long, dominant_bin long, dominant_freq_hz double"
+)
+
+
+def spectral_features(df: DataFrame) -> DataFrame:
+    """REAL spectral analysis on the audio path (no stub): decode PCM via
+    the stdlib wave parser, then one vectorized numpy rfft per clip —
+    dominant bin = argmax of the magnitude spectrum excluding DC, and its
+    frequency in Hz from bin · rate / n. The batch boundary is the right
+    one for 100 TB audio: Arrow ships the payload bytes once, numpy does
+    O(n log n) per clip inside the worker, and only 4 scalar features
+    cross back — never the waveform. For a windowed pure tone the
+    dominant bin is exact (all spectral mass in one bin, rounding
+    harmonics orders of magnitude down), which is what lets the catalog
+    oracle recompute the feature arithmetically. Non-WAV payloads yield
+    NULLs — drift, not failure, same contract as the other codecs."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                            raise ValueError("spectral path expects mono 16-bit PCM")
+                        sr = w.getframerate()
+                        n = w.getnframes()
+                        raw = w.readframes(n)
+                    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    mag = np.abs(np.fft.rfft(x))
+                    k = int(np.argmax(mag[1:])) + 1  # exclude DC
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "n_samples": n,
+                            "dominant_bin": k,
+                            "dominant_freq_hz": k * sr / n,
+                        }
+                    )
+                except Exception:
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "n_samples": None,
+                            "dominant_bin": None,
+                            "dominant_freq_hz": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "n_samples", "dominant_bin", "dominant_freq_hz"]
+            )
+
+    return df.mapInPandas(op, SPECTRAL_SCHEMA)
 
 
 PPM_FEATURE_SCHEMA = (

@@ -133,6 +133,9 @@ PRIORITY = (
     # of that family, and its r5 local sweep is green — it re-enters the
     # window here, first of the back-fills.
     "agg_approx_sketches",
+    # Added after the r5 window filled — first candidates for the r6 window,
+    # locally oracle-verified this round.
+    "multimodal_audio_spectral",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",

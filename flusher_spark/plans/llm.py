@@ -679,6 +679,41 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_spectral",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(256 + 16 * (n_chars % 8) AS BIGINT) AS n_samples,
+           CAST(1 + (doc_id % 7) AS BIGINT) AS dominant_bin,
+           CAST((1 + (doc_id % 7)) * 8000 AS DOUBLE)
+             / CAST(256 + 16 * (n_chars % 8) AS DOUBLE) AS dominant_freq_hz
+    FROM documents
+    """,
+)
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio spectral analysis (no stub): each document synthesizes a
+    pure sine completing exactly 1+(doc_id%7) cycles over its window
+    (operators/multimodal.py synth_sine_wav), and spectral_features runs a
+    numpy rfft per clip inside the Arrow batch — dominant bin via argmax
+    of the magnitude spectrum, frequency from bin·rate/n. Because the tone
+    completes an integer number of cycles, ALL spectral mass lands in that
+    one bin (int16 rounding harmonics are orders of magnitude down), so
+    the oracle recomputes every feature arithmetically — including the Hz
+    value, one IEEE division identical in both engines. This is the audio
+    twin of the image codec entries: real container parse, real numeric
+    kernel, features only across the Arrow boundary."""
+    from flusher_spark.operators.multimodal import spectral_features, synth_sine_wav
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = _synth_assets(
+        docs,
+        lambda d, c: synth_sine_wav(
+            8000, 256 + 16 * (c % 8), 1 + (d % 7), 12000 + (d % 9) * 2000
+        ),
+    )
+    return spectral_features(assets)
+
+
+@register(
     "multimodal_tiff_decode",
     oracle="""
     SELECT doc_id AS asset_id,

@@ -1183,3 +1183,21 @@ def test_bpe_encode_single_pass_matches_learn_corpus(spark, docs):
     )
     assert diff == 0
     assert one_pass.count() == corpus.count()
+
+
+def test_spectral_features_dominant_bin(spark):
+    """rfft argmax finds the synthesized bin exactly for integer-cycle
+    tones; garbage payloads yield NULL features (drift contract)."""
+    from flusher_spark.operators.multimodal import spectral_features, synth_sine_wav
+
+    rows = [
+        (1, synth_sine_wav(8000, 256, 3, 9000)),
+        (2, synth_sine_wav(8000, 320, 7, 15000)),
+        (3, b"not audio"),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r for r in spectral_features(df).collect()}
+    assert got[1]["dominant_bin"] == 3 and got[1]["n_samples"] == 256
+    assert abs(got[1]["dominant_freq_hz"] - 3 * 8000 / 256) < 1e-12
+    assert got[2]["dominant_bin"] == 7
+    assert got[3]["dominant_bin"] is None and got[3]["dominant_freq_hz"] is None
