@@ -924,6 +924,199 @@ def tiff_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(op, TIFF_FEATURE_SCHEMA)
 
 
+# -- container/header parsers for the codec-stubbed formats ------------------
+#
+# Full JPEG/MP3/video DECODE needs native libs absent in this container
+# (documented stubs above). The CONTAINER layer, however, is plain public
+# byte format — so the metadata a pipeline filters and routes on (dims, fps,
+# duration, bitrate) is parsed for real here, and only the pixel/audio
+# payload stays stubbed.
+
+
+def synth_avi(width: int, height: int, us_per_frame: int, n_frames: int) -> bytes:
+    """Minimal RIFF/AVI container: hdrl LIST with a real avih header, movi
+    LIST with ``n_frames`` junk '00dc' chunks — stdlib struct only."""
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, 0, 0, 0, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    hdrl_body = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    frame = b"\x00" * 16
+    movi_body = b"movi" + b"".join(
+        b"00dc" + struct.pack("<I", len(frame)) + frame for _ in range(n_frames)
+    )
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_meta(payload: bytes) -> dict:
+    """Walk the RIFF chunk tree to the avih header: width/height/fps/
+    duration without decoding a single frame — the metadata a video
+    pipeline partitions and filters on. Codec decode stays stubbed
+    (needs native libs); the CONTAINER walk is real and validated."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"LIST" and payload[pos + 8 : pos + 12] == b"hdrl":
+            inner = pos + 12
+            while inner + 8 <= pos + 8 + size:
+                icid = payload[inner : inner + 4]
+                (isize,) = struct.unpack_from("<I", payload, inner + 4)
+                if icid == b"avih":
+                    us, _, _, _, frames = struct.unpack_from("<IIIII", payload, inner + 8)
+                    w, h = struct.unpack_from("<II", payload, inner + 8 + 32)
+                    return {
+                        "width": w,
+                        "height": h,
+                        "n_frames": frames,
+                        "fps": 1_000_000 / us,
+                        "duration_s": frames * us / 1_000_000,
+                    }
+                inner += 8 + isize + (isize % 2)
+        pos += 8 + size + (size % 2)
+    raise ValueError("no avih header found")
+
+
+#: MPEG-1 Layer III tables (public ISO/IEC 11172-3 values).
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def synth_mp3(bitrate_idx: int, rate_idx: int, n_frames: int) -> bytes:
+    """Sequence of valid MPEG-1 Layer III frame headers (no CRC, no
+    padding) each followed by the correct frame length of junk payload."""
+    br = _MP3_BITRATES[bitrate_idx] * 1000
+    sr = _MP3_RATES[rate_idx]
+    frame_len = 144 * br // sr
+    hdr = bytes(
+        [0xFF, 0xFB, (bitrate_idx << 4) | (rate_idx << 2), 0x00]
+    )
+    return (hdr + b"\x00" * (frame_len - 4)) * n_frames
+
+
+def parse_mp3_meta(payload: bytes) -> dict:
+    """Walk MPEG-1 Layer III frames by their self-describing lengths:
+    validate sync on every frame, read bitrate/sample-rate from the
+    public tables, count frames, derive duration (1152 samples/frame).
+    Audio decode stays stubbed; the FRAME walk is real — corrupt sync
+    mid-stream raises rather than mis-counting."""
+    if len(payload) < 4 or payload[0] != 0xFF or (payload[1] & 0xFE) != 0xFA:
+        raise ValueError("not an MPEG-1 Layer III payload")
+    pos, frames = 0, 0
+    br = sr = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xFE) != 0xFA:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        b2 = payload[pos + 2]
+        bitrate_idx, rate_idx, padding = b2 >> 4, (b2 >> 2) & 0x3, (b2 >> 1) & 0x1
+        if bitrate_idx in (0, 15) or rate_idx == 3:
+            raise ValueError("invalid bitrate/rate index")
+        br, sr = _MP3_BITRATES[bitrate_idx] * 1000, _MP3_RATES[rate_idx]
+        pos += 144 * br // sr + padding
+        frames += 1
+    return {
+        "n_frames": frames,
+        "bitrate_kbps": br // 1000,
+        "sample_rate": sr,
+        "duration_s": frames * 1152 / sr,
+    }
+
+
+def synth_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG marker stream: SOI, JFIF APP0, a real SOF0 carrying the
+    dimensions, SOS with junk entropy data, EOI."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x11\x00"
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00" + b"\x00" * 8
+    return b"\xff\xd8" + app0 + sof0 + sos + b"\xff\xd9"
+
+
+def parse_jpeg_meta(payload: bytes) -> dict:
+    """Walk JPEG markers to the SOF0/SOF2 frame header and read the
+    dimensions and component count — the routing metadata — without
+    entropy decode (that part needs native codecs and stays stubbed)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            h, w = struct.unpack_from(">HH", payload, pos + 5)
+            return {
+                "width": w,
+                "height": h,
+                "n_components": payload[pos + 9],
+                "progressive": marker == 0xC2,
+            }
+        if marker == 0xDA:  # SOS: entropy data follows; scan for next marker
+            pos += 2 + seg_len
+            while pos + 1 < len(payload) and not (
+                payload[pos] == 0xFF and payload[pos + 1] not in (0x00,)
+            ):
+                pos += 1
+            continue
+        pos += 2 + seg_len
+    raise ValueError("no SOF frame header found")
+
+
+MEDIA_META_SCHEMA = (
+    "asset_id long, kind string, width long, height long, n_frames long, "
+    "duration_s double, sample_rate long"
+)
+
+
+def media_meta_features(df: DataFrame) -> DataFrame:
+    """Dispatch AVI/MP3/JPEG payloads to their REAL container parsers via
+    one mapInPandas pass (format sniffed from magic bytes); unknown or
+    corrupt payloads yield NULL columns — same drift contract as the
+    codecs. This is the 100 TB media-routing stage: partition/filter
+    decisions read these columns so the (stubbed, native-lib) decode
+    stage only ever sees the assets it must."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                row = {"asset_id": aid, "kind": None, "width": None, "height": None,
+                       "n_frames": None, "duration_s": None, "sample_rate": None}
+                try:
+                    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                        d = parse_avi_meta(b)
+                        row.update(kind="video", width=d["width"], height=d["height"],
+                                   n_frames=d["n_frames"], duration_s=d["duration_s"])
+                    elif b[:2] == b"\xff\xd8":
+                        d = parse_jpeg_meta(b)
+                        row.update(kind="image", width=d["width"], height=d["height"])
+                    elif len(b) > 1 and b[0] == 0xFF and (b[1] & 0xFE) == 0xFA:
+                        d = parse_mp3_meta(b)
+                        row.update(kind="audio", n_frames=d["n_frames"],
+                                   duration_s=d["duration_s"], sample_rate=d["sample_rate"])
+                except Exception:
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["asset_id", "kind", "width", "height",
+                                              "n_frames", "duration_s", "sample_rate"])
+
+    return df.mapInPandas(op, MEDIA_META_SCHEMA)
+
+
 def filter_by_meta(df: DataFrame, kind: str | None = None, min_width: int | None = None) -> DataFrame:
     """Metadata predicates are plain columns — they prune BEFORE any decode
     UDF runs (the point of keeping meta typed next to the opaque payload)."""

@@ -136,6 +136,7 @@ PRIORITY = (
     # Added after the r5 window filled — first candidates for the r6 window,
     # locally oracle-verified this round.
     "multimodal_audio_spectral",
+    "multimodal_media_routing",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",

@@ -679,6 +679,65 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_media_routing",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'video' WHEN 1 THEN 'image'
+                           ELSE 'audio' END AS kind,
+           CASE doc_id % 3 WHEN 0 THEN CAST(320 + 16 * (doc_id % 5) AS BIGINT)
+                           WHEN 1 THEN CAST(64 + (doc_id % 100) AS BIGINT)
+                           ELSE NULL END AS width,
+           CASE doc_id % 3 WHEN 0 THEN CAST(240 + 16 * (n_chars % 4) AS BIGINT)
+                           WHEN 1 THEN CAST(48 + (n_chars % 80) AS BIGINT)
+                           ELSE NULL END AS height,
+           CASE doc_id % 3 WHEN 0 THEN CAST(50 + (n_chars % 20) AS BIGINT)
+                           WHEN 2 THEN CAST(30 + (doc_id % 40) AS BIGINT)
+                           ELSE NULL END AS n_frames,
+           CASE doc_id % 3
+             WHEN 0 THEN CAST((50 + (n_chars % 20)) * 40000 AS DOUBLE) / 1000000
+             WHEN 2 THEN CAST((30 + (doc_id % 40)) * 1152 AS DOUBLE)
+                         / (CASE n_chars % 3 WHEN 0 THEN 44100
+                                             WHEN 1 THEN 48000 ELSE 32000 END)
+             ELSE NULL END AS duration_s,
+           CASE doc_id % 3
+             WHEN 2 THEN CAST(CASE n_chars % 3 WHEN 0 THEN 44100
+                                               WHEN 1 THEN 48000
+                                               ELSE 32000 END AS BIGINT)
+             ELSE NULL END AS sample_rate
+    FROM documents
+    """,
+)
+def multimodal_media_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-metadata parsing for the three codec-stubbed formats
+    — the media ROUTING stage a 100 TB pipeline runs before any decode:
+    each document synthesizes a genuine AVI (RIFF chunk tree + avih), JPEG
+    (marker stream + SOF0), or MPEG-1 Layer III frame sequence by
+    doc_id % 3, and media_meta_features sniffs the magic bytes and walks
+    the real container structure — dims, frame counts, fps/duration,
+    sample rate — WITHOUT decoding a frame (pixel/audio decode needs
+    native libs and stays honestly stubbed). The oracle recomputes every
+    field arithmetically from the synthesis parameters, including both
+    duration divisions. Partition/filter decisions read these columns so
+    the expensive decode stage only ever sees the assets it must."""
+    from flusher_spark.operators.multimodal import (
+        media_meta_features,
+        synth_avi,
+        synth_jpeg,
+        synth_mp3,
+    )
+
+    def build(d: int, c: int) -> bytes:
+        if d % 3 == 0:
+            return synth_avi(320 + 16 * (d % 5), 240 + 16 * (c % 4), 40000, 50 + (c % 20))
+        if d % 3 == 1:
+            return synth_jpeg(64 + (d % 100), 48 + (c % 80))
+        return synth_mp3(9, c % 3, 30 + (d % 40))
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_meta_features(_synth_assets(docs, build))
+
+
+@register(
     "multimodal_audio_spectral",
     oracle="""
     SELECT doc_id AS asset_id,

@@ -1201,3 +1201,32 @@ def test_spectral_features_dominant_bin(spark):
     assert abs(got[1]["dominant_freq_hz"] - 3 * 8000 / 256) < 1e-12
     assert got[2]["dominant_bin"] == 7
     assert got[3]["dominant_bin"] is None and got[3]["dominant_freq_hz"] is None
+
+
+def test_media_container_parsers_roundtrip():
+    """The AVI/MP3/JPEG container parsers must read back every synthesis
+    parameter and reject corrupt structure loudly (sync loss, bad
+    markers), never mis-parse silently."""
+    from flusher_spark.operators.multimodal import (
+        parse_avi_meta, parse_jpeg_meta, parse_mp3_meta,
+        synth_avi, synth_jpeg, synth_mp3,
+    )
+
+    a = parse_avi_meta(synth_avi(640, 360, 40000, 250))
+    assert (a["width"], a["height"], a["n_frames"], a["fps"], a["duration_s"]) == (
+        640, 360, 250, 25.0, 10.0)
+    m = parse_mp3_meta(synth_mp3(9, 1, 38))
+    assert (m["n_frames"], m["bitrate_kbps"], m["sample_rate"]) == (38, 128, 48000)
+    j = parse_jpeg_meta(synth_jpeg(1024, 768))
+    assert (j["width"], j["height"], j["progressive"]) == (1024, 768, False)
+    # corrupt sync mid-stream must raise, not silently truncate the count
+    broken = bytearray(synth_mp3(9, 0, 3))
+    broken[len(broken) // 2] = 0x00  # may land in payload; corrupt a header byte instead
+    hdr2 = 144 * 128000 // 44100  # offset of the second frame header
+    broken = bytearray(synth_mp3(9, 0, 3))
+    broken[hdr2] = 0x00
+    with pytest.raises(ValueError):
+        parse_mp3_meta(bytes(broken))
+    for bad, fn in ((b"nope", parse_avi_meta), (b"\x01", parse_mp3_meta), (b"zz", parse_jpeg_meta)):
+        with pytest.raises(ValueError):
+            fn(bad)
