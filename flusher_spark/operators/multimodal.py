@@ -8,15 +8,21 @@ are derived deterministically in tests):
 - Decode / feature-extract / resize / frame-sample run as ``mapInPandas``
   (Arrow-batched, partition-parallel — the only layer where Python is
   justified, because media codecs are native libraries anyway).
-- WAV (RIFF/PCM), binary PPM, PNG, BMP, and GIF (incl. a real LZW
-  encoder/decoder pair) decode are REAL — stdlib ``wave``/``struct``/
-  ``zlib`` need no external library (``decode_wav``/``decode_ppm``/
-  ``decode_png``/``decode_bmp``/``decode_gif`` below, oracle-checked
-  through the ``multimodal_*_decode`` catalog entries). Codecs that
-  genuinely need native libraries (JPEG/MP3/video) stay stubbed: ``extract_features``/``resize``/
-  ``frame_sample`` raise NotImplementedError unless ``fake=True``, which
-  substitutes a deterministic synthetic decode (byte-hash-seeded) — making
-  the Spark-side plumbing (schema, batching, partitioning, UDF signatures)
+- WAV (RIFF/PCM), binary PPM, PNG, BMP, GIF (incl. a real LZW
+  encoder/decoder pair), and baseline TIFF (both byte orders, multi-strip)
+  decode are REAL — stdlib ``wave``/``struct``/``zlib`` need no external
+  library (``decode_wav``/``decode_ppm``/``decode_png``/``decode_bmp``/
+  ``decode_gif``/``decode_tiff`` below, oracle-checked through the
+  ``multimodal_*_decode`` catalog entries); ``spectral_features`` adds a
+  real numpy-rfft analysis stage on the audio path. For the formats whose
+  PIXEL/AUDIO decode genuinely needs native libraries (JPEG/MP3/video),
+  the CONTAINER layer is still real: ``parse_avi_meta``/``parse_mp3_meta``/
+  ``parse_jpeg_meta`` walk genuine RIFF trees, frame sequences, and marker
+  streams (the ``multimodal_media_routing`` entry), and only the payload
+  decode stays stubbed — ``extract_features``/``resize``/``frame_sample``
+  raise NotImplementedError unless ``fake=True``, which substitutes a
+  deterministic synthetic decode (byte-hash-seeded) — making the
+  Spark-side plumbing (schema, batching, partitioning, UDF signatures)
   fully real and testable either way.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
