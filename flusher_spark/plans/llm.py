@@ -1278,6 +1278,58 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_centroid_int8",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, label, UNNEST(embedding) AS x,
+             UNNEST(generate_series(1, len(embedding))) AS pos
+      FROM embeddings),
+    m AS (SELECT vec_id, MAX(ABS(CAST(x AS DOUBLE))) AS maxabs
+          FROM flat GROUP BY vec_id),
+    codes AS (
+      SELECT f.label, f.pos,
+             CAST(ROUND(CAST(f.x AS DOUBLE) * 127.0 / m.maxabs) AS BIGINT) AS q
+      FROM flat f JOIN m USING (vec_id))
+    SELECT label, pos, COUNT(*) AS n,
+           CAST(SUM(q) AS BIGINT) AS q_sum,
+           CAST(SUM(q) AS DOUBLE) / COUNT(*) AS centroid_q
+    FROM codes GROUP BY label, pos ORDER BY label, pos
+    """,
+)
+def embedding_centroid_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids over the QUANTIZED embedding space — the class
+    prototype / cluster-seed computation, made bit-exact by doing it on
+    int8 codes: a mean of raw floats is partition-order-sensitive (float
+    addition doesn't associate), but the quantized codes are integers, so
+    the per-(label, dimension) sum is exact and order-free, and the
+    centroid is ONE deterministic division at the end — the same
+    exact-sum-then-divide discipline as plans/num.py, transplanted to
+    embeddings. Plan shape: posexplode (narrow), per-vector absmax window
+    (dim rows per vec partition), then a partial-aggregated groupBy on
+    (label, pos) whose shuffle carries labels × dims rows — never raw
+    vectors. This is the centroid half of IVF training expressed as pure
+    relational ops (operators/similarity.py trains its codebooks
+    sample-side; this is the full-corpus distributed counterpart)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos0", "x"))
+    maxabs = F.max(F.abs(F.col("x").cast("double"))).over(Window.partitionBy("vec_id"))
+    codes = flat.select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * 127.0 / maxabs).cast("long").alias("q"),
+    )
+    return (
+        codes.groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("q").alias("q_sum"),
+            (F.sum("q").cast("double") / F.count("*")).alias("centroid_q"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@register(
     "similarity_topk_quantized",
     oracle=f"""
     WITH flat AS (
