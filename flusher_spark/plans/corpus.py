@@ -526,3 +526,81 @@ def docs_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "familiarity"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "corpus_boilerplate_mask",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{BOILER_N - 1}], ' ') AS s
+          FROM t, UNNEST(generate_series(1, len(toks) - {BOILER_N - 1})) AS u(i)),
+    c AS (SELECT s, COUNT(*) AS nd FROM g GROUP BY s),
+    b AS (SELECT s FROM c ORDER BY nd DESC, s LIMIT {BOILER_K}),
+    occ AS (SELECT t.doc_id, i AS j
+            FROM t, UNNEST(generate_series(1, len(toks) - {BOILER_N - 1})) AS u(i)
+            WHERE array_to_string(toks[i:i+{BOILER_N - 1}], ' ') IN (SELECT s FROM b)),
+    cov AS (SELECT DISTINCT doc_id, j + d AS p
+            FROM occ, UNNEST([0, 1, 2]) AS v(d)),
+    m AS (SELECT doc_id, COUNT(*) AS n_masked FROM cov GROUP BY doc_id)
+    SELECT t.source, COUNT(*) AS n_docs,
+           CAST(SUM(len(t.toks)) AS BIGINT) AS tokens_total,
+           CAST(SUM(COALESCE(m.n_masked, 0)) AS BIGINT) AS tokens_masked
+    FROM t LEFT JOIN m USING (doc_id)
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def corpus_boilerplate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of boilerplate cleanup (docs_boilerplate_ngrams is
+    the detect half): every token covered by ANY occurrence of a top-K
+    boilerplate 3-gram is masked, and the entry reports per-source token
+    accounting (total vs masked) — the before/after a corpus-cleaning run
+    signs off on. The subtle part is span OVERLAP: covered positions are
+    the UNION of [j, j+2] intervals over all boilerplate hits, counted by
+    exploding each hit into its three positions and de-duplicating per
+    document — set arithmetic, not per-hit×3 (which would double-count
+    overlapping spans). Scale shape: the top-K set broadcasts (K rows);
+    occurrence positions come from the same row-local shingle transform
+    the detect entry uses, so the mask pass adds one broadcast join, one
+    per-doc distinct on covered positions, and a partial-aggregated
+    source rollup — no new full-corpus shuffle class beyond the detect
+    pass it composes with."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    g = shingle_rows(d, n=BOILER_N).distinct()
+    b = (
+        g.groupBy("s")
+        .agg(F.count("*").alias("nd"))
+        .orderBy(F.col("nd").desc(), "s")
+        .limit(BOILER_K)
+        .select("s")
+    )
+    occ = (
+        t.where(F.size("toks") >= BOILER_N)  # sequence(0, n-3) is descending below 3 tokens
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {BOILER_N}),"
+                    f" i -> concat_ws(' ', slice(toks, i + 1, {BOILER_N})))"
+                )
+            ).alias("j0", "s"),
+        )
+        .join(F.broadcast(b), "s")
+        .select("doc_id", (F.col("j0") + 1).alias("j"))
+    )
+    cov = (
+        occ.select("doc_id", F.explode(F.expr("array(j, j + 1, j + 2)")).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_masked"))
+    )
+    return (
+        t.join(cov, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("toks")).alias("tokens_total"),
+            F.sum(F.coalesce("n_masked", F.lit(0))).alias("tokens_masked"),
+        )
+        .orderBy("source")
+    )
