@@ -139,6 +139,7 @@ PRIORITY = (
     "multimodal_media_routing",
     "embedding_centroid_int8",
     "corpus_boilerplate_mask",
+    "agg_weighted_avg_exact",
     # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
     # (4) back-fill: TPC-H all 22 + the scale-join family
     "q1_pricing_summary",

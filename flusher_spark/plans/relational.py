@@ -3679,6 +3679,43 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_weighted_avg_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
+                    * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE)
+             AS wavg_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average as exact-sum-then-one-division: the
+    quantity-weighted mean price per return flag, with BOTH the weighted
+    sum (Σ wᵢxᵢ as a decimal product of 2-decimal base columns — exact,
+    no double product ever formed) and the weight sum carried in decimal,
+    then a single deterministic double division. This is the general
+    recipe for every weighted aggregate (weighted means, rates,
+    per-token-weighted quality scores): a streaming double accumulation
+    of wᵢxᵢ is partition-order-sensitive, while the decimal formulation
+    is associative, partial-aggregates map-side, and hashes identically
+    cross-engine. One scan, one shuffle carrying a handful of partials
+    per task."""
+    l = load_table(spark, sf_dir, "lineitem")
+    q = dec("l_quantity", "decimal(8,2)")
+    p = dec("l_extendedprice", "decimal(8,2)")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            (F.sum(q * p).cast("double") / F.sum(q).cast("double")).alias("wavg_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "agg_bitmap_distinct",
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users
