@@ -1023,7 +1023,14 @@ def parse_mp3_meta(payload: bytes) -> dict:
         if bitrate_idx in (0, 15) or rate_idx == 3:
             raise ValueError("invalid bitrate/rate index")
         br, sr = _MP3_BITRATES[bitrate_idx] * 1000, _MP3_RATES[rate_idx]
-        pos += 144 * br // sr + padding
+        frame_len = 144 * br // sr + padding
+        # A final frame whose header fits but whose payload is cut off must
+        # raise, not count — otherwise n_frames/duration overcount on
+        # truncated uploads, breaking the 'corrupt raises, never mis-counts'
+        # contract.
+        if pos + frame_len > len(payload):
+            raise ValueError(f"truncated frame at byte {pos}")
+        pos += frame_len
         frames += 1
     return {
         "n_frames": frames,
@@ -1055,11 +1062,22 @@ def parse_jpeg_meta(payload: bytes) -> dict:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {pos}")
+        # 0xFF fill bytes may pad between segments (ITU T.81 B.1.1.2).
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
+            break
+        # Standalone markers carry NO length segment (TEM 0x01, RST0-7
+        # 0xD0-0xD7); reading a length there would misread entropy bytes
+        # as a segment size and skip to a garbage offset.
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
             break
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
         if marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
@@ -1072,8 +1090,12 @@ def parse_jpeg_meta(payload: bytes) -> dict:
             }
         if marker == 0xDA:  # SOS: entropy data follows; scan for next marker
             pos += 2 + seg_len
+            # 0xFF00 is a stuffed data byte and 0xFFD0-D7 are restart
+            # markers — both are entropy-stream content, not segment starts.
             while pos + 1 < len(payload) and not (
-                payload[pos] == 0xFF and payload[pos + 1] not in (0x00,)
+                payload[pos] == 0xFF
+                and payload[pos + 1] != 0x00
+                and not (0xD0 <= payload[pos + 1] <= 0xD7)
             ):
                 pos += 1
             continue

@@ -2703,9 +2703,13 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows of cv^2 terms at |value|=10^6), mirroring the oracle's HUGEINT
     sums. Headroom: the largest term is rhs ~ 25*n^3*cv_max^2; with
     |value| <= 10^6 (cv_max = 10^8) that stays inside 38 digits for n up
-    to ~7e6 rows per group — and past that, Spark decimal overflow yields
-    NULL (detectable) rather than a silently wrapped comparison; a
-    scale-out would shard the group first anyway. Spark computes the
+    to ~7e6 rows per group. Past that, Spark decimal overflow makes rhs
+    NULL; the flag deliberately has no ``otherwise(0)`` (both WHEN arms are
+    NULL when rhs is), so every row of an overflowed group flags NULL and
+    the group's summed outlier_cnt comes out NULL — loud INSIDE Spark, not
+    just via the cross-engine hash. (With ``otherwise(0)`` the NULL compare
+    would have been silently absorbed as "not an outlier".) A scale-out
+    would shard the group first anyway. Spark computes the
     moments as a partial-aggregated groupBy BROADCAST-joined back onto the
     rows (the oracle's join form exactly) — NOT as windows partitioned by
     event_type: with ~5 distinct types, a raw-row window funnels a fifth of
@@ -2752,7 +2756,11 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = (n.cast(d38) * cvd - F.col("s1"))
     lhs = F.lit(4).cast(d38) * dev * dev * (n - F.lit(1)).cast(d38)
     return (
-        j.select("event_type", n.alias("n"), F.when(lhs > F.col("rhs"), 1).otherwise(0).alias("f"))
+        j.select(
+            "event_type",
+            n.alias("n"),
+            F.when(lhs > F.col("rhs"), 1).when(lhs <= F.col("rhs"), 0).alias("f"),
+        )
         .groupBy("event_type")
         .agg(F.min("n").alias("n"), F.sum("f").alias("outlier_cnt"))
         .orderBy("event_type")
@@ -3739,11 +3747,18 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     never raw events. The oracle is plain COUNT(DISTINCT) — matching
     hashes prove the bitmap arithmetic loses nothing."""
     e = load_table(spark, sf_dir, "events")
+    # Pure-integer slotting, exact over the FULL long domain: arithmetic
+    # shiftright(id, 6) is floor-division by 64 (correct for negative ids,
+    # where `id div 64` truncates toward zero and would collide -1 with 63),
+    # and id & 63 is the matching non-negative bit index — so shiftleft's
+    # count is always in [0, 63]. The earlier double-division formulation
+    # ((id / 64).cast(long)) lost precision above 2^53 and fed shiftleft a
+    # negative count for negative ids.
     words = (
         e.select(
             "event_type",
-            (F.col("user_id") / 64).cast("long").alias("chunk"),
-            F.expr("shiftleft(1L, CAST(user_id % 64 AS INT))").alias("bit"),
+            F.shiftright(F.col("user_id"), 6).alias("chunk"),
+            F.expr("shiftleft(1L, CAST(user_id & 63 AS INT))").alias("bit"),
         )
         .groupBy("event_type", "chunk")
         .agg(F.bit_or("bit").alias("word"))

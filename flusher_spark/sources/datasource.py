@@ -169,8 +169,17 @@ class WorksheetWriter(DataSourceWriter):
     bounded by the destination's own ceiling, not by cluster data volume."""
 
     def __init__(self, options: dict, schema: T.StructType, overwrite: bool) -> None:
+        import uuid
+
         self.path = options["path"]
-        self.stage_dir = self.path + ".__stage__"
+        # Per-JOB staging directory: the writer object is constructed once on
+        # the driver and pickled to every task, so this UUID is shared by all
+        # shards of one job but distinct across jobs. Two concurrent writes
+        # to the same sheet therefore never share staging — one job's
+        # commit/abort rmtree cannot delete the other's in-flight shards.
+        # (The final os.replace still serializes the PUBLISH; last commit
+        # wins, which is the sheet-grid semantic.)
+        self.stage_dir = f"{self.path}.__stage__{uuid.uuid4().hex}"
         self.field_names = schema.fieldNames()
         self.overwrite = overwrite
 

@@ -269,16 +269,23 @@ def test_worksheet_writer_two_phase_commit(spark, tmp_path):
     # range partitioning + within-partition sort + partition-id-ordered
     # commit ⇒ the grid is globally ordered.
     assert [l.split(",")[0] for l in lines[1:]] == [str(i) for i in range(10)]
-    # Orphan shard (a failed attempt's leftovers) must not leak into commits.
-    stage = path + ".__stage__"
-    os.makedirs(stage, exist_ok=True)
-    with open(os.path.join(stage, "99999-dead.csv"), "w") as f:
+    # Staging is PER-JOB (uuid-suffixed dir): another job's in-flight or
+    # orphaned shards can never leak into this commit, and this job's
+    # commit must clean only its OWN staging dir, leaving the concurrent
+    # job's shards untouched.
+    import glob
+
+    other_stage = path + ".__stage__deadbeefcafe"
+    os.makedirs(other_stage, exist_ok=True)
+    with open(os.path.join(other_stage, "99999-dead.csv"), "w") as f:
         f.write("666,zombie\n")
     df.write.format("worksheet").option("path", path).mode("append").save()
     content = open(path).read()
     assert "zombie" not in content
     assert content.splitlines().count("0,v0") == 2
-    assert not os.path.exists(stage)  # commit cleans staging
+    # the concurrent job's staging survives; this job's own staging is gone
+    assert os.path.exists(os.path.join(other_stage, "99999-dead.csv"))
+    assert glob.glob(path + ".__stage__*") == [other_stage]
 
 
 def test_orc_scan_pushdown(spark):

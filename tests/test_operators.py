@@ -1230,3 +1230,59 @@ def test_media_container_parsers_roundtrip():
     for bad, fn in ((b"nope", parse_avi_meta), (b"\x01", parse_mp3_meta), (b"zz", parse_jpeg_meta)):
         with pytest.raises(ValueError):
             fn(bad)
+
+
+def test_mp3_truncated_final_frame_raises():
+    """A final frame whose 4-byte header fits but whose payload is cut off
+    must raise — counting it would overreport n_frames/duration on
+    truncated uploads (the 'corrupt raises, never mis-counts' contract)."""
+    from flusher_spark.operators.multimodal import parse_mp3_meta, synth_mp3
+
+    whole = synth_mp3(9, 1, 3)
+    frame_len = len(whole) // 3
+    truncated = whole[: 2 * frame_len + 10]  # 3rd header present, payload cut
+    with pytest.raises(ValueError, match="truncated frame"):
+        parse_mp3_meta(truncated)
+    assert parse_mp3_meta(whole[: 2 * frame_len])["n_frames"] == 2
+
+
+def test_jpeg_standalone_markers_and_fill_bytes():
+    """TEM (0x01) and RST0-7 (0xD0-D7) carry no length segment, and 0xFF
+    fill bytes may pad between segments — the marker walk must skip both
+    instead of misreading entropy bytes as a segment length; RST markers
+    inside the entropy stream are content, not segment starts."""
+    import struct
+
+    from flusher_spark.operators.multimodal import parse_jpeg_meta
+
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 77, 33) + b"\x01\x11\x00"
+    )
+    # fill byte, TEM, RST2 ahead of SOF0 — all must be stepped over
+    pre = b"\xff\xd8" + b"\xff" + b"\xff\x01" + b"\xff\xd2"
+    j = parse_jpeg_meta(pre + sof0 + b"\xff\xd9")
+    assert (j["width"], j["height"]) == (33, 77)
+    # SOS before SOF (unusual but legal marker soup for the walk): entropy
+    # containing stuffed 0xFF00 and a restart marker must be scanned past
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    entropy = b"\x12\xff\x00\x34" + b"\xff\xd0" + b"\x56"
+    j2 = parse_jpeg_meta(b"\xff\xd8" + sos + entropy + sof0 + b"\xff\xd9")
+    assert (j2["width"], j2["height"]) == (33, 77)
+
+
+def test_bitmap_distinct_integer_slotting_full_domain(spark):
+    """agg_bitmap_distinct's chunk/bit arithmetic must be exact for
+    negative ids and ids past 2^53 (where the old double-division
+    formulation lost precision / fed shiftleft a negative count)."""
+    import pyspark.sql.functions as F
+
+    ids = [-129, -128, -65, -64, -63, -1, 0, 1, 63, 64,
+           2**53 + 1, 2**53 + 2, 2**62, -(2**62) - 1]
+    df = spark.createDataFrame([(i,) for i in ids + ids], "user_id long")
+    words = df.select(
+        F.shiftright(F.col("user_id"), 6).alias("chunk"),
+        F.expr("shiftleft(1L, CAST(user_id & 63 AS INT))").alias("bit"),
+    ).groupBy("chunk").agg(F.bit_or("bit").alias("word"))
+    n = words.agg(F.sum(F.bit_count("word")).alias("n")).collect()[0]["n"]
+    assert n == len(set(ids))
