@@ -1,11 +1,19 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: median_sec}, "queries_min": {name: min_sec}, "sf": ...}.
 
-Each query is executed once after a warmup of the session (JVM + parquet
-footer caches), timed to a count()-style action that materializes the full
-result without collecting it to the driver.
+Each query is warmed once (whole-stage codegen compiles per query shape),
+then timed $SPARK_GRAFT_REPEATS times (default 3) to a noop-sink action that
+materializes the full result without collecting it to the driver. "queries"
+carries the per-query MEDIAN and "value" the sum of medians; "queries_min"
+carries the per-query minimum so a reader can separate noise from plan
+regression without re-running. Why medians: the r5→r4 comparison showed a
+uniform ~1.33× inflation across 31 unrelated plans — session-level drift
+(GC/codegen-cache pressure as one JVM accumulates 64 query shapes), not 31
+plan regressions. Single-shot timings conflate that drift with real
+slowdowns; consecutive-run medians are steady-state per query and keep
+cross-round ratios meaningful.
 """
 
 from __future__ import annotations
@@ -110,6 +118,17 @@ HEADLINE = [
     "events_anomaly_mad",
     "events_tz_local_days",
     "etl_content_checksum",
+    # round 6 additions (similarity_{pq,ivf}_persisted are excluded: their
+    # time is dominated by the one-time index WRITE, which the build/query
+    # split exists to amortize — the query-half cost is what matters and is
+    # covered by the fused twins already in this list)
+    "multimodal_jpeg_decode",
+    "dedup_semantic_embedding",
+    "agg_weighted_avg_exact",
+    "corpus_boilerplate_mask",
+    "embedding_centroid_int8",
+    "multimodal_audio_spectral",
+    "multimodal_media_routing",
     # (vocab_bpe_merges and vocab_bpe_encode are excluded: both run the
     # iterative merge-learning loop, ~5-13 s at sf0.1, and would dominate
     # the headline total; they are covered by their reference-equality
@@ -134,14 +153,16 @@ def main() -> None:
     # result row count to stderr, leaving stdout's one-line JSON contract
     # untouched.
     rec = Recorder(logfunc=lambda msg: print(msg, file=sys.stderr))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         # One untimed execution first: whole-stage codegen compiles once per
         # query shape (~0.5-2 s on this JVM) and would otherwise dominate the
-        # sub-second queries. The timed run measures steady-state execution —
+        # sub-second queries. The timed runs measure steady-state execution —
         # scan + shuffle + compute — which is what scales with data volume.
-        # The row-count Observation rides this run so the timed plan below
+        # The row-count Observation rides the warmup so the timed plan below
         # stays exactly the plan under measurement (no CollectMetrics node).
         # Per-query fault isolation: one failing query must never kill the
         # whole run — the JSON contract line prints no matter what, with the
@@ -149,10 +170,15 @@ def main() -> None:
         try:
             obs = Observation()
             observed(reg[name].fn(spark, sf_dir), obs).write.format("noop").mode("overwrite").save()
-            t0 = time.time()
-            df = reg[name].fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            runs = []
+            for _ in range(repeats):
+                t0 = time.time()
+                df = reg[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            runs.sort()
+            timings[name] = round(runs[len(runs) // 2], 3)
+            minima[name] = round(runs[0], 3)
             rec.observe(name, timings[name], rows=int(obs.get["rows"]))
         except Exception as exc:  # noqa: BLE001 — survive any per-query failure
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -167,6 +193,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": minima,
+        "repeats": repeats,
         "sf": float(sf),
     }
     if errors:

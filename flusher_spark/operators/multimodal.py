@@ -1179,3 +1179,473 @@ def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFra
             yield out
 
     return df.mapInPandas(op, ASSET_SCHEMA)
+
+
+# -- baseline JPEG codec (REAL, pure Python/numpy — no PIL) -------------------
+#
+# Sequential baseline DCT per ITU T.81 (public spec): the encoder exists to
+# synthesize genuine JPEGs for the oracle fixtures (SOI/APP0/DQT/SOF0/DHT/
+# [DRI]/SOS/EOI with real entropy-coded MCUs), the decoder is the product
+# surface — marker walk, canonical-Huffman entropy decode with byte
+# unstuffing and restart handling, dequantization, de-zigzag, orthonormal
+# IDCT, YCbCr→RGB. Scope: 8-bit baseline, sampling factors all 1 (grayscale
+# or 4:4:4); subsampled/progressive payloads raise ValueError (the drift
+# contract turns that into NULL rows). MP3 audio and video FRAME decode
+# remain the only env-gated stubs (truly ffmpeg-bound).
+#
+# Determinism note for the oracle: with an all-ones quantization table a
+# CONSTANT image round-trips bit-exactly (only the DC coefficient is
+# nonzero and integral), so the catalog entry can recompute mean_gray
+# arithmetically — same scheme as the PNG/TIFF/GIF entries.
+
+_JPEG_ZZ = sorted(
+    ((u, v) for u in range(8) for v in range(8)),
+    key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else -p[0]),
+)
+
+
+def _jpeg_dct_mat():
+    import numpy as np
+
+    k = np.arange(8)
+    C = 0.5 * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    C[0, :] = math.sqrt(1.0 / 8.0)
+    return C  # orthonormal: forward F = C f C^T == T.81 FDCT; inverse f = C^T F C
+
+
+def _jpeg_huff_spec():
+    """Fixed-length canonical table specs (valid DHT payloads; compression
+    suboptimal — irrelevant to the decode contract). DC: 12 categories as
+    4-bit codes; AC: all 162 (run,size)+EOB+ZRL symbols as 8-bit codes."""
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # 12 codes of length 4 (index is length-1)
+    dc_vals = list(range(12))
+    ac_bits = [0] * 16
+    ac_bits[7] = 162  # 162 codes of length 8
+    ac_vals = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    return (dc_bits, dc_vals), (ac_bits, ac_vals)
+
+
+def _canonical_codes(bits: list, vals: list) -> dict:
+    """symbol -> (code, length) per T.81 canonical construction."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # 1-fill per T.81
+
+
+def _jpeg_cat(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _rgb_to_ycbcr(px):
+    import numpy as np
+
+    r, g, b = (px[..., i].astype(float) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+
+
+def encode_jpeg(pixels, quant=None, restart_interval: int = 0) -> bytes:
+    """Encode a (h,w) grayscale or (h,w,3) RGB uint8 array as a baseline
+    sequential JPEG (sampling 1x1, one quant + one DC/AC Huffman table).
+    Default quantization is ALL-ONES so constant images round-trip exactly
+    (see module note); pass a real table to exercise lossy paths."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    planes = [px.astype(float)] if gray else _rgb_to_ycbcr(px)
+    qt = np.ones(64, dtype=int) if quant is None else np.asarray(quant, dtype=int).reshape(64)
+    C = _jpeg_dct_mat()
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_huff_spec()
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    zz_qt = bytes(int(qt[i]) for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_qt  # DQT table 0, 8-bit
+    ncomp = 1 if gray else 3
+    sof = bytearray(b"\x08" + struct.pack(">HH", h, w) + bytes([ncomp]))
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])  # sampling 1x1, qtable 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        seg = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytearray([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # Pad planes to 8-multiples by edge replication.
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = []
+    for p in planes:
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp - 128.0)
+
+    # qt is stored in zigzag order (DQT convention); un-zigzag it onto the
+    # (u,v) grid once for the per-block division.
+    qgrid = np.empty((8, 8))
+    for i, (u, v) in enumerate(_JPEG_ZZ):
+        qgrid[u, v] = qt[i]
+
+    def emit_block(bw, block, pred):
+        Fq = np.round((C @ block @ C.T) / qgrid)
+        zz = [int(Fq[u, v]) for u, v in _JPEG_ZZ]
+        diff = zz[0] - pred
+        cat = _jpeg_cat(diff)
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            size = _jpeg_cat(zz[i])
+            code, ln = ac_codes[(run << 4) | size]
+            bw.write(code, ln)
+            v = zz[i]
+            bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]
+            bw.write(code, ln)
+        return zz[0]
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    mcu = 0
+    n_mcus = (ph // 8) * (pw // 8)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.pad_to_byte()
+                out += bw.buf
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+                preds = [0] * ncomp
+            for ci, p in enumerate(padded):
+                preds[ci] = emit_block(bw, p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], preds[ci])
+            mcu += 1
+    assert mcu == n_mcus
+    bw.pad_to_byte()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _BitReader:
+    """Bit reader over one entropy segment (stuffing already removed)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy data exhausted mid-block")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decoder(bits: list, vals: list):
+    """(length, code) -> symbol lookup from the canonical construction."""
+    table = {}
+    code, i = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Full baseline JPEG decode (sampling 1x1 grayscale / 4:4:4): marker
+    walk (fill bytes + standalone markers handled as in parse_jpeg_meta),
+    DQT/DHT/SOF0/DRI/SOS parse, entropy decode with byte unstuffing and
+    restart segmentation, dequantize, de-zigzag, orthonormal IDCT, level
+    shift, YCbCr→RGB for 3 components. Returns width/height/n_components,
+    per-channel means, and the pixel array. Unsupported shapes (subsampled,
+    progressive, 12-bit) and corrupt streams raise ValueError."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qts: dict[int, list] = {}
+    huffs: dict[tuple, dict] = {}
+    frame = None
+    dri = 0
+    scan = None
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0xF
+                if prec:
+                    raise ValueError("16-bit quant tables unsupported (baseline)")
+                qts[tid] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                huffs[(cls, tid)] = _huff_decoder(bits, vals)
+                b += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (need 1x1 factors)")
+                comps.append((cid, qid))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic) unsupported")
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF) for i in range(ns)]
+            scan = (scan_comps, pos + 2 + seg_len)
+            break
+        pos += 2 + seg_len
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+    h, w, comps = frame
+    scan_comps, epos = scan
+
+    # Split the entropy stream into restart segments, removing stuffing.
+    segments, cur = [], bytearray()
+    p = epos
+    while p < len(payload):
+        b = payload[p]
+        if b == 0xFF:
+            nxt = payload[p + 1] if p + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+
+    C = _jpeg_dct_mat()
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    n_mcus = (ph // 8) * (pw // 8)
+    planes = [np.zeros((ph, pw)) for _ in comps]
+    qgrids = []
+    for cid, qid in comps:
+        if qid not in qts:
+            raise ValueError(f"missing quant table {qid}")
+        qg = np.empty((8, 8))
+        for i, (u, v) in enumerate(_JPEG_ZZ):
+            qg[u, v] = qts[qid][i]
+        qgrids.append(qg)
+    tables = []
+    for cid, qid in comps:
+        match = [sc for sc in scan_comps if sc[0] == cid]
+        if not match:
+            raise ValueError(f"component {cid} missing from scan")
+        _, dcid, acid = match[0]
+        if (0, dcid) not in huffs or (1, acid) not in huffs:
+            raise ValueError("missing Huffman table")
+        tables.append((huffs[(0, dcid)], huffs[(1, acid)]))
+
+    br = _BitReader(segments[0])
+    seg_idx = 0
+    preds = [0] * len(comps)
+    for mcu in range(n_mcus):
+        if dri and mcu and mcu % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            br = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps)
+        by, bx = divmod(mcu, pw // 8)
+        for ci in range(len(comps)):
+            dc_t, ac_t = tables[ci]
+            cat = _read_symbol(br, dc_t)
+            preds[ci] += _extend(br.read_bits(cat), cat)
+            zz = [0] * 64
+            zz[0] = preds[ci]
+            k = 1
+            while k <= 63:
+                sym = _read_symbol(br, ac_t)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid AC symbol")
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC index overrun")
+                zz[k] = _extend(br.read_bits(size), size)
+                k += 1
+            Fc = np.zeros((8, 8))
+            for i, (u, v) in enumerate(_JPEG_ZZ):
+                Fc[u, v] = zz[i]
+            block = C.T @ (Fc * qgrids[ci]) @ C + 128.0
+            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    out_planes = [np.clip(np.round(p[:h, :w]), 0, 255) for p in planes]
+    if len(comps) == 3:
+        y, cb, cr = out_planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b2 = y + 1.772 * (cb - 128.0)
+        rgb = np.stack(
+            [np.clip(np.round(c), 0, 255).astype(np.uint8) for c in (r, g, b2)], axis=-1
+        )
+        return {
+            "width": w, "height": h, "n_components": 3, "pixels": rgb,
+            "mean_r": float(rgb[..., 0].mean()),
+            "mean_g": float(rgb[..., 1].mean()),
+            "mean_b": float(rgb[..., 2].mean()),
+        }
+    gray = out_planes[0].astype(np.uint8)
+    return {
+        "width": w, "height": h, "n_components": 1, "pixels": gray,
+        "mean_gray": float(gray.mean()),
+    }
+
+
+JPEG_FEATURE_SCHEMA = (
+    "asset_id long, width long, height long, n_components long, mean_gray double"
+)
+
+
+def synth_jpeg_gray(width: int, height: int, gray: int, restart_interval: int = 0) -> bytes:
+    """Constant-gray baseline JPEG via the real encoder (all-ones quant →
+    bit-exact roundtrip for constant images; see module note)."""
+    import numpy as np
+
+    return encode_jpeg(
+        np.full((height, width), gray, dtype=np.uint8), restart_interval=restart_interval
+    )
+
+
+def jpeg_features(df: DataFrame) -> DataFrame:
+    """Decode baseline-JPEG payloads (real entropy decode + IDCT) via
+    mapInPandas; non-JPEG / unsupported payloads yield NULL features — same
+    drift contract as the other codecs."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = decode_jpeg(bytes(payload))
+                except Exception:
+                    d = {}
+                rows.append({"asset_id": aid, **{k: d.get(k) for k in
+                             ("width", "height", "n_components", "mean_gray")}})
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "n_components", "mean_gray"]
+            )
+
+    return df.mapInPandas(op, JPEG_FEATURE_SCHEMA)

@@ -21,11 +21,12 @@ left-associated SQL fold, which is what the DuckDB oracles use.
 from __future__ import annotations
 
 import math
+import os
 import random
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 
 def vec_norm_sq(col: Column) -> Column:
@@ -202,6 +203,24 @@ def _seed_centroids(
     )
 
 
+def _nearest_lists(
+    side: DataFrame, cents: DataFrame, keep: int, out: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """Attach the ``keep`` nearest centroid ids to each row of ``side``
+    (which must carry a ``__nsq`` norm column): broadcast the tiny centroid
+    set, one argmax window per row — a single parallel scan."""
+    sim = cosine(F.col(vec_col), F.col("__cvec"), F.col("__nsq"), F.col("__cnsq"))
+    w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("__cid"))
+    return (
+        side.crossJoin(F.broadcast(cents))
+        .withColumn("__csim", sim)
+        .withColumn("__crank", F.row_number().over(w))
+        .where(F.col("__crank") <= keep)
+        .withColumnRenamed("__cid", out)
+        .drop("__cvec", "__cnsq", "__csim", "__crank")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_ids,
@@ -236,17 +255,7 @@ def ivf_topk(
     cents = _seed_centroids(base, id_col, vec_col, n_lists)
 
     def nearest_lists(side: DataFrame, cents: DataFrame, keep: int, out: str) -> DataFrame:
-        """Attach the ``keep`` nearest centroid ids to each row of ``side``."""
-        sim = cosine(F.col(vec_col), F.col("__cvec"), F.col("__nsq"), F.col("__cnsq"))
-        w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("__cid"))
-        return (
-            side.crossJoin(F.broadcast(cents))
-            .withColumn("__csim", sim)
-            .withColumn("__crank", F.row_number().over(w))
-            .where(F.col("__crank") <= keep)
-            .withColumnRenamed("__cid", out)
-            .drop("__cvec", "__cnsq", "__csim", "__crank")
-        )
+        return _nearest_lists(side, cents, keep, out, id_col, vec_col)
 
     for _ in range(n_iter):
         assigned0 = nearest_lists(base, cents, 1, "__list")
@@ -506,3 +515,314 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# -- Persisted indexes --------------------------------------------------------
+#
+# pq_topk / ivf_topk fuse train+encode+score into one job — right for a
+# one-shot query, wrong for production: at 100 TB the index is built ONCE and
+# every query reads the stored artifact. The build/query split below is that
+# production half. Layout on the lake:
+#
+#   <path>/codebooks   (PQ)  m×ksub rows (j, c, centroid) — KBs, read+broadcast
+#   <path>/codes       (PQ)  (id, codes array) — m small ints per vector,
+#                            ~32× smaller than the float vectors it replaces
+#   <path>/centroids   (IVF) n_lists rows (__cid, __cvec) — KBs
+#   <path>/vectors     (IVF) (id, vec, __nsq) PARTITIONED BY __list, so a
+#                            query probing p of L lists prunes L-p partitions
+#                            at the parquet layer (no scan, no filter eval)
+#
+# The query functions take ONLY (spark, path, query_df) — structurally unable
+# to retrain or rescan the base table (asserted in tests by making training
+# raise after build).
+
+
+def pq_build_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+) -> str:
+    """Build a product-quantization index: train codebooks on a bounded
+    sample (deterministic — see _train_pq_codebooks), encode every vector to
+    its m per-subspace codes in one Arrow-batched scan (no shuffle), and
+    persist codes + codebooks. Returns ``path``."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    books = _train_pq_codebooks(df.select(id_col, vec_col), id_col, vec_col, m, ksub)
+    mm, kk, dsub = books.shape
+    cnorm2 = (books**2).sum(axis=2)
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        X = np.array(vecs.tolist(), dtype=np.float64).reshape(len(vecs), mm, dsub)
+        # argmin_c ||x - c||² == argmin_c (||c||² - 2 x·c); ||x||² is constant.
+        cross = np.einsum("njd,jcd->njc", X, books)
+        codes = (cnorm2[None, :, :] - 2.0 * cross).argmin(axis=2)
+        return pd.Series([[int(c) for c in row] for row in codes])
+
+    df.select(F.col(id_col), encode(F.col(vec_col)).alias("codes")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes"))
+    rows = [
+        (j, c, [float(x) for x in books[j][c]]) for j in range(mm) for c in range(kk)
+    ]
+    df.sparkSession.createDataFrame(
+        rows, "j int, c int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    return path
+
+
+def pq_query_index(
+    spark: SparkSession,
+    path: str,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a PERSISTED PQ index: rebuild the codebooks from
+    the stored table (bounded collect), precompute each query's distance
+    table, and score the stored codes in one Arrow-batched scan — no
+    training, no original-vector access. Exact queries vs quantized
+    candidates, identical arithmetic to pq_topk's scoring half."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cb = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    mm = 1 + max(r["j"] for r in cb)
+    kk = 1 + max(r["c"] for r in cb)
+    dsub = len(cb[0]["centroid"])
+    books = np.zeros((mm, kk, dsub))
+    for r in cb:
+        books[r["j"]][r["c"]] = r["centroid"]
+    cnorm2 = (books**2).sum(axis=2)
+
+    q_rows = query_df.select(id_col, vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, cosine_sim double, rank long"
+        )
+    q_ids = [r[id_col] for r in q_rows]
+    qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    T = np.einsum("qjd,jcd->qjc", qm.reshape(len(q_ids), mm, dsub), books)
+
+    @pandas_udf("array<double>")
+    def adc(codes_s: pd.Series) -> pd.Series:
+        if not len(codes_s):
+            return pd.Series([], dtype=object)
+        codes = np.array(codes_s.tolist(), dtype=np.int64)  # (n, m)
+        jj = np.arange(mm)[None, :]
+        approx_dot = T[:, jj, codes].sum(axis=2)  # (queries, n)
+        approx_norm = np.sqrt(cnorm2[jj, codes].sum(axis=1))  # (n,)
+        approx_norm[approx_norm == 0] = 1.0
+        sims = (approx_dot / approx_norm[None, :]).T  # (n, queries)
+        return pd.Series(list(sims))
+
+    q_id_arr = F.array(*[F.lit(i) for i in q_ids])
+    scored = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .select(F.col(id_col), adc(F.col("codes")).alias("__sims"))
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(q_id_arr.alias("query_id"), F.col("__sims").alias("cosine_sim"))
+            ).alias("__z"),
+        )
+        .select(
+            F.col("__z.query_id").alias("query_id"),
+            F.col(id_col),
+            F.col("__z.cosine_sim").alias("cosine_sim"),
+        )
+        .where(F.col(id_col) != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_build_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_iter: int = 0,
+) -> str:
+    """Build an IVF index: train centroids exactly as ivf_topk does (seed +
+    optional Lloyd steps), assign every vector to its nearest list, and
+    persist vectors PARTITIONED BY list id — the layout that turns n_probe
+    into parquet partition pruning at query time. Returns ``path``."""
+    assigned = _ivf_assign(df, id_col, vec_col, n_lists, n_iter)
+    cents, vectors = assigned
+    vectors.write.mode("overwrite").partitionBy("__list").parquet(
+        os.path.join(path, "vectors")
+    )
+    cents.select("__cid", "__cvec").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    return path
+
+
+def _ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, n_lists: int, n_iter: int, keep: int = 1
+):
+    """Shared IVF training+assignment: returns (centroids, assigned vectors
+    with __nsq and __list). Identical arithmetic to ivf_topk's build half.
+    ``keep > 1`` multi-probes the ASSIGNMENT side (each vector lands in its
+    ``keep`` nearest lists — Lloyd refinement always uses keep=1)."""
+    spark = df.sparkSession
+    base = df.select(F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq"))
+    cents = _seed_centroids(base, id_col, vec_col, n_lists)
+    for _ in range(n_iter):
+        assigned0 = _nearest_lists(base, cents, 1, "__list", id_col, vec_col)
+        means = (
+            assigned0.select("__list", F.posexplode(F.col(vec_col)).alias("__d", "__x"))
+            .groupBy("__list", "__d")
+            .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+            .collect()
+        )
+        by_list: dict = {}
+        for r in means:
+            by_list.setdefault(r["__list"], {})[r["__d"]] = r["__m"]
+        prev = {r["__cid"]: [float(x) for x in r["__cvec"]] for r in cents.collect()}
+        data = [
+            (int(cid), [by_list[cid][i] for i in sorted(by_list[cid])] if cid in by_list else vec)
+            for cid, vec in sorted(prev.items())
+        ]
+        cents = spark.createDataFrame(data, "__cid long, __cvec array<double>").select(
+            "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
+        )
+    return cents, _nearest_lists(base, cents, keep, "__list", id_col, vec_col)
+
+
+def ivf_query_index(
+    spark: SparkSession,
+    path: str,
+    query_df: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a PERSISTED IVF index: read the tiny centroid table, pick each
+    query's n_probe nearest lists, read ONLY those list partitions of the
+    stored vector table (parquet partition pruning — the isin filter on the
+    partition column never scans the other lists), and re-rank exactly
+    inside them. No training, no base-table access."""
+    cents = spark.read.parquet(os.path.join(path, "centroids")).select(
+        "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
+    )
+    q_base = query_df.select(
+        F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
+    )
+    probes = _nearest_lists(q_base, cents, n_probe, "__list", id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("__nsq").alias("__qnsq"),
+        "__list",
+    )
+    # Bounded collect (|queries| × n_probe ints): the probe list drives the
+    # partition-pruning filter below.
+    probe_lists = sorted({r["__list"] for r in probes.select("__list").distinct().collect()})
+    index = spark.read.parquet(os.path.join(path, "vectors")).where(
+        F.col("__list").isin(probe_lists)
+    )
+    pairs = index.join(F.broadcast(probes), "__list").where(F.col(id_col) != F.col("query_id"))
+    sim = cosine(F.col("__qvec"), F.col(vec_col), F.col("__qnsq"), F.col("__nsq"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        pairs.select("query_id", id_col, sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# -- Semantic (embedding-space) near-dedup ------------------------------------
+
+
+def semantic_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_iter: int = 1,
+    n_assign: int = 2,
+) -> DataFrame:
+    """SemDeDup-style embedding near-duplicate detection: cluster the
+    vectors (the IVF assignment machinery — deterministic farthest-point
+    seeding + Lloyd steps), then compare pairs only WITHIN a cluster and
+    keep those at or above the cosine threshold. Output (id_a, id_b,
+    cosine_sim) with id_a < id_b; scores are the exact fold-left cosine, so
+    every emitted pair matches the all-pairs twin (neardup_cosine_exact)
+    bit-for-bit — clustering can only MISS cross-cluster pairs, never
+    invent or mis-score one (precision 1 by construction; recall asserted
+    against the exact twin in tests).
+
+    ``n_assign`` multi-probes the assignment: each vector lands in its
+    n_assign nearest lists, so a pair is compared whenever the two SHARE
+    any list — the standard recall lever for boundary pairs (a near-dup
+    pair split by a Voronoi boundary almost always shares its 2nd-nearest
+    list). Cost scales with n_assign² per-list pair volume; the distinct()
+    dedups pairs that co-occur in several shared lists (bit-identical
+    scores, so duplicate rows are exact).
+
+    This is the embedding-space complement to MinHash text dedup at
+    pretraining scale: the candidate step is an equi-join on the cluster
+    id, so cost is sum of per-cluster quadratics, never the corpus
+    quadratic — with balanced lists, (n·n_assign)²/n_lists pairs instead
+    of n². At 100 TB you persist the assignment once (ivf_build_index) and
+    the pair scan reads each list partition independently."""
+    _cents, assigned = _ivf_assign(df, id_col, vec_col, n_lists, n_iter, keep=n_assign)
+    a = assigned.select(
+        "__list",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__nsq").alias("__na"),
+    )
+    b = assigned.select(
+        "__list",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__nsq").alias("__nb"),
+    )
+    sim = cosine(F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb"))
+    pairs = (
+        a.join(b, "__list")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+    # Multi-probe can surface one pair through several shared lists; the
+    # duplicates are bit-identical rows (same fold-left arithmetic), so a
+    # plain distinct collapses them. Skipped at n_assign=1 (no dups possible).
+    return pairs.distinct() if n_assign > 1 else pairs
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_iter: int = 1,
+    n_assign: int = 2,
+) -> DataFrame:
+    """The apply half of SemDeDup: drop every row that near-duplicates a
+    LOWER-id row in its cluster (keep-lowest-id — deterministic and
+    engine-portable; swap the tie-break for a quality score by re-ranking
+    ids upstream). One anti-join against the distinct dropped-id set."""
+    pairs = semantic_neardup_pairs(df, threshold, id_col, vec_col, n_lists, n_iter, n_assign)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")

@@ -56,111 +56,87 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Names surfaced first by ``registry()``. The driver's correctness harness
 #: covers a bounded prefix of the registry (50 entries per round), so this
 #: list rotates per round toward the entries whose latest driver verdict is
-#: weakest. Round-5 rotation, in order: (1) the five r1-r4 hash-FAILs whose
-#: oracles were re-typed this round (uncast top-level SUM → DuckDB HUGEINT vs
-#: Spark int64; VERDICT r4 root cause) — their green rows are the round's
-#: headline deliverable; (2) the rows-only family whose freshest verdict is
-#: r1/r2 (fixtures have drifted twice since) — re-window for a current
-#: rows-only check, including agg_count_min_freq after its Spark-Connect-safe
-#: rewrite; (3) the two global-max entries whose physical plan changed this
-#: round (single-partition window → 1-row broadcast max) — keep them in the
-#: window to prove no regression; (4) every round-5 NEW entry in the order
-#: added — the 50-entry window exactly covers groups (1)-(4) (minus
-#: agg_approx_sketches, which yields its slot; see below), so each new
-#: entry gets its FIRST driver verdict this round; (5) back-fill with the
-#: highest-value re-checks — the full TPC-H suite (all green r4,
-#: unchanged). Union of r1..r5 windows = every entry. Every name here must
-#: exist (asserted in tests/test_plans.py); the rest follow in import
-#: order.
+#: weakest. Round-6 rotation, in order: (1) the five entries registered
+#: after the r5 window filled — the only catalog rows with NO driver
+#: verdict yet (all locally oracle-green at r5 and re-checked this round);
+#: their green rows close registry coverage at every-entry-checked;
+#: (2) entries whose PLAN changed this round (bitmap slotting integer fix,
+#: zscore overflow guard, funnel HOF reformulation) — re-prove green after
+#: the change; (3) round-6 NEW entries in the order added — each gets its
+#: FIRST driver verdict this round; (4) the 12 rows-only entries — the
+#: weakest verdict class re-windows every round by policy; (5) the stalest
+#: greens: every r1-verdict entry (fixtures have drifted five windows
+#: since), then the r2 family as back-fill. Union of r1..r6 windows =
+#: every entry, each checked at least twice. Every name here must exist
+#: (asserted in tests/test_plans.py); the rest follow in import order.
 PRIORITY = (
-    # (1) re-typed oracles (CAST(SUM(...) AS BIGINT)) — prove hash-green
-    "corpus_mix_apply",
-    "corpus_source_mix",
-    "corpus_mix_upsample",
+    # (1) first driver verdict — registered after the r5 window filled
+    "agg_weighted_avg_exact",
+    "corpus_boilerplate_mask",
+    "embedding_centroid_int8",
+    "multimodal_audio_spectral",
+    "multimodal_media_routing",
+    # (2) plan changed this round — re-prove green
+    "agg_bitmap_distinct",
     "events_zscore_outliers",
-    "pack_sequences_fill",
-    # (2) rows-only family, freshest verdict r1/r2 — re-window
+    "events_funnel_single_scan",
+    # (3) round-6 additions — first driver verdict
+    "multimodal_jpeg_decode",
+    "dedup_semantic_embedding",
+    "similarity_pq_persisted",
+    "similarity_ivf_persisted",
+    # (4) rows-only family — re-window every round by policy
     "similarity_topk_arrow",
     "similarity_topk_ivf",
     "similarity_topk_lsh",
+    "similarity_topk_pq",
     "dedup_simhash",
     "dedup_clusters_minhash",
     "dedup_minhash_lsh",
     "agg_count_min_freq",
-    # (3) plan changed this round (global-max de-single-partitioned)
-    "q15_top_supplier",
-    "top_suppliers_revenue",
-    # (4) round-5 additions — first driver verdict
-    "similarity_topk_pq",
-    "docs_boilerplate_ngrams",
-    "docs_bigram_familiarity",
-    "sample_split_by_source",
-    "corpus_importance_resample",
-    "events_stream_stream_left_join",
-    "join_dynamic_partition_pruning",
-    "etl_jsonl_ingest",
-    "events_ewma_per_user",
-    "scalar_variant_extract",
-    "etl_zorder_layout",
-    "vocab_bpe_merges",
-    "agg_hll_rollup_reuse",
-    "window_rank_distributions",
-    "agg_mode_exact",
-    "etl_schema_evolution_merge",
-    "etl_sheet_writeback",
-    "dedup_containment_ngram",
-    "agg_incremental_merge",
-    "etl_orc_roundtrip",
-    "events_winsorized_stats",
-    "vocab_bpe_encode",
-    "agg_corr_exact",
-    "events_audience_overlap",
-    "etl_table_diff",
-    "events_attribution_first_touch",
-    "etl_cdc_apply",
-    "events_top_paths",
-    "multimodal_tiff_decode",
-    "agg_bitmap_distinct",
-    "events_histogram_equiwidth",
-    "join_null_safe",
-    "etl_backfill_partition_overwrite",
-    "events_anomaly_mad",
-    "events_tz_local_days",
-    "etl_content_checksum",
-    # agg_approx_sketches yields its group-(2) slot to keep every round-5
-    # entry's FIRST driver verdict inside the 50-entry window: it is
-    # rows-only (weakest verdict class), its fixtures are the most stable
-    # of that family, and its r5 local sweep is green — it re-enters the
-    # window here, first of the back-fills.
     "agg_approx_sketches",
-    # Added after the r5 window filled — first candidates for the r6 window,
-    # locally oracle-verified this round.
-    "multimodal_audio_spectral",
-    "multimodal_media_routing",
-    "embedding_centroid_int8",
-    "corpus_boilerplate_mask",
-    "agg_weighted_avg_exact",
-    # (5) back-fill: recent r4 additions worth a second verdict, then TPC-H
-    # (4) back-fill: TPC-H all 22 + the scale-join family
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q5_region_revenue",
-    "q6_revenue_filter",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_conditional_agg",
-    "q13_order_distribution",
-    "q14_promo_ratio",
-    # q15_top_supplier already windowed in group (3) above
-    "q19_disjunctive_filter",
-    "q20_qualified_suppliers",
-    "q21_sole_flagged_supplier",
-    "q22_global_avg_anti",
+    "agg_hll_rollup_reuse",
+    "vocab_bpe_merges",
+    "vocab_bpe_encode",
+    # (5) stalest greens: the full r1-verdict family (24 entries)
+    "etl_sheet_range_scan",
+    "etl_schema_inference_typed",
+    "etl_load_full_vs_incremental",
+    "etl_csv_export_roundtrip",
+    "etl_schema_drift_report",
+    "text_quality_score",
+    "text_lang_id",
+    "similarity_neardup_cosine",
+    "multimodal_binary_stats",
+    "multimodal_feature_extract",
+    "text_edit_distance",
+    "text_winnow_fingerprints",
+    "sample_hash_split",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_variance_manual",
+    "count_rows",
+    "window_running_sum",
+    "window_lag_delta",
+    # back-fill past the 50-entry window: the r2-verdict family, then the
+    # rest in import order
+    "similarity_topk_exact",
+    "sample_stratified_split",
+    "text_quality_filter_pipeline",
+    "join_broadcast_dim",
+    "agg_cube",
+    "agg_grouping_sets",
+    "window_topk_per_group",
+    "window_ntile",
+    "window_range_interval",
+    "events_rollup_day_hour",
+    "events_stateful_running_totals",
+    "events_stateful_dedup_first",
 )
 
 

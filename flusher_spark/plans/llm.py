@@ -16,6 +16,8 @@ approximate results against the exact ones (recall ≥ threshold).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -521,6 +523,25 @@ def similarity_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.neardup_cosine_exact(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@register("dedup_semantic_embedding")  # rows-only: cluster-bucketed (recall<1 by construction)
+def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding near-dedup
+    (operators/similarity.py::semantic_neardup_pairs): cluster the vectors
+    with the deterministic IVF machinery, emit near-dup pairs only WITHIN
+    clusters — the embedding-space complement to MinHash text dedup at
+    pretraining scale, bucketed by cluster so never all-pairs. Threshold
+    0.4 matches the exact twin similarity_neardup_cosine (the fixture's
+    i.i.d. embeddings top out near cosine 0.51; real corpora use ≥0.9).
+    2-probe assignment (each vector in its 2 nearest lists) recovers
+    Voronoi-boundary pairs — 0.77 recall on the worst-case i.i.d. fixture
+    vs 0.30 single-probe. Every emitted pair is bit-identical to the exact
+    twin's (same fold-left cosine); recall vs the twin is asserted in
+    tests/test_operators.py."""
+    return S.semantic_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_lists=8, n_iter=1, n_assign=2
+    )
+
+
 @register("similarity_topk_lsh")  # rows-only: approximate by construction
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-10: candidates restricted to the
@@ -773,6 +794,43 @@ def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(3 + (doc_id % 12) AS BIGINT) AS width,
+           CAST(2 + (n_chars % 11) AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_components,
+           CAST((11 * doc_id + 3 * n_chars) % 256 AS DOUBLE) AS mean_gray
+    FROM documents
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (no stub, no PIL): each document
+    synthesizes a genuine sequential-DCT JPEG through the full encoder
+    (DQT/SOF0/DHT/DRI/SOS, entropy-coded MCUs with byte stuffing and
+    restart markers — operators/multimodal.py encode_jpeg) and decode_jpeg
+    runs the complete pipeline back: marker walk, canonical-Huffman entropy
+    decode, dequantize, de-zigzag, orthonormal IDCT, level shift. The
+    all-ones quantization table makes constant images round-trip BIT-EXACTLY
+    (only the integral DC coefficient survives), so the oracle recomputes
+    every feature arithmetically — same scheme as the PNG/BMP/GIF/TIFF
+    entries. Restart interval varies per document (doc_id % 3 → 0/1/2
+    MCUs), so one catalog run exercises the DRI/RST reset path, plain
+    streams, and multi-MCU segments. Lossy tables and the 4:4:4 color path
+    are covered with tolerance bounds in tests/test_operators.py."""
+    from flusher_spark.operators.multimodal import jpeg_features, synth_jpeg_gray
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = _synth_assets(
+        docs,
+        lambda d, c: synth_jpeg_gray(
+            3 + (d % 12), 2 + (c % 11), (11 * d + 3 * c) % 256, restart_interval=d % 3
+        ),
+    )
+    return jpeg_features(assets)
+
+
+@register(
     "multimodal_tiff_decode",
     oracle="""
     SELECT doc_id AS asset_id,
@@ -891,6 +949,47 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists / int8 MIPS / PQ-ADC). Recall vs the exact twin is asserted in
     tests/test_operators.py."""
     return S.pq_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10, m=16, ksub=256)
+
+
+@register("similarity_pq_persisted")  # rows-only: approximate by construction (ADC estimate)
+def similarity_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION half of the PQ story: build the index ONCE
+    (pq_build_index — codes table 32× smaller than the vectors, plus a
+    KB-sized codebook table), then answer the top-10 query from the STORED
+    artifact alone (pq_query_index — no retraining, no original-vector
+    scan; structurally enforced: the query half takes only the index path,
+    asserted in tests by making training raise after build). At 100 TB the
+    build is a one-time batch job and every query reads m bytes per
+    candidate instead of dim floats. Same deterministic arithmetic as
+    similarity_topk_pq, so both entries rank identically; bit-equality of
+    the fused and persisted paths is asserted in tests/test_operators.py."""
+    import tempfile as _tf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(_tf.mkdtemp(prefix="flusher_pqidx_"), "pq_index")
+    S.pq_build_index(emb, path, m=16, ksub=256)
+    queries = emb.where(F.col("vec_id").isin(list(_QUERY_IDS)))
+    return S.pq_query_index(spark, path, queries, k=10)
+
+
+@register("similarity_ivf_persisted")  # rows-only: approximate by construction
+def similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION half of the IVF story: persist cluster assignments
+    once (ivf_build_index — the vector table PARTITIONED BY list id, plus a
+    KB-sized centroid table), then answer the query from the stored layout
+    (ivf_query_index): each query picks its n_probe nearest centroids and
+    the isin filter on the PARTITION column prunes every other list at the
+    parquet layer — reading p/L of the index, no filter evaluation over
+    skipped lists. Same training arithmetic as similarity_topk_ivf;
+    agreement of fused and persisted paths plus the no-retrain contract are
+    asserted in tests/test_operators.py."""
+    import tempfile as _tf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(_tf.mkdtemp(prefix="flusher_ivfidx_"), "ivf_index")
+    S.ivf_build_index(emb, path, n_lists=8, n_iter=1)
+    queries = emb.where(F.col("vec_id").isin(list(_QUERY_IDS)))
+    return S.ivf_query_index(spark, path, queries, k=10, n_probe=3)
 
 
 @register(

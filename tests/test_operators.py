@@ -803,6 +803,122 @@ def test_pq_codebooks_bounded_and_deterministic(spark, emb):
     assert (b1 == b2).all()
 
 
+# -- Persisted ANN indexes ---------------------------------------------------
+
+
+def test_pq_persisted_matches_fused_and_never_retrains(spark, emb, tmp_path, monkeypatch):
+    """Build-once/query-many contract: pq_query_index must (a) reproduce the
+    fused pq_topk ranking bit-for-bit — the stored codes are the same codes
+    the fused path computes — and (b) run with training made impossible,
+    proving the query half touches only the persisted artifact."""
+    import flusher_spark.operators.similarity as S
+
+    qids = [0, 1, 2, 3, 4]
+    fused = S.pq_topk(emb, qids, k=10, m=16, ksub=256).collect()
+    path = str(tmp_path / "pq_index")
+    S.pq_build_index(emb, path, m=16, ksub=256)
+
+    def boom(*a, **k):
+        raise AssertionError("query path must not retrain")
+
+    monkeypatch.setattr(S, "_train_pq_codebooks", boom)
+    queries = emb.where(emb.vec_id.isin(qids))
+    persisted = S.pq_query_index(spark, path, queries, k=10).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, persisted), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, fused), key=lambda t: (t[0], t[3])
+    )
+    # second query against the same index: byte-identical (no hidden state)
+    again = S.pq_query_index(spark, path, queries, k=10).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, persisted))
+
+
+def test_ivf_persisted_layout_pruning_and_no_retrain(spark, emb, tmp_path, monkeypatch):
+    """The stored IVF layout must be partitioned by list id (so probes prune
+    at the parquet layer), the query half must run with training disabled,
+    and fused vs persisted results must agree exactly (same centroids, same
+    assignment, exact re-rank over roundtripped floats)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    import flusher_spark.operators.similarity as S
+
+    qids = [0, 1, 2, 3, 4]
+    fused = S.ivf_topk(emb, qids, k=10, n_lists=8, n_probe=3, n_iter=1).collect()
+    path = str(tmp_path / "ivf_index")
+    S.ivf_build_index(emb, path, n_lists=8, n_iter=1)
+    parts = sorted(
+        d for d in os.listdir(os.path.join(path, "vectors")) if d.startswith("__list=")
+    )
+    assert len(parts) >= 2, f"expected list-partitioned layout, got {parts}"
+    # partition pruning: a 2-list read touches ONLY those partitions' files
+    # (input_file_name over executed rows — inputFiles() ignores filters)
+    two = [int(p.split("=")[1]) for p in parts[:2]]
+    pruned = spark.read.parquet(os.path.join(path, "vectors")).where(
+        F.col("__list").isin(two)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__list" in plan.split("PartitionFilters")[1][:200]
+    touched = [
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    assert touched, "pruned read should still see its own partitions"
+    for f in touched:
+        assert any(f"__list={t}/" in f for t in two), f"unpruned file read: {f}"
+
+    def boom(*a, **k):
+        raise AssertionError("query path must not retrain")
+
+    monkeypatch.setattr(S, "_seed_centroids", boom)
+    monkeypatch.setattr(S, "_ivf_assign", boom)
+    queries = emb.where(emb.vec_id.isin(qids))
+    persisted = S.ivf_query_index(spark, path, queries, k=10, n_probe=3).collect()
+    assert sorted(map(tuple, persisted), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, fused), key=lambda t: (t[0], t[3])
+    )
+
+
+# -- SemDeDup ----------------------------------------------------------------
+
+
+def test_semantic_neardup_agrees_with_exact_twin(spark, emb):
+    """Cluster-bucketed near-dup pairs must be a SUBSET of the exact
+    all-pairs result with bit-identical scores (precision 1 — clustering
+    can only miss cross-cluster pairs), with recall high enough to be
+    useful on the fixture; and the keep-half must drop exactly the id_b
+    side of the found pairs."""
+    from flusher_spark.operators.similarity import (
+        neardup_cosine_exact,
+        semantic_dedup_keep,
+        semantic_neardup_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in neardup_cosine_exact(emb, threshold=0.4).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs at the 0.4 threshold"
+    sem = semantic_neardup_pairs(emb, threshold=0.4, n_lists=8, n_iter=1, n_assign=2).collect()
+    assert len({(r["id_a"], r["id_b"]) for r in sem}) == len(sem), "multi-probe dups must collapse"
+    for r in sem:
+        key = (r["id_a"], r["id_b"])
+        assert key in exact, f"invented pair {key}"
+        assert r["cosine_sim"] == exact[key], "scores must be bit-identical"
+    recall = len(sem) / len(exact)
+    # 0.77 measured with 2-probe assignment on the i.i.d. fixture (0.30
+    # single-probe — boundary pairs dominate when vectors are random);
+    # deterministic, not statistical.
+    assert recall >= 0.7, f"semantic recall too low on fixture: {recall}"
+    # determinism: re-run is byte-identical (all clustering derandomized)
+    again = semantic_neardup_pairs(emb, threshold=0.4, n_lists=8, n_iter=1, n_assign=2).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, sem))
+    # apply half: survivors = all ids minus the id_b side of the pairs
+    kept = {r["vec_id"] for r in semantic_dedup_keep(emb, threshold=0.4, n_lists=8, n_iter=1, n_assign=2).collect()}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert kept == all_ids - {b for _, b in (r[:2] for r in sem)}
+
+
 # -- IVF ANN -----------------------------------------------------------------
 
 
@@ -1230,6 +1346,58 @@ def test_media_container_parsers_roundtrip():
     for bad, fn in ((b"nope", parse_avi_meta), (b"\x01", parse_mp3_meta), (b"zz", parse_jpeg_meta)):
         with pytest.raises(ValueError):
             fn(bad)
+
+
+def test_jpeg_roundtrip_exact_gray_and_restarts():
+    """Constant-gray baseline JPEGs (all-ones quant) must round-trip
+    BIT-EXACTLY through the full encode→decode pipeline — including
+    non-multiple-of-8 dims (edge-replicated padding then crop) and every
+    restart-interval shape (0 = no DRI, 1 = RST after every MCU, 3 =
+    multi-MCU segments with DC predictor resets)."""
+    from flusher_spark.operators.multimodal import (
+        decode_jpeg, parse_jpeg_meta, synth_jpeg_gray,
+    )
+
+    for (w, h, g, ri) in ((8, 8, 0, 0), (13, 7, 200, 0), (14, 11, 37, 1),
+                          (3, 2, 255, 2), (16, 16, 128, 3)):
+        d = decode_jpeg(synth_jpeg_gray(w, h, g, ri))
+        assert (d["width"], d["height"], d["n_components"]) == (w, h, 1)
+        assert (d["pixels"] == g).all(), (w, h, g, ri)
+        assert d["mean_gray"] == float(g)
+        # the routing-layer parser agrees on the frame header
+        m = parse_jpeg_meta(synth_jpeg_gray(w, h, g, ri))
+        assert (m["width"], m["height"], m["progressive"]) == (w, h, False)
+
+
+def test_jpeg_color_and_lossy_paths():
+    """4:4:4 color and real quant tables are lossy by construction: bound
+    the error instead (coef rounding ±0.5 amplified ≤1.772 by the chroma
+    inverse transform → ≤5 levels on random noise; block means track to
+    <1 level). Corrupt entropy data must raise, not mis-decode."""
+    import numpy as np
+    import pytest as _pt
+
+    from flusher_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(px))
+    assert (d["width"], d["height"], d["n_components"]) == (17, 24, 3)
+    assert np.abs(d["pixels"].astype(int) - px.astype(int)).max() <= 5
+    qt = np.full(64, 16, dtype=int)
+    qt[0] = 8
+    g = rng.integers(0, 256, (19, 22), dtype=np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, quant=qt))
+    assert abs(dg["pixels"].astype(float).mean() - g.mean()) < 2.0
+    # truncated entropy stream: exhausts mid-block → ValueError
+    whole = encode_jpeg(g)
+    with _pt.raises(ValueError):
+        decode_jpeg(whole[: len(whole) - (len(whole) - whole.index(b"\xff\xda")) // 2])
+    # progressive SOF2 must be refused, not mis-decoded
+    prog = bytearray(whole)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with _pt.raises(ValueError):
+        decode_jpeg(bytes(prog))
 
 
 def test_mp3_truncated_final_frame_raises():

@@ -197,6 +197,8 @@ _NESTED_LOOP_OK = {
     "similarity_neardup_cosine",  # documented O(n²) exact baseline (oracle twin of LSH)
     "similarity_topk_exact",  # broadcast query-set × candidates, |queries| small
     "similarity_topk_ivf",  # broadcast centroid set (n_lists rows)
+    "similarity_ivf_persisted",  # same broadcast centroid set on the probe side
+    "dedup_semantic_embedding",  # same broadcast centroid set (cluster assignment)
     "window_ntile",  # broadcast 1-row total count
     "q22_global_avg_anti",  # broadcast 1-row global average (scalar subquery)
     "q11_important_parts",  # broadcast 1-row grand total (scalar subquery)
