@@ -124,6 +124,11 @@ HEADLINE = [
     # covered by the fused twins already in this list)
     "multimodal_jpeg_decode",
     "dedup_semantic_embedding",
+    "text_hash_classifier",
+    "profile_join_key_skew",
+    # (graph_pagerank_bipartite is excluded like the BPE learner: the
+    # iterative loop with per-iteration scalar collects would dominate the
+    # headline total; covered by its numpy-reference test + rows-only check)
     "agg_weighted_avg_exact",
     "corpus_boilerplate_mask",
     "embedding_centroid_int8",

@@ -1,0 +1,88 @@
+"""Graph centrality over relationally-derived edge sets.
+
+Web-scale training pipelines rank crawl frontiers and weight documents by
+link centrality (the CommonCrawl-style harmonic/PageRank prioritization);
+this module is that primitive expressed Spark-first: the graph is two
+columns (src, dst), every iteration is one equi-join + one partial-
+aggregated reduce, and the only driver-side state is a single dangling-mass
+scalar per iteration (1-row aggregate — bounded by construction).
+
+Scale design:
+- Edges are repartitioned by src ONCE and localCheckpoint'd; each
+  iteration's rank join shuffles only the (node, rank) table — at 100 TB
+  the edge table dominates and never re-shuffles (Exchange reuse).
+- Contributions aggregate map-side before the dst-key shuffle.
+- localCheckpoint per iteration truncates the lineage (the BPE learner's
+  pattern) so the plan doesn't grow with iteration count.
+- Double arithmetic: rank mass is a sum of shuffled partials, so results
+  are reproducible to ~1e-12 but not bit-stable across partitionings —
+  the catalog entry is rows-only and correctness is pinned by an exact
+  numpy power-iteration reference in tests (same formula, allclose).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank with uniform teleport and proper dangling
+    handling (nodes without out-edges redistribute their mass uniformly —
+    skipping this silently leaks rank out of the system each step).
+    Returns (node, rank) for every node; ranks sum to 1."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    out_nodes = deg.select(F.col("src").alias("node"))
+    for _ in range(n_iter):
+        # Dangling mass: total rank parked on nodes with no out-edges.
+        # 1-row aggregate -> scalar; bounded regardless of graph size.
+        dang = (
+            ranks.join(out_nodes, "node", "left_anti")
+            .agg(F.sum("rank").alias("m"))
+            .collect()[0]["m"]
+            or 0.0
+        )
+        contribs = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        base = (1.0 - damping) / n + damping * dang / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def top_ranked(ranks: DataFrame, k: int = 20) -> DataFrame:
+    """Deterministically-tied top-k by rank (TakeOrderedAndProject — no
+    global sort)."""
+    return ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(k).select(
+        "node", "rank", F.row_number().over(
+            Window.orderBy(F.col("rank").desc(), F.col("node"))
+        ).cast("long").alias("pos"),
+    )

@@ -85,6 +85,10 @@ PRIORITY = (
     "dedup_semantic_embedding",
     "similarity_pq_persisted",
     "similarity_ivf_persisted",
+    "text_hash_classifier",
+    "profile_join_key_skew",
+    "graph_pagerank_bipartite",
+    "dedup_semantic_clusters",
     # (4) rows-only family — re-window every round by policy
     "similarity_topk_arrow",
     "similarity_topk_ivf",

@@ -300,6 +300,46 @@ def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_hash_classifier",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents),
+    scored AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+      FROM toks)
+    SELECT doc_id, CAST(SUM(w) AS BIGINT) AS logit_millis,
+           CAST(SUM(w) AS BIGINT) > 0 AS keep
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text classifier via the HASHING TRICK (fasttext-style): each
+    token's weight is md5-hashed into a fixed [-1000, 1000] integer range,
+    the document logit is the plain integer sum over token occurrences, and
+    keep = logit > 0. The weights here are the deterministic hash
+    projection itself (a stand-in for learned weights: production training
+    would store the same-shaped table and either broadcast it or — exactly
+    as here — fold it into a hash function, which is the trick's point);
+    what the entry pins down is the SCORING dataplane: no vocabulary table,
+    no join, no broadcast — one explode + one doc-key partial-aggregated
+    shuffle, memory bounded by the hash range regardless of vocabulary
+    size. All-integer arithmetic (md5 and the modular shift are portable),
+    so the oracle reproduces every logit bit-for-bit — the millis scale
+    avoids engine-divergent float division entirely."""
+    from flusher_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    w = (hash_bucket(F.col("tok"), 2001) - F.lit(1000)).alias("w")
+    return (
+        tok.select("doc_id", w)
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("bigint").alias("logit_millis"))
+        .withColumn("keep", F.col("logit_millis") > 0)
+    )
+
+
+@register(
     "dedup_fingerprint",
     oracle=f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
 )
@@ -1095,6 +1135,22 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(pairs)
 
 
+@register("dedup_semantic_clusters")  # rows-only: iterative algorithm, not SQL-expressible
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pairs → connected-component duplicate clusters (the same
+    min-label propagation the MinHash twin uses, fed by the cluster-
+    bucketed embedding pairs): groups of transitively-near-duplicate
+    documents in embedding space, each labeled by its min member — the
+    representative selection step of embedding-space dedup at pretraining
+    scale. Pair generation is equi-join bucketed (never all-pairs); the
+    component labeling converges in O(diameter) iterations over pair
+    edges only."""
+    pairs = S.semantic_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_lists=8, n_iter=1, n_assign=2
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return D.dedup_clusters(pairs)
+
+
 @register(
     "sample_hash_split",
     oracle="""
@@ -1294,6 +1350,91 @@ def sample_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         take_per_group(docs, "doc_id", "lang", k=20)
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
+    )
+
+
+@register("graph_pagerank_bipartite")  # rows-only: double rank mass has no bit-stable SQL twin
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier purchase graph (edges derived
+    relationally from orders ⋈ lineitem, nodes encoded customer·2 /
+    supplier·2+1) — the link-centrality primitive behind crawl-frontier
+    prioritization and document authority weighting in web-scale corpus
+    pipelines (operators/graph.py). Every iteration is one equi-join +
+    one partial-aggregated dst reduce over edges that were partitioned
+    ONCE; dangling mass (suppliers have no out-edges, so the entire
+    supplier side dangles each step — the stress case for the
+    redistribution term) is a 1-row scalar per iteration. Top-20 output
+    with deterministic (rank, node) tie-break; exact-equality vs a numpy
+    power iteration is asserted in tests/test_operators.py."""
+    from flusher_spark.operators.graph import pagerank, top_ranked
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return top_ranked(pagerank(edges, damping=0.85, n_iter=3), k=20)
+
+
+@register(
+    "profile_join_key_skew",
+    oracle="""
+    WITH per AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+    hist AS (SELECT cnt, COUNT(*) AS k FROM per GROUP BY cnt),
+    h2 AS (
+      SELECT cnt,
+             CAST(SUM(k) OVER () AS BIGINT) AS n_keys,
+             CAST(SUM(cnt * k) OVER () AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) OVER () AS BIGINT) AS max_per_key,
+             SUM(k) OVER (ORDER BY cnt) AS cum
+      FROM hist)
+    SELECT MIN(n_rows) AS n_rows, MIN(n_keys) AS n_keys,
+           MIN(max_per_key) AS max_per_key,
+           CAST(MIN(cnt) AS BIGINT) AS p99_per_key,
+           CAST(MIN(n_rows) * 1000 // MIN(n_keys) AS BIGINT) AS avg_millis
+    FROM h2 WHERE cum >= (99 * n_keys + 99) // 100
+    """,
+)
+def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the decision input for the salted-join
+    path (join_salted_skew): per-key row counts of the events user_id key
+    reduced to one row of n_rows / n_keys / max_per_key / exact
+    nearest-rank p99 / thousandths-scale mean. The p99 comes from the
+    VALUE-HISTOGRAM running sum (window over distinct per-key counts —
+    the winsorize trick), so the only single-partition window runs over
+    |distinct frequencies| rows, never per-key rows: at 100 TB the
+    frequency histogram of a power-law key is a few thousand rows while
+    the key space is billions. Two partial-aggregated shuffles (key
+    counts, then histogram); all-integer output — avg in exact millis via
+    integer division, matching DuckDB's // — so the oracle is bit-exact.
+    Reading: max_per_key ≫ avg_millis/1000 ⇒ salt the join; p99 vs max
+    separates one hot key (salt just it) from a heavy tail (salt all)."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    hist = per.groupBy("cnt").agg(F.count("*").alias("k"))
+    wall = Window.partitionBy()
+    wrun = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    h2 = hist.select(
+        "cnt",
+        F.sum("k").over(wall).cast("long").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("k")).over(wall).cast("long").alias("n_rows"),
+        F.max("cnt").over(wall).cast("long").alias("max_per_key"),
+        F.sum("k").over(wrun).alias("cum"),
+    )
+    return (
+        h2.where(F.col("cum") >= F.expr("(99 * n_keys + 99) div 100"))
+        .agg(
+            F.min("n_rows").alias("n_rows"),
+            F.min("n_keys").alias("n_keys"),
+            F.min("max_per_key").alias("max_per_key"),
+            F.min("cnt").cast("long").alias("p99_per_key"),
+        )
+        .withColumn("avg_millis", F.expr("n_rows * 1000 div n_keys"))
     )
 
 

@@ -879,6 +879,42 @@ def test_ivf_persisted_layout_pruning_and_no_retrain(spark, emb, tmp_path, monke
     )
 
 
+# -- Graph centrality --------------------------------------------------------
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Distributed PageRank must reproduce the dense numpy power iteration
+    (same damping, same uniform-dangling redistribution) to float
+    tolerance on a graph with a cycle, a hub, and a dangling node — and
+    total rank mass must stay 1 every time."""
+    import numpy as np
+
+    from flusher_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3), (1, 3), (3, 4), (2, 4)]  # 4 -> dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, damping=0.85, n_iter=8).collect()}
+
+    n, d = 5, 0.85
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    r = np.full(n, 1.0 / n)
+    for _ in range(8):
+        nxt = np.full(n, (1 - d) / n)
+        dang = sum(r[u] for u in range(n) if u not in out)
+        nxt += d * dang / n
+        for s, ts in out.items():
+            for t in ts:
+                nxt[t] += d * r[s] / len(ts)
+        r = nxt
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for u in range(n):
+        assert abs(got[u] - r[u]) < 1e-12, (u, got[u], r[u])
+    # the dangling sink still accumulates rank; the hub outranks the leaf
+    assert got[4] > got[3] or got[4] > 0.1
+
+
 # -- SemDeDup ----------------------------------------------------------------
 
 

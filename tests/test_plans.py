@@ -199,6 +199,7 @@ _NESTED_LOOP_OK = {
     "similarity_topk_ivf",  # broadcast centroid set (n_lists rows)
     "similarity_ivf_persisted",  # same broadcast centroid set on the probe side
     "dedup_semantic_embedding",  # same broadcast centroid set (cluster assignment)
+    "dedup_semantic_clusters",  # same broadcast centroid set (cluster assignment)
     "window_ntile",  # broadcast 1-row total count
     "q22_global_avg_anti",  # broadcast 1-row global average (scalar subquery)
     "q11_important_parts",  # broadcast 1-row grand total (scalar subquery)
