@@ -65,10 +65,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: the change; (3) round-6 NEW entries in the order added — each gets its
 #: FIRST driver verdict this round; (4) the 12 rows-only entries — the
 #: weakest verdict class re-windows every round by policy; (5) the stalest
-#: greens: every r1-verdict entry (fixtures have drifted five windows
-#: since), then the r2 family as back-fill. Union of r1..r6 windows =
-#: every entry, each checked at least twice. Every name here must exist
-#: (asserted in tests/test_plans.py); the rest follow in import order.
+#: greens: the r1-verdict family (fixtures have drifted five windows
+#: since) — the 50-entry window covers groups (1)-(4) plus the first ~21
+#: of these; the last few r1 entries (trivial count/lag/running-sum
+#: windows) and the r2 family back-fill past the window for r7. Union of
+#: r1..r6 windows = every entry, each checked at least twice. Every name
+#: here must exist (asserted in tests/test_plans.py); the rest follow in
+#: import order.
 PRIORITY = (
     # (1) first driver verdict — registered after the r5 window filled
     "agg_weighted_avg_exact",
@@ -89,6 +92,7 @@ PRIORITY = (
     "profile_join_key_skew",
     "graph_pagerank_bipartite",
     "dedup_semantic_clusters",
+    "etl_snapshot_merge_timetravel",
     # (4) rows-only family — re-window every round by policy
     "similarity_topk_arrow",
     "similarity_topk_ivf",

@@ -951,3 +951,61 @@ def etl_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "etl_snapshot_merge_timetravel",
+    oracle="""
+    WITH v0 AS (
+      SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      FROM orders WHERE o_orderkey % 7 <> 0),
+    v1rows AS (
+      SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000 AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 3 <> 0),
+    v1 AS (
+      SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+             CAST(SUM(price) AS DOUBLE) AS total_price
+      FROM v1rows)
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1 ORDER BY version
+    """,
+)
+def etl_snapshot_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-lake semantics WITHOUT format jars
+    (io/snapshots.py::SnapshotTable — the engine's answer to the
+    Delta/Iceberg gap in this environment): create version 0 from a
+    deterministic orders subset, MERGE an upsert batch (every %3 key gets
+    price+1000 — updates for keys already present, inserts for the %7
+    multiples the base excluded) producing version 1 via file-granular
+    copy-on-write (files whose key range can't contain a source key carry
+    forward by reference; manifests publish atomically via exclusive hard
+    link), then read BOTH versions through time travel and emit each
+    state's row count + decimal-exact price total. The oracle recomputes
+    both states relationally — matching hashes prove snapshot isolation
+    (v0 unchanged after the merge commit) and the merge arithmetic.
+    Concurrency (CommitConflict on lost races), stats-pruned rewrite
+    scope, and vacuum safety are asserted in tests/test_etl.py."""
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", dec("o_totalprice", "decimal(12,2)").alias("price")
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="flusher_snap_"), "orders_snap")
+    t = SnapshotTable(spark, root, "o_orderkey")
+    t.create(o.where(F.col("o_orderkey") % 7 != 0))
+    src = o.where(F.col("o_orderkey") % 3 == 0).withColumn(
+        "price", (F.col("price") + 1000).cast("decimal(12,2)")
+    )
+    t.merge(src)
+
+    def state(version: int | None, label: int) -> DataFrame:
+        return t.snapshot(version).agg(
+            F.lit(label).cast("long").alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        ).select("version", "n_rows", "total_price")
+
+    return state(0, 0).unionByName(state(None, 1)).orderBy("version")

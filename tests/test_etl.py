@@ -332,3 +332,57 @@ def test_partition_overwrite_dynamic_vs_static(spark, tmp_path):
             assert sorted(d2) == [100, 101, 102, 103], (mode, d2)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_snapshot_table_isolation_conflict_pruning_vacuum(spark, tmp_path):
+    """SnapshotTable contracts: (a) time travel — v0 reads are unchanged
+    after later commits; (b) optimistic concurrency — publishing the same
+    version twice raises CommitConflict and leaves the winner intact;
+    (c) stats-pruned merge — a merge whose key range misses a file carries
+    that file forward by REFERENCE (same path in both manifests, no
+    rewrite); (d) vacuum only deletes unreferenced files, so every
+    retained version stays readable."""
+    import os
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import CommitConflict, SnapshotTable
+
+    root = str(tmp_path / "snap")
+    t = SnapshotTable(spark, root, "k")
+    low = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    high = spark.range(1000, 1100).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    t.create(low)
+    t.append(high)  # v1: low-file(s) + high-file(s)
+    m1 = t._manifest(1)
+
+    # (c) merge touching only the high range: low files carried by reference
+    src = spark.range(1050, 1150).select(F.col("id").alias("k"), F.lit("new").alias("v"))
+    t.merge(src)
+    m2 = t._manifest(2)
+    low_paths_1 = {f["path"] for f in m1["files"] if f["key_max"] < 1000}
+    assert low_paths_1, "expected low-range files in v1"
+    assert low_paths_1 <= {f["path"] for f in m2["files"]}, "low files must carry forward"
+    cur = t.snapshot()
+    assert cur.count() == 100 + 150  # 100 low + 1000..1149 high
+    assert cur.where((F.col("k") >= 1050) & (F.col("v") != "new")).count() == 0
+    assert cur.where((F.col("k") < 1000) & (F.col("v") != "old")).count() == 0
+
+    # (a) snapshot isolation / time travel: v0 still exactly the original
+    assert t.snapshot(0).count() == 100
+    assert t.snapshot(0).agg(F.max("k")).collect()[0][0] == 99
+
+    # (b) conflicting commit of an existing version loses loudly
+    files = t._write_files(spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("v")))
+    with _pt.raises(CommitConflict):
+        t._publish({"version": 2, "parent": 1, "key": "k", "files": files})
+    assert t.current_version() == 2  # winner intact
+
+    # (d) vacuum: the conflict loser's files are unreferenced -> deleted;
+    # every retained version still reads
+    removed = t.vacuum()
+    assert removed >= 1
+    assert t.snapshot(0).count() == 100
+    assert t.snapshot(1).count() == 200
+    assert t.snapshot(2).count() == 250
