@@ -130,10 +130,13 @@ class SnapshotTable:
 
     # -- public API -----------------------------------------------------------
 
-    def create(self, df: DataFrame) -> int:
+    def create(self, df: DataFrame, batch_id: int | None = None) -> int:
         assert self.current_version() is None, "table already exists"
         files = self._write_files(df)
-        return self._publish({"version": 0, "parent": None, "key": self.key, "files": files})
+        manifest = {"version": 0, "parent": None, "key": self.key, "files": files}
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
+        return self._publish(manifest)
 
     def append(self, df: DataFrame) -> int:
         cur = self.current_version()
@@ -152,14 +155,26 @@ class SnapshotTable:
             raise ValueError("empty table snapshot")
         return self.spark.read.parquet(*[f["path"] for f in m["files"]])
 
-    def merge(self, source: DataFrame) -> int:
+    def merge(self, source: DataFrame, batch_id: int | None = None) -> int | None:
         """Upsert MERGE on the table key (matched → replace row, unmatched →
         insert), copy-on-write at FILE granularity: only files whose
         [key_min, key_max] can contain a source key are rewritten; all
         others carry forward by reference. Source key bounds come from one
-        1-row aggregate (bounded driver state)."""
+        1-row aggregate (bounded driver state).
+
+        ``batch_id`` makes the commit IDEMPOTENT for streaming foreachBatch
+        sinks (exactly-once-ish on top of Structured Streaming's at-least-
+        once replay): the manifest records the id, and a replayed batch —
+        same or older id than the last committed one — returns None without
+        writing. Combined with the atomic manifest publish, a crash between
+        data-file write and publish leaves only unreferenced files (cleaned
+        by vacuum), never a partial commit."""
         cur = self.current_version()
         m = self._manifest(cur)
+        if batch_id is not None:
+            last = m.get("batch_id")
+            if last is not None and batch_id <= last:
+                return None  # replayed micro-batch: already committed
         b = source.agg(
             F.min(self.key).alias("lo"), F.max(self.key).alias("hi")
         ).collect()[0]
@@ -177,9 +192,12 @@ class SnapshotTable:
         else:
             rewritten = source
         new_files += self._write_files(rewritten)
-        return self._publish(
-            {"version": cur + 1, "parent": cur, "key": self.key, "files": new_files}
-        )
+        manifest = {"version": cur + 1, "parent": cur, "key": self.key, "files": new_files}
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
+        elif "batch_id" in m:
+            manifest["batch_id"] = m["batch_id"]  # batch watermark survives manual merges
+        return self._publish(manifest)
 
     def vacuum(self) -> int:
         """Delete data files referenced by NO manifest. Returns the number

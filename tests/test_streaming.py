@@ -488,3 +488,67 @@ def test_left_outer_stream_join_nulls_wait_for_watermark(spark, stream_dir, tmp_
         assert len(got_rows) > n_noflush
     finally:
         q.stop()
+
+
+def test_snapshot_table_exactly_once_stream_sink(spark, stream_dir, tmp_path):
+    """foreachBatch → SnapshotTable.merge(batch_id=...) is the exactly-once
+    lake sink: each micro-batch commits one atomic snapshot version carrying
+    its batch id, and a REPLAYED batch (Structured Streaming's at-least-once
+    restart semantics) is a no-op — version and contents unchanged. Final
+    state must equal the batch per-user argmax, proving the merge chain is
+    batch-split independent."""
+    from pyspark.sql import Window
+
+    from flusher_spark.io.snapshots import SnapshotTable
+    from flusher_spark.streaming.windows import stream_events
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"), "user_id")
+    seen: list[tuple[int, object]] = []
+
+    def latest_per_user(df):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("user_id", "event_id", "value", "ts")
+        )
+
+    def handle(bdf, bid):
+        latest = latest_per_user(bdf)
+        if t.current_version() is None:
+            t.create(latest, batch_id=bid)
+        else:
+            t.merge(latest, batch_id=bid)
+        seen.append((bid, bdf))
+
+    q = (
+        stream_events(spark, str(stream_dir))
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) >= 2, "expected multiple micro-batches (maxFilesPerTrigger=1)"
+    v = t.current_version()
+    before = {(r["user_id"], r["event_id"]) for r in t.snapshot().collect()}
+
+    # replay the last micro-batch (same id): must be a no-op commit
+    last_bid, last_df = seen[-1]
+    assert t.merge(latest_per_user(last_df), batch_id=last_bid) is None
+    assert t.current_version() == v
+    assert {(r["user_id"], r["event_id"]) for r in t.snapshot().collect()} == before
+
+    # batch-split independence: final snapshot == whole-input argmax
+    whole = spark.read.parquet(str(stream_dir))
+    from flusher_spark.io.tables import normalize_event_ts
+
+    expected = {
+        (r["user_id"], r["event_id"])
+        for r in latest_per_user(normalize_event_ts(whole)).collect()
+    }
+    assert before == expected
