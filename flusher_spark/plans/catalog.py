@@ -93,6 +93,7 @@ PRIORITY = (
     "graph_pagerank_bipartite",
     "dedup_semantic_clusters",
     "etl_snapshot_merge_timetravel",
+    "dedup_minhash_builtin",
     # (4) rows-only family — re-window every round by policy
     "similarity_topk_arrow",
     "similarity_topk_ivf",

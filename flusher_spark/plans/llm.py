@@ -1135,6 +1135,42 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(pairs)
 
 
+@register("dedup_minhash_builtin")  # rows-only: LSH recall < 1 by construction
+def dedup_minhash_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN MinHashLSH (pyspark.ml) as the twin of the
+    hand-rolled operators/dedup.py pipeline — the Spark-first rule applied
+    to the engine's own code: where a built-in exists, ship it as a path
+    and prove parity. Shingle sets → HashingTF sparse vectors (2^18
+    binary features, deterministic hashing) → MinHashLSH(8 tables, fixed
+    seed) → approxSimilarityJoin at Jaccard distance ≤ 0.5. The ML
+    implementation banding is OR-amplified per hash table exactly like
+    minhash_lsh_pairs' bands, and approxSimilarityJoin re-scores candidate
+    pairs with the EXACT Jaccard over the hashed sets — so emitted pairs
+    are exact-precision modulo feature-hash collisions (none on the
+    fixture; asserted vs the exact n-gram Jaccard in tests). At 100 TB
+    the trade vs the hand-rolled path: the built-in ships JVM-side
+    hashing (no Python), but no hot-shingle cap or candidate-core reuse —
+    which is why both live in the catalog."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = D.shingles_table(docs).where(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(sets)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            "jaccard_dist",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @register("dedup_semantic_clusters")  # rows-only: iterative algorithm, not SQL-expressible
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup pairs → connected-component duplicate clusters (the same

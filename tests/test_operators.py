@@ -879,6 +879,36 @@ def test_ivf_persisted_layout_pruning_and_no_retrain(spark, emb, tmp_path, monke
     )
 
 
+# -- Built-in MinHashLSH parity ----------------------------------------------
+
+
+def test_builtin_minhash_lsh_parity_with_exact_jaccard(spark):
+    """The pyspark.ml MinHashLSH path must emit only TRUE near-dup pairs
+    (its approxSimilarityJoin re-scores candidates with exact Jaccard, so
+    precision is 1 modulo feature-hash collisions — none expected on the
+    fixture) with distances matching the exact n-gram Jaccard, and recall
+    on the fixture's near-dup pair set high enough to be useful."""
+    from flusher_spark.operators.dedup import ngram_jaccard_pairs
+    from flusher_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(load_table(spark, sf, "documents"), threshold=0.5).collect()
+    }
+    assert exact, "fixture must contain exact-Jaccard >= 0.5 pairs"
+    got = registry()["dedup_minhash_builtin"].fn(spark, sf).collect()
+    for r in got:
+        key = (r["doc_a"], r["doc_b"])
+        assert key in exact, f"built-in LSH invented pair {key}"
+        assert abs((1.0 - r["jaccard_dist"]) - exact[key]) < 1e-9, key
+    recall = len(got) / len(exact)
+    assert recall >= 0.6, f"built-in LSH recall too low: {recall}"
+    # determinism: fixed seed + deterministic hashing -> identical re-run
+    again = registry()["dedup_minhash_builtin"].fn(spark, sf).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+
 # -- Graph centrality --------------------------------------------------------
 
 
