@@ -199,6 +199,31 @@ class SnapshotTable:
             manifest["batch_id"] = m["batch_id"]  # batch watermark survives manual merges
         return self._publish(manifest)
 
+    def compact(self, target_file_rows: int = 1 << 20) -> int:
+        """Small-file compaction as a TRANSACTION: coalesce every file under
+        ``target_file_rows`` into ~target-sized replacements and publish a
+        new version whose contents are row-identical (only the file layout
+        changes). Large files carry forward by reference; readers on older
+        versions are untouched (their files are immutable); a concurrent
+        writer conflict surfaces as CommitConflict exactly like any commit.
+        This is the maintenance half every streaming sink needs — per-batch
+        commits accrete small files, compaction folds them without a write
+        outage."""
+        cur = self.current_version()
+        m = self._manifest(cur)
+        small = [f for f in m["files"] if f["rows"] < target_file_rows]
+        if len(small) <= 1:
+            return cur
+        kept = [f for f in m["files"] if f not in small]
+        total = sum(f["rows"] for f in small)
+        n_out = max(1, -(-total // target_file_rows))
+        df = self.spark.read.parquet(*[f["path"] for f in small]).coalesce(n_out)
+        files = kept + self._write_files(df)
+        manifest = {"version": cur + 1, "parent": cur, "key": self.key, "files": files}
+        if "batch_id" in m:
+            manifest["batch_id"] = m["batch_id"]
+        return self._publish(manifest)
+
     def vacuum(self) -> int:
         """Delete data files referenced by NO manifest. Returns the number
         removed. (Retention policy — dropping old manifests first — is the

@@ -94,6 +94,7 @@ PRIORITY = (
     "dedup_semantic_clusters",
     "etl_snapshot_merge_timetravel",
     "dedup_minhash_builtin",
+    "events_sessionize_dynamic_gap",
     # (4) rows-only family — re-window every round by policy
     "similarity_topk_arrow",
     "similarity_topk_ivf",

@@ -1097,6 +1097,79 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sessionize_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, EPOCH_US(ts) AS ts_us,
+             CASE WHEN event_type = 'purchase' THEN 3600000000
+                  ELSE 1800000000 END AS gap_us
+      FROM events),
+    r AS (
+      SELECT *, MAX(ts_us + gap_us)
+                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS reach
+      FROM e),
+    s AS (
+      SELECT *, CAST(SUM(CASE WHEN reach IS NULL OR ts_us >= reach
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                     AS BIGINT) AS sid
+      FROM r)
+    SELECT user_id, sid, MIN(ts_us) AS session_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases
+    FROM s GROUP BY user_id, sid ORDER BY user_id, sid
+    """,
+)
+def events_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a PER-EVENT dynamic inactivity gap (purchases
+    hold the session open 60 min, everything else 30) — the semantics of
+    Spark's ``session_window(ts, gap_col)``, expressed relationally so the
+    batch form carries a full oracle: each event projects a reach of
+    ts + gap(event); a session breaks where an event's start is at or past
+    the RUNNING MAX of all previous reaches (running max, not lag — an
+    early long-gap event must hold the session open across later
+    short-gap ones, exactly the interval-merge rule session_window
+    applies). One user-key shuffle; both window passes share the
+    partitioning and sort. All µs-integer arithmetic — no interval/float
+    boundary drift between engines. Tie safety: equal-ts events can never
+    split (reach > ts for any positive gap), so the event_id tie-break
+    affects only internal numbering, which the grouping absorbs
+    identically in both engines. The streaming twin is
+    ``F.session_window(F.col("ts"), gap_col)`` over stream_events with
+    the same gap expression."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    gap_us = F.when(F.col("event_type") == "purchase", F.lit(3_600_000_000)).otherwise(
+        F.lit(1_800_000_000)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    reach = F.max(ts_us + gap_us).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_s = (reach.isNull() | (ts_us >= reach)).cast("long")
+    sid = F.sum(new_s).over(w)
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            ts_us.alias("ts_us"),
+            sid.alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.count("*").alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        .orderBy("user_id", "sid")
+    )
+
+
+@register(
     "asof_purchase_last_view",
     oracle="""
     SELECT p.event_id, p.user_id, EPOCH_US(p.ts) AS purchase_ts_us,

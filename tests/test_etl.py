@@ -386,3 +386,31 @@ def test_snapshot_table_isolation_conflict_pruning_vacuum(spark, tmp_path):
     assert t.snapshot(0).count() == 100
     assert t.snapshot(1).count() == 200
     assert t.snapshot(2).count() == 250
+
+
+def test_snapshot_table_compaction_preserves_contents(spark, tmp_path):
+    """compact() must fold small files into ~target-sized ones in a NEW
+    version with row-identical contents, leave large files and every older
+    version untouched, and preserve the streaming batch watermark."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"), "k")
+    df = spark.range(0, 400).select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+    t.create(df.repartition(8), batch_id=3)
+    m0 = t._manifest(0)
+    assert len(m0["files"]) == 8
+    before = sorted(map(tuple, t.snapshot().collect()))
+
+    v = t.compact(target_file_rows=1000)  # all files small -> one replacement
+    assert v == 1
+    m1 = t._manifest(1)
+    assert len(m1["files"]) == 1
+    assert m1["batch_id"] == 3  # batch watermark survives maintenance
+    assert sorted(map(tuple, t.snapshot().collect())) == before
+    # old version still reads its original 8-file layout
+    assert len(t._manifest(0)["files"]) == 8
+    assert sorted(map(tuple, t.snapshot(0).collect())) == before
+    # idempotent: nothing left under the target -> no new version
+    assert t.compact(target_file_rows=1000) == 1

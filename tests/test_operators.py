@@ -1520,3 +1520,33 @@ def test_bitmap_distinct_integer_slotting_full_domain(spark):
     ).groupBy("chunk").agg(F.bit_or("bit").alias("word"))
     n = words.agg(F.sum(F.bit_count("word")).alias("n")).collect()[0]["n"]
     assert n == len(set(ids))
+
+
+def test_dynamic_gap_sessionize_matches_builtin_session_window(spark):
+    """The relational dynamic-gap formulation (running-max reach + marker
+    sum — the one with a full SQL oracle) must reproduce Spark's NATIVE
+    session_window(ts, gap_col) sessions exactly: same session starts,
+    same event counts per (user, session)."""
+    import pyspark.sql.functions as F
+
+    from flusher_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    ours = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in registry()["events_sessionize_dynamic_gap"].fn(spark, sf).collect()
+    }
+    e = load_table(spark, sf, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("1 hour")).otherwise(
+        F.lit("30 minutes")
+    )
+    native = (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", F.unix_micros("sw.start").alias("session_start_us"), "n_events"
+        )
+        .collect()
+    )
+    theirs = {(r["user_id"], r["session_start_us"]): r["n_events"] for r in native}
+    assert theirs == ours
