@@ -95,6 +95,7 @@ PRIORITY = (
     "etl_snapshot_merge_timetravel",
     "dedup_minhash_builtin",
     "events_sessionize_dynamic_gap",
+    "agg_histogram_rollup_percentile",
     # (4) rows-only family — re-window every round by policy
     "similarity_topk_arrow",
     "similarity_topk_ivf",

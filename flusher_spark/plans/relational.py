@@ -1097,6 +1097,76 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_histogram_rollup_percentile",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cv
+      FROM events),
+    daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cv, COUNT(*) AS k
+      FROM events GROUP BY 1, 2, 3),
+    merged AS (
+      SELECT event_type, cv, CAST(SUM(k) AS BIGINT) AS k
+      FROM daily GROUP BY event_type, cv),
+    run AS (
+      SELECT event_type, cv, k,
+             SUM(k) OVER (PARTITION BY event_type ORDER BY cv) AS cum,
+             SUM(k) OVER (PARTITION BY event_type) AS n
+      FROM merged)
+    SELECT event_type, CAST(MIN(n) AS BIGINT) AS n_values,
+           MIN(CASE WHEN cum >= (n + 1) // 2 THEN cv END) AS p50_cv,
+           MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN cv END) AS p99_cv
+    FROM run GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_histogram_rollup_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRE-AGGREGATED PERCENTILE LAYER — what makes percentile
+    dashboards tractable at 100 TB: materialize per-(type, day) VALUE
+    HISTOGRAMS once (value is a 2-decimal money column, so cv = 100·value
+    is an exact integer key and the histogram is lossless), then answer
+    the coarser per-type median/p99 by MERGING histograms — integer count
+    addition, associative and exact, the same rollup-reuse move as the
+    HLL entry but for EXACT nearest-rank quantiles. The daily histogram
+    table is days × types × |distinct values| rows serving ANY date-range
+    percentile with zero fact rescans; the fact is read once. Matching
+    hashes against the oracle's identical formulation prove the rollup
+    layer loses nothing (merged-histogram quantile ≡ direct quantile, a
+    consequence of integer-exact counts). Single-partition windows run
+    only over distinct (type, value) rows — the winsorize-trick
+    boundedness argument, stated where it matters."""
+    e = load_table(spark, sf_dir, "events")
+    cv = (dec("value", "decimal(8,2)") * 100).cast("long")
+    daily = (
+        e.select("event_type", F.to_date("ts").alias("day"), cv.alias("cv"))
+        .groupBy("event_type", "day", "cv")
+        .agg(F.count("*").alias("k"))
+    )
+    merged = daily.groupBy("event_type", "cv").agg(F.sum("k").cast("long").alias("k"))
+    wrun = Window.partitionBy("event_type").orderBy("cv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("event_type")
+    run = merged.select(
+        "event_type",
+        "cv",
+        F.sum("k").over(wrun).alias("cum"),
+        F.sum("k").over(wall).alias("n"),
+    )
+    return (
+        run.groupBy("event_type")
+        .agg(
+            F.min("n").cast("long").alias("n_values"),
+            F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("cv"))).alias("p50_cv"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(99 * n + 99) div 100"), F.col("cv"))
+            ).alias("p99_cv"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "events_sessionize_dynamic_gap",
     oracle="""
     WITH e AS (

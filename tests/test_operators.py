@@ -1550,3 +1550,32 @@ def test_dynamic_gap_sessionize_matches_builtin_session_window(spark):
     )
     theirs = {(r["user_id"], r["session_start_us"]): r["n_events"] for r in native}
     assert theirs == ours
+
+
+def test_histogram_rollup_percentile_equals_direct_nearest_rank(spark):
+    """The merged-histogram quantiles must equal a direct nearest-rank
+    computation over the raw rows (rollup layer loses nothing) — checked
+    independently of the SQL oracle, which shares the rollup formulation."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from flusher_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in
+           registry()["agg_histogram_rollup_percentile"].fn(spark, sf).collect()}
+    raw = (
+        load_table(spark, sf, "events")
+        .select("event_type", (F.col("value").cast("decimal(8,2)") * 100).cast("long").alias("cv"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in raw:
+        by_type.setdefault(r["event_type"], []).append(r["cv"])
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        assert got[et]["n_values"] == n
+        assert got[et]["p50_cv"] == vals[math.ceil(n / 2) - 1]
+        assert got[et]["p99_cv"] == vals[math.ceil(99 * n / 100) - 1]

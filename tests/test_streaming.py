@@ -552,3 +552,45 @@ def test_snapshot_table_exactly_once_stream_sink(spark, stream_dir, tmp_path):
         for r in latest_per_user(normalize_event_ts(whole)).collect()
     }
     assert before == expected
+
+
+def test_dynamic_gap_session_window_streams_like_batch(spark, stream_dir, tmp_path):
+    """Native session_window with a DYNAMIC per-event gap must produce the
+    same final sessions when executed as a bounded stream (complete mode)
+    as in batch — the streaming twin of events_sessionize_dynamic_gap."""
+    from flusher_spark.streaming.windows import stream_events
+
+    gap = F.when(F.col("event_type") == "purchase", F.lit("1 hour")).otherwise(
+        F.lit("30 minutes")
+    )
+
+    def sessions(df):
+        return df.groupBy("user_id", F.session_window("ts", gap).alias("sw")).agg(
+            F.count("*").alias("n_events")
+        ).select("user_id", F.unix_micros("sw.start").alias("start_us"), "n_events")
+
+    stream = sessions(stream_events(spark, str(stream_dir)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dyn_sess")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["user_id"], r["start_us"]): r["n_events"]
+            for r in spark.table("dyn_sess").collect()
+        }
+    finally:
+        q.stop()
+    from flusher_spark.io.tables import normalize_event_ts
+
+    batch = {
+        (r["user_id"], r["start_us"]): r["n_events"]
+        for r in sessions(
+            normalize_event_ts(spark.read.parquet(str(stream_dir)))
+        ).collect()
+    }
+    assert streamed == batch
