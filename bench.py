@@ -129,6 +129,7 @@ HEADLINE = [
     "dedup_minhash_builtin",  # pyspark.ml MinHashLSH twin of dedup_minhash_lsh
     "events_sessionize_dynamic_gap",
     "agg_histogram_rollup_percentile",
+    "multimodal_video_frames",
     # (graph_pagerank_bipartite is excluded like the BPE learner: the
     # iterative loop with per-iteration scalar collects would dominate the
     # headline total; covered by its numpy-reference test + rows-only check.

@@ -9,18 +9,22 @@ are derived deterministically in tests):
   (Arrow-batched, partition-parallel — the only layer where Python is
   justified, because media codecs are native libraries anyway).
 - WAV (RIFF/PCM), binary PPM, PNG, BMP, GIF (incl. a real LZW
-  encoder/decoder pair), and baseline TIFF (both byte orders, multi-strip)
-  decode are REAL — stdlib ``wave``/``struct``/``zlib`` need no external
-  library (``decode_wav``/``decode_ppm``/``decode_png``/``decode_bmp``/
-  ``decode_gif``/``decode_tiff`` below, oracle-checked through the
-  ``multimodal_*_decode`` catalog entries); ``spectral_features`` adds a
-  real numpy-rfft analysis stage on the audio path. For the formats whose
-  PIXEL/AUDIO decode genuinely needs native libraries (JPEG/MP3/video),
-  the CONTAINER layer is still real: ``parse_avi_meta``/``parse_mp3_meta``/
-  ``parse_jpeg_meta`` walk genuine RIFF trees, frame sequences, and marker
-  streams (the ``multimodal_media_routing`` entry), and only the payload
-  decode stays stubbed — ``extract_features``/``resize``/``frame_sample``
-  raise NotImplementedError unless ``fake=True``, which substitutes a
+  encoder/decoder pair), baseline TIFF (both byte orders, multi-strip),
+  baseline JPEG (full sequential-DCT codec: canonical-Huffman entropy
+  encode/decode, restart markers, orthonormal IDCT, YCbCr 4:4:4), and
+  uncompressed raw-DIB AVI video frames decode are REAL — stdlib
+  ``wave``/``struct``/``zlib`` + numpy need no external library
+  (``decode_wav``/``decode_ppm``/``decode_png``/``decode_bmp``/
+  ``decode_gif``/``decode_tiff``/``decode_jpeg``/``decode_avi_frames``
+  below, oracle-checked through the ``multimodal_*`` catalog entries);
+  ``spectral_features`` adds a real numpy-rfft analysis stage on the
+  audio path. The remaining env-gated stubs are exactly the
+  native-codec-bound cases — COMPRESSED video streams and MP3 audio
+  samples — whose CONTAINER layer is still real (``parse_avi_meta``/
+  ``parse_mp3_meta``/``parse_jpeg_meta`` walk genuine RIFF trees, frame
+  sequences, and marker streams: the ``multimodal_media_routing`` entry);
+  ``extract_features``/``resize``/``frame_sample`` raise
+  NotImplementedError unless ``fake=True``, which substitutes a
   deterministic synthetic decode (byte-hash-seeded) — making the
   Spark-side plumbing (schema, batching, partitioning, UDF signatures)
   fully real and testable either way.
@@ -1649,3 +1653,148 @@ def jpeg_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(op, JPEG_FEATURE_SCHEMA)
+
+
+def synth_avi_rawvideo(width: int, height: int, us_per_frame: int, colors) -> bytes:
+    """RIFF/AVI with a REAL uncompressed video stream: avih + strl
+    (strh 'vids'/'DIB ', strf BITMAPINFOHEADER with biCompression=0) and
+    one '00db' raw-DIB frame per color — bottom-up BGR rows, 4-byte
+    stride, exactly the BMP pixel layout. No codec anywhere: this is the
+    uncompressed-AVI case real crawls do contain, and the case a
+    pure-Python pipeline can decode END TO END."""
+    n_frames = len(colors)
+    stride = (3 * width + 3) & ~3
+
+    def frame_bytes(rgb) -> bytes:
+        row = bytes((rgb[2], rgb[1], rgb[0])) * width + b"\x00" * (stride - 3 * width)
+        return row * height
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, 0, 0, 0, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ", 0, 0, 0, 0, us_per_frame, 1_000_000, 0,
+        n_frames, stride * height, 0, 0, 0, 0, int(width), int(height),
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0,
+    )
+    strl_body = (
+        b"strl"
+        + b"strh" + struct.pack("<I", len(strh)) + strh
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    )
+    hdrl_body = (
+        b"hdrl"
+        + b"avih" + struct.pack("<I", len(avih)) + avih
+        + b"LIST" + struct.pack("<I", len(strl_body)) + strl_body
+    )
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi" + b"".join(
+        b"00db" + struct.pack("<I", stride * height) + frame_bytes(c) for c in colors
+    )
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(payload: bytes) -> dict:
+    """REAL video-frame decode for uncompressed (BI_RGB 24-bit) AVI
+    streams: container walk to avih + strf, then every movi '00db' chunk
+    parsed as bottom-up strided BGR — the BMP row layout. Compressed
+    streams ('00dc' chunks or biCompression != 0) raise ValueError: that
+    half genuinely needs ffmpeg and stays env-gated; the uncompressed
+    case is decoded end to end with zero native libs."""
+    import numpy as np
+
+    meta = parse_avi_meta(payload)  # validates RIFF/AVI + avih
+    w, h = meta["width"], meta["height"]
+    # find strf (BITMAPINFOHEADER) inside LIST hdrl -> LIST strl
+    compression = bpp = None
+    pos = 12
+    frames: list = []
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"LIST":
+            kind = payload[pos + 8 : pos + 12]
+            if kind == b"hdrl":
+                inner = pos + 12
+                while inner + 8 <= pos + 8 + size:
+                    icid = payload[inner : inner + 4]
+                    (isize,) = struct.unpack_from("<I", payload, inner + 4)
+                    if icid == b"LIST" and payload[inner + 8 : inner + 12] == b"strl":
+                        j = inner + 12
+                        while j + 8 <= inner + 8 + isize:
+                            jcid = payload[j : j + 4]
+                            (jsize,) = struct.unpack_from("<I", payload, j + 4)
+                            if jcid == b"strf":
+                                _, _, _, _, bpp, compression = struct.unpack_from(
+                                    "<IiiHHI", payload, j + 8
+                                )
+                            j += 8 + jsize + (jsize % 2)
+                    inner += 8 + isize + (isize % 2)
+            elif kind == b"movi":
+                inner = pos + 12
+                while inner + 8 <= pos + 8 + size:
+                    icid = payload[inner : inner + 4]
+                    (isize,) = struct.unpack_from("<I", payload, inner + 4)
+                    if icid[2:4] == b"dc":
+                        raise ValueError(
+                            "compressed AVI stream: frame decode needs ffmpeg"
+                        )
+                    if icid[2:4] == b"db":
+                        frames.append(payload[inner + 8 : inner + 8 + isize])
+                    inner += 8 + isize + (isize % 2)
+        pos += 8 + size + (size % 2)
+    if compression is None or bpp is None:
+        raise ValueError("no strf video format header found")
+    if compression != 0 or bpp != 24:
+        raise ValueError("only uncompressed 24-bit AVI video is decodable here")
+    stride = (3 * w + 3) & ~3
+    out = []
+    for raw in frames:
+        if len(raw) != stride * h:
+            raise ValueError("frame chunk size does not match dimensions")
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)[:, : 3 * w]
+        bgr = a.reshape(h, w, 3)[::-1]  # bottom-up rows -> top-down
+        out.append(bgr[..., ::-1].copy())  # BGR -> RGB
+    return {**meta, "frames": out}
+
+
+VIDEO_FRAME_SCHEMA = (
+    "asset_id long, frame_no long, width long, height long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def video_frame_features(df: DataFrame) -> DataFrame:
+    """REAL frame sampling for uncompressed AVI payloads: one output row
+    per decoded frame (the fan-out shape of frame_sample, now with real
+    pixels behind it); non-AVI or compressed payloads yield no rows for
+    that asset — drift, not failure."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = decode_avi_frames(bytes(payload))
+                except Exception:
+                    continue
+                for i, fr in enumerate(d["frames"]):
+                    rows.append({
+                        "asset_id": aid, "frame_no": i,
+                        "width": d["width"], "height": d["height"],
+                        "mean_r": float(fr[..., 0].mean()),
+                        "mean_g": float(fr[..., 1].mean()),
+                        "mean_b": float(fr[..., 2].mean()),
+                    })
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "frame_no", "width", "height", "mean_r", "mean_g", "mean_b"
+            ])
+
+    return df.mapInPandas(op, VIDEO_FRAME_SCHEMA)

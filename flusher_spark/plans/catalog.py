@@ -96,6 +96,7 @@ PRIORITY = (
     "dedup_minhash_builtin",
     "events_sessionize_dynamic_gap",
     "agg_histogram_rollup_percentile",
+    "multimodal_video_frames",
     # (4) rows-only family — re-window every round by policy
     "similarity_topk_arrow",
     "similarity_topk_ivf",

@@ -871,6 +871,47 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_frames",
+    oracle="""
+    SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
+           CAST(3 + (doc_id % 9) AS BIGINT) AS width,
+           CAST(2 + (n_chars % 7) AS BIGINT) AS height,
+           CAST((3 * doc_id + i) % 256 AS DOUBLE) AS mean_r,
+           CAST((n_chars + 5 * i) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id + n_chars + i) % 256 AS DOUBLE) AS mean_b
+    FROM documents, LATERAL unnest(range(2 + doc_id % 4)) AS u(i)
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame decode (no stub, no ffmpeg) for the uncompressed
+    case: each document synthesizes a genuine RIFF/AVI with a raw-DIB
+    'vids/DIB ' stream (strh/strf headers, '00db' bottom-up strided BGR
+    frames — operators/multimodal.py synth_avi_rawvideo) and
+    decode_avi_frames walks the container to strf, validates
+    biCompression=0, and parses every frame's pixels; the features stage
+    fans out ONE ROW PER FRAME (the frame_sample shape, now with real
+    pixels). Per-frame solid colors vary with the frame index, so the
+    oracle recomputes every mean from the table with a LATERAL range —
+    proving frame ORDER as well as content. Compressed streams raise into
+    the NULL-drift contract: after round 6 the only env-gated media stubs
+    left are compressed video and MP3 audio samples (truly ffmpeg-bound);
+    JPEG pixels, TIFF/PNG/BMP/GIF/PPM images, WAV audio, and raw AVI
+    frames all decode end to end in pure Python."""
+    from flusher_spark.operators.multimodal import synth_avi_rawvideo, video_frame_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = _synth_assets(
+        docs,
+        lambda d, c: synth_avi_rawvideo(
+            3 + (d % 9), 2 + (c % 7), 40000,
+            [((3 * d + i) % 256, (c + 5 * i) % 256, (d + c + i) % 256)
+             for i in range(2 + d % 4)],
+        ),
+    )
+    return video_frame_features(assets)
+
+
+@register(
     "multimodal_tiff_decode",
     oracle="""
     SELECT doc_id AS asset_id,

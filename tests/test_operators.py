@@ -1579,3 +1579,29 @@ def test_histogram_rollup_percentile_equals_direct_nearest_rank(spark):
         assert got[et]["n_values"] == n
         assert got[et]["p50_cv"] == vals[math.ceil(n / 2) - 1]
         assert got[et]["p99_cv"] == vals[math.ceil(99 * n / 100) - 1]
+
+
+def test_avi_raw_frame_decode_contracts():
+    """Raw-DIB AVI frames must decode to the exact synthesized colors in
+    order; compressed chunks ('00dc') and size-mismatched frames must
+    raise, never mis-decode."""
+    import struct
+
+    import numpy as np
+
+    from flusher_spark.operators.multimodal import decode_avi_frames, synth_avi_rawvideo
+
+    colors = [(10, 20, 30), (200, 100, 0), (255, 255, 255)]
+    b = synth_avi_rawvideo(7, 5, 40000, colors)
+    d = decode_avi_frames(b)
+    assert [tuple(fr[0, 0]) for fr in d["frames"]] == colors
+    assert all(fr.shape == (5, 7, 3) for fr in d["frames"])
+    # flipping a '00db' chunk id to '00dc' marks it compressed -> raise
+    comp = b.replace(b"00db", b"00dc", 1)
+    with pytest.raises(ValueError, match="ffmpeg"):
+        decode_avi_frames(comp)
+    # corrupting the strf compression field -> unsupported, loud
+    i = b.index(b"strf") + 8 + 16
+    bad = b[:i] + struct.pack("<I", 1) + b[i + 4:]
+    with pytest.raises(ValueError):
+        decode_avi_frames(bad)
