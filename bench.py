@@ -130,6 +130,7 @@ HEADLINE = [
     "events_sessionize_dynamic_gap",
     "agg_histogram_rollup_percentile",
     "multimodal_video_frames",
+    "multimodal_jpeg_color_decode",
     # (graph_pagerank_bipartite is excluded like the BPE learner: the
     # iterative loop with per-iteration scalar collects would dominate the
     # headline total; covered by its numpy-reference test + rows-only check.

@@ -1798,3 +1798,35 @@ def video_frame_features(df: DataFrame) -> DataFrame:
             ])
 
     return df.mapInPandas(op, VIDEO_FRAME_SCHEMA)
+
+
+JPEG_COLOR_FEATURE_SCHEMA = (
+    "asset_id long, width long, height long, n_components long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def jpeg_color_features(df: DataFrame) -> DataFrame:
+    """Decode 3-component baseline-JPEG payloads via mapInPandas; non-JPEG
+    or grayscale payloads yield NULL features — same drift contract as the
+    other codecs."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    d = decode_jpeg(bytes(payload))
+                    if d["n_components"] != 3:
+                        d = {}
+                except Exception:
+                    d = {}
+                rows.append({"asset_id": aid, **{k: d.get(k) for k in
+                             ("width", "height", "n_components",
+                              "mean_r", "mean_g", "mean_b")}})
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "width", "height", "n_components",
+                "mean_r", "mean_g", "mean_b",
+            ])
+
+    return df.mapInPandas(op, JPEG_COLOR_FEATURE_SCHEMA)

@@ -97,6 +97,7 @@ PRIORITY = (
     "events_sessionize_dynamic_gap",
     "agg_histogram_rollup_percentile",
     "multimodal_video_frames",
+    "multimodal_jpeg_color_decode",
     # (4) rows-only family — re-window every round by policy
     "similarity_topk_arrow",
     "similarity_topk_ivf",

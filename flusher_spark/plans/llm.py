@@ -871,6 +871,43 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_color_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(4 + (doc_id % 10) AS BIGINT) AS width,
+           CAST(3 + (n_chars % 9) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_components,
+           CAST((7 * doc_id + n_chars) % 256 AS DOUBLE) AS mean_r,
+           CAST((7 * doc_id + n_chars) % 256 AS DOUBLE) AS mean_g,
+           CAST((7 * doc_id + n_chars) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-COMPONENT JPEG path under the exact-hash gate: neutral-gray
+    RGB (r=g=b) maps to (Y=g, Cb=128, Cr=128) — the YCbCr forward and
+    inverse transforms cancel exactly after rounding — so a constant
+    neutral image round-trips bit-exactly through the full color
+    pipeline: interleaved Y/Cb/Cr MCUs, three entropy-coded blocks per
+    MCU with independent DC predictors, dequantize, IDCT, color inverse.
+    (Chromatic constants are covered with tolerance bounds in tests —
+    coefficient rounding there is inherent to the standard, not to this
+    implementation.) Same all-ones-quant scheme as
+    multimodal_jpeg_decode."""
+    import numpy as np
+
+    from flusher_spark.operators.multimodal import encode_jpeg, jpeg_color_features
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def build(d: int, c: int) -> bytes:
+        g = (7 * d + c) % 256
+        return encode_jpeg(np.full((3 + (c % 9), 4 + (d % 10), 3), g, dtype=np.uint8))
+
+    return jpeg_color_features(_synth_assets(docs, build))
+
+
+@register(
     "multimodal_video_frames",
     oracle="""
     SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
