@@ -66,12 +66,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: FIRST driver verdict this round; (4) the 12 rows-only entries — the
 #: weakest verdict class re-windows every round by policy; (5) the stalest
 #: greens: the r1-verdict family (fixtures have drifted five windows
-#: since) — the 50-entry window covers groups (1)-(4) plus the first ~21
-#: of these; the last few r1 entries (trivial count/lag/running-sum
-#: windows) and the r2 family back-fill past the window for r7. Union of
-#: r1..r6 windows = every entry, each checked at least twice. Every name
-#: here must exist (asserted in tests/test_plans.py); the rest follow in
-#: import order.
+#: since) — groups (1)-(4) take 34 slots (the round-6 additions grew to
+#: 14 entries, each needing its FIRST verdict — first-verdict beats
+#: re-verdict by policy), so the 50-entry window covers the first 16 of
+#: these; the remaining r1 entries (simple joins/aggs/windows, all green
+#: since r1) and the r2 family back-fill past the window and lead the r7
+#: rotation. Union of r1..r6 windows = every entry, each checked at
+#: least twice. Every name here must exist (asserted in
+#: tests/test_plans.py); the rest follow in import order.
 PRIORITY = (
     # (1) first driver verdict — registered after the r5 window filled
     "agg_weighted_avg_exact",
