@@ -131,6 +131,7 @@ HEADLINE = [
     "agg_histogram_rollup_percentile",
     "multimodal_video_frames",
     "multimodal_jpeg_color_decode",
+    "multimodal_image_resize",
     # (graph_pagerank_bipartite is excluded like the BPE learner: the
     # iterative loop with per-iteration scalar collects would dominate the
     # headline total; covered by its numpy-reference test + rows-only check.

@@ -100,6 +100,7 @@ PRIORITY = (
     "agg_histogram_rollup_percentile",
     "multimodal_video_frames",
     "multimodal_jpeg_color_decode",
+    "multimodal_image_resize",
     # (4) rows-only family — re-window every round by policy
     "similarity_topk_arrow",
     "similarity_topk_ivf",

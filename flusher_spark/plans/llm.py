@@ -871,6 +871,53 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_resize",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, n_chars, j,
+             (7 * ((j * (6 + doc_id % 9)) // 4) + doc_id) % 256 AS r,
+             (n_chars + 3 * ((j * (6 + doc_id % 9)) // 4)) % 256 AS gg
+      FROM documents, LATERAL unnest(range(4)) AS u(j))
+    SELECT doc_id AS asset_id, CAST(4 AS BIGINT) AS width,
+           CAST(2 AS BIGINT) AS height,
+           AVG(CAST(r AS DOUBLE)) AS mean_r,
+           AVG(CAST(gg AS DOUBLE)) AS mean_g,
+           CAST((doc_id + n_chars) % 256 AS DOUBLE) AS mean_b
+    FROM g GROUP BY doc_id, n_chars
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (no stub, no PIL) — the thumbnailing stage of a
+    vision-data pipeline: each document synthesizes a PNG with a
+    HORIZONTAL GRADIENT (column x: r = (7x+d)%256, g = (c+3x)%256,
+    b constant), resize_images decodes it, nearest-neighbor-remaps to 4×2
+    with the floor rule src = (dst·src_w) // dst_w, and re-encodes. The
+    oracle recomputes the resized channel means from the SAME floor-index
+    arithmetic via a LATERAL range — proving the INTERPOLATION picked
+    exactly the right source pixels, not merely that bytes moved (a
+    solid-color fixture would pass with any resampler). Exactness note:
+    means divide integer-exact sums by 4/8 — power-of-two divisions are
+    exact in binary floating point, so the hashes are bit-stable."""
+    from flusher_spark.operators.multimodal import resize_images, synth_png_pixels
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def build(d: int, c: int) -> bytes:
+        import numpy as np
+
+        w, h = 6 + d % 9, 3 + c % 5
+        x = np.arange(w)
+        row = np.stack(
+            [(7 * x + d) % 256, (c + 3 * x) % 256, np.full(w, (d + c) % 256)], axis=1
+        ).astype(np.uint8)
+        return synth_png_pixels(np.tile(row[None, :, :], (h, 1, 1)))
+
+    return resize_images(_synth_assets(docs, build), out_w=4, out_h=2).select(
+        "asset_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
+@register(
     "multimodal_jpeg_color_decode",
     oracle="""
     SELECT doc_id AS asset_id,

