@@ -65,6 +65,26 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("--poll-seconds", type=float, default=1.0)
     s.add_argument("--max-ticks", type=int, default=None, help="stop after N ticks (default: run forever)")
     s.add_argument("--concurrency", type=int, default=1, help="cross-job parallelism per tick")
+
+    t = sub.add_parser("snapshot", help="manage a snapshot-isolated table (io/snapshots.py)")
+    tsub = t.add_subparsers(dest="snap_cmd", required=True)
+    for name, extra in (
+        ("create", ("--from-parquet",)),
+        ("merge", ("--from-parquet",)),
+        ("read", ("--version", "--show")),
+        ("versions", ()),
+        ("compact", ()),
+        ("vacuum", ()),
+    ):
+        sp = tsub.add_parser(name)
+        sp.add_argument("--table", required=True, help="snapshot table root directory")
+        sp.add_argument("--key", default="", help="merge key column (required for create)")
+        if "--from-parquet" in extra:
+            sp.add_argument("--from-parquet", required=True, help="source parquet path")
+        if "--version" in extra:
+            sp.add_argument("--version", type=int, default=None, help="time-travel version")
+        if "--show" in extra:
+            sp.add_argument("--show", type=int, default=20)
     return p
 
 
@@ -87,6 +107,23 @@ def _load_sheets(sheets_dir: str):
         if sheets:
             documents[doc] = sheets
     return SheetSource(documents)
+
+
+def _snapshot_key(table_root: str) -> str | None:
+    """Recover the merge key from an existing table's latest manifest so
+    read/merge/compact/vacuum don't need --key repeated."""
+    import json
+
+    mdir = os.path.join(table_root, "_manifests")
+    if not os.path.isdir(mdir):
+        return None
+    vs = sorted(
+        int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
+    )
+    if not vs:
+        return None
+    with open(os.path.join(mdir, f"v{vs[-1]}.json")) as fh:
+        return json.load(fh).get("key")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -158,6 +195,34 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for job in store.jobs():
                 print(job)
+        return 0
+
+    if args.cmd == "snapshot":
+        from flusher_spark.io.snapshots import SnapshotTable
+
+        key = args.key or _snapshot_key(args.table)
+        if not key:
+            print("--key is required (no existing manifest to read it from)", file=sys.stderr)
+            return 2
+        t = SnapshotTable(spark, args.table, key)
+        if args.snap_cmd == "create":
+            v = t.create(spark.read.parquet(args.from_parquet))
+            print(f"created version {v}")
+        elif args.snap_cmd == "merge":
+            v = t.merge(spark.read.parquet(args.from_parquet))
+            print(f"committed version {v}")
+        elif args.snap_cmd == "read":
+            t.snapshot(args.version).show(args.show, truncate=False)
+        elif args.snap_cmd == "versions":
+            for v in t.versions():
+                m = t._manifest(v)
+                rows = sum(f["rows"] for f in m["files"])
+                print(f"v{v}: {len(m['files'])} files, {rows} rows"
+                      + (f", batch_id={m['batch_id']}" if "batch_id" in m else ""))
+        elif args.snap_cmd == "compact":
+            print(f"current version {t.compact()}")
+        elif args.snap_cmd == "vacuum":
+            print(f"removed {t.vacuum()} unreferenced files")
         return 0
 
     if args.cmd == "schedule":

@@ -55,3 +55,31 @@ def test_cli_job_and_schedule_end_to_end(spark, tmp_path, capsys):
     }
     assert main(["job", "list", "--root", root]) == 0
     assert "Success" in capsys.readouterr().out
+
+
+def test_cli_snapshot_lifecycle(spark, tmp_path, capsys):
+    """create -> merge -> time-travel read -> versions -> compact -> vacuum
+    through the CLI, with the merge key recovered from the manifest after
+    create (no --key repetition)."""
+    base = str(tmp_path / "base.parquet")
+    upd = str(tmp_path / "upd.parquet")
+    spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v").write.parquet(base)
+    spark.range(5, 12).selectExpr("id AS k", "id * 100 AS v").write.parquet(upd)
+    table = str(tmp_path / "snaptab")
+    assert main(["snapshot", "create", "--table", table, "--key", "k",
+                 "--from-parquet", base]) == 0
+    assert main(["snapshot", "merge", "--table", table, "--from-parquet", upd]) == 0
+    assert main(["snapshot", "read", "--table", table, "--version", "0", "--show", "0"]) == 0
+    assert main(["snapshot", "versions", "--table", table]) == 0
+    out = capsys.readouterr().out
+    assert "created version 0" in out and "committed version 1" in out
+    assert "v0:" in out and "v1:" in out
+    # contents: v1 = keys 0..11, updated 5..9 + inserted 10..11
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, table, "k")
+    rows = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert rows[4] == 8 and rows[5] == 500 and rows[11] == 1100 and len(rows) == 12
+    assert main(["snapshot", "compact", "--table", table]) == 0
+    assert main(["snapshot", "vacuum", "--table", table]) == 0
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()} == rows
