@@ -11,6 +11,10 @@ Subcommands
                                   against a local lake/store root, with sheet
                                   documents loaded from a directory of CSVs
                                   (``<dir>/<document>/<sheet>.csv``)
+- ``snapshot``                  — manage a snapshot-isolated lake table
+                                  (io/snapshots.py): create/merge/read
+                                  (time travel via --version)/versions/
+                                  compact/vacuum
 
 The scheduler wiring mirrors the reference's manager loop (reference
 manager.py:208-214: poll, find due jobs, run, record) with the engine's
