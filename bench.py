@@ -132,6 +132,7 @@ HEADLINE = [
     "multimodal_video_frames",
     "multimodal_jpeg_color_decode",
     "multimodal_image_resize",
+    "events_sliding_distinct_bitmap",
     # (graph_pagerank_bipartite is excluded like the BPE learner: the
     # iterative loop with per-iteration scalar collects would dominate the
     # headline total; covered by its numpy-reference test + rows-only check.

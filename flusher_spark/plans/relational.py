@@ -1097,6 +1097,63 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_distinct_bitmap",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+                  FROM events)
+    SELECT e.event_type, d.day, COUNT(DISTINCT e.user_id) AS users_7d
+    FROM events e JOIN days d
+      ON CAST(date_trunc('day', e.ts) AS DATE) BETWEEN d.day - 6 AND d.day
+    GROUP BY e.event_type, d.day ORDER BY e.event_type, d.day
+    """,
+)
+def events_sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct users per event type — the windowed
+    completion of the incremental-distinct story: agg_bitmap_distinct
+    showed the per-group bitmap, agg_hll_rollup_reuse the approximate
+    rollup; this is the exact SLIDING window, and the reason it scales is
+    that the window runs over the BITMAP LAYER, never the fact. One fact
+    scan builds per-(type, day, chunk) 64-bit words (partial-aggregated);
+    each word row then fans out — a narrow explode(sequence(day, day+6)),
+    no join — to the ≤7 window-end days it serves, a second bit_or merges
+    per (type, window_day, chunk), and bit_count sums give exact
+    cardinalities. A broadcast equi-join against the distinct-day spine
+    drops phantom window ends past the data's last day. Fan-out cost is
+    7× the COMPACT bitmap table (types × days × chunks rows), not 7× the
+    events — the oracle's direct formulation is the 7×-the-fact range
+    join this plan exists to avoid. Matching hashes prove the bitmap
+    window loses nothing vs COUNT(DISTINCT)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.shiftright(F.col("user_id"), 6).alias("chunk"),
+            F.expr("shiftleft(1L, CAST(user_id & 63 AS INT))").alias("bit"),
+        )
+        .groupBy("event_type", "day", "chunk")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    spine = daily.select("day").distinct()
+    fan = daily.select(
+        "event_type",
+        "chunk",
+        "word",
+        F.explode(F.expr("sequence(day, date_add(day, 6), interval 1 day)")).alias("wday"),
+    )
+    merged = (
+        fan.join(F.broadcast(spine), fan.wday == spine.day)
+        .groupBy("event_type", "day", "chunk")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    return (
+        merged.groupBy("event_type", "day")
+        .agg(F.sum(F.bit_count("word")).alias("users_7d"))
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
     "agg_histogram_rollup_percentile",
     oracle="""
     WITH v AS (
