@@ -133,6 +133,7 @@ HEADLINE = [
     "multimodal_jpeg_color_decode",
     "multimodal_image_resize",
     "events_sliding_distinct_bitmap",
+    "corpus_c4_rules",
     # (graph_pagerank_bipartite is excluded like the BPE learner: the
     # iterative loop with per-iteration scalar collects would dominate the
     # headline total; covered by its numpy-reference test + rows-only check.

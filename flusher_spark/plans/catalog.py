@@ -102,6 +102,7 @@ PRIORITY = (
     "multimodal_jpeg_color_decode",
     "multimodal_image_resize",
     "events_sliding_distinct_bitmap",
+    "corpus_c4_rules",
     # (4) rows-only family — re-window every round by policy
     "similarity_topk_arrow",
     "similarity_topk_ivf",

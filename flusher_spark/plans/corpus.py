@@ -604,3 +604,78 @@ def corpus_boilerplate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _c4_line(i: int, sql: bool) -> str:
+    """Line i of the synthesized multi-line document: a text slice plus
+    deterministic decorations (terminal punctuation, a 'javascript' token,
+    a brace, a lorem-ipsum marker) driven by doc_id arithmetic — IDENTICAL
+    string construction in Spark SQL and DuckDB, so the oracle recomputes
+    the rules on the same input."""
+    base = f"substr(text, {1 + i * 7}, 20)"
+    punct = f"CASE WHEN (doc_id + {i}) % 2 = 0 THEN '.' ELSE '' END"
+    js = f"CASE WHEN (doc_id + {i}) % 5 = 0 THEN ' javascript' ELSE '' END"
+    brace = f"CASE WHEN doc_id % 7 = 0 AND {i} = 0 THEN ' {{' ELSE '' END"
+    lorem = f"CASE WHEN doc_id % 11 = 0 AND {i} = 1 THEN ' lorem ipsum' ELSE '' END"
+    return f"({base} || {punct} || {js} || {brace} || {lorem})"
+
+
+def _c4_text(sql: bool) -> str:
+    lines = [
+        f"CASE WHEN {i} < 2 + doc_id % 4 THEN {_c4_line(i, sql)} ELSE NULL END"
+        for i in range(5)
+    ]
+    sep = "chr(10)" if sql else "'\\n'"
+    return f"concat_ws({sep}, {', '.join(lines)})"
+
+
+@register(
+    "corpus_c4_rules",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_c4_text(True)} AS t FROM documents),
+    r AS (
+      SELECT doc_id, t,
+             len(string_split(t, chr(10))) AS n_lines,
+             len(list_filter(string_split(t, chr(10)),
+                             l -> ends_with(l, '.') AND NOT contains(l, 'javascript')))
+               AS n_kept_lines,
+             contains(t, '{{') AS has_brace,
+             contains(lower(t), 'lorem ipsum') AS has_lorem
+      FROM aug)
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_kept_lines AS BIGINT) AS n_kept_lines,
+           has_brace, has_lorem,
+           (NOT has_brace AND NOT has_lorem AND n_kept_lines >= 1) AS keep_doc
+    FROM r ORDER BY doc_id
+    """,
+)
+def corpus_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule-based cleaning (the public C4 pipeline's famous line
+    and document rules, deterministic subset): keep only lines that end in
+    terminal punctuation, drop lines containing 'javascript', drop whole
+    documents containing a curly brace or the phrase 'lorem ipsum'. The
+    fixture text is single-line with none of these triggers, so a
+    multi-line document is synthesized per doc_id first (identical string
+    arithmetic in both engines — same move as the PII/HTML entries). All
+    rules are codegen'd string predicates inside one projection — zero
+    shuffles, scan-speed at 100 TB, with the keep/drop decision emitted as
+    a column so the filter composes with any downstream pipeline. The one
+    interpreted expression is the line-level HOF filter (bounded by line
+    count per doc, not corpus size)."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select("doc_id", F.expr(_c4_text(False)).alias("t"))
+    kept = F.expr(
+        "size(filter(split(t, '\\n'), "
+        "l -> endswith(l, '.') AND NOT contains(l, 'javascript')))"
+    )
+    r = aug.select(
+        "doc_id",
+        F.size(F.split("t", "\n")).cast("long").alias("n_lines"),
+        kept.cast("long").alias("n_kept_lines"),
+        F.col("t").contains("{").alias("has_brace"),
+        F.lower("t").contains("lorem ipsum").alias("has_lorem"),
+    )
+    return r.withColumn(
+        "keep_doc",
+        ~F.col("has_brace") & ~F.col("has_lorem") & (F.col("n_kept_lines") >= 1),
+    ).orderBy("doc_id")
