@@ -43,6 +43,10 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("--show", type=int, default=20, help="rows to print (0 = count only)")
     q.add_argument("--output", default=None, help="write results here instead of printing")
     q.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    q.add_argument(
+        "--explain", action="store_true",
+        help="print the formatted physical plan instead of executing",
+    )
 
     o = sub.add_parser("oracle", help="print an entry's DuckDB oracle SQL")
     o.add_argument("name")
@@ -163,6 +167,9 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown entry: {args.name}", file=sys.stderr)
             return 2
         df = entry.fn(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+            return 0
         if args.output:
             writer = df.write.mode("overwrite")
             if args.format == "csv":

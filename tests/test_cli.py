@@ -83,3 +83,10 @@ def test_cli_snapshot_lifecycle(spark, tmp_path, capsys):
     assert main(["snapshot", "compact", "--table", table]) == 0
     assert main(["snapshot", "vacuum", "--table", table]) == 0
     assert {r["k"]: r["v"] for r in t.snapshot().collect()} == rows
+
+
+def test_cli_query_explain_prints_plan(spark, capsys):
+    assert main(["query", "count_rows", "--sf-dir", "/root/testdata/sf0.001",
+                 "--explain"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
