@@ -134,6 +134,7 @@ HEADLINE = [
     "multimodal_image_resize",
     "events_sliding_distinct_bitmap",
     "corpus_c4_rules",
+    "asof_view_staleness_bound",
     # (graph_pagerank_bipartite is excluded like the BPE learner: the
     # iterative loop with per-iteration scalar collects would dominate the
     # headline total; covered by its numpy-reference test + rows-only check.

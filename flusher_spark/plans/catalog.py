@@ -103,6 +103,7 @@ PRIORITY = (
     "multimodal_image_resize",
     "events_sliding_distinct_bitmap",
     "corpus_c4_rules",
+    "asof_view_staleness_bound",
     # (4) rows-only family — re-window every round by policy
     "similarity_topk_arrow",
     "similarity_topk_ivf",

@@ -1325,6 +1325,48 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_view_staleness_bound",
+    oracle="""
+    SELECT p.event_id, p.user_id, EPOCH_US(p.ts) AS purchase_ts_us,
+           CASE WHEN EPOCH_US(p.ts) - EPOCH_US(v.ts) <= 3600000000
+                THEN EPOCH_US(v.ts) END AS fresh_view_ts_us,
+           (v.ts IS NOT NULL
+            AND EPOCH_US(p.ts) - EPOCH_US(v.ts) > 3600000000) AS stale
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_view_staleness_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature lookup WITH A STALENESS BOUND — the
+    feature-store contract: each purchase takes the user's most recent
+    prior view only if it is at most 1 hour old; an older match is
+    reported STALE (flagged, value nulled) rather than silently served.
+    Composition, not a new operator: the tolerance is one codegen'd CASE
+    over the asof join's output (operators/asof.py — union + running
+    window, one shuffle, no range explosion), because as-of-with-tolerance
+    ≡ as-of followed by an age filter when matches are latest-first. The
+    µs-integer age compare is engine-exact; the oracle applies the same
+    CASE over DuckDB's native ASOF JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = e.where(F.col("event_type") == "view").select("user_id", F.col("ts").alias("view_ts"))
+    joined = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="view_ts", value_cols=[]
+    )
+    p_us = F.unix_micros("ts")
+    v_us = F.unix_micros("view_ts_right")
+    age = p_us - v_us
+    return joined.select(
+        "event_id",
+        "user_id",
+        p_us.alias("purchase_ts_us"),
+        F.when(age <= 3_600_000_000, v_us).alias("fresh_view_ts_us"),
+        (v_us.isNotNull() & (age > 3_600_000_000)).alias("stale"),
+    )
+
+
+@register(
     "asof_nearest_view",
     oracle="""
     WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
