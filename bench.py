@@ -135,6 +135,8 @@ HEADLINE = [
     "events_sliding_distinct_bitmap",
     "corpus_c4_rules",
     "asof_view_staleness_bound",
+    "sql_api_revenue_report",
+    "agg_exact_quantile_interpolated",
     # (graph_pagerank_bipartite is excluded like the BPE learner: the
     # iterative loop with per-iteration scalar collects would dominate the
     # headline total; covered by its numpy-reference test + rows-only check.

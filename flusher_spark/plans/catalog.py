@@ -104,6 +104,8 @@ PRIORITY = (
     "events_sliding_distinct_bitmap",
     "corpus_c4_rules",
     "asof_view_staleness_bound",
+    "sql_api_revenue_report",
+    "agg_exact_quantile_interpolated",
     # (4) rows-only family — re-window every round by policy
     "similarity_topk_arrow",
     "similarity_topk_ivf",

@@ -1097,6 +1097,145 @@ def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_exact_quantile_interpolated",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cv
+      FROM events),
+    hist AS (SELECT event_type, cv, COUNT(*) AS k FROM v GROUP BY event_type, cv),
+    run AS (
+      SELECT event_type, cv, k,
+             SUM(k) OVER (PARTITION BY event_type ORDER BY cv) AS cum,
+             SUM(k) OVER (PARTITION BY event_type) AS n
+      FROM hist),
+    pos AS (
+      SELECT event_type, cv, cum, n,
+             1 + (n - 1) // 4 AS k25, (n - 1) % 4 AS r25,
+             1 + (3 * (n - 1)) // 4 AS k75, (3 * (n - 1)) % 4 AS r75
+      FROM run),
+    sel AS (
+      SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+             MIN(r25) AS r25, MIN(r75) AS r75,
+             MIN(CASE WHEN cum >= k25 THEN cv END) AS x25,
+             MIN(CASE WHEN cum >= k25 + 1 THEN cv END) AS x25n,
+             MIN(CASE WHEN cum >= k75 THEN cv END) AS x75,
+             MIN(CASE WHEN cum >= k75 + 1 THEN cv END) AS x75n
+      FROM pos GROUP BY event_type)
+    SELECT event_type, n,
+           CAST((4 - r25) * x25 + r25 * COALESCE(x25n, x25) AS BIGINT) AS q25_cv_x4,
+           CAST((4 - r75) * x75 + r75 * COALESCE(x75n, x75) AS BIGINT) AS q75_cv_x4
+    FROM sel ORDER BY event_type
+    """,
+)
+def agg_exact_quantile_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linearly-INTERPOLATED quantiles (Hyndman–Fan type 7 — the
+    definition numpy.percentile and Spark's ``percentile`` use) with zero
+    doubles: at q = m/4 the interpolation fraction is a quarter, so
+    4·quantile = (4−r)·x_k + r·x_{k+1} with r = (m·(n−1)) mod 4 — pure
+    integer arithmetic over the exact cv = 100·value domain. Completes
+    the quantile family: nearest-rank exact (agg_exact_median_ranked),
+    histogram-rollup exact (agg_histogram_rollup_percentile), sketch
+    approximate (agg_approx_sketches), and now interpolated exact — the
+    one that usually forces engines into drifting float interpolation.
+    Both order statistics come from the same VALUE-HISTOGRAM running sum
+    (windows over distinct values, never raw rows); one fact scan, two
+    histogram shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    cv = (dec("value", "decimal(8,2)") * 100).cast("long")
+    hist = (
+        e.select("event_type", cv.alias("cv")).groupBy("event_type", "cv").agg(
+            F.count("*").alias("k")
+        )
+    )
+    wrun = Window.partitionBy("event_type").orderBy("cv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("event_type")
+    pos = hist.select(
+        "event_type",
+        "cv",
+        F.sum("k").over(wrun).alias("cum"),
+        F.sum("k").over(wall).alias("n"),
+    ).selectExpr(
+        "event_type", "cv", "cum", "n",
+        "1 + (n - 1) div 4 AS k25", "(n - 1) % 4 AS r25",
+        "1 + (3 * (n - 1)) div 4 AS k75", "(3 * (n - 1)) % 4 AS r75",
+    )
+    sel = pos.groupBy("event_type").agg(
+        F.min("n").cast("long").alias("n"),
+        F.min("r25").alias("r25"),
+        F.min("r75").alias("r75"),
+        F.min(F.when(F.col("cum") >= F.col("k25"), F.col("cv"))).alias("x25"),
+        F.min(F.when(F.col("cum") >= F.col("k25") + 1, F.col("cv"))).alias("x25n"),
+        F.min(F.when(F.col("cum") >= F.col("k75"), F.col("cv"))).alias("x75"),
+        F.min(F.when(F.col("cum") >= F.col("k75") + 1, F.col("cv"))).alias("x75n"),
+    )
+    return sel.selectExpr(
+        "event_type", "n",
+        "CAST((4 - r25) * x25 + r25 * COALESCE(x25n, x25) AS BIGINT) AS q25_cv_x4",
+        "CAST((4 - r75) * x75 + r75 * COALESCE(x75n, x75) AS BIGINT) AS q75_cv_x4",
+    ).orderBy("event_type")
+
+
+@register(
+    "sql_api_revenue_report",
+    oracle="""
+    WITH r AS (
+      SELECT n.n_name AS nation,
+             date_trunc('month', o.o_orderdate) AS month,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(8,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY nation, month)
+    SELECT nation, CAST(month AS DATE) AS month, revenue,
+           CAST(RANK() OVER (PARTITION BY month ORDER BY revenue DESC, nation)
+                AS BIGINT) AS month_rank
+    FROM r
+    WHERE revenue > 0
+    ORDER BY month, month_rank, nation
+    """,
+)
+def sql_api_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PURE-SQL authoring surface, demonstrated end to end: temp views
+    over the lake tables, then one ``spark.sql`` statement combining a
+    4-table join, decimal-exact revenue aggregation, and a ranking window
+    — a user who writes SQL (not DataFrames) runs this engine unchanged,
+    and Catalyst plans it identically to the DataFrame twin (same
+    broadcast/AQE/pushdown machinery; every other catalog entry proves
+    the DataFrame surface, this one proves ``spark.sql``). The statement
+    text doubles as the oracle with only dialect-level tweaks (DuckDB
+    date_trunc returns TIMESTAMP → cast to DATE on both sides)."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH r AS (
+          SELECT n.n_name AS nation,
+                 CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+                 CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(8,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+                   AS revenue
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY nation, month)
+        SELECT nation, month, revenue,
+               CAST(RANK() OVER (PARTITION BY month
+                                 ORDER BY revenue DESC, nation) AS BIGINT)
+                 AS month_rank
+        FROM r
+        WHERE revenue > 0
+        ORDER BY month, month_rank, nation
+        """
+    )
+
+
+@register(
     "events_sliding_distinct_bitmap",
     oracle="""
     WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day

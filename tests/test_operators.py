@@ -1634,3 +1634,27 @@ def test_resize_images_real_roundtrip(spark):
     # non-PNG payload -> NULL drift row
     bad = spark.createDataFrame([(2, bytearray(b"zz"))], "asset_id long, payload binary")
     assert resize_images(bad, 4, 1).collect()[0]["width"] is None
+
+
+def test_interpolated_quantile_matches_builtin_percentile(spark):
+    """The integer type-7 formulation must agree with Spark's float
+    `percentile` (same Hyndman-Fan definition) to float tolerance."""
+    import pyspark.sql.functions as F
+
+    from flusher_spark.plans.catalog import registry
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in
+           registry()["agg_exact_quantile_interpolated"].fn(spark, sf).collect()}
+    ref = (
+        load_table(spark, sf, "events")
+        .select("event_type", (F.col("value").cast("decimal(8,2)") * 100).cast("long").alias("cv"))
+        .groupBy("event_type")
+        .agg(F.expr("percentile(cv, 0.25)").alias("p25"),
+             F.expr("percentile(cv, 0.75)").alias("p75"))
+        .collect()
+    )
+    for r in ref:
+        g = got[r["event_type"]]
+        assert abs(g["q25_cv_x4"] / 4.0 - r["p25"]) < 1e-6, r["event_type"]
+        assert abs(g["q75_cv_x4"] / 4.0 - r["p75"]) < 1e-6, r["event_type"]
