@@ -106,6 +106,7 @@ PRIORITY = (
     "asof_view_staleness_bound",
     "sql_api_revenue_report",
     "agg_exact_quantile_interpolated",
+    "docs_chunk_udtf",
     # (4) rows-only family — re-window every round by policy
     "similarity_topk_arrow",
     "similarity_topk_ivf",

@@ -679,3 +679,49 @@ def corpus_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_doc",
         ~F.col("has_brace") & ~F.col("has_lorem") & (F.col("n_kept_lines") >= 1),
     ).orderBy("doc_id")
+
+
+@register(
+    "docs_chunk_udtf",
+    oracle="""
+    SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+           substring(text, CAST(start AS INTEGER), 200) AS chunk_text,
+           length(substring(text, CAST(start AS INTEGER), 200)) AS chunk_len
+    FROM documents, UNNEST(generate_series(1, GREATEST(n_chars - 50, 1), 150)) AS u(start)
+    ORDER BY doc_id, chunk_start
+    """,
+)
+def docs_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunking as docs_chunk_overlap, authored as a Spark 4
+    Python UDTF (user-defined TABLE function — one input row, many output
+    rows, invoked with lateral-join semantics from SQL). Identical oracle
+    and hashes as the codegen'd sequence+explode twin, which is the point:
+    the UDTF is the escape hatch for row-expanding logic Catalyst can't
+    express (stateful parsers, generators over opaque formats), and this
+    entry pins both that the API surface WORKS end to end (registration,
+    TABLE() invocation, Arrow row transport) and what it costs — the twin
+    stays JVM-side, the UDTF pays a Python worker per batch. Use explode
+    when SQL can express the expansion; reach for the UDTF only when it
+    can't."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_start bigint, chunk_text string, chunk_len int")
+    class Chunker:
+        def eval(self, doc_id: int, text: str, n_chars: int):
+            start = 1
+            top = max(n_chars - 50, 1)
+            while start <= top:
+                chunk = text[start - 1 : start - 1 + 200]
+                yield doc_id, start, chunk, len(chunk)
+                start += 150
+
+    spark.udtf.register("chunker", Chunker)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_start, c.chunk_text, c.chunk_len
+        FROM docs_for_udtf d,
+             LATERAL chunker(d.doc_id, d.text, d.n_chars) c
+        ORDER BY c.doc_id, c.chunk_start
+        """
+    )
