@@ -138,6 +138,7 @@ HEADLINE = [
     "sql_api_revenue_report",
     "agg_exact_quantile_interpolated",
     "docs_chunk_udtf",  # UDTF twin of docs_chunk_overlap — measures the Python-worker cost
+    "text_url_components",
     # (graph_pagerank_bipartite is excluded like the BPE learner: the
     # iterative loop with per-iteration scalar collects would dominate the
     # headline total; covered by its numpy-reference test + rows-only check.

@@ -107,6 +107,7 @@ PRIORITY = (
     "sql_api_revenue_report",
     "agg_exact_quantile_interpolated",
     "docs_chunk_udtf",
+    "text_url_components",
     # (4) rows-only family — re-window every round by policy
     "similarity_topk_arrow",
     "similarity_topk_ivf",

@@ -1940,3 +1940,54 @@ def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_url_components",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' ||
+             CASE doc_id % 4 WHEN 0 THEN 'news.example.com'
+                             WHEN 1 THEN 'blog.sample.org'
+                             WHEN 2 THEN 'docs.demo.net'
+                             ELSE 'www.corpus.io' END ||
+             '/p/' || CAST(doc_id AS VARCHAR) ||
+             CASE WHEN doc_id % 5 = 0 THEN '?ref=feed' ELSE '' END AS url
+      FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/?]+)', 1) AS host,
+           regexp_extract(regexp_extract(url, '^[a-z]+://([^/?]+)', 1),
+                          '\\.([a-z]+)$', 1) AS tld,
+           regexp_extract(url, '^[a-z]+://[^/?]+(/[^?]*)', 1) AS path
+    FROM u ORDER BY doc_id
+    """,
+)
+def text_url_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — the per-domain grouping primitive behind crawl
+    dedup, domain mixing, and robots/quality policies: host, TLD, and
+    path extracted with plain regexps (NOT java.net-based parse_url, so
+    the oracle runs the IDENTICAL patterns — kept to character classes
+    both RE2 and Java treat the same). The fixture has no URLs, so one is
+    synthesized per doc_id (same string arithmetic both engines). Pure
+    codegen'd projection: at 100 TB this is the groupBy key extraction
+    that runs at scan speed ahead of a per-host shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    u = d.selectExpr(
+        "doc_id",
+        "'https://' || "
+        "CASE doc_id % 4 WHEN 0 THEN 'news.example.com' "
+        "                WHEN 1 THEN 'blog.sample.org' "
+        "                WHEN 2 THEN 'docs.demo.net' "
+        "                ELSE 'www.corpus.io' END || "
+        "'/p/' || CAST(doc_id AS STRING) || "
+        "CASE WHEN doc_id % 5 = 0 THEN '?ref=feed' ELSE '' END AS url",
+    )
+    host = F.regexp_extract("url", r"^[a-z]+://([^/?]+)", 1)
+    return u.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        F.regexp_extract(host, r"\.([a-z]+)$", 1).alias("tld"),
+        F.regexp_extract("url", r"^[a-z]+://[^/?]+(/[^?]*)", 1).alias("path"),
+    ).orderBy("doc_id")
