@@ -224,6 +224,21 @@ def main() -> None:
     if errors:
         out["errors"] = errors
         out["completed_total"] = round(sum(timings.values()), 3)
+    # Persist the complete per-query JSON in-repo: the driver's BENCH capture
+    # keeps only a 2000-char tail of stdout, so without this file the
+    # per-query history is lost between rounds. bench_results/latest.json is
+    # overwritten every run; round snapshots (bench_results/r<N>.json) are
+    # copies committed once per round. Override with SPARK_GRAFT_BENCH_OUT;
+    # set it empty to skip writing (e.g. sub-second smoke runs).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_results", "latest.json"),
+    )
+    if out_path:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps(out))
 
 

@@ -93,6 +93,12 @@ def _build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--version", type=int, default=None, help="time-travel version")
         if "--show" in extra:
             sp.add_argument("--show", type=int, default=20)
+        if name == "vacuum":
+            sp.add_argument(
+                "--retention-seconds", type=float, default=24 * 3600,
+                help="protect unreferenced files younger than this "
+                     "(concurrent-writer staged commits); 0 = single-writer",
+            )
     return p
 
 
@@ -233,7 +239,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.snap_cmd == "compact":
             print(f"current version {t.compact()}")
         elif args.snap_cmd == "vacuum":
-            print(f"removed {t.vacuum()} unreferenced files")
+            n = t.vacuum(retention_seconds=args.retention_seconds)
+            print(f"removed {n} unreferenced files")
         return 0
 
     if args.cmd == "schedule":

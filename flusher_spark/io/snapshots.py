@@ -4,13 +4,14 @@ The control plane (SURVEY §7) uses single-writer parquet discipline; this
 module closes the remaining gap toward a transactional lake table without
 any external format jars (Delta/Iceberg are absent from the environment):
 the same ideas — an immutable data-file set named by an atomically-published
-manifest — implemented on ~150 lines of stdlib + Spark.
+manifest — implemented on ~200 lines of stdlib + Spark.
 
 Layout on disk::
 
     <root>/data/<commit-uuid>-*.parquet     immutable data files
     <root>/_manifests/v<N>.json             {version, parent, files:[{path,
-                                             rows, key_min, key_max}], key}
+                                             rows, key_min, key_max}], key,
+                                             schema, batch_id?}
     (no CURRENT pointer: the live version is the highest contiguous vN —
      readers list the directory, which is atomic per file on POSIX)
 
@@ -29,12 +30,29 @@ Scale design:
   MERGE is COPY-ON-WRITE AT FILE GRANULARITY: files whose key range cannot
   intersect the source keys are carried forward untouched — the rewrite
   cost is proportional to the touched fraction, not the table (the same
-  file-skipping contract Delta/Iceberg derive from their stats).
+  file-skipping contract Delta/Iceberg derive from their stats). Merge
+  keys must be non-NULL (validated at write time): a NULL key has no
+  position in any [key_min, key_max] interval, so it would silently break
+  file pruning — the same constraint Delta places on its MERGE condition.
+- The manifest records the table SCHEMA, and ``append``/``merge`` EVOLVE
+  it: a source with extra columns widens the schema (old files read the
+  new columns as NULL via an explicit read schema), a source with missing
+  columns fills NULL. Type conflicts fail fast — silent coercion is how
+  lakes corrupt. Time travel reads each version with the schema that
+  version recorded, so v0 keeps its original shape after v1 evolved.
+- ``merge`` handles DELETES: a boolean marker column in the source flags
+  rows whose key should be removed (matched → delete, unmatched → no-op,
+  Delta's ``whenMatchedDelete`` shape), in the same file-granular
+  copy-on-write commit as the upserts.
 - Snapshot reads are plain ``spark.read.parquet(file list)`` — pushdown,
   pruning, and AQE all apply unchanged.
 - Time travel = reading an older manifest's file list; files are immutable
   so old versions stay consistent for free. ``vacuum`` deletes files no
-  manifest references.
+  manifest references, but NEVER files younger than the retention window:
+  a concurrent writer's staged-but-unpublished commit files are
+  unreferenced by definition, and deleting them would let its later
+  atomic publish succeed while pointing at deleted data (the Delta-style
+  retention default exists precisely for this race).
 - This is a local-filesystem commit protocol (rename/link atomicity). An
   object store needs a commit service or conditional-put — documented
   limitation, same one Delta-on-S3 has without a lock provider.
@@ -44,10 +62,12 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 class CommitConflict(RuntimeError):
@@ -99,12 +119,53 @@ class SnapshotTable:
             os.unlink(tmp)
         return version
 
+    # -- schema evolution -----------------------------------------------------
+
+    @staticmethod
+    def _evolved_schema(old: StructType | None, new: StructType) -> StructType:
+        """Union-by-name of two schemas: old columns keep their position,
+        genuinely new columns append. A name present in both with a
+        DIFFERENT type raises — silent type coercion is the lake-corruption
+        path this format exists to prevent."""
+        if old is None:
+            return new
+        by_name = {f.name: f for f in new.fields}
+        for f in old.fields:
+            n = by_name.get(f.name)
+            if n is not None and n.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution type conflict on '{f.name}': "
+                    f"{f.dataType.simpleString()} vs {n.dataType.simpleString()}"
+                )
+        merged = list(old.fields)
+        have = {f.name for f in old.fields}
+        merged += [f for f in new.fields if f.name not in have]
+        return StructType(merged)
+
+    def _read_schema(self, m: dict) -> StructType | None:
+        return StructType.fromJson(m["schema"]) if "schema" in m else None
+
+    def _conform(self, df: DataFrame, schema: StructType) -> DataFrame:
+        """Project ``df`` onto ``schema``: missing columns become typed
+        NULLs, column order normalizes — so every data file ever written
+        for a version is readable under that version's recorded schema."""
+        have = set(df.columns)
+        cols = [
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols)
+
     # -- data-file writing ----------------------------------------------------
 
     def _write_files(self, df: DataFrame) -> list[dict]:
         """Write ``df`` as immutable parquet files under a fresh commit
         prefix and return per-file stats rows (path, rows, key min/max) —
-        one aggregate over only the just-written files."""
+        one aggregate over only the just-written files. Rejects NULL merge
+        keys: min/max ignore NULLs, so a NULL-keyed row would fall outside
+        every file's [key_min, key_max] and break copy-on-write pruning
+        (it could never be matched by a later merge)."""
         commit = uuid.uuid4().hex
         out = os.path.join(self._ddir, commit)
         df.write.mode("error").parquet(out)
@@ -113,11 +174,19 @@ class SnapshotTable:
             .groupBy(F.input_file_name().alias("path"))
             .agg(
                 F.count("*").alias("rows"),
+                F.count(self.key).alias("key_rows"),
                 F.min(self.key).alias("key_min"),
                 F.max(self.key).alias("key_max"),
             )
             .collect()
         )
+        bad = sum(r["rows"] - r["key_rows"] for r in stats)
+        if bad:
+            raise ValueError(
+                f"{bad} row(s) with NULL merge key '{self.key}': NULL keys "
+                "have no position in file key ranges and would break "
+                "copy-on-write file pruning — filter or fill them upstream"
+            )
         return [
             {
                 "path": r["path"].removeprefix("file://"),
@@ -133,34 +202,74 @@ class SnapshotTable:
     def create(self, df: DataFrame, batch_id: int | None = None) -> int:
         assert self.current_version() is None, "table already exists"
         files = self._write_files(df)
-        manifest = {"version": 0, "parent": None, "key": self.key, "files": files}
+        manifest = {
+            "version": 0, "parent": None, "key": self.key, "files": files,
+            "schema": df.schema.jsonValue(),
+        }
         if batch_id is not None:
             manifest["batch_id"] = batch_id
         return self._publish(manifest)
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, batch_id: int | None = None) -> int | None:
+        """Append-only commit (no key matching). Evolves the schema like
+        merge. The manifest's ``batch_id`` replay watermark CARRIES FORWARD
+        (or advances, if ``batch_id`` is given, with the same replayed-batch
+        idempotence check as merge): an append interleaved into a
+        streaming-fed table — e.g. a manual backfill — must not reset the
+        watermark, or a replayed micro-batch after restart would commit
+        twice and break the exactly-once sink contract."""
         cur = self.current_version()
         m = self._manifest(cur)
-        files = m["files"] + self._write_files(df)
-        return self._publish(
-            {"version": cur + 1, "parent": cur, "key": self.key, "files": files}
-        )
+        last = m.get("batch_id")
+        if batch_id is not None and last is not None and batch_id <= last:
+            return None  # replayed micro-batch: already committed
+        schema = self._evolved_schema(self._read_schema(m), df.schema)
+        files = m["files"] + self._write_files(self._conform(df, schema))
+        manifest = {
+            "version": cur + 1, "parent": cur, "key": self.key, "files": files,
+            "schema": schema.jsonValue(),
+        }
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
+        elif last is not None:
+            manifest["batch_id"] = last  # watermark survives manual appends
+        return self._publish(manifest)
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """Read a consistent table state; ``version=None`` → latest. Time
-        travel is just an older manifest's file list (files are immutable)."""
+        travel is just an older manifest's file list (files are immutable),
+        read under THAT version's recorded schema — so a version written
+        before a column existed still reads in its original shape, and
+        the current version reads old files' missing columns as NULL."""
         v = self.current_version() if version is None else version
         m = self._manifest(v)
         if not m["files"]:
             raise ValueError("empty table snapshot")
-        return self.spark.read.parquet(*[f["path"] for f in m["files"]])
+        paths = [f["path"] for f in m["files"]]
+        schema = self._read_schema(m)
+        reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
+        return reader.parquet(*paths)
 
-    def merge(self, source: DataFrame, batch_id: int | None = None) -> int | None:
-        """Upsert MERGE on the table key (matched → replace row, unmatched →
-        insert), copy-on-write at FILE granularity: only files whose
-        [key_min, key_max] can contain a source key are rewritten; all
-        others carry forward by reference. Source key bounds come from one
-        1-row aggregate (bounded driver state).
+    def merge(
+        self,
+        source: DataFrame,
+        batch_id: int | None = None,
+        delete_col: str | None = None,
+    ) -> int | None:
+        """MERGE on the table key, copy-on-write at FILE granularity: only
+        files whose [key_min, key_max] can contain a source key are
+        rewritten; all others carry forward by reference. Source key bounds
+        come from one 1-row aggregate (bounded driver state). Files with
+        NULL key stats (possible only in pre-validation tables) are treated
+        as always-touched — correctness over pruning.
+
+        Semantics per source row: matched → replace (upsert), unmatched →
+        insert; if ``delete_col`` names a boolean column, rows where it is
+        true instead DELETE their key (matched → removed, unmatched →
+        no-op — Delta's ``whenMatchedDelete``), and the marker column is
+        dropped from what lands in the table. The source schema (minus the
+        marker) EVOLVES the table schema: new columns widen it (old files
+        read NULL), missing columns fill NULL, type conflicts raise.
 
         ``batch_id`` makes the commit IDEMPOTENT for streaming foreachBatch
         sinks (exactly-once-ish on top of Structured Streaming's at-least-
@@ -168,36 +277,65 @@ class SnapshotTable:
         same or older id than the last committed one — returns None without
         writing. Combined with the atomic manifest publish, a crash between
         data-file write and publish leaves only unreferenced files (cleaned
-        by vacuum), never a partial commit."""
+        by vacuum after retention), never a partial commit."""
         cur = self.current_version()
         m = self._manifest(cur)
         if batch_id is not None:
             last = m.get("batch_id")
             if last is not None and batch_id <= last:
                 return None  # replayed micro-batch: already committed
+        if delete_col is not None:
+            deletes = source.where(F.col(delete_col)).drop(delete_col)
+            upserts = source.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+        else:
+            deletes = None
+            upserts = source
+        schema = self._evolved_schema(self._read_schema(m), upserts.schema)
+        # Touched-file range spans ALL source keys (upserts AND deletes):
+        # a delete must rewrite the file holding its victim row.
         b = source.agg(
             F.min(self.key).alias("lo"), F.max(self.key).alias("hi")
         ).collect()[0]
         lo, hi = b["lo"], b["hi"]
         touched = [
             f for f in m["files"]
-            if lo is not None and not (f["key_max"] < lo or f["key_min"] > hi)
+            if f["key_min"] is None or f["key_max"] is None
+            or (lo is not None and not (f["key_max"] < lo or f["key_min"] > hi))
         ]
-        kept = [f for f in m["files"] if f not in touched]
+        touched_paths = {f["path"] for f in touched}
+        kept = [f for f in m["files"] if f["path"] not in touched_paths]
         new_files = list(kept)
         if touched:
-            old = self.spark.read.parquet(*[f["path"] for f in touched])
+            old_schema = self._read_schema(m)
+            reader = (
+                self.spark.read.schema(old_schema)
+                if old_schema is not None else self.spark.read
+            )
+            old = reader.parquet(*[f["path"] for f in touched])
+            # One anti-join removes BOTH upsert victims (replaced by the
+            # source row) and delete victims (replaced by nothing).
             survivors = old.join(source.select(self.key), self.key, "left_anti")
-            rewritten = survivors.unionByName(source)
+            rewritten = self._conform(survivors, schema).unionByName(
+                self._conform(upserts, schema)
+            )
         else:
-            rewritten = source
+            rewritten = self._conform(upserts, schema)
         new_files += self._write_files(rewritten)
-        manifest = {"version": cur + 1, "parent": cur, "key": self.key, "files": new_files}
+        manifest = {
+            "version": cur + 1, "parent": cur, "key": self.key,
+            "files": new_files, "schema": schema.jsonValue(),
+        }
         if batch_id is not None:
             manifest["batch_id"] = batch_id
         elif "batch_id" in m:
             manifest["batch_id"] = m["batch_id"]  # batch watermark survives manual merges
         return self._publish(manifest)
+
+    def delete(self, keys: DataFrame, batch_id: int | None = None) -> int | None:
+        """Delete by key set — sugar over ``merge`` with an all-deletes
+        source (same copy-on-write commit, same idempotence contract)."""
+        src = keys.select(self.key).withColumn("_op_delete", F.lit(True))
+        return self.merge(src, batch_id=batch_id, delete_col="_op_delete")
 
     def compact(self, target_file_rows: int = 1 << 20) -> int:
         """Small-file compaction as a TRANSACTION: coalesce every file under
@@ -214,29 +352,46 @@ class SnapshotTable:
         small = [f for f in m["files"] if f["rows"] < target_file_rows]
         if len(small) <= 1:
             return cur
-        kept = [f for f in m["files"] if f not in small]
+        small_paths = {f["path"] for f in small}
+        kept = [f for f in m["files"] if f["path"] not in small_paths]
         total = sum(f["rows"] for f in small)
         n_out = max(1, -(-total // target_file_rows))
-        df = self.spark.read.parquet(*[f["path"] for f in small]).coalesce(n_out)
+        schema = self._read_schema(m)
+        reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
+        df = reader.parquet(*[f["path"] for f in small]).coalesce(n_out)
         files = kept + self._write_files(df)
         manifest = {"version": cur + 1, "parent": cur, "key": self.key, "files": files}
+        if schema is not None:
+            manifest["schema"] = schema.jsonValue()
         if "batch_id" in m:
             manifest["batch_id"] = m["batch_id"]
         return self._publish(manifest)
 
-    def vacuum(self) -> int:
-        """Delete data files referenced by NO manifest. Returns the number
-        removed. (Retention policy — dropping old manifests first — is the
-        caller's call; files still referenced by any version are kept so
-        every retained version stays readable.)"""
+    def vacuum(self, retention_seconds: float = 24 * 3600) -> int:
+        """Delete data files referenced by NO manifest AND older than the
+        retention window. Returns the number removed.
+
+        The retention window is the concurrency guard: a writer that has
+        staged its data files but not yet published its manifest owns
+        files that are — by definition — unreferenced; deleting them would
+        let the writer's later atomic publish still succeed, producing a
+        manifest that points at deleted data (a silently corrupt version).
+        Files older than the window belong to crashed commits or vacated
+        versions and are safe. ``retention_seconds=0`` is for tests /
+        known-single-writer maintenance only. (Dropping old manifests
+        first — retention policy for time travel — remains the caller's
+        call; files referenced by ANY retained version are always kept.)"""
         referenced = set()
         for v in self.versions():
             referenced.update(f["path"] for f in self._manifest(v)["files"])
+        cutoff = time.time() - retention_seconds
         removed = 0
         for dirpath, _dirs, names in os.walk(self._ddir):
             for name in names:
                 p = os.path.join(dirpath, name)
                 if name.endswith(".parquet") and p not in referenced:
+                    if os.path.getmtime(p) > cutoff:
+                        continue  # possibly a concurrent writer's staged commit
                     os.unlink(p)
                     removed += 1
         return removed

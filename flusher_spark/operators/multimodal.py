@@ -1716,8 +1716,14 @@ def decode_avi_frames(payload: bytes) -> dict:
 
     meta = parse_avi_meta(payload)  # validates RIFF/AVI + avih
     w, h = meta["width"], meta["height"]
-    # find strf (BITMAPINFOHEADER) inside LIST hdrl -> LIST strl
-    compression = bpp = None
+    # Walk LIST hdrl -> LIST strl, binding each strf to ITS strl's strh:
+    # a multi-stream AVI (video+audio) carries a WAVEFORMATEX strf for the
+    # audio strl that must not be parsed as BITMAPINFOHEADER — only the
+    # first fccType=='vids' strl contributes bpp/compression, and only movi
+    # chunks addressed to that stream NUMBER (strl order defines 'NNdb'/
+    # 'NNdc' numbering) are frames of the video.
+    compression = bpp = video_stream = None
+    stream_idx = 0
     pos = 12
     frames: list = []
     while pos + 8 <= len(payload):
@@ -1731,26 +1737,40 @@ def decode_avi_frames(payload: bytes) -> dict:
                     icid = payload[inner : inner + 4]
                     (isize,) = struct.unpack_from("<I", payload, inner + 4)
                     if icid == b"LIST" and payload[inner + 8 : inner + 12] == b"strl":
+                        fcc_type = None
+                        strf_fields = None
                         j = inner + 12
                         while j + 8 <= inner + 8 + isize:
                             jcid = payload[j : j + 4]
                             (jsize,) = struct.unpack_from("<I", payload, j + 4)
-                            if jcid == b"strf":
-                                _, _, _, _, bpp, compression = struct.unpack_from(
+                            if jcid == b"strh":
+                                fcc_type = payload[j + 8 : j + 12]
+                            elif jcid == b"strf":
+                                strf_fields = struct.unpack_from(
                                     "<IiiHHI", payload, j + 8
                                 )
                             j += 8 + jsize + (jsize % 2)
+                        if fcc_type == b"vids" and video_stream is None:
+                            video_stream = stream_idx
+                            if strf_fields is not None:
+                                _, _, _, _, bpp, compression = strf_fields
+                        stream_idx += 1
                     inner += 8 + isize + (isize % 2)
             elif kind == b"movi":
                 inner = pos + 12
                 while inner + 8 <= pos + 8 + size:
                     icid = payload[inner : inner + 4]
                     (isize,) = struct.unpack_from("<I", payload, inner + 4)
-                    if icid[2:4] == b"dc":
+                    is_video_chunk = (
+                        video_stream is not None
+                        and icid[:2].isdigit()
+                        and int(icid[:2]) == video_stream
+                    )
+                    if is_video_chunk and icid[2:4] == b"dc":
                         raise ValueError(
                             "compressed AVI stream: frame decode needs ffmpeg"
                         )
-                    if icid[2:4] == b"db":
+                    if is_video_chunk and icid[2:4] == b"db":
                         frames.append(payload[inner + 8 : inner + 8 + isize])
                     inner += 8 + isize + (isize % 2)
         pos += 8 + size + (size % 2)

@@ -56,36 +56,76 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Names surfaced first by ``registry()``. The driver's correctness harness
 #: covers a bounded prefix of the registry (50 entries per round), so this
 #: list rotates per round toward the entries whose latest driver verdict is
-#: weakest. Round-6 rotation, in order: (1) the five entries registered
-#: after the r5 window filled — the only catalog rows with NO driver
-#: verdict yet (all locally oracle-green at r5 and re-checked this round);
-#: their green rows close registry coverage at every-entry-checked;
-#: (2) entries whose PLAN changed this round (bitmap slotting integer fix,
-#: zscore overflow guard, funnel HOF reformulation) — re-prove green after
-#: the change; (3) round-6 NEW entries in the order added — each gets its
-#: FIRST driver verdict this round; (4) the 12 rows-only entries — the
-#: weakest verdict class re-windows every round by policy; (5) the stalest
-#: greens: the r1-verdict family (fixtures have drifted five windows
-#: since) — groups (1)-(4) take 34 slots (the round-6 additions grew to
-#: 14 entries, each needing its FIRST verdict — first-verdict beats
-#: re-verdict by policy), so the 50-entry window covers the first 16 of
-#: these; the remaining r1 entries (simple joins/aggs/windows, all green
-#: since r1) and the r2 family back-fill past the window and lead the r7
-#: rotation. Union of r1..r6 windows = every entry, each checked at
-#: least twice. Every name here must exist (asserted in
-#: tests/test_plans.py); the rest follow in import order.
+#: weakest. Round-7 rotation, in order: (1) the 28 entries whose latest
+#: driver verdict is r1/r2 — the stalest record in the registry (fixtures
+#: have drifted six windows since; all 24 oracle-checkable ones re-verified
+#: green locally in r6, so this is record freshness, not suspected
+#: breakage); (2) round-7 NEW entries in the order added — each gets its
+#: FIRST driver verdict this round (first-verdict beats re-verdict by
+#: policy); (3) the rows-only entries — the weakest verdict class
+#: re-windows every round by policy (as many as fit the tail of the
+#: 50-slot window); (4) back-fill: everything r6-green, freshest last.
+#: Union of r1..r6 windows = every entry, each checked at least twice;
+#: after this window every entry's latest verdict is ≤2 rounds old.
+#: Every name here must exist (asserted in tests/test_plans.py); the rest
+#: follow in import order.
 PRIORITY = (
-    # (1) first driver verdict — registered after the r5 window filled
+    # (1) stalest driver verdicts: the r1 family not re-windowed in r6 (16)
+    "multimodal_binary_stats",
+    "multimodal_feature_extract",
+    "text_edit_distance",
+    "text_winnow_fingerprints",
+    "sample_hash_split",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_variance_manual",
+    "count_rows",
+    "window_running_sum",
+    "window_lag_delta",
+    # ... and the full r2-verdict family (12)
+    "similarity_topk_exact",
+    "sample_stratified_split",
+    "text_quality_filter_pipeline",
+    "join_broadcast_dim",
+    "agg_cube",
+    "agg_grouping_sets",
+    "window_topk_per_group",
+    "window_ntile",
+    "window_range_interval",
+    "events_rollup_day_hour",
+    "events_stateful_running_totals",
+    "events_stateful_dedup_first",
+    # (2) round-7 additions — first driver verdict
+    "etl_snapshot_cdc_delete",
+    "etl_snapshot_schema_evolution",
+    # (3) rows-only family — re-window every round by policy (12; the tail
+    # past slot 50 back-fills next round's window first)
+    "similarity_topk_arrow",
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+    "similarity_topk_pq",
+    "dedup_simhash",
+    "dedup_clusters_minhash",
+    "dedup_minhash_lsh",
+    "agg_count_min_freq",
+    "agg_approx_sketches",
+    "agg_hll_rollup_reuse",
+    "vocab_bpe_merges",
+    "vocab_bpe_encode",
+    # (4) back-fill: r6-green entries, in r6-window order
     "agg_weighted_avg_exact",
     "corpus_boilerplate_mask",
     "embedding_centroid_int8",
     "multimodal_audio_spectral",
     "multimodal_media_routing",
-    # (2) plan changed this round — re-prove green
     "agg_bitmap_distinct",
     "events_zscore_outliers",
     "events_funnel_single_scan",
-    # (3) round-6 additions — first driver verdict
     "multimodal_jpeg_decode",
     "dedup_semantic_embedding",
     "similarity_pq_persisted",
@@ -108,20 +148,6 @@ PRIORITY = (
     "agg_exact_quantile_interpolated",
     "docs_chunk_udtf",
     "text_url_components",
-    # (4) rows-only family — re-window every round by policy
-    "similarity_topk_arrow",
-    "similarity_topk_ivf",
-    "similarity_topk_lsh",
-    "similarity_topk_pq",
-    "dedup_simhash",
-    "dedup_clusters_minhash",
-    "dedup_minhash_lsh",
-    "agg_count_min_freq",
-    "agg_approx_sketches",
-    "agg_hll_rollup_reuse",
-    "vocab_bpe_merges",
-    "vocab_bpe_encode",
-    # (5) stalest greens: the full r1-verdict family (24 entries)
     "etl_sheet_range_scan",
     "etl_schema_inference_typed",
     "etl_load_full_vs_incremental",
@@ -130,36 +156,6 @@ PRIORITY = (
     "text_quality_score",
     "text_lang_id",
     "similarity_neardup_cosine",
-    "multimodal_binary_stats",
-    "multimodal_feature_extract",
-    "text_edit_distance",
-    "text_winnow_fingerprints",
-    "sample_hash_split",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_variance_manual",
-    "count_rows",
-    "window_running_sum",
-    "window_lag_delta",
-    # back-fill past the 50-entry window: the r2-verdict family, then the
-    # rest in import order
-    "similarity_topk_exact",
-    "sample_stratified_split",
-    "text_quality_filter_pipeline",
-    "join_broadcast_dim",
-    "agg_cube",
-    "agg_grouping_sets",
-    "window_topk_per_group",
-    "window_ntile",
-    "window_range_interval",
-    "events_rollup_day_hour",
-    "events_stateful_running_totals",
-    "events_stateful_dedup_first",
 )
 
 

@@ -1009,3 +1009,129 @@ def etl_snapshot_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame
         ).select("version", "n_rows", "total_price")
 
     return state(0, 0).unionByName(state(None, 1)).orderBy("version")
+
+
+@register(
+    "etl_snapshot_cdc_delete",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      FROM orders),
+    applied AS (
+      SELECT k,
+             CASE WHEN k % 7 = 0 THEN CAST(p + 10 AS DECIMAL(12,2)) ELSE p END AS p
+      FROM base WHERE k % 11 <> 0
+      UNION ALL
+      SELECT k + 2000000000, CAST(1.00 AS DECIMAL(12,2)) FROM base WHERE k % 13 = 0)
+    SELECT k % 5 AS bucket, COUNT(*) AS n_rows, CAST(SUM(p) AS DOUBLE) AS total
+    FROM applied GROUP BY bucket ORDER BY bucket
+    """,
+)
+def etl_snapshot_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC applied THROUGH the transactional table format, deletes
+    included (io/snapshots.py::SnapshotTable.merge(delete_col=...) —
+    Delta's whenMatchedDelete shape): create the table from orders, then
+    commit ONE change batch carrying updates (%7 keys: price+10), DELETES
+    (%11 keys: row removed), and inserts (%13 keys shifted past the key
+    space) — all in a single file-granular copy-on-write commit — and
+    aggregate the resulting table state. The sibling entry etl_cdc_apply
+    folds the same kind of log RELATIONALLY (struct-argmax); this entry
+    proves the storage layer reaches the same state, so the oracle is the
+    relational restatement of the change batch. Keys are unique per batch
+    (standard MERGE precondition — updates exclude the deleted %11 keys).
+    Deletes rewrite only files whose key range holds a victim; untouched
+    files carry forward by reference (asserted in tests/test_etl.py)."""
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), dec("o_totalprice", "decimal(12,2)").alias("p")
+    )
+    k, p = F.col("k"), F.col("p")
+    root = os.path.join(tempfile.mkdtemp(prefix="flusher_snap_cdc_"), "orders_cdc")
+    t = SnapshotTable(spark, root, "k")
+    t.create(o)
+    upd = o.where((k % 7 == 0) & (k % 11 != 0)).select(
+        "k", (p + 10).cast("decimal(12,2)").alias("p"), F.lit(False).alias("is_delete")
+    )
+    dels = o.where(k % 11 == 0).select(
+        "k", F.lit(None).cast("decimal(12,2)").alias("p"), F.lit(True).alias("is_delete")
+    )
+    ins = o.where(k % 13 == 0).select(
+        (k + 2000000000).alias("k"),
+        F.expr("CAST(1.00 AS DECIMAL(12,2))").alias("p"),
+        F.lit(False).alias("is_delete"),
+    )
+    t.merge(upd.unionByName(dels).unionByName(ins), delete_col="is_delete")
+    return (
+        t.snapshot()
+        .groupBy((F.col("k") % 5).alias("bucket"))
+        .agg(F.count("*").alias("n_rows"), F.sum("p").cast("double").alias("total"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "etl_snapshot_schema_evolution",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      FROM orders WHERE o_orderkey % 2 = 0),
+    src AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 5 AS DECIMAL(12,2)) AS p,
+             'upd' AS status
+      FROM orders WHERE o_orderkey % 3 = 0),
+    v1 AS (
+      SELECT k, p, CAST(NULL AS VARCHAR) AS status FROM v0
+      WHERE k NOT IN (SELECT k FROM src)
+      UNION ALL SELECT * FROM src)
+    SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+           CAST(2 AS BIGINT) AS n_cols,
+           CAST(SUM(p) AS DOUBLE) AS total_price, CAST(0 AS BIGINT) AS n_status
+    FROM v0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), COUNT(*), CAST(3 AS BIGINT),
+           CAST(SUM(p) AS DOUBLE), COUNT(status)
+    FROM v1
+    ORDER BY version
+    """,
+)
+def etl_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the TABLE-FORMAT layer (the lake-read twin is
+    etl_schema_evolution_merge): v0 holds (k, p) for even order keys; a
+    merge source carrying a NEW column `status` upserts the %3 keys
+    (evens replaced, odds inserted) and WIDENS the manifest schema — old
+    data files read `status` as NULL through the recorded read schema,
+    no rewrite of untouched files. Emits one row per version with the
+    column count taken from the actual snapshot schema: v0 time-travels
+    back at its original 2-column shape (pre-evolution reads are
+    immutable), v1 reads 3 columns with exactly the upserted rows
+    non-NULL. Type conflicts on existing columns fail fast rather than
+    coerce (tests/test_etl.py::test_snapshot_table_schema_evolution)."""
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), dec("o_totalprice", "decimal(12,2)").alias("p")
+    )
+    k, p = F.col("k"), F.col("p")
+    root = os.path.join(tempfile.mkdtemp(prefix="flusher_snap_evo_"), "orders_evo")
+    t = SnapshotTable(spark, root, "k")
+    t.create(o.where(k % 2 == 0))
+    src = o.where(k % 3 == 0).select(
+        "k", (p + 5).cast("decimal(12,2)").alias("p"), F.lit("upd").alias("status")
+    )
+    t.merge(src)
+
+    def state(version: int, df: DataFrame) -> DataFrame:
+        n_status = (
+            F.count("status") if "status" in df.columns else F.lit(0).cast("long")
+        )
+        return df.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count("*").alias("n_rows"),
+            F.lit(len(df.columns)).cast("long").alias("n_cols"),
+            F.sum("p").cast("double").alias("total_price"),
+            n_status.alias("n_status"),
+        ).select("version", "n_rows", "n_cols", "total_price", "n_status")
+
+    return state(0, t.snapshot(0)).unionByName(state(1, t.snapshot(1))).orderBy("version")

@@ -379,9 +379,13 @@ def test_snapshot_table_isolation_conflict_pruning_vacuum(spark, tmp_path):
         t._publish({"version": 2, "parent": 1, "key": "k", "files": files})
     assert t.current_version() == 2  # winner intact
 
-    # (d) vacuum: the conflict loser's files are unreferenced -> deleted;
+    # (d) vacuum: with the default retention window the loser's FRESH files
+    # are protected (they are indistinguishable from a concurrent writer's
+    # staged-but-unpublished commit — deleting them would corrupt its later
+    # atomic publish); with retention 0 (known single writer) they go, and
     # every retained version still reads
-    removed = t.vacuum()
+    assert t.vacuum() == 0  # default 24h retention guards fresh staged files
+    removed = t.vacuum(retention_seconds=0)
     assert removed >= 1
     assert t.snapshot(0).count() == 100
     assert t.snapshot(1).count() == 200
@@ -414,3 +418,158 @@ def test_snapshot_table_compaction_preserves_contents(spark, tmp_path):
     assert sorted(map(tuple, t.snapshot(0).collect())) == before
     # idempotent: nothing left under the target -> no new version
     assert t.compact(target_file_rows=1000) == 1
+
+
+def test_snapshot_table_delete_and_cdc_merge(spark, tmp_path):
+    """merge(delete_col=...) must remove matched keys, no-op on unmatched
+    delete keys, upsert the rest — in ONE file-granular copy-on-write
+    commit — and delete(keys) is the same operation by sugar. A delete in
+    one key range must not rewrite files in another."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"), "k")
+    low = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    high = spark.range(1000, 1100).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    t.create(low)
+    t.append(high)
+    m_before = t._manifest(t.current_version())
+
+    # CDC batch confined to the high range: update 1000-1009, delete
+    # 1010-1019, insert 1200-1204, plus a delete for a key that was never
+    # present (must be a no-op, not an insert).
+    upd = spark.range(1000, 1010).select(
+        F.col("id").alias("k"), F.lit("new").alias("v"), F.lit(False).alias("is_delete"))
+    dele = spark.range(1010, 1020).select(
+        F.col("id").alias("k"), F.lit(None).cast("string").alias("v"),
+        F.lit(True).alias("is_delete"))
+    ins = spark.range(1200, 1205).select(
+        F.col("id").alias("k"), F.lit("ins").alias("v"), F.lit(False).alias("is_delete"))
+    ghost = spark.range(5000, 5001).select(
+        F.col("id").alias("k"), F.lit(None).cast("string").alias("v"),
+        F.lit(True).alias("is_delete"))
+    t.merge(upd.unionByName(dele).unionByName(ins).unionByName(ghost),
+            delete_col="is_delete")
+
+    cur = t.snapshot()
+    assert cur.count() == 100 + (100 - 10) + 5
+    assert cur.where(F.col("k").between(1010, 1019)).count() == 0
+    assert cur.where((F.col("k") < 1010) & (F.col("k") >= 1000) & (F.col("v") == "new")).count() == 10
+    assert cur.where(F.col("k") >= 5000).count() == 0  # unmatched delete: no-op
+    assert "is_delete" not in cur.columns  # marker never lands in the table
+    # low-range files carried forward by reference (file-granular CoW held)
+    low_paths = {f["path"] for f in m_before["files"] if f["key_max"] < 1000}
+    assert low_paths <= {f["path"] for f in t._manifest(t.current_version())["files"]}
+
+    # delete() sugar removes a low-range key set
+    t.delete(spark.range(0, 5).select(F.col("id").alias("k")))
+    assert t.snapshot().where(F.col("k") < 5).count() == 0
+    assert t.snapshot().count() == 95 + 90 + 5
+
+
+def test_snapshot_table_concurrent_delete_upsert_conflict(spark, tmp_path):
+    """Two writers reading the same current version — one deleting, one
+    upserting — must serialize: the loser's publish raises CommitConflict
+    and a retry on the new current version produces the serial result."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import CommitConflict, SnapshotTable
+
+    root = str(tmp_path / "snap")
+    a = SnapshotTable(spark, root, "k")
+    a.create(spark.range(0, 50).select(F.col("id").alias("k"), F.lit("old").alias("v")))
+    b = SnapshotTable(spark, root, "k")
+
+    # Writer A deletes keys 0-9 and publishes v1 first.
+    a.delete(spark.range(0, 10).select(F.col("id").alias("k")))
+    # Writer B prepared an upsert against v0; simulate its losing publish by
+    # replaying the same commit protocol: B's merge targets version 1 too.
+    files = b._write_files(
+        spark.range(45, 55).select(F.col("id").alias("k"), F.lit("up").alias("v")))
+    with _pt.raises(CommitConflict):
+        b._publish({"version": 1, "parent": 0, "key": "k", "files": files})
+    # B retries through the public API on the NEW current version.
+    b.merge(spark.range(45, 55).select(F.col("id").alias("k"), F.lit("up").alias("v")))
+    cur = a.snapshot()
+    assert cur.count() == 40 + 5  # 0-9 deleted, 45-54 upserted (45-49 replaced)
+    assert cur.where(F.col("v") == "up").count() == 10
+    assert cur.where(F.col("k") < 10).count() == 0
+
+
+def test_snapshot_table_schema_evolution_timetravel(spark, tmp_path):
+    """append/merge with extra columns must EVOLVE the manifest schema (old
+    files read the new column as NULL), a source MISSING a column fills
+    NULL, time travel to v0 keeps the pre-evolution schema, and a type
+    conflict on an existing column fails fast."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"), "k")
+    t.create(spark.range(0, 10).select(F.col("id").alias("k"), F.lit("a").alias("v")))
+
+    # v1: merge adds a column
+    t.merge(spark.range(10, 15).select(
+        F.col("id").alias("k"), F.lit("b").alias("v"), F.lit(7).cast("long").alias("extra")))
+    cur = t.snapshot()
+    assert set(cur.columns) == {"k", "v", "extra"}
+    assert cur.where(F.col("k") < 10).agg(F.count("extra")).collect()[0][0] == 0  # old rows NULL
+    assert cur.where(F.col("k") >= 10).agg(F.min("extra")).collect()[0][0] == 7
+    # time travel: v0 still has its original two-column shape
+    assert set(t.snapshot(0).columns) == {"k", "v"}
+
+    # v2: append MISSING the evolved column -> fills NULL, schema unchanged
+    t.append(spark.range(20, 25).select(F.col("id").alias("k"), F.lit("c").alias("v")))
+    cur = t.snapshot()
+    assert set(cur.columns) == {"k", "v", "extra"}
+    assert cur.where(F.col("k") >= 20).agg(F.count("extra")).collect()[0][0] == 0
+
+    # type conflict on an existing column fails fast
+    with _pt.raises(ValueError, match="type conflict"):
+        t.merge(spark.range(0, 1).select(
+            F.col("id").alias("k"), F.lit(1.5).alias("v")))
+
+
+def test_snapshot_table_append_preserves_batch_watermark(spark, tmp_path):
+    """A manual append interleaved into a streaming-fed table must NOT
+    reset the batch_id replay watermark (else a replayed micro-batch
+    commits twice), and an append with a stale batch_id is a no-op."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"), "k")
+    df = lambda lo, hi, v: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), F.lit(v).alias("v"))
+    t.create(df(0, 10, "base"))
+    assert t.merge(df(10, 20, "b5"), batch_id=5) is not None
+
+    # manual backfill append: watermark carries forward
+    t.append(df(100, 110, "manual"))
+    assert t._manifest(t.current_version())["batch_id"] == 5
+    # replayed micro-batch (id 5 again) after the append: still rejected
+    assert t.merge(df(10, 20, "replay"), batch_id=5) is None
+    assert t.snapshot().where(F.col("v") == "replay").count() == 0
+    # stale-batch append is also idempotent; a newer one advances
+    assert t.append(df(200, 210, "stale"), batch_id=4) is None
+    assert t.append(df(200, 210, "b6"), batch_id=6) is not None
+    assert t._manifest(t.current_version())["batch_id"] == 6
+
+
+def test_snapshot_table_rejects_null_merge_keys(spark, tmp_path):
+    """NULL merge keys have no position in any file's [key_min, key_max],
+    so they would silently break copy-on-write pruning — reject at write."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"), "k")
+    bad = spark.range(0, 5).select(
+        F.when(F.col("id") == 3, None).otherwise(F.col("id")).alias("k"),
+        F.lit("x").alias("v"))
+    with _pt.raises(ValueError, match="NULL merge key"):
+        t.create(bad)

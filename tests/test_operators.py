@@ -1607,6 +1607,62 @@ def test_avi_raw_frame_decode_contracts():
         decode_avi_frames(bad)
 
 
+def test_avi_multistream_audio_does_not_clobber_video():
+    """A video+audio AVI: the audio strl's WAVEFORMATEX strf must NOT be
+    parsed as BITMAPINFOHEADER (it would overwrite the video bpp/
+    compression — the last-strf-wins bug), '01wb' audio chunks must not be
+    collected as frames, and a compressed AUDIO chunk id must not trip the
+    video ffmpeg gate."""
+    import struct
+
+    from flusher_spark.operators.multimodal import decode_avi_frames, synth_avi_rawvideo
+
+    colors = [(10, 20, 30), (200, 100, 0)]
+    base = synth_avi_rawvideo(7, 5, 40000, colors)
+
+    # Splice an audio strl AFTER the video strl inside LIST hdrl, and an
+    # audio '01wb' chunk into LIST movi. WAVEFORMATEX: wFormatTag=1 (PCM),
+    # nChannels=1, nSamplesPerSec=8000, nAvgBytesPerSec=8000,
+    # nBlockAlign=1, wBitsPerSample=8 — reading this as BITMAPINFOHEADER
+    # yields nonsense bpp/compression, which is exactly the clobber case.
+    strh_a = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, 8000, 0, 8000, 1, 0, 0, 0, 0, 0, 0,
+    )
+    strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    strl_a = (
+        b"strl"
+        + b"strh" + struct.pack("<I", len(strh_a)) + strh_a
+        + b"strf" + struct.pack("<I", len(strf_a)) + strf_a
+    )
+    strl_a_list = b"LIST" + struct.pack("<I", len(strl_a)) + strl_a
+
+    def patch_list(buf: bytes, kind: bytes, addition: bytes) -> bytes:
+        """Insert `addition` at the end of the LIST body of `kind`, fixing
+        the LIST size and the outer RIFF size."""
+        at = buf.index(kind) - 8  # LIST header start
+        (size,) = struct.unpack_from("<I", buf, at + 4)
+        end = at + 8 + size
+        out = buf[:at + 4] + struct.pack("<I", size + len(addition)) + \
+            buf[at + 8:end] + addition + buf[end:]
+        (riff,) = struct.unpack_from("<I", out, 4)
+        return out[:4] + struct.pack("<I", riff + len(addition)) + out[8:]
+
+    audio_chunk = b"01wb" + struct.pack("<I", 4) + b"\x80\x80\x80\x80"
+    multi = patch_list(patch_list(base, b"hdrl", strl_a_list), b"movi", audio_chunk)
+
+    d = decode_avi_frames(multi)
+    assert [tuple(fr[0, 0]) for fr in d["frames"]] == colors  # audio ignored
+
+    # a compressed chunk on the AUDIO stream ('01dc') is not video: no raise
+    noisy = patch_list(multi, b"movi", b"01dc" + struct.pack("<I", 2) + b"zz")
+    assert len(decode_avi_frames(noisy)["frames"]) == len(colors)
+    # ... but a compressed chunk on the VIDEO stream still gates loudly
+    comp = multi.replace(b"00db", b"00dc", 1)
+    with pytest.raises(ValueError, match="ffmpeg"):
+        decode_avi_frames(comp)
+
+
 def test_resize_images_real_roundtrip(spark):
     """resize_images must pick source pixels with the floor rule, re-encode
     a decodable PNG (digest deterministic), and handle gray + RGBA inputs
