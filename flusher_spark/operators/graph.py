@@ -14,6 +14,10 @@ Scale design:
 - Contributions aggregate map-side before the dst-key shuffle.
 - localCheckpoint per iteration truncates the lineage (the BPE learner's
   pattern) so the plan doesn't grow with iteration count.
+- Convergence (``tol``) costs one extra 1-row aggregate per iteration
+  (the L1 delta between consecutive rank vectors) — a scalar collect,
+  bounded like the dangling mass; the iteration loop is driver-side
+  control flow either way, so early stop saves whole join+agg rounds.
 - Double arithmetic: rank mass is a sum of shuffled partials, so results
   are reproducible to ~1e-12 but not bit-stable across partitionings —
   the catalog entry is rows-only and correctness is pinned by an exact
@@ -31,14 +35,26 @@ def pagerank(
     n_iter: int = 5,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank with uniform teleport and proper dangling
     handling (nodes without out-edges redistribute their mass uniformly —
     skipping this silently leaks rank out of the system each step).
-    Returns (node, rank) for every node; ranks sum to 1."""
-    spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    Returns (node, rank) for every node; ranks sum to 1.
+
+    ``weight`` names an optional positive edge-weight column: each node
+    spreads its rank proportionally to weight / sum-of-its-out-weights
+    (the unweighted case is all-ones weights). ``tol`` enables early
+    stopping: iteration ends once the L1 delta between consecutive rank
+    vectors drops below it (one extra 1-row aggregate per iteration);
+    ``n_iter`` stays the hard cap either way."""
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("w"),
+    )
+    deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     ed = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -60,12 +76,15 @@ def pagerank(
         )
         contribs = (
             ed.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("deg")).alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("in_rank"))
         )
         base = (1.0 - damping) / n + damping * dang / n
-        ranks = (
+        new_ranks = (
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
@@ -75,6 +94,19 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        if tol is not None:
+            delta = (
+                new_ranks.join(
+                    ranks.withColumnRenamed("rank", "prev"), "node"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks
 
 

@@ -748,6 +748,41 @@ def ivf_query_index(
     )
 
 
+def ivf_append_index(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Incrementally grow a PERSISTED IVF index — the refresh path a
+    GROWING corpus needs (a 100 TB crawl adds vectors continuously; a
+    full rebuild per ingest batch is a non-starter): assign the new
+    vectors to the EXISTING centroids (no retraining — the stored
+    centroid table is read, never written) and append their rows into the
+    partitioned vector layout. Queries that probe a list see old and new
+    members identically — parquet partition append is invisible to the
+    pruning filter in ivf_query_index.
+
+    Trade documented: centroids drift as the corpus grows; recall
+    degrades only to the extent the new data's modes differ from the
+    training sample's (asserted within-noise-of-rebuild on the grown
+    fixture in tests/test_operators.py). Periodic ivf_build_index over
+    the full corpus is the re-center maintenance job, exactly like any
+    IVF deployment (FAISS's add-after-train contract)."""
+    cents = spark.read.parquet(os.path.join(path, "centroids")).select(
+        "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
+    )
+    base = new_df.select(
+        F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
+    )
+    assigned = _nearest_lists(base, cents, 1, "__list", id_col, vec_col)
+    assigned.write.mode("append").partitionBy("__list").parquet(
+        os.path.join(path, "vectors")
+    )
+    return path
+
+
 # -- Semantic (embedding-space) near-dedup ------------------------------------
 
 

@@ -103,6 +103,8 @@ PRIORITY = (
     # (2) round-7 additions — first driver verdict
     "etl_snapshot_cdc_delete",
     "etl_snapshot_schema_evolution",
+    "similarity_ivf_appended",
+    "graph_pagerank_weighted",
     # (3) rows-only family — re-window every round by policy (12; the tail
     # past slot 50 back-fills next round's window first)
     "similarity_topk_arrow",

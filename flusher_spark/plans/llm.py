@@ -1157,6 +1157,27 @@ def similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_query_index(spark, path, queries, k=10, n_probe=3)
 
 
+@register("similarity_ivf_appended")  # rows-only: approximate by construction
+def similarity_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROWING-corpus half of the IVF story (ivf_append_index): build
+    the index over the even vec_ids only, then APPEND the odd half —
+    assigned to the existing centroids, no retraining, new rows landing
+    inside the same partitioned layout — and answer the top-10 query over
+    the grown index. Results must draw from both halves (asserted in
+    tests/test_operators.py, along with recall-within-noise-of-full-
+    rebuild and the no-retrain contract: the centroid table is untouched
+    by the append). At 100 TB this is the per-ingest-batch path; the full
+    rebuild is a periodic re-center job, as in any IVF deployment."""
+    import tempfile as _tf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(_tf.mkdtemp(prefix="flusher_ivfgrow_"), "ivf_index")
+    S.ivf_build_index(emb.where(F.col("vec_id") % 2 == 0), path, n_lists=8, n_iter=1)
+    S.ivf_append_index(spark, path, emb.where(F.col("vec_id") % 2 == 1))
+    queries = emb.where(F.col("vec_id").isin(list(_QUERY_IDS)))
+    return S.ivf_query_index(spark, path, queries, k=10, n_probe=3)
+
+
 @register(
     "multimodal_feature_extract",
     oracle="""
@@ -1540,6 +1561,36 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return top_ranked(pagerank(edges, damping=0.85, n_iter=3), k=20)
+
+
+@register("graph_pagerank_weighted")  # rows-only: double rank mass has no bit-stable SQL twin
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank with convergence-based early stop over the same
+    purchase graph: edge weight = purchase multiplicity (how many
+    lineitems connect the customer to the supplier), so heavy trade
+    relationships carry proportionally more rank than one-off purchases —
+    the authority signal a crawl/corpus ranker actually wants (link COUNT
+    matters, not just link existence). Spreading is weight/out-weight-sum
+    per edge; iteration stops once the L1 delta between consecutive rank
+    vectors drops under tol=1e-6 (one extra 1-row aggregate per round —
+    bounded driver state like the dangling-mass scalar), capped at
+    n_iter=6. Weighted-vs-numpy equality and the early-stop contract are
+    asserted in tests/test_operators.py."""
+    from flusher_spark.operators.graph import pagerank, top_ranked
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    return top_ranked(
+        pagerank(edges, damping=0.85, n_iter=6, weight="w", tol=1e-6), k=20
+    )
 
 
 @register(

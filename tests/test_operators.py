@@ -879,6 +879,68 @@ def test_ivf_persisted_layout_pruning_and_no_retrain(spark, emb, tmp_path, monke
     )
 
 
+def test_ivf_append_index_grows_without_retrain(spark, emb, tmp_path, monkeypatch):
+    """ivf_append_index must (a) assign new vectors to the EXISTING
+    centroids — training disabled, centroid table byte-identical before
+    and after; (b) land appended rows inside the partitioned layout so
+    queries see both halves; (c) keep recall within noise of a full
+    rebuild over the grown corpus."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    import flusher_spark.operators.similarity as S
+
+    qids = [0, 1, 2, 3, 4]
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_grow")
+    S.ivf_build_index(even, path, n_lists=8, n_iter=1)
+    cents_before = sorted(
+        (r["__cid"], tuple(r["__cvec"]))
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("append path must not retrain")
+
+    monkeypatch.setattr(S, "_seed_centroids", boom)
+    monkeypatch.setattr(S, "_ivf_assign", boom)
+    S.ivf_append_index(spark, path, odd)
+    cents_after = sorted(
+        (r["__cid"], tuple(r["__cvec"]))
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    )
+    assert cents_after == cents_before  # no-retrain: centroids untouched
+    stored = spark.read.parquet(os.path.join(path, "vectors"))
+    assert stored.count() == emb.count()  # both halves landed
+
+    queries = emb.where(emb.vec_id.isin(qids))
+    grown = S.ivf_query_index(spark, path, queries, k=10, n_probe=3).collect()
+    got_ids = {r["vec_id"] for r in grown}
+    assert any(i % 2 == 0 for i in got_ids) and any(i % 2 == 1 for i in got_ids), (
+        "results must draw from both the built and the appended half"
+    )
+
+    # recall vs exact, grown-index vs full-rebuild: within noise
+    exact = S.brute_force_topk(emb, qids, k=10).collect()
+    truth = {q: {r["vec_id"] for r in exact if r["query_id"] == q} for q in qids}
+
+    def recall(rows):
+        hit = sum(len({r["vec_id"] for r in rows if r["query_id"] == q} & truth[q])
+                  for q in qids)
+        return hit / sum(len(truth[q]) for q in qids)
+
+    monkeypatch.undo()
+    rebuild_path = str(tmp_path / "ivf_rebuild")
+    S.ivf_build_index(emb, rebuild_path, n_lists=8, n_iter=1)
+    rebuilt = S.ivf_query_index(spark, rebuild_path, queries, k=10, n_probe=3).collect()
+    assert recall(grown) >= recall(rebuilt) - 0.15, (
+        f"grown-index recall {recall(grown):.2f} too far below rebuild "
+        f"{recall(rebuilt):.2f}"
+    )
+
+
 # -- Built-in MinHashLSH parity ----------------------------------------------
 
 
@@ -943,6 +1005,80 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[u] - r[u]) < 1e-12, (u, got[u], r[u])
     # the dangling sink still accumulates rank; the hub outranks the leaf
     assert got[4] > got[3] or got[4] > 0.1
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    """Weighted PageRank must spread rank proportionally to edge weight /
+    out-weight-sum, reproducing the dense numpy reference to float
+    tolerance — and must differ from the unweighted result (the weights
+    are deliberately asymmetric)."""
+    import numpy as np
+
+    from flusher_spark.operators.graph import pagerank
+
+    edges = [(0, 1, 9.0), (0, 2, 1.0), (1, 2, 4.0), (2, 0, 2.0), (1, 3, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, damping=0.85, n_iter=8, weight="w").collect()
+    }
+
+    n, d = 4, 0.85
+    out: dict = {}
+    for s, t, w in edges:
+        out.setdefault(s, []).append((t, w))
+    r = np.full(n, 1.0 / n)
+    for _ in range(8):
+        nxt = np.full(n, (1 - d) / n)
+        dang = sum(r[u] for u in range(n) if u not in out)
+        nxt += d * dang / n
+        for s, ts in out.items():
+            tot = sum(w for _, w in ts)
+            for t, w in ts:
+                nxt[t] += d * r[s] * w / tot
+        r = nxt
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for u in range(n):
+        assert abs(got[u] - r[u]) < 1e-12, (u, got[u], r[u])
+    # weighting matters: node 1 (weight-9 edge) outranks the uniform case
+    unweighted = {
+        q["node"]: q["rank"] for q in pagerank(df, damping=0.85, n_iter=8).collect()
+    }
+    assert got[1] > unweighted[1] + 1e-3
+
+
+def test_pagerank_tol_early_stop(spark, monkeypatch):
+    """tol must stop the iteration loop before n_iter once the L1 delta
+    converges (observed by counting per-iteration localCheckpoint calls),
+    and the early-stopped result must match the run-to-cap result."""
+    from flusher_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3), (1, 3), (3, 4), (2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    # Patch the CONCRETE DataFrame class (Spark 4: pyspark.sql.DataFrame is
+    # the abstract base; instances are the classic subclass, which overrides
+    # localCheckpoint — patching the base would never be hit).
+    cls = type(df)
+    calls = {"n": 0}
+    orig = cls.localCheckpoint
+
+    def counting(self, eager=True):
+        calls["n"] += 1
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(cls, "localCheckpoint", counting)
+    full = {r["node"]: r["rank"] for r in pagerank(df, n_iter=50).collect()}
+    full_iters = calls["n"] - 2  # ed + nodes checkpoints are setup, not iterations
+    assert full_iters == 50
+
+    calls["n"] = 0
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=50, tol=1e-6).collect()}
+    tol_iters = calls["n"] - 2
+    assert tol_iters < 50, "tol=1e-6 must stop before the n_iter cap"
+    assert tol_iters >= 3  # but not before doing real work
+    for u in full:
+        assert abs(got[u] - full[u]) < 1e-6, (u, got[u], full[u])
 
 
 # -- SemDeDup ----------------------------------------------------------------
