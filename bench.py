@@ -157,6 +157,16 @@ HEADLINE = [
     # iterative merge-learning loop, ~5-13 s at sf0.1, and would dominate
     # the headline total; they are covered by their reference-equality
     # tests and the driver's rows-only checks.)
+    # round 7 additions (graph_connected_components and
+    # graph_pagerank_weighted are excluded like the other iterative-loop
+    # entries; similarity_ivf_appended is excluded like the persisted-index
+    # builds — index-WRITE dominated; etl_snapshot_schema_evolution shares
+    # etl_snapshot_cdc_delete's table-format cost shape, so one of the two
+    # carries the snapshot-write timing signal)
+    "etl_snapshot_cdc_delete",
+    "corpus_perplexity_buckets",
+    "events_attribution_split_touch",
+    "dedup_canonical_url",
 ]
 
 

@@ -110,6 +110,94 @@ def pagerank(
     return ranks
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round generic path next to the min-label
+    propagation in operators/dedup.py::dedup_clusters, whose round count
+    is O(diameter): fine for near-dup cliques, hopeless for chain-shaped
+    graphs (a 1M-hop path would take 1M rounds; star contraction takes
+    ~20). Returns (node, component) for every node, component = minimum
+    member id.
+
+    Each round is two phases over the canonical (hi, lo) edge set:
+    large-star hangs every bigger-than-center neighbor under the
+    neighborhood minimum; small-star re-hangs the smaller neighbors. Both
+    are one groupBy-min + one equi-join — partial-aggregated shuffles on
+    the node key, no driver-side graph state. Convergence is detected by
+    edge-set fixpoint (two scalar counts per round); ``localCheckpoint``
+    truncates lineage so round N never replays rounds 1..N-1. ``stats``
+    (optional dict) receives {"rounds": n} for observability/tests."""
+    a, b = F.col("a"), F.col("b")
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(
+            F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # Large-star: full neighborhood (both directions); each node u's
+        # strictly-larger neighbors re-hang under m = min(N(u) ∪ {u}).
+        bi = e.unionByName(e.select(b.alias("a"), a.alias("b")))
+        mins = bi.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        large = (
+            bi.join(mins, "a")
+            .where(b > a)
+            .select(b.alias("x"), F.col("m").alias("y"))
+        )
+        e1 = (
+            large.where(F.col("x") != F.col("y"))
+            .select(F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b"))
+            .distinct()
+        )
+        # Small-star: smaller-neighbor orientation only; u and its smaller
+        # neighbors all hang under m = min(N⁻(u) ∪ {u}) (= min(N⁻) since
+        # every member of N⁻ is < u).
+        smins = e1.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            e1.join(smins, "a")
+            .select(b.alias("x"), F.col("m").alias("y"))
+            .unionByName(smins.select(a.alias("x"), F.col("m").alias("y")))
+        )
+        e2 = (
+            small.where(F.col("x") != F.col("y"))
+            .select(F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # Fixpoint probe: the edge set is monotonically contracting, so
+        # equal counts + empty difference == converged (two scalar counts).
+        if e2.count() == e.count() and e2.exceptAll(e).count() == 0:
+            e = e2
+            break
+        e = e2
+    if stats is not None:
+        stats["rounds"] = rounds
+    # At fixpoint every edge is (member, root); roots/isolated nodes label
+    # themselves.
+    return (
+        nodes.join(e.select(a.alias("node"), b.alias("root")), "node", "left")
+        .select("node", F.coalesce("root", "node").alias("component"))
+    )
+
+
 def top_ranked(ranks: DataFrame, k: int = 20) -> DataFrame:
     """Deterministically-tied top-k by rank (TakeOrderedAndProject — no
     global sort)."""

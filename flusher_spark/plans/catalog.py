@@ -105,6 +105,10 @@ PRIORITY = (
     "etl_snapshot_schema_evolution",
     "similarity_ivf_appended",
     "graph_pagerank_weighted",
+    "graph_connected_components",
+    "corpus_perplexity_buckets",
+    "events_attribution_split_touch",
+    "dedup_canonical_url",
     # (3) rows-only family — re-window every round by policy (12; the tail
     # past slot 50 back-fills next round's window first)
     "similarity_topk_arrow",

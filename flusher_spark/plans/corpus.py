@@ -725,3 +725,79 @@ def docs_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.doc_id, c.chunk_start
         """
     )
+
+
+@register(
+    "corpus_perplexity_buckets",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+    bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS b
+           FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+    c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY b),
+    per AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(c.cnt) AS BIGINT) AS fam_sum
+            FROM bg JOIN c USING (b) GROUP BY bg.doc_id),
+    scored AS (
+      SELECT t.doc_id, t.lang, per.n_bigrams,
+             CAST(per.fam_sum AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE)
+               AS familiarity
+      FROM t JOIN per USING (doc_id)),
+    bucketed AS (
+      SELECT *, NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY familiarity DESC, doc_id) AS bucket
+      FROM scored)
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS bigrams_total,
+           MIN(familiarity) AS fam_min, MAX(familiarity) AS fam_max
+    FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing: score every document
+    with the corpus-grounded fluency signal (mean corpus frequency of its
+    bigram occurrences — docs_bigram_familiarity's integer-exact stand-in
+    for LM perplexity), then split EACH LANGUAGE into terciles by score
+    (NTILE over a per-language window ordered by familiarity desc, doc_id
+    tie-break): bucket 1 = head (most fluent), 3 = tail — the partition
+    CCNet feeds to downstream sampling, where training mixes
+    head-heavy. Per-language windowing matters: absolute familiarity is
+    not comparable across languages (corpus share differs), which is
+    exactly why CCNet buckets per language. Scale shape: the scoring half
+    is the familiarity plan (narrow projections, one vocab-bounded
+    partial-agg join); the bucketing adds ONE lang-partitioned window —
+    high-cardinality-safe because languages are few but each partition is
+    streamed, not collected, and an ntile over a skewed language can be
+    range-salted the same way the rank distributions entry documents.
+    Double ordering is safe cross-engine: both sides divide identical
+    exact bigints, yielding bit-identical IEEE doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = shingle_rows(d, n=2).withColumnRenamed("s", "b")
+    c = bg.groupBy("b").agg(F.count("*").cast("long").alias("cnt"))
+    per = (
+        bg.join(c, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cnt").cast("long").alias("fam_sum"),
+        )
+    )
+    scored = d.select("doc_id", "lang").join(per, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        (F.col("fam_sum").cast("double") / F.col("n_bigrams").cast("double")).alias(
+            "familiarity"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("familiarity").desc(), "doc_id")
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("bigrams_total"),
+            F.min("familiarity").alias("fam_min"),
+            F.max("familiarity").alias("fam_max"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -1594,6 +1594,73 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_connected_components",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey*2 AS s, l.l_suppkey*2+1 AS d
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_quantity = 50 AND l.l_orderkey % 3 = 0),
+    bi AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+    nodes AS (SELECT DISTINCT s AS n FROM bi),
+    rec AS (
+      WITH RECURSIVE r(n, m) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT bi.s, r.m FROM bi JOIN r ON bi.d = r.n
+      ) SELECT n, MIN(m) AS component FROM r GROUP BY n),
+    sizes AS (SELECT component, COUNT(*) AS n_members FROM rec GROUP BY component)
+    SELECT n_members AS comp_size, COUNT(*) AS n_components,
+           CAST(SUM(component) AS BIGINT) AS label_sum
+    FROM sizes GROUP BY comp_size ORDER BY comp_size
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components at scale (operators/graph.py::
+    connected_components — alternating large-star/small-star contraction,
+    O(log n) rounds): the trade-network clustering question "which
+    customers and suppliers are linked through chains of max-quantity
+    purchases" over a deliberately sparse purchase graph (quantity-50
+    lineitems of every third order), which fractures into dozens of
+    multi-hop components (2 to ~140 members at sf0.01) — the regime where
+    the O(diameter) min-label twin (dedup_clusters) needs many more
+    rounds. Output is the component-size histogram plus the SUM of
+    component labels per size bucket, which pins the canonical labeling
+    (component = min member id), not just the partition shape. The oracle
+    computes the same fixpoint with a recursive CTE — tractable exactly
+    because the entry's graph is sparse; the Spark side never
+    materializes reachability pairs, so ITS cost stays edge-linear per
+    round at any scale. Exact union-find equality and the log-round
+    convergence contract are asserted in tests/test_operators.py."""
+    from flusher_spark.operators.graph import connected_components
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    edges = (
+        o.join(
+            l.where((F.col("l_quantity") == 50) & (F.col("l_orderkey") % 3 == 0)),
+            o.o_orderkey == l.l_orderkey,
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_members"))
+    return (
+        sizes.groupBy(F.col("n_members").alias("comp_size"))
+        .agg(
+            F.count("*").alias("n_components"),
+            F.sum("component").cast("long").alias("label_sum"),
+        )
+        .orderBy("comp_size")
+    )
+
+
+@register(
     "profile_join_key_skew",
     oracle="""
     WITH per AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
@@ -2042,3 +2109,91 @@ def text_url_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(host, r"\.([a-z]+)$", 1).alias("tld"),
         F.regexp_extract("url", r"^[a-z]+://[^/?]+(/[^?]*)", 1).alias("path"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_canonical_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+             (CASE doc_id % 3 WHEN 0 THEN 'WWW.Site' || CAST(doc_id % 97 AS VARCHAR) || '.COM'
+                              WHEN 1 THEN 'www.site' || CAST(doc_id % 97 AS VARCHAR) || '.com'
+                              ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.com' END) ||
+             '/a/' || CAST(doc_id % 97 AS VARCHAR) ||
+             (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END) AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(
+               regexp_replace(
+                 replace(lower(regexp_replace(url, '\\?utm_[a-z_]+=[a-z]+$', '')),
+                         '://www.', '://'),
+                 '^http://', 'https://'),
+               '/$', '') AS curl
+      FROM u),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY curl
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+      FROM canon)
+    SELECT curl AS canonical_url, COUNT(*) AS n_dupes,
+           MIN(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+           MIN(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars
+    FROM ranked GROUP BY curl ORDER BY canonical_url
+    """,
+)
+def dedup_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-side URL dedup: canonicalize messy URL variants (scheme
+    http→https, host case-folded, 'www.' stripped, utm_* tracking query
+    dropped, trailing slash trimmed — each a codegen'd string/regexp op)
+    and keep ONE document per canonical URL, the keep-best rule being
+    longest text then lowest doc_id. This runs BEFORE content dedup in a
+    real pipeline: the same page fetched as http://WWW.x.com/a/1/?utm_...
+    and https://x.com/a/1 is byte-different but URL-identical, and
+    collapsing it by key costs one hash shuffle instead of MinHash. The
+    fixture has no URLs, so variants are synthesized deterministically
+    (doc_id residues mod 97 give ~5 docs per canonical URL; case/www/utm/slash
+    noise varies by doc_id mod 2/3/5/7). Spark keeps the keep-best as a
+    constant-memory struct-argmax partial aggregate (dedup_keep_best's
+    discipline — no per-key sort); the oracle states the textbook
+    row_number()-keep form. One shuffle total at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    r = "CAST(doc_id % 97 AS STRING)"
+    u = d.selectExpr(
+        "doc_id",
+        "n_chars",
+        "(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) || "
+        f"(CASE doc_id % 3 WHEN 0 THEN 'WWW.Site' || {r} || '.COM' "
+        f"                 WHEN 1 THEN 'www.site' || {r} || '.com' "
+        f"                 ELSE 'site' || {r} || '.com' END) || "
+        f"'/a/' || {r} || "
+        "(CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) || "
+        "(CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END) AS url",
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.replace(
+                F.lower(F.regexp_replace("url", r"\?utm_[a-z_]+=[a-z]+$", "")),
+                F.lit("://www."),
+                F.lit("://"),
+            ),
+            r"^http://",
+            "https://",
+        ),
+        r"/$",
+        "",
+    )
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("negid")))
+    return (
+        u.select("doc_id", "n_chars", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_dupes"), best.alias("b"))
+        .select(
+            "canonical_url",
+            "n_dupes",
+            (-F.col("b.negid")).alias("kept_doc_id"),
+            F.col("b.n_chars").alias("kept_chars"),
+        )
+        .orderBy("canonical_url")
+    )

@@ -4275,3 +4275,95 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "events_attribution_split_touch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t,
+             CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS ch,
+             CAST(value AS DECIMAL(8,2)) AS val
+      FROM events),
+    a AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'view' THEN t * 4 + ch END)
+               OVER (PARTITION BY user_id ORDER BY t
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS fv,
+             MAX(CASE WHEN event_type = 'view' THEN t * 4 + ch END)
+               OVER (PARTITION BY user_id ORDER BY t
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS lv
+      FROM e),
+    p AS (SELECT fv, lv, val FROM a WHERE event_type = 'purchase'),
+    credits AS (
+      SELECT COALESCE(fv % 4, -1) AS channel,
+             CAST(CASE WHEN fv IS NULL OR fv % 4 = lv % 4 THEN val
+                       ELSE val * CAST(0.50 AS DECIMAL(3,2)) END
+                  AS DECIMAL(12,4)) AS credit
+      FROM p
+      UNION ALL
+      SELECT lv % 4 AS channel,
+             CAST(val * CAST(0.50 AS DECIMAL(3,2)) AS DECIMAL(12,4)) AS credit
+      FROM p WHERE fv IS NOT NULL AND fv % 4 <> lv % 4)
+    SELECT channel, COUNT(*) AS n_credits,
+           CAST(SUM(credit) AS DOUBLE) AS attributed_value
+    FROM credits GROUP BY channel ORDER BY channel
+    """,
+)
+def events_attribution_split_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based multi-touch attribution with EXACT credit
+    arithmetic — the split-credit model the first-touch entry's docstring
+    rules out for fractional per-purchase denominators, made exact by
+    choosing the one fractional model whose weights terminate in decimal:
+    the first and last qualifying view each earn 50% (same channel or a
+    single view → 100%; no view in the preceding hour → channel −1 takes
+    the full value). Both endpoints come from the SAME range-frame window
+    pass (min AND max of the t·4+ch encoding — one user-key sort shuffle
+    computes both, no purchase×view join), and the two credit rows per
+    purchase are a UNION of two projections rather than an
+    explode-of-structs, keeping every branch a codegen'd expression.
+    val·0.50 at DECIMAL scale 4 is exact in both engines, so the credit
+    ledger sums associatively — the property that makes split-touch
+    auditable at 100 TB where float credits drift per partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        (F.get_json_object("props", "$.k").cast("long") % 4).alias("ch"),
+        dec("value", "decimal(8,2)").alias("val"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-3600 * 1000 * 1000, Window.currentRow)
+    )
+    enc = F.when(F.col("event_type") == "view", F.col("t") * 4 + F.col("ch"))
+    p = (
+        base.withColumn("fv", F.min(enc).over(w))
+        .withColumn("lv", F.max(enc).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select("fv", "lv", "val")
+    )
+    half = F.expr("CAST(0.50 AS DECIMAL(3,2))")
+    fv, lv, val = F.col("fv"), F.col("lv"), F.col("val")
+    first_credit = p.select(
+        F.coalesce(fv % 4, F.lit(-1)).alias("channel"),
+        F.when(fv.isNull() | ((fv % 4) == (lv % 4)), val)
+        .otherwise(val * half)
+        .cast("decimal(12,4)")
+        .alias("credit"),
+    )
+    last_credit = p.where(fv.isNotNull() & ((fv % 4) != (lv % 4))).select(
+        (lv % 4).alias("channel"),
+        (val * half).cast("decimal(12,4)").alias("credit"),
+    )
+    return (
+        first_credit.unionByName(last_credit)
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_credits"),
+            F.sum("credit").cast("double").alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

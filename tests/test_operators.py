@@ -1081,6 +1081,57 @@ def test_pagerank_tol_early_stop(spark, monkeypatch):
         assert abs(got[u] - full[u]) < 1e-6, (u, got[u], full[u])
 
 
+def test_connected_components_matches_union_find(spark):
+    """Large-star/small-star CC must exactly match a Python union-find on
+    a mixed graph (cliques + chains + isolated-by-self-loop nodes), with
+    component = min member id."""
+    import random
+
+    from flusher_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 20)]          # chain 0..20
+    edges += [(100 + a, 100 + b) for a in range(8) for b in range(a)]  # clique
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(80)]
+    edges += [(300, 300)]  # self loop -> isolated node
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    comps: dict = {}
+    for x in parent:
+        comps.setdefault(find(x), []).append(x)
+    want = {x: min(members) for root, members in comps.items() for x in members}
+    assert got == want
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """The reason this operator exists next to dedup_clusters: a 200-hop
+    path graph must converge in O(log n) star-contraction rounds, not
+    O(diameter) label-propagation rounds."""
+    from flusher_spark.operators.graph import connected_components
+
+    n = 200
+    df = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
+    stats: dict = {}
+    got = {r["node"]: r["component"] for r in
+           connected_components(df, stats=stats).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+    assert stats["rounds"] <= 12, (
+        f"chain took {stats['rounds']} rounds — star contraction should be ~log n"
+    )
+
+
 # -- SemDeDup ----------------------------------------------------------------
 
 

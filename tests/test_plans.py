@@ -136,6 +136,32 @@ def test_registry_priority_prefix():
     assert list(reg)[: len(PRIORITY)] == list(PRIORITY)
 
 
+def test_bench_headline_is_plan_audited():
+    """Every bench headline query must have a section in PLANS.md (or be a
+    streaming-executed entry named by tools/plan_audit.py's skip rule) —
+    the audit artifact must not drift behind the headline list, which is
+    how 7 round-6 entries shipped unaudited."""
+    import os
+    import re
+
+    import bench
+    from tools.plan_audit import SKIP_EXCEPTIONS, SKIP_PREFIXES
+
+    md = open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md")).read()
+    sections = set(re.findall(r"^## (\S+)$", md, re.M))
+    reg = registry()
+    missing = [
+        n for n in bench.HEADLINE
+        if n in reg
+        and not (n.startswith(SKIP_PREFIXES) and n not in SKIP_EXCEPTIONS)
+        and n not in sections
+    ]
+    assert not missing, (
+        f"bench headline entries missing from PLANS.md: {missing} — "
+        "re-run `python tools/plan_audit.py`"
+    )
+
+
 def test_oracle_output_types_are_spark_expressible():
     """Typing lint over every registered DuckDB oracle: bind the SQL (DESCRIBE
     — no execution) against the sf0.001 views and fail any output column whose
@@ -198,6 +224,7 @@ _NESTED_LOOP_OK = {
     "similarity_topk_exact",  # broadcast query-set × candidates, |queries| small
     "similarity_topk_ivf",  # broadcast centroid set (n_lists rows)
     "similarity_ivf_persisted",  # same broadcast centroid set on the probe side
+    "similarity_ivf_appended",  # same broadcast centroid set (append assignment + probe)
     "dedup_semantic_embedding",  # same broadcast centroid set (cluster assignment)
     "dedup_semantic_clusters",  # same broadcast centroid set (cluster assignment)
     "window_ntile",  # broadcast 1-row total count
