@@ -167,6 +167,9 @@ HEADLINE = [
     "corpus_perplexity_buckets",
     "events_attribution_split_touch",
     "dedup_canonical_url",
+    "dedup_sorted_neighborhood",
+    "events_session_funnel",
+    "events_histogram_equidepth",
 ]
 
 

@@ -109,6 +109,9 @@ PRIORITY = (
     "corpus_perplexity_buckets",
     "events_attribution_split_touch",
     "dedup_canonical_url",
+    "dedup_sorted_neighborhood",
+    "events_session_funnel",
+    "events_histogram_equidepth",
     # (3) rows-only family — re-window every round by policy (12; the tail
     # past slot 50 back-fills next round's window first)
     "similarity_topk_arrow",

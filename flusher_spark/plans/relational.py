@@ -4367,3 +4367,190 @@ def events_attribution_split_touch(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "events_session_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+    gaps AS (
+      SELECT *, CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_type)
+                          > 14400000000 THEN 1
+                     WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_type)
+                          IS NULL THEN 1
+                     ELSE 0 END AS new_s
+      FROM e),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_type
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps),
+    s1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN t END)
+                  OVER (PARTITION BY user_id, sid) AS v
+      FROM sess),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND t > v THEN t END)
+                  OVER (PARTITION BY user_id, sid) AS c
+      FROM s1),
+    s3 AS (
+      SELECT user_id, sid,
+             MIN(v) AS v, MIN(c) AS c,
+             MIN(CASE WHEN event_type = 'purchase' AND t > c THEN t END) AS p
+      FROM s2 GROUP BY user_id, sid),
+    staged AS (
+      SELECT CASE WHEN p IS NOT NULL THEN 3 WHEN c IS NOT NULL THEN 2
+                  WHEN v IS NOT NULL THEN 1 ELSE 0 END AS reached
+      FROM s3)
+    SELECT stage, COUNT(*) AS n_sessions FROM (
+      SELECT reached, u.stage
+      FROM staged, UNNEST([1, 2, 3]) AS u(stage)
+      WHERE reached >= u.stage)
+    GROUP BY stage ORDER BY stage
+    """,
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion scoped to SESSIONS instead of a fixed clock
+    window — the composition real product analytics runs: sessionize
+    each user's stream (4-hour inactivity gap → running-sum session ids,
+    the same gap discipline as events_sessionize_30m; the wider gap is
+    what gives the sparse fixture full-depth conversions), then inside
+    each session require the ordered chain view → later click → later
+    purchase (events_funnel_conversion's chained-min trick), and report
+    how many SESSIONS reach each stage. Scale shape: ONE user-key sort
+    shuffle carries everything — the gap lag, the session-id running
+    sum, and both stage-min windows reuse the same (user_id, t) sort
+    order (Spark plans one Exchange + one Sort, three Window nodes);
+    the per-session reduction is a partial-aggregated groupBy and the
+    stage fan-out is a 3-element row-local explode of the ≤|sessions|
+    table, never the events table. Ordering ties at equal timestamps
+    are broken by event_type in BOTH engines so the lag/session split
+    is deterministic; all times are integer microseconds."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+    wo = Window.partitionBy("user_id").orderBy("t", "event_type")
+    gaps = base.withColumn(
+        "new_s",
+        F.when(
+            (F.col("t") - F.lag("t").over(wo) > 14400 * 1000 * 1000)
+            | F.lag("t").over(wo).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "sid", F.sum("new_s").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    s1 = sess.withColumn(
+        "v", F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(ws)
+    )
+    s2 = s1.withColumn(
+        "c",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("t") > F.col("v")), F.col("t"))
+        ).over(ws),
+    )
+    s3 = s2.groupBy("user_id", "sid").agg(
+        F.min("v").alias("v"),
+        F.min("c").alias("c"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("t") > F.col("c")),
+                F.col("t"),
+            )
+        ).alias("p"),
+    )
+    staged = s3.select(
+        F.when(F.col("p").isNotNull(), 3)
+        .when(F.col("c").isNotNull(), 2)
+        .when(F.col("v").isNotNull(), 1)
+        .otherwise(0)
+        .alias("reached")
+    )
+    return (
+        staged.select("reached", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("stage"))
+        .where(F.col("reached") >= F.col("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("stage")
+    )
+
+
+@register(
+    "events_histogram_equidepth",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cv, COUNT(*) AS k
+      FROM events GROUP BY event_type, cv),
+    c AS (
+      SELECT *, SUM(k) OVER (PARTITION BY event_type ORDER BY cv) AS cum,
+                SUM(k) OVER (PARTITION BY event_type) AS n
+      FROM h),
+    edges AS (
+      SELECT event_type,
+             MIN(CASE WHEN cum >= (n + 3) // 4 THEN cv END) AS q1,
+             MIN(CASE WHEN cum >= (2 * n + 3) // 4 THEN cv END) AS q2,
+             MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN cv END) AS q3
+      FROM c GROUP BY event_type),
+    b AS (
+      SELECT c.event_type, cv, k,
+             1 + CASE WHEN cv > q1 THEN 1 ELSE 0 END
+               + CASE WHEN cv > q2 THEN 1 ELSE 0 END
+               + CASE WHEN cv > q3 THEN 1 ELSE 0 END AS bucket
+      FROM c JOIN edges USING (event_type))
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(k) AS BIGINT) AS n_rows, MIN(cv) AS cv_min, MAX(cv) AS cv_max
+    FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket
+    """,
+)
+def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH (quantile) binning — the QuantileDiscretizer shape done
+    exactly, completing the profiling pair with events_histogram_equiwidth:
+    per event type, quartile edges are chosen by exact NEAREST-RANK over
+    the VALUE HISTOGRAM (running count sum over distinct centivalues —
+    the winsorize discipline: the window streams |distinct values| rows,
+    never raw rows), then every histogram row lands in bucket 1..4 by
+    three codegen'd comparisons against the broadcast edges. All
+    arithmetic is integer — centivalues via explicit floor() on BOTH
+    engines (Spark's double→long cast truncates toward zero while
+    DuckDB's rounds; floor removes the difference), nearest ranks via
+    ceil-division (i·n+3) div 4 — so bucket boundaries cannot flip on
+    float drift, the property approxQuantile trades away. Tie-heavy data
+    degrades gracefully: equal values share a bucket (counts uneven by
+    exactly the tie mass), which is the correct exact-quantile answer."""
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        e.select("event_type", F.floor(F.col("value") * 100).alias("cv"))
+        .groupBy("event_type", "cv")
+        .agg(F.count("*").alias("k"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("cv")
+    wn = Window.partitionBy("event_type")
+    c = h.withColumn(
+        "cum", F.sum("k").over(wc.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("n", F.sum("k").over(wn))
+    edges = c.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= F.expr("(n + 3) DIV 4"), F.col("cv"))).alias("q1"),
+        F.min(F.when(F.col("cum") >= F.expr("(2 * n + 3) DIV 4"), F.col("cv"))).alias("q2"),
+        F.min(F.when(F.col("cum") >= F.expr("(3 * n + 3) DIV 4"), F.col("cv"))).alias("q3"),
+    )
+    b = c.join(F.broadcast(edges), "event_type").select(
+        "event_type",
+        "cv",
+        "k",
+        (
+            F.lit(1)
+            + (F.col("cv") > F.col("q1")).cast("int")
+            + (F.col("cv") > F.col("q2")).cast("int")
+            + (F.col("cv") > F.col("q3")).cast("int")
+        ).alias("bucket"),
+    )
+    return (
+        b.groupBy("event_type", F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.sum("k").cast("long").alias("n_rows"),
+            F.min("cv").alias("cv_min"),
+            F.max("cv").alias("cv_max"),
+        )
+        .orderBy("event_type", "bucket")
+    )
