@@ -170,6 +170,10 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "events_session_funnel",
     "events_histogram_equidepth",
+    "corpus_gopher_rules",
+    "multimodal_png_variants",
+    # (events_stream_stream_full_join runs a full staged stream like its
+    # inner/left siblings — timed by its own tests, not the headline.)
 ]
 
 

@@ -81,6 +81,7 @@ def _build_parser() -> argparse.ArgumentParser:
         ("merge", ("--from-parquet",)),
         ("read", ("--version", "--show")),
         ("versions", ()),
+        ("restore", ("--version",)),
         ("compact", ()),
         ("vacuum", ()),
     ):
@@ -236,6 +237,11 @@ def main(argv: list[str] | None = None) -> int:
                 rows = sum(f["rows"] for f in m["files"])
                 print(f"v{v}: {len(m['files'])} files, {rows} rows"
                       + (f", batch_id={m['batch_id']}" if "batch_id" in m else ""))
+        elif args.snap_cmd == "restore":
+            if args.version is None:
+                print("--version is required for restore", file=sys.stderr)
+                return 2
+            print(f"restored to v{args.version} as version {t.restore(args.version)}")
         elif args.snap_cmd == "compact":
             print(f"current version {t.compact()}")
         elif args.snap_cmd == "vacuum":

@@ -337,6 +337,31 @@ class SnapshotTable:
         src = keys.select(self.key).withColumn("_op_delete", F.lit(True))
         return self.merge(src, batch_id=batch_id, delete_col="_op_delete")
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to an earlier version AS A NEW COMMIT
+        (Delta's RESTORE): publishes a manifest whose file list (and
+        schema) are ``version``'s, on top of the current history. Nothing
+        is deleted — every intermediate version still time-travels, the
+        data files are shared by reference (files are immutable, so the
+        restore costs one manifest write regardless of table size), and
+        a concurrent writer race surfaces as CommitConflict like any
+        commit. The batch_id replay watermark keeps the CURRENT value,
+        not the restored version's: the watermark is monotone by
+        contract — rolling data back must not let already-committed
+        micro-batches replay into the restored state."""
+        cur = self.current_version()
+        m_target = self._manifest(version)
+        m_cur = self._manifest(cur)
+        manifest = {
+            "version": cur + 1, "parent": cur, "key": self.key,
+            "files": m_target["files"], "restored_from": version,
+        }
+        if "schema" in m_target:
+            manifest["schema"] = m_target["schema"]
+        if "batch_id" in m_cur:
+            manifest["batch_id"] = m_cur["batch_id"]
+        return self._publish(manifest)
+
     def compact(self, target_file_rows: int = 1 << 20) -> int:
         """Small-file compaction as a TRANSACTION: coalesce every file under
         ``target_file_rows`` into ~target-sized replacements and publish a

@@ -416,18 +416,40 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(width: int, height: int):
+    """Yield (x0, y0, dx, dy, pass_w, pass_h) for each non-empty Adam7
+    pass of a width×height image."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
 def decode_png(payload: bytes) -> dict:
     """Parse a PNG by hand: chunk walk with CRC verification, IHDR dims,
     zlib-inflated IDAT, full scanline unfiltering (all five filter types).
-    Supports 8-bit grayscale (0), RGB (2), and RGBA (6), non-interlaced —
-    the formats a training pipeline normalizes to anyway. Channel means come
-    from the actual decoded pixels."""
+    Supports 8-bit grayscale (0), RGB (2), PALETTE (3 — PLTE chunk lookup,
+    returned expanded to RGB so downstream transform stages see one
+    layout), and RGBA (6), both non-interlaced and ADAM7-INTERLACED (each
+    of the 7 passes is its own independently-filtered sub-image, unfiltered
+    then scattered on the pass grid — the progressive-download layout web
+    crawls actually contain). Channel means come from the actual decoded
+    pixels."""
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -438,6 +460,10 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3 != 0:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = bytes(data)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -446,14 +472,45 @@ def decode_png(payload: bytes) -> dict:
     if ihdr is None:
         raise ValueError("missing IHDR")
     width, height, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0:
-        raise ValueError("only 8-bit non-interlaced PNG supported")
-    bpp = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8:
+        raise ValueError("only 8-bit PNG supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
     if bpp is None:
         raise ValueError(f"unsupported color type {color}")
-    pixels = _png_unfilter(zlib.decompress(bytes(idat)), width, height, bpp)
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        pixels = _png_unfilter(raw, width, height, bpp)
+    else:
+        full = bytearray(width * height * bpp)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            nbytes = ph * (1 + pw * bpp)
+            sub = _png_unfilter(raw[off : off + nbytes], pw, ph, bpp)
+            off += nbytes
+            for j in range(ph):
+                row = (y0 + j * dy) * width
+                for i in range(pw):
+                    src = (j * pw + i) * bpp
+                    dst = (row + x0 + i * dx) * bpp
+                    full[dst : dst + bpp] = sub[src : src + bpp]
+        if off != len(raw):
+            raise ValueError("interlaced PNG pass data size mismatch")
+        pixels = full
     if len(pixels) != width * height * bpp:
         raise ValueError("truncated PNG pixel data")
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        expanded = bytearray(width * height * 3)
+        n_entries = len(plte) // 3
+        for i, idx in enumerate(pixels):
+            if idx >= n_entries:
+                raise ValueError(f"palette index {idx} out of range")
+            expanded[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
+        pixels = expanded
+        bpp = 3
     n = width * height
     if color == 0:
         mean = sum(pixels) / n
@@ -471,7 +528,8 @@ def decode_png(payload: bytes) -> dict:
         "mean_r": means[0],
         "mean_g": means[1],
         "mean_b": means[2],
-        # raw unfiltered samples + layout, for transform stages (resize)
+        # raw unfiltered samples + layout, for transform stages (resize);
+        # palette images are pre-expanded to RGB so bpp describes the buffer
         "pixels": bytes(pixels),
         "bpp": bpp,
         "color_type": color,
@@ -1881,6 +1939,74 @@ def synth_png_pixels(pixels) -> bytes:
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png_palette(pixels, palette) -> bytes:
+    """Color-type-3 (palette) PNG from an (h, w) uint8 INDEX array and an
+    [(r, g, b), ...] palette — filter 0, no interlace. The indexed layout
+    web graphics (icons, charts, screenshots) commonly use."""
+    import zlib
+
+    import numpy as np
+
+    idx = np.asarray(pixels, dtype=np.uint8)
+    h, w = idx.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(rgb) for rgb in palette)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png_interlaced(pixels) -> bytes:
+    """ADAM7-interlaced true-color PNG from an (h, w, 3) uint8 array: the
+    seven passes are emitted as independently-filtered sub-images (filter
+    0 rows) in pass order — a REAL progressive PNG, byte-layout faithful
+    to the spec, so the decoder's de-interlace scatter is exercised
+    against ground-truth pixels."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    raw = bytearray()
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+        for j in range(ph):
+            raw += b"\x00"
+            row = px[y0 + j * dy]
+            for i in range(pw):
+                raw += row[x0 + i * dx].tobytes()
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
 

@@ -112,6 +112,9 @@ PRIORITY = (
     "dedup_sorted_neighborhood",
     "events_session_funnel",
     "events_histogram_equidepth",
+    "corpus_gopher_rules",
+    "events_stream_stream_full_join",
+    "multimodal_png_variants",
     # (3) rows-only family — re-window every round by policy (12; the tail
     # past slot 50 back-fills next round's window first)
     "similarity_topk_arrow",

@@ -801,3 +801,102 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+@register(
+    "corpus_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lower(trim(text)) AS lt, {_TOKENS_SQL} AS toks
+               FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS sum_word_len,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST(length(lt) - length(replace(lt, '#', '')) AS BIGINT)
+               + CAST((length(lt) - length(replace(lt, '...', ''))) // 3 AS BIGINT)
+               AS n_symbols,
+             CAST(CAST(list_contains(toks, 'the') AS INT)
+                + CAST(list_contains(toks, 'be') AS INT)
+                + CAST(list_contains(toks, 'to') AS INT)
+                + CAST(list_contains(toks, 'of') AS INT)
+                + CAST(list_contains(toks, 'and') AS INT)
+                + CAST(list_contains(toks, 'that') AS INT)
+                + CAST(list_contains(toks, 'have') AS INT)
+                + CAST(list_contains(toks, 'with') AS INT) AS BIGINT)
+               AS n_stop_hits
+      FROM t)
+    SELECT doc_id, n_words,
+           CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+             AS mean_word_len,
+           CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS frac_alpha,
+           n_symbols, n_stop_hits,
+           (n_words BETWEEN 50 AND 100000
+            AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_stop_hits >= 2) AS keep_doc
+    FROM m ORDER BY doc_id
+    """,
+)
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (the published MassiveText
+    heuristics, deterministic subset): word count in [50, 100000], mean
+    word length in [3, 10], symbol-to-word ratio ('#' plus '...'
+    occurrences) ≤ 0.1, ≥80% of words containing an alphabetic character,
+    and at least 2 of the 8 canonical English stop words present. The
+    sibling of corpus_c4_rules: C4 filters by line shape, Gopher by
+    document statistics — real pipelines run both. Every THRESHOLD is
+    decided in integer cross-multiplication (3·n ≤ Σlen ≤ 10·n,
+    10·symbols ≤ n, 5·alpha ≥ 4·n) so the keep/drop boundary cannot flip
+    on float rounding; the reported ratio columns are one double division
+    of identical exact bigints per row — bit-equal cross-engine. One
+    zero-shuffle codegen'd projection (the HOF word-length fold is
+    row-local, bounded by tokens per doc) — scan speed at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.lower(F.trim("text")).alias("lt"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    stop_hits = sum(
+        F.array_contains("toks", w).cast("int")
+        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    m = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)"
+        ).alias("sum_word_len"),
+        F.expr("size(filter(toks, x -> x rlike '[a-z]'))").cast("long").alias(
+            "n_alpha_words"
+        ),
+        (
+            (F.length("lt") - F.length(F.replace(F.col("lt"), F.lit("#"), F.lit(""))))
+            + (F.length("lt") - F.length(F.replace(F.col("lt"), F.lit("..."), F.lit("")))) / 3
+        ).cast("long").alias("n_symbols"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        (F.col("sum_word_len").cast("double") / F.col("n_words").cast("double")).alias(
+            "mean_word_len"
+        ),
+        (F.col("n_alpha_words").cast("double") / F.col("n_words").cast("double")).alias(
+            "frac_alpha"
+        ),
+        "n_symbols",
+        "n_stop_hits",
+        (
+            F.col("n_words").between(50, 100000)
+            & (3 * F.col("n_words") <= F.col("sum_word_len"))
+            & (F.col("sum_word_len") <= 10 * F.col("n_words"))
+            & (10 * F.col("n_symbols") <= F.col("n_words"))
+            & (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
+            & (F.col("n_stop_hits") >= 2)
+        ).alias("keep_doc"),
+    ).orderBy("doc_id")

@@ -2276,3 +2276,76 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "multimodal_png_variants",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, n_chars,
+             AVG(CAST((3 * x + 5 * y + doc_id) % 256 AS DOUBLE)) AS pr,
+             AVG(CAST((x + 2 * y + n_chars) % 256 AS DOUBLE)) AS pg,
+             CAST((doc_id + n_chars) % 256 AS DOUBLE) AS pb
+      FROM documents, LATERAL unnest(range(8)) AS u(x),
+                      LATERAL unnest(range(6)) AS v(y)
+      GROUP BY doc_id, n_chars),
+    pal AS (
+      SELECT doc_id,
+             AVG(CAST((doc_id * 7 + 13 * k) % 256 AS DOUBLE)) AS pr,
+             AVG(CAST((n_chars + 29 * k) % 256 AS DOUBLE)) AS pg,
+             AVG(CAST((doc_id + n_chars + 41 * k) % 256 AS DOUBLE)) AS pb
+      FROM documents, LATERAL unnest(range(4)) AS w(k)
+      GROUP BY doc_id, n_chars)
+    SELECT p.doc_id AS asset_id, CAST(8 AS BIGINT) AS width,
+           CAST(6 AS BIGINT) AS height,
+           CASE WHEN p.doc_id % 3 = 1 THEN q.pr ELSE p.pr END AS mean_r,
+           CASE WHEN p.doc_id % 3 = 1 THEN q.pg ELSE p.pg END AS mean_g,
+           CASE WHEN p.doc_id % 3 = 1 THEN q.pb ELSE p.pb END AS mean_b
+    FROM px p JOIN pal q ON p.doc_id = q.doc_id
+    ORDER BY asset_id
+    """,
+)
+def multimodal_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG codec's round-7 coverage — palette and Adam7 interlace —
+    under the exact-hash gate: each document synthesizes one of THREE real
+    encodings by doc_id mod 3 — (0) sequential true-color, (1) COLOR-TYPE-3
+    PALETTE (4-entry PLTE, indices (x+y+d) mod 4 — uniform over the 8×6
+    grid, so the palette-channel means are closed-form), (2) ADAM7
+    INTERLACED true-color (seven independently-filtered passes scattered
+    on the pass grid) — and png_features decodes all three through the
+    same mapInPandas pipeline. The oracle recomputes every channel mean
+    from the pixel-generation arithmetic (LATERAL grid for the gradient
+    variants, palette-entry average for the indexed one), so a decoder
+    that mis-scatters a pass or mis-indexes the palette hash-fails. Means
+    divide exact integer sums; both engines' divisions are correctly
+    rounded over identical operands, so the doubles are bit-equal."""
+    import numpy as np
+
+    from flusher_spark.operators.multimodal import (
+        png_features, synth_png_interlaced, synth_png_palette, synth_png_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def build(d: int, c: int) -> bytes:
+        w, h = 8, 6
+        if d % 3 == 1:
+            y, x = np.mgrid[0:h, 0:w]
+            idx = ((x + y + d) % 4).astype(np.uint8)
+            pal = [
+                ((d * 7 + 13 * k) % 256, (c + 29 * k) % 256, (d + c + 41 * k) % 256)
+                for k in range(4)
+            ]
+            return synth_png_palette(idx, pal)
+        y, x = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [
+                (3 * x + 5 * y + d) % 256,
+                (x + 2 * y + c) % 256,
+                np.full((h, w), (d + c) % 256),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        return synth_png_interlaced(px) if d % 3 == 2 else synth_png_pixels(px)
+
+    return png_features(_synth_assets(docs, build)).orderBy("asset_id")

@@ -2693,6 +2693,47 @@ def events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "events_stream_stream_full_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM events WHERE event_type = 'view')
+    SELECT p.purchase_id, COALESCE(p.user_id, v.user_id) AS user_id,
+           p.purchase_ts, v.view_id, v.view_ts
+    FROM p FULL JOIN v
+      ON p.user_id = v.user_id
+     AND v.view_ts <= p.purchase_ts
+     AND v.view_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    """,
+)
+def events_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER watermarked stream-stream join executed as a stream
+    (streaming/joins.py join_purchases_to_views_full) — the family's
+    completion after inner and left: BOTH unmatched directions emit NULL
+    rows, and the view-side NULLs are the subtle half (a view's
+    no-purchase verdict requires the global watermark past view_ts +
+    max_gap, since a claiming purchase may arrive up to an hour LATER —
+    the mirror of the left join's logic, pointing forward in time).
+    The sentinel flush file advances both watermarks past every real
+    event so the bounded stream emits the exact batch FULL JOIN row set
+    and the entry earns a full DuckDB hash oracle."""
+    from flusher_spark.streaming.joins import join_purchases_to_views_full
+    from flusher_spark.streaming.windows import stream_events
+
+    path = _stage_event_stream(spark, sf_dir, sentinel=True)
+    out = _run_stream_entry(
+        spark,
+        lambda: join_purchases_to_views_full(stream_events(spark, path)),
+        "cat_ss_full_join",
+        "append",
+    )
+    return out.where(F.col("user_id") >= 0)
+
+
+@register(
     "join_salted_skew",
     oracle=f"""
     WITH skewed AS (

@@ -92,3 +92,48 @@ def join_purchases_to_views_left(
         & (views.view_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}")),
         "leftOuter",
     ).select("purchase_id", purchases.user_id, "purchase_ts", "view_id", "view_ts")
+
+
+def join_purchases_to_views_full(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """FULL OUTER stream-stream join — both outer directions at once:
+    matched (purchase, view) pairs emit on match; a match-less purchase
+    emits once with NULL view columns, and a view that no later purchase
+    ever claims emits once with NULL purchase columns. BOTH null
+    directions wait on the global watermark (a view's no-purchase verdict
+    needs the watermark past view_ts + max_gap — only then can no
+    claiming purchase still arrive), so state on each side is bounded by
+    watermark + range exactly as in the inner join, and a bounded run
+    needs the sentinel flush on both sides. ``user_id`` is coalesced
+    across sides since either may be NULL."""
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (purchases.p_user_id == views.v_user_id)
+        & (views.view_ts <= purchases.purchase_ts)
+        & (views.view_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        F.coalesce("p_user_id", "v_user_id").alias("user_id"),
+        "purchase_ts",
+        "view_id",
+        "view_ts",
+    )

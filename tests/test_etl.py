@@ -573,3 +573,41 @@ def test_snapshot_table_rejects_null_merge_keys(spark, tmp_path):
         F.lit("x").alias("v"))
     with _pt.raises(ValueError, match="NULL merge key"):
         t.create(bad)
+
+
+def test_snapshot_table_restore_is_a_new_commit(spark, tmp_path):
+    """restore(v) must publish the old file list as a NEW version: contents
+    revert, history is intact (every version still time-travels), the data
+    files are shared by reference (one manifest write, no data copy), and
+    the batch_id watermark keeps its CURRENT value so committed
+    micro-batches cannot replay into the restored state."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"), "k")
+    df = lambda lo, hi, v: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), F.lit(v).alias("v"))
+    t.create(df(0, 50, "base"))
+    t.merge(df(25, 75, "changed"), batch_id=9)
+    assert t.snapshot().where(F.col("v") == "changed").count() == 50
+
+    v = t.restore(0)
+    assert v == 2
+    # contents are exactly v0 again; file list shared by reference
+    assert sorted(map(tuple, t.snapshot().collect())) == sorted(
+        map(tuple, t.snapshot(0).collect()))
+    assert {f["path"] for f in t._manifest(2)["files"]} == {
+        f["path"] for f in t._manifest(0)["files"]}
+    assert t._manifest(2)["restored_from"] == 0
+    # history intact: the rolled-back version still time-travels
+    assert t.snapshot(1).where(F.col("v") == "changed").count() == 50
+    # watermark is monotone: batch 9 must still be rejected after restore
+    assert t.merge(df(25, 75, "replay"), batch_id=9) is None
+    assert t.snapshot().where(F.col("v") == "replay").count() == 0
+    # vacuum never deletes restored-SHARED files (referenced by v0 AND v2);
+    # it may remove empty part files that never entered a manifest
+    t.vacuum(retention_seconds=0)
+    assert t.snapshot().count() == 50
+    assert t.snapshot(1).count() == 75
+    assert t.snapshot(2).count() == 50

@@ -275,6 +275,57 @@ def test_png_codec_roundtrip():
         decode_png(bytes(p))
 
 
+def test_png_palette_decode_expands_plte():
+    """Color-type-3 PNGs must decode through the PLTE lookup to the exact
+    RGB expansion (returned as bpp=3 so transform stages see one layout);
+    a missing palette or out-of-range index must raise."""
+    import numpy as np
+
+    from flusher_spark.operators.multimodal import decode_png, synth_png_palette
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    d = decode_png(synth_png_palette(idx, palette))
+    assert (d["width"], d["height"], d["color_type"], d["bpp"]) == (4, 2, 3, 3)
+    px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(2, 4, 3)
+    want = np.array([[palette[i] for i in row] for row in idx], dtype=np.uint8)
+    assert (px == want).all()
+    # exact means: each palette entry appears twice over 8 pixels
+    assert d["mean_r"] == sum(p[0] for p in palette) * 2 / 8
+    # out-of-range index must raise, not wrap
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(synth_png_palette(np.array([[9]], dtype=np.uint8), palette[:2]))
+    # palette image with the PLTE chunk stripped must raise
+    b = bytearray(synth_png_palette(idx, palette))
+    at = bytes(b).index(b"PLTE") - 4
+    import struct as _st
+    (ln,) = _st.unpack(">I", bytes(b[at:at + 4]))
+    del b[at:at + 12 + ln]
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(bytes(b))
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 de-interlace must reconstruct the EXACT pixel array for
+    several sizes (incl. dims smaller than the 8x8 pass grid, which empty
+    some passes) — compared against the non-interlaced decode of the same
+    pixels."""
+    import numpy as np
+
+    from flusher_spark.operators.multimodal import (
+        decode_png, synth_png_interlaced, synth_png_pixels,
+    )
+
+    rng = np.random.default_rng(11)
+    for (h, w) in [(1, 1), (3, 5), (8, 8), (11, 7), (16, 19)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        plain = decode_png(synth_png_pixels(px))
+        inter = decode_png(synth_png_interlaced(px))
+        assert inter["pixels"] == plain["pixels"], (h, w)
+        assert (inter["width"], inter["height"]) == (w, h)
+        assert inter["mean_g"] == plain["mean_g"]
+
+
 def test_png_unfilter_all_filter_types():
     """Encode one 3x3 RGB image five times, once per PNG filter type, and
     assert the decoder reconstructs identical pixels each way — exercises
