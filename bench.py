@@ -172,8 +172,11 @@ HEADLINE = [
     "events_histogram_equidepth",
     "corpus_gopher_rules",
     "multimodal_png_variants",
+    "join_scd2_pointintime",
     # (events_stream_stream_full_join runs a full staged stream like its
-    # inner/left siblings — timed by its own tests, not the headline.)
+    # inner/left siblings — timed by its own tests, not the headline.
+    # etl_snapshot_changes_feed shares etl_snapshot_cdc_delete's
+    # table-format write cost shape, which that entry already times.)
 ]
 
 

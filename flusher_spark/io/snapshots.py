@@ -337,6 +337,43 @@ class SnapshotTable:
         src = keys.select(self.key).withColumn("_op_delete", F.lit(True))
         return self.merge(src, batch_id=batch_id, delete_col="_op_delete")
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """CHANGE DATA FEED between two versions (Delta's table_changes):
+        rows tagged ``_change_type`` 'insert' or 'delete'; an update
+        appears as delete(old row) + insert(new row). FILE-GRANULAR by
+        construction: files carried forward by reference between the two
+        manifests are identical and are never read — only files present
+        in exactly one manifest are diffed (``exceptAll`` both ways), so
+        the cost scales with the churned fraction of the table, not its
+        size (the same reason merge is copy-on-write at file
+        granularity). Both sides read under their own recorded schema and
+        conform to the LATER version's schema, so evolution shows up
+        honestly: an old row re-written with a new column becomes a
+        delete(NULL-extended old) + insert(new)."""
+        to_v = self.current_version() if to_version is None else to_version
+        m_from, m_to = self._manifest(from_version), self._manifest(to_v)
+        fa = {f["path"] for f in m_from["files"]}
+        fb = {f["path"] for f in m_to["files"]}
+        only_a, only_b = sorted(fa - fb), sorted(fb - fa)
+        out_schema = self._read_schema(m_to)
+        if out_schema is None:
+            probe = only_b or only_a or [f["path"] for f in m_to["files"]]
+            out_schema = self.spark.read.parquet(*probe).schema
+
+        def side(paths: list[str], m: dict) -> DataFrame:
+            if not paths:
+                return self.spark.createDataFrame([], out_schema)
+            s = self._read_schema(m)
+            reader = self.spark.read.schema(s) if s is not None else self.spark.read
+            return self._conform(reader.parquet(*paths), out_schema)
+
+        olds = side(only_a, m_from)
+        news = side(only_b, m_to)
+        return (
+            news.exceptAll(olds).withColumn("_change_type", F.lit("insert"))
+            .unionByName(olds.exceptAll(news).withColumn("_change_type", F.lit("delete")))
+        )
+
     def restore(self, version: int) -> int:
         """Roll the table back to an earlier version AS A NEW COMMIT
         (Delta's RESTORE): publishes a manifest whose file list (and

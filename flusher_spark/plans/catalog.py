@@ -115,6 +115,8 @@ PRIORITY = (
     "corpus_gopher_rules",
     "events_stream_stream_full_join",
     "multimodal_png_variants",
+    "join_scd2_pointintime",
+    "etl_snapshot_changes_feed",
     # (3) rows-only family — re-window every round by policy (12; the tail
     # past slot 50 back-fills next round's window first)
     "similarity_topk_arrow",

@@ -1135,3 +1135,72 @@ def etl_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         ).select("version", "n_rows", "n_cols", "total_price", "n_status")
 
     return state(0, t.snapshot(0)).unionByName(state(1, t.snapshot(1))).orderBy("version")
+
+
+@register(
+    "etl_snapshot_changes_feed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      FROM orders),
+    ins AS (
+      SELECT k, CAST(p + 1 AS DECIMAL(12,2)) AS p FROM base
+      WHERE k % 5 = 0 AND k % 9 <> 0
+      UNION ALL
+      SELECT k + 3000000000, CAST(1.00 AS DECIMAL(12,2)) FROM base
+      WHERE k % 11 = 0),
+    del AS (
+      SELECT k, p FROM base WHERE (k % 5 = 0 AND k % 9 <> 0) OR k % 9 = 0),
+    tagged AS (
+      SELECT 'insert' AS _change_type, k, p FROM ins
+      UNION ALL
+      SELECT 'delete', k, p FROM del)
+    SELECT _change_type, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(p) AS DOUBLE) AS price_sum
+    FROM tagged GROUP BY _change_type ORDER BY _change_type
+    """,
+)
+def etl_snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED read off the transactional table
+    (io/snapshots.py::SnapshotTable.changes — Delta's table_changes):
+    create v0 from orders, commit one merge carrying updates (%5 keys,
+    excluding the deleted: price+1), DELETES (%9 keys) and inserts (%11
+    keys shifted), then ask the table what changed between v0 and v1.
+    Updates surface as delete(old)+insert(new) — the CDC shape a
+    downstream consumer replays. The diff is FILE-GRANULAR: manifests
+    share untouched files by reference, so only churned files are read
+    and exceptAll'd — cost follows the touched fraction, never the
+    table. The oracle recomputes the exact multiset of change rows from
+    the same deterministic batch derivation; aggregating by change type
+    with key/price checksums pins both membership and values."""
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), dec("o_totalprice", "decimal(12,2)").alias("p")
+    )
+    k, p = F.col("k"), F.col("p")
+    root = os.path.join(tempfile.mkdtemp(prefix="flusher_snap_cdf_"), "orders_cdf")
+    t = SnapshotTable(spark, root, "k")
+    t.create(o)
+    upd = o.where((k % 5 == 0) & (k % 9 != 0)).select(
+        "k", (p + 1).cast("decimal(12,2)").alias("p"), F.lit(False).alias("is_delete")
+    )
+    dels = o.where(k % 9 == 0).select(
+        "k", F.lit(None).cast("decimal(12,2)").alias("p"), F.lit(True).alias("is_delete")
+    )
+    ins = o.where(k % 11 == 0).select(
+        (k + 3000000000).alias("k"),
+        F.expr("CAST(1.00 AS DECIMAL(12,2))").alias("p"),
+        F.lit(False).alias("is_delete"),
+    )
+    t.merge(upd.unionByName(dels).unionByName(ins), delete_col="is_delete")
+    return (
+        t.changes(0, 1)
+        .groupBy("_change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+            F.sum("p").cast("double").alias("price_sum"),
+        )
+        .orderBy("_change_type")
+    )

@@ -4595,3 +4595,78 @@ def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events WHERE event_type <> 'purchase'),
+    changes AS (
+      SELECT user_id, event_id, ts, event_type FROM marked
+      WHERE prev_type IS NULL OR event_type <> prev_type),
+    iv AS (
+      SELECT user_id, event_type AS status, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes),
+    p AS (
+      SELECT user_id, ts, CAST(value AS DECIMAL(8,2)) AS val
+      FROM events WHERE event_type = 'purchase')
+    SELECT COALESCE(iv.status, 'none') AS status, COUNT(*) AS n_purchases,
+           CAST(SUM(p.val) AS DOUBLE) AS total_value
+    FROM p LEFT JOIN iv
+      ON p.user_id = iv.user_id AND p.ts >= iv.valid_from
+     AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+    GROUP BY COALESCE(iv.status, 'none') ORDER BY status
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME lookup against a type-2 dimension — the join that
+    makes SCD2 useful (events_scd2_intervals builds the intervals; this
+    entry consumes them): each purchase is attributed to the status
+    interval containing its timestamp. The oracle states the textbook
+    interval form (fact ⋈ dim ON key AND ts ∈ [valid_from, valid_to)) —
+    a theta join whose fan-out is fact × per-key interval count. The
+    Spark plan NEVER materializes intervals: since [from, to) intervals
+    tile each key's timeline, 'the containing interval' ≡ 'the LATEST
+    change at-or-before ts', which is exactly the as-of discipline
+    (operators/asof.py — union + one ordered window over the user key,
+    one sort shuffle, no join fan-out, no LEAD pass to close intervals).
+    Change-timestamp collisions resolve identically on both sides: the
+    oracle's zero-width intervals match nothing and the as-of payload
+    tie-breaks by change id descending, so both pick the LAST change at
+    the shared timestamp. Purchases are events, so every purchase has a
+    covering interval — the aggregate drops nothing on either engine."""
+    from flusher_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.where(F.col("event_type") != "purchase")
+        .withColumn("prev_type", F.lag("event_type").over(wseq))
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select(
+            "user_id",
+            F.col("event_id").alias("change_id"),
+            F.col("ts").alias("change_ts"),
+            F.col("event_type").alias("status"),
+        )
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", dec("value", "decimal(8,2)").alias("val")
+    )
+    j = asof_join(
+        p, changes, ["user_id"], "ts", "change_ts", value_cols=["change_id", "status"]
+    )
+    return (
+        j.groupBy(F.coalesce(F.col("status_right"), F.lit("none")).alias("status"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("val").cast("double").alias("total_value"),
+        )
+        .orderBy("status")
+    )

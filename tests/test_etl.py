@@ -611,3 +611,49 @@ def test_snapshot_table_restore_is_a_new_commit(spark, tmp_path):
     assert t.snapshot().count() == 50
     assert t.snapshot(1).count() == 75
     assert t.snapshot(2).count() == 50
+
+
+def test_snapshot_table_changes_feed(spark, tmp_path):
+    """changes(a, b) must emit exactly the logical row diff — updates as
+    delete(old)+insert(new) — and untouched-range rows (files shared by
+    reference between the manifests) must never appear; across a schema
+    evolution the old side surfaces NULL-extended under the later schema."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"), "k")
+    low = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    high = spark.range(1000, 1100).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    t.create(low)
+    t.append(high)  # v1
+    src = spark.range(1050, 1150).select(F.col("id").alias("k"), F.lit("new").alias("v"))
+    t.merge(src)  # v2: updates 1050-1099, inserts 1100-1149
+
+    ch = t.changes(1, 2).collect()
+    ins = sorted(r["k"] for r in ch if r["_change_type"] == "insert")
+    dels = sorted(r["k"] for r in ch if r["_change_type"] == "delete")
+    assert ins == list(range(1050, 1150))
+    assert dels == list(range(1050, 1100))
+    assert all(r["v"] == "new" for r in ch if r["_change_type"] == "insert")
+    assert all(r["v"] == "old" for r in ch if r["_change_type"] == "delete")
+    # low range is file-shared between v1 and v2: absent from the feed
+    assert not [r for r in ch if r["k"] < 1000]
+
+    # schema evolution: v3 adds a column via merge; old side NULL-extends
+    t.merge(spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit("evolved").alias("v"),
+        F.lit(1).cast("long").alias("extra")))
+    ch2 = t.changes(2, 3)
+    assert set(ch2.columns) == {"k", "v", "extra", "_change_type"}
+    rows = ch2.where(F.col("k") < 5).collect()
+    for r in rows:
+        if r["_change_type"] == "insert":
+            assert r["extra"] == 1 and r["v"] == "evolved"
+        else:
+            assert r["extra"] is None and r["v"] == "old"
+    # full-history feed v0->v3: inserts = surviving appended-high rows
+    # (1000-1049 'old', 50), the v2 merge's current rows (1050-1149 'new',
+    # 100), and the 5 evolved rows — updated-then-reupdated rows count once
+    all_ins = t.changes(0).where(F.col("_change_type") == "insert").count()
+    assert all_ins == 50 + 100 + 5
