@@ -173,6 +173,8 @@ HEADLINE = [
     "corpus_gopher_rules",
     "multimodal_png_variants",
     "join_scd2_pointintime",
+    "agg_weighted_median_udaf",
+    "reco_copurchase_similarity",
     # (events_stream_stream_full_join runs a full staged stream like its
     # inner/left siblings — timed by its own tests, not the headline.
     # etl_snapshot_changes_feed shares etl_snapshot_cdc_delete's

@@ -20,6 +20,9 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd  # module-level: postponed annotations make UDF type
+# hints strings, and pyspark resolves 'pd.Series' through module globals
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -4670,3 +4673,143 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "agg_weighted_median_udaf",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem),
+    h AS (
+      SELECT l_returnflag, cents, SUM(w) AS wk
+      FROM v GROUP BY l_returnflag, cents),
+    c AS (
+      SELECT *, SUM(wk) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cum,
+                SUM(wk) OVER (PARTITION BY l_returnflag) AS tot
+      FROM h)
+    SELECT l_returnflag, MIN(CASE WHEN 2 * cum >= tot THEN cents END)
+             AS wmedian_cents
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED-AGG pandas UDF surface (the UDAF leg of the
+    UDF/UDAF/UDTF triple — scalar pandas_udf, mapInPandas, applyInArrow,
+    applyInPandasWithState, and the UDTF are covered elsewhere): per
+    return flag, the WEIGHTED median price (weight = quantity) — a
+    genuine UDAF case because no built-in aggregate takes a weight
+    column, and the rank arithmetic (lower weighted median: smallest
+    value whose cumulative weight reaches half the total) is holistic,
+    not algebraic. The UDF receives each group's two columns as pandas
+    Series via Arrow, sorts once, cumsums — integer cents in, integer
+    cents out, so the oracle (the same rule as a histogram running-sum
+    window) hash-matches exactly. Cost note recorded: a grouped-agg
+    pandas UDF materializes each GROUP on one executor (fine at
+    |groups| ≪ rows with bounded group width); the value-histogram
+    window (agg_exact_quantile_interpolated) is the pure-relational
+    plan when groups are huge — this entry exists to prove the API
+    surface, docstring records when to choose which."""
+    from pyspark.sql.functions import pandas_udf
+
+    # (the 'float' annotation is the Series->scalar GROUPED_AGG marker
+    # pyspark accepts; the declared "long" returnType governs the output)
+    @pandas_udf("long")
+    def wmedian(cents: pd.Series, w: pd.Series) -> float:
+        agg = w.groupby(cents).sum().sort_index()
+        cum = agg.cumsum()
+        tot = int(agg.sum())
+        return int(cum.index[(2 * cum >= tot).values.nonzero()[0][0]])
+
+    l = load_table(spark, sf_dir, "lineitem")
+    v = l.select(
+        "l_returnflag",
+        (dec("l_extendedprice", "decimal(8,2)") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    return (
+        v.groupBy("l_returnflag")
+        .agg(wmedian("cents", "w").alias("wmedian_cents"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "reco_copurchase_similarity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    cnt AS (SELECT p, COUNT(*) AS c FROM items GROUP BY p),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS cooc
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY part_a, part_b),
+    scored AS (
+      SELECT part_a, part_b, cooc, ca.c AS n_a, cb.c AS n_b,
+             CAST(cooc * cooc AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE) AS sim2
+      FROM pairs JOIN cnt ca ON part_a = ca.p JOIN cnt cb ON part_b = cb.p
+      WHERE cooc >= 2)
+    SELECT part_a, part_b, cooc, n_a, n_b, sim2
+    FROM scored ORDER BY sim2 DESC, part_a, part_b LIMIT 20
+    """,
+)
+def reco_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over the order basket — the
+    market-basket primitive behind 'frequently bought together': parts
+    co-occurring in the same order, scored by SQUARED cosine over binary
+    occurrence vectors (cooc²/(n_a·n_b) — squaring removes the sqrt,
+    whose libm rounding is not contractual across engines, while
+    preserving the ranking; the division is one IEEE op over exact
+    integer counts, bit-equal both sides). The oracle states the textbook
+    basket self-join; the Spark plan uses the audience-overlap shape
+    instead — one order-key collect_set shuffle + a row-local pair
+    explode, so fan-out is quadratic only in the PER-ORDER basket size
+    (≤7 here, bounded in any retail schema), never in orders or parts —
+    then a broadcast of the tiny per-part count table onto the pair
+    aggregate. Support floor cooc ≥ 2 (singleton co-occurrences of two
+    rare items score a meaningless perfect 1.0); top-20 by
+    (sim², part_a, part_b) via TakeOrdered — no global sort."""
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    cnt = items.groupBy("p").agg(F.count("*").alias("c"))
+    baskets = items.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ps",
+                            lambda a: F.transform(F.col("ps"), lambda b: F.struct(
+                                a.alias("part_a"), b.alias("part_b"))),
+                        )
+                    ),
+                    lambda s: s["part_a"] < s["part_b"],
+                )
+            ).alias("pr")
+        )
+        .select("pr.part_a", "pr.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("cooc"))
+        .where(F.col("cooc") >= 2)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(cnt.select(F.col("p").alias("part_a"), F.col("c").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("p").alias("part_b"), F.col("c").alias("n_b"))),
+            "part_b",
+        )
+        .select(
+            "part_a", "part_b", "cooc", "n_a", "n_b",
+            (
+                (F.col("cooc") * F.col("cooc")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("sim2"),
+        )
+    )
+    return scored.orderBy(F.col("sim2").desc(), "part_a", "part_b").limit(20)
