@@ -198,6 +198,62 @@ def connected_components(
     )
 
 
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count + global clustering coefficient, via
+    DEGREE-ORIENTED wedge counting (the MapReduce-standard trick): every
+    undirected edge is directed from its (degree, id)-smaller endpoint to
+    the larger, which makes the orientation acyclic — each triangle then
+    has exactly ONE node whose two directed edges span it, so joining
+    wedges (u→v, u→w) against the edge set counts each triangle once,
+    and per-node wedge fan-out is bounded by the graph's arboricity
+    instead of its max degree (the hub node's star never becomes a
+    quadratic wedge set — at web scale this is the difference between
+    hours and forever). Returns ONE row: n_nodes, n_edges, n_wedges
+    (= Σ C(deg,2), orientation-independent), n_triangles, and the global
+    clustering coefficient 3·triangles/wedges (one double division of
+    exact bigints)."""
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bi = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = bi.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed("a", "node")
+    n_nodes = deg.count()
+    n_edges = e.count()
+    wedge_total = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("w")
+    ).collect()[0]["w"] or 0
+    # Orient each edge by (deg, id): small -> large.
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    keyed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    directed = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    d1 = directed
+    d2 = directed.select(F.col("u"), F.col("v").alias("w"))
+    wedges = d1.join(d2, "u").where(F.col("v") < F.col("w"))
+    closed = wedges.join(
+        e.select(F.col("a").alias("__wa"), F.col("b").alias("__wb")),
+        (F.least("v", "w") == F.col("__wa")) & (F.greatest("v", "w") == F.col("__wb")),
+        "left_semi",
+    )
+    n_tri = closed.count()
+    spark = edges.sparkSession
+    cc = (3.0 * n_tri / wedge_total) if wedge_total else 0.0
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, int(wedge_total), n_tri, float(cc))],
+        "n_nodes long, n_edges long, n_wedges long, n_triangles long, clustering double",
+    )
+
+
 def top_ranked(ranks: DataFrame, k: int = 20) -> DataFrame:
     """Deterministically-tied top-k by rank (TakeOrderedAndProject — no
     global sort)."""

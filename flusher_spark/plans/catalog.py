@@ -119,6 +119,7 @@ PRIORITY = (
     "etl_snapshot_changes_feed",
     "agg_weighted_median_udaf",
     "reco_copurchase_similarity",
+    "graph_triangle_stats",
     # (3) rows-only family — re-window every round by policy (12; the tail
     # past slot 50 back-fills next round's window first)
     "similarity_topk_arrow",

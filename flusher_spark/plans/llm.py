@@ -2349,3 +2349,56 @@ def multimodal_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         return synth_png_interlaced(px) if d % 3 == 2 else synth_png_pixels(px)
 
     return png_features(_synth_assets(docs, build)).orderBy("asset_id")
+
+
+@register(
+    "graph_triangle_stats",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT a.p AS pa, b.p AS pb
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY pa, pb HAVING COUNT(*) >= 2),
+    bi AS (SELECT pa AS n, pb AS m FROM e UNION ALL SELECT pb, pa FROM e),
+    deg AS (SELECT n, COUNT(*) AS d FROM bi GROUP BY n),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles,
+           CAST(3 * (SELECT t FROM tri) AS DOUBLE)
+             / CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS DOUBLE)
+             AS clustering
+    """,
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the co-purchase graph (parts linked when
+    ≥2 orders contain both — the same support-floored edge set the reco
+    entry scores): triangle count and global clustering coefficient via
+    DEGREE-ORIENTED wedge counting (operators/graph.py::triangle_stats).
+    The oracle's id-canonical triple self-join is the textbook form —
+    and exactly the plan that dies at scale, because a hub node's wedge
+    set is quadratic in its degree; the degree orientation bounds each
+    node's wedge fan-out by arboricity instead, the published
+    MapReduce-standard fix. Counts are orientation-independent integers
+    (wedges = Σ C(deg,2)), so both engines agree bit-for-bit; the
+    clustering coefficient is one double division of exact bigints.
+    Brute-force equality on adversarial small graphs (hub stars, cliques,
+    triangle-free bipartite) is asserted in tests/test_operators.py."""
+    from flusher_spark.operators.graph import triangle_stats
+
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    edges = (
+        items.alias("x")
+        .join(items.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .agg(F.count("*").alias("cooc"))
+        .where(F.col("cooc") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_stats(edges)

@@ -1952,3 +1952,41 @@ def test_interpolated_quantile_matches_builtin_percentile(spark):
         g = got[r["event_type"]]
         assert abs(g["q25_cv_x4"] / 4.0 - r["p25"]) < 1e-6, r["event_type"]
         assert abs(g["q75_cv_x4"] / 4.0 - r["p75"]) < 1e-6, r["event_type"]
+
+
+def test_triangle_stats_matches_brute_force(spark):
+    """Degree-oriented triangle counting must match the O(n^3) brute force
+    on adversarial shapes: a clique (max triangles), a hub star (max
+    wedges, zero triangles — the case the degree orientation exists for),
+    a bipartite graph (triangle-free), and a random graph."""
+    import itertools
+    import random
+
+    from flusher_spark.operators.graph import triangle_stats
+
+    rng = random.Random(13)
+    cases = [
+        [(a, b) for a in range(6) for b in range(a)],            # K6: 20 triangles
+        [(0, i) for i in range(1, 30)],                           # star: 0 triangles
+        [(i, 100 + j) for i in range(5) for j in range(5)],       # bipartite: 0
+        list({(min(a, b), max(a, b)) for a, b in
+              ((rng.randrange(40), rng.randrange(40)) for _ in range(150)) if a != b}),
+    ]
+    for edges in cases:
+        got = triangle_stats(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()[0]
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nodes = sorted(adj)
+        tri = sum(
+            1 for a, b, c in itertools.combinations(nodes, 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+        assert got["n_triangles"] == tri, edges[:5]
+        assert got["n_wedges"] == wedges
+        assert got["n_nodes"] == len(nodes)
+        assert got["n_edges"] == len(edges)
