@@ -250,6 +250,40 @@ class SnapshotTable:
         reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
         return reader.parquet(*paths)
 
+    def rows(self, version: int | None = None) -> int:
+        """Metadata-only COUNT(*): the manifest already carries exact
+        per-file row counts (written with the stats aggregate), so a full
+        count never needs to touch data — the Iceberg/Delta stats-based
+        scan shortcut. O(files) driver work, zero executor work."""
+        v = self.current_version() if version is None else version
+        return sum(f["rows"] for f in self._manifest(v)["files"])
+
+    def scan_range(self, lo, hi, version: int | None = None) -> DataFrame:
+        """Stats-pruned read: only files whose [key_min, key_max] can
+        intersect [lo, hi] are opened — the READ-side use of the same
+        manifest stats merge prunes with (file skipping before parquet
+        row-group skipping even starts; at 100 TB this is the difference
+        between listing a handful of files and scanning a table). The
+        range predicate is still applied on top, so results are exact
+        regardless of stats granularity; files with NULL stats
+        (pre-validation tables) are conservatively read."""
+        v = self.current_version() if version is None else version
+        m = self._manifest(v)
+        files = [
+            f for f in m["files"]
+            if f["key_min"] is None or f["key_max"] is None
+            or not (f["key_max"] < lo or f["key_min"] > hi)
+        ]
+        schema = self._read_schema(m)
+        if not files:
+            if schema is None:
+                raise ValueError("empty pruned scan on a schemaless table")
+            return self.spark.createDataFrame([], schema)
+        reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
+        return reader.parquet(*[f["path"] for f in files]).where(
+            (F.col(self.key) >= F.lit(lo)) & (F.col(self.key) <= F.lit(hi))
+        )
+
     def merge(
         self,
         source: DataFrame,

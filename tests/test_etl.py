@@ -657,3 +657,34 @@ def test_snapshot_table_changes_feed(spark, tmp_path):
     # 100), and the 5 evolved rows — updated-then-reupdated rows count once
     all_ins = t.changes(0).where(F.col("_change_type") == "insert").count()
     assert all_ins == 50 + 100 + 5
+
+
+def test_snapshot_table_stats_scan_shortcuts(spark, tmp_path):
+    """rows() must answer COUNT(*) from manifest metadata alone (exact at
+    every version), and scan_range() must open ONLY files whose key range
+    intersects the predicate — asserted via input_file_name — while
+    returning exactly the predicate's rows."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"), "k")
+    low = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("lo").alias("v"))
+    high = spark.range(1000, 1100).select(F.col("id").alias("k"), F.lit("hi").alias("v"))
+    t.create(low.repartition(4))
+    t.append(high.repartition(4))
+
+    assert t.rows(0) == 100
+    assert t.rows() == 200
+
+    pruned = t.scan_range(1010, 1020)
+    got = sorted(r["k"] for r in pruned.collect())
+    assert got == list(range(1010, 1021))
+    touched = [r[0] for r in pruned.select(F.input_file_name()).distinct().collect()]
+    low_paths = {f["path"] for f in t._manifest(0)["files"]}
+    for f in touched:
+        assert f.removeprefix("file://") not in low_paths, (
+            "low-range file opened by a high-range scan"
+        )
+    # empty intersection: no files, zero rows, schema intact
+    assert t.scan_range(5000, 6000).count() == 0
