@@ -175,6 +175,9 @@ HEADLINE = [
     "join_scd2_pointintime",
     "agg_weighted_median_udaf",
     "reco_copurchase_similarity",
+    "similarity_matryoshka_truncated",
+    "corpus_dup_rate_by_source",
+    "events_longest_streak",
     # (events_stream_stream_full_join runs a full staged stream like its
     # inner/left siblings — timed by its own tests, not the headline.
     # etl_snapshot_changes_feed shares etl_snapshot_cdc_delete's

@@ -120,6 +120,9 @@ PRIORITY = (
     "agg_weighted_median_udaf",
     "reco_copurchase_similarity",
     "graph_triangle_stats",
+    "similarity_matryoshka_truncated",
+    "corpus_dup_rate_by_source",
+    "events_longest_streak",
     # (3) rows-only family — re-window every round by policy (12; the tail
     # past slot 50 back-fills next round's window first)
     "similarity_topk_arrow",

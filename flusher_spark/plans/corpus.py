@@ -900,3 +900,51 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_stop_hits") >= 2)
         ).alias("keep_doc"),
     ).orderBy("doc_id")
+
+
+@register(
+    "corpus_dup_rate_by_source",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    g AS (SELECT h, COUNT(*) AS n_copies FROM d GROUP BY h)
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE g.n_copies > 1) AS BIGINT) AS n_dup_docs,
+           CAST(COUNT(*) FILTER (WHERE g.n_copies > 1) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_ratio,
+           CAST(SUM(CASE WHEN g.n_copies > 1 THEN g.n_copies - 1 ELSE 0 END)
+                AS BIGINT) AS excess_copy_weight
+    FROM d JOIN g USING (h)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplication REPORT a corpus team signs off on before training:
+    per source, how many documents are exact duplicates of anything in
+    the corpus (corpus-WIDE md5 groups — cross-source mirroring counts,
+    which per-source grouping would hide), the dup ratio, and the excess
+    copy weight each doc's group carries (n_copies − 1, the amount dedup
+    would remove). Two partial-aggregated shuffles total: content-hash
+    groups, then a broadcast-joinable group-size table folded back per
+    source — the diagnostic stage that runs BEFORE committing to the
+    expensive near-dup pass, at scan cost. Ratios are one double
+    division of exact counts (bit-equal cross-engine)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    g = d.groupBy("h").agg(F.count("*").alias("n_copies"))
+    j = d.join(g, "h")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_copies") > 1).cast("int")).cast("long").alias("n_dup_docs"),
+            (
+                F.sum((F.col("n_copies") > 1).cast("int")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("dup_ratio"),
+            F.sum(
+                F.when(F.col("n_copies") > 1, F.col("n_copies") - 1).otherwise(0)
+            ).cast("long").alias("excess_copy_weight"),
+        )
+        .orderBy("source")
+    )

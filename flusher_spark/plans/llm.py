@@ -2402,3 +2402,43 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return triangle_stats(edges)
+
+
+@register(
+    "similarity_matryoshka_truncated",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_normsq_sql('embedding', 16)} AS nsq
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, nsq AS qnsq FROM base
+          WHERE vec_id IN {_QUERY_IDS}),
+    sims AS (
+      SELECT q.query_id, b.vec_id,
+             {_dot_sql('q.qv', 'b.embedding', 16)} / (SQRT(q.qnsq) * SQRT(b.nsq))
+               AS cosine_sim
+      FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, vec_id) AS BIGINT)
+               AS rank
+      FROM sims)
+    SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_matryoshka_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style DIMENSION TRUNCATION for ANN cost control (the
+    MRL deployment pattern: embeddings trained so nested prefixes remain
+    usable — search the 16-dim prefix at 1/4 the dot-product cost and
+    memory, re-rank survivors at full width if needed): exact cosine
+    top-10 over the FIRST 16 of 64 dimensions, renormalized by the
+    prefix norm. Same fold-ordered arithmetic as similarity_topk_exact,
+    so the oracle (the identical 16-term fold) hash-matches bit-for-bit;
+    the recall-vs-full-width trade is measured in
+    tests/test_operators.py (the fixture's embeddings are i.i.d. — the
+    WORST case for prefix recall, since no training concentrated
+    information in early dims; real MRL checkpoints do exactly that)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    return S.brute_force_topk(emb, _QUERY_IDS, k=10)

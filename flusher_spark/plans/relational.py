@@ -4813,3 +4813,67 @@ def reco_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("sim2").desc(), "part_a", "part_b").limit(20)
+
+
+@register(
+    "events_longest_streak",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+             CASE WHEN event_type IS DISTINCT FROM
+                       LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY t, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events),
+    runs0 AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS rid
+      FROM s),
+    runs AS (
+      SELECT user_id, event_type, rid, COUNT(*) AS len
+      FROM runs0 GROUP BY user_id, event_type, rid)
+    SELECT event_type, CAST(MAX(len) AS BIGINT) AS max_streak,
+           CAST(SUM(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_streaks_3plus,
+           COUNT(*) AS n_runs
+    FROM runs GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands streak detection — the engagement primitive
+    behind 'longest run of consecutive identical actions' (login
+    streaks, repeated-error bursts): runs are identified with the
+    ONE-PARTITIONING form of the islands trick — a lag-change indicator
+    summed into a running run id — instead of the textbook difference-
+    of-two-row_numbers, which needs a SECOND window partitioned by
+    (user, type) and therefore a second shuffle; here the change lag,
+    the run-id running sum, and nothing else ride a single user-key
+    sort (one Exchange, one Window node chain), then runs reduce by
+    partial-aggregated groupBy. Per type: the longest streak, how many
+    runs reach 3+, and total run count. Tie-break by event_id keeps run
+    boundaries deterministic under timestamp collisions; IS DISTINCT
+    FROM handles the first-row NULL lag identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("t", "event_id")
+    s = e.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id"
+    ).withColumn(
+        "chg",
+        (~F.col("event_type").eqNullSafe(F.lag("event_type").over(wo))).cast("int"),
+    )
+    runs = (
+        s.withColumn(
+            "rid", F.sum("chg").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "event_type", "rid")
+        .agg(F.count("*").alias("len"))
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.max("len").cast("long").alias("max_streak"),
+            F.sum((F.col("len") >= 3).cast("int")).cast("long").alias("n_streaks_3plus"),
+            F.count("*").alias("n_runs"),
+        )
+        .orderBy("event_type")
+    )

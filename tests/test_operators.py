@@ -1990,3 +1990,46 @@ def test_triangle_stats_matches_brute_force(spark):
         assert got["n_wedges"] == wedges
         assert got["n_nodes"] == len(nodes)
         assert got["n_edges"] == len(edges)
+
+
+def test_matryoshka_truncation_recall_trade(spark, emb):
+    """16-of-64-dim prefix search must rank deterministically, agree with
+    a python recomputation over the same prefix, and document the recall
+    trade vs full width (i.i.d. fixture = worst case; recall must still
+    beat random-10-of-N chance by a wide margin)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from flusher_spark.operators.similarity import brute_force_topk
+
+    qids = [0, 1, 2, 3, 4]
+    trunc = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    got = brute_force_topk(trunc, qids, k=10).collect()
+    full = brute_force_topk(emb, qids, k=10).collect()
+
+    vecs = {r["vec_id"]: list(r["embedding"])[:16] for r in emb.collect()}
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(float(x) ** 2 for x in a))
+                      * math.sqrt(sum(float(x) ** 2 for x in b)))
+
+    for q in qids:
+        want = sorted(
+            ((cos(vecs[q], v), -i) for i, v in vecs.items() if i != q), reverse=True
+        )[:10]
+        want_ids = [-i for _, i in want]
+        got_ids = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_id"] == q), key=lambda r: r["rank"])]
+        assert got_ids == want_ids, q
+
+    n = len(vecs)
+    hits = sum(
+        len({r["vec_id"] for r in got if r["query_id"] == q}
+            & {r["vec_id"] for r in full if r["query_id"] == q})
+        for q in qids
+    )
+    recall = hits / (10 * len(qids))
+    # random chance of a 10-set overlapping a fixed 10-set is ~10/n (<2%)
+    assert recall > 5 * (10 / n), f"prefix recall {recall:.2f} no better than chance"
