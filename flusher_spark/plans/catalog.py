@@ -122,10 +122,12 @@ PRIORITY = (
     "similarity_matryoshka_truncated",
     "corpus_dup_rate_by_source",
     "events_longest_streak",
-    # (the r7 additions grew to 22, so groups (1)+(2) fill slots 1-49 and
-    # count_rows — the most trivial r1-green row, moved here so that if
-    # the round adds one more entry it, not a first-verdict row, slips —
-    # takes slot 50: the window covers every stale AND every new entry)
+    "multimodal_audio_decimate",
+    # (the r7 additions grew to 23, so groups (1)+(2) fill slots 1-49 and
+    # groups (1)+(2) fill exactly 50: the window covers every stale AND
+    # every new entry; count_rows — the most trivial r1-green row, locally
+    # re-verified twice this round — is the one stale row deferred to lead
+    # the r8 rotation)
     "count_rows",
     # (3) rows-only family — re-window every round by policy (12; the tail
     # past slot 50 back-fills next round's window first)

@@ -2442,3 +2442,43 @@ def similarity_matryoshka_truncated(spark: SparkSession, sf_dir: str) -> DataFra
         "vec_id", F.slice("embedding", 1, 16).alias("embedding")
     )
     return S.brute_force_topk(emb, _QUERY_IDS, k=10)
+
+
+@register(
+    "multimodal_audio_decimate",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST((256 + 16 * (n_chars % 8)) // 2 AS BIGINT) AS n_samples,
+           CAST(1 + doc_id % 7 AS BIGINT) AS dominant_bin,
+           CAST(1 + doc_id % 7 AS DOUBLE) * 4000
+             / CAST((256 + 16 * (n_chars % 8)) // 2 AS DOUBLE)
+             AS dominant_freq_hz
+    FROM documents
+    """,
+)
+def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsampling under the exact-hash gate: each document's
+    integer-cycle sine WAV is DECIMATED 2× (every other sample kept, the
+    header re-stamped at half the rate — operators/multimodal.py
+    decimate_wav, a binary→binary transform stage like resize_images),
+    then the spectral stage decodes the RE-ENCODED artifact. Physics is
+    the oracle: a k-cycle tone over the window stays a k-cycle tone after
+    decimation (the samples are exactly the even-index subset, still an
+    integer-cycle sine at the new rate), so the dominant bin is unchanged
+    while n_samples halves and the bin→Hz conversion now uses rate/2 —
+    every output column is closed-form in (doc_id, n_chars). The
+    above-Nyquist ALIASING case (what zero-filter decimation does to high
+    tones, and why production resamplers low-pass first) is asserted in
+    tests/test_operators.py rather than smoothed over."""
+    from flusher_spark.operators.multimodal import (
+        decimate_audio, spectral_features, synth_sine_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = _synth_assets(
+        docs,
+        lambda d, c: synth_sine_wav(
+            8000, 256 + 16 * (c % 8), 1 + (d % 7), 12000 + (d % 9) * 2000
+        ),
+    )
+    return spectral_features(decimate_audio(assets, factor=2))

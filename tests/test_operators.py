@@ -2033,3 +2033,39 @@ def test_matryoshka_truncation_recall_trade(spark, emb):
     recall = hits / (10 * len(qids))
     # random chance of a 10-set overlapping a fixed 10-set is ~10/n (<2%)
     assert recall > 5 * (10 / n), f"prefix recall {recall:.2f} no better than chance"
+
+
+def test_decimate_wav_preserves_low_tones_and_aliases_high_ones():
+    """Integer decimation must keep a below-new-Nyquist tone in the SAME
+    bin (frequency preserved at half the rate), alias an above-Nyquist
+    tone to n' - k (the fold), halve the sample count and rate exactly,
+    and reject non-divisible rates."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from flusher_spark.operators.multimodal import decimate_wav, synth_sine_wav
+
+    def spectral(payload):
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sr, n = w.getframerate(), w.getnframes()
+            raw = w.readframes(n)
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        mag = np.abs(np.fft.rfft(x))
+        return sr, n, int(np.argmax(mag[1:])) + 1
+
+    # low tone: k=5 of 256 samples -> after 2x decimation still bin 5 of 128
+    low = decimate_wav(synth_sine_wav(8000, 256, 5, 12000), 2)
+    sr, n, k = spectral(low)
+    assert (sr, n, k) == (4000, 128, 5)
+
+    # high tone: k=100 of 256 -> n'=128, new Nyquist 64 < 100 -> folds to
+    # n' - k = 28
+    high = decimate_wav(synth_sine_wav(8000, 256, 100, 12000), 2)
+    sr, n, k = spectral(high)
+    assert (sr, n, k) == (4000, 128, 128 - 100)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="divisible"):
+        decimate_wav(synth_sine_wav(8001, 256, 5, 12000), 2)
