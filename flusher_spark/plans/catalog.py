@@ -56,7 +56,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Names surfaced first by ``registry()``. The driver's correctness harness
 #: covers a bounded prefix of the registry (50 entries per round), so this
 #: list rotates per round toward the entries whose latest driver verdict is
-#: weakest. Round-7 rotation, in order: (1) the 28 entries whose latest
+#: weakest. Round-7 rotation, in order: (1) 26 of the 28 entries whose latest
 #: driver verdict is r1/r2 — the stalest record in the registry (fixtures
 #: have drifted six windows since; all 24 oracle-checkable ones re-verified
 #: green locally in r6, so this is record freshness, not suspected
@@ -70,7 +70,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Every name here must exist (asserted in tests/test_plans.py); the rest
 #: follow in import order.
 PRIORITY = (
-    # (1) stalest driver verdicts: the r1 family not re-windowed in r6 (16)
+    # (1) stalest driver verdicts: the r1 family not re-windowed in r6 (14
+    # of 16 — count_rows/join_cross deferred below)
     "multimodal_binary_stats",
     "multimodal_feature_extract",
     "text_edit_distance",
@@ -80,7 +81,6 @@ PRIORITY = (
     "join_full_outer",
     "join_semi",
     "join_anti",
-    "join_cross",
     "agg_distinct",
     "agg_rollup",
     "agg_variance_manual",
@@ -123,12 +123,14 @@ PRIORITY = (
     "corpus_dup_rate_by_source",
     "events_longest_streak",
     "multimodal_audio_decimate",
-    # (the r7 additions grew to 23, so groups (1)+(2) fill slots 1-49 and
-    # groups (1)+(2) fill exactly 50: the window covers every stale AND
-    # every new entry; count_rows — the most trivial r1-green row, locally
-    # re-verified twice this round — is the one stale row deferred to lead
-    # the r8 rotation)
+    "events_trend_grouped_map",
+    # (the r7 additions grew to 24, so groups (1)+(2) fill exactly 50 —
+    # every first-verdict row is inside the driver window — by deferring
+    # the TWO most trivial stale rows (count_rows, join_cross — both
+    # r1-green and locally re-verified twice this round) to lead the r8
+    # rotation from here)
     "count_rows",
+    "join_cross",
     # (3) rows-only family — re-window every round by policy (12; the tail
     # past slot 50 back-fills next round's window first)
     "similarity_topk_arrow",

@@ -4877,3 +4877,78 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_trend_grouped_map",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY event_type)
+               AS x,
+             CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS y
+      FROM events),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM v GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+    FROM m ORDER BY event_type
+    """,
+)
+def events_trend_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED-MAP pandas surface (groupBy().applyInPandas — the last
+    uncovered leg of the Python API matrix next to scalar pandas_udf,
+    GROUPED_AGG, mapInPandas, applyInArrow, applyInPandasWithState, and
+    the UDTF): per event type, an OLS time trend of the value signal
+    (slope + intercept), each group arriving as one pandas DataFrame and
+    returning one summary row. EXACTNESS is the interesting part: the
+    UDF accumulates the regression moments in PYTHON INTS (arbitrary
+    precision — Σx² over microsecond offsets exceeds int64 and would
+    silently lose bits as float64), and only the final two divisions
+    produce doubles; the oracle does the same arithmetic in
+    DECIMAL/HUGEINT, so the hashes match bit-for-bit where a numpy
+    float-sum implementation would drift with batch order. Times are
+    per-group min-anchored on both sides to bound magnitudes. The
+    relational twin is one moment aggregate (agg_corr_exact's pattern) —
+    docstring records that as the plan when groups are huge; this entry
+    exists to prove the grouped-map surface end to end."""
+    from pyspark.sql.functions import unix_micros
+
+    def trend(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = [int(v) for v in pdf["t"]]
+        x0 = min(xs)
+        xs = [v - x0 for v in xs]
+        ys = [int(v) for v in pdf["y"]]
+        n = len(xs)
+        sx = sum(xs)
+        sy = sum(ys)
+        sxx = sum(v * v for v in xs)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        den = n * sxx - sx * sx
+        return pd.DataFrame(
+            [{
+                "event_type": pdf["event_type"].iloc[0],
+                "n": n,
+                "slope": float(n * sxy - sx * sy) / float(den),
+                "intercept": float(sy * sxx - sx * sxy) / float(den),
+            }]
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        unix_micros("ts").alias("t"),
+        (dec("value", "decimal(8,2)") * 100).cast("long").alias("y"),
+    )
+    return (
+        v.groupBy("event_type")
+        .applyInPandas(trend, "event_type string, n long, slope double, intercept double")
+        .orderBy("event_type")
+    )
