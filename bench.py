@@ -180,6 +180,7 @@ HEADLINE = [
     "events_longest_streak",
     "multimodal_audio_decimate",
     "events_trend_grouped_map",
+    "events_cumulative_reach",
     # (events_stream_stream_full_join runs a full staged stream like its
     # inner/left siblings — timed by its own tests, not the headline.
     # etl_snapshot_changes_feed shares etl_snapshot_cdc_delete's

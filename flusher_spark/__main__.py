@@ -82,6 +82,7 @@ def _build_parser() -> argparse.ArgumentParser:
         ("read", ("--version", "--show")),
         ("versions", ()),
         ("restore", ("--version",)),
+        ("changes", ("--show",)),
         ("compact", ()),
         ("vacuum", ()),
     ):
@@ -100,6 +101,11 @@ def _build_parser() -> argparse.ArgumentParser:
                 help="protect unreferenced files younger than this "
                      "(concurrent-writer staged commits); 0 = single-writer",
             )
+        if name == "changes":
+            sp.add_argument("--from-version", type=int, default=None,
+                            help="base version of the change feed (required)")
+            sp.add_argument("--to-version", type=int, default=None,
+                            help="end version (default: current)")
     return p
 
 
@@ -242,6 +248,11 @@ def main(argv: list[str] | None = None) -> int:
                 print("--version is required for restore", file=sys.stderr)
                 return 2
             print(f"restored to v{args.version} as version {t.restore(args.version)}")
+        elif args.snap_cmd == "changes":
+            if args.from_version is None:
+                print("--from-version is required for changes", file=sys.stderr)
+                return 2
+            t.changes(args.from_version, args.to_version).show(args.show, truncate=False)
         elif args.snap_cmd == "compact":
             print(f"current version {t.compact()}")
         elif args.snap_cmd == "vacuum":

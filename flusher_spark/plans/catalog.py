@@ -70,8 +70,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Every name here must exist (asserted in tests/test_plans.py); the rest
 #: follow in import order.
 PRIORITY = (
-    # (1) stalest driver verdicts: the r1 family not re-windowed in r6 (14
-    # of 16 — count_rows/join_cross deferred below)
+    # (1) stalest driver verdicts: the r1 family not re-windowed in r6 (13
+    # of 16 — count_rows/join_cross/join_anti deferred below)
     "multimodal_binary_stats",
     "multimodal_feature_extract",
     "text_edit_distance",
@@ -80,7 +80,6 @@ PRIORITY = (
     "join_left_outer",
     "join_full_outer",
     "join_semi",
-    "join_anti",
     "agg_distinct",
     "agg_rollup",
     "agg_variance_manual",
@@ -124,13 +123,15 @@ PRIORITY = (
     "events_longest_streak",
     "multimodal_audio_decimate",
     "events_trend_grouped_map",
-    # (the r7 additions grew to 24, so groups (1)+(2) fill exactly 50 —
+    "events_cumulative_reach",
+    # (the r7 additions grew to 25, so groups (1)+(2) fill exactly 50 —
     # every first-verdict row is inside the driver window — by deferring
-    # the TWO most trivial stale rows (count_rows, join_cross — both
-    # r1-green and locally re-verified twice this round) to lead the r8
-    # rotation from here)
+    # the THREE most trivial stale rows (count_rows, join_cross, join_anti:
+    # all r1-green and locally re-verified twice this round) to lead the
+    # r8 rotation from here)
     "count_rows",
     "join_cross",
+    "join_anti",
     # (3) rows-only family — re-window every round by policy (12; the tail
     # past slot 50 back-fills next round's window first)
     "similarity_topk_arrow",

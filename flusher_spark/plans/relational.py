@@ -4952,3 +4952,61 @@ def events_trend_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(trend, "event_type string, n long, slope double, intercept double")
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_cumulative_reach",
+    oracle="""
+    WITH f AS (
+      SELECT event_type, user_id,
+             MIN(CAST(date_trunc('day', ts) AS DATE)) AS fday
+      FROM events GROUP BY event_type, user_id),
+    news AS (
+      SELECT event_type, fday AS day, COUNT(*) AS cnt
+      FROM f GROUP BY event_type, fday),
+    spine AS (
+      SELECT DISTINCT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events)
+    SELECT s.event_type, s.day,
+           CAST(SUM(COALESCE(n.cnt, 0))
+                  OVER (PARTITION BY s.event_type ORDER BY s.day) AS BIGINT)
+             AS users_cum
+    FROM spine s LEFT JOIN news n
+      ON s.event_type = n.event_type AND s.day = n.day
+    ORDER BY s.event_type, s.day
+    """,
+)
+def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative REACH — exact all-time distinct users per event type as
+    of each active day (the growth curve next to the trailing-window
+    sliding-bitmap entry): the naive form re-counts DISTINCT over an
+    ever-growing prefix per day (quadratic re-scans); the scale form is
+    FIRST-SEEN arithmetic — cumulative distinct ≡ running SUM of
+    first-appearance counts, because each user enters the distinct set
+    exactly once. One (type, user) partial aggregate for first days, a
+    per-(type, day) count, and a running sum over the compact
+    types×days spine — the window never touches fact rows. The same
+    identity is why streaming reach needs only per-user first-seen
+    state (events_stateful_dedup_first's shape), not a distinct set per
+    window. Unique (type, day) spine rows make RANGE/ROWS framing
+    agree, so both engines' running sums are identical."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("event_type", "user_id").agg(F.min(F.to_date("ts")).alias("fday"))
+    news = f.groupBy("event_type", F.col("fday").alias("day")).agg(
+        F.count("*").alias("cnt")
+    )
+    spine = e.select("event_type", F.to_date("ts").alias("day")).distinct()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(news, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.sum(F.coalesce("cnt", F.lit(0))).over(w).cast("long").alias("users_cum"),
+        )
+        .orderBy("event_type", "day")
+    )

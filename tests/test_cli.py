@@ -83,6 +83,15 @@ def test_cli_snapshot_lifecycle(spark, tmp_path, capsys):
     assert main(["snapshot", "compact", "--table", table]) == 0
     assert main(["snapshot", "vacuum", "--table", table]) == 0
     assert {r["k"]: r["v"] for r in t.snapshot().collect()} == rows
+    # change data feed v0 -> v1 through the CLI
+    assert main(["snapshot", "changes", "--table", table,
+                 "--from-version", "0", "--show", "30"]) == 0
+    out = capsys.readouterr().out
+    assert "insert" in out and "delete" in out
+    # restore to v0 as a new commit; contents revert, history intact
+    assert main(["snapshot", "restore", "--table", table, "--version", "0"]) == 0
+    assert t.snapshot().count() == 10
+    assert {r["k"]: r["v"] for r in t.snapshot(1).collect()} == rows
 
 
 def test_cli_query_explain_prints_plan(spark, capsys):
