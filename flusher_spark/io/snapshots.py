@@ -319,10 +319,11 @@ class SnapshotTable:
             if last is not None and batch_id <= last:
                 return None  # replayed micro-batch: already committed
         if delete_col is not None:
-            deletes = source.where(F.col(delete_col)).drop(delete_col)
+            # Delete semantics flow entirely through the all-source-keys
+            # anti-join below: a marked key's victim row is removed there and
+            # nothing re-inserts it — only the non-delete rows land.
             upserts = source.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
         else:
-            deletes = None
             upserts = source
         schema = self._evolved_schema(self._read_schema(m), upserts.schema)
         # Touched-file range spans ALL source keys (upserts AND deletes):
@@ -381,7 +382,11 @@ class SnapshotTable:
         the cost scales with the churned fraction of the table, not its
         size (the same reason merge is copy-on-write at file
         granularity). Both sides read under their own recorded schema and
-        conform to the LATER version's schema, so evolution shows up
+        conform to the UNION of the two versions' schemas — not the later
+        one alone, because restore() can publish an older, NARROWER schema
+        on top of history; conforming to it would drop the evolved columns
+        from the wider side, and rows differing only there would cancel in
+        exceptAll and vanish from the feed. Evolution still shows up
         honestly: an old row re-written with a new column becomes a
         delete(NULL-extended old) + insert(new)."""
         to_v = self.current_version() if to_version is None else to_version
@@ -389,9 +394,22 @@ class SnapshotTable:
         fa = {f["path"] for f in m_from["files"]}
         fb = {f["path"] for f in m_to["files"]}
         only_a, only_b = sorted(fa - fb), sorted(fb - fa)
-        out_schema = self._read_schema(m_to)
-        if out_schema is None:
-            probe = only_b or only_a or [f["path"] for f in m_to["files"]]
+        s_from, s_to = self._read_schema(m_from), self._read_schema(m_to)
+        out_schema = (
+            self._evolved_schema(s_to, s_from) if s_from is not None and s_to is not None
+            else (s_to or s_from)
+        )
+        if out_schema is None:  # legacy manifests predating schema recording
+            probe = (
+                only_b or only_a
+                or [f["path"] for f in m_to["files"]]
+                or [f["path"] for f in m_from["files"]]
+            )
+            if not probe:
+                # Both versions empty AND no schema recorded anywhere: the
+                # diff is empty with no row shape to infer — return the
+                # change-type column alone instead of probing parquet(*[]).
+                return self.spark.createDataFrame([], "_change_type string")
             out_schema = self.spark.read.parquet(*probe).schema
 
         def side(paths: list[str], m: dict) -> DataFrame:

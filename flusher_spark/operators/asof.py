@@ -31,10 +31,12 @@ def asof_join(
     """For each left row, attach the latest right row with
     ``right[right_ts] <= left[left_ts]`` within the same ``on`` keys.
 
-    Right rows that tie on timestamp among themselves resolve by descending
-    payload order (deterministic). Left rows with no prior right row get
-    nulls. Output: all left columns + ``value_cols`` (default: every
-    non-key, non-ts right column) renamed with ``suffix``.
+    Right rows that tie on timestamp among themselves resolve to the LARGEST
+    payload struct, i.e. the highest ``value_cols`` tuple wins (deterministic;
+    pick the column order accordingly — e.g. put a change id first to make the
+    latest change win). Left rows with no prior right row get nulls. Output:
+    all left columns + ``value_cols`` (default: every non-key, non-ts right
+    column) renamed with ``suffix``.
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in on and c != right_ts]
@@ -59,9 +61,11 @@ def asof_join(
 
     # Right rows sort before left rows at equal timestamps (side 0 < 1), so an
     # equal-ts right row is already visible — matching ASOF '>=' semantics.
+    # Payload ASCENDING + running last() ⇒ among right rows tied on timestamp
+    # the largest payload struct is the one carried forward.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(left_ts).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).desc())
+        .orderBy(F.col(left_ts).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = lhs.unionByName(rhs).withColumn(

@@ -133,7 +133,12 @@ def connected_components(
     the node key, no driver-side graph state. Convergence is detected by
     edge-set fixpoint (two scalar counts per round); ``localCheckpoint``
     truncates lineage so round N never replays rounds 1..N-1. ``stats``
-    (optional dict) receives {"rounds": n} for observability/tests."""
+    (optional dict) receives {"rounds": n, "converged": bool}; exhausting
+    ``max_iter`` without reaching the fixpoint RAISES unless the caller
+    passed a ``stats`` dict (then converged=False is recorded instead and
+    the partially-contracted labeling is returned) — a truncated forest
+    can emit duplicate node rows with conflicting labels, which must
+    never pass silently."""
     a, b = F.col("a"), F.col("b")
     e = (
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
@@ -151,6 +156,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         # Large-star: full neighborhood (both directions); each node u's
@@ -186,10 +192,18 @@ def connected_components(
         # equal counts + empty difference == converged (two scalar counts).
         if e2.count() == e.count() and e2.exceptAll(e).count() == 0:
             e = e2
+            converged = True
             break
         e = e2
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
+    elif not converged:
+        raise RuntimeError(
+            f"connected_components did not reach the edge-set fixpoint in "
+            f"{max_iter} rounds; the labeling may be a truncated forest "
+            f"(raise max_iter, or pass stats={{}} to accept converged=False)"
+        )
     # At fixpoint every edge is (member, root); roots/isolated nodes label
     # themselves.
     return (
@@ -223,8 +237,11 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     deg = bi.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed("a", "node")
     n_nodes = deg.count()
     n_edges = e.count()
+    # Integer DIV keeps the wedge total exact at any scale (deg·(deg−1) is
+    # always even); a double division summed in floating point would lose
+    # exactness once the total nears 2^53 on hub-heavy graphs.
     wedge_total = deg.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("w")
+        F.sum(F.expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)")).alias("w")
     ).collect()[0]["w"] or 0
     # Orient each edge by (deg, id): small -> large.
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))

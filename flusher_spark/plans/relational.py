@@ -4640,9 +4640,11 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/asof.py — union + one ordered window over the user key,
     one sort shuffle, no join fan-out, no LEAD pass to close intervals).
     Change-timestamp collisions resolve identically on both sides: the
-    oracle's zero-width intervals match nothing and the as-of payload
-    tie-breaks by change id descending, so both pick the LAST change at
-    the shared timestamp. Purchases are events, so every purchase has a
+    oracle's zero-width intervals match nothing, so only the change with
+    the HIGHEST event id at a tied timestamp survives (it alone gets a
+    later valid_to); the as-of side puts change_id first in the payload
+    and asof_join's largest-payload-wins tie-break picks that same
+    highest-id change (tie-collision test in tests/test_operators.py). Purchases are events, so every purchase has a
     covering interval — the aggregate drops nothing on either engine."""
     from flusher_spark.operators.asof import asof_join
 

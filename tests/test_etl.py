@@ -659,6 +659,59 @@ def test_snapshot_table_changes_feed(spark, tmp_path):
     assert all_ins == 50 + 100 + 5
 
 
+def test_snapshot_table_changes_across_restore_keeps_union_schema(spark, tmp_path):
+    """A restore can publish an older, NARROWER schema on top of history;
+    changes() across that boundary must diff under the UNION of both
+    versions' schemas. Rows that differ only in the evolved column would
+    otherwise conform identical and cancel in exceptAll — the feed would
+    silently claim nothing changed."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"), "k")
+    base = spark.range(0, 5).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    t.create(base)  # v0: (k, v)
+    t.merge(base.withColumn("extra", F.lit(1).cast("long")))  # v1: (k, v, extra=1)
+    t.restore(0)  # v2: v0's files AND v0's narrower schema
+
+    ch = t.changes(1, 2)
+    assert "extra" in ch.columns  # union schema, not v2's narrow one
+    rows = ch.collect()
+    dels = [r for r in rows if r["_change_type"] == "delete"]
+    ins = [r for r in rows if r["_change_type"] == "insert"]
+    assert len(dels) == 5 and all(r["extra"] == 1 for r in dels)
+    assert len(ins) == 5 and all(r["extra"] is None for r in ins)
+
+
+def test_snapshot_table_changes_legacy_empty_manifests(spark, tmp_path):
+    """Legacy manifests (predating schema recording) with empty file lists
+    must not probe parquet(*[]): empty-vs-empty diffs to an empty frame,
+    and empty-vs-nonempty infers the schema from the nonempty side."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    root = str(tmp_path / "snap")
+    t = SnapshotTable(spark, root, "k")
+    t.create(spark.range(0, 3).select(F.col("id").alias("k"), F.lit("x").alias("v")))
+    data_files = t._manifest(0)["files"]
+    # Rewrite history as legacy manifests: no "schema" key anywhere.
+    for v, files in [(0, []), (1, []), (2, data_files)]:
+        with open(os.path.join(root, "_manifests", f"v{v}.json"), "w") as f:
+            json.dump({"version": v, "parent": v - 1, "key": "k", "files": files}, f)
+
+    both_empty = t.changes(0, 1)
+    assert both_empty.count() == 0 and "_change_type" in both_empty.columns
+
+    feed = t.changes(1, 2)
+    assert set(feed.columns) == {"k", "v", "_change_type"}
+    assert feed.where(F.col("_change_type") == "insert").count() == 3
+
+
 def test_snapshot_table_stats_scan_shortcuts(spark, tmp_path):
     """rows() must answer COUNT(*) from manifest metadata alone (exact at
     every version), and scan_range() must open ONLY files whose key range

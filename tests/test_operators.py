@@ -56,6 +56,20 @@ def test_asof_equal_timestamp_visible(spark):
     assert row["rv_right"] == 7
 
 
+def test_asof_tied_right_rows_largest_payload_wins(spark):
+    # Two right rows at the SAME timestamp: the largest payload struct wins
+    # (change_id 200 beats 100) — the tie-break join_scd2_pointintime's
+    # zero-width-interval oracle requires (highest id survives).
+    left = spark.createDataFrame([(1, 10), (1, 5)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 5, 100, "a"), (1, 5, 200, "b")], "k long, rt long, cid long, st string"
+    )
+    rows = {r["t"]: r for r in
+            asof_join(left, right, ["k"], "t", "rt", value_cols=["cid", "st"]).collect()}
+    assert rows[10]["cid_right"] == 200 and rows[10]["st_right"] == "b"
+    assert rows[5]["cid_right"] == 200  # equal-ts rows visible, same winner
+
+
 def test_asof_nearest_matches_pandas_merge_asof(spark):
     from flusher_spark.operators.asof import asof_join_nearest
 
@@ -1181,6 +1195,24 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     assert stats["rounds"] <= 12, (
         f"chain took {stats['rounds']} rounds — star contraction should be ~log n"
     )
+    assert stats["converged"] is True
+
+
+def test_connected_components_iteration_cap_is_loud(spark):
+    """Exhausting max_iter before the edge-set fixpoint must not pass
+    silently: without a stats dict it raises; with one it records
+    converged=False so callers can tell a contracted forest from a
+    truncated one."""
+    import pytest as _pytest
+
+    from flusher_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(64)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(df, max_iter=1).collect()
+    stats: dict = {}
+    connected_components(df, max_iter=1, stats=stats)
+    assert stats == {"rounds": 1, "converged": False}
 
 
 # -- SemDeDup ----------------------------------------------------------------
