@@ -510,3 +510,107 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate SPANS — the corpus-dedup mode that catches
+    repeated passages exact/MinHash doc-level dedup both miss (boilerplate
+    paragraphs, licence blocks, syndicated intros shared across otherwise
+    distinct pages). Public reference point: suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"); this is the shuffle-bounded Spark formulation of the same
+    contract — a token position is duplicated iff the k-token gram starting
+    there also occurs in >= ``min_docs`` distinct documents, and maximal
+    runs of duplicated positions merge into spans (a shared passage of L
+    tokens is exactly the island of its L-k+1 anchor grams).
+
+    Plan shape (never all-pairs, never a suffix array's global sort):
+    row-local gram explode (narrow, same transform/slice projection as
+    shingle_rows) -> one groupBy on the gram string (the inverted index;
+    map-side partial counts) -> semi-join positions against the duplicated
+    grams -> one doc_id window for gaps-and-islands. Cost is O(corpus
+    tokens) shuffle bytes, the same order as the MinHash pipeline. At
+    100 TB the gram key would be xxhash64-compressed before the exchange;
+    kept as the raw string here so the result is collision-free exact.
+
+    Returns (doc_id, start_tok, end_tok, n_tok): 0-based inclusive token
+    indexes of each maximal duplicated span, n_tok = end - start + 1 >= k.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")).where(
+        F.size("__t") >= k
+    )
+    toks = _ensure_parallelism(toks)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(__t) - {k}),"
+                f" i -> concat_ws(' ', slice(__t, i + 1, {k})))"
+            )
+        ).alias("pos", "g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    hits = grams.join(dup, "g", "left_semi").select("doc_id", F.col("pos").cast("long"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("start_tok"), F.max("pos").alias("__maxpos"))
+        .select(
+            "doc_id",
+            "start_tok",
+            (F.col("__maxpos") + k - 1).cast("long").alias("end_tok"),
+            (F.col("__maxpos") + k - F.col("start_tok")).cast("long").alias("n_tok"),
+        )
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trim the spans found by :func:`substring_dup_spans` out of each
+    document (Lee et al.'s 'remove the duplicated substring' step), keeping
+    everything else verbatim. Every flagged occurrence is removed in every
+    document that carries one; a single canonical copy survives only if some
+    corpus document contains the passage OUTSIDE a flagged span (callers
+    wanting keep-one semantics filter ``spans`` first, e.g. by dropping each
+    anchor gram's minimum doc_id — policy, not mechanism, so it stays out of
+    this operator).
+
+    One doc_id-keyed aggregate of spans (collect_list of bounded per-doc
+    span structs — span counts per doc are small by construction) + a
+    row-local filter-by-position rebuild; documents with no spans pass
+    through untouched via the left join.
+    """
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("__spans")
+    )
+    out_text = F.when(
+        F.col("__spans").isNull(), F.col(text_col)
+    ).otherwise(
+        F.expr(
+            "concat_ws(' ', filter(__t, (tok, i) -> "
+            "NOT exists(__spans, s -> i >= s.start_tok AND i <= s.end_tok)))"
+        )
+    )
+    keep = [c for c in df.columns if c != text_col]
+    return (
+        df.withColumn("__t", tokens(F.col(text_col)))
+        .join(per_doc, df[id_col] == per_doc["doc_id"], "left")
+        .drop(per_doc["doc_id"])
+        .select(*keep, out_text.alias(text_col))
+    )

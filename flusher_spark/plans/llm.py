@@ -2482,3 +2482,43 @@ def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return spectral_features(decimate_audio(assets, factor=2))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: substring-level dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS g
+      FROM toks, UNNEST(range(len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+    isl AS (SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM hits)
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+           CAST(MAX(pos) + 7 AS BIGINT) AS end_tok,
+           CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS n_tok
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level duplicate spans (suffix-array-style dedup, Lee et
+    al. 2022): maximal token spans whose every 8-gram also occurs in >= 2
+    distinct documents — the repeated-passage detector doc-level exact and
+    MinHash dedup both miss (operators/dedup.py::substring_dup_spans).
+    Gram explode is row-local; the only wide ops are the inverted-index
+    groupBy on the gram, the semi-join back, and one doc window for
+    gaps-and-islands — O(corpus tokens) shuffle bytes, no suffix array's
+    global sort, no all-pairs. The oracle replays the identical anchor
+    arithmetic in SQL (range -> slice grams, HAVING >= 2 docs, islands
+    via pos - ROW_NUMBER)."""
+    return D.substring_dup_spans(
+        load_table(spark, sf_dir, "documents"), k=8, min_docs=2
+    )

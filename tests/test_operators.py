@@ -2101,3 +2101,47 @@ def test_decimate_wav_preserves_low_tones_and_aliases_high_ones():
     import pytest as _pt
     with _pt.raises(ValueError, match="divisible"):
         decimate_wav(synth_sine_wav(8001, 256, 5, 12000), 2)
+
+
+# -- substring dedup ---------------------------------------------------------
+
+
+def test_substring_dup_spans_finds_planted_passage(spark):
+    """A 12-token passage planted in two documents must surface as one
+    maximal span per document (island of 12-8+1=5 anchor grams), at the
+    right token offsets; unique text must produce no spans."""
+    from flusher_spark.operators.dedup import substring_dup_spans
+
+    passage = " ".join(f"shared{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + passage + " gamma delta"),
+            (2, passage + " epsilon zeta eta theta"),
+            (3, " ".join(f"unique{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {r["doc_id"]: r for r in substring_dup_spans(docs, k=8).collect()}
+    assert set(spans) == {1, 2}
+    # doc 1: passage occupies tokens 2..13; doc 2: tokens 0..11
+    assert (spans[1]["start_tok"], spans[1]["end_tok"], spans[1]["n_tok"]) == (2, 13, 12)
+    assert (spans[2]["start_tok"], spans[2]["end_tok"], spans[2]["n_tok"]) == (0, 11, 12)
+
+
+def test_remove_dup_spans_trims_only_flagged_tokens(spark):
+    from flusher_spark.operators.dedup import remove_dup_spans, substring_dup_spans
+
+    passage = " ".join(f"shared{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + passage + " gamma"),
+            (2, passage + " epsilon zeta"),
+            (3, "totally unrelated text here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = substring_dup_spans(docs, k=8)
+    out = {r["doc_id"]: r["text"] for r in remove_dup_spans(docs, spans).collect()}
+    assert out[1] == "alpha beta gamma"
+    assert out[2] == "epsilon zeta"
+    assert out[3] == "totally unrelated text here"  # untouched via left join
