@@ -948,3 +948,205 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the composed end-to-end pipeline (flagship)
+# ---------------------------------------------------------------------------
+
+#: The synthesized-URL arithmetic shared with dedup_canonical_url (llm.py):
+#: doc_id residues mod 97 define the canonical page; mods 2/3/5/7 add
+#: scheme/case/utm/slash noise that canonicalization must collapse.
+_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) || "
+    "(CASE doc_id % 3 WHEN 0 THEN 'WWW.Site' || CAST(doc_id % 97 AS VARCHAR) || '.COM' "
+    "                 WHEN 1 THEN 'www.site' || CAST(doc_id % 97 AS VARCHAR) || '.com' "
+    "                 ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.com' END) || "
+    "'/a/' || CAST(doc_id % 97 AS VARCHAR) || "
+    "(CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END)"
+)
+
+
+@register(
+    "corpus_e2e_pipeline",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, source, n_chars, text, {_TOKENS_SQL} AS toks
+               FROM documents),
+    -- stage 1: document-statistics quality rules (Gopher-style)
+    s1 AS (SELECT * FROM t
+           WHERE len(toks) BETWEEN 50 AND 100000
+             AND 3 * len(toks) <= list_sum(list_transform(toks, x -> length(x)))
+             AND list_sum(list_transform(toks, x -> length(x))) <= 10 * len(toks)
+             AND 5 * len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   >= 4 * len(toks)),
+    -- stage 2: canonical-URL dedup, keep-best = longest text then lowest id
+    u AS (SELECT doc_id, n_chars,
+            regexp_replace(regexp_replace(replace(lower(regexp_replace(
+              {_URL_SQL},
+              '\?utm_[a-z_]+=[a-z]+$', '')), '://www.', '://'),
+              '^http://', 'https://'), '/$', '') AS curl
+          FROM s1),
+    kept_url AS (SELECT doc_id FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY curl
+                 ORDER BY n_chars DESC, doc_id) AS rn FROM u) WHERE rn = 1),
+    s2 AS (SELECT t.* FROM t JOIN kept_url USING (doc_id)),
+    -- stage 3: exact 3-gram Jaccard >= 0.5; the lower doc id is canonical
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+           FROM s2 WHERE len(toks) >= 3),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    keep_s AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= 1000),
+    inv2 AS (SELECT inv.doc_id, inv.s FROM inv JOIN keep_s USING (s)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM inv2 a JOIN inv2 b ON a.s = b.s AND a.doc_id < b.doc_id),
+    dup_b AS (SELECT DISTINCT doc_b FROM cand
+              JOIN sh sa ON sa.doc_id = cand.doc_a
+              JOIN sh sb ON sb.doc_id = cand.doc_b
+              WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                         AS DOUBLE) >= 0.5),
+    s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_b FROM dup_b)),
+    -- stage 4: decontamination vs the held-out eval split (doc_id % 97 = 0):
+    -- eval docs drop, training docs with >= 50% distinct-3gram overlap drop
+    g_all AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+              FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)),
+    ev AS (SELECT DISTINCT s FROM g_all WHERE doc_id % 97 = 0),
+    tr AS (SELECT g_all.* FROM g_all JOIN s3 USING (doc_id)
+           WHERE g_all.doc_id % 97 <> 0),
+    ratio AS (SELECT tr.doc_id, COUNT(*) AS n_sh,
+                     SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS n_ov
+              FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id),
+    s4 AS (SELECT s3.* FROM s3 JOIN ratio USING (doc_id)
+           WHERE 2 * ratio.n_ov < ratio.n_sh),
+    -- stage 5: mixture reweighting to a uniform per-source token target
+    per AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS nt FROM s4),
+    agg AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens FROM per GROUP BY source),
+    mix AS (SELECT source,
+              CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                (CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE))
+                  / (CAST(n_tokens AS DOUBLE)
+                     / CAST(SUM(n_tokens) OVER () AS DOUBLE))
+              ) * 1000000) AS BIGINT) AS keep_below FROM agg),
+    s5 AS (SELECT per.* FROM per JOIN mix USING (source)
+           WHERE CAST(('0x' || substr(md5(CAST(per.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 1000000 < mix.keep_below),
+    -- stage 6: contiguous-fill sequence packing, 8 streams x 1024 tokens
+    c AS (SELECT doc_id % 8 AS bucket, doc_id, nt,
+                 SUM(nt) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, nt
+                               ROWS UNBOUNDED PRECEDING) AS cum
+          FROM s5)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST((cum - nt) // 1024 AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY bucket, CAST((cum - nt) // 1024 AS BIGINT)
+    ORDER BY bucket, pack_id
+    """,
+)
+def corpus_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE COMPOSED CORPUS PIPELINE — every prep stage this engine ships,
+    run as ONE lazy plan from raw crawl to tokenizer input: quality rules
+    -> canonical-URL dedup -> near-dup removal -> benchmark
+    decontamination -> mixture reweighting -> sequence packing. Each
+    stage is the exact mechanism its standalone entry oracle-checks
+    (corpus_gopher_rules' integer cross-multiplied stats rules;
+    dedup_canonical_url's canonicalize + keep-best; dedup_ngram_jaccard's
+    inverted-index pairs — the exact twin standing in for MinHash-LSH so
+    the WHOLE pipeline stays hash-checkable, same pair schema to swap at
+    scale; decontaminate_ngram_overlap's broadcast eval set;
+    corpus_source_mix/_apply's uniform-target hash downsample;
+    pack_sequences_fill's bucketed contiguous fill). Fixture adaptation,
+    stated not hidden: the C4 line rules and Gopher stop-word rule would
+    keep ZERO synthetic-fixture docs (no terminal punctuation, no English
+    function words — their mechanisms are oracle-checked in their own
+    entries), so stage 1 applies the document-STATISTICS rules that do
+    bite (word count/length/alpha fraction); near-dup keep-one here is
+    the pairwise lower-id rule (single join) rather than the iterative
+    transitive-cluster rule, documented divergence. Scale shape: no
+    stage materializes — one plan, whose wide ops are the stages' own
+    bounded shuffles (stats filter is scan-local; URL keep-best one
+    hash shuffle; jaccard the inverted-index equi-join, never all-pairs;
+    decon a broadcast semi-probe; mix a #sources broadcast; packing one
+    bucket-partitioned window over 8 independent streams)."""
+    from flusher_spark.operators.dedup import ngram_jaccard_pairs
+    from flusher_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", "n_chars", "text", tokens(F.col("text")).alias("toks"))
+    nw = F.size("toks").cast("long")
+    sumlen = F.expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)")
+    nalpha = F.expr("size(filter(toks, x -> x rlike '[a-z]'))").cast("long")
+    s1 = t.where(
+        nw.between(50, 100000)
+        & (3 * nw <= sumlen)
+        & (sumlen <= 10 * nw)
+        & (5 * nalpha >= 4 * nw)
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.replace(
+                F.lower(F.regexp_replace(F.expr(_URL_SQL.replace("VARCHAR", "STRING")),
+                                         r"\?utm_[a-z_]+=[a-z]+$", "")),
+                F.lit("://www."), F.lit("://"),
+            ),
+            r"^http://", "https://",
+        ),
+        r"/$", "",
+    )
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("negid")))
+    kept_url = (
+        s1.select("doc_id", "n_chars", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(best.alias("b"))
+        .select((-F.col("b.negid")).alias("doc_id"))
+    )
+    s2 = t.join(kept_url, "doc_id", "left_semi")
+    pairs = ngram_jaccard_pairs(s2, n=3, threshold=0.5, max_bucket=1000)
+    s3 = s2.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    g_all = shingle_rows(d, n=3).distinct()
+    ev = F.broadcast(g_all.where(F.col("doc_id") % 97 == 0).select("s").distinct())
+    tr = shingle_rows(s3, n=3).distinct().where(F.col("doc_id") % 97 != 0)
+    ratio = (
+        tr.join(ev.withColumn("__hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"), F.count("__hit").alias("n_ov"))
+    )
+    s4 = s3.join(ratio, "doc_id").where(2 * F.col("n_ov") < F.col("n_sh"))
+    per = s4.select("doc_id", "source", F.size("toks").cast("long").alias("nt"))
+    w = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double")
+    target = F.lit(1.0) / F.count("*").over(w).cast("double")
+    mix = (
+        per.groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+        .select(
+            "source",
+            F.floor(F.least(F.lit(1.0), target / share) * 1_000_000)
+            .cast("long").alias("keep_below"),
+        )
+    )
+    s5 = per.join(F.broadcast(mix), "source").where(
+        hash_bucket(F.col("doc_id"), 1_000_000) < F.col("keep_below")
+    )
+    wc = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id", "nt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        s5.select((F.col("doc_id") % 8).alias("bucket"), "doc_id", "nt")
+        .withColumn("cum", F.sum("nt").over(wc))
+    )
+    return (
+        c.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.expr("CAST((cum - nt) DIV 1024 AS BIGINT)").alias("pack_id"),
+            "nt",
+        )
+        .groupBy("bucket", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").cast("long").alias("pack_tokens"))
+        .orderBy("bucket", "pack_id")
+    )
