@@ -2737,6 +2737,46 @@ def events_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "events_stream_stream_right_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM events WHERE event_type = 'view')
+    SELECT p.purchase_id, v.user_id, p.purchase_ts, v.view_id, v.view_ts
+    FROM p RIGHT JOIN v
+      ON p.user_id = v.user_id
+     AND v.view_ts <= p.purchase_ts
+     AND v.view_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    """,
+)
+def events_stream_stream_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER watermarked stream-stream join executed as a stream
+    (streaming/joins.py join_purchases_to_views_right) — the last missing
+    orientation after inner/left/full: outer on the VIEW side, so every
+    view emits, with NULL purchase columns if no purchase ever claims it.
+    The view-side NULL is the forward-looking verdict (shared with the
+    full join's view half): it flushes only when the global watermark
+    passes view_ts + max_gap, since a claiming purchase may arrive up to
+    an hour LATER. The sentinel flush file advances both watermarks past
+    every real event so the bounded stream emits the exact batch RIGHT
+    JOIN row set and the entry earns a full DuckDB hash oracle."""
+    from flusher_spark.streaming.joins import join_purchases_to_views_right
+    from flusher_spark.streaming.windows import stream_events
+
+    path = _stage_event_stream(spark, sf_dir, sentinel=True)
+    out = _run_stream_entry(
+        spark,
+        lambda: join_purchases_to_views_right(stream_events(spark, path)),
+        "cat_ss_right_join",
+        "append",
+    )
+    return out.where(F.col("user_id") >= 0)
+
+
+@register(
     "join_salted_skew",
     oracle=f"""
     WITH skewed AS (

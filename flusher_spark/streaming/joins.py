@@ -137,3 +137,41 @@ def join_purchases_to_views_full(
         "view_id",
         "view_ts",
     )
+
+
+def join_purchases_to_views_right(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """RIGHT OUTER stream-stream join — the mirror of the left join, outer
+    on the VIEW side: matched (purchase, view) pairs emit on match; a view
+    that no purchase ever claims emits once with NULL purchase columns.
+    This is the subtle outer direction (shared with the full join's view
+    half): a view's no-purchase verdict points FORWARD in time — the
+    claiming purchase may arrive up to ``max_gap`` later, so the NULL row
+    can only flush once the global watermark passes view_ts + max_gap.
+    State on both sides stays watermark+range bounded exactly as in the
+    inner join; a bounded run needs the sentinel flush on both sides.
+    ``user_id`` comes from the view side (never NULL on the right join)."""
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (purchases.p_user_id == views.user_id)
+        & (views.view_ts <= purchases.purchase_ts)
+        & (views.view_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}")),
+        "rightOuter",
+    ).select("purchase_id", views.user_id, "purchase_ts", "view_id", "view_ts")

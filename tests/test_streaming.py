@@ -594,3 +594,36 @@ def test_dynamic_gap_session_window_streams_like_batch(spark, stream_dir, tmp_pa
         ).collect()
     }
     assert streamed == batch
+
+
+def test_right_outer_stream_join_matches_batch(spark):
+    """The right join's view-side NULLs point forward in time (a claiming
+    purchase may arrive max_gap later), so with the sentinel flush the
+    bounded stream must emit the exact batch RIGHT JOIN row set —
+    including at least one never-claimed view with NULL purchase cols."""
+    from flusher_spark.plans.relational import events_stream_stream_right_join
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in events_stream_stream_right_join(spark, sf).collect()
+    }
+    e = _batch_events(spark)
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("vuid"),
+        F.col("ts").alias("vts"),
+    )
+    expected = {
+        (r["purchase_id"], r["view_id"])
+        for r in p.join(
+            v,
+            (p.user_id == v.vuid) & (v.vts <= p.pts)
+            & (v.vts >= p.pts - F.expr("INTERVAL 1 HOUR")),
+            "right",
+        ).collect()
+    }
+    assert got == expected
+    assert any(pid is None for pid, _ in got), "fixture should have unclaimed views"
