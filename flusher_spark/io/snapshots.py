@@ -75,10 +75,26 @@ class CommitConflict(RuntimeError):
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str, key: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key: str,
+        cluster_by: list[str] | None = None,
+    ) -> None:
+        """``cluster_by`` (optional, e.g. ``[key]``) makes every write —
+        create/append/merge/compact — range-partition + sort rows by those
+        columns before the files land (OPTIMIZE ZORDER's one-dimensional
+        cousin; pass a precomputed ``zorder_key`` column for multi-dim).
+        Files then cover disjoint narrow key ranges, so the per-file
+        [key_min, key_max] stats that drive ``scan_range``/``merge`` file
+        pruning get TIGHT: a range scan touches ~selectivity × files
+        instead of every file (each unclustered file spans the whole key
+        space). One extra range shuffle per commit, repaid on every read."""
         self.spark = spark
         self.root = root
         self.key = key
+        self.cluster_by = list(cluster_by) if cluster_by else None
         self._mdir = os.path.join(root, "_manifests")
         self._ddir = os.path.join(root, "data")
 
@@ -168,6 +184,15 @@ class SnapshotTable:
         (it could never be matched by a later merge)."""
         commit = uuid.uuid4().hex
         out = os.path.join(self._ddir, commit)
+        if self.cluster_by:
+            # Explicit partition count = the input's: keeps the file count a
+            # caller decision (coalesce/repartition upstream) and stops AQE
+            # from collapsing a small commit into one file, which would
+            # erase the disjoint-range stats this exists to create.
+            n = max(df.rdd.getNumPartitions(), 1)
+            df = df.repartitionByRange(n, *self.cluster_by).sortWithinPartitions(
+                *self.cluster_by
+            )
         df.write.mode("error").parquet(out)
         stats = (
             self.spark.read.parquet(out)

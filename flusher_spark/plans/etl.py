@@ -1204,3 +1204,43 @@ def etl_snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change_type")
     )
+
+
+@register(
+    "etl_snapshot_clustered_scan",
+    oracle="""
+    SELECT o_orderkey % 4 AS bucket, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 9999
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def etl_snapshot_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERED snapshot-table writes (io/snapshots.py cluster_by=):
+    every commit range-partitions + sorts rows by the merge key before the
+    files land, so per-file [key_min, key_max] stats become disjoint
+    narrow ranges and scan_range/merge prune to ~selectivity x files
+    instead of touching everything (OPTIMIZE ZORDER's one-dimensional
+    cousin; tests/test_etl.py asserts the file-touch counts directly —
+    unclustered control touches every file, clustered a strict subset).
+    The entry loads orders into a clustered table across TWO commits
+    (create + append, both re-clustered independently), then answers a
+    narrow key-range aggregate through scan_range's manifest-stats file
+    pruning; the oracle is the plain SQL range filter — pruning must be
+    invisible in the answer."""
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), dec("o_totalprice", "decimal(12,2)").alias("p")
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="flusher_snap_clus_"), "orders_clus")
+    t = SnapshotTable(spark, root, "k", cluster_by=["k"])
+    t.create(o.where(F.col("k") % 2 == 0).repartition(8))
+    t.append(o.where(F.col("k") % 2 == 1).repartition(8))
+    return (
+        t.scan_range(1000, 9999)
+        .groupBy((F.col("k") % 4).alias("bucket"))
+        .agg(F.count("*").alias("n_rows"), F.sum("p").cast("double").alias("total"))
+        .orderBy("bucket")
+    )

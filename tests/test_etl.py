@@ -741,3 +741,52 @@ def test_snapshot_table_stats_scan_shortcuts(spark, tmp_path):
         )
     # empty intersection: no files, zero rows, schema intact
     assert t.scan_range(5000, 6000).count() == 0
+
+
+def test_snapshot_table_clustered_writes_prune_more_files(spark, tmp_path):
+    """cluster_by range-partitions + sorts rows before files land, so file
+    key-stats become disjoint narrow ranges: a 5% range scan must touch a
+    strict subset of the clustered table's files, while the same scan on a
+    round-robin-shuffled unclustered table touches EVERY file (each file
+    spans the whole key space). Same rows back from both."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    # Shuffle keys across partitions so unclustered files all span ~[0, 4000)
+    src = (
+        spark.range(0, 4000)
+        .select(F.col("id").alias("k"), (F.col("id") % 17).alias("v"))
+        .repartition(8)
+    )
+    plain = SnapshotTable(spark, str(tmp_path / "plain"), "k")
+    plain.create(src)
+    clustered = SnapshotTable(spark, str(tmp_path / "clus"), "k", cluster_by=["k"])
+    clustered.create(src)
+
+    def touched(t, lo, hi):
+        m = t._manifest(t.current_version())
+        return sum(
+            1 for f in m["files"]
+            if not (f["key_max"] < lo or f["key_min"] > hi)
+        ), len(m["files"])
+
+    p_hit, p_all = touched(plain, 100, 299)
+    c_hit, c_all = touched(clustered, 100, 299)
+    assert p_hit == p_all, "unclustered control should touch every file"
+    assert c_hit < c_all, "clustered table must prune files on a range scan"
+    got = sorted(r["k"] for r in clustered.scan_range(100, 299).collect())
+    assert got == list(range(100, 300))
+    # merge pruning rides the same stats: a narrow-range merge rewrites
+    # only the touched clustered files
+    n_before = len(clustered._manifest(clustered.current_version())["files"])
+    clustered.merge(
+        spark.range(150, 160).select(
+            F.col("id").alias("k"), F.lit(99).cast("long").alias("v")
+        )
+    )
+    m2 = clustered._manifest(clustered.current_version())
+    carried = {f["path"] for f in clustered._manifest(0)["files"]} & {
+        f["path"] for f in m2["files"]
+    }
+    assert len(carried) >= n_before - c_hit, "untouched files must carry forward"
