@@ -2522,3 +2522,122 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.substring_dup_spans(
         load_table(spark, sf_dir, "documents"), k=8, min_docs=2
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+           WHERE w IN ('customer', 'hash', 'scan') GROUP BY doc_id, w),
+    dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    comp AS (
+      SELECT tf.doc_id, tf.w,
+             ln((CAST(stats.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+                / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1.0)
+             * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                / (CAST(tf.tf AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))
+               AS s
+      FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN stats),
+    px AS (SELECT doc_id,
+                  MAX(CASE WHEN w = 'customer' THEN s END) AS s1,
+                  MAX(CASE WHEN w = 'hash' THEN s END) AS s2,
+                  MAX(CASE WHEN w = 'scan' THEN s END) AS s3,
+                  CAST(COUNT(*) AS BIGINT) AS n_terms
+           FROM comp GROUP BY doc_id)
+    SELECT doc_id, n_terms,
+           COALESCE(s1, 0.0) + COALESCE(s2, 0.0) + COALESCE(s3, 0.0) AS score
+    FROM px ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Okapi, k1=1.2, b=0.75) for a fixed
+    3-term query over the documents table — the lexical-search sibling of
+    the embedding similarity entries, and the scoring core of a RAG
+    retrieval stage. Plan shape at 100 TB: term filter BEFORE the tf
+    aggregate (the inverted-index discipline — only query-term postings
+    shuffle, the corpus never does), doc-length table and 1-row
+    (N, avgdl, per-term df) reduced to bounded driver scalars (the
+    codebook discipline), top-10 via TakeOrderedAndProject. Float
+    discipline for the hash gate: per-term scores PIVOT to fixed columns
+    and fold in one deterministic left-associated order (a SUM over terms
+    would be order-nondeterministic in both engines); every division is
+    of identical exact inputs; and idf's ln() runs on the DRIVER with the
+    platform libm — the same libm DuckDB's ln() calls — because the JVM's
+    Math.log is fdlibm and drifts 1 ulp on some inputs, which a hash gate
+    cannot absorb (observed and fixed in round 8)."""
+    import math
+
+    terms = ["customer", "hash", "scan"]
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    dl = t.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("w"))
+        .where(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    # Bounded driver scalars (the codebook discipline: |terms|+1 rows): idf
+    # must be computed with the PLATFORM libm — Python's math.log and
+    # DuckDB's ln() both call it, while the JVM's Math.log is fdlibm and
+    # drifts by 1 ulp on some inputs (observed: N=500, df=394), which a
+    # hash gate cannot absorb. Everything that stays distributed below is
+    # plain IEEE +,*,/ — bit-deterministic in both engines.
+    srow = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl")).collect()[0]
+    n_docs, avgdl = srow["n"], float(srow["sdl"]) / float(srow["n"])
+    dfreq = {r["w"]: r["df"] for r in
+             tf.groupBy("w").agg(F.count("*").alias("df")).collect()}
+    idf = {
+        w: math.log(
+            (float(n_docs) - float(dfreq.get(w, 0)) + 0.5)
+            / (float(dfreq.get(w, 0)) + 0.5)
+            + 1.0
+        )
+        for w in terms
+    }
+    idf_expr = F.when(F.col("w") == terms[0], F.lit(idf[terms[0]]))
+    for w in terms[1:]:
+        idf_expr = idf_expr.when(F.col("w") == w, F.lit(idf[w]))
+    comp = (
+        tf.join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "w",
+            (
+                idf_expr
+                * (
+                    (F.col("tf").cast("double") * 2.2)
+                    / (
+                        F.col("tf").cast("double")
+                        + 1.2 * (0.25 + 0.75 * (F.col("dl").cast("double") / F.lit(avgdl)))
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    px = comp.groupBy("doc_id").agg(
+        F.max(F.when(F.col("w") == "customer", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("w") == "hash", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("w") == "scan", F.col("s"))).alias("s3"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    return (
+        px.select(
+            "doc_id",
+            "n_terms",
+            (
+                F.coalesce("s1", F.lit(0.0))
+                + F.coalesce("s2", F.lit(0.0))
+                + F.coalesce("s3", F.lit(0.0))
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

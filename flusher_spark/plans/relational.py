@@ -5052,3 +5052,128 @@ def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Markov transitions + RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events),
+    c AS (SELECT event_type AS from_type, next_type AS to_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE)
+             AS p
+    FROM c ORDER BY from_type, to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences —
+    the behavioral model behind next-action prediction and anomaly scoring
+    (a transition whose learned probability is tiny flags a bot or a broken
+    flow). One user-keyed window (LEAD with the ts, event_id deterministic
+    tie-break) -> one partial-aggregated groupBy on (from, to) — |types|^2
+    rows at most — and the row-probability normalization runs as a window
+    over that tiny aggregate, not the fact table. Exact bigint counts
+    divide once into doubles (bit-equal cross-engine); at 100 TB the only
+    full-data exchange is the one user-keyed sort shuffle, shared with
+    every other sessionization entry."""
+    e = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(wseq).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wrow).cast("double")).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             MAX(EPOCH_US(ts)) AS recency_us,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DECIMAL(18,2)) AS money
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    q AS (
+      SELECT user_id, freq, money,
+             NTILE(4) OVER (ORDER BY recency_us DESC, user_id) AS r,
+             NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f,
+             NTILE(4) OVER (ORDER BY money DESC, user_id) AS m
+      FROM p)
+    SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(freq) AS BIGINT) AS total_purchases,
+           CAST(SUM(money) AS DOUBLE) AS total_value
+    FROM q GROUP BY segment ORDER BY segment
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing partition: each
+    purchasing user scored into quartiles by Recency (latest purchase),
+    Frequency (purchase count) and Monetary (exact decimal spend), segment
+    label = R*100 + F*10 + M (111 = best-everything ... 444). Quartiles
+    are NTILE(4) with user_id tie-breaks so assignment is deterministic in
+    both engines; money stays DECIMAL through the sum (order-insensitive
+    exact) and hits double only in the final reporting division-free cast.
+    Scale note: the three unpartitioned NTILE windows run over the
+    per-user AGGREGATE (|users| rows, already shuffled once by the
+    groupBy), not the fact table; a skew-free percentile assignment at
+    true scale would swap NTILE for a percentile_approx cut table the way
+    the histogram entries document, trading exact quartile boundaries for
+    a broadcast — the deterministic NTILE form is what a hash oracle can
+    pin."""
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("recency_us"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum(dec("value", "decimal(8,2)")).cast("decimal(18,2)").alias("money"),
+        )
+    )
+    q = p.select(
+        "user_id",
+        "freq",
+        "money",
+        F.ntile(4).over(Window.orderBy(F.col("recency_us").desc(), "user_id")).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.col("freq").desc(), "user_id")).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.col("money").desc(), "user_id")).alias("m"),
+    )
+    return (
+        q.select(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("long").alias("segment"),
+            "freq",
+            "money",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("freq").cast("long").alias("total_purchases"),
+            F.sum("money").cast("double").alias("total_value"),
+        )
+        .orderBy("segment")
+    )
