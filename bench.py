@@ -185,6 +185,16 @@ HEADLINE = [
     # inner/left siblings — timed by its own tests, not the headline.
     # etl_snapshot_changes_feed shares etl_snapshot_cdc_delete's
     # table-format write cost shape, which that entry already times.)
+    # round 8 additions (events_stream_stream_right_join is stream-executed
+    # like its siblings — excluded; dedup_substring_mask shares
+    # dedup_substring_spans' gram-pipeline cost shape, spans carries the
+    # timing signal)
+    "dedup_substring_spans",
+    "corpus_e2e_pipeline",
+    "etl_snapshot_clustered_scan",
+    "text_bm25_topk",
+    "events_markov_transitions",
+    "events_rfm_segmentation",
 ]
 
 

@@ -56,84 +56,116 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Names surfaced first by ``registry()``. The driver's correctness harness
 #: covers a bounded prefix of the registry (50 entries per round), so this
 #: list rotates per round toward the entries whose latest driver verdict is
-#: weakest. Round-7 rotation, in order: (1) 26 of the 28 entries whose latest
-#: driver verdict is r1/r2 — the stalest record in the registry (fixtures
-#: have drifted six windows since; all 24 oracle-checkable ones re-verified
-#: green locally in r6, so this is record freshness, not suspected
-#: breakage); (2) round-7 NEW entries in the order added — each gets its
+#: weakest. Round-8 rotation, in order: (1) the LAST three r1-verdict
+#: entries (count_rows/join_cross/join_anti, deferred from r7's window —
+#: after this round nothing in the registry has a verdict older than r5);
+#: (2) the full r3-verdict cohort (39 entries, the oldest remaining
+#: record); (3) the round-8 NEW entries in the order added — each gets its
 #: FIRST driver verdict this round (first-verdict beats re-verdict by
-#: policy); (3) the rows-only entries — the weakest verdict class
-#: re-windows every round by policy (as many as fit the tail of the
-#: 50-slot window); (4) back-fill: everything r6-green, freshest last.
-#: Union of r1..r6 windows = every entry, each checked at least twice;
-#: after this window every entry's latest verdict is ≤2 rounds old.
-#: Every name here must exist (asserted in tests/test_plans.py); the rest
-#: follow in import order.
+#: policy). Groups (1)+(2)+(3) fill exactly 50. Past the window, the
+#: r4-verdict cohort is queued first (it leads the r9 rotation), then the
+#: rows-only family (re-windowed whenever tail slots exist — none this
+#: round), then back-fill. Every name here must exist (asserted in
+#: tests/test_plans.py); the rest follow in import order.
 PRIORITY = (
-    # (1) stalest driver verdicts: the r1 family not re-windowed in r6 (13
-    # of 16 — count_rows/join_cross/join_anti deferred below)
-    "multimodal_binary_stats",
-    "multimodal_feature_extract",
-    "text_edit_distance",
-    "text_winnow_fingerprints",
-    "sample_hash_split",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_variance_manual",
-    "window_running_sum",
-    "window_lag_delta",
-    # ... and the full r2-verdict family (12)
-    "similarity_topk_exact",
-    "sample_stratified_split",
-    "text_quality_filter_pipeline",
-    "join_broadcast_dim",
-    "agg_cube",
-    "agg_grouping_sets",
-    "window_topk_per_group",
-    "window_ntile",
-    "window_range_interval",
-    "events_rollup_day_hour",
-    "events_stateful_running_totals",
-    "events_stateful_dedup_first",
-    # (2) round-7 additions — first driver verdict
-    "etl_snapshot_cdc_delete",
-    "etl_snapshot_schema_evolution",
-    "similarity_ivf_appended",
-    "graph_pagerank_weighted",
-    "graph_connected_components",
-    "corpus_perplexity_buckets",
-    "events_attribution_split_touch",
-    "dedup_canonical_url",
-    "dedup_sorted_neighborhood",
-    "events_session_funnel",
-    "events_histogram_equidepth",
-    "corpus_gopher_rules",
-    "events_stream_stream_full_join",
-    "multimodal_png_variants",
-    "join_scd2_pointintime",
-    "etl_snapshot_changes_feed",
-    "agg_weighted_median_udaf",
-    "reco_copurchase_similarity",
-    "graph_triangle_stats",
-    "similarity_matryoshka_truncated",
-    "corpus_dup_rate_by_source",
-    "events_longest_streak",
-    "multimodal_audio_decimate",
-    "events_trend_grouped_map",
-    "events_cumulative_reach",
-    # (the r7 additions grew to 25, so groups (1)+(2) fill exactly 50 —
-    # every first-verdict row is inside the driver window — by deferring
-    # the THREE most trivial stale rows (count_rows, join_cross, join_anti:
-    # all r1-green and locally re-verified twice this round) to lead the
-    # r8 rotation from here)
+    # (1) last r1-latest verdicts anywhere in the registry
     "count_rows",
     "join_cross",
     "join_anti",
-    # (3) rows-only family — re-window every round by policy (12; the tail
-    # past slot 50 back-fills next round's window first)
+    # (2) the r3-verdict cohort (39)
+    "agg_exact_median_histogram",
+    "agg_exact_median_ranked",
+    "asof_purchase_last_view",
+    "case_when_bucketing",
+    "distinct_values",
+    "embedding_quantize_int8",
+    "etl_partitioned_write_pruning",
+    "etl_upsert_latest",
+    "events_resample_gapfill",
+    "events_retention_cohorts",
+    "events_scd2_intervals",
+    "events_sessionize_30m",
+    "events_sliding_2h_1h",
+    "events_stream_stream_join",
+    "events_stream_upsert_latest",
+    "events_tumbling_hourly",
+    "filter_projection_pushdown",
+    "multimodal_png_decode",
+    "multimodal_ppm_decode",
+    "multimodal_wav_decode",
+    "pivot_linestatus",
+    "profile_lineitem_columns",
+    "quality_expectations_orders",
+    "range_scan_rows",
+    "sample_per_group_topk",
+    "scalar_array_ops",
+    "scalar_date_funcs",
+    "scalar_json_extract",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "setop_except",
+    "setop_intersect",
+    "setop_union",
+    "shuffle_deterministic_order",
+    "similarity_topk_quantized",
+    "text_fuzzy_join_typos",
+    "text_pii_redact",
+    "topk_orders_global",
+    "unpivot_part_attrs",
+    # (3) round-8 additions - first driver verdict (slots 43-50)
+    "dedup_substring_spans",
+    "dedup_substring_mask",
+    "corpus_e2e_pipeline",
+    "events_stream_stream_right_join",
+    "etl_snapshot_clustered_scan",
+    "text_bm25_topk",
+    "events_markov_transitions",
+    "events_rfm_segmentation",
+    # ---- driver window ends here (50) ----
+    # r4-verdict cohort: leads the r9 rotation
+    "asof_nearest_view",
+    "decontaminate_ngram_overlap",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_keep_best",
+    "dedup_ngram_jaccard",
+    "docs_chunk_overlap",
+    "docs_repetition_signals",
+    "events_funnel_conversion",
+    "events_minmax_norm_arrow",
+    "events_stream_dedup_native",
+    "join_bucketed_colocated",
+    "join_interval_overlap",
+    "join_range_binned",
+    "join_salted_skew",
+    "multimodal_bmp_decode",
+    "multimodal_gif_decode",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q5_region_revenue",
+    "q6_revenue_filter",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_conditional_agg",
+    "q13_order_distribution",
+    "q14_promo_ratio",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q20_qualified_suppliers",
+    "q21_sole_flagged_supplier",
+    "q22_global_avg_anti",
+    "text_html_strip",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "vocab_bigram_counts",
+    # rows-only family - re-window whenever tail slots exist
     "similarity_topk_arrow",
     "similarity_topk_ivf",
     "similarity_topk_lsh",
@@ -146,45 +178,6 @@ PRIORITY = (
     "agg_hll_rollup_reuse",
     "vocab_bpe_merges",
     "vocab_bpe_encode",
-    # (4) back-fill: r6-green entries, in r6-window order
-    "agg_weighted_avg_exact",
-    "corpus_boilerplate_mask",
-    "embedding_centroid_int8",
-    "multimodal_audio_spectral",
-    "multimodal_media_routing",
-    "agg_bitmap_distinct",
-    "events_zscore_outliers",
-    "events_funnel_single_scan",
-    "multimodal_jpeg_decode",
-    "dedup_semantic_embedding",
-    "similarity_pq_persisted",
-    "similarity_ivf_persisted",
-    "text_hash_classifier",
-    "profile_join_key_skew",
-    "graph_pagerank_bipartite",
-    "dedup_semantic_clusters",
-    "etl_snapshot_merge_timetravel",
-    "dedup_minhash_builtin",
-    "events_sessionize_dynamic_gap",
-    "agg_histogram_rollup_percentile",
-    "multimodal_video_frames",
-    "multimodal_jpeg_color_decode",
-    "multimodal_image_resize",
-    "events_sliding_distinct_bitmap",
-    "corpus_c4_rules",
-    "asof_view_staleness_bound",
-    "sql_api_revenue_report",
-    "agg_exact_quantile_interpolated",
-    "docs_chunk_udtf",
-    "text_url_components",
-    "etl_sheet_range_scan",
-    "etl_schema_inference_typed",
-    "etl_load_full_vs_incremental",
-    "etl_csv_export_roundtrip",
-    "etl_schema_drift_report",
-    "text_quality_score",
-    "text_lang_id",
-    "similarity_neardup_cosine",
 )
 
 

@@ -2641,3 +2641,57 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "dedup_substring_mask",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS g
+      FROM toks, UNNEST(range(len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+    isl AS (SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM hits),
+    spans AS (SELECT doc_id, CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS n_tok
+              FROM isl GROUP BY doc_id, grp),
+    per AS (SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_removed
+            FROM spans GROUP BY doc_id)
+    SELECT per.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tok_before,
+           per.n_removed,
+           CAST(len(toks.t) - per.n_removed AS BIGINT) AS n_tok_after
+    FROM per JOIN toks USING (doc_id) ORDER BY doc_id
+    """,
+)
+def dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRIM half of substring dedup (Lee et al.'s 'remove the
+    duplicated substring'): dedup_substring_spans finds the duplicated
+    token spans; this entry actually REMOVES them from every affected
+    document with operators/dedup.py::remove_dup_spans (row-local
+    position-filter rebuild over one bounded per-doc span aggregate) and
+    reports before/removed/after token counts per touched document. The
+    cross-check is the point: the Spark side RE-TOKENIZES the genuinely
+    masked text — so filter arithmetic, span merging, and the rebuild all
+    have to agree — while the oracle derives the same counts purely from
+    the span interval arithmetic (len - sum of island widths). A
+    disagreement (off-by-one islands, empty-string token artifacts,
+    overlapping spans) breaks the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = D.substring_dup_spans(d, k=8, min_docs=2)
+    masked = D.remove_dup_spans(d, spans)
+    per = spans.groupBy("doc_id").agg(F.sum("n_tok").cast("long").alias("n_removed"))
+    after = F.when(F.trim("text") == "", F.lit(0).cast("long")).otherwise(
+        T.n_tokens(F.col("text"))
+    )
+    return (
+        masked.join(per, "doc_id")
+        .join(
+            d.select("doc_id", T.n_tokens(F.col("text")).alias("n_tok_before")),
+            "doc_id",
+        )
+        .select("doc_id", "n_tok_before", "n_removed", after.alias("n_tok_after"))
+        .orderBy("doc_id")
+    )
