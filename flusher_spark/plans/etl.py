@@ -1244,3 +1244,76 @@ def etl_snapshot_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"), F.sum("p").cast("double").alias("total"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "etl_dynamic_partition_overwrite",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DECIMAL(18,2)) AS v
+      FROM events GROUP BY 1, 2),
+    state AS (
+      SELECT day, event_type, n,
+             CASE WHEN dayofmonth(day) % 3 = 0
+                  THEN CAST(v * 2 AS DECIMAL(18,2)) ELSE v END AS v,
+             (dayofmonth(day) % 3 = 0) AS revised
+      FROM daily)
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value,
+           BOOL_OR(revised) AS revised
+    FROM state GROUP BY day ORDER BY day
+    """,
+)
+def etl_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the lake backfill primitive (Hive's
+    insert-overwrite semantics, Spark's partitionOverwriteMode=dynamic):
+    rewriting a revised slice replaces ONLY the partitions present in the
+    written DataFrame; every other partition's files are untouched — no
+    read-modify-write of the whole table, no window where other days
+    vanish (STATIC mode would truncate them; the writer-level option keeps
+    the choice per-write instead of mutating session config). The entry
+    builds a day-partitioned daily rollup, then backfills the
+    day-of-month %3 == 0 days with doubled values through a dynamic
+    overwrite, and aggregates the final table state; the oracle states the
+    resulting per-day CASE directly. At 100 TB this is the idempotent
+    reprocessing story: cost scales with the revised partitions, and the
+    parquet scan below proves partition pruning still applies to the
+    result (day is a partition column). Exact decimal sums; the revised
+    flag rides dayofmonth parity so both engines decide it in integers."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(dec("value", "decimal(8,2)")).cast("decimal(18,2)").alias("v"),
+        )
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="flusher_dpo_"), "daily")
+    daily.write.partitionBy("day").mode("overwrite").parquet(root)
+    revised = (
+        daily.where(F.dayofmonth("day") % 3 == 0)
+        .withColumn("v", (F.col("v") * 2).cast("decimal(18,2)"))
+    )
+    (
+        revised.write.partitionBy("day")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(root)
+    )
+    t = spark.read.parquet(root)
+    return (
+        t.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+            F.max(F.dayofmonth("day") % 3 == 0).alias("revised"),
+        )
+        .orderBy("day")
+    )
