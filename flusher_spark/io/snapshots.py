@@ -81,6 +81,7 @@ class SnapshotTable:
         root: str,
         key: str,
         cluster_by: list[str] | None = None,
+        cluster_files: int | None = None,
     ) -> None:
         """``cluster_by`` (optional, e.g. ``[key]``) makes every write —
         create/append/merge/compact — range-partition + sort rows by those
@@ -90,11 +91,19 @@ class SnapshotTable:
         [key_min, key_max] stats that drive ``scan_range``/``merge`` file
         pruning get TIGHT: a range scan touches ~selectivity × files
         instead of every file (each unclustered file spans the whole key
-        space). One extra range shuffle per commit, repaid on every read."""
+        space). One extra range shuffle per commit, repaid on every read.
+
+        ``cluster_files`` caps how many range buckets (≈ files) a clustered
+        commit targets; unset, it defaults to ``spark.sql.shuffle.partitions``
+        at write time. Either way it is a cheap scalar — deriving the count
+        from the input's own partitioning would mean an RDD conversion
+        (full physical-plan compile, ~1 s) on EVERY commit. Empty range
+        buckets write no files, so small commits stay small."""
         self.spark = spark
         self.root = root
         self.key = key
         self.cluster_by = list(cluster_by) if cluster_by else None
+        self.cluster_files = cluster_files
         self._mdir = os.path.join(root, "_manifests")
         self._ddir = os.path.join(root, "data")
 
@@ -185,11 +194,15 @@ class SnapshotTable:
         commit = uuid.uuid4().hex
         out = os.path.join(self._ddir, commit)
         if self.cluster_by:
-            # Explicit partition count = the input's: keeps the file count a
-            # caller decision (coalesce/repartition upstream) and stops AQE
-            # from collapsing a small commit into one file, which would
-            # erase the disjoint-range stats this exists to create.
-            n = max(df.rdd.getNumPartitions(), 1)
+            # Explicit partition count stops AQE from collapsing a small
+            # commit into one file (which would erase the disjoint-range
+            # stats this exists to create). Writer-supplied cluster_files,
+            # else the session's shuffle parallelism — both cheap scalars;
+            # never df.rdd.getNumPartitions(), which compiles a full
+            # physical plan per commit.
+            n = self.cluster_files or max(
+                int(self.spark.conf.get("spark.sql.shuffle.partitions")), 1
+            )
             df = df.repartitionByRange(n, *self.cluster_by).sortWithinPartitions(
                 *self.cluster_by
             )

@@ -96,12 +96,15 @@ def asof_join_nearest(
     numeric timestamps (matching asof_join, which is type-agnostic too).
 
     Same shape as :func:`asof_join` — union both sides, ONE shuffle on the
-    keys — but with TWO running windows over the same sort (Spark plans
-    them as one Window node): the latest prior right row and the earliest
-    following right row. Each left row then picks the closer candidate
+    keys — but with TWO running windows (the latest prior right row and the
+    earliest following right row). The windows differ only in payload
+    sort direction so that BOTH resolve equal-timestamp right rows to the
+    largest payload struct — the same deterministic tie-break convention
+    :func:`asof_join` documents; Spark plans them as two in-partition sorts
+    over the one shuffle. Each left row then picks the closer candidate
     (ties prefer the prior row; equal-timestamp right rows count as prior
     with distance 0) and drops it if beyond tolerance. No range explosion:
-    cost is the one sort, not tolerance-proportional fan-out.
+    cost is the one shuffle, not tolerance-proportional fan-out.
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in on and c != right_ts]
@@ -122,9 +125,18 @@ def asof_join_nearest(
             rhs = rhs.withColumn(c, F.lit(None).cast(dict(lhs.dtypes)[c]))
     rhs = rhs.select(*lhs.columns)
 
-    order = [F.col(left_ts).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).desc()]
-    w_back = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    w_fwd = Window.partitionBy(*on).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    # Back window: payload ASC so last() lands on the LARGEST payload among
+    # equal-timestamp rows; fwd window: payload DESC so first() does too.
+    order_back = [F.col(left_ts).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc()]
+    order_fwd = [F.col(left_ts).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).desc()]
+    w_back = (
+        Window.partitionBy(*on).orderBy(*order_back)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*on).orderBy(*order_fwd)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
     merged = (
         lhs.unionByName(rhs)
         .withColumn("__back", F.last(_PAYLOAD, ignorenulls=True).over(w_back))

@@ -116,6 +116,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     stats: dict | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components via alternating LARGE-STAR / SMALL-STAR
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -133,12 +134,13 @@ def connected_components(
     the node key, no driver-side graph state. Convergence is detected by
     edge-set fixpoint (two scalar counts per round); ``localCheckpoint``
     truncates lineage so round N never replays rounds 1..N-1. ``stats``
-    (optional dict) receives {"rounds": n, "converged": bool}; exhausting
-    ``max_iter`` without reaching the fixpoint RAISES unless the caller
-    passed a ``stats`` dict (then converged=False is recorded instead and
-    the partially-contracted labeling is returned) — a truncated forest
-    can emit duplicate node rows with conflicting labels, which must
-    never pass silently."""
+    (optional dict) is purely observational: it receives {"rounds": n,
+    "converged": bool}. Error policy is the separate ``strict`` flag:
+    exhausting ``max_iter`` without reaching the fixpoint RAISES when
+    strict=True (the default) — a truncated forest can emit duplicate node
+    rows with conflicting labels, which must never pass silently — and
+    returns the partially-contracted labeling when strict=False (callers
+    who opt out should inspect stats["converged"])."""
     a, b = F.col("a"), F.col("b")
     e = (
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
@@ -198,11 +200,11 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
-    elif not converged:
+    if strict and not converged:
         raise RuntimeError(
             f"connected_components did not reach the edge-set fixpoint in "
             f"{max_iter} rounds; the labeling may be a truncated forest "
-            f"(raise max_iter, or pass stats={{}} to accept converged=False)"
+            f"(raise max_iter, or pass strict=False to accept converged=False)"
         )
     # At fixpoint every edge is (member, root); roots/isolated nodes label
     # themselves.

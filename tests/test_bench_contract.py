@@ -11,7 +11,15 @@ import sys
 
 
 def test_bench_emits_one_json_line():
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="8")
+    # SPARK_GRAFT_BENCH_OUT="" — this is a smoke run at sf0.001; without the
+    # empty override it would overwrite bench_results/latest.json (the
+    # committed sf0.1 round snapshot) on every pytest invocation.
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_OUT="",
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
         env=env,

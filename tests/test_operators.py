@@ -105,6 +105,25 @@ def test_asof_nearest_tie_prefers_prior_and_tolerance_excludes(spark):
     assert rows[100]["rv_right"] is None
 
 
+def test_asof_nearest_tied_right_rows_largest_payload_wins_both_directions(spark):
+    """Equal-timestamp right rows resolve to the LARGEST payload struct in
+    BOTH the back and forward candidate — the same deterministic tie-break
+    convention asof_join documents (largest id survives)."""
+    from flusher_spark.operators.asof import asof_join_nearest
+
+    # t=10 resolves backward to the rt=8 pair; t=13 resolves forward to the
+    # rt=15 pair. Each tied pair must pick the larger rv.
+    left = spark.createDataFrame([(1, 10), (1, 13)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 8, 100), (1, 8, 200), (1, 15, 300), (1, 15, 400)],
+        "k long, rt long, rv long",
+    )
+    rows = {r["t"]: r for r in
+            asof_join_nearest(left, right, ["k"], "t", "rt", tolerance_us=4).collect()}
+    assert rows[10]["rv_right"] == 200, "back candidate must tie-break to largest payload"
+    assert rows[13]["rv_right"] == 400, "fwd candidate must tie-break to largest payload"
+
+
 # -- dedup -------------------------------------------------------------------
 
 
@@ -1200,9 +1219,9 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
 
 def test_connected_components_iteration_cap_is_loud(spark):
     """Exhausting max_iter before the edge-set fixpoint must not pass
-    silently: without a stats dict it raises; with one it records
-    converged=False so callers can tell a contracted forest from a
-    truncated one."""
+    silently: strict=True (the default) raises even when a stats dict is
+    passed — stats is observability, not error policy — and strict=False
+    returns the truncated labeling with converged=False recorded."""
     import pytest as _pytest
 
     from flusher_spark.operators.graph import connected_components
@@ -1211,7 +1230,11 @@ def test_connected_components_iteration_cap_is_loud(spark):
     with _pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(df, max_iter=1).collect()
     stats: dict = {}
-    connected_components(df, max_iter=1, stats=stats)
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(df, max_iter=1, stats=stats).collect()
+    assert stats == {"rounds": 1, "converged": False}
+    stats = {}
+    connected_components(df, max_iter=1, stats=stats, strict=False)
     assert stats == {"rounds": 1, "converged": False}
 
 
