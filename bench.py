@@ -195,6 +195,18 @@ HEADLINE = [
     "text_bm25_topk",
     "events_markov_transitions",
     "events_rfm_segmentation",
+    # round 9 additions (corpus_e2e_pipeline_minhash is excluded:
+    # corpus_e2e_pipeline already times the six-stage composed plan and
+    # dedup_minhash_lsh times the swapped stage — the variant would
+    # double-bill both; etl_snapshot_expire_vacuum is table-format-write
+    # dominated like the other excluded snapshot maintenance entries,
+    # etl_snapshot_cdc_delete carries that timing signal)
+    "etl_dynamic_partition_overwrite",
+    "dedup_substring_spans_hashed",
+    "events_time_weighted_avg",
+    "skyline_price_quantity",
+    "scalar_business_days",
+    "docs_ngram_novelty",
 ]
 
 

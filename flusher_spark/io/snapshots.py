@@ -519,6 +519,26 @@ class SnapshotTable:
             manifest["batch_id"] = m["batch_id"]
         return self._publish(manifest)
 
+    def expire_versions(self, keep_last: int = 1) -> list[int]:
+        """Time-travel RETENTION policy (Iceberg's expire_snapshots /
+        Delta's logRetentionDuration): drop all but the newest
+        ``keep_last`` manifests and return the expired version numbers.
+        Data files referenced ONLY by expired versions become
+        vacuum-eligible — expire + ``vacuum`` is the complete storage
+        reclamation pair (expire alone reclaims no bytes; vacuum alone
+        can't, because every historical version still pins its files).
+        Expired versions stop time-travelling immediately (snapshot/
+        changes/restore on them raise); the current version and its
+        ``keep_last - 1`` predecessors are untouched. O(expired) driver
+        metadata work, zero executor work."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the current version never expires)")
+        vs = self.versions()
+        expired = vs[:-keep_last] if len(vs) > keep_last else []
+        for v in expired:
+            os.unlink(os.path.join(self._mdir, f"v{v}.json"))
+        return expired
+
     def vacuum(self, retention_seconds: float = 24 * 3600) -> int:
         """Delete data files referenced by NO manifest AND older than the
         retention window. Returns the number removed.

@@ -518,6 +518,7 @@ def substring_dup_spans(
     id_col: str = "doc_id",
     k: int = 8,
     min_docs: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Substring-level duplicate SPANS — the corpus-dedup mode that catches
     repeated passages exact/MinHash doc-level dedup both miss (boilerplate
@@ -535,9 +536,15 @@ def substring_dup_spans(
     shingle_rows) -> one groupBy on the gram string (the inverted index;
     map-side partial counts) -> semi-join positions against the duplicated
     grams -> one doc_id window for gaps-and-islands. Cost is O(corpus
-    tokens) shuffle bytes, the same order as the MinHash pipeline. At
-    100 TB the gram key would be xxhash64-compressed before the exchange;
-    kept as the raw string here so the result is collision-free exact.
+    tokens) shuffle bytes, the same order as the MinHash pipeline.
+
+    ``hash_grams=True`` is the 100 TB path: the k-token gram string is
+    xxhash64-compressed row-locally BEFORE the exchange, so the inverted
+    index shuffles 8-byte keys instead of ~8k-char strings (an order of
+    magnitude less shuffle volume at k=8). The trade is a 2^-64 per-pair
+    collision probability — a colliding pair would mark one extra gram
+    position as duplicated, never lose a true span. Default False keeps
+    the raw string key so the result is collision-free exact.
 
     Returns (doc_id, start_tok, end_tok, n_tok): 0-based inclusive token
     indexes of each maximal duplicated span, n_tok = end - start + 1 >= k.
@@ -555,6 +562,8 @@ def substring_dup_spans(
             )
         ).alias("pos", "g"),
     )
+    if hash_grams:
+        grams = grams.withColumn("g", F.xxhash64("g"))
     dup = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -158,3 +158,81 @@ def global_row_slice(
     after the (cheap) count pass."""
     rn = with_global_row_number(df, order_cols, out="__rn")
     return rn.where(F.col("__rn").between(start, end)).drop("__rn")
+
+
+def skyline_2d(df: DataFrame, min_col: str, max_col: str, num_bins: int = 64) -> DataFrame:
+    """2D Pareto frontier: the distinct (min_col, max_col) pairs no other
+    pair dominates (other.min_col <= mine AND other.max_col >= mine, at
+    least one strict). Textbook formulation is ONE global sort by min_col
+    with a running max over max_col — a single-partition window, fatal at
+    fact scale. This stays parallel:
+
+    1. distinct pairs (one hash shuffle — also the dedup a skyline needs
+       anyway, since equal pairs never dominate each other);
+    2. bin by min_col range (bounds via a broadcast 1-row min/max agg —
+       no driver collect); per-bin max of max_col is a <= num_bins row
+       aggregate;
+    3. carry[b] = running max of per-bin maxima over bins < b — a window
+       over the tiny per-bin table only;
+    4. prune: a pair below-or-equal its carry is dominated by some pair
+       in a strictly-lower bin (strictly smaller min_col, >= max_col) —
+       this discards ~everything outside the frontier's staircase;
+    5. settle in-bin dominance with a bin-PARTITIONED window (order
+       min_col asc, max_col desc; running max over preceding rows):
+       keep iff max_col beats both the carry and the in-bin running max.
+
+    Every wide op is hash- or bin-partitioned; the only unpartitioned
+    window runs over <= num_bins rows. Survives any scale-up in rows;
+    num_bins trades prune sharpness for per-bin-table size."""
+    # The distinct-pair index feeds three consumers (bounds agg, binning,
+    # per-bin maxima); without lineage truncation Spark re-runs the scan +
+    # distinct shuffle once per branch (3 full passes in the executed
+    # plan). localCheckpoint(eager=False) materializes it once on first
+    # action — same trade as operators/dedup.py::minhash_lsh_pairs
+    # documents (executor-local, a production run would persist instead).
+    pairs = (
+        df.select(F.col(min_col).alias("__x"), F.col(max_col).alias("__y"))
+        .where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bounds = F.broadcast(
+        pairs.agg(
+            F.min("__x").alias("__xlo"),
+            F.max("__x").alias("__xhi"),
+        )
+    )
+    span = F.col("__xhi").cast("double") - F.col("__xlo").cast("double")
+    bin_of = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("__x").cast("double") - F.col("__xlo").cast("double"))
+                / span * num_bins
+            ),
+            F.lit(num_bins - 1),
+        )
+    )
+    binned = pairs.crossJoin(bounds).select("__x", "__y", bin_of.alias("__bin"))
+    wb = (
+        Window.orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        binned.groupBy("__bin")
+        .agg(F.max("__y").alias("__binmax"))
+        .select("__bin", F.max("__binmax").over(wb).alias("__carry"))
+    )
+    pruned = binned.join(F.broadcast(carry), "__bin").where(
+        F.col("__carry").isNull() | (F.col("__y") > F.col("__carry"))
+    )
+    win = (
+        Window.partitionBy("__bin")
+        .orderBy(F.col("__x").asc(), F.col("__y").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.max("__y").over(win)
+    return (
+        pruned.withColumn("__prev", prev)
+        .where(F.col("__prev").isNull() | (F.col("__y") > F.col("__prev")))
+        .select(F.col("__x").alias(min_col), F.col("__y").alias(max_col))
+    )

@@ -56,73 +56,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Names surfaced first by ``registry()``. The driver's correctness harness
 #: covers a bounded prefix of the registry (50 entries per round), so this
 #: list rotates per round toward the entries whose latest driver verdict is
-#: weakest. Round-8 rotation, in order: (1) the LAST three r1-verdict
-#: entries (count_rows/join_cross/join_anti, deferred from r7's window —
-#: after this round nothing in the registry has a verdict older than r5);
-#: (2) the full r3-verdict cohort (39 entries, the oldest remaining
-#: record); (3) the round-8 NEW entries in the order added — each gets its
-#: FIRST driver verdict this round (first-verdict beats re-verdict by
-#: policy). Groups (1)+(2)+(3) fill exactly 50. Past the window, the
-#: r4-verdict cohort is queued first (it leads the r9 rotation), then the
-#: rows-only family (re-windowed whenever tail slots exist — none this
-#: round), then back-fill. Every name here must exist (asserted in
+#: weakest. Round-9 rotation, in order: (1) ``etl_dynamic_partition_overwrite``
+#: — the ONLY entry never driver-checked (registered after r8's window froze;
+#: first-verdict beats everything); (2) the full r4-verdict cohort (42
+#: entries, the oldest remaining records — after this round nothing in the
+#: registry has a verdict older than r5); (3) the round-9 NEW entries in the
+#: order added, each getting its FIRST driver verdict. (1)+(2)+(3) fill
+#: exactly 50. Past the window, the r5-verdict cohort is queued first (it
+#: leads the r10 rotation — 37 entries + the rows-only family re-window
+#: next), then back-fill. Every name here must exist (asserted in
 #: tests/test_plans.py); the rest follow in import order.
 PRIORITY = (
-    # (1) last r1-latest verdicts anywhere in the registry
-    "count_rows",
-    "join_cross",
-    "join_anti",
-    # (2) the r3-verdict cohort (39)
-    "agg_exact_median_histogram",
-    "agg_exact_median_ranked",
-    "asof_purchase_last_view",
-    "case_when_bucketing",
-    "distinct_values",
-    "embedding_quantize_int8",
-    "etl_partitioned_write_pruning",
-    "etl_upsert_latest",
-    "events_resample_gapfill",
-    "events_retention_cohorts",
-    "events_scd2_intervals",
-    "events_sessionize_30m",
-    "events_sliding_2h_1h",
-    "events_stream_stream_join",
-    "events_stream_upsert_latest",
-    "events_tumbling_hourly",
-    "filter_projection_pushdown",
-    "multimodal_png_decode",
-    "multimodal_ppm_decode",
-    "multimodal_wav_decode",
-    "pivot_linestatus",
-    "profile_lineitem_columns",
-    "quality_expectations_orders",
-    "range_scan_rows",
-    "sample_per_group_topk",
-    "scalar_array_ops",
-    "scalar_date_funcs",
-    "scalar_json_extract",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "setop_except",
-    "setop_intersect",
-    "setop_union",
-    "shuffle_deterministic_order",
-    "similarity_topk_quantized",
-    "text_fuzzy_join_typos",
-    "text_pii_redact",
-    "topk_orders_global",
-    "unpivot_part_attrs",
-    # (3) round-8 additions - first driver verdict (slots 43-50)
-    "dedup_substring_spans",
-    "dedup_substring_mask",
-    "corpus_e2e_pipeline",
-    "events_stream_stream_right_join",
-    "etl_snapshot_clustered_scan",
-    "text_bm25_topk",
-    "events_markov_transitions",
-    "events_rfm_segmentation",
-    # ---- driver window ends here (50) ----
-    # r4-verdict cohort: leads the r9 rotation
+    # (1) never driver-checked (registered post-rotation in r8)
+    "etl_dynamic_partition_overwrite",
+    # (2) the r4-verdict cohort (42)
     "asof_nearest_view",
     "decontaminate_ngram_overlap",
     "dedup_exact",
@@ -165,7 +112,54 @@ PRIORITY = (
     "text_tfidf_top_terms",
     "text_token_stats",
     "vocab_bigram_counts",
-    # rows-only family - re-window whenever tail slots exist
+    # (3) round-9 additions - first driver verdict (slots 44-50)
+    "corpus_e2e_pipeline_minhash",
+    "dedup_substring_spans_hashed",
+    "events_time_weighted_avg",
+    "skyline_price_quantity",
+    "scalar_business_days",
+    "docs_ngram_novelty",
+    "etl_snapshot_expire_vacuum",
+    # ---- driver window ends here (50) ----
+    # r5-verdict cohort: leads the r10 rotation (37)
+    "agg_corr_exact",
+    "agg_incremental_merge",
+    "agg_mode_exact",
+    "corpus_importance_resample",
+    "corpus_mix_apply",
+    "corpus_mix_upsample",
+    "corpus_source_mix",
+    "dedup_containment_ngram",
+    "docs_bigram_familiarity",
+    "docs_boilerplate_ngrams",
+    "etl_backfill_partition_overwrite",
+    "etl_cdc_apply",
+    "etl_content_checksum",
+    "etl_jsonl_ingest",
+    "etl_orc_roundtrip",
+    "etl_schema_evolution_merge",
+    "etl_sheet_writeback",
+    "etl_table_diff",
+    "etl_zorder_layout",
+    "events_anomaly_mad",
+    "events_attribution_first_touch",
+    "events_audience_overlap",
+    "events_ewma_per_user",
+    "events_histogram_equiwidth",
+    "events_stream_stream_left_join",
+    "events_top_paths",
+    "events_tz_local_days",
+    "events_winsorized_stats",
+    "join_dynamic_partition_pruning",
+    "join_null_safe",
+    "multimodal_tiff_decode",
+    "pack_sequences_fill",
+    "q15_top_supplier",
+    "sample_split_by_source",
+    "scalar_variant_extract",
+    "top_suppliers_revenue",
+    "window_rank_distributions",
+    # rows-only family - re-window with the r10 rotation
     "similarity_topk_arrow",
     "similarity_topk_ivf",
     "similarity_topk_lsh",

@@ -1070,6 +1070,40 @@ def corpus_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     decon a broadcast semi-probe; mix a #sources broadcast; packing one
     bucket-partitioned window over 8 independent streams)."""
     from flusher_spark.operators.dedup import ngram_jaccard_pairs
+
+    return _e2e_pipeline(
+        spark, sf_dir,
+        lambda s2: ngram_jaccard_pairs(s2, n=3, threshold=0.5, max_bucket=1000),
+    )
+
+
+@register("corpus_e2e_pipeline_minhash")
+def corpus_e2e_pipeline_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[corpus_e2e_pipeline] with the REAL MinHash-LSH near-dup stage
+    swapped in for the exact-Jaccard stand-in — the swap-at-scale claim
+    the exact entry's docstring makes, executed instead of asserted. Same
+    six stages, same pair schema (doc_a, doc_b), same downstream plan;
+    only stage 3's pair generator differs (operators/dedup.py::
+    minhash_lsh_pairs — banded signatures, bucket-capped candidate
+    self-join, exact-Jaccard verification at the same 0.5 threshold).
+    Because banding can MISS true pairs (candidates ⊆ all pairs, each
+    verified exactly), this pipeline's stage-3 survivor set is a SUPERSET
+    of the exact pipeline's — pinned by tests/test_corpus.py::
+    test_minhash_near_dup_drops_subset_of_exact — and the driver check is
+    rows-only by design (the miss set depends on the permutation seed and
+    banding geometry, not SQL-expressible arithmetic)."""
+    from flusher_spark.operators.dedup import minhash_lsh_pairs
+
+    return _e2e_pipeline(
+        spark, sf_dir,
+        lambda s2: minhash_lsh_pairs(s2, shingle_n=3, threshold=0.5, max_bucket=1000),
+    )
+
+
+def _e2e_pipeline(spark: SparkSession, sf_dir: str, near_dup_pairs) -> DataFrame:
+    """Shared six-stage corpus pipeline body; ``near_dup_pairs`` maps the
+    stage-2 survivor DataFrame to a (doc_a, doc_b, ...) near-dup pair
+    DataFrame (higher id drops) — the one pluggable stage."""
     from flusher_spark.operators.sampling import hash_bucket
 
     d = load_table(spark, sf_dir, "documents")
@@ -1102,7 +1136,7 @@ def corpus_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((-F.col("b.negid")).alias("doc_id"))
     )
     s2 = t.join(kept_url, "doc_id", "left_semi")
-    pairs = ngram_jaccard_pairs(s2, n=3, threshold=0.5, max_bucket=1000)
+    pairs = near_dup_pairs(s2)
     s3 = s2.join(
         pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
     )

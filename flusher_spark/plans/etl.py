@@ -1317,3 +1317,62 @@ def etl_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("day")
     )
+
+
+@register(
+    "etl_snapshot_expire_vacuum",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      FROM orders WHERE o_orderkey % 4 <> 0),
+    upd AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1 AS DECIMAL(12,2)) AS p
+      FROM orders WHERE o_orderkey % 4 = 1),
+    cur AS (
+      SELECT k, pri, p FROM base WHERE k % 4 <> 1
+      UNION ALL SELECT k, pri, p FROM upd)
+    SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(p) AS DECIMAL(38,2)) AS DOUBLE) AS total
+    FROM cur GROUP BY pri ORDER BY pri
+    """,
+)
+def etl_snapshot_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORAGE RECLAMATION on the snapshot table format — the
+    expire_snapshots + vacuum pair (io/snapshots.py::expire_versions/
+    vacuum): create -> merge (copy-on-write rewrites pin the pre-merge
+    files to v0 only) -> expire all but the newest version -> vacuum with
+    zero retention (single-writer maintenance). The answer is read AFTER
+    files are physically deleted, proving reclamation never touches live
+    data: vacuum removes exactly the files referenced solely by expired
+    manifests (tests/test_etl.py pins the removed>0 count and that
+    time travel to the expired version raises). The oracle states the
+    upsert result directly — expire/vacuum must be invisible in it. At
+    100 TB this is the storage-cost flywheel: without expiry every
+    copy-on-write merge retains its superseded files forever."""
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        dec("o_totalprice", "decimal(12,2)").alias("p"),
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="flusher_snap_exp_"), "orders_exp")
+    t = SnapshotTable(spark, root, "k")
+    t.create(o.where(F.col("k") % 4 != 0).repartition(8))
+    t.merge(
+        o.where(F.col("k") % 4 == 1)
+        .withColumn("p", (F.col("p") + 1).cast("decimal(12,2)"))
+    )
+    t.expire_versions(keep_last=1)
+    t.vacuum(retention_seconds=0)
+    return (
+        t.snapshot()
+        .groupBy("pri")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("p").cast("decimal(38,2)").cast("double").alias("total"),
+        )
+        .orderBy("pri")
+    )

@@ -2489,9 +2489,10 @@ def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_substring_spans",
-    oracle=rf"""
+#: Shared by dedup_substring_spans and its hash_grams twin: the hashed path
+#: must produce byte-identical spans on this corpus, so both entries bind
+#: the SAME oracle.
+_SUBSTRING_SPANS_ORACLE = rf"""
     WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
     grams AS (
       SELECT doc_id, i AS pos, array_to_string(t[i+1:i+8], ' ') AS g
@@ -2506,8 +2507,10 @@ def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(pos) + 7 AS BIGINT) AS end_tok,
            CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS n_tok
     FROM isl GROUP BY doc_id, grp
-    """,
-)
+    """
+
+
+@register("dedup_substring_spans", oracle=_SUBSTRING_SPANS_ORACLE)
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUBSTRING-level duplicate spans (suffix-array-style dedup, Lee et
     al. 2022): maximal token spans whose every 8-gram also occurs in >= 2
@@ -2521,6 +2524,21 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     via pos - ROW_NUMBER)."""
     return D.substring_dup_spans(
         load_table(spark, sf_dir, "documents"), k=8, min_docs=2
+    )
+
+
+@register("dedup_substring_spans_hashed", oracle=_SUBSTRING_SPANS_ORACLE)
+def dedup_substring_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of [dedup_substring_spans]: hash_grams=True
+    xxhash64-compresses each 8-token gram row-locally BEFORE the
+    inverted-index exchange, shuffling 8-byte keys instead of ~60-char
+    strings (~an order of magnitude less shuffle volume; 2^-64 per-pair
+    collision odds, and a collision can only over-mark one gram position,
+    never lose a true span). Bound to the SAME string-gram oracle as the
+    exact entry — the driver hash-check proves the compressed path emits
+    byte-identical spans on this corpus."""
+    return D.substring_dup_spans(
+        load_table(spark, sf_dir, "documents"), k=8, min_docs=2, hash_grams=True
     )
 
 
@@ -2693,5 +2711,61 @@ def dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
         .select("doc_id", "n_tok_before", "n_removed", after.alias("n_tok_after"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_ngram_novelty",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
+          FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)),
+    first AS (SELECT s, MIN(doc_id) AS first_doc FROM g GROUP BY s),
+    per AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN first.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM g JOIN first USING (s) GROUP BY g.doc_id)
+    SELECT doc_id, n_grams, n_novel,
+           CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+    FROM per ORDER BY doc_id
+    """,
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL NOVELTY scoring — the curation signal between dedup and
+    diversity sampling: for each document (doc_id as ingestion order), the
+    fraction of its distinct 3-grams appearing for the FIRST time in the
+    corpus (min doc_id over the gram's inverted-index posting = this doc).
+    Low scores mark near-boilerplate late arrivals that doc-level dedup
+    keeps (they're not duplicates of any ONE doc) but that add little new
+    text — the streaming analogue of Lee et al.'s cross-doc substring
+    overlap, reduced to one statistic per doc. Plan: row-local distinct
+    3-gram explode (same narrow shingle projection as the dedup family)
+    -> groupBy gram for min(doc_id) (the inverted index; map-side partial
+    min) -> equi-join back -> one doc_id aggregate. O(corpus tokens)
+    shuffle, no all-pairs; novelty is one double division of two exact
+    bigints."""
+    g = D.shingle_rows(load_table(spark, sf_dir, "documents"), n=3).dropDuplicates(
+        ["doc_id", "s"]
+    )
+    first = g.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams").cast("double"))
+            .alias("novelty"),
+        )
         .orderBy("doc_id")
     )

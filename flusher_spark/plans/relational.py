@@ -5177,3 +5177,185 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, EPOCH_US(ts) AS t_us, CAST(value AS DECIMAL(8,2)) AS v,
+             LEAD(EPOCH_US(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt_us
+      FROM events),
+    seg AS (
+      SELECT user_id, CAST((nxt_us - t_us) // 1000000 AS DECIMAL(12,0)) AS dur,
+             v FROM o WHERE nxt_us IS NOT NULL
+                        AND (nxt_us - t_us) // 1000000 >= 1)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur) AS BIGINT) AS total_dur_s,
+           CAST(CAST(SUM(CAST(v * dur AS DECIMAL(24,2))) AS DECIMAL(38,2)) AS DOUBLE)
+             / CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE) AS twav
+    FROM seg GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average (TWAP's general form) per user: each event's
+    value is held until the user's next event and weighted by that holding
+    duration — the correct mean for irregularly-sampled series, where the
+    arithmetic mean over-weights bursts. One LEAD window per user (ts +
+    event_id tie-break, deterministic in both engines), then an exact
+    aggregate. Weights are WHOLE SECONDS (µs gap integer-div 10^6;
+    sub-second holds drop — identical rule both engines): with the
+    dataset's bounded time span this keeps every decimal sum's unscaled
+    value below 2^53, so the final DECIMAL(38,2)→double conversion is the
+    single correctly-rounded division both engines agree on — µs weights
+    overflow that window and land 1 ulp apart (hash-checked the hard
+    way). Products DECIMAL(8,2)×DECIMAL(12,0) summed in DECIMAL(38,2)
+    (order-insensitive exact), surfaced as ONE double division of two
+    exact quantities. Scale shape: one shuffle on user_id
+    serves both the window and the aggregate (same key, Catalyst reuses
+    the exchange); no global window, no collect."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros("ts")
+    o = e.select(
+        "user_id",
+        t_us.alias("t_us"),
+        dec("value", "decimal(8,2)").alias("v"),
+        F.lead(t_us).over(w).alias("nxt_us"),
+    )
+    dur_s = F.expr("(nxt_us - t_us) div 1000000")
+    seg = o.where(F.col("nxt_us").isNotNull() & (dur_s >= 1)).select(
+        "user_id",
+        dur_s.cast("decimal(12,0)").alias("dur"),
+        "v",
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum("dur").cast("long").alias("total_dur_s"),
+            F.sum((F.col("v") * F.col("dur")).cast("decimal(24,2)"))
+            .cast("decimal(38,2)").alias("__wv"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_dur_s",
+            (F.col("__wv").cast("double")
+             / F.col("total_dur_s").cast("double")).alias("twav"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "skyline_price_quantity",
+    oracle="""
+    WITH p AS (SELECT DISTINCT CAST(l_extendedprice AS DECIMAL(8,2)) AS price,
+                               CAST(l_quantity AS BIGINT) AS qty
+               FROM lineitem),
+    s AS (SELECT price, qty,
+                 MAX(qty) OVER (ORDER BY price ASC, qty DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev
+          FROM p)
+    SELECT price, qty FROM s WHERE prev IS NULL OR qty > prev
+    ORDER BY price, qty
+    """,
+)
+def skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D SKYLINE (Pareto frontier) over lineitem: the (price, quantity)
+    pairs no other pair beats on both axes (lower-or-equal price AND
+    higher-or-equal quantity, one strict) — the multi-criteria shortlist
+    operator (Börzsönyi et al. 2001). The Spark plan is
+    operators/ranking.py::skyline_2d — bin-pruned and PARTITION-PARALLEL,
+    never the textbook single global sort: per-bin maxima (a tiny
+    broadcast) prune every candidate below its lower-bins' running max,
+    then a bin-PARTITIONED window settles in-bin dominance, so the wide
+    work stays parallel at any scale. The oracle is the naive
+    single-window formulation (provably the same set: a pair fails the
+    running-max test iff a preceding pair dominates it). l_quantity is
+    integral by generation (1..50), so CAST truncation == rounding."""
+    from flusher_spark.operators.ranking import skyline_2d
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        dec("l_extendedprice", "decimal(8,2)").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return skyline_2d(li, min_col="price", max_col="qty").orderBy("price", "qty")
+
+
+@register(
+    "scalar_business_days",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS e1,
+             CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS e2
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    f AS (
+      SELECT o_orderpriority,
+             (5 * ((e2 - e2 % 7) // 7) + LEAST(e2 % 7, 2) + GREATEST(e2 % 7 - 4, 0))
+             -
+             (5 * ((e1 - e1 % 7) // 7) + LEAST(e1 % 7, 2) + GREATEST(e1 % 7 - 4, 0))
+               AS bdays
+      FROM d)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bdays) AS BIGINT) AS total_bdays,
+           CAST(CAST(SUM(bdays) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_bdays
+    FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def scalar_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUSINESS-DAY interval arithmetic — the SLA-latency scalar every
+    ops/finance pipeline needs and no engine ships natively: weekdays
+    elapsed from order date to ship date, per order priority. Pure
+    integer epoch-day math (no dayofweek builtin — Spark's is 1=Sunday,
+    DuckDB's 0=Sunday; a cross-engine trap) via a closed-form prefix
+    count: weekdays-before-day-e = 5*(whole weeks) + clamp of the partial
+    week, where epoch day 0 (1970-01-01) is a Thursday, so the partial
+    week runs Thu,Fri=workdays then Sat,Sun=weekend then Mon..Wed. The
+    interval count is the prefix-count DIFFERENCE — exact bigints, one
+    final double division. Codegen'd end to end; the join shuffles on
+    orderkey only."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("d1")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("d2")
+    )
+
+    def prefix_weekdays(e):
+        # weekdays in [1970-01-01, epoch day e): 5 per whole week from the
+        # Thursday anchor, plus the partial week — residues run
+        # Thu,Fri (work), Sat,Sun (weekend), Mon,Tue,Wed (work), so the
+        # partial count is LEAST(r,2) + GREATEST(r-4,0); identical
+        # expression in the oracle.
+        wk = ((e - e % 7) / 7).cast("long")
+        part = e % 7
+        return 5 * wk + F.least(part, F.lit(2)) + F.greatest(part - 4, F.lit(0))
+
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    e1 = F.datediff(F.col("d1"), F.lit("1970-01-01"))
+    e2 = F.datediff(F.col("d2"), F.lit("1970-01-01"))
+    bdays = (prefix_weekdays(e2) - prefix_weekdays(e1)).alias("bdays")
+    return (
+        j.select("o_orderpriority", bdays)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("bdays").cast("long").alias("total_bdays"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "total_bdays",
+            (F.col("total_bdays").cast("double") / F.col("n").cast("double"))
+            .alias("avg_bdays"),
+        )
+        .orderBy("o_orderpriority")
+    )

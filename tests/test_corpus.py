@@ -128,3 +128,39 @@ def test_mix_upsample_invariants(spark):
         import math
 
         assert math.floor(r) * o["n_docs"] <= row["n_rows"] <= math.ceil(r) * o["n_docs"], src
+
+
+# -- flagship pipeline: MinHash swap-at-scale invariant ------------------------
+
+
+def test_minhash_near_dup_drops_subset_of_exact(spark):
+    """The swap-at-scale contract behind corpus_e2e_pipeline_minhash:
+    MinHash-LSH candidates are a subset of all true pairs (banding only
+    MISSES) and each candidate is verified with the exact Jaccard at the
+    same threshold, so the docs IT drops must be a subset of the docs the
+    exact-Jaccard stage drops — i.e. its survivor set is a superset."""
+    from flusher_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = C.load_table(spark, SF_DIR, "documents")
+    exact_drops = {
+        r["doc_b"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_bucket=1000)
+        .select("doc_b").distinct().collect()
+    }
+    mh_drops = {
+        r["doc_b"]
+        for r in minhash_lsh_pairs(docs, shingle_n=3, threshold=0.5, max_bucket=1000)
+        .select("doc_b").distinct().collect()
+    }
+    assert exact_drops, "fixture must contain near-dup pairs for this to bite"
+    assert mh_drops <= exact_drops
+
+
+def test_minhash_pipeline_shares_schema_and_runs(spark):
+    """corpus_e2e_pipeline_minhash is a drop-in: identical output schema to
+    the exact pipeline and a non-empty packing result on the fixture."""
+    a = C.corpus_e2e_pipeline(spark, SF_DIR)
+    b = C.corpus_e2e_pipeline_minhash(spark, SF_DIR)
+    assert a.schema == b.schema
+    rows = b.collect()
+    assert rows and all(r["pack_tokens"] > 0 for r in rows)

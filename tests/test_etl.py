@@ -790,3 +790,45 @@ def test_snapshot_table_clustered_writes_prune_more_files(spark, tmp_path):
         f["path"] for f in m2["files"]
     }
     assert len(carried) >= n_before - c_hit, "untouched files must carry forward"
+
+
+def test_snapshot_expire_versions_then_vacuum_reclaims(spark, tmp_path):
+    """expire_versions drops old manifests (time-travel retention); only
+    then does vacuum reclaim the files those versions solely pinned.
+    Current data must be byte-identical before/after, expired versions
+    must stop time-travelling, and keep_last must protect the tail."""
+    import os
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "exp"), "k")
+    t.create(spark.range(0, 400).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    t.merge(spark.range(0, 400).select(F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")))
+    before = sorted((r["k"], r["v"]) for r in t.snapshot().collect())
+
+    with _pt.raises(ValueError, match="keep_last"):
+        t.expire_versions(keep_last=0)
+    # vacuum BEFORE expiry may sweep zero-row writer artifacts but never a
+    # file any version references: both versions must still read intact
+    t.vacuum(retention_seconds=0)
+    v0 = sorted((r["k"], r["v"]) for r in t.snapshot(version=0).collect())
+    assert len(v0) == 400 and v0[0] == (0, 0)
+    assert sorted((r["k"], r["v"]) for r in t.snapshot().collect()) == before
+    assert t.expire_versions(keep_last=1) == [0]
+    assert t.versions() == [1]
+    with _pt.raises(FileNotFoundError):
+        t.snapshot(version=0)
+    removed = t.vacuum(retention_seconds=0)
+    assert removed > 0, "files pinned only by the expired v0 must be reclaimed"
+    on_disk = sum(
+        1 for _d, _s, names in os.walk(str(tmp_path / "exp" / "data"))
+        for n in names if n.endswith(".parquet")
+    )
+    referenced = len(t._manifest(1)["files"])
+    assert on_disk == referenced
+    assert sorted((r["k"], r["v"]) for r in t.snapshot().collect()) == before
+    # expiring when nothing is eligible is a no-op
+    assert t.expire_versions(keep_last=5) == []

@@ -2151,6 +2151,35 @@ def test_substring_dup_spans_finds_planted_passage(spark):
     assert (spans[2]["start_tok"], spans[2]["end_tok"], spans[2]["n_tok"]) == (0, 11, 12)
 
 
+def test_substring_dup_spans_hashed_matches_exact_on_fixture(spark):
+    """hash_grams=True (the 100 TB shuffle-compression path) must emit
+    byte-identical spans to the raw-string-key path on the sf0.001
+    documents fixture — real prose, ~thousands of distinct grams."""
+    from flusher_spark.operators.dedup import substring_dup_spans
+
+    docs = load_table(spark, SF, "documents")
+    exact = sorted(map(tuple, substring_dup_spans(docs, k=8).collect()))
+    hashed = sorted(map(tuple, substring_dup_spans(docs, k=8, hash_grams=True).collect()))
+    assert exact and hashed == exact
+
+
+def test_substring_gram_hash_collision_rate_is_zero_on_fixture(spark):
+    """xxhash64 over the fixture's full distinct 8-gram population must be
+    injective (distinct hashes == distinct grams): the 2^-64 per-pair
+    collision bound the hashed entry's docstring claims is vacuous if the
+    gram key were accidentally truncated or lossily cast somewhere."""
+    from flusher_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, SF, "documents")
+    grams = shingle_rows(docs, "text", "doc_id", 8).select("s").distinct()
+    row = grams.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.xxhash64("s")).alias("nh"),
+    ).collect()[0]
+    assert row["n"] > 1000, "fixture should exercise a real gram population"
+    assert row["nh"] == row["n"], f"hash collisions: {row['n'] - row['nh']}"
+
+
 def test_remove_dup_spans_trims_only_flagged_tokens(spark):
     from flusher_spark.operators.dedup import remove_dup_spans, substring_dup_spans
 
@@ -2168,3 +2197,31 @@ def test_remove_dup_spans_trims_only_flagged_tokens(spark):
     assert out[1] == "alpha beta gamma"
     assert out[2] == "epsilon zeta"
     assert out[3] == "totally unrelated text here"  # untouched via left join
+
+
+# -- skyline -------------------------------------------------------------------
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    """Bin-pruned parallel skyline == O(n^2) dominance scan, including
+    duplicate pairs, equal-x and equal-y ties, and a single-value x domain
+    (span 0 -> everything in one bin)."""
+    import random
+
+    from flusher_spark.operators.ranking import skyline_2d
+
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(300)]
+    pts += pts[:20]  # exact duplicates must not self-dominate
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y", num_bins=8).collect())
+    uniq = set(pts)
+    brute = sorted(
+        (x, y) for (x, y) in uniq
+        if not any(
+            ox <= x and oy >= y and (ox < x or oy > y) for (ox, oy) in uniq
+        )
+    )
+    assert got == brute
+    flat = spark.createDataFrame([(5, 1), (5, 9), (5, 9)], "x long, y long")
+    assert [(r["x"], r["y"]) for r in skyline_2d(flat, "x", "y").collect()] == [(5, 9)]

@@ -136,6 +136,30 @@ def test_registry_priority_prefix():
     assert list(reg)[: len(PRIORITY)] == list(PRIORITY)
 
 
+def test_every_entry_is_driver_checked_or_windowed():
+    """Freshness discipline (the etl_dynamic_partition_overwrite lesson from
+    round 8): every registry entry must either already hold a driver verdict
+    (appear in some committed CORRECTNESS_r*.json) or be queued for one
+    (appear in the driver's 50-entry PRIORITY window). An entry registered
+    after the round's rotation froze would satisfy neither — it must be
+    appended to the window in the same commit that registers it."""
+    import glob
+    import json
+    import os
+
+    from flusher_spark.plans.catalog import PRIORITY
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    checked: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        checked.update(json.load(open(f)))
+    window = set(PRIORITY[:50])
+    orphans = [n for n in registry() if n not in checked and n not in window]
+    assert not orphans, (
+        f"entries with no driver verdict and no PRIORITY window slot: {orphans}"
+    )
+
+
 def test_bench_headline_is_plan_audited():
     """Every bench headline query must have a section in PLANS.md (or be a
     streaming-executed entry named by tools/plan_audit.py's skip rule) —
@@ -232,6 +256,7 @@ _NESTED_LOOP_OK = {
     "q22_global_avg_anti",  # broadcast 1-row global average (scalar subquery)
     "q11_important_parts",  # broadcast 1-row grand total (scalar subquery)
     "etl_zorder_layout",  # broadcast 1-row global min/max bounds for key normalization
+    "skyline_price_quantity",  # broadcast 1-row global x-bounds for bin assignment
 }
 
 
