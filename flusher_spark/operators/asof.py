@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"
 _PAYLOAD = "__asof_payload"
+_FWDKEY = "__asof_fwdkey"
 
 
 def asof_join(
@@ -61,16 +62,19 @@ def asof_join(
 
     # Right rows sort before left rows at equal timestamps (side 0 < 1), so an
     # equal-ts right row is already visible — matching ASOF '>=' semantics.
-    # Payload ASCENDING + running last() ⇒ among right rows tied on timestamp
-    # the largest payload struct is the one carried forward.
+    # Running max(struct) — NOT payload-in-the-sort-key + last(): the struct
+    # leads with right_ts, so the max over the frame IS the latest prior row,
+    # ties resolved to the largest payload, and it is order-insensitive among
+    # equal sort keys. Keeping the payload out of the ORDER BY matters: r8
+    # sorted by the full struct and the asof family drifted ~1.5× (struct
+    # compares in the sort's hot loop); an incremental unbounded-preceding
+    # max does one struct compare per row instead.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(left_ts).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc())
+        .orderBy(F.col(left_ts).asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    merged = lhs.unionByName(rhs).withColumn(
-        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
-    )
+    merged = lhs.unionByName(rhs).withColumn(_PAYLOAD, F.max(_PAYLOAD).over(w))
     out = merged.where(F.col(_SIDE) == 1).select(
         *[c for c in left.columns],
         *[F.col(f"{_PAYLOAD}.{src}").alias(dst) for src, dst in zip(value_cols, out_cols)],
@@ -96,57 +100,64 @@ def asof_join_nearest(
     numeric timestamps (matching asof_join, which is type-agnostic too).
 
     Same shape as :func:`asof_join` — union both sides, ONE shuffle on the
-    keys — but with TWO running windows (the latest prior right row and the
-    earliest following right row). The windows differ only in payload
-    sort direction so that BOTH resolve equal-timestamp right rows to the
-    largest payload struct — the same deterministic tie-break convention
-    :func:`asof_join` documents; Spark plans them as two in-partition sorts
-    over the one shuffle. Each left row then picks the closer candidate
-    (ties prefer the prior row; equal-timestamp right rows count as prior
-    with distance 0) and drops it if beyond tolerance. No range explosion:
-    cost is the one shuffle, not tolerance-proportional fan-out.
+    keys, ONE in-partition sort on (ts, side) — with TWO running window
+    aggregates over it (Spark plans them as one Window node): the latest
+    prior right row as max(payload struct), and the earliest following
+    right row as max(struct(-ts, payload)) so the min-timestamp /
+    max-payload preference folds into one order-insensitive aggregate.
+    BOTH candidates therefore resolve equal-timestamp right rows to the
+    largest payload struct — the tie-break convention :func:`asof_join`
+    documents — and the payload never enters a sort key (see asof_join on
+    why that matters). Each left row then picks the closer candidate (ties
+    prefer the prior row; equal-timestamp right rows count as prior with
+    distance 0) and drops it if beyond tolerance. No range explosion: cost
+    is the one shuffle, not tolerance-proportional fan-out.
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in on and c != right_ts]
 
+    is_ts = dict(left.dtypes).get(left_ts, "").startswith("timestamp")
+
+    def tnum(c):
+        return F.unix_micros(c) if is_ts else c.cast("long")
+
     out_cols = [f"{c}{suffix}" for c in value_cols]
     payload = F.struct(*[F.col(c).alias(c) for c in [right_ts, *value_cols]])
+    fwdkey = F.struct((-tnum(F.col(right_ts))).alias("negts"), payload.alias("p"))
     ptype = right.select(payload.alias(_PAYLOAD)).schema[_PAYLOAD].dataType
+    ftype = right.select(fwdkey.alias(_FWDKEY)).schema[_FWDKEY].dataType
 
-    lhs = left.withColumn(_SIDE, F.lit(1)).withColumn(_PAYLOAD, F.lit(None).cast(ptype))
+    lhs = (
+        left.withColumn(_SIDE, F.lit(1))
+        .withColumn(_PAYLOAD, F.lit(None).cast(ptype))
+        .withColumn(_FWDKEY, F.lit(None).cast(ftype))
+    )
     rhs = right.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias(left_ts),
         F.lit(0).alias(_SIDE),
         payload.alias(_PAYLOAD),
+        fwdkey.alias(_FWDKEY),
     )
     for c in left.columns:
         if c not in rhs.columns:
             rhs = rhs.withColumn(c, F.lit(None).cast(dict(lhs.dtypes)[c]))
     rhs = rhs.select(*lhs.columns)
 
-    # Back window: payload ASC so last() lands on the LARGEST payload among
-    # equal-timestamp rows; fwd window: payload DESC so first() does too.
-    order_back = [F.col(left_ts).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc()]
-    order_fwd = [F.col(left_ts).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).desc()]
+    order = [F.col(left_ts).asc(), F.col(_SIDE).asc()]
     w_back = (
-        Window.partitionBy(*on).orderBy(*order_back)
+        Window.partitionBy(*on).orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_fwd = (
-        Window.partitionBy(*on).orderBy(*order_fwd)
+        Window.partitionBy(*on).orderBy(*order)
         .rowsBetween(0, Window.unboundedFollowing)
     )
     merged = (
         lhs.unionByName(rhs)
-        .withColumn("__back", F.last(_PAYLOAD, ignorenulls=True).over(w_back))
-        .withColumn("__fwd", F.first(_PAYLOAD, ignorenulls=True).over(w_fwd))
+        .withColumn("__back", F.max(_PAYLOAD).over(w_back))
+        .withColumn("__fwd", F.max(_FWDKEY).over(w_fwd).getField("p"))
     )
-
-    is_ts = dict(left.dtypes).get(left_ts, "").startswith("timestamp")
-
-    def tnum(c):
-        return F.unix_micros(c) if is_ts else c.cast("long")
 
     ts_us = tnum(F.col(left_ts))
     back_diff = ts_us - tnum(F.col(f"__back.{right_ts}"))
