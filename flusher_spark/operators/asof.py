@@ -118,8 +118,14 @@ def asof_join_nearest(
 
     is_ts = dict(left.dtypes).get(left_ts, "").startswith("timestamp")
 
+    # TIMESTAMP columns map to exact microsecond longs; numeric timestamp
+    # columns stay in their NATIVE type — negation and subtraction are exact
+    # for long, double and decimal alike, and a cast('long') here would
+    # truncate fractional timestamps, colliding distinct sub-unit right rows
+    # in the forward key and computing distances on floored values (so
+    # "nearest" could pick the farther row — a confirmed defect, r9 review).
     def tnum(c):
-        return F.unix_micros(c) if is_ts else c.cast("long")
+        return F.unix_micros(c) if is_ts else c
 
     out_cols = [f"{c}{suffix}" for c in value_cols]
     payload = F.struct(*[F.col(c).alias(c) for c in [right_ts, *value_cols]])

@@ -28,7 +28,7 @@ import random
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from flusher_spark.operators.text import normalized_text, tokens
+from flusher_spark.operators.text import WS_CLASS, normalized_text, tokens
 
 #: 2^61-1 (Mersenne prime): modulus for the MinHash permutation family.
 _MERSENNE = (1 << 61) - 1
@@ -527,16 +527,29 @@ def substring_dup_spans(
     (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     Better"); this is the shuffle-bounded Spark formulation of the same
     contract — a token position is duplicated iff the k-token gram starting
-    there also occurs in >= ``min_docs`` distinct documents, and maximal
-    runs of duplicated positions merge into spans (a shared passage of L
-    tokens is exactly the island of its L-k+1 anchor grams).
+    there also occurs in >= ``min_docs`` distinct documents, and anchors
+    whose k-token windows overlap (successive positions <= k-1 apart)
+    merge into one span. A shared passage of L tokens is the island of
+    its L-k+1 consecutive anchors; overlap-merging additionally folds two
+    distinct shared passages whose anchor runs interleave within k-1
+    positions into one contiguous region, so the returned spans NEVER
+    overlap in token space and their ``n_tok`` values sum to the exact
+    number of duplicated tokens per document (the invariant
+    :func:`remove_dup_spans` and the mask entry's oracle arithmetic rely
+    on; a consecutive-only merge emits token-overlapping spans whenever
+    two duplicated passages start 2..k-1 positions apart and over-counts
+    the removal).
 
     Plan shape (never all-pairs, never a suffix array's global sort):
     row-local gram explode (narrow, same transform/slice projection as
     shingle_rows) -> one groupBy on the gram string (the inverted index;
     map-side partial counts) -> semi-join positions against the duplicated
     grams -> one doc_id window for gaps-and-islands. Cost is O(corpus
-    tokens) shuffle bytes, the same order as the MinHash pipeline.
+    tokens) shuffle bytes, the same order as the MinHash pipeline. The
+    gram pipeline feeds BOTH the inverted-index groupBy and the semi-join
+    probe, so it is localCheckpoint'ed (lazily) to compute the explode
+    once instead of twice — the same multi-consumer trade as
+    minhash_lsh_pairs' shingle index.
 
     ``hash_grams=True`` is the 100 TB path: the k-token gram string is
     xxhash64-compressed row-locally BEFORE the exchange, so the inverted
@@ -564,6 +577,7 @@ def substring_dup_spans(
     )
     if hash_grams:
         grams = grams.withColumn("g", F.xxhash64("g"))
+    grams = grams.localCheckpoint(eager=False)
     dup = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -571,9 +585,17 @@ def substring_dup_spans(
         .select("g")
     )
     hits = grams.join(dup, "g", "left_semi").select("doc_id", F.col("pos").cast("long"))
+    # Gaps-and-islands with an OVERLAP threshold, not consecutive-only:
+    # successive anchors <= k-1 apart cover overlapping token windows, so
+    # they must land in one island or the emitted spans double-count tokens.
     w = Window.partitionBy("doc_id").orderBy("pos")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
     return (
-        hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        hits.withColumn(
+            "__new",
+            F.when(F.col("pos") - F.lag("pos").over(w) <= k - 1, F.lit(0)).otherwise(F.lit(1)),
+        )
+        .withColumn("grp", F.sum("__new").over(wrun))
         .groupBy("doc_id", "grp")
         .agg(F.min("pos").alias("start_tok"), F.max("pos").alias("__maxpos"))
         .select(
@@ -592,18 +614,24 @@ def remove_dup_spans(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Trim the spans found by :func:`substring_dup_spans` out of each
-    document (Lee et al.'s 'remove the duplicated substring' step), keeping
-    everything else verbatim. Every flagged occurrence is removed in every
-    document that carries one; a single canonical copy survives only if some
-    corpus document contains the passage OUTSIDE a flagged span (callers
-    wanting keep-one semantics filter ``spans`` first, e.g. by dropping each
-    anchor gram's minimum doc_id — policy, not mechanism, so it stays out of
-    this operator).
+    document (Lee et al.'s 'remove the duplicated substring' step). Every
+    flagged occurrence is removed in every document that carries one; a
+    single canonical copy survives only if some corpus document contains
+    the passage OUTSIDE a flagged span (callers wanting keep-one semantics
+    filter ``spans`` first, e.g. by dropping each anchor gram's minimum
+    doc_id — policy, not mechanism, so it stays out of this operator).
+
+    Surviving tokens keep their ORIGINAL text (casing, punctuation): the
+    rebuild splits the un-lowercased trimmed text with the same whitespace
+    regex ``tokens`` uses — lowercasing never moves a whitespace boundary,
+    so positions align 1:1 with the span indexes — and only inter-token
+    whitespace is normalized to single spaces (inherent to token-level
+    masking; runs of whitespace collapse). Documents with no spans pass
+    through byte-verbatim via the left join.
 
     One doc_id-keyed aggregate of spans (collect_list of bounded per-doc
     span structs — span counts per doc are small by construction) + a
-    row-local filter-by-position rebuild; documents with no spans pass
-    through untouched via the left join.
+    row-local filter-by-position rebuild.
     """
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("start_tok", "end_tok")).alias("__spans")
@@ -618,7 +646,7 @@ def remove_dup_spans(
     )
     keep = [c for c in df.columns if c != text_col]
     return (
-        df.withColumn("__t", tokens(F.col(text_col)))
+        df.withColumn("__t", F.split(F.trim(F.col(text_col)), WS_CLASS + "+"))
         .join(per_doc, df[id_col] == per_doc["doc_id"], "left")
         .drop(per_doc["doc_id"])
         .select(*keep, out_text.alias(text_col))

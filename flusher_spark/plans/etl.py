@@ -1296,9 +1296,18 @@ def etl_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     )
     root = os.path.join(tempfile.mkdtemp(prefix="flusher_dpo_"), "daily")
     daily.write.partitionBy("day").mode("overwrite").parquet(root)
+    # The revised slice reads the day-partitioned table BACK with a
+    # day-predicate — partition pruning touches only the revised days'
+    # files — instead of re-running the full-events rollup a second time
+    # (at 100 TB that second fact-table scan is exactly the cost dynamic
+    # overwrite exists to avoid). localCheckpoint materializes the (small,
+    # revised-partitions-sized) slice and breaks lineage, which Spark
+    # requires anyway to overwrite a path that the plan also reads.
     revised = (
-        daily.where(F.dayofmonth("day") % 3 == 0)
+        spark.read.parquet(root)
+        .where(F.dayofmonth("day") % 3 == 0)
         .withColumn("v", (F.col("v") * 2).cast("decimal(18,2)"))
+        .localCheckpoint(eager=True)
     )
     (
         revised.write.partitionBy("day")

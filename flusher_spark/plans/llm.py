@@ -2500,9 +2500,14 @@ _SUBSTRING_SPANS_ORACLE = rf"""
       WHERE len(t) >= 8),
     dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
     hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+    flagged AS (SELECT doc_id, pos,
+                       CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+                            THEN 0 ELSE 1 END AS new_isl
+                FROM hits),
     isl AS (SELECT doc_id, pos,
-                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-            FROM hits)
+                   SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+            FROM flagged)
     SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
            CAST(MAX(pos) + 7 AS BIGINT) AS end_tok,
            CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS n_tok
@@ -2519,9 +2524,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gram explode is row-local; the only wide ops are the inverted-index
     groupBy on the gram, the semi-join back, and one doc window for
     gaps-and-islands — O(corpus tokens) shuffle bytes, no suffix array's
-    global sort, no all-pairs. The oracle replays the identical anchor
-    arithmetic in SQL (range -> slice grams, HAVING >= 2 docs, islands
-    via pos - ROW_NUMBER)."""
+    global sort, no all-pairs. Islands merge anchors whose 8-token windows
+    OVERLAP (successive positions <= 7 apart), so spans never overlap in
+    token space and n_tok sums are exact removal counts. The oracle
+    replays the identical anchor arithmetic in SQL (range -> slice grams,
+    HAVING >= 2 docs, lag-threshold islands)."""
     return D.substring_dup_spans(
         load_table(spark, sf_dir, "documents"), k=8, min_docs=2
     )
@@ -2671,9 +2678,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(t) >= 8),
     dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
     hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+    flagged AS (SELECT doc_id, pos,
+                       CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+                            THEN 0 ELSE 1 END AS new_isl
+                FROM hits),
     isl AS (SELECT doc_id, pos,
-                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-            FROM hits),
+                   SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+            FROM flagged),
     spans AS (SELECT doc_id, CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS n_tok
               FROM isl GROUP BY doc_id, grp),
     per AS (SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_removed

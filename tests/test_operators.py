@@ -124,6 +124,22 @@ def test_asof_nearest_tied_right_rows_largest_payload_wins_both_directions(spark
     assert rows[13]["rv_right"] == 400, "fwd candidate must tie-break to largest payload"
 
 
+def test_asof_nearest_fractional_numeric_timestamps(spark):
+    """Double timestamp columns must compare at full precision: right rows
+    0.2 and 0.9 units away are DIFFERENT distances, and sub-unit-distinct
+    right rows must not collide in the forward key (r9 review: a
+    cast('long') floored both, so 5.9 beat 5.2 via the payload tie-break)."""
+    from flusher_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame([(1, 5.0)], "k long, t double")
+    right = spark.createDataFrame(
+        [(1, 5.2, 1), (1, 5.9, 9)], "k long, rt double, rv long"
+    )
+    rows = asof_join_nearest(left, right, ["k"], "t", "rt", tolerance_us=2).collect()
+    assert rows[0]["rv_right"] == 1, "genuinely nearest (5.2) must win, not floor-tied 5.9"
+    assert rows[0]["rt_right"] == 5.2
+
+
 # -- dedup -------------------------------------------------------------------
 
 
@@ -2197,6 +2213,53 @@ def test_remove_dup_spans_trims_only_flagged_tokens(spark):
     assert out[1] == "alpha beta gamma"
     assert out[2] == "epsilon zeta"
     assert out[3] == "totally unrelated text here"  # untouched via left join
+
+
+def test_substring_dup_spans_merges_overlapping_passages(spark):
+    """Two duplicated passages whose anchor runs start 2 positions apart
+    (gap 2..k-1) cover OVERLAPPING token windows and must merge into ONE
+    span, so sum(n_tok) equals the tokens actually removed (r9 review:
+    consecutive-only islands emitted spans (0,7,8)+(2,9,8) here —
+    n_removed 16 for 10 genuinely duplicated tokens)."""
+    from flusher_spark.operators.dedup import remove_dup_spans, substring_dup_spans
+
+    w = " ".join(f"w{i}" for i in range(10))          # w0..w9
+    docs = spark.createDataFrame(
+        [
+            (1, w + " tail1 tail2"),                   # 12 tokens
+            (2, " ".join(f"w{i}" for i in range(8))),  # w0..w7  → anchor pos 0 in doc 1
+            (3, " ".join(f"w{i}" for i in range(2, 10))),  # w2..w9 → anchor pos 2
+        ],
+        "doc_id long, text string",
+    )
+    spans = substring_dup_spans(docs, k=8)
+    doc1 = [r for r in spans.collect() if r["doc_id"] == 1]
+    assert len(doc1) == 1, f"overlapping anchors must merge, got {doc1}"
+    assert (doc1[0]["start_tok"], doc1[0]["end_tok"], doc1[0]["n_tok"]) == (0, 9, 10)
+    masked = {r["doc_id"]: r["text"] for r in remove_dup_spans(docs, spans).collect()}
+    assert masked[1] == "tail1 tail2"
+    # interval arithmetic and re-tokenized length agree: 12 - 10 == 2
+    assert doc1[0]["n_tok"] == 12 - len(masked[1].split())
+
+
+def test_remove_dup_spans_preserves_original_casing(spark):
+    """Surviving tokens keep their original text — casing and punctuation —
+    not the lowercased tokenizer normalization (r9 review: the rebuild used
+    tokens(), so untouched regions came back case-folded)."""
+    from flusher_spark.operators.dedup import remove_dup_spans, substring_dup_spans
+
+    passage = " ".join(f"shared{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha, Beta! " + passage + " GAMMA."),
+            (2, passage + " epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = substring_dup_spans(docs, k=8)
+    out = {r["doc_id"]: r["text"] for r in remove_dup_spans(docs, spans).collect()}
+    assert out[1] == "Alpha, Beta! GAMMA."
+    assert out[2] == "epsilon zeta"
 
 
 # -- skyline -------------------------------------------------------------------
