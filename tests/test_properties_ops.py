@@ -85,3 +85,115 @@ def test_global_ntile_equals_window(spark, vals, n):
         for r in df.withColumn("b", F.ntile(n).over(w).cast("long")).collect()
     }
     assert got == expected
+
+
+# -- substring dedup vs naive -------------------------------------------------
+
+_docs_strategy = st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=20),
+    min_size=2,
+    max_size=5,
+)
+
+
+@given(docs=_docs_strategy)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_substring_dup_spans_equals_naive(spark, docs):
+    """Differential check of the whole substring-dedup contract against an
+    O(n^2) single-node twin on random tiny-vocabulary corpora (a 4-symbol
+    vocabulary makes shared k-grams — including the overlapping-passage
+    interleavings the r9 review caught — common instead of adversarial):
+    per document, the spans' token union must equal the brute-force set of
+    positions covered by any >=2-doc anchor window, spans must never
+    overlap, sum(n_tok) must equal the covered-set size, and
+    remove_dup_spans must emit exactly the uncovered tokens in order."""
+    from flusher_spark.operators.dedup import remove_dup_spans, substring_dup_spans
+
+    k = 3
+    # Naive twin: inverted index of k-gram -> distinct docs, then the union
+    # of every duplicated anchor's token window.
+    gram_docs: dict[tuple, set] = {}
+    for d, toks in enumerate(docs):
+        for i in range(len(toks) - k + 1):
+            gram_docs.setdefault(tuple(toks[i : i + k]), set()).add(d)
+    covered = {d: set() for d in range(len(docs))}
+    for d, toks in enumerate(docs):
+        for i in range(len(toks) - k + 1):
+            if len(gram_docs[tuple(toks[i : i + k])]) >= 2:
+                covered[d].update(range(i, i + k))
+
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    spans = substring_dup_spans(df, k=k, min_docs=2)
+    by_doc: dict[int, list] = {}
+    for r in spans.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["start_tok"], r["end_tok"], r["n_tok"]))
+    for d, toks in enumerate(docs):
+        got = sorted(by_doc.get(d, []))
+        union: set = set()
+        for s, e, n in got:
+            assert n == e - s + 1
+            assert not (union & set(range(s, e + 1))), f"doc {d}: overlapping spans {got}"
+            union.update(range(s, e + 1))
+        assert union == covered[d], f"doc {d}: span union != naive covered set"
+        assert sum(n for _, _, n in got) == len(covered[d])
+
+    masked = {r["doc_id"]: r["text"] for r in remove_dup_spans(df, spans).collect()}
+    for d, toks in enumerate(docs):
+        expect = " ".join(t for i, t in enumerate(toks) if i not in covered[d])
+        assert masked[d] == expect, f"doc {d}: masked text != naive uncovered tokens"
+
+
+# -- nearest as-of vs naive ---------------------------------------------------
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(1, 2), st.integers(0, 40)), min_size=1, max_size=12),
+    rights=st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 40), st.integers(0, 9)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_asof_nearest_fractional_equals_naive(spark, lefts, rights):
+    """asof_join_nearest on FRACTIONAL (double, quarter-unit grid)
+    timestamps against a naive twin implementing the documented contract:
+    back = latest rt <= t (ties to largest payload), fwd = smallest rt > t
+    (ties to largest payload), pick the closer within tolerance, distance
+    ties prefer the prior row. The quarter grid makes sub-unit distances,
+    exact equidistance, and equal-rt payload ties all common — the space
+    where the r9 truncation defect lived."""
+    from flusher_spark.operators.asof import asof_join_nearest
+
+    tol = 2.0
+    lrows = [(i, k, q / 4.0) for i, (k, q) in enumerate(lefts)]
+    rrows = [(k, q / 4.0, v) for (k, q, v) in rights]
+
+    def naive(k, t):
+        back = [(rt, rv) for (rk, rt, rv) in rrows if rk == k and rt <= t]
+        fwd = [(rt, rv) for (rk, rt, rv) in rrows if rk == k and rt > t]
+        b = max(back) if back else None          # max rt, then max payload
+        f = min(fwd, key=lambda p: (p[0], -p[1])) if fwd else None  # min rt, max payload
+        b_ok = b is not None and t - b[0] <= tol
+        f_ok = f is not None and f[0] - t <= tol
+        if b_ok and (not f_ok or t - b[0] <= f[0] - t):
+            return b
+        return f if f_ok else None
+
+    left = spark.createDataFrame(lrows, "lid long, k long, t double")
+    right = spark.createDataFrame(rrows or [(0, None, None)], "k long, rt double, rv long").where(
+        F.col("rt").isNotNull()
+    )
+    got = {
+        r["lid"]: (r["rt_right"], r["rv_right"])
+        for r in asof_join_nearest(left, right, ["k"], "t", "rt", tolerance_us=tol).collect()
+    }
+    for lid, k, t in lrows:
+        assert got[lid] == (naive(k, t) or (None, None)), (
+            f"lid={lid} k={k} t={t}: got {got[lid]}, naive {naive(k, t)}"
+        )
