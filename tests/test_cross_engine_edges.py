@@ -161,3 +161,34 @@ def test_integer_div_matches_duckdb_including_negatives(spark):
     for a, b in cases:
         assert got[(a, b)] == con.sql(f"SELECT ({a}) // ({b})").fetchone()[0], (a, b)
     assert got[(-7, 2)] == -3  # truncation, both engines
+
+
+def test_business_day_prefix_formula_matches_calendar():
+    """The closed-form weekday prefix count scalar_business_days uses
+    (5*whole-weeks + clamped Thu-anchored partial week) is implemented
+    IDENTICALLY in the Spark entry and its DuckDB oracle — so the hash
+    gate cannot catch a bug in the formula itself. This validates the
+    math against the calendar (datetime.weekday) over random intervals,
+    including ship-before-order (negative) spans the fixtures never hit."""
+    import datetime as dt
+    import random
+
+    def prefix(e: int) -> int:
+        # Mirror of plans/relational.py::scalar_business_days prefix_weekdays.
+        return 5 * ((e - e % 7) // 7) + min(e % 7, 2) + max(e % 7 - 4, 0)
+
+    def naive(d1: dt.date, d2: dt.date) -> int:
+        n, d = 0, d1
+        while d < d2:
+            n += d.weekday() < 5
+            d += dt.timedelta(days=1)
+        return n
+
+    epoch = dt.date(1970, 1, 1)
+    rng = random.Random(1)
+    for _ in range(500):
+        a = epoch + dt.timedelta(days=rng.randint(0, 20000))
+        b = a + dt.timedelta(days=rng.randint(-30, 300))
+        got = prefix((b - epoch).days) - prefix((a - epoch).days)
+        want = naive(a, b) if b >= a else -naive(b, a)
+        assert got == want, f"{a}..{b}: formula {got} != calendar {want}"
