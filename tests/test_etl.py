@@ -832,3 +832,40 @@ def test_snapshot_expire_versions_then_vacuum_reclaims(spark, tmp_path):
     assert sorted((r["k"], r["v"]) for r in t.snapshot().collect()) == before
     # expiring when nothing is eligible is a no-op
     assert t.expire_versions(keep_last=5) == []
+
+
+def test_snapshot_restore_then_expire_keeps_shared_files(spark, tmp_path):
+    """The sharpest retention interplay: restore publishes an OLD file list
+    by reference, so after expiring the original versions those files are
+    pinned only by the restore commit — vacuum must keep them (the table
+    must still read) while reclaiming the overwritten middle version's
+    files, and restore/time-travel to an expired version must raise."""
+    import os
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "rexp"), "k")
+    t.create(spark.range(0, 300).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    t.merge(spark.range(0, 300).select(F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")))
+    t.restore(0)  # v2: v0's files by reference
+    want = sorted((r["k"], r["v"]) for r in t.snapshot(version=0).collect())
+
+    assert t.expire_versions(keep_last=1) == [0, 1]
+    assert t.versions() == [2]
+    removed = t.vacuum(retention_seconds=0)
+    assert removed > 0, "v1's files are pinned by no retained version"
+    # v0's files survive: still referenced by the restore commit
+    assert sorted((r["k"], r["v"]) for r in t.snapshot().collect()) == want
+    on_disk = sum(
+        1 for _d, _s, names in os.walk(str(tmp_path / "rexp" / "data"))
+        for n in names if n.endswith(".parquet")
+    )
+    assert on_disk == len(t._manifest(2)["files"])
+    # expired versions are gone for every metadata verb, including restore
+    with _pt.raises(FileNotFoundError):
+        t.restore(1)
+    with _pt.raises(FileNotFoundError):
+        t.changes(0)
