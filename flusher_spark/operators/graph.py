@@ -63,8 +63,17 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # Empty edge set → empty ranking, not a driver ZeroDivisionError
+        # (a filtered-to-empty graph partition is a normal pipeline input).
+        return nodes.select("node", F.lit(1.0).alias("rank"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    out_nodes = deg.select(F.col("src").alias("node"))
+    # Checkpointed like `ed`: the dangling-mass anti-join consumes this
+    # every iteration, and without the checkpoint each iteration replayed
+    # the full edge scan + deg aggregation from the raw input — n_iter
+    # extra edge-table passes, against this module's own "the edge table
+    # never re-shuffles" design (r9 review).
+    out_nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
     for _ in range(n_iter):
         # Dangling mass: total rank parked on nodes with no out-edges.
         # 1-row aggregate -> scalar; bounded regardless of graph size.

@@ -23,10 +23,15 @@ from pyspark.sql import functions as F
 def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
     """Deterministic bucket in [0, n_buckets) from the md5 of the key's
     string form. The first 8 hex chars give 32 uniform bits — plenty for
-    percentage-grade splits."""
-    return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % n_buckets
-    )
+    percentage-grade splits.
+
+    NULL keys map to a fixed sentinel string first: md5(NULL) is NULL, and
+    a NULL bucket fails BOTH sides of a split predicate — rows would vanish
+    from train AND test silently (r9 review), breaking the disjoint-and-
+    exhaustive contract. With the sentinel every row lands in exactly one
+    bucket; non-null keys hash identically to before (and to the oracles)."""
+    s = F.coalesce(key.cast("string"), F.lit("\x00null"))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % n_buckets
 
 
 def hash_split(

@@ -47,6 +47,40 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return vec_dot(a, b) / (F.sqrt(norm_a) * F.sqrt(norm_b))
 
 
+def _safe_norms(m):
+    """Row L2 norms with zeros replaced by 1, shaped for broadcasting.
+
+    Dividing by a raw zero norm puts NaN similarities on zero-norm vectors,
+    and Spark orders NaN ABOVE every double — so one all-zero embedding
+    would take rank 1 for every query under ``cosine_sim DESC`` (r9
+    review). With the guard a zero vector keeps similarity 0.0 everywhere:
+    ranked like any orthogonal vector, never promoted. (The fold-left
+    exact twin yields NULL there — Spark non-ANSI x/0.0 — which sorts
+    LAST; both conventions keep garbage out of the top-k.)"""
+    import numpy as np
+
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return n
+
+
+def _topk_schema(df: DataFrame, id_col: str):
+    """Result schema for the top-k functions' empty-query branches, with the
+    id columns TYPED FROM THE INPUT — a hardcoded ``long`` made the empty
+    branch un-unionable with real results for string-id tables."""
+    from pyspark.sql import types as T
+
+    idt = df.schema[id_col].dataType
+    return T.StructType(
+        [
+            T.StructField("query_id", idt),
+            T.StructField(id_col, idt),
+            T.StructField("cosine_sim", T.DoubleType()),
+            T.StructField("rank", T.LongType()),
+        ]
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query_ids,
@@ -132,7 +166,20 @@ def lsh_topk(
     bucket (2^n_planes buckets), then exact re-ranking inside the bucket.
     The scale path: the candidate join is an equi-join on the signature, so
     cost is per-bucket, not all-pairs. Recall < 1 by construction (rows-only
-    correctness check; the exact twin is brute_force_topk)."""
+    correctness check; the exact twin is brute_force_topk).
+
+    ``dim`` must match the actual vector length and is validated against
+    one row up front (a single narrow first() — negligible next to the
+    scan). Without the check a mismatch is SILENT and quadratic: zip_with
+    null-pads the shorter side, one null product makes every plane dot
+    NULL, every signature collapses to 0, and the per-bucket equi-join
+    becomes the one all-pairs join this function exists to avoid."""
+    row = df.select(F.size(F.col(vec_col)).alias("__d")).first()
+    if row is not None and row["__d"] != dim:
+        raise ValueError(
+            f"lsh_topk: dim={dim} but '{vec_col}' vectors have {row['__d']} elements; "
+            "a mismatch zeroes every signature and degrades to an all-pairs join"
+        )
     planes = _hyperplanes(dim, n_planes, seed)
     base = df.select(
         F.col(id_col),
@@ -176,7 +223,12 @@ def _seed_centroids(
     Scale contract: driver state is ``sample_size × dim`` floats (bounded,
     like the centroid set itself); the sample is a distributed top-k by
     hashed id (TakeOrdered — one scan, no full sort), deterministic across
-    runs and partitionings."""
+    runs and partitionings.
+
+    Centroid ids are the seeding ranks 0..n_lists-1, NOT the sampled rows'
+    ids: list identity is internal, and deriving it from ``id_col`` made
+    every IVF path crash on non-integer id columns the rest of the module
+    accepts (r9 review)."""
     import numpy as np
 
     spark = base.sparkSession
@@ -186,18 +238,19 @@ def _seed_centroids(
         .select(id_col, vec_col)
         .collect()
     )
-    ids = [int(r[id_col]) for r in sample]
+    if not sample:
+        raise ValueError("cannot seed IVF centroids from an empty input DataFrame")
     V = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
     norms = np.linalg.norm(V, axis=1)
     norms[norms == 0] = 1.0
     U = V / norms[:, None]
     chosen = [0]
     best_sim = U @ U[0]  # cosine to the nearest chosen seed, per sample row
-    while len(chosen) < min(n_lists, len(ids)):
+    while len(chosen) < min(n_lists, len(sample)):
         nxt = int(np.argmin(best_sim))  # farthest point; ties → first (stable)
         chosen.append(nxt)
         best_sim = np.maximum(best_sim, U @ U[nxt])
-    rows = [(ids[i], [float(x) for x in V[i]]) for i in chosen]
+    rows = [(rank, [float(x) for x in V[i]]) for rank, i in enumerate(chosen)]
     return spark.createDataFrame(rows, "__cid long, __cvec array<double>").select(
         "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
     )
@@ -248,40 +301,18 @@ def ivf_topk(
     re-ranks exactly inside them — an equi-join on the list id, so cost is
     |probed lists| / |lists| of a full scan, not all-pairs. Recall < 1 by
     construction (rows-only check; exact twin: brute_force_topk).
+
+    Training and assignment are ``_ivf_assign`` — the single shared
+    implementation the persisted-index build and SemDeDup also call, so
+    the Lloyd arithmetic cannot drift between the fused and persisted
+    paths (r9 review folded an inlined duplicate of it back in here).
     """
-    spark = df.sparkSession
-    base = df.select(F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq"))
-
-    cents = _seed_centroids(base, id_col, vec_col, n_lists)
-
-    def nearest_lists(side: DataFrame, cents: DataFrame, keep: int, out: str) -> DataFrame:
-        return _nearest_lists(side, cents, keep, out, id_col, vec_col)
-
-    for _ in range(n_iter):
-        assigned0 = nearest_lists(base, cents, 1, "__list")
-        means = (
-            assigned0.select("__list", F.posexplode(F.col(vec_col)).alias("__d", "__x"))
-            .groupBy("__list", "__d")
-            .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
-            .collect()
-        )
-        by_list: dict = {}
-        for r in means:
-            by_list.setdefault(r["__list"], {})[r["__d"]] = r["__m"]
-        # A list that lost every member keeps its previous centroid.
-        prev = {r["__cid"]: [float(x) for x in r["__cvec"]] for r in cents.collect()}
-        data = [
-            (int(cid), [by_list[cid][i] for i in sorted(by_list[cid])] if cid in by_list else vec)
-            for cid, vec in sorted(prev.items())
-        ]
-        cents = spark.createDataFrame(data, "__cid long, __cvec array<double>").select(
-            "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
-        )
-
-    assigned = nearest_lists(base, cents, 1, "__list")  # index: every vector in one list
-    probes = nearest_lists(
-        base.where(F.col(id_col).isin(list(query_ids))), cents, n_probe, "__list"
-    ).select(
+    # index half: every vector in exactly one list
+    cents, assigned = _ivf_assign(df, id_col, vec_col, n_lists, n_iter)
+    qbase = df.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
+    )
+    probes = _nearest_lists(qbase, cents, n_probe, "__list", id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         F.col("__nsq").alias("__qnsq"),
@@ -332,18 +363,16 @@ def brute_force_topk_arrow(
     )
     q_ids = [r[id_col] for r in q_rows]
     if not q_ids:  # no query vectors found → empty result, not an AxisError
-        return df.sparkSession.createDataFrame(
-            [], f"query_id long, {id_col} long, cosine_sim double, rank long"
-        )
+        return df.sparkSession.createDataFrame([], _topk_schema(df, id_col))
     qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qm /= _safe_norms(qm)
 
     @pandas_udf("array<double>")
     def sims(vecs: pd.Series) -> pd.Series:
         if not len(vecs):
             return pd.Series([], dtype=object)
         m = np.array(vecs.tolist(), dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        m /= _safe_norms(m)
         s = m @ qm.T  # (batch × queries), one BLAS call
         return pd.Series(list(s))
 
@@ -398,6 +427,8 @@ def _train_pq_codebooks(
         .select(vec_col)
         .collect()
     )
+    if not sample:
+        raise ValueError("cannot train PQ codebooks on an empty input DataFrame")
     V = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
     n, dim = V.shape
     if dim % m:
@@ -465,12 +496,10 @@ def pq_topk(
 
     q_rows = df.where(F.col(id_col).isin(list(query_ids))).select(id_col, vec_col).collect()
     if not q_rows:
-        return df.sparkSession.createDataFrame(
-            [], f"query_id long, {id_col} long, cosine_sim double, rank long"
-        )
+        return df.sparkSession.createDataFrame([], _topk_schema(df, id_col))
     q_ids = [r[id_col] for r in q_rows]
     qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qm /= _safe_norms(qm)
     # T[q, j, c] = dot(query q's subvector j, codebook[j][c]); cnorm[j, c] =
     # ||codebook[j][c]||² — together they score any code row without touching
     # the original vector.
@@ -605,12 +634,10 @@ def pq_query_index(
 
     q_rows = query_df.select(id_col, vec_col).collect()
     if not q_rows:
-        return spark.createDataFrame(
-            [], f"query_id long, {id_col} long, cosine_sim double, rank long"
-        )
+        return spark.createDataFrame([], _topk_schema(query_df, id_col))
     q_ids = [r[id_col] for r in q_rows]
     qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qm /= _safe_norms(qm)
     T = np.einsum("qjd,jcd->qjc", qm.reshape(len(q_ids), mm, dsub), books)
 
     @pandas_udf("array<double>")
@@ -725,11 +752,19 @@ def ivf_query_index(
     q_base = query_df.select(
         F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
     )
-    probes = _nearest_lists(q_base, cents, n_probe, "__list", id_col, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        F.col("__nsq").alias("__qnsq"),
-        "__list",
+    probes = (
+        _nearest_lists(q_base, cents, n_probe, "__list", id_col, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.col("__nsq").alias("__qnsq"),
+            "__list",
+        )
+        # Bounded (|queries| × n_probe rows) and consumed TWICE — the
+        # distinct-collect below and the broadcast join — so materialize it
+        # once instead of re-running the centroid crossJoin + window per
+        # consumer (which also re-read the centroids parquet).
+        .localCheckpoint(eager=False)
     )
     # Bounded collect (|queries| × n_probe ints): the probe list drives the
     # partition-pruning filter below.

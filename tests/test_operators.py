@@ -1169,12 +1169,13 @@ def test_pagerank_tol_early_stop(spark, monkeypatch):
 
     monkeypatch.setattr(cls, "localCheckpoint", counting)
     full = {r["node"]: r["rank"] for r in pagerank(df, n_iter=50).collect()}
-    full_iters = calls["n"] - 2  # ed + nodes checkpoints are setup, not iterations
+    # ed + nodes + out_nodes checkpoints are setup, not iterations
+    full_iters = calls["n"] - 3
     assert full_iters == 50
 
     calls["n"] = 0
     got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=50, tol=1e-6).collect()}
-    tol_iters = calls["n"] - 2
+    tol_iters = calls["n"] - 3
     assert tol_iters < 50, "tol=1e-6 must stop before the n_iter cap"
     assert tol_iters >= 3  # but not before doing real work
     for u in full:
@@ -2288,3 +2289,82 @@ def test_skyline_2d_matches_bruteforce(spark):
     assert got == brute
     flat = spark.createDataFrame([(5, 1), (5, 9), (5, 9)], "x long, y long")
     assert [(r["x"], r["y"]) for r in skyline_2d(flat, "x", "y").collect()] == [(5, 9)]
+
+
+# -- r9 review hardening ------------------------------------------------------
+
+
+def test_hash_split_null_keys_land_in_exactly_one_split(spark):
+    """A NULL key must not vanish from BOTH splits (md5(NULL) is NULL and a
+    NULL bucket fails both filter predicates — r9 review): every row lands
+    in exactly one side, and non-null keys keep their original buckets."""
+    from flusher_spark.operators.sampling import hash_bucket, hash_split
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)] + [(None,), (None,)], "k long"
+    )
+    train, test = hash_split(df, "k", test_pct=10)
+    assert train.count() + test.count() == 202, "every row in exactly one split"
+    # non-null buckets unchanged vs the direct md5 formula
+    got = spark.createDataFrame([(7,)], "k long").select(
+        hash_bucket(F.col("k")).alias("b")
+    ).first()["b"]
+    want = int("0x" + __import__("hashlib").md5(b"7").hexdigest()[:8], 16) % 100
+    assert got == want
+
+
+def test_arrow_topk_zero_norm_vector_never_ranks_first(spark):
+    """A zero-norm embedding must score 0.0 (not NaN — Spark sorts NaN above
+    every double, so a NaN made the garbage vector rank 1 for EVERY query;
+    r9 review) and therefore ranks below genuinely similar candidates."""
+    from flusher_spark.operators.similarity import brute_force_topk_arrow
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 0.0, 0.0]),  # zero-norm garbage
+        (4, [0.8, 0.2, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = brute_force_topk_arrow(df, [1], k=3).orderBy("rank").collect()
+    assert [r["vec_id"] for r in got][:2] == [2, 4]
+    zero = [r for r in got if r["vec_id"] == 3]
+    assert zero and zero[0]["cosine_sim"] == 0.0, "zero-norm scores 0.0, never NaN"
+
+
+def test_lsh_topk_rejects_dim_mismatch(spark):
+    """dim != actual vector length must raise up front: silently it zeroes
+    every signature and the per-bucket equi-join becomes all-pairs."""
+    import pytest as _pt
+
+    from flusher_spark.operators.similarity import lsh_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [0.0, 1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with _pt.raises(ValueError, match="dimension|elements"):
+        lsh_topk(df, [1], dim=64)
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from flusher_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(df, n_iter=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
+def test_ivf_topk_string_ids(spark):
+    """The IVF path must accept string id columns like the brute-force and
+    LSH paths do (centroid ids are seeding ranks, not sampled row ids)."""
+    import random as _r
+
+    from flusher_spark.operators.similarity import ivf_topk
+
+    rng = _r.Random(3)
+    rows = [(f"doc-{i}", [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = ivf_topk(df, ["doc-1", "doc-2"], k=5, n_lists=4, n_probe=2, n_iter=1).collect()
+    assert got, "string-id IVF search returns results"
+    assert all(isinstance(r["query_id"], str) for r in got)
