@@ -36,11 +36,16 @@ def _width_seconds(text: str) -> int:
     equi-join on bins can only ever DROP candidates, so the residual predicate
     cannot recover them. A Python-side integer is timezone-proof."""
     total = 0
-    for amount, unit in _TERM_RE.findall(text.lower()):
+    lowered = text.lower()
+    for amount, unit in _TERM_RE.findall(lowered):
         singular = unit.rstrip("s")
         if singular not in _UNIT_SECONDS:
             raise ValueError(f"unknown bin-width unit: {unit!r} in {text!r}")
         total += int(amount) * _UNIT_SECONDS[singular]
+    # The whole string must be consumed: '1.5 hours' would otherwise parse
+    # as ('5','hours') and silently bin 3.3× coarser than asked.
+    if _TERM_RE.sub("", lowered).strip():
+        raise ValueError(f"cannot parse bin width: {text!r} (integers + units only)")
     if total <= 0:
         raise ValueError(f"bin width must be positive: {text!r}")
     return total
@@ -63,8 +68,18 @@ def range_join(
     All three columns must be timestamps. Output columns: left columns +
     right columns (equi-keys deduplicated); right's interval bounds are
     suffixed ``_right`` if they collide with left names.
+
+    ``how``: ``inner`` or ``left``. Left-outer CANNOT ride the binned
+    equi-join directly — the exact predicate runs after the join, and a
+    null-extended (or matched-in-bin-only) row fails it, silently giving
+    inner results (r9 review). Instead: binned inner join + a null-safe
+    anti-join that unions back the left rows with no true match,
+    null-extended — the standard outer decomposition for candidate-join
+    rewrites; both halves stay shuffle-parallel.
     """
     on = on or []
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"range_join supports inner/left, got {how!r}")
     secs = F.unix_timestamp  # timestamp -> epoch seconds
 
     width_s = F.lit(_width_seconds(bin_width))
@@ -83,10 +98,29 @@ def range_join(
         rhs = rhs.withColumnRenamed(c, f"{c}_right")
     r_start = f"{right_start}_right" if right_start in left.columns else right_start
     r_end = f"{right_end}_right" if right_end in left.columns else right_end
-    joined = lhs.join(rhs, ["__bin", *on], how).where(
-        (F.col(left_point) >= F.col(r_start)) & (F.col(left_point) < F.col(r_end))
+    inner = (
+        lhs.join(rhs, ["__bin", *on], "inner")
+        .where((F.col(left_point) >= F.col(r_start)) & (F.col(left_point) < F.col(r_end)))
+        .drop("__bin")
     )
-    return joined.drop("__bin")
+    if how == "inner":
+        return inner
+    # Left-outer: every left row with at least one true match already
+    # appears in `inner` (with full duplicate multiplicity — the inner join
+    # preserves it); the anti-join finds the rest. eqNullSafe so left rows
+    # containing nulls don't show up on both sides.
+    # Renamed probe side: `matched` derives from `left`, so same-name column
+    # references would hit Spark's self-join ambiguity.
+    matched = inner.select(*[F.col(c).alias(f"__m_{c}") for c in left.columns])
+    cond = None
+    for c in left.columns:
+        eq = F.col(c).eqNullSafe(F.col(f"__m_{c}"))
+        cond = eq if cond is None else cond & eq
+    unmatched = left.join(matched, cond, "left_anti")
+    for c in inner.columns:
+        if c not in left.columns:
+            unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(inner.dtypes)[c]))
+    return inner.unionByName(unmatched.select(*inner.columns))
 
 
 def interval_overlap_join(

@@ -35,9 +35,13 @@ def with_global_row_number(
     single-partition window. ``order_cols`` must be a total order (add a
     unique tiebreak column) for the numbering to be deterministic.
 
-    Returns the input columns + ``out``. The returned DataFrame is backed by
-    a cached range-partitioned copy of the input; call ``.unpersist()`` on it
-    (or let it age out) after the downstream action if memory matters.
+    Returns the input columns + ``out``. The range-partitioned copy of the
+    input is localCheckpoint'ed (lazily) so the count pass and the numbering
+    pass observe the SAME physical partition ids; the executor-local blocks
+    free when the DataFrame is garbage-collected — unlike the previous
+    ``.cache()``, which the caller could never reach to unpersist (r9
+    review: the returned frame is a derived join, so ``.unpersist()`` on it
+    was a no-op and each call pinned an unreachable cached copy).
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -46,8 +50,9 @@ def with_global_row_number(
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
     )
-    # Cache so the count pass and the numbering pass see the same pids.
-    ranged = ranged.cache()
+    # Materialize once so the count pass and the numbering pass see the
+    # same pids (see docstring on why localCheckpoint, not cache).
+    ranged = ranged.localCheckpoint(eager=False)
     counts = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     offsets = counts.select(
         "__pid",
@@ -95,7 +100,7 @@ def with_group_row_number(
         .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
     )
-    ranged = ranged.cache()
+    ranged = ranged.localCheckpoint(eager=False)  # same-pid guarantee, freed on GC
     counts = ranged.groupBy("__pid", *group_cols).agg(F.count("*").alias("__cnt"))
     offsets = counts.select(
         "__pid",
@@ -131,7 +136,9 @@ def with_global_ntile(
     total count.
     """
     rn = with_global_row_number(df, order_cols, out="__rn")
-    total = rn.agg(F.count("*").alias("__N"))
+    # Count the INPUT, not rn: same number, but counting rn would execute
+    # the whole partition-window + offsets-join plan just to count rows.
+    total = df.agg(F.count("*").alias("__N"))
     big = (F.floor(F.col("__N") / n) + 1).cast("long")  # rows per early bucket
     small = F.floor(F.col("__N") / n).cast("long")
     r = (F.col("__N") % n).cast("long")

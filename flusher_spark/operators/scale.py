@@ -46,7 +46,13 @@ def write_bucketed(
     # session's in-memory catalog has no entry for it — saveAsTable then
     # fails with LOCATION_ALREADY_EXISTS. Clear the orphan.
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    path = os.path.join(warehouse.removeprefix("file:"), table)
+    # Managed-table layout: identifiers are stored lowercased, and a
+    # database-qualified name lives under <db>.db/<table> — the raw string
+    # would miss both (r9 review: the rmtree silently cleaned nothing for
+    # 'MyEvents' or 'db.tbl' and LOCATION_ALREADY_EXISTS came back).
+    parts = table.lower().split(".")
+    rel = os.path.join(f"{parts[0]}.db", parts[1]) if len(parts) == 2 else parts[0]
+    path = os.path.join(warehouse.removeprefix("file:"), rel)
     shutil.rmtree(path, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
@@ -76,12 +82,23 @@ def salted_join(
     Exactly equal to ``left.join(right, on, how)`` for inner/left joins:
     each left row carries ONE salt value, and the right side has exactly one
     replica per salt value, so no duplicates and no losses. The salt is a
-    hash of the whole left row — deterministic under task retries (rand()
-    would re-deal rows between attempts and can drop/duplicate under
-    speculative execution)."""
+    hash of the left row's hashable columns — deterministic under task
+    retries (rand() would re-deal rows between attempts and can
+    drop/duplicate under speculative execution). Map-typed columns are
+    excluded (``hash`` rejects MapType at analysis time); if ALL columns
+    are map-typed the salt falls back to 0 — correct, just unsalted.
+    Caveat: BYTE-IDENTICAL hot-key rows share a salt by construction — a
+    deterministic row hash cannot separate them; project in any
+    distinguishing column (an id, an offset) before salting if the hot key
+    is fully duplicated."""
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
-    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+    hashable = [
+        F.col(c) for c, t in left.dtypes if not t.startswith("map<")
+    ]
+    salt = (
+        F.pmod(F.hash(*hashable), F.lit(n_salt)) if hashable else F.lit(0)
+    )
     lhs = left.withColumn("__salt", salt)
     rhs = right.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
     return lhs.join(rhs, [on, "__salt"], how).drop("__salt")

@@ -35,6 +35,11 @@ def tokens(text: Column) -> Column:
 
 
 def n_tokens(text: Column) -> Column:
+    """Token count. NOTE: empty or whitespace-only text counts as 1, not 0 —
+    splitting '' yields [''] in Spark AND in the DuckDB oracle twin
+    (_TOKENS_SQL), and the hash gate depends on the two engines agreeing on
+    this artifact. Callers that need blank docs to count 0 guard
+    ``trim(text) == ''`` explicitly (see dedup_substring_mask)."""
     return F.size(tokens(text)).cast("long")
 
 
@@ -154,24 +159,37 @@ def deletion_variants(df, col: str, keep_pos: bool = False):
     return out if keep_pos else out.drop("__d")
 
 
-def fuzzy_join_ed1(left, right, left_col: str, right_col: str):
+def fuzzy_join_ed1(left, right, left_col: str, right_col: str, suffix: str = "_right"):
     """Edit-distance-≤-1 join via SymSpell-style deletion neighborhoods.
 
     Two strings within one edit (insert/delete/substitute/equal) always
     share at least one member of each other's deletion neighborhood, so the
     candidate set is an EQUI-join on the variant key — never an all-pairs
-    Levenshtein scan. Candidates dedup (a pair can share several variants)
-    and then verify with the exact JVM ``levenshtein``; the verify cost is
-    per candidate pair, bounded by the neighborhood fan-out (len+1 per row),
-    not |L|·|R|. The standard scale path for typo-tolerant entity matching;
-    distance > 1 generalizes by deleting up to d characters."""
+    Levenshtein scan. Candidates verify with the exact JVM ``levenshtein``
+    FIRST (per candidate pair, bounded by the len+1 neighborhood fan-out,
+    not |L|·|R|) and the surviving pairs then dedup — a pair can share
+    several variants. The standard scale path for typo-tolerant entity
+    matching; distance > 1 generalizes by deleting up to d characters.
+
+    Right-side columns colliding with left names (including
+    ``right_col == left_col`` — the natural self-match call) are renamed
+    with ``suffix``. Output is the DISTINCT set of matched row pairs:
+    byte-identical duplicate input rows collapse (the theta join would
+    multiply them) — give each side a unique id column when multiplicity
+    matters."""
+    rc = right_col
+    for c in right.columns:
+        if c in left.columns:
+            right = right.withColumnRenamed(c, f"{c}{suffix}")
+            if c == right_col:
+                rc = f"{c}{suffix}"
     lv = deletion_variants(left, left_col)
-    rv = deletion_variants(right, right_col)
+    rv = deletion_variants(right, rc)
     return (
         lv.join(rv, "__variant")
+        .where(F.levenshtein(F.col(left_col), F.col(rc)) <= 1)
         .drop("__variant")
         .distinct()
-        .where(F.levenshtein(F.col(left_col), F.col(right_col)) <= 1)
     )
 
 

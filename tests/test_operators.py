@@ -2368,3 +2368,73 @@ def test_ivf_topk_string_ids(spark):
     got = ivf_topk(df, ["doc-1", "doc-2"], k=5, n_lists=4, n_probe=2, n_iter=1).collect()
     assert got, "string-id IVF search returns results"
     assert all(isinstance(r["query_id"], str) for r in got)
+
+
+def test_range_join_left_outer_keeps_unmatched_points(spark):
+    """how='left' must null-extend points no interval contains — the old
+    post-join predicate silently returned inner results (r9 review)."""
+    import datetime as dt
+
+    from flusher_spark.operators.rangejoin import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=5)), (2, base + dt.timedelta(hours=9))],
+        "lid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, base, base + dt.timedelta(minutes=10))],
+        "rid long, s timestamp, e timestamp",
+    )
+    got = {r["lid"]: r["rid"] for r in range_join(
+        left, right, "ts", "s", "e", bin_width="10 minutes", how="left"
+    ).collect()}
+    assert got == {1: 100, 2: None}
+
+
+def test_range_join_rejects_malformed_width(spark):
+    import pytest as _pt
+
+    from flusher_spark.operators.rangejoin import _width_seconds
+
+    assert _width_seconds("1 hour 30 minutes") == 5400
+    with _pt.raises(ValueError, match="cannot parse"):
+        _width_seconds("1.5 hours")  # previously misparsed as 5 hours
+
+
+def test_fuzzy_join_ed1_same_column_name_self_match(spark):
+    """left_col == right_col (natural for self-matching) must work via the
+    collision rename — previously AMBIGUOUS_REFERENCE (r9 review)."""
+    from flusher_spark.operators.text import fuzzy_join_ed1
+
+    a = spark.createDataFrame([("hello",), ("world",)], "name string")
+    b = spark.createDataFrame([("helo",), ("sparkle",)], "name string")
+    got = {(r["name"], r["name_right"]) for r in fuzzy_join_ed1(a, b, "name", "name").collect()}
+    assert got == {("hello", "helo")}
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    """A map-typed payload column must not break the salt hash (F.hash
+    rejects MapType at analysis time — r9 review)."""
+    from flusher_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame(
+        [(1, {"a": "b"}), (1, {"c": "d"}), (2, {"e": "f"})],
+        "k long, props map<string,string>",
+    )
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    got = sorted((r["k"], r["v"]) for r in salted_join(left, right, "k").collect())
+    assert got == [(1, "x"), (1, "x"), (2, "y")]
+
+
+def test_write_bucketed_mixed_case_rerun(spark, tmp_path):
+    """A mixed-case table name must survive back-to-back writes: the orphan
+    cleanup previously targeted the raw-cased path, missing the lowercased
+    managed location (r9 review)."""
+    from flusher_spark.operators.scale import write_bucketed
+
+    df = spark.range(0, 50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_bucketed(df, "MixedCaseBucketed", "k", buckets=4)
+    write_bucketed(df, "MixedCaseBucketed", "k", buckets=4)  # must not raise
+    assert spark.table("MixedCaseBucketed").count() == 50
+    spark.sql("DROP TABLE IF EXISTS MixedCaseBucketed")
