@@ -90,14 +90,22 @@ def extract_features(df: DataFrame, fake: bool = True, dim: int = 8) -> DataFram
                 raise NotImplementedError(
                     "real media decode needs PIL/librosa/ffmpeg — not in this container"
                 )
+            # payload is nullable in ASSET_SCHEMA: a None must yield a NULL
+            # feature row, not a task-killing TypeError from len(None).
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "sha256": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
-                    "feature": payloads.map(lambda b: _fake_decode(b, dim)),
+                    "n_bytes": payloads.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                    ),
+                    "feature": payloads.map(
+                        lambda b: _fake_decode(b, dim) if b is not None else None
+                    ),
                 }
             )
 
@@ -183,17 +191,31 @@ def decode_ppm(payload: bytes) -> dict:
     the actual pixel bytes."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
-    # Header: magic, width, height, maxval — whitespace-separated tokens,
-    # then a single whitespace byte before raw pixel data.
+    # Header: magic, width, height, maxval — whitespace-separated tokens
+    # (with spec-valid '#'-to-end-of-line comments: GIMP and ImageMagick
+    # emit them), then a single whitespace byte before raw pixel data.
+    # Every scan is bounded by len(payload): b''.isspace() is False, so an
+    # unbounded token scan would spin forever on a truncated header (r9
+    # review — a hang pins an executor core; a raise is a NULL drift row).
     tokens: list[bytes] = []
-    pos = 2
+    pos, end = 2, len(payload)
     while len(tokens) < 3:
-        while payload[pos : pos + 1].isspace():
-            pos += 1
+        while pos < end:
+            if payload[pos : pos + 1].isspace():
+                pos += 1
+            elif payload[pos : pos + 1] == b"#":
+                nl = payload.find(b"\n", pos)
+                pos = end if nl < 0 else nl + 1
+            else:
+                break
         start = pos
-        while not payload[pos : pos + 1].isspace():
+        while pos < end and not payload[pos : pos + 1].isspace():
             pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
         tokens.append(payload[start:pos])
+    if pos >= end:
+        raise ValueError("truncated PPM header")
     pos += 1  # the single whitespace after maxval
     width, height, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
     if maxval != 255:
@@ -353,6 +375,13 @@ def spectral_features(df: DataFrame) -> DataFrame:
                         n = w.getnframes()
                         raw = w.readframes(n)
                     x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    if len(x) != n:
+                        # Truncated data chunk: the header frame count is a
+                        # lie, and dividing by it reports a confidently wrong
+                        # dominant frequency (r9 review: a half-truncated
+                        # tone read 40 Hz for a true 80 Hz). decode_wav
+                        # raises on the identical input — same drift verdict.
+                        raise ValueError("truncated WAV data chunk")
                     mag = np.abs(np.fft.rfft(x))
                     k = int(np.argmax(mag[1:])) + 1  # exclude DC
                     rows.append(
@@ -1237,10 +1266,13 @@ def media_meta_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                b = bytes(payload)
                 row = {"asset_id": aid, "kind": None, "width": None, "height": None,
                        "n_frames": None, "duration_s": None, "sample_rate": None}
                 try:
+                    # Inside the try: payload is nullable, and bytes(None)
+                    # outside it killed the task instead of yielding the
+                    # NULL drift row this docstring promises (r9 review).
+                    b = bytes(payload)
                     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                         d = parse_avi_meta(b)
                         row.update(kind="video", width=d["width"], height=d["height"],
@@ -1278,8 +1310,6 @@ def resize(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFra
     'pixel count', meta updated — while the Spark plumbing (mapInPandas
     batch shape, schema evolution of the meta struct) is real. A production
     deployment replaces the body with PIL.Image.resize."""
-
-    target = ASSET_SCHEMA.simpleString()[len("struct<") : -1]  # reuse asset schema
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -2438,3 +2438,57 @@ def test_write_bucketed_mixed_case_rerun(spark, tmp_path):
     write_bucketed(df, "MixedCaseBucketed", "k", buckets=4)  # must not raise
     assert spark.table("MixedCaseBucketed").count() == 50
     spark.sql("DROP TABLE IF EXISTS MixedCaseBucketed")
+
+
+def test_ppm_decoder_bounded_and_comment_tolerant():
+    """Truncated headers must RAISE (the unbounded token scan previously
+    spun forever — a hang pins an executor core where a raise is a NULL
+    drift row), and spec-valid '#' comments must parse (GIMP emits them)."""
+    import pytest as _pt
+
+    from flusher_spark.operators.multimodal import decode_ppm
+
+    for bad in (b"P6", b"P6\n5", b"P6\n3 2", b"P6\n3 2\n255"):
+        with _pt.raises(ValueError):
+            decode_ppm(bad)
+    d = decode_ppm(b"P6\n# Created by GIMP\n2 1\n# another comment\n255\n" + bytes(6))
+    assert (d["width"], d["height"], d["mean_r"]) == (2, 1, 0.0)
+
+
+def test_spectral_features_truncated_wav_is_drift(spark):
+    """A WAV whose header claims more frames than the data chunk holds must
+    yield the NULL drift row — previously it reported a confidently wrong
+    dominant frequency computed against the header count (r9 review)."""
+    from flusher_spark.operators.multimodal import spectral_features, synth_wav
+
+    good = synth_wav(8000, 256, 1000)
+    truncated = good[:-256]  # drop half the data chunk
+    df = spark.createDataFrame(
+        [(1, good), (2, truncated)], "asset_id long, payload binary"
+    )
+    rows = {r["asset_id"]: r for r in spectral_features(df).collect()}
+    assert rows[1]["n_samples"] == 256
+    assert rows[2]["n_samples"] is None and rows[2]["dominant_freq_hz"] is None
+
+
+def test_media_features_null_payload_yields_null_rows(spark):
+    """payload is nullable in ASSET_SCHEMA: a NULL payload must produce NULL
+    feature rows, not a task-killing TypeError (r9 review: bytes(None) ran
+    outside the try in media_meta_features; extract_features mapped len
+    over None)."""
+    from flusher_spark.operators.multimodal import (
+        extract_features,
+        media_meta_features,
+        synth_wav,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "audio", synth_wav(8000, 16, 5), None), (2, "audio", None, None)],
+        "asset_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    meta = {r["asset_id"]: r for r in media_meta_features(df).collect()}
+    assert meta[2]["kind"] is None  # NULL drift row, task alive
+    feats = {r["asset_id"]: r for r in extract_features(df, fake=True, dim=4).collect()}
+    assert feats[2]["n_bytes"] is None and feats[2]["sha256"] is None
+    assert feats[1]["n_bytes"] == len(synth_wav(8000, 16, 5))
