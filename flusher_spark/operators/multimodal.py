@@ -242,39 +242,43 @@ WAV_FEATURE_SCHEMA = (
 )
 
 
-def wav_features(df: DataFrame) -> DataFrame:
-    """Decode WAV payloads (real RIFF/PCM parse) via Arrow-batched
-    mapInPandas: ``(asset_id, payload)`` → container + amplitude stats.
-    Non-WAV payloads surface as NULL feature columns (drift, not failure —
-    same contract as cast_with_schema)."""
+_RGB_COLS = ("width", "height", "mean_r", "mean_g", "mean_b")
+
+
+def _decode_features(df: DataFrame, decoder, cols, schema) -> DataFrame:
+    """Shared decode-or-NULL wrapper behind every codec's *_features entry
+    point: one Arrow-batched mapInPandas pass, the decoder's dict projected
+    onto ``cols``, and ANY failure — wrong magic, truncated bytes, a NULL
+    payload — yielding NULL feature columns (drift, not task failure). One
+    implementation so the drift contract cannot diverge between formats
+    (r9 review: eight hand-copied loops had already diverged once on the
+    NULL-payload path)."""
+    names = ["asset_id", *cols]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 try:
-                    d = decode_wav(bytes(payload))
+                    d = decoder(bytes(payload))
                 except Exception:
                     d = {}
-                rows.append(
-                    {
-                        "asset_id": aid,
-                        "n_channels": d.get("n_channels"),
-                        "sample_rate": d.get("sample_rate"),
-                        "n_samples": d.get("n_samples"),
-                        "duration_s": d.get("duration_s"),
-                        "peak_amplitude": d.get("peak_amplitude"),
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "asset_id", "n_channels", "sample_rate", "n_samples",
-                    "duration_s", "peak_amplitude",
-                ],
-            )
+                rows.append({"asset_id": aid, **{k: d.get(k) for k in cols}})
+            yield pd.DataFrame(rows, columns=names)
 
-    return df.mapInPandas(op, WAV_FEATURE_SCHEMA)
+    return df.mapInPandas(op, schema)
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads (real RIFF/PCM parse) via Arrow-batched
+    mapInPandas: ``(asset_id, payload)`` → container + amplitude stats.
+    Non-WAV payloads surface as NULL feature columns (drift, not failure —
+    same contract as cast_with_schema)."""
+    return _decode_features(
+        df, decode_wav,
+        ("n_channels", "sample_rate", "n_samples", "duration_s", "peak_amplitude"),
+        WAV_FEATURE_SCHEMA,
+    )
 
 
 def synth_sine_wav(sample_rate: int, n_samples: int, freq_bin: int, amplitude: int) -> bytes:
@@ -416,22 +420,20 @@ PPM_FEATURE_SCHEMA = (
 def ppm_features(df: DataFrame) -> DataFrame:
     """Decode binary-PPM payloads (real header + pixel parse) via
     mapInPandas; non-PPM payloads yield NULL features."""
+    return _decode_features(df, decode_ppm, _RGB_COLS, PPM_FEATURE_SCHEMA)
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                try:
-                    d = decode_ppm(bytes(payload))
-                except Exception:
-                    d = {}
-                rows.append({"asset_id": aid, **{k: d.get(k) for k in
-                             ("width", "height", "mean_r", "mean_g", "mean_b")}})
-            yield pd.DataFrame(
-                rows, columns=["asset_id", "width", "height", "mean_r", "mean_g", "mean_b"]
-            )
 
-    return df.mapInPandas(op, PPM_FEATURE_SCHEMA)
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """Length + type + data + CRC32 — the PNG chunk framing every synth_*
+    fixture shares (one definition; it was copy-pasted four times)."""
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
 
 
 def synth_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
@@ -439,22 +441,15 @@ def synth_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     no interlace) — stdlib zlib/struct only."""
     import zlib
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     scanline = b"\x00" + bytes(rgb) * width
     idat = zlib.compress(scanline * height)
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", idat)
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -621,22 +616,7 @@ PNG_FEATURE_SCHEMA = PPM_FEATURE_SCHEMA
 def png_features(df: DataFrame) -> DataFrame:
     """Decode PNG payloads (real chunk/zlib/unfilter parse) via mapInPandas;
     non-PNG payloads yield NULL features — same contract as wav/ppm."""
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                try:
-                    d = decode_png(bytes(payload))
-                except Exception:
-                    d = {}
-                rows.append({"asset_id": aid, **{k: d.get(k) for k in
-                             ("width", "height", "mean_r", "mean_g", "mean_b")}})
-            yield pd.DataFrame(
-                rows, columns=["asset_id", "width", "height", "mean_r", "mean_g", "mean_b"]
-            )
-
-    return df.mapInPandas(op, PNG_FEATURE_SCHEMA)
+    return _decode_features(df, decode_png, _RGB_COLS, PNG_FEATURE_SCHEMA)
 
 
 def synth_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
@@ -702,22 +682,7 @@ BMP_FEATURE_SCHEMA = PPM_FEATURE_SCHEMA
 def bmp_features(df: DataFrame) -> DataFrame:
     """Decode BMP payloads (real header/stride/BGR parse) via mapInPandas;
     non-BMP payloads yield NULL features — same contract as wav/ppm/png."""
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                try:
-                    d = decode_bmp(bytes(payload))
-                except Exception:
-                    d = {}
-                rows.append({"asset_id": aid, **{k: d.get(k) for k in
-                             ("width", "height", "mean_r", "mean_g", "mean_b")}})
-            yield pd.DataFrame(
-                rows, columns=["asset_id", "width", "height", "mean_r", "mean_g", "mean_b"]
-            )
-
-    return df.mapInPandas(op, BMP_FEATURE_SCHEMA)
+    return _decode_features(df, decode_bmp, _RGB_COLS, BMP_FEATURE_SCHEMA)
 
 
 def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
@@ -905,22 +870,7 @@ GIF_FEATURE_SCHEMA = PPM_FEATURE_SCHEMA
 def gif_features(df: DataFrame) -> DataFrame:
     """Decode GIF payloads (real LZW) via mapInPandas; non-GIF payloads
     yield NULL features — same contract as the other codecs."""
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                try:
-                    d = decode_gif(bytes(payload))
-                except Exception:
-                    d = {}
-                rows.append({"asset_id": aid, **{k: d.get(k) for k in
-                             ("width", "height", "mean_r", "mean_g", "mean_b")}})
-            yield pd.DataFrame(
-                rows, columns=["asset_id", "width", "height", "mean_r", "mean_g", "mean_b"]
-            )
-
-    return df.mapInPandas(op, GIF_FEATURE_SCHEMA)
+    return _decode_features(df, decode_gif, _RGB_COLS, GIF_FEATURE_SCHEMA)
 
 
 def synth_tiff(
@@ -1057,22 +1007,7 @@ def tiff_features(df: DataFrame) -> DataFrame:
     """Decode TIFF payloads (real IFD/strip parse, both byte orders) via
     mapInPandas; non-TIFF payloads yield NULL features — same contract as
     the other codecs."""
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                try:
-                    d = decode_tiff(bytes(payload))
-                except Exception:
-                    d = {}
-                rows.append({"asset_id": aid, **{k: d.get(k) for k in
-                             ("width", "height", "mean_r", "mean_g", "mean_b")}})
-            yield pd.DataFrame(
-                rows, columns=["asset_id", "width", "height", "mean_r", "mean_g", "mean_b"]
-            )
-
-    return df.mapInPandas(op, TIFF_FEATURE_SCHEMA)
+    return _decode_features(df, decode_tiff, _RGB_COLS, TIFF_FEATURE_SCHEMA)
 
 
 # -- container/header parsers for the codec-stubbed formats ------------------
@@ -1779,22 +1714,7 @@ def jpeg_features(df: DataFrame) -> DataFrame:
     """Decode baseline-JPEG payloads (real entropy decode + IDCT) via
     mapInPandas; non-JPEG / unsupported payloads yield NULL features — same
     drift contract as the other codecs."""
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                try:
-                    d = decode_jpeg(bytes(payload))
-                except Exception:
-                    d = {}
-                rows.append({"asset_id": aid, **{k: d.get(k) for k in
-                             ("width", "height", "n_components", "mean_gray")}})
-            yield pd.DataFrame(
-                rows, columns=["asset_id", "width", "height", "n_components", "mean_gray"]
-            )
-
-    return df.mapInPandas(op, JPEG_FEATURE_SCHEMA)
+    return _decode_features(df, decode_jpeg, ("width", "height", "n_components", "mean_gray"), JPEG_FEATURE_SCHEMA)
 
 
 def synth_avi_rawvideo(width: int, height: int, us_per_frame: int, colors) -> bytes:
@@ -1968,30 +1888,22 @@ JPEG_COLOR_FEATURE_SCHEMA = (
 )
 
 
+def _decode_jpeg_color(payload: bytes) -> dict:
+    d = decode_jpeg(payload)
+    if d["n_components"] != 3:
+        raise ValueError("not a 3-component JPEG")
+    return d
+
+
 def jpeg_color_features(df: DataFrame) -> DataFrame:
     """Decode 3-component baseline-JPEG payloads via mapInPandas; non-JPEG
     or grayscale payloads yield NULL features — same drift contract as the
     other codecs."""
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                try:
-                    d = decode_jpeg(bytes(payload))
-                    if d["n_components"] != 3:
-                        d = {}
-                except Exception:
-                    d = {}
-                rows.append({"asset_id": aid, **{k: d.get(k) for k in
-                             ("width", "height", "n_components",
-                              "mean_r", "mean_g", "mean_b")}})
-            yield pd.DataFrame(rows, columns=[
-                "asset_id", "width", "height", "n_components",
-                "mean_r", "mean_g", "mean_b",
-            ])
-
-    return df.mapInPandas(op, JPEG_COLOR_FEATURE_SCHEMA)
+    return _decode_features(
+        df, _decode_jpeg_color,
+        ("width", "height", "n_components", "mean_r", "mean_g", "mean_b"),
+        JPEG_COLOR_FEATURE_SCHEMA,
+    )
 
 
 def synth_png_pixels(pixels) -> bytes:
@@ -2005,21 +1917,14 @@ def synth_png_pixels(pixels) -> bytes:
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape[:2]
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -2034,23 +1939,16 @@ def synth_png_palette(pixels, palette) -> bytes:
     idx = np.asarray(pixels, dtype=np.uint8)
     h, w = idx.shape
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
     plte = b"".join(bytes(rgb) for rgb in palette)
     raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"PLTE", plte)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -2067,13 +1965,6 @@ def synth_png_interlaced(pixels) -> bytes:
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape[:2]
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
     raw = bytearray()
@@ -2085,9 +1976,9 @@ def synth_png_interlaced(pixels) -> bytes:
                 raw += row[x0 + i * dx].tobytes()
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
     )
 
 
