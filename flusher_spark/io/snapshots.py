@@ -74,6 +74,33 @@ class CommitConflict(RuntimeError):
     """Another writer published this version first; re-read and retry."""
 
 
+def _stat_jsonable(v):
+    """Make a key_min/key_max stat JSON-serializable. int/float/str/bool
+    pass through; date/datetime become ISO strings (lexicographic order ==
+    chronological order, so string comparison still prunes correctly when
+    callers pass ISO bounds); anything else (Decimal, binary) falls back to
+    str() — json.dump previously raised TypeError AFTER the data files were
+    written, stranding orphans (r9 review)."""
+    import datetime
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return str(v)
+
+
+def _ranges_disjoint(fmin, fmax, lo, hi) -> bool:
+    """[fmin, fmax] vs [lo, hi] disjointness, CONSERVATIVE on incomparable
+    types: stats round-trip through JSON (possibly stringified — see
+    _stat_jsonable), so a bound of a different type must mean "might
+    intersect" (read the file), never a TypeError."""
+    try:
+        return fmax < lo or fmin > hi
+    except TypeError:
+        return False
+
+
 class SnapshotTable:
     def __init__(
         self,
@@ -122,7 +149,11 @@ class SnapshotTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def _manifest(self, version: int) -> dict:
+    def _manifest(self, version: int | None) -> dict:
+        if version is None:
+            raise ValueError(
+                f"table at {self.root} has no committed version — create() it first"
+            )
         with open(os.path.join(self._mdir, f"v{version}.json")) as f:
             return json.load(f)
 
@@ -184,7 +215,7 @@ class SnapshotTable:
 
     # -- data-file writing ----------------------------------------------------
 
-    def _write_files(self, df: DataFrame) -> list[dict]:
+    def _write_files(self, df: DataFrame, n_files: int | None = None) -> list[dict]:
         """Write ``df`` as immutable parquet files under a fresh commit
         prefix and return per-file stats rows (path, rows, key min/max) —
         one aggregate over only the just-written files. Rejects NULL merge
@@ -200,7 +231,7 @@ class SnapshotTable:
             # else the session's shuffle parallelism — both cheap scalars;
             # never df.rdd.getNumPartitions(), which compiles a full
             # physical plan per commit.
-            n = self.cluster_files or max(
+            n = n_files or self.cluster_files or max(
                 int(self.spark.conf.get("spark.sql.shuffle.partitions")), 1
             )
             df = df.repartitionByRange(n, *self.cluster_by).sortWithinPartitions(
@@ -229,8 +260,8 @@ class SnapshotTable:
             {
                 "path": r["path"].removeprefix("file://"),
                 "rows": r["rows"],
-                "key_min": r["key_min"],
-                "key_max": r["key_max"],
+                "key_min": _stat_jsonable(r["key_min"]),
+                "key_max": _stat_jsonable(r["key_max"]),
             }
             for r in stats
         ]
@@ -238,7 +269,11 @@ class SnapshotTable:
     # -- public API -----------------------------------------------------------
 
     def create(self, df: DataFrame, batch_id: int | None = None) -> int:
-        assert self.current_version() is None, "table already exists"
+        if self.current_version() is not None:
+            # A real check, not an assert (stripped under -O), and BEFORE
+            # the data files land — losing the publish race after writing
+            # strands a full commit's files until vacuum.
+            raise ValueError(f"table at {self.root} already exists")
         files = self._write_files(df)
         manifest = {
             "version": 0, "parent": None, "key": self.key, "files": files,
@@ -281,10 +316,14 @@ class SnapshotTable:
         the current version reads old files' missing columns as NULL."""
         v = self.current_version() if version is None else version
         m = self._manifest(v)
-        if not m["files"]:
-            raise ValueError("empty table snapshot")
-        paths = [f["path"] for f in m["files"]]
         schema = self._read_schema(m)
+        if not m["files"]:
+            # A table legitimately emptied (delete of every key) must stay
+            # readable: the manifest still records the schema.
+            if schema is None:
+                raise ValueError("empty snapshot of a schemaless table")
+            return self.spark.createDataFrame([], schema)
+        paths = [f["path"] for f in m["files"]]
         reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
         return reader.parquet(*paths)
 
@@ -310,7 +349,7 @@ class SnapshotTable:
         files = [
             f for f in m["files"]
             if f["key_min"] is None or f["key_max"] is None
-            or not (f["key_max"] < lo or f["key_min"] > hi)
+            or not _ranges_disjoint(f["key_min"], f["key_max"], lo, hi)
         ]
         schema = self._read_schema(m)
         if not files:
@@ -356,6 +395,13 @@ class SnapshotTable:
             last = m.get("batch_id")
             if last is not None and batch_id <= last:
                 return None  # replayed micro-batch: already committed
+        # Materialize the source ONCE: merge runs several independent
+        # actions over it (bounds/validation aggregate, anti-join, file
+        # write), and re-evaluating a non-deterministic source between them
+        # lets a key slip outside the collected pruning bounds — its file
+        # stays "untouched" while the new row inserts → silent duplicate
+        # keys (r9 review). Sources are micro-batch-sized by contract.
+        source = source.localCheckpoint(eager=True)
         if delete_col is not None:
             # Delete semantics flow entirely through the all-source-keys
             # anti-join below: a marked key's victim row is removed there and
@@ -365,15 +411,38 @@ class SnapshotTable:
             upserts = source
         schema = self._evolved_schema(self._read_schema(m), upserts.schema)
         # Touched-file range spans ALL source keys (upserts AND deletes):
-        # a delete must rewrite the file holding its victim row.
+        # a delete must rewrite the file holding its victim row. The same
+        # aggregate validates EVERY source key non-null up front — delete
+        # rows previously bypassed the write-time NULL check and silently
+        # no-opped (the anti-join matches nothing on NULL) — and that
+        # upsert keys are UNIQUE: with duplicates the anti-join removes the
+        # one victim row and inserts BOTH source rows (Delta raises on
+        # multiple matches for the same reason).
         b = source.agg(
-            F.min(self.key).alias("lo"), F.max(self.key).alias("hi")
+            F.min(self.key).alias("lo"),
+            F.max(self.key).alias("hi"),
+            F.count("*").alias("n"),
+            F.count(self.key).alias("nk"),
         ).collect()[0]
+        if b["n"] != b["nk"]:
+            raise ValueError(
+                f"{b['n'] - b['nk']} source row(s) with NULL merge key "
+                f"'{self.key}': a NULL key matches nothing — filter or fill "
+                "them upstream"
+            )
+        u = upserts.agg(
+            F.count("*").alias("n"), F.count_distinct(F.col(self.key)).alias("nd")
+        ).collect()[0]
+        if u["n"] != u["nd"]:
+            raise ValueError(
+                f"merge source has {u['n'] - u['nd']} duplicate upsert key(s) "
+                f"on '{self.key}' — dedup (e.g. latest-per-key) before merging"
+            )
         lo, hi = b["lo"], b["hi"]
         touched = [
             f for f in m["files"]
             if f["key_min"] is None or f["key_max"] is None
-            or (lo is not None and not (f["key_max"] < lo or f["key_min"] > hi))
+            or (lo is not None and not _ranges_disjoint(f["key_min"], f["key_max"], lo, hi))
         ]
         touched_paths = {f["path"] for f in touched}
         kept = [f for f in m["files"] if f["path"] not in touched_paths]
@@ -511,7 +580,12 @@ class SnapshotTable:
         schema = self._read_schema(m)
         reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
         df = reader.parquet(*[f["path"] for f in small]).coalesce(n_out)
-        files = kept + self._write_files(df)
+        # Pass the target through: the clustered write path re-shuffles via
+        # repartitionByRange(cluster_files | shuffle.partitions), which
+        # silently overrode this coalesce — a compaction that emits MORE
+        # small range-bucket files than it consumed never converges (r9
+        # review).
+        files = kept + self._write_files(df, n_files=n_out)
         manifest = {"version": cur + 1, "parent": cur, "key": self.key, "files": files}
         if schema is not None:
             manifest["schema"] = schema.jsonValue()
@@ -559,11 +633,31 @@ class SnapshotTable:
         cutoff = time.time() - retention_seconds
         removed = 0
         for dirpath, _dirs, names in os.walk(self._ddir):
+            dir_has_referenced = any(
+                os.path.join(dirpath, n) in referenced for n in names
+            )
             for name in names:
                 p = os.path.join(dirpath, name)
+                if os.path.getmtime(p) > cutoff:
+                    continue  # possibly a concurrent writer's staged commit
                 if name.endswith(".parquet") and p not in referenced:
-                    if os.path.getmtime(p) > cutoff:
-                        continue  # possibly a concurrent writer's staged commit
                     os.unlink(p)
                     removed += 1
+                elif name.endswith(".parquet.crc"):
+                    # Hadoop LocalFileSystem checksum sidecar: '.X.crc' next
+                    # to data file X. Orphaned once X is unreferenced/gone —
+                    # without this, sidecars accumulate without bound on a
+                    # long-running streaming sink (r9 review).
+                    target = os.path.join(dirpath, name[1:-4])
+                    if target not in referenced:
+                        os.unlink(p)
+                elif name in ("_SUCCESS", "._SUCCESS.crc") and not dir_has_referenced:
+                    os.unlink(p)
+        # Drop commit directories emptied by the sweep (bottom-up).
+        for dirpath, dirs, names in os.walk(self._ddir, topdown=False):
+            if dirpath != self._ddir and not dirs and not names:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
         return removed

@@ -205,10 +205,17 @@ class FirstSeenProcessor(StatefulProcessor):
 
 
 def _with_tws_provider(events: DataFrame):
+    """SESSION-WIDE side effect, by necessity: transformWithState refuses
+    the default HDFS-backed state store, and the provider class is a
+    SparkSession conf read at query START (not a writeStream option), so
+    merely BUILDING a tws query here switches every streaming query
+    started afterwards on this session to RocksDB — a different checkpoint
+    format, and a failure if the native library is absent. Callers mixing
+    tws and non-tws streaming queries on one session should snapshot
+    ``spark.conf.get("spark.sql.streaming.stateStore.providerClass")``
+    and restore it after starting the tws query."""
     spark = events.sparkSession
     if spark.conf.get("spark.sql.streaming.stateStore.providerClass", "") != TWS_PROVIDER:
-        # transformWithState refuses the default HDFS-backed provider; the
-        # conf is per-query-start, so setting it here is what a caller needs.
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", TWS_PROVIDER)
     return events
 

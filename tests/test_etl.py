@@ -869,3 +869,126 @@ def test_snapshot_restore_then_expire_keeps_shared_files(spark, tmp_path):
         t.restore(1)
     with _pt.raises(FileNotFoundError):
         t.changes(0)
+
+
+def test_snapshot_hardening_r9(spark, tmp_path):
+    """R9 review batch: clear errors and edge contracts — uncreated-table
+    verbs, create-on-existing, NULL-keyed deletes, duplicate upsert keys,
+    and reading a legitimately emptied table."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "h"), "k")
+    with _pt.raises(ValueError, match="no committed version"):
+        t.snapshot()
+    with _pt.raises(ValueError, match="no committed version"):
+        t.merge(spark.range(1).select(F.col("id").alias("k")))
+
+    base = spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t.create(base)
+    with _pt.raises(ValueError, match="already exists"):
+        t.create(base)
+
+    # NULL-keyed delete rows previously no-opped silently (anti-join on
+    # NULL matches nothing); now the merge-source validation raises.
+    bad_del = spark.createDataFrame([(None, True)], "k long, _d boolean")
+    with _pt.raises(ValueError, match="NULL merge key"):
+        t.merge(bad_del, delete_col="_d")
+
+    # Duplicate upsert keys would remove one victim and insert BOTH rows.
+    dup = spark.createDataFrame([(1, 5), (1, 6)], "k long, v long")
+    with _pt.raises(ValueError, match="duplicate upsert key"):
+        t.merge(dup)
+
+    # Delete every key: the emptied table must stay readable (typed, 0 rows).
+    t.delete(base.select("k"))
+    assert t.snapshot().count() == 0
+    assert t.snapshot().columns == ["k", "v"]
+    assert t.rows() == 0
+
+
+def test_snapshot_date_key_stats_json_and_pruning(spark, tmp_path):
+    """Non-JSON-native key types (DateType) must commit cleanly — the stats
+    previously blew up json.dump AFTER the data files were written — and
+    range pruning must stay conservative (never a TypeError) when manifest
+    stats round-trip as ISO strings."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "dk"), "d")
+    rows = [(dt.date(2024, 1, 1) + dt.timedelta(days=i), i) for i in range(10)]
+    t.create(spark.createDataFrame(rows, "d date, v long"))
+    assert t.rows() == 10
+    # merge with a date key: bounds + pruning comparisons must not raise
+    t.merge(spark.createDataFrame([(dt.date(2024, 1, 5), 99)], "d date, v long"))
+    got = {r["d"]: r["v"] for r in t.snapshot().collect()}
+    assert got[dt.date(2024, 1, 5)] == 99 and len(got) == 10
+    # ISO-string bounds prune correctly (lexicographic == chronological)
+    sub = t.scan_range("2024-01-02", "2024-01-04").collect()
+    assert {r["v"] for r in sub} == {1, 2, 3}
+
+
+def test_snapshot_clustered_compact_converges(spark, tmp_path):
+    """compact() on a cluster_by table must honor its own target file count
+    — the clustered write previously re-shuffled to shuffle.partitions,
+    emitting MORE small files than it consumed and never converging."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "cc"), "k", cluster_by=["k"], cluster_files=4)
+    t.create(spark.range(0, 40).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v")))
+    for i in range(3):
+        t.append(
+            spark.range(40 + i * 10, 50 + i * 10).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+            )
+        )
+    before = sorted((r["k"], r["v"]) for r in t.snapshot().collect())
+    v = t.compact(target_file_rows=1 << 20)
+    assert len(t._manifest(v)["files"]) == 1, "all small files fold into the coalesce target"
+    assert t.compact(target_file_rows=1 << 20) == v, "second compact is a no-op"
+    assert sorted((r["k"], r["v"]) for r in t.snapshot().collect()) == before
+
+
+def test_snapshot_vacuum_sweeps_sidecars_and_empty_dirs(spark, tmp_path):
+    """vacuum must reclaim Hadoop .crc sidecars, _SUCCESS markers, and the
+    emptied commit directories of expired versions — not only the parquet
+    bytes (unbounded inode growth on a streaming sink otherwise)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    root = tmp_path / "vs"
+    t = SnapshotTable(spark, str(root), "k")
+    t.create(spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    t.merge(spark.range(0, 100).select(F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")))
+    t.expire_versions(keep_last=1)
+    t.vacuum(retention_seconds=0)
+    leftovers = [
+        os.path.join(d, n)
+        for d, _s, names in os.walk(root / "data")
+        for n in names
+        if not n.endswith(".parquet")
+    ]
+    # every surviving non-parquet file must belong to a LIVE commit dir:
+    # either a sidecar of an existing parquet, or that dir's _SUCCESS marker
+    for p in leftovers:
+        d, n = os.path.split(p)
+        if n.endswith(".parquet.crc"):
+            assert os.path.exists(os.path.join(d, n[1:-4])), f"orphan sidecar {p}"
+        else:
+            assert n in ("_SUCCESS", "._SUCCESS.crc"), p
+            live = any(x.endswith(".parquet") for x in os.listdir(d))
+            assert live, f"marker {p} in a dir with no live parquet"
+    # no empty commit directories remain
+    for d, subdirs, names in os.walk(root / "data"):
+        if d != str(root / "data"):
+            assert subdirs or names, f"empty commit dir {d}"
