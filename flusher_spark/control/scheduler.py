@@ -129,6 +129,8 @@ class Scheduler:
     warehouse: Warehouse
     export_dir: str
     lease_seconds: int = 3600
+    #: Observers called after every tick with the tick's results list
+    #: ([(job_id, status, result)]); hook failures don't fail the tick.
     on_tick: list = field(default_factory=list)
     clock: object = utcnow_iso
     recorder: Recorder = field(default_factory=Recorder)
@@ -228,6 +230,11 @@ class Scheduler:
             # exists to fix. Metrics flush on the same cadence.
             self.store.append_logs(records)
             self.store.append_metrics(self.recorder.drain())
+        for hook in self.on_tick:
+            try:
+                hook(results)
+            except Exception:  # noqa: BLE001 — observers must not fail the tick
+                pass
         return results
 
     def run_loop(self, poll_seconds: float = 1.0, max_ticks: int | None = None) -> None:

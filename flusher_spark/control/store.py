@@ -24,13 +24,15 @@ from __future__ import annotations
 import json
 import os
 import threading
-from datetime import datetime, timezone
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 
+# One timestamp format for control-table state and metrics rows alike
+# (instrumentation never imports control, so this direction is cycle-free).
+from flusher_spark.instrumentation import utcnow_iso  # noqa: F401  (re-exported)
 from flusher_spark.control.model import (
     EPOCH_NEVER,
     JOBS_COLUMNS,
@@ -41,10 +43,6 @@ from flusher_spark.control.model import (
     Job,
     RunRecord,
 )
-
-
-def utcnow_iso() -> str:
-    return datetime.now(timezone.utc).replace(tzinfo=None).isoformat(timespec="seconds")
 
 
 class JobStore:

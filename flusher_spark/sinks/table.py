@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,6 +30,17 @@ class Warehouse:
         os.makedirs(self.root, exist_ok=True)  # reference auto-creates, bigquery.py:13-16
 
     def _path(self, table: str) -> str:
+        # Reject names that would escape (or BE) the dataset root: an empty
+        # destination (the Job dataclass default) used to resolve to the root
+        # itself, so a full-refresh load could rmtree the whole dataset.
+        if (
+            not table
+            or table in (".", "..")
+            or "/" in table
+            or os.sep in table
+            or (os.altsep and os.altsep in table)
+        ):
+            raise ValueError(f"invalid table name: {table!r}")
         return os.path.join(self.root, table)
 
     def table_exists(self, table: str) -> bool:
@@ -43,9 +55,10 @@ class Warehouse:
         """Load a DataFrame: full-refresh (drop + recreate) unless
         ``incremental`` (append) — reference load(), bigquery.py:42-47.
         Synchronous: when this returns, the data is on disk."""
+        # Spark's overwrite mode replaces the directory contents itself; an
+        # explicit drop() first would only widen the reader-visible
+        # missing-table window and add a failure point before the write.
         mode = "append" if incremental else "overwrite"
-        if not incremental and self.table_exists(table):
-            self.drop(table)
         df.write.mode(mode).parquet(self._path(table))
         return f"{os.path.basename(self.root)}.{table}"
 
@@ -60,24 +73,45 @@ class Warehouse:
         accumulates one file-set per load; at high cadence the table becomes
         thousands of tiny files and every scan pays per-file open cost. This
         is the maintenance half of an append-mode sink. Returns the new file
-        count. Rewrite is staged through a sibling directory + atomic rename,
-        so a crash mid-compact never loses the table.
+        count.
+
+        Safety model (file-level, not directory-swap): a SNAPSHOT of the
+        parquet files present at start is read and rewritten into a staging
+        directory; the compacted files are then moved INTO the table and only
+        afterwards are the snapshot's source files removed. Files appended
+        concurrently by ``load(incremental=True)`` are not in the snapshot
+        and are never touched, and the table directory itself never
+        disappears. A crash between publish and cleanup leaves duplicate
+        rows (re-runnable), never data loss. Concurrent full-refresh
+        overwrites remain unsafe alongside compact — use ``SnapshotTable``
+        for transactional semantics.
         """
         path = self._path(table)
-        df = self.read(table)
+        snapshot = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not snapshot:
+            return 0
+        src_paths = [os.path.join(path, f) for f in snapshot]
+        df = self.spark.read.parquet(*src_paths)
         if target_partitions is None:
-            size = sum(
-                os.path.getsize(os.path.join(dp, f))
-                for dp, _, fs in os.walk(path)
-                for f in fs
-            )
+            size = sum(os.path.getsize(p) for p in src_paths)
             target_partitions = max(1, size // (64 * 1024 * 1024))
         staged = path + ".__compacting"
         shutil.rmtree(staged, ignore_errors=True)
         df.coalesce(int(target_partitions)).write.mode("overwrite").parquet(staged)
-        old = path + ".__old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(path, old)
-        os.rename(staged, path)
-        shutil.rmtree(old, ignore_errors=True)
+        compact_id = uuid.uuid4().hex[:12]
+        for f in sorted(os.listdir(staged)):
+            if not f.endswith(".parquet"):
+                continue
+            dest = f"compacted-{compact_id}-{f}"
+            # Keep the Hadoop LocalFS checksum alongside its data file.
+            crc = os.path.join(staged, f".{f}.crc")
+            if os.path.exists(crc):
+                os.rename(crc, os.path.join(path, f".{dest}.crc"))
+            os.rename(os.path.join(staged, f), os.path.join(path, dest))
+        shutil.rmtree(staged, ignore_errors=True)
+        for f, p in zip(snapshot, src_paths):
+            os.remove(p)
+            crc = os.path.join(path, f".{f}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
         return len([f for f in os.listdir(path) if f.endswith(".parquet")])

@@ -169,6 +169,8 @@ class DictTransport(Transport):
             raise PermanentError(f"document not found: {document!r}")
         doc = self.documents[document]
         if not sheet:
+            if not doc:
+                raise PermanentError(f"worksheet not found: document {document!r} has no sheets")
             return next(iter(doc.values()))
         if sheet not in doc:
             raise PermanentError(f"worksheet not found: {sheet!r}")

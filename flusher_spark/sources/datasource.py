@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
 )
 
 from flusher_spark.functions.a1 import parse_a1_range
+from flusher_spark.sources.sheet import normalize_header_names
 
 
 def _open(path: str) -> io.TextIOWrapper:
@@ -53,7 +54,22 @@ def _open(path: str) -> io.TextIOWrapper:
     return open(path, newline="", encoding="utf-8")
 
 
+def _count_records(path: str) -> int:
+    """Record count without materializing cells (csv.reader streams; a raw
+    line count would miscount quoted embedded newlines)."""
+    with _open(path) as f:
+        return sum(1 for _ in csv.reader(f))
+
+
+def _read_header(path: str) -> list[str]:
+    with _open(path) as f:
+        return next(csv.reader(f), [])
+
+
 def _read_grid(path: str) -> list[list[str]]:
+    """Full grid materialization — ONLY for the writer's driver-side append
+    merge, which is bounded by the sheet's own ~10M-cell ceiling. The read
+    path streams (see WorksheetReader.read) and never calls this."""
     with _open(path) as f:
         return [list(r) for r in csv.reader(f)]
 
@@ -85,8 +101,9 @@ class WorksheetReader(DataSourceReader):
         return col_lo, col_hi, row_lo, row_hi
 
     def partitions(self) -> list[_RowRange]:
-        # Planning pass: only the row COUNT is needed (cells aren't shipped).
-        n_rows = len(_read_grid(self.path))
+        # Planning pass: only the row COUNT is needed (cells aren't shipped
+        # or even materialized — csv.reader streams).
+        n_rows = _count_records(self.path)
         _, _, row_lo, row_hi = self._bounds(n_rows)
         data_start, data_end = row_lo - 2, row_hi - 1  # 0-based data-row idx
         total = max(data_end - data_start, 0)
@@ -99,14 +116,20 @@ class WorksheetReader(DataSourceReader):
         ]
 
     def read(self, partition: _RowRange):
-        rows = _read_grid(self.path)
-        n_rows = len(rows)
-        col_lo, col_hi, _, _ = self._bounds(n_rows)
+        import itertools
+
+        # Stream only this task's row range: skip the header + preceding
+        # records via islice, never materializing the grid (a previous
+        # version parsed the WHOLE file per partition, making an N-way read
+        # N+1 full parses). Column bounds don't depend on the row count.
+        col_lo, col_hi, _, _ = self._bounds(0)
         width = len(self.schema_names)
-        for r in rows[partition.start + 1 : partition.end + 1]:  # +1 skips header
-            cells = r[col_lo - 1 : (col_hi if col_hi != -1 else len(r))]
-            padded = [str(c) if c is not None else "" for c in cells] + [""] * (width - len(cells))
-            yield tuple(padded[:width])
+        with _open(self.path) as f:
+            reader = csv.reader(f)
+            for r in itertools.islice(reader, partition.start + 1, partition.end + 1):
+                cells = r[col_lo - 1 : (col_hi if col_hi != -1 else len(r))]
+                padded = [str(c) if c is not None else "" for c in cells] + [""] * (width - len(cells))
+                yield tuple(padded[:width])
 
 
 class WorksheetDataSource(DataSource):
@@ -117,18 +140,17 @@ class WorksheetDataSource(DataSource):
         return "worksheet"
 
     def schema(self) -> T.StructType:
-        rows = _read_grid(self.options["path"])
-        header = rows[0] if rows else []
+        # Planning needs only the header record, not the grid.
+        header = _read_header(self.options["path"])
         cellrange = self.options.get("cellrange", "")
         col_lo, col_hi = 1, len(header)
         if cellrange:
             rng = parse_a1_range(cellrange)
             col_lo = rng.col_start
             col_hi = min(rng.col_end, len(header)) if rng.col_end != -1 else len(header)
-        names = [
-            (str(h) if str(h) else f"col_{i}")
-            for i, h in enumerate(header[col_lo - 1 : col_hi], start=col_lo)
-        ]
+        names = normalize_header_names(
+            [str(h) for h in header[col_lo - 1 : col_hi]], start_col=col_lo
+        )
         return T.StructType([T.StructField(n, T.StringType(), True) for n in names])
 
     def reader(self, schema: T.StructType) -> WorksheetReader:

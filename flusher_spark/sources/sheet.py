@@ -72,6 +72,10 @@ class SheetSource:
         doc = self.open(document)
         if not sheet:
             # Reference: empty Sheet ⇒ first worksheet (export.py:38-39).
+            # A document with zero sheets must raise the KeyError shape
+            # translate_error enriches, not a bare StopIteration.
+            if not doc:
+                raise KeyError(f"worksheet not found: document {document!r} has no sheets")
             return next(iter(doc.values()))
         if sheet not in doc:
             raise KeyError(f"worksheet not found: {sheet!r} (available: {sorted(doc)})")
@@ -79,6 +83,27 @@ class SheetSource:
 
     def available_sheets(self, document: str) -> list[str]:
         return sorted(self.open(document))
+
+
+def normalize_header_names(names: list[str], start_col: int = 1) -> list[str]:
+    """Make worksheet header names usable as DataFrame column names: empty
+    headers become ``col_<index>`` (1-based grid column), and duplicates get
+    a ``_2``/``_3``… suffix (first occurrence keeps the raw name). Duplicate
+    headers are legal in a spreadsheet but break ``F.col`` resolution with
+    AMBIGUOUS_REFERENCE downstream (infer_schema / cast_with_schema)."""
+    out: list[str] = []
+    seen: dict[str, int] = {}
+    for i, raw in enumerate(names, start=start_col):
+        name = raw if raw else f"col_{i}"
+        if name in seen:
+            k = seen[name] + 1
+            while f"{name}_{k}" in seen:
+                k += 1
+            seen[name] = k
+            name = f"{name}_{k}"
+        seen.setdefault(name, 1)
+        out.append(name)
+    return out
 
 
 def read_sheet(
@@ -102,16 +127,20 @@ def read_sheet(
         if rng.row_end is not None:
             row_hi = min(rng.row_end, len(rows))
 
+    width = col_hi - col_lo + 1
     if grid.header and grid.rows:
         names = [str(c) for c in rows[0][col_lo - 1 : col_hi]]
+        # A header row narrower than the widest data row still names a
+        # column per grid column — pad so the schema covers every cell
+        # (an unpadded header made createDataFrame reject wider rows).
+        names += [""] * (width - len(names))
         # A range that excludes row 1 still needs the header names.
         data_rows = rows[max(row_lo, 2) - 1 : row_hi]
     else:
-        names = [f"col_{i}" for i in range(col_lo, col_hi + 1)]
+        names = ["" for _ in range(width)]
         data_rows = rows[row_lo - 1 : row_hi]
-    names = [n if n else f"col_{i}" for i, n in enumerate(names, start=col_lo)]
+    names = normalize_header_names(names, start_col=col_lo)
 
-    width = col_hi - col_lo + 1
     padded = [
         [str(c) if c is not None else "" for c in r[col_lo - 1 : col_hi]] + [""] * (width - len(r[col_lo - 1 : col_hi]))
         for r in data_rows
@@ -166,44 +195,44 @@ def infer_schema(df: DataFrame, sample_rows: int | None = None) -> T.StructType:
     return T.StructType(fields)
 
 
+def _typed_expr(field: T.StructField):
+    """The try_cast expression applying one pinned field to its raw string
+    column (empty string ⇒ NULL first, then the cast)."""
+    c = F.when(F.col(field.name) == "", None).otherwise(F.col(field.name))
+    if isinstance(field.dataType, T.BooleanType):
+        # try_cast semantics by hand: junk outside the accepted boolean
+        # vocabulary must become NULL (drift), not False.
+        lc = F.lower(c)
+        return F.when(lc.isin("true", "yes"), F.lit(True)).when(
+            lc.isin("false", "no"), F.lit(False)
+        )
+    if isinstance(field.dataType, T.StringType):
+        return c
+    return c.try_cast(field.dataType.simpleString())
+
+
 def cast_with_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Apply a pinned schema to a string DataFrame. ``try_cast`` semantics:
     drifted cells become NULL rather than failing the load; callers can count
     nulls to detect drift (tests/test_etl.py)."""
-    cols = []
-    for f_ in schema.fields:
-        c = F.when(F.col(f_.name) == "", None).otherwise(F.col(f_.name))
-        if isinstance(f_.dataType, T.BooleanType):
-            # try_cast semantics by hand: junk outside the accepted boolean
-            # vocabulary must become NULL (drift), not False.
-            lc = F.lower(c)
-            cols.append(
-                F.when(lc.isin("true", "yes"), F.lit(True))
-                .when(lc.isin("false", "no"), F.lit(False))
-                .alias(f_.name)
-            )
-        elif isinstance(f_.dataType, T.StringType):
-            cols.append(c.alias(f_.name))
-        else:
-            cols.append(c.try_cast(f_.dataType.simpleString()).alias(f_.name))
-    return df.select(*cols)
+    return df.select(*[_typed_expr(f_).alias(f_.name) for f_ in schema.fields])
 
 
 def schema_drift(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Per-column count of cells that no longer fit the pinned schema —
-    the drift report the reference could never produce."""
-    typed = cast_with_schema(df, schema)
+    the drift report the reference could never produce.
+
+    Computed as ONE aggregation over ``df``: a cell drifts when its raw value
+    is non-empty but its typed cast is NULL. (A previous version evaluated
+    raw and typed as two separate plans zipped on monotonically_increasing_id,
+    which Spark does not guarantee to align across plans.)"""
     checks = [
         F.sum(
-            (F.when(F.col(f"__raw.{f_.name}") == "", None).otherwise(F.col(f"__raw.{f_.name}"))).isNotNull().cast("long")
-            * F.col(f"__typed.{f_.name}").isNull().cast("long")
+            (
+                F.when(F.col(f_.name) == "", None).otherwise(F.col(f_.name))
+            ).isNotNull().cast("long")
+            * _typed_expr(f_).isNull().cast("long")
         ).alias(f_.name)
         for f_ in schema.fields
     ]
-    raw_s = df.select(F.struct(*df.columns).alias("__raw"))
-    typed_s = typed.select(F.struct(*typed.columns).alias("__typed"))
-    # Align by zip: both frames derive from the same rows in order.
-    joined = raw_s.withColumn("__rid", F.monotonically_increasing_id()).join(
-        typed_s.withColumn("__rid", F.monotonically_increasing_id()), "__rid"
-    )
-    return joined.agg(*checks)
+    return df.agg(*checks)

@@ -101,6 +101,40 @@ def test_export_only_job(env, tmp_path):
     assert "doc - s2" in results[0][2]
 
 
+def test_blank_destination_fails_without_touching_dataset(env):
+    """A warehouse-target job with the blank destination default must FAIL
+    its run (invalid table name), not resolve to the dataset root — the old
+    behavior full-refresh-loaded into the root, rmtree'ing every table."""
+    store, _, wh, sched = env
+    store.put(Job(1, "doc", "s1", target_system="warehouse", destination="t1",
+                  refresh_now=True))
+    sched.tick(NOW)
+    assert wh.table_exists("t1")
+    store.put(Job(2, "doc", "s2", target_system="warehouse", refresh_now=True))
+    results = sched.tick(NOW)
+    assert results[0][1] == "Failure" and "invalid table name" in results[0][2]
+    assert wh.table_exists("t1")  # sibling tables untouched
+    assert store.get(2).state == "Failure"
+
+
+def test_on_tick_observers_fire(env):
+    """on_tick hooks run after every tick with the results list; a raising
+    hook must not fail the tick or starve later hooks."""
+    store, _, _, sched = env
+    seen: list = []
+
+    def boom(_results):
+        raise RuntimeError("observer bug")
+
+    sched.on_tick = [boom, seen.append]
+    store.put(Job(1, "doc", "s1", target_system="warehouse", destination="t1",
+                  refresh_now=True))
+    results = sched.tick(NOW)
+    assert seen == [results] and results[0][1] == "Success"
+    assert sched.tick("2024-06-01T12:01:00") == []
+    assert seen == [results, []]  # fires on empty ticks too
+
+
 def test_unknown_target_system(env):
     store, _, _, sched = env
     store.put(Job(1, "doc", "s1", target_system="redshift", destination="x", refresh_now=True))

@@ -149,6 +149,50 @@ def test_sheet_source_lookup():
         src.worksheet("nope")
     with pytest.raises(KeyError):
         src.worksheet("doc", "missing")
+    # A document with ZERO sheets must raise the KeyError shape
+    # translate_error enriches, never a bare StopIteration.
+    empty = SheetSource({"void": {}})
+    with pytest.raises(KeyError, match="no sheets"):
+        empty.worksheet("void")
+
+
+def test_read_sheet_jagged_rows_wider_than_header(spark):
+    """Data rows wider than the header must not crash createDataFrame:
+    the overflow columns get generated col_N names."""
+    grid = SheetGrid.from_csv("s", "a,b\n1,2,3\n4,5")
+    df = read_sheet(spark, grid)
+    assert df.columns == ["a", "b", "col_3"]
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [("1", "2", "3"), ("4", "5", "")]
+
+
+def test_read_sheet_duplicate_headers_deduped(spark):
+    """Duplicate worksheet headers are legal in a spreadsheet but break
+    F.col resolution; they must be suffixed deterministically."""
+    grid = SheetGrid.from_csv("s", "Value,Value,,Value\n1,2,3,4")
+    df = read_sheet(spark, grid)
+    assert df.columns == ["Value", "Value_2", "col_3", "Value_3"]
+    # The typed pipeline must now work end-to-end on the deduped names.
+    schema = infer_schema(df)
+    assert {f.dataType.simpleString() for f in schema.fields} == {"bigint"}
+    assert cast_with_schema(df, schema).collect()[0][0] == 1
+
+
+def test_schema_drift_survives_shuffled_lineage(spark):
+    """schema_drift is ONE aggregation over df — it must be correct even
+    when df's lineage includes a shuffle (the old two-plan zip on
+    monotonically_increasing_id was not guaranteed to align)."""
+    grid = SheetGrid(
+        "s",
+        [["k", "v"], *[["k%d" % (i % 7), str(i) if i % 5 else "oops"] for i in range(50)]],
+    )
+    df = read_sheet(spark, grid).repartition(8, "k").sort("k")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    drift = schema_drift(df, schema).collect()[0]
+    assert drift["k"] == 0
+    assert drift["v"] == len([i for i in range(50) if i % 5 == 0])
 
 
 # -- Python DataSource (format("worksheet")) ---------------------------------
@@ -246,6 +290,59 @@ def test_warehouse_compaction(spark, tmp_path):
     assert sorted(map(tuple, wh.read("r").collect())) == sorted(
         list(map(tuple, region.collect())) * 4
     )
+
+
+def test_warehouse_rejects_invalid_table_names(spark, tmp_path):
+    """An empty destination (the Job dataclass default) used to resolve to
+    the dataset ROOT, so a full-refresh load could rmtree every table."""
+    wh = Warehouse(spark, str(tmp_path))
+    df = read_sheet(spark, GRID)
+    wh.load(df, "survivor")
+    for bad in ("", ".", "..", "a/b", "../escape"):
+        with pytest.raises(ValueError, match="invalid table name"):
+            wh.load(df, bad)
+        with pytest.raises(ValueError):
+            wh.drop(bad)
+    assert wh.table_exists("survivor")
+    assert wh.read("survivor").count() == 4
+
+
+def test_warehouse_compact_preserves_concurrent_append(spark, tmp_path):
+    """compact() rewrites only the files present in its start-of-compact
+    snapshot: rows appended by load(incremental=True) AFTER the snapshot
+    must survive (the old directory-swap rmtree'd them)."""
+    wh = Warehouse(spark, str(tmp_path))
+    df = read_sheet(spark, GRID)
+    for _ in range(3):
+        wh.load(df.repartition(4), "t", incremental=True)
+
+    appender = Warehouse(spark, str(tmp_path))
+
+    class _SparkProxy:
+        """Fires one concurrent append at the exact point compact() begins
+        reading its snapshot (i.e. after the snapshot was taken)."""
+
+        def __init__(self, real):
+            self._real = real
+            self.fired = False
+
+        @property
+        def read(self):
+            if not self.fired:
+                self.fired = True
+                appender.load(df, "t", incremental=True)
+            return self._real.read
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    wh.spark = _SparkProxy(spark)
+    n_files = wh.compact("t", target_partitions=1)
+    wh.spark = spark
+    assert wh.spark is spark and appender.spark is spark
+    # 3 compacted loads + 1 concurrent append, nothing lost.
+    assert wh.read("t").count() == 4 * 4
+    assert n_files >= 2  # 1 compacted + the concurrently-appended file(s)
 
 
 def test_worksheet_writer_two_phase_commit(spark, tmp_path):
