@@ -36,18 +36,34 @@ _MERSENNE = (1 << 61) - 1
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on normalized text: keep the lowest id per group.
-    One hash-shuffle on the normalized text; count preserved as n_copies."""
+    One hash-shuffle on the normalized text; count preserved as n_copies.
+
+    NULL text is MISSING, not equal: each NULL-text document is its own
+    group (n_copies=1) via an id-valued disambiguator in the group key —
+    without it groupBy unifies NULL keys and silently drops all
+    contentless docs but one. (Empty strings still normalize equal to each
+    other: two empty texts ARE identical content.)"""
+    norm = normalized_text(F.col(text_col))
     return (
-        df.groupBy(normalized_text(F.col(text_col)).alias("norm_text"))
+        df.groupBy(
+            norm.alias("norm_text"),
+            F.when(norm.isNull(), F.col(id_col)).alias("__null_key"),
+        )
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
         .select(id_col, "n_copies")
     )
 
 
 def shingle_rows(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    positions: bool = False,
 ) -> DataFrame:
-    """One row per word-n-gram occurrence: (doc_id, s).
+    """One row per word-n-gram occurrence: (doc_id, s) — or
+    (doc_id, pos, s) with the 0-based start-token index when ``positions``
+    (the substring-span dedup path needs anchors, not just grams).
 
     Formulation is load-bearing at scale: shingling is ROW-LOCAL, so it must
     be a narrow projection — one ``transform(sequence, i -> concat_ws(slice))``
@@ -64,14 +80,12 @@ def shingle_rows(
     toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")).where(
         F.size("__t") >= n
     )
-    return toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(__t) - {n}), i -> concat_ws(' ', slice(__t, i + 1, {n})))"
-            )
-        ).alias("s"),
+    gram_array = F.expr(
+        f"transform(sequence(0, size(__t) - {n}), i -> concat_ws(' ', slice(__t, i + 1, {n})))"
     )
+    if positions:
+        return toks.select("doc_id", F.posexplode(gram_array).alias("pos", "s"))
+    return toks.select("doc_id", F.explode(gram_array).alias("s"))
 
 
 def shingles_table(
@@ -279,6 +293,13 @@ def minhash_lsh_pairs(
     ~50% capture at J≈0.59; verification then enforces the exact threshold.
     Each band signature is one equi-join key: shuffle is per-band, never
     quadratic. Oversized buckets are capped (see module docstring)."""
+    if bands <= 0 or num_perm % bands != 0:
+        # A remainder would silently compute-and-shuffle permutations that
+        # never feed a band key, quietly shifting the s-curve the caller
+        # parameterized; bands > num_perm would build zero-row bands.
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a positive multiple of bands ({bands})"
+        )
     rows = num_perm // bands
     df = _ensure_parallelism(df)
     # ONE shingle pass serves both signatures and verification: signatures
@@ -460,12 +481,22 @@ def simhash_pairs(
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 20, strict: bool = True, stats: dict | None = None
+) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id).
 
     The end of the dedup pipeline: pair lists (from minhash_lsh_pairs /
     ngram_jaccard_pairs / simhash_pairs) become duplicate CLUSTERS, each
     labeled by its minimum member id — the canonical representative to keep.
+
+    Round count is O(component diameter): right for near-dup cliques
+    (2-3 rounds), wrong for chain-shaped graphs — those belong to
+    operators/graph.py::connected_components (star contraction, O(log n)
+    rounds). Exhausting ``max_iter`` before the labels stabilize RAISES
+    when ``strict`` (the default): a split component silently keeps extra
+    duplicate copies downstream. ``stats`` (optional dict) is purely
+    observational — it receives {"rounds": n, "converged": bool}.
 
     Iterative min-label propagation: each round every node adopts the
     smallest label among itself and its neighbors; converges in O(diameter)
@@ -491,7 +522,10 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
+    converged = False
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -508,7 +542,20 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         changed = updated.where(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if changed == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    if strict and not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in max_iter={max_iter} rounds: a "
+            "component's diameter exceeds the round budget, so its labels are "
+            "still split. Raise max_iter, or use "
+            "operators.graph.connected_components (O(log n) star contraction) "
+            "for chain-shaped graphs; pass strict=False to accept a partial "
+            "labeling (inspect stats['converged'])."
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -562,19 +609,9 @@ def substring_dup_spans(
     Returns (doc_id, start_tok, end_tok, n_tok): 0-based inclusive token
     indexes of each maximal duplicated span, n_tok = end - start + 1 >= k.
     """
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")).where(
-        F.size("__t") >= k
-    )
-    toks = _ensure_parallelism(toks)
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(__t) - {k}),"
-                f" i -> concat_ws(' ', slice(__t, i + 1, {k})))"
-            )
-        ).alias("pos", "g"),
-    )
+    grams = shingle_rows(
+        _ensure_parallelism(df), text_col, id_col, n=k, positions=True
+    ).withColumnRenamed("s", "g")
     if hash_grams:
         grams = grams.withColumn("g", F.xxhash64("g"))
     grams = grams.localCheckpoint(eager=False)

@@ -1,8 +1,10 @@
 """Text-analysis operators for LLM data pipelines: tokenization stats,
 quality scoring, language-ID heuristic, document fingerprinting.
 
-All pure built-in column expressions (JVM-side, whole-stage codegen) — no
-Python UDFs anywhere, so these run at fact-table scale. Each returns columns
+All pure built-in column expressions (JVM-side, whole-stage codegen except
+where a docstring says otherwise — the BPE fold is an interpreted
+higher-order function by deliberate trade, see bpe_merge_pair) — no Python
+UDFs anywhere, so these run at fact-table scale. Each returns columns
 designed to be reproducible bit-for-bit in ANSI SQL for the oracle checks.
 """
 
@@ -148,12 +150,16 @@ def deletion_variants(df, col: str, keep_pos: bool = False):
     every single-character deletion (``__d`` = position). All codegen'd
     concat/substr — fan-out is len+1, bounded by the string length."""
     s = F.col(col)
+    # Backtick-quote the identifier inside the SQL fragment: a column named
+    # with spaces/dashes/reserved words is a valid DataFrame column but an
+    # invalid bare SQL identifier.
+    q = f"`{col.replace('`', '``')}`"
     out = df.select(
         "*", F.explode(F.sequence(F.lit(0), F.length(s))).alias("__d")
     ).select(
         "*",
         F.when(F.col("__d") == 0, s)
-        .otherwise(F.expr(f"concat(substr({col}, 1, __d - 1), substr({col}, __d + 1))"))
+        .otherwise(F.expr(f"concat(substr({q}, 1, __d - 1), substr({q}, __d + 1))"))
         .alias("__variant"),
     )
     return out if keep_pos else out.drop("__d")
@@ -178,11 +184,19 @@ def fuzzy_join_ed1(left, right, left_col: str, right_col: str, suffix: str = "_r
     multiply them) — give each side a unique id column when multiplicity
     matters."""
     rc = right_col
-    for c in right.columns:
+    taken = set(left.columns) | set(right.columns)
+    for c in list(right.columns):
         if c in left.columns:
-            right = right.withColumnRenamed(c, f"{c}{suffix}")
+            # Pick a rename target not already taken on EITHER side (a right
+            # frame holding both 'name' and 'name_right' would otherwise end
+            # up with two 'name_right' columns → AMBIGUOUS_REFERENCE).
+            new = f"{c}{suffix}"
+            while new in taken:
+                new += suffix
+            taken.add(new)
+            right = right.withColumnRenamed(c, new)
             if c == right_col:
-                rc = f"{c}{suffix}"
+                rc = new
     lv = deletion_variants(left, left_col)
     rv = deletion_variants(right, rc)
     return (
@@ -196,12 +210,20 @@ def fuzzy_join_ed1(left, right, left_col: str, right_col: str, suffix: str = "_r
 def bpe_merge_pair(toks: Column, left: str, right: str, merged: str) -> Column:
     """Apply ONE BPE merge rule to a token array: replace every greedy,
     left-to-right, non-overlapping adjacent (left, right) pair with
-    ``merged``. Expressed as a codegen'd left fold with a one-token pending
+    ``merged``, as an ``F.aggregate`` left fold with a one-token pending
     buffer — the pending slot holds the previous unconsumed token, so an
     element can either complete a merge with it, flush it, or become the
     new pending token. Greedy non-overlap falls out of the fold order
     (after a merge the buffer is empty, so 'x x x' under ('x','x') yields
-    ['xx', 'x'], matching reference BPE)."""
+    ['xx', 'x'], matching reference BPE).
+
+    Cost note: higher-order array functions are CodegenFallback in Spark
+    (interpreted, not whole-stage codegen — the module-header promise does
+    NOT hold here), but the fold is ROW-LOCAL: no shuffle, and a sequential
+    left-to-right dependency that the posexplode/window alternative could
+    only recover by shuffling the whole corpus by doc_id per merge rule.
+    One interpreted projection per rule is the cheaper end of that trade;
+    same reasoning as shingle_rows' measured note."""
     l, r, m = (F.lit(v) for v in (left, right, merged))
     empty = F.array().cast("array<string>")
     init = F.struct(empty.alias("out"), F.lit(None).cast("string").alias("pend"))

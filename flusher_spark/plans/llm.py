@@ -60,7 +60,8 @@ def _normsq_sql(a: str, dim: int = EMBEDDING_DIM) -> str:
     "dedup_exact",
     oracle=f"""
     SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-    FROM documents GROUP BY {_NORM_SQL}
+    FROM documents
+    GROUP BY {_NORM_SQL}, CASE WHEN text IS NULL THEN doc_id END
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

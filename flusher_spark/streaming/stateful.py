@@ -101,14 +101,17 @@ def streaming_dedup_first_seen(events: DataFrame, key_col: str = "event_id") -> 
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             return
-        first = None
-        for pdf in pdfs:
-            if len(pdf):
-                first = pdf.iloc[:1]
-                break
-        if first is not None:
+        # Row order inside a shuffled group is NOT source order, so "first
+        # within this batch" is undefined; take the lexicographically
+        # smallest row so the admitted payload is deterministic across
+        # retries and partitionings (replays with identical payloads — the
+        # common at-least-once case — are unaffected).
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            cols = ["event_id", "user_id", "event_type", "value"]
+            batch = pd.concat(frames, ignore_index=True)
             state.update((True,))
-            yield first[["event_id", "user_id", "event_type", "value"]]
+            yield batch[cols].sort_values(cols).iloc[:1]
 
     return events.groupBy(key_col).applyInPandasWithState(
         first_only,
@@ -194,11 +197,13 @@ class FirstSeenProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         if self._seen.exists():
             return
-        for pdf in rows:
-            if len(pdf):
-                self._seen.update((True,))
-                yield pdf.iloc[:1][["event_id", "user_id", "event_type", "value"]]
-                return
+        # Deterministic in-batch winner — same rule as first_only above.
+        frames = [pdf for pdf in rows if len(pdf)]
+        if frames:
+            cols = ["event_id", "user_id", "event_type", "value"]
+            batch = pd.concat(frames, ignore_index=True)
+            self._seen.update((True,))
+            yield batch[cols].sort_values(cols).iloc[:1]
 
     def close(self) -> None:
         pass

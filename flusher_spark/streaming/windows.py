@@ -105,7 +105,14 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes", watermark: st
 
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a bounded file stream to completion synchronously (test/dev
-    helper): memory sink + processAllAvailable."""
+    helper): memory sink + processAllAvailable. A failing micro-batch stops
+    the query before re-raising — otherwise the orphaned handle keeps its
+    queryName registered and the next run with the same name refuses to
+    start."""
     q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
-    q.processAllAvailable()
+    try:
+        q.processAllAvailable()
+    except Exception:
+        q.stop()
+        raise
     return q

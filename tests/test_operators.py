@@ -1463,6 +1463,53 @@ def test_dedup_clusters_empty_pairs(spark):
     assert dedup_clusters(empty).count() == 0
 
 
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter hops must RAISE (min-label propagation
+    moves one hop per round; a silently split component keeps extra
+    duplicate copies downstream). strict=False returns the partial labeling
+    and reports converged=False via stats."""
+    from flusher_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iter=3)
+
+    stats: dict = {}
+    partial = dedup_clusters(chain, max_iter=3, strict=False, stats=stats)
+    assert stats == {"rounds": 3, "converged": False}
+    assert partial.count() == 12  # every node still labeled, possibly split
+
+    stats = {}
+    full = dedup_clusters(chain, max_iter=20, stats=stats)
+    assert stats["converged"] and stats["rounds"] <= 20
+    labels = {r["cluster_id"] for r in full.collect()}
+    assert labels == {1}  # one component, labeled by its minimum member
+
+
+def test_exact_dedup_null_text_not_unified(spark):
+    """NULL text is missing, not equal: two contentless docs must both
+    survive with n_copies=1 (groupBy would otherwise unify NULL keys)."""
+    from flusher_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "hi"), (4, "hi"), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 5: 1}
+
+
+def test_minhash_lsh_rejects_indivisible_bands(spark, docs):
+    from flusher_spark.operators.dedup import minhash_lsh_pairs
+
+    with pytest.raises(ValueError, match="multiple of bands"):
+        minhash_lsh_pairs(docs, num_perm=30, bands=8)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        minhash_lsh_pairs(docs, num_perm=32, bands=40)
+
+
 # -- deterministic sampling --------------------------------------------------
 
 
@@ -2411,6 +2458,34 @@ def test_fuzzy_join_ed1_same_column_name_self_match(spark):
     b = spark.createDataFrame([("helo",), ("sparkle",)], "name string")
     got = {(r["name"], r["name_right"]) for r in fuzzy_join_ed1(a, b, "name", "name").collect()}
     assert got == {("hello", "helo")}
+
+
+def test_fuzzy_join_ed1_rename_avoids_existing_suffix_column(spark):
+    """A right frame already holding '<col><suffix>' must not end up with
+    two identically-named columns after the collision rename."""
+    from flusher_spark.operators.text import fuzzy_join_ed1
+
+    a = spark.createDataFrame([("hello",)], "name string")
+    b = spark.createDataFrame([("helo", "tag")], "name string, name_right string")
+    rows = fuzzy_join_ed1(a, b, "name", "name").collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["name"] == "hello" and "tag" in r.values()
+    # The renamed join column is present exactly once under a fresh name.
+    assert sorted(rows[0].asDict()) == ["name", "name_right", "name_right_right"]
+
+
+def test_deletion_variants_quotes_awkward_column_names(spark):
+    """Column names that aren't bare SQL identifiers (spaces, reserved
+    words) must work — the expr fragment backtick-quotes them."""
+    from flusher_spark.operators.text import deletion_variants
+
+    df = spark.createDataFrame([("ab",)], "`part name` string")
+    got = {r["__variant"] for r in deletion_variants(df, "part name").collect()}
+    assert got == {"ab", "b", "a"}
+    df2 = spark.createDataFrame([("ab",)], "`order` string")
+    got2 = {r["__variant"] for r in deletion_variants(df2, "order").collect()}
+    assert got2 == {"ab", "b", "a"}
 
 
 def test_salted_join_tolerates_map_columns(spark):

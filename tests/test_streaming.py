@@ -228,6 +228,40 @@ def test_streaming_dedup_first_seen_drops_replays(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_dedup_in_batch_winner_is_deterministic(spark, tmp_path):
+    """When one micro-batch replays a key with DIFFERENT payloads, post-
+    shuffle row order is arbitrary — the admitted row must be the
+    deterministic (lexicographically smallest) one, not task-order luck."""
+    from flusher_spark.streaming.stateful import streaming_dedup_first_seen
+
+    d = tmp_path / "winner"
+    d.mkdir()
+    US_ = 1_000_000
+    rows = [
+        {"event_id": 7, "ts": 1704067200 * US_ * 1000, "user_id": 9,
+         "event_type": "view", "value": 99.0, "props": "{}"},
+        {"event_id": 7, "ts": 1704067200 * US_ * 1000, "user_id": 1,
+         "event_type": "view", "value": 2.0, "props": "{}"},
+    ]
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("event_id", pa.int64()), ("ts", pa.int64()), ("user_id", pa.int64()),
+             ("event_type", pa.string()), ("value", pa.float64()), ("props", pa.string())]
+        ),
+    )
+    pq.write_table(t, str(d / "00.parquet"))
+    stream = streaming_dedup_first_seen(stream_events(spark, str(d)))
+    q = stream.writeStream.outputMode("update").format("memory").queryName("win").start()
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM win").collect()
+        assert len(got) == 1
+        assert (got[0]["user_id"], got[0]["value"]) == (1, 2.0)
+    finally:
+        q.stop()
+
+
 # -- transformWithStateInPandas twins ----------------------------------------
 
 
