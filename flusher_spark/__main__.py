@@ -25,7 +25,6 @@ transport seam in sources/connector.py.
 from __future__ import annotations
 
 import argparse
-import csv
 import os
 import sys
 
@@ -123,28 +122,12 @@ def _load_sheets(sheets_dir: str):
                 continue
             name = fn[: -len(".csv")]
             with open(os.path.join(doc_dir, fn), newline="") as fh:
-                rows = [list(r) for r in csv.reader(fh)]
-            sheets[name] = SheetGrid(name, rows)
+                sheets[name] = SheetGrid.from_csv(name, fh.read())
         if sheets:
             documents[doc] = sheets
     return SheetSource(documents)
 
 
-def _snapshot_key(table_root: str) -> str | None:
-    """Recover the merge key from an existing table's latest manifest so
-    read/merge/compact/vacuum don't need --key repeated."""
-    import json
-
-    mdir = os.path.join(table_root, "_manifests")
-    if not os.path.isdir(mdir):
-        return None
-    vs = sorted(
-        int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
-    )
-    if not vs:
-        return None
-    with open(os.path.join(mdir, f"v{vs[-1]}.json")) as fh:
-        return json.load(fh).get("key")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -222,9 +205,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "snapshot":
-        from flusher_spark.io.snapshots import SnapshotTable
+        from flusher_spark.io.snapshots import SnapshotTable, stored_key
 
-        key = args.key or _snapshot_key(args.table)
+        key = args.key or stored_key(args.table)
         if not key:
             print("--key is required (no existing manifest to read it from)", file=sys.stderr)
             return 2

@@ -23,9 +23,14 @@ from dataclasses import dataclass
 _CELL_RE = re.compile(r"^([A-Za-z]+)([0-9]*)$")
 
 
+_LETTERS_RE = re.compile(r"^[A-Za-z]+$")
+
+
 def col_number(letters: str) -> int:
-    """Column letters → 1-based index: A→1 … Z→26, AA→27, AB→28 (bijective base-26)."""
-    if not letters or not letters.isalpha():
+    """Column letters → 1-based index: A→1 … Z→26, AA→27, AB→28 (bijective
+    base-26). ASCII A-Z only — str.isalpha() would accept 'É' and return a
+    garbage index instead of raising."""
+    if not letters or not _LETTERS_RE.match(letters):
         raise ValueError(f"invalid column letters: {letters!r}")
     n = 0
     for ch in letters.upper():
@@ -63,6 +68,10 @@ def _parse_corner(token: str) -> tuple[int, int | None]:
     if not m:
         raise ValueError(f"invalid A1 cell/column: {token!r}")
     letters, digits = m.groups()
+    if digits and int(digits) < 1:
+        # A1 rows are 1-based: "B0" is not an address any spreadsheet
+        # accepts, and passing it through yields silently shifted slices.
+        raise ValueError(f"invalid A1 row (rows are 1-based): {token!r}")
     return col_number(letters), (int(digits) if digits else None)
 
 

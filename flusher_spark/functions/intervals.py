@@ -19,18 +19,29 @@ from datetime import timedelta
 
 _ALLOWED = {"minute": "minutes", "hour": "hours", "day": "days"}
 _REJECTED = {"second", "microsecond", "millisecond", "week", "month", "year"}
-_TERM_RE = re.compile(r"(\d+)\s*([a-z]+)")
+#: One "<amount> <unit>" term plus its trailing separator (comma/semicolon/
+#: "and"). Terms are matched POSITIONALLY over the whole string — a findall
+#: scan would skip unparsable stretches, silently turning "1,000 minutes"
+#: into 0 minutes ("1," dropped) and "1.5 hours" into 5 hours.
+_TERM_RE = re.compile(r"\s*(\d+)\s*([a-z]+)\s*(?:[,;]|\band\b)?\s*")
 
 
 def from_human(text: str) -> timedelta:
-    """Parse "90 minutes" / "1 day 6 hours" / "1 hour, 30 minutes" → timedelta."""
+    """Parse "90 minutes" / "1 day 6 hours" / "1 hour, 30 minutes" → timedelta.
+    The WHOLE string must be interval terms: decimals, digit group
+    separators, and any other unconsumed text are errors, never silently
+    dropped digits."""
     if not text or not text.strip():
         raise ValueError("empty interval")
-    cleaned = re.sub(r"[^\w\s]", " ", text.lower())
+    cleaned = text.lower()
     kwargs: dict[str, int] = {}
-    matched = False
-    for amount, unit in _TERM_RE.findall(cleaned):
-        matched = True
+    pos = 0
+    while pos < len(cleaned):
+        m = _TERM_RE.match(cleaned, pos)
+        if not m:
+            raise ValueError(f"unparsable interval text {cleaned[pos:].strip()!r} in {text!r}")
+        pos = m.end()
+        amount, unit = m.groups()
         singular = unit.rstrip("s") if unit != "s" else unit
         if singular in _REJECTED:
             raise ValueError(f"unsupported interval granularity: {unit!r} in {text!r}")
@@ -38,7 +49,7 @@ def from_human(text: str) -> timedelta:
             raise ValueError(f"unknown interval unit: {unit!r} in {text!r}")
         key = _ALLOWED[singular]
         kwargs[key] = kwargs.get(key, 0) + int(amount)
-    if not matched or not kwargs:
+    if not kwargs:
         raise ValueError(f"no interval terms found in {text!r}")
     return timedelta(**kwargs)
 

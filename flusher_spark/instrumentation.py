@@ -110,7 +110,7 @@ def instrumented(logfunc: Callable[[str], None] = LOG.info):
                 logfunc(f"{func.__name__} called")
             start = time.time()
             res = func(*args, **kwargs)
-            logfunc(f"{func.__name__}: took {time.time() - start:.2} secs.")
+            logfunc(f"{func.__name__}: took {time.time() - start:.2f} secs.")
             return res
 
         return wrapped

@@ -62,6 +62,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -101,6 +102,35 @@ def _ranges_disjoint(fmin, fmax, lo, hi) -> bool:
         return False
 
 
+_VERSION_RE = re.compile(r"^v(\d+)\.json$")
+
+
+def list_versions(manifest_dir: str) -> list[int]:
+    """Committed version numbers in a table's ``_manifests`` directory,
+    ascending. Strict ``v<digits>.json`` filename match — a stray
+    ``v2.bak.json`` must be ignored, not crash the int parse."""
+    if not os.path.isdir(manifest_dir):
+        return []
+    out = []
+    for f in os.listdir(manifest_dir):
+        m = _VERSION_RE.match(f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def stored_key(root: str) -> str | None:
+    """Recover the merge key recorded in a table's latest manifest (lets
+    CLI read/merge/compact/vacuum omit --key on existing tables). None when
+    the table has no committed version."""
+    mdir = os.path.join(root, "_manifests")
+    vs = list_versions(mdir)
+    if not vs:
+        return None
+    with open(os.path.join(mdir, f"v{vs[-1]}.json")) as f:
+        return json.load(f).get("key")
+
+
 class SnapshotTable:
     def __init__(
         self,
@@ -137,13 +167,7 @@ class SnapshotTable:
     # -- manifest bookkeeping -------------------------------------------------
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self._mdir):
-            return []
-        vs = sorted(
-            int(f[1:-5]) for f in os.listdir(self._mdir)
-            if f.startswith("v") and f.endswith(".json")
-        )
-        return vs
+        return list_versions(os.path.join(self.root, "_manifests"))
 
     def current_version(self) -> int | None:
         vs = self.versions()

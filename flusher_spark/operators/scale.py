@@ -49,9 +49,13 @@ def write_bucketed(
     # Managed-table layout: identifiers are stored lowercased, and a
     # database-qualified name lives under <db>.db/<table> — the raw string
     # would miss both (r9 review: the rmtree silently cleaned nothing for
-    # 'MyEvents' or 'db.tbl' and LOCATION_ALREADY_EXISTS came back).
+    # 'MyEvents' or 'db.tbl' and LOCATION_ALREADY_EXISTS came back). A
+    # catalog prefix ('spark_catalog.db.tbl') addresses the same location:
+    # only the last two parts name the directory, and the default database
+    # lives at the warehouse ROOT, not under default.db/.
     parts = table.lower().split(".")
-    rel = os.path.join(f"{parts[0]}.db", parts[1]) if len(parts) == 2 else parts[0]
+    db = parts[-2] if len(parts) >= 2 else "default"
+    rel = parts[-1] if db == "default" else os.path.join(f"{db}.db", parts[-1])
     path = os.path.join(warehouse.removeprefix("file:"), rel)
     shutil.rmtree(path, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(buckets, key)
@@ -93,8 +97,10 @@ def salted_join(
     is fully duplicated."""
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    # Exclude maps at ANY nesting depth (array<map<...>>, struct fields):
+    # F.hash rejects MapType wherever it appears in the type tree.
     hashable = [
-        F.col(c) for c, t in left.dtypes if not t.startswith("map<")
+        F.col(c) for c, t in left.dtypes if "map<" not in t
     ]
     salt = (
         F.pmod(F.hash(*hashable), F.lit(n_salt)) if hashable else F.lit(0)

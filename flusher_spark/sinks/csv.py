@@ -30,8 +30,12 @@ def to_csv(
     now_str: str | None = None,
 ) -> str:
     """Write a timestamped CSV export; returns the output path (the
-    reference returns the temp filename, export.py:66)."""
+    reference returns the temp filename, export.py:66). Document/sheet
+    names come from the user-editable control table, so path separators
+    are flattened — one export is always exactly one entry directly under
+    ``out_dir``, never a traversal outside it."""
     name = f"{now_str or _now_str()} {document}" + (f" - {sheet}" if sheet else "")
+    name = name.replace("/", "_").replace("\\", "_").replace("\0", "_")
     path = os.path.join(out_dir, name)
     writer = df.coalesce(1) if single_file else df
     writer.write.option("header", True).option("quoteAll", True).mode("overwrite").csv(path)

@@ -58,7 +58,14 @@ def test_parse_ranges(rng, cols, rows):
     assert num_columns_from_range(rng) == cols
 
 
-@pytest.mark.parametrize("bad", ["", ":", "1A", "F:A", "A9:A1", "A1:B2:C3"])
+@pytest.mark.parametrize("bad", ["", ":", "1A", "F:A", "A9:A1", "A1:B2:C3", "B0", "A0:F10"])
 def test_invalid_ranges(bad):
     with pytest.raises(ValueError):
         parse_a1_range(bad)
+
+
+def test_col_number_rejects_non_ascii_letters():
+    """str.isalpha() accepts 'É' — that must be a ValueError, not column 137."""
+    for bad in ("É", "ÀB", "A1", ""):
+        with pytest.raises(ValueError):
+            col_number(bad)

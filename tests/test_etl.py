@@ -141,6 +141,17 @@ def test_csv_export(spark, tmp_path):
     assert out.count() == 4 and out.columns == GRID.rows[0]
 
 
+def test_csv_export_flattens_path_separators(spark, tmp_path):
+    """Document/sheet names come from the user-editable control table: a
+    name with separators or traversal must stay ONE entry under out_dir."""
+    path = to_csv(
+        read_sheet(spark, GRID), str(tmp_path), "../../tmp/evil", "Q1/Report", now_str="t0"
+    )
+    assert os.path.dirname(path) == str(tmp_path)
+    assert os.path.basename(path) == "t0 .._.._tmp_evil - Q1_Report"
+    assert os.listdir(tmp_path) == [os.path.basename(path)]
+
+
 def test_sheet_source_lookup():
     src = SheetSource({"doc": {"s1": GRID}})
     assert src.worksheet("doc", "s1") is GRID

@@ -36,6 +36,19 @@ def test_rejects(bad):
         from_human(bad)
 
 
+@pytest.mark.parametrize("bad", ["1,000 minutes", "1.5 hours", "1 hour extra", "x 5 minutes"])
+def test_rejects_partial_parses(bad):
+    """Digit separators/decimals/trailing junk must ERROR, never silently
+    drop digits: '1,000 minutes' used to parse as 0 minutes (a runaway
+    every-tick schedule) and '1.5 hours' as 5 hours."""
+    with pytest.raises(ValueError):
+        from_human(bad)
+
+
+def test_accepts_and_separator():
+    assert from_human("1 hour and 30 minutes") == timedelta(hours=1, minutes=30)
+
+
 @given(st.integers(1, 10_000), st.sampled_from(["minute", "hour", "day"]), st.booleans())
 def test_property_single_term(n, unit, plural):
     text = f"{n} {unit}{'s' if plural else ''}"

@@ -2502,6 +2502,34 @@ def test_salted_join_tolerates_map_columns(spark):
     assert got == [(1, "x"), (1, "x"), (2, "y")]
 
 
+def test_salted_join_tolerates_nested_map_columns(spark):
+    """Maps nested inside arrays/structs also break F.hash — the exclusion
+    must cover any nesting depth, not just top-level map dtypes."""
+    from flusher_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame(
+        [(1, [{"a": "b"}]), (2, [{"c": "d"}])],
+        "k long, tags array<map<string,string>>",
+    )
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    got = sorted((r["k"], r["v"]) for r in salted_join(left, right, "k").collect())
+    assert got == [(1, "x"), (2, "y")]
+
+
+def test_write_bucketed_catalog_qualified_rerun(spark, tmp_path):
+    """Catalog-qualified names (spark_catalog.default.tbl) must clean the
+    same orphan location as the bare spelling — only the last two parts
+    name the directory, and default-db tables live at the warehouse root."""
+    from flusher_spark.operators.scale import write_bucketed
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    write_bucketed(df, "spark_catalog.default.CatQualBucketed", "k", buckets=2)
+    write_bucketed(df, "spark_catalog.default.CatQualBucketed", "k", buckets=2)
+    write_bucketed(df, "CatQualBucketed", "k", buckets=2)  # same table, bare name
+    assert spark.table("CatQualBucketed").count() == 10
+    spark.sql("DROP TABLE IF EXISTS CatQualBucketed")
+
+
 def test_write_bucketed_mixed_case_rerun(spark, tmp_path):
     """A mixed-case table name must survive back-to-back writes: the orphan
     cleanup previously targeted the raw-cased path, missing the lowercased
