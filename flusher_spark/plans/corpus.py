@@ -443,7 +443,6 @@ def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     document is a map-side left join + one aggregate. Ties at the K
     boundary break on the shingle string in both engines, so the set —
     and every downstream ratio — is deterministic cross-engine."""
-    from flusher_spark.operators.dedup import shingle_rows
 
     d = load_table(spark, sf_dir, "documents")
     g = shingle_rows(d, n=BOILER_N).distinct()
@@ -505,7 +504,6 @@ def docs_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram key — a plain shuffle join that AQE downgrades to broadcast
     when the vocabulary is small; the per-doc rollup is the final
     aggregate. No all-pairs, no Python."""
-    from flusher_spark.operators.dedup import shingle_rows
 
     d = load_table(spark, sf_dir, "documents")
     bg = shingle_rows(d, n=2).withColumnRenamed("s", "b")
@@ -575,18 +573,9 @@ def corpus_boilerplate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s")
     )
     occ = (
-        t.where(F.size("toks") >= BOILER_N)  # sequence(0, n-3) is descending below 3 tokens
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, size(toks) - {BOILER_N}),"
-                    f" i -> concat_ws(' ', slice(toks, i + 1, {BOILER_N})))"
-                )
-            ).alias("j0", "s"),
-        )
+        shingle_rows(d, n=BOILER_N, positions=True)
         .join(F.broadcast(b), "s")
-        .select("doc_id", (F.col("j0") + 1).alias("j"))
+        .select("doc_id", (F.col("pos") + 1).alias("j"))
     )
     cov = (
         occ.select("doc_id", F.explode(F.expr("array(j, j + 1, j + 2)")).alias("p"))
@@ -954,18 +943,12 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 8: the composed end-to-end pipeline (flagship)
 # ---------------------------------------------------------------------------
 
-#: The synthesized-URL arithmetic shared with dedup_canonical_url (llm.py):
-#: doc_id residues mod 97 define the canonical page; mods 2/3/5/7 add
-#: scheme/case/utm/slash noise that canonicalization must collapse.
-_URL_SQL = (
-    "(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) || "
-    "(CASE doc_id % 3 WHEN 0 THEN 'WWW.Site' || CAST(doc_id % 97 AS VARCHAR) || '.COM' "
-    "                 WHEN 1 THEN 'www.site' || CAST(doc_id % 97 AS VARCHAR) || '.com' "
-    "                 ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.com' END) || "
-    "'/a/' || CAST(doc_id % 97 AS VARCHAR) || "
-    "(CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) || "
-    "(CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END)"
-)
+#: The synthesized-URL arithmetic — genuinely shared with
+#: dedup_canonical_url (llm.py) via plans/urls.py, so the e2e pipeline's
+#: stage 2 and the standalone entry cannot drift apart.
+from flusher_spark.plans.urls import URL_SQL as _URL_SQL  # noqa: E402
+from flusher_spark.plans.urls import canonical_url_col as _canonical_url_col  # noqa: E402
+from flusher_spark.plans.urls import keep_best_agg as _keep_best_agg  # noqa: E402
 
 
 @register(
@@ -1117,18 +1100,8 @@ def _e2e_pipeline(spark: SparkSession, sf_dir: str, near_dup_pairs) -> DataFrame
         & (sumlen <= 10 * nw)
         & (5 * nalpha >= 4 * nw)
     )
-    curl = F.regexp_replace(
-        F.regexp_replace(
-            F.replace(
-                F.lower(F.regexp_replace(F.expr(_URL_SQL.replace("VARCHAR", "STRING")),
-                                         r"\?utm_[a-z_]+=[a-z]+$", "")),
-                F.lit("://www."), F.lit("://"),
-            ),
-            r"^http://", "https://",
-        ),
-        r"/$", "",
-    )
-    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("negid")))
+    curl = _canonical_url_col(F.expr(_URL_SQL))
+    best = _keep_best_agg()
     kept_url = (
         s1.select("doc_id", "n_chars", curl.alias("curl"))
         .groupBy("curl")

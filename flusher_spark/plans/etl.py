@@ -60,10 +60,10 @@ def _worksheet_csv(spark: SparkSession, sf_dir: str, name: str, order_col: str) 
 def _register_worksheet(spark: SparkSession) -> None:
     from flusher_spark.sources.datasource import WorksheetDataSource
 
-    try:
-        spark.dataSource.register(WorksheetDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # Re-registering the same source is a WARN + replace, not an error, so
+    # no except guard: a real registration failure must surface HERE, not
+    # as a later DATA_SOURCE_NOT_FOUND with the root cause swallowed.
+    spark.dataSource.register(WorksheetDataSource)
 
 
 @register(
@@ -880,14 +880,18 @@ def etl_backfill_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         ),
     )
     corrupt.coalesce(4).write.mode("overwrite").partitionBy("event_date").parquet(path)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        fix = base.where(F.col("event_date") == F.lit(bad_day))
-        for _ in range(2):  # idempotent: re-running the repair is a no-op
-            fix.coalesce(1).write.mode("overwrite").partitionBy("event_date").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Per-WRITE dynamic overwrite (writer option, not a session-conf
+    # mutation): nothing planned concurrently on this session can inherit
+    # the mode, and there is no prev-read/try-finally to race.
+    fix = base.where(F.col("event_date") == F.lit(bad_day))
+    for _ in range(2):  # idempotent: re-running the repair is a no-op
+        (
+            fix.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
     lake = spark.read.parquet(path)
     return (
         lake.groupBy(F.col("event_date").cast("string").alias("event_date"))
@@ -905,10 +909,10 @@ def etl_backfill_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     WITH c AS (
       SELECT o_orderkey % 4 AS bucket,
              CAST(('0x' || substr(md5(
-               CAST(o_orderkey AS VARCHAR) || '|' ||
-               CAST(o_custkey AS VARCHAR) || '|' ||
-               o_orderpriority || '|' ||
-               CAST(CAST(o_totalprice AS DECIMAL(8,2)) AS VARCHAR)
+               COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|' ||
+               COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>') || '|' ||
+               COALESCE(o_orderpriority, '<NULL>') || '|' ||
+               COALESCE(CAST(CAST(o_totalprice AS DECIMAL(8,2)) AS VARCHAR), '<NULL>')
              ), 1, 14)) AS BIGINT) AS d
       FROM orders)
     SELECT bucket, COUNT(*) AS n_rows,
@@ -934,12 +938,17 @@ def etl_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row state. One pruned scan, one partial-aggregated shuffle of 4
     rows."""
     o = load_table(spark, sf_dir, "orders")
+    # Each field carries an explicit NULL sentinel: concat_ws silently DROPS
+    # null fields (and their separator), so without it ('a', NULL, 'b') and
+    # ('a', 'b', NULL) would serialize identically and a NULL field would
+    # diverge from the oracle's NULL-propagating '||' chain.
+    nul = F.lit("<NULL>")
     canon = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderpriority"),
-        dec("o_totalprice", "decimal(8,2)").cast("string"),
+        F.coalesce(F.col("o_orderkey").cast("string"), nul),
+        F.coalesce(F.col("o_custkey").cast("string"), nul),
+        F.coalesce(F.col("o_orderpriority"), nul),
+        F.coalesce(dec("o_totalprice", "decimal(8,2)").cast("string"), nul),
     )
     digest = F.conv(F.substring(F.md5(canon), 1, 14), 16, 10).cast("decimal(38,0)")
     return (

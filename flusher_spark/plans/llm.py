@@ -2159,35 +2159,13 @@ def dedup_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-memory struct-argmax partial aggregate (dedup_keep_best's
     discipline — no per-key sort); the oracle states the textbook
     row_number()-keep form. One shuffle total at any scale."""
+    from flusher_spark.plans.urls import canonical_url_col, keep_best_agg, url_expr
+
     d = load_table(spark, sf_dir, "documents")
-    r = "CAST(doc_id % 97 AS STRING)"
-    u = d.selectExpr(
-        "doc_id",
-        "n_chars",
-        "(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) || "
-        f"(CASE doc_id % 3 WHEN 0 THEN 'WWW.Site' || {r} || '.COM' "
-        f"                 WHEN 1 THEN 'www.site' || {r} || '.com' "
-        f"                 ELSE 'site' || {r} || '.com' END) || "
-        f"'/a/' || {r} || "
-        "(CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) || "
-        "(CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END) AS url",
-    )
-    curl = F.regexp_replace(
-        F.regexp_replace(
-            F.replace(
-                F.lower(F.regexp_replace("url", r"\?utm_[a-z_]+=[a-z]+$", "")),
-                F.lit("://www."),
-                F.lit("://"),
-            ),
-            r"^http://",
-            "https://",
-        ),
-        r"/$",
-        "",
-    )
-    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("negid")))
+    u = d.select("doc_id", "n_chars", url_expr().alias("url"))
+    best = keep_best_agg()
     return (
-        u.select("doc_id", "n_chars", curl.alias("canonical_url"))
+        u.select("doc_id", "n_chars", canonical_url_col(F.col("url")).alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(F.count("*").alias("n_dupes"), best.alias("b"))
         .select(

@@ -37,7 +37,11 @@ REQUIRED_COLUMNS = {
     "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
     "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
     "part": {"p_partkey", "p_name", "p_type", "p_size", "p_retailprice"},
-    "orders": {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"},
+    "orders": {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        # etl_content_checksum / etl_schema_evolution_merge / etl_snapshot_expire_vacuum
+        "o_orderpriority",
+    },
     "lineitem": {
         "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
