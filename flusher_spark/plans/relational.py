@@ -17,6 +17,7 @@ aggregates rather than single-partition windows.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -288,7 +289,11 @@ def top_suppliers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax via a broadcast 1-row scalar max over the distributed
     per-supplier aggregate (TPC-H Q15 shape) — no single-partition window;
     AQE reuses the aggregate exchange across both branches so the fact is
-    scanned once. Exact decimal sums make the max-equality tie set safe."""
+    scanned once. Exact decimal sums make the max-equality tie set safe.
+    Deliberate near-twin of q15_top_supplier: this entry pins the
+    dsum_exact (widen-before-sum) discipline, q15 pins the TPC-H-literal
+    sum-then-cast decimal(38,6) form — the two must keep agreeing on the
+    same window, which is itself a cross-check of the two decimal paths."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     rev = (
@@ -1951,10 +1956,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_global_avg_anti",
     oracle="""
+    WITH s AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(8,2))) AS t, COUNT(*) AS n
+               FROM customer WHERE c_acctbal > 0.0)
     SELECT c_mktsegment, COUNT(*) AS n_custs,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(8,2))) AS DOUBLE) AS total_bal
-    FROM customer c
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    FROM customer c, s
+    WHERE CAST(c_acctbal AS DECIMAL(8,2)) * s.n > s.t
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
     GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -1963,13 +1970,20 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_global_avg_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery + anti join (TPC-H Q22 shape): the global average is
     a broadcast 1-row aggregate; customers-without-a-large-order is a
-    left-anti join — no correlated per-row subquery execution anywhere."""
+    left-anti join — no correlated per-row subquery execution anywhere.
+    The above-average predicate is the exact integer-cross-multiplication
+    form (bal·n > sum, both decimal) — comparing against a double AVG
+    threshold would be partial-aggregation-order-sensitive at the ulp
+    boundary, the float-threshold class the house numerics rules ban."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("__avg"))
+    stats = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(8,2)")).alias("__sum"),
+        F.count("*").alias("__n"),
+    )
     return (
-        c.crossJoin(F.broadcast(avg_bal))
-        .where(F.col("c_acctbal") > F.col("__avg"))
+        c.crossJoin(F.broadcast(stats))
+        .where(F.col("c_acctbal").cast("decimal(8,2)") * F.col("__n") > F.col("__sum"))
         .join(o.where(F.col("o_totalprice") > 300000.0), c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
@@ -1995,8 +2009,6 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     NO Exchange — the pre-shuffled layout every repeatedly-joined 100 TB
     fact table should have. The write happens into a per-call temp database;
     results equal the plain join (the oracle)."""
-    import hashlib
-
     from flusher_spark.operators.scale import bucketed_join, write_bucketed
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
@@ -3239,7 +3251,14 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lhs > F.col("rhs"), 1).when(lhs <= F.col("rhs"), 0).alias("f"),
         )
         .groupBy("event_type")
-        .agg(F.min("n").alias("n"), F.sum("f").alias("outlier_cnt"))
+        # Loud on PER-ROW overflow too: a single row whose lhs overflows
+        # decimal(38,0) flags NULL, and a bare SUM would silently skip it —
+        # dropping exactly the extreme row the query exists to count. Any
+        # NULL flag in the group makes the whole count NULL.
+        .agg(
+            F.min("n").alias("n"),
+            F.when(F.count("f") == F.count(F.lit(1)), F.sum("f")).alias("outlier_cnt"),
+        )
         .orderBy("event_type")
     )
 
@@ -3728,7 +3747,14 @@ def events_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flusher_spark.streaming.windows import stream_events
 
     path = _stage_event_stream(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="flusher_upsert_")
+    # Deterministic per-sf root: the fixed batch count means v0..v3 are
+    # rewritten in place (overwrite mode) on re-runs instead of a fresh
+    # mkdtemp orphan per invocation. The returned plan reads the final
+    # snapshot lazily, so the root must outlive this function.
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"flusher_upsert_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
     state: dict[str, str | None] = {"snap": None}
 
     def latest_per_user(df: DataFrame) -> DataFrame:
@@ -3810,7 +3836,6 @@ def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("ts", "eid", "v"))).alias("evs"),
         )
     )
-    vals = F.expr("transform(evs, s -> s.v)")
     ewma = F.expr(
         "aggregate(slice(transform(evs, s -> s.v), 2, size(evs) - 1), "
         "transform(evs, s -> s.v)[0], (acc, x) -> 0.5D * acc + 0.5D * x)"
@@ -3889,7 +3914,13 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum(dec("o_totalprice", "decimal(8,2)")).alias("tp"),
     ]
-    path = os.path.join(tempfile.mkdtemp(prefix="flusher_mv_"), "orders_priority_mv")
+    # Deterministic per-sf path + overwrite mode → re-runs reuse, never leak
+    # (join_bucketed_colocated's discipline; mkdtemp grew a fresh orphan per
+    # harness invocation).
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"flusher_mv_{suffix}", "orders_priority_mv"
+    )
     o.where(F.col("o_orderdate") < cutoff).groupBy("o_orderpriority").agg(
         *partials
     ).write.mode("overwrite").parquet(path)
