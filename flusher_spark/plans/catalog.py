@@ -108,11 +108,12 @@ PRIORITY = (
     "q20_qualified_suppliers",
     "q21_sole_flagged_supplier",
     "q22_global_avg_anti",
-    "text_html_strip",
     "text_tfidf_top_terms",
     "text_token_stats",
-    "vocab_bigram_counts",
-    # (3) round-9 additions - first driver verdict (slots 44-50)
+    # (3) round-9 additions - first driver verdict (slots 42-50).
+    # Two r4-cohort re-verdicts (text_html_strip, vocab_bigram_counts) were
+    # displaced by the two late-r9 additions — first-verdict beats
+    # re-verdict; they lead the r10 rotation below.
     "corpus_e2e_pipeline_minhash",
     "dedup_substring_spans_hashed",
     "events_time_weighted_avg",
@@ -120,7 +121,12 @@ PRIORITY = (
     "scalar_business_days",
     "docs_ngram_novelty",
     "etl_snapshot_expire_vacuum",
+    "events_stream_dedup_watermarked",
+    "etl_referential_integrity",
     # ---- driver window ends here (50) ----
+    # displaced r4-cohort members: head of the r10 rotation
+    "text_html_strip",
+    "vocab_bigram_counts",
     # r5-verdict cohort: leads the r10 rotation (37)
     "agg_corr_exact",
     "agg_incremental_merge",

@@ -963,6 +963,83 @@ def etl_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_referential_integrity",
+    oracle="""
+    WITH o_ok AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 1009 <> 0),
+    c_ok AS (SELECT c_custkey FROM customer WHERE c_custkey % 1009 <> 0),
+    n_ok AS (SELECT n_nationkey FROM nation WHERE n_nationkey <> 0)
+    SELECT 'customer->nation' AS relationship, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           CAST(COUNT(DISTINCT CASE WHEN n_nationkey IS NULL THEN c_nationkey END)
+                AS BIGINT) AS n_orphan_keys
+    FROM customer LEFT JOIN n_ok ON c_nationkey = n_nationkey
+    UNION ALL
+    SELECT 'lineitem->orders', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN l_orderkey END) AS BIGINT)
+    FROM lineitem LEFT JOIN o_ok ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*),
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN c_custkey IS NULL THEN o_custkey END) AS BIGINT)
+    FROM orders LEFT JOIN c_ok ON o_custkey = c_custkey
+    ORDER BY relationship
+    """,
+)
+def etl_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across three relationships — the
+    load-gate every warehouse runs after ingest: per relation, total child
+    rows, rows whose FK has no parent, and the distinct missing key count
+    (how many parent rows to repair, not just how much damage). The
+    fixture is referentially intact, so parents are CORRUPTED
+    deterministically (keys ≡ 0 mod 1009 dropped; nation loses key 0) —
+    identically in the oracle — so the join/count arithmetic is actually
+    exercised instead of certifying all-zeros.
+
+    Scale shape: each relation is ONE left join on the key (the parent
+    side pre-projected to its distinct key column — a join against a key
+    set, not the full parent row) + one partial-aggregated 1-row count;
+    the three 1-row results union on the driver side of the plan. No
+    row-level orphan materialization: at 100 TB the audit emits 3 rows
+    regardless of damage volume."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+
+    def audit(child: DataFrame, fk: str, parent: DataFrame, pk: str, name: str) -> DataFrame:
+        keys = parent.select(F.col(pk).alias("__k")).distinct().withColumn(
+            "__hit", F.lit(1)
+        )
+        j = child.select(F.col(fk).alias("__fk")).join(
+            keys, F.col("__fk") == F.col("__k"), "left"
+        )
+        return j.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+            F.countDistinct(F.when(F.col("__hit").isNull(), F.col("__fk"))).alias(
+                "n_orphan_keys"
+            ),
+        ).select(F.lit(name).alias("relationship"), "n_rows", "n_orphans", "n_orphan_keys")
+
+    return (
+        audit(c, "c_nationkey", n.where(F.col("n_nationkey") != 0), "n_nationkey",
+              "customer->nation")
+        .unionByName(
+            audit(l, "l_orderkey", o.where(F.col("o_orderkey") % 1009 != 0), "o_orderkey",
+                  "lineitem->orders")
+        )
+        .unionByName(
+            audit(o, "o_custkey", c.where(F.col("c_custkey") % 1009 != 0), "c_custkey",
+                  "orders->customer")
+        )
+        .orderBy("relationship")
+    )
+
+
+@register(
     "etl_snapshot_merge_timetravel",
     oracle="""
     WITH v0 AS (

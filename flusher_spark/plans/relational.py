@@ -2613,16 +2613,51 @@ def events_stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events_stateful_dedup_first). ``dropDuplicates`` on a stream keeps its
     key set in the JVM state store — no Python worker, no per-key pandas
     call — so the FULL doubled event stream dedups in one pass with no
-    user-slice concession. Production bounds state with
-    ``withWatermark``/``dropDuplicatesWithinWatermark``; the bounded
-    catalog stream completes before eviction matters, so the surviving set
-    equals the original table exactly (full oracle)."""
+    user-slice concession. State here is UNBOUNDED (every key kept
+    forever); the production watermark-evicted form runs as its own entry,
+    events_stream_dedup_watermarked. The bounded catalog stream completes
+    before eviction matters, so the surviving set equals the original
+    table exactly (full oracle)."""
     from flusher_spark.streaming.windows import stream_events
 
     path = _stage_event_stream(spark, sf_dir, dup=True)
     stream = stream_events(spark, path).select("event_id", "user_id", "event_type", "value")
     return _run_stream_entry(
         spark, lambda: stream.dropDuplicates(["event_id"]), "cat_native_dedup", "append"
+    )
+
+
+@register(
+    "events_stream_dedup_watermarked",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def events_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` — the production form of
+    events_stream_dedup_native, which its docstring names but the catalog
+    never executed. Plain dropDuplicates keeps every key seen FOREVER (state
+    grows with the stream — unusable for an unbounded 100 TB ingest);
+    WithinWatermark evicts a key's marker once the watermark passes its
+    event time + delay, so state is bounded by the duplicate-arrival window
+    (here 2 hours) regardless of stream length. Duplicates are staged to
+    share a micro-batch (dup=True), so every replay lands inside the
+    watermark and the surviving set equals the original table exactly —
+    the same full oracle as the unbounded twin, now with eviction on."""
+    from flusher_spark.streaming.windows import stream_events
+
+    path = _stage_event_stream(spark, sf_dir, dup=True)
+    stream = stream_events(spark, path).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    return _run_stream_entry(
+        spark,
+        lambda: stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .drop("ts"),
+        "cat_wm_dedup",
+        "append",
     )
 
 
