@@ -27,7 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import Observation  # noqa: E402
 
-from flusher_spark.instrumentation import Recorder, observed  # noqa: E402
+from flusher_spark.instrumentation import (  # noqa: E402
+    Recorder,
+    median_seconds,
+    noop_write,
+    observed,
+)
 from flusher_spark.plans.catalog import registry  # noqa: E402
 from flusher_spark.session import get_session  # noqa: E402
 
@@ -215,7 +220,14 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The sf field degrades to the raw suffix string when the dir doesn't
+    # follow the sf<N> convention — a late float() crash would discard a
+    # completed run and break the one-JSON-line contract.
+    raw_sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf: float | str = float(raw_sf)
+    except ValueError:
+        sf = raw_sf
     spark = get_session("flusher_spark_bench")
     reg = registry()
     names = [n for n in HEADLINE if n in reg]
@@ -246,16 +258,14 @@ def main() -> None:
         # failure recorded in "errors".
         try:
             obs = Observation()
-            observed(reg[name].fn(spark, sf_dir), obs).write.format("noop").mode("overwrite").save()
+            noop_write(observed(reg[name].fn(spark, sf_dir), obs))
             runs = []
             for _ in range(repeats):
                 t0 = time.time()
-                df = reg[name].fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
+                noop_write(reg[name].fn(spark, sf_dir))
                 runs.append(time.time() - t0)
-            runs.sort()
-            timings[name] = round(runs[len(runs) // 2], 3)
-            minima[name] = round(runs[0], 3)
+            timings[name] = round(median_seconds(runs), 3)
+            minima[name] = round(min(runs), 3)
             rec.observe(name, timings[name], rows=int(obs.get["rows"]))
         except Exception as exc:  # noqa: BLE001 — survive any per-query failure
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -272,7 +282,7 @@ def main() -> None:
         "queries": timings,
         "queries_min": minima,
         "repeats": repeats,
-        "sf": float(sf),
+        "sf": sf,
     }
     if errors:
         out["errors"] = errors
@@ -289,7 +299,8 @@ def main() -> None:
                      "bench_results", "latest.json"),
     )
     if out_path:
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        if os.path.dirname(out_path):  # bare filename ⇒ cwd, no dir to make
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps(out))

@@ -40,9 +40,25 @@ LOG = logging.getLogger("flusher_spark.metrics")
 
 
 def utcnow_iso() -> str:
-    # Same format as control.store.utcnow_iso; defined here (not imported)
-    # because the control package imports this module.
+    # The one timestamp format for control-table state and metrics rows
+    # alike; defined here (not imported) because the control package
+    # imports this module.
     return datetime.now(timezone.utc).replace(tzinfo=None).isoformat(timespec="seconds")
+
+
+def noop_write(df: DataFrame) -> None:
+    """Execute a plan against the noop sink — the timing action bench.py and
+    tools/scale_probe.py share: full scan+shuffle+compute, zero output cost."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def median_seconds(runs: list[float]) -> float:
+    """True median (statistics.median): even run counts average the two
+    middles — ``runs[len//2]`` is the UPPER middle and biases even-repeat
+    timings high."""
+    import statistics
+
+    return float(statistics.median(runs))
 
 #: Schema of the persisted metrics table (JobStore.append_metrics).
 METRICS_COLUMNS = ("ts", "op", "args", "seconds", "rows")

@@ -84,6 +84,8 @@ SKIP_EXCEPTIONS = {
     "events_sessionize_30m",
     "events_sessionize_dynamic_gap",
     "events_sliding_distinct_bitmap",
+    "events_tumbling_hourly",
+    "events_rollup_day_hour",
 }
 
 
@@ -102,11 +104,16 @@ def annotate(plan: str) -> list[str]:
         ("TakeOrderedAndProject", "top-k as TakeOrderedAndProject (no global sort)"),
         ("ObjectHashAggregate", "object hash aggregate"),
     ]:
-        n = plan.count(op)
+        # Count detail headers only — the formatted explain lists every node
+        # TWICE (tree + details section), so a raw substring count doubles.
+        n = len(re.findall(rf"\(\d+\) {op}\b", plan))
         if n:
             notes.append(f"{label} ×{n}")
-    if "PushedFilters: [" in plan and not re.search(r"PushedFilters: \[\]", plan):
-        notes.append("parquet filter pushdown active")
+    n_pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+    if n_pushed:
+        # Per-scan: a full dimension scan with empty PushedFilters must not
+        # hide that the fact scan's pushdown IS active.
+        notes.append(f"parquet filter pushdown active ({n_pushed} scan{'s' if n_pushed > 1 else ''})")
     ids = set(re.findall(r"codegen id : (\d+)", plan))
     if ids:
         notes.append(f"whole-stage codegen spans: {len(ids)}")
