@@ -9,6 +9,8 @@ import os
 import subprocess
 import sys
 
+from tests.conftest import SF_DIR
+
 
 def test_bench_emits_one_json_line():
     # SPARK_GRAFT_BENCH_OUT="" — this is a smoke run at sf0.001; without the
@@ -16,18 +18,23 @@ def test_bench_emits_one_json_line():
     # committed sf0.1 round snapshot) on every pytest invocation.
     env = dict(
         os.environ,
-        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_SF_DIR=SF_DIR,
         SPARK_GRAFT_CPUS="8",
         SPARK_GRAFT_BENCH_OUT="",
     )
-    out = subprocess.run(
+    proc = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
         env=env,
         capture_output=True,
         text=True,
         timeout=900,
-        check=True,
-    ).stdout
+    )
+    # check=True would bury the captured stderr inside an unraised
+    # CalledProcessError — assert explicitly so a failing bench shows WHY.
+    assert proc.returncode == 0, (
+        f"bench.py exited {proc.returncode}; stderr tail:\n{proc.stderr[-2000:]}"
+    )
+    out = proc.stdout
     lines = [ln for ln in out.splitlines() if ln.strip()]
     assert len(lines) == 1, f"bench stdout must be ONE line, got {len(lines)}: {lines[:3]}"
     payload = json.loads(lines[0])

@@ -87,11 +87,18 @@ def test_floor_cast_boundary_matches_duckdb():
     floor() re-breaks this test, not the driver."""
     fracs = [0.1234565, 0.9999995, 0.5, 1.0, 0.3333335, 0.0000005]
     con = duckdb.connect()
+    # CAST the literal to DOUBLE first: a bare literal types as DECIMAL in
+    # DuckDB, which would exercise decimal-exact rounding instead of the
+    # DOUBLE→BIGINT divergence the production path (double columns) hits.
     raw = [
-        con.sql(f"SELECT CAST({f} * 1000000 AS BIGINT)").fetchone()[0] for f in fracs
+        con.sql(f"SELECT CAST(CAST({f} AS DOUBLE) * 1000000 AS BIGINT)").fetchone()[0]
+        for f in fracs
     ]
     floored = [
-        con.sql(f"SELECT CAST(FLOOR({f} * 1000000) AS BIGINT)").fetchone()[0] for f in fracs
+        con.sql(
+            f"SELECT CAST(FLOOR(CAST({f} AS DOUBLE) * 1000000) AS BIGINT)"
+        ).fetchone()[0]
+        for f in fracs
     ]
     spark_trunc = [int(f * 1_000_000) for f in fracs]  # Spark cast('long') semantics
     assert raw != spark_trunc, "DuckDB no longer rounds — revisit the floor() rationale"

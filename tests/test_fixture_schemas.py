@@ -18,8 +18,9 @@ import pyarrow.parquet as pq
 import pytest
 
 from flusher_spark.io.tables import TABLES
+from tests.conftest import SF_DIR, SF_DIR_BIG, SF_DIR_MED
 
-SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+SF_DIRS = [SF_DIR, SF_DIR_MED, SF_DIR_BIG]
 
 #: Physical arrow types normalize_event_ts can canonicalize for events.ts.
 KNOWN_TS_ENCODINGS = {
@@ -59,7 +60,11 @@ def test_fixture_has_required_columns(sf_dir, table):
     path = os.path.join(sf_dir, f"{table}.parquet")
     assert os.path.exists(path), f"driver fixture missing: {path}"
     schema = pq.read_schema(path)
-    missing = REQUIRED_COLUMNS[table] - set(schema.names)
+    cols = REQUIRED_COLUMNS.get(table)
+    assert cols is not None, (
+        f"add {table!r} to REQUIRED_COLUMNS (new table in io/tables.py TABLES)"
+    )
+    missing = cols - set(schema.names)
     assert not missing, f"{path}: driver dropped columns {sorted(missing)}"
 
 
