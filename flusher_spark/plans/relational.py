@@ -1271,16 +1271,7 @@ def events_sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFram
     join this plan exists to avoid. Matching hashes prove the bitmap
     window loses nothing vs COUNT(DISTINCT)."""
     e = load_table(spark, sf_dir, "events")
-    daily = (
-        e.select(
-            "event_type",
-            F.to_date("ts").alias("day"),
-            F.shiftright(F.col("user_id"), 6).alias("chunk"),
-            F.expr("shiftleft(1L, CAST(user_id & 63 AS INT))").alias("bit"),
-        )
-        .groupBy("event_type", "day", "chunk")
-        .agg(F.bit_or("bit").alias("word"))
-    )
+    daily = bitmap_distinct_words(e, "user_id", "event_type", F.to_date("ts").alias("day"))
     spine = daily.select("day").distinct()
     fan = daily.select(
         "event_type",
@@ -4266,6 +4257,28 @@ def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bitmap_distinct_words(df: DataFrame, id_col: str, *group_cols: str) -> DataFrame:
+    """(group..., chunk, word) bitmap words for exact distinct counting.
+
+    Pure-integer slotting, exact over the FULL long domain: arithmetic
+    shiftright(id, 6) is floor-division by 64 (correct for negative ids,
+    where ``id div 64`` truncates toward zero and would collide -1 with 63),
+    and ``id & 63`` is the matching non-negative bit index — so shiftleft's
+    count is always in [0, 63]. The earlier double-division formulation
+    ((id / 64).cast(long)) lost precision above 2^53 and fed shiftleft a
+    negative count for negative ids. Shared by agg_bitmap_distinct and the
+    full-domain edge test, so the test exercises THIS expression, not a
+    copy. Group keys may be names or aliased Columns (the sliding-window
+    twin groups by a computed day)."""
+    sel = df.select(
+        *group_cols,
+        F.shiftright(F.col(id_col), 6).alias("chunk"),
+        F.expr(f"shiftleft(1L, CAST({id_col} & 63 AS INT))").alias("bit"),
+    )
+    keys = sel.columns[:-2]  # the projected group columns, by name
+    return sel.groupBy(*keys, "chunk").agg(F.bit_or("bit").alias("word"))
+
+
 @register(
     "agg_bitmap_distinct",
     oracle="""
@@ -4290,22 +4303,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     never raw events. The oracle is plain COUNT(DISTINCT) — matching
     hashes prove the bitmap arithmetic loses nothing."""
     e = load_table(spark, sf_dir, "events")
-    # Pure-integer slotting, exact over the FULL long domain: arithmetic
-    # shiftright(id, 6) is floor-division by 64 (correct for negative ids,
-    # where `id div 64` truncates toward zero and would collide -1 with 63),
-    # and id & 63 is the matching non-negative bit index — so shiftleft's
-    # count is always in [0, 63]. The earlier double-division formulation
-    # ((id / 64).cast(long)) lost precision above 2^53 and fed shiftleft a
-    # negative count for negative ids.
-    words = (
-        e.select(
-            "event_type",
-            F.shiftright(F.col("user_id"), 6).alias("chunk"),
-            F.expr("shiftleft(1L, CAST(user_id & 63 AS INT))").alias("bit"),
-        )
-        .groupBy("event_type", "chunk")
-        .agg(F.bit_or("bit").alias("word"))
-    )
+    words = bitmap_distinct_words(e, "user_id", "event_type")
     return (
         words.groupBy("event_type")
         .agg(F.sum(F.bit_count("word")).alias("n_users"))

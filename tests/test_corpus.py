@@ -55,6 +55,9 @@ def test_pack_fill_bounds_and_conservation(spark):
         by_bucket.setdefault(p.bucket, []).append(p)
         # Contiguous fill overshoots by at most the straddling document.
         assert p.pack_tokens <= C.PACK_BUDGET + max_doc
+    # Guard the loop's domain: an empty output or a silently dropped bucket
+    # would skip every conservation assertion below without failing.
+    assert packs and set(by_bucket) == set(totals)
     for bucket, ps in by_bucket.items():
         n_docs, n_tok = totals[bucket]
         assert sum(p.n_docs for p in ps) == n_docs  # every doc packed once

@@ -349,8 +349,8 @@ def test_warehouse_compact_preserves_concurrent_append(spark, tmp_path):
 
     wh.spark = _SparkProxy(spark)
     n_files = wh.compact("t", target_partitions=1)
+    assert wh.spark.fired, "the concurrent append must have interleaved"
     wh.spark = spark
-    assert wh.spark is spark and appender.spark is spark
     # 3 compacted loads + 1 concurrent append, nothing lost.
     assert wh.read("t").count() == 4 * 4
     assert n_files >= 2  # 1 compacted + the concurrently-appended file(s)

@@ -924,7 +924,6 @@ def test_pq_persisted_matches_fused_and_never_retrains(spark, emb, tmp_path, mon
     monkeypatch.setattr(S, "_train_pq_codebooks", boom)
     queries = emb.where(emb.vec_id.isin(qids))
     persisted = S.pq_query_index(spark, path, queries, k=10).collect()
-    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
     assert sorted(map(tuple, persisted), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, fused), key=lambda t: (t[0], t[3])
     )
@@ -1323,6 +1322,10 @@ def test_ivf_topk_recall_and_exactness(spark, emb):
     refined = ivf_topk(emb, qids, k=10, n_lists=8, n_probe=3, n_iter=2).collect()
     r_recall = sum(1 for r in refined if (r["query_id"], r["vec_id"]) in exact) / len(exact)
     assert r_recall >= 0.7, f"refined IVF recall too low: {r_recall}"
+    # Determinism: the same refined call twice gives identical results
+    # (sample seeding + Lloyd are fully derandomized — no rand()).
+    again = ivf_topk(emb, qids, k=10, n_lists=8, n_probe=3, n_iter=2).collect()
+    assert sorted(map(tuple, refined)) == sorted(map(tuple, again))
 
 
 def test_arrow_cosine_matches_fold_left(spark, emb):
@@ -1550,20 +1553,6 @@ def test_stratified_split_respects_per_stratum_pct(spark, docs):
             assert r < 0.25, f"{lang} held-out rate too high: {rates}"
 
 
-def test_ivf_lloyd_iteration_runs_and_recall_holds(spark, emb):
-    from flusher_spark.operators.similarity import ivf_topk
-
-    qids = [0, 1, 2, 3, 4]
-    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, qids, k=10).collect()}
-    refined = ivf_topk(emb, qids, k=10, n_lists=8, n_probe=3, n_iter=2).collect()
-    assert refined, "refined IVF should return results"
-    overlap = sum(1 for r in refined if (r["query_id"], r["vec_id"]) in exact)
-    recall = overlap / len(exact)
-    assert recall >= 0.5, f"refined IVF recall too low: {recall}"
-    # Determinism: the same call twice gives identical results (no rand()).
-    again = ivf_topk(emb, qids, k=10, n_lists=8, n_probe=3, n_iter=2).collect()
-    assert sorted(map(tuple, refined)) == sorted(map(tuple, again))
-
 def test_group_row_number_matches_window(spark):
     from flusher_spark.operators.ranking import with_group_row_number
     from pyspark.sql import Window
@@ -1759,8 +1748,6 @@ def test_media_container_parsers_roundtrip():
     j = parse_jpeg_meta(synth_jpeg(1024, 768))
     assert (j["width"], j["height"], j["progressive"]) == (1024, 768, False)
     # corrupt sync mid-stream must raise, not silently truncate the count
-    broken = bytearray(synth_mp3(9, 0, 3))
-    broken[len(broken) // 2] = 0x00  # may land in payload; corrupt a header byte instead
     hdr2 = 144 * 128000 // 44100  # offset of the second frame header
     broken = bytearray(synth_mp3(9, 0, 3))
     broken[hdr2] = 0x00
@@ -1863,18 +1850,18 @@ def test_jpeg_standalone_markers_and_fill_bytes():
 
 
 def test_bitmap_distinct_integer_slotting_full_domain(spark):
-    """agg_bitmap_distinct's chunk/bit arithmetic must be exact for
+    """The PRODUCTION slotting (plans/relational.py bitmap_distinct_words —
+    the expression agg_bitmap_distinct aggregates) must be exact for
     negative ids and ids past 2^53 (where the old double-division
     formulation lost precision / fed shiftleft a negative count)."""
     import pyspark.sql.functions as F
 
+    from flusher_spark.plans.relational import bitmap_distinct_words
+
     ids = [-129, -128, -65, -64, -63, -1, 0, 1, 63, 64,
            2**53 + 1, 2**53 + 2, 2**62, -(2**62) - 1]
     df = spark.createDataFrame([(i,) for i in ids + ids], "user_id long")
-    words = df.select(
-        F.shiftright(F.col("user_id"), 6).alias("chunk"),
-        F.expr("shiftleft(1L, CAST(user_id & 63 AS INT))").alias("bit"),
-    ).groupBy("chunk").agg(F.bit_or("bit").alias("word"))
+    words = bitmap_distinct_words(df, "user_id")
     n = words.agg(F.sum(F.bit_count("word")).alias("n")).collect()[0]["n"]
     assert n == len(set(ids))
 
@@ -2043,7 +2030,9 @@ def test_resize_images_real_roundtrip(spark):
     # digest is deterministic and the re-encoded PNG is decodable
     again = resize_images(df, out_w=4, out_h=1).collect()[0]
     assert row["resized_sha256"] == again["resized_sha256"]
-    assert len(row["resized_sha256"]) == 64 and hashlib.sha256  # shape sanity
+    # The re-encoded PNG bytes stay inside the UDF (only the digest is
+    # emitted), so hex shape is all that's checkable here.
+    assert len(row["resized_sha256"]) == 64
     # non-PNG payload -> NULL drift row
     bad = spark.createDataFrame([(2, bytearray(b"zz"))], "asset_id long, payload binary")
     assert resize_images(bad, 4, 1).collect()[0]["width"] is None

@@ -382,8 +382,13 @@ def test_tws_end_to_end_if_available(spark, stream_dir):
         finally:
             q.stop()
     finally:
+        # Restore the UNSET state too: session.py never sets this conf, so
+        # prev is empty and a bare `if prev: set(prev)` would leak the
+        # RocksDB provider to every streaming query started afterwards.
         if prev:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
 # -- streaming joins ---------------------------------------------------------
