@@ -139,6 +139,8 @@ class SnapshotTable:
         key: str,
         cluster_by: list[str] | None = None,
         cluster_files: int | None = None,
+        target_file_rows: int = 1 << 20,
+        target_file_bytes: int = 32 << 20,
     ) -> None:
         """``cluster_by`` (optional, e.g. ``[key]``) makes every write —
         create/append/merge/compact — range-partition + sort rows by those
@@ -150,17 +152,35 @@ class SnapshotTable:
         instead of every file (each unclustered file spans the whole key
         space). One extra range shuffle per commit, repaid on every read.
 
-        ``cluster_files`` caps how many range buckets (≈ files) a clustered
-        commit targets; unset, it defaults to ``spark.sql.shuffle.partitions``
-        at write time. Either way it is a cheap scalar — deriving the count
-        from the input's own partitioning would mean an RDD conversion
-        (full physical-plan compile, ~1 s) on EVERY commit. Empty range
-        buckets write no files, so small commits stay small."""
+        ``target_file_rows`` / ``target_file_bytes`` size every clustered
+        commit FROM ITS DATA — the Iceberg/Delta write.target-file-size
+        idea. Sizing from the data, never from session config, is
+        load-bearing: an earlier default of ``spark.sql.shuffle.partitions``
+        meant a production session tuned to thousands of shuffle partitions
+        for its fact joins would shatter every SMALL clustered commit (the
+        common case for a streaming foreachBatch sink) into thousands of
+        near-empty files — the small-file problem the manifest format
+        exists to avoid, with compaction then paying to undo it every
+        cycle. Where the commit's row count is already known from metadata
+        (merge: touched-file stats + the validation aggregate; compact:
+        manifest rows) it maps to ``ceil(rows / target_file_rows)`` range
+        buckets; where it isn't (create/append) the write is an AQE
+        "optimized write" — range shuffle with no explicit count, adjacent
+        partitions coalesced to ``target_file_bytes`` of shuffle data each
+        (file count ∝ commit bytes, zero extra jobs; see _write_files).
+        ``cluster_files``, if set, overrides the computed count outright
+        (an explicit writer-chosen layout)."""
         self.spark = spark
         self.root = root
         self.key = key
         self.cluster_by = list(cluster_by) if cluster_by else None
         self.cluster_files = cluster_files
+        if target_file_rows < 1:
+            raise ValueError("target_file_rows must be >= 1")
+        if target_file_bytes < 1:
+            raise ValueError("target_file_bytes must be >= 1")
+        self.target_file_rows = target_file_rows
+        self.target_file_bytes = target_file_bytes
         self._mdir = os.path.join(root, "_manifests")
         self._ddir = os.path.join(root, "data")
 
@@ -239,29 +259,100 @@ class SnapshotTable:
 
     # -- data-file writing ----------------------------------------------------
 
-    def _write_files(self, df: DataFrame, n_files: int | None = None) -> list[dict]:
+    def _optimized_write(self, df: DataFrame, out: str) -> None:
+        """Execute a clustered write whose output-file sizing is delegated
+        to AQE partition coalescing (Delta's "optimized write" shape): the
+        range shuffle starts at ``spark.sql.shuffle.partitions`` buckets
+        and AQE merges ADJACENT ones until each holds ~``target_file_bytes``
+        of shuffle data — so the file count follows the commit's bytes at
+        any scale, with no counting job. ``parallelismFirst`` must be off
+        for the duration of the action (its default preference for
+        parallelism over size would emit up-to-#cores small files on
+        mid-size commits — fine for a query stage, wrong for files hitting
+        disk); both confs are restored in ``finally``. Session-level
+        set/restore is safe here because commits are single-writer per
+        session by protocol (concurrent writers race on _publish, not on
+        one SparkSession)."""
+        conf = self.spark.conf
+        k_par = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+        k_adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        k_min = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+        old = {k: conf.get(k) for k in (k_par, k_adv, k_min)}
+        try:
+            conf.set(k_par, "false")
+            conf.set(k_adv, str(self.target_file_bytes))
+            # The 1 MiB coalescing floor would override a smaller target
+            # (tests use KiB-scale targets to exercise multi-file layouts
+            # on small fixtures); production targets are well above it.
+            conf.set(k_min, str(min(self.target_file_bytes, 1 << 20)))
+            df.write.mode("error").parquet(out)
+        finally:
+            for k, v in old.items():
+                conf.set(k, v)
+
+    def _write_files(
+        self,
+        df: DataFrame,
+        n_files: int | None = None,
+        approx_rows: int | None = None,
+    ) -> list[dict]:
         """Write ``df`` as immutable parquet files under a fresh commit
         prefix and return per-file stats rows (path, rows, key min/max) —
         one aggregate over only the just-written files. Rejects NULL merge
         keys: min/max ignore NULLs, so a NULL-keyed row would fall outside
         every file's [key_min, key_max] and break copy-on-write pruning
-        (it could never be matched by a later merge)."""
+        (it could never be matched by a later merge).
+
+        Clustered commits are sized from the DATA, never session config,
+        by whichever source of size knowledge is free at this call site:
+        an explicit ``n_files`` (compact's convergence target) or the
+        table's ``cluster_files`` override wins; next, ``approx_rows``
+        (merge passes touched-file stats + its validation count — commit
+        metadata, zero extra compute) maps to ``ceil(rows /
+        target_file_rows)`` buckets; otherwise (create/append, where no
+        count exists) the commit rides an OPTIMIZED WRITE: a
+        ``repartitionByRange`` with no explicit count, which AQE coalesces
+        to ``target_file_bytes`` of shuffle data per partition — file
+        count proportional to commit bytes, no counting job. AQE merges
+        only ADJACENT range partitions, so coalesced files still cover
+        disjoint key ranges and the per-file min/max stats stay tight; a
+        small commit collapsing to ONE file is the desired behavior (its
+        single file still carries tight bounds), not a degenerate case.
+        If AQE is disabled the optimized-write path would degrade to
+        exactly ``spark.sql.shuffle.partitions`` files — the
+        config-coupled fragmentation this sizing exists to prevent — so
+        it falls back to one cheap column-pruned count instead."""
         commit = uuid.uuid4().hex
         out = os.path.join(self._ddir, commit)
         if self.cluster_by:
-            # Explicit partition count stops AQE from collapsing a small
-            # commit into one file (which would erase the disjoint-range
-            # stats this exists to create). Writer-supplied cluster_files,
-            # else the session's shuffle parallelism — both cheap scalars;
-            # never df.rdd.getNumPartitions(), which compiles a full
-            # physical plan per commit.
-            n = n_files or self.cluster_files or max(
-                int(self.spark.conf.get("spark.sql.shuffle.partitions")), 1
-            )
-            df = df.repartitionByRange(n, *self.cluster_by).sortWithinPartitions(
-                *self.cluster_by
-            )
-        df.write.mode("error").parquet(out)
+            n = n_files or self.cluster_files
+            if n is None and approx_rows is not None:
+                n = max(1, -(-approx_rows // self.target_file_rows))
+            if n is None:
+                aqe_on = (
+                    str(self.spark.conf.get("spark.sql.adaptive.enabled")).lower()
+                    == "true"
+                    and str(
+                        self.spark.conf.get(
+                            "spark.sql.adaptive.coalescePartitions.enabled"
+                        )
+                    ).lower()
+                    == "true"
+                )
+                if not aqe_on:
+                    n = max(1, -(-df.count() // self.target_file_rows))
+            if n is not None:
+                df = df.repartitionByRange(n, *self.cluster_by).sortWithinPartitions(
+                    *self.cluster_by
+                )
+                df.write.mode("error").parquet(out)
+            else:
+                df = df.repartitionByRange(*self.cluster_by).sortWithinPartitions(
+                    *self.cluster_by
+                )
+                self._optimized_write(df, out)
+        else:
+            df.write.mode("error").parquet(out)
         stats = (
             self.spark.read.parquet(out)
             .groupBy(F.input_file_name().alias("path"))
@@ -435,18 +526,28 @@ class SnapshotTable:
             upserts = source
         schema = self._evolved_schema(self._read_schema(m), upserts.schema)
         # Touched-file range spans ALL source keys (upserts AND deletes):
-        # a delete must rewrite the file holding its victim row. The same
-        # aggregate validates EVERY source key non-null up front — delete
-        # rows previously bypassed the write-time NULL check and silently
-        # no-opped (the anti-join matches nothing on NULL) — and that
-        # upsert keys are UNIQUE: with duplicates the anti-join removes the
-        # one victim row and inserts BOTH source rows (Delta raises on
-        # multiple matches for the same reason).
+        # a delete must rewrite the file holding its victim row. ONE
+        # aggregate over the checkpointed source yields bounds + both
+        # validations (two actions here were a measured per-commit cost on
+        # the streaming sink path, r9): every source key must be non-null
+        # — delete rows previously bypassed the write-time NULL check and
+        # silently no-opped (the anti-join matches nothing on NULL) — and
+        # upsert keys must be UNIQUE: with duplicates the anti-join removes
+        # the one victim row and inserts BOTH source rows (Delta raises on
+        # multiple matches for the same reason). The upsert-side counts
+        # ride conditional aggregates (delete rows conditioned out as
+        # NULL), so no second pass over the source.
+        is_upsert = (
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+            if delete_col is not None else F.lit(True)
+        )
         b = source.agg(
             F.min(self.key).alias("lo"),
             F.max(self.key).alias("hi"),
             F.count("*").alias("n"),
             F.count(self.key).alias("nk"),
+            F.count(F.when(is_upsert, F.lit(1))).alias("un"),
+            F.count_distinct(F.when(is_upsert, F.col(self.key))).alias("und"),
         ).collect()[0]
         if b["n"] != b["nk"]:
             raise ValueError(
@@ -454,12 +555,9 @@ class SnapshotTable:
                 f"'{self.key}': a NULL key matches nothing — filter or fill "
                 "them upstream"
             )
-        u = upserts.agg(
-            F.count("*").alias("n"), F.count_distinct(F.col(self.key)).alias("nd")
-        ).collect()[0]
-        if u["n"] != u["nd"]:
+        if b["un"] != b["und"]:
             raise ValueError(
-                f"merge source has {u['n'] - u['nd']} duplicate upsert key(s) "
+                f"merge source has {b['un'] - b['und']} duplicate upsert key(s) "
                 f"on '{self.key}' — dedup (e.g. latest-per-key) before merging"
             )
         lo, hi = b["lo"], b["hi"]
@@ -486,7 +584,11 @@ class SnapshotTable:
             )
         else:
             rewritten = self._conform(upserts, schema)
-        new_files += self._write_files(rewritten)
+        # Clustered-commit sizing from METADATA: the rewrite is at most the
+        # touched files' recorded rows plus the upserts (deletes/replaced
+        # victims only shrink it), so no counting action is needed here.
+        approx = sum(f["rows"] for f in touched) + b["un"]
+        new_files += self._write_files(rewritten, approx_rows=approx)
         manifest = {
             "version": cur + 1, "parent": cur, "key": self.key,
             "files": new_files, "schema": schema.jsonValue(),

@@ -1321,9 +1321,18 @@ def etl_snapshot_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("k"), dec("o_totalprice", "decimal(12,2)").alias("p")
     )
     root = os.path.join(tempfile.mkdtemp(prefix="flusher_snap_clus_"), "orders_clus")
-    t = SnapshotTable(spark, root, "k", cluster_by=["k"])
-    t.create(o.where(F.col("k") % 2 == 0).repartition(8))
-    t.append(o.where(F.col("k") % 2 == 1).repartition(8))
+    # target_file_bytes sizes each commit's file count FROM ITS BYTES via
+    # the AQE optimized-write path (~a handful of files per commit at
+    # sf0.1, one at sf0.01) — never from session config; see
+    # SnapshotTable.__init__ on why that old default was a small-file
+    # hazard. 256 KiB keeps multi-file pruning observable on bench-scale
+    # fixtures; production tables keep the 32 MiB default.
+    t = SnapshotTable(spark, root, "k", cluster_by=["k"], target_file_bytes=262144)
+    # No pre-repartition: the clustered write's own range shuffle is the
+    # only exchange each commit needs (a round-robin here would add a
+    # second full shuffle per commit for nothing).
+    t.create(o.where(F.col("k") % 2 == 0))
+    t.append(o.where(F.col("k") % 2 == 1))
     return (
         t.scan_range(1000, 9999)
         .groupBy((F.col("k") % 4).alias("bucket"))

@@ -4768,8 +4768,14 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = e.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", dec("value", "decimal(8,2)").alias("val")
     )
+    # tie_cols: change_id alone orders equal-ts changes (event ids are
+    # unique), so the running compare is (timestamp, long) — the string
+    # status column rides the carried payload without ever being compared
+    # (the r9 watch traced SCD2 drift to struct compares over the wide
+    # payload).
     j = asof_join(
-        p, changes, ["user_id"], "ts", "change_ts", value_cols=["change_id", "status"]
+        p, changes, ["user_id"], "ts", "change_ts",
+        value_cols=["change_id", "status"], tie_cols=["change_id"],
     )
     return (
         j.groupBy(F.coalesce(F.col("status_right"), F.lit("none")).alias("status"))

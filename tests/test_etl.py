@@ -869,7 +869,9 @@ def test_snapshot_table_clustered_writes_prune_more_files(spark, tmp_path):
     )
     plain = SnapshotTable(spark, str(tmp_path / "plain"), "k")
     plain.create(src)
-    clustered = SnapshotTable(spark, str(tmp_path / "clus"), "k", cluster_by=["k"])
+    clustered = SnapshotTable(
+        spark, str(tmp_path / "clus"), "k", cluster_by=["k"], target_file_bytes=8192
+    )
     clustered.create(src)
 
     def touched(t, lo, hi):
@@ -898,6 +900,71 @@ def test_snapshot_table_clustered_writes_prune_more_files(spark, tmp_path):
         f["path"] for f in m2["files"]
     }
     assert len(carried) >= n_before - c_hit, "untouched files must carry forward"
+
+
+def test_snapshot_clustered_file_count_scales_with_data_not_conf(spark, tmp_path):
+    """Clustered commits size their file count from the DATA, never from
+    spark.sql.shuffle.partitions. The old conf-derived default meant a
+    session tuned to thousands of shuffle partitions shattered every small
+    streaming commit into thousands of near-empty files. Pin: (a) a small
+    commit under an absurdly large shuffle.partitions still writes ONE
+    file; (b) 10x the bytes => more files at a fixed target_file_bytes
+    (AQE optimized-write path); (c) merge sizes its rewrite from metadata
+    (touched rows + upserts via target_file_rows), no extra count job;
+    (d) cluster_files still overrides outright; (e) the optimized write's
+    conf set/restore leaves the session untouched."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    def mk(n):
+        return spark.range(0, n).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ).repartition(8)
+
+    def n_files(t):
+        return len(t._manifest(t.current_version())["files"])
+
+    adv_before = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1000")
+    try:
+        small = SnapshotTable(spark, str(tmp_path / "s"), "k", cluster_by=["k"])
+        small.create(mk(300))
+        assert n_files(small) == 1, "a tiny commit is ONE file, conf be damned"
+
+        big = SnapshotTable(
+            spark, str(tmp_path / "b"), "k", cluster_by=["k"],
+            target_file_bytes=16384, target_file_rows=10_000,
+        )
+        big.create(mk(30_000))
+        n_created = n_files(big)
+        assert n_created > 2, "30k rows @ 16KiB target must split into several files"
+
+        lil = SnapshotTable(
+            spark, str(tmp_path / "l"), "k", cluster_by=["k"], target_file_bytes=16384
+        )
+        lil.create(mk(3_000))
+        assert n_files(lil) < n_created, "file count must follow commit bytes"
+
+        # merge: a narrow upsert touches one file; the rewrite re-sizes from
+        # (touched rows + upserts) / target_file_rows => no shatter, and the
+        # untouched files carry forward.
+        big.merge(mk(50))
+        assert n_files(big) <= n_created + 1, (
+            "metadata-sized merge must not shatter the commit"
+        )
+
+        fixed = SnapshotTable(
+            spark, str(tmp_path / "f"), "k", cluster_by=["k"], cluster_files=4
+        )
+        fixed.create(mk(300))
+        assert n_files(fixed) == 4, "explicit cluster_files overrides data sizing"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert (
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") == adv_before
+    ), "optimized write must restore the session's advisory size"
 
 
 def test_snapshot_expire_versions_then_vacuum_reclaims(spark, tmp_path):
