@@ -215,6 +215,13 @@ HEADLINE = [
     # (events_stream_dedup_watermarked is stream-executed like the other
     # streaming entries — timed by its own tests, not the headline.)
     "etl_referential_integrity",
+    # round 10 additions (events_stream_static_join is stream-executed like
+    # the other streaming entries — timed by its own tests, not the
+    # headline)
+    "events_linreg_per_type",
+    "events_interval_coverage",
+    "corpus_k_anonymity",
+    "corpus_domain_quota",
 ]
 
 

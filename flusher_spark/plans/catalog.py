@@ -56,78 +56,23 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Names surfaced first by ``registry()``. The driver's correctness harness
 #: covers a bounded prefix of the registry (50 entries per round), so this
 #: list rotates per round toward the entries whose latest driver verdict is
-#: weakest. Round-9 rotation, in order: (1) ``etl_dynamic_partition_overwrite``
-#: — the ONLY entry never driver-checked (registered after r8's window froze;
-#: first-verdict beats everything); (2) the full r4-verdict cohort (42
-#: entries, the oldest remaining records — after this round nothing in the
-#: registry has a verdict older than r5); (3) the round-9 NEW entries in the
-#: order added, each getting its FIRST driver verdict. (1)+(2)+(3) fill
-#: exactly 50. Past the window, the r5-verdict cohort is queued first (it
-#: leads the r10 rotation — 37 entries + the rows-only family re-window
-#: next), then back-fill. Every name here must exist (asserted in
-#: tests/test_plans.py); the rest follow in import order.
+#: weakest. Round-10 rotation, in order: (1) the two r4-verdict strays that
+#: r9's late additions displaced (the oldest records in the registry);
+#: (2) the full r5-verdict cohort (37 entries — after this round nothing in
+#: the registry has a verdict older than r6); (3) the round-10 NEW entries
+#: in the order added, each getting its FIRST driver verdict; (4) the head
+#: of the rows-only (no-oracle) family, last driver-windowed in r6 — the
+#: driver's rows-only check is their only cross-process signal, so they
+#: re-window ahead of the hash-green r6 cohort. (1)+(2)+(3)+(4) fill
+#: exactly 50. Past the window, the REMAINING rows-only family is queued
+#: first (it leads the r11 rotation), then the r6 cohort, then back-fill.
+#: Every name here must exist (asserted in tests/test_plans.py); the rest
+#: follow in import order.
 PRIORITY = (
-    # (1) never driver-checked (registered post-rotation in r8)
-    "etl_dynamic_partition_overwrite",
-    # (2) the r4-verdict cohort (42)
-    "asof_nearest_view",
-    "decontaminate_ngram_overlap",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_keep_best",
-    "dedup_ngram_jaccard",
-    "docs_chunk_overlap",
-    "docs_repetition_signals",
-    "events_funnel_conversion",
-    "events_minmax_norm_arrow",
-    "events_stream_dedup_native",
-    "join_bucketed_colocated",
-    "join_interval_overlap",
-    "join_range_binned",
-    "join_salted_skew",
-    "multimodal_bmp_decode",
-    "multimodal_gif_decode",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q5_region_revenue",
-    "q6_revenue_filter",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_conditional_agg",
-    "q13_order_distribution",
-    "q14_promo_ratio",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q20_qualified_suppliers",
-    "q21_sole_flagged_supplier",
-    "q22_global_avg_anti",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    # (3) round-9 additions - first driver verdict (slots 42-50).
-    # Two r4-cohort re-verdicts (text_html_strip, vocab_bigram_counts) were
-    # displaced by the two late-r9 additions — first-verdict beats
-    # re-verdict; they lead the r10 rotation below.
-    "corpus_e2e_pipeline_minhash",
-    "dedup_substring_spans_hashed",
-    "events_time_weighted_avg",
-    "skyline_price_quantity",
-    "scalar_business_days",
-    "docs_ngram_novelty",
-    "etl_snapshot_expire_vacuum",
-    "events_stream_dedup_watermarked",
-    "etl_referential_integrity",
-    # ---- driver window ends here (50) ----
-    # displaced r4-cohort members: head of the r10 rotation
+    # (1) r4-verdict strays displaced from the r9 window
     "text_html_strip",
     "vocab_bigram_counts",
-    # r5-verdict cohort: leads the r10 rotation (37)
+    # (2) the r5-verdict cohort (37)
     "agg_corr_exact",
     "agg_incremental_merge",
     "agg_mode_exact",
@@ -165,13 +110,22 @@ PRIORITY = (
     "scalar_variant_extract",
     "top_suppliers_revenue",
     "window_rank_distributions",
-    # rows-only family - re-window with the r10 rotation
+    # (3) round-10 additions — first driver verdict
+    "events_linreg_per_type",
+    "events_interval_coverage",
+    "corpus_k_anonymity",
+    "corpus_domain_quota",
+    "events_stream_static_join",
+    # (4) rows-only family head (last windowed r6; rows-only checks are
+    # their only cross-process signal)
     "similarity_topk_arrow",
     "similarity_topk_ivf",
     "similarity_topk_lsh",
     "similarity_topk_pq",
     "dedup_simhash",
     "dedup_clusters_minhash",
+    # ---- driver window ends here (50) ----
+    # remaining rows-only family: head of the r11 rotation
     "dedup_minhash_lsh",
     "agg_count_min_freq",
     "agg_approx_sketches",

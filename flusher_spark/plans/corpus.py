@@ -1157,3 +1157,101 @@ def _e2e_pipeline(spark: SparkSession, sf_dir: str, near_dup_pairs) -> DataFrame
         .agg(F.count("*").alias("n_docs"), F.sum("nt").cast("long").alias("pack_tokens"))
         .orderBy("bucket", "pack_id")
     )
+
+
+@register(
+    "corpus_k_anonymity",
+    oracle="""
+    WITH sized AS (
+      SELECT lang, source, n_chars,
+             COUNT(*) OVER (PARTITION BY lang, source) AS grp_n
+      FROM documents),
+    generalized AS (
+      SELECT CASE WHEN grp_n >= 10 THEN lang ELSE '*' END AS lang_out,
+             CASE WHEN grp_n >= 10 THEN source ELSE '*' END AS source_out,
+             n_chars
+      FROM sized)
+    SELECT lang_out, source_out,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM generalized GROUP BY lang_out, source_out
+    ORDER BY lang_out, source_out
+    """,
+)
+def corpus_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY suppression over a quasi-identifier tuple — the
+    release-safety gate a training-data pipeline runs before shipping
+    per-document metadata: any (lang, source) combination carried by
+    fewer than k=10 documents is generalized to '*' so no document is
+    attributable to a group smaller than k. One window COUNT over the QI
+    tuple (one shuffle, map-side-combinable re-aggregate after) — never a
+    self-join. The single-pass form is the standard Mondrian-style first
+    cut: the residual '*'-pooled group can itself be inspected against k
+    from this output (it aggregates ALL suppressed rows, so it is the
+    LARGEST pool available — iterating generalization levels is a policy
+    loop over this same primitive, not a different operator). Counts and
+    char totals are exact integers — bit-stable on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source")
+    k = F.lit(10)
+    sized = d.select("lang", "source", "n_chars", F.count("*").over(w).alias("grp_n"))
+    generalized = sized.select(
+        F.when(F.col("grp_n") >= k, F.col("lang")).otherwise("*").alias("lang_out"),
+        F.when(F.col("grp_n") >= k, F.col("source")).otherwise("*").alias("source_out"),
+        "n_chars",
+    )
+    return (
+        generalized.groupBy("lang_out", "source_out")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang_out", "source_out")
+    )
+
+
+@register(
+    "corpus_domain_quota",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(CASE WHEN rk <= 10 THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(COUNT(CASE WHEN rk > 10 THEN 1 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rk <= 10 THEN n_chars END) AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def corpus_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOMAIN QUOTA capping — the Common-Crawl-style balancing step
+    that stops one mega-domain from dominating a training mix: keep at
+    most Q=10 documents per source, preferring the longest (n_chars DESC,
+    doc_id as the deterministic tie-break), and report kept/dropped
+    volume per source. Windowed rank-filter is the Spark idiom: one
+    shuffle on source, rank + conditional aggregate in the same pass —
+    never a per-domain collect or a self-join against a count table. At
+    100 TB the known hazard is domain skew (one source holding 10% of
+    the corpus): the window sort for a single key lands on one
+    partition, so the scale path pre-prunes with a per-partition
+    top-(Q) combine (sample_per_group_topk in this catalog demonstrates
+    exactly that bounded-state pattern) before the global rank; at
+    fixture scale the direct rank is the right plan and the output
+    contract is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    q = F.lit(10)
+    ranked = d.select("source", "n_chars", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.count(F.when(F.col("rk") <= q, F.lit(1))).cast("long").alias("n_kept"),
+            F.count(F.when(F.col("rk") > q, F.lit(1))).cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("rk") <= q, F.col("n_chars"))).cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

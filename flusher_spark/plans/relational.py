@@ -5429,3 +5429,244 @@ def scalar_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "events_linreg_per_type",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+             CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM b GROUP BY event_type)
+    SELECT event_type, n AS n_events,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+             AS slope_cents_per_hour,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_cents
+    FROM s ORDER BY event_type
+    """,
+)
+def events_linreg_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (value trend over time per event
+    type) from EXACT integer sufficient statistics — the distributed
+    regression pattern: one partial-aggregated groupBy computes (n, Σx,
+    Σy, Σxy, Σx²) as bigints (map-side combine, one shuffle of 5 longs per
+    group), and slope/intercept fall out as driver-free closed forms. No
+    REGR_SLOPE built-in is used on either engine: their double
+    accumulation is order-dependent, which can't be hash-compared — here
+    every sum is exact int64 and the only floating-point ops are the final
+    divisions of identical integers (int64→double conversion and IEEE
+    division are bit-identical on both engines; the cross-engine numerics
+    rules this repo pins in tests/test_oracle_types). x is whole hours
+    since 2024-01-01 (integer division of epoch micros — fixture ts all
+    follow that epoch), y is exact cents via the DECIMAL(8,2) route.
+    Magnitude audit: x ≤ 720, y < 5e4, so n·Σxy stays under 2^63 through
+    sf1 with two orders of magnitude to spare. At 100 TB this is the
+    map-reduce regression everyone actually ships — 5 longs of state per
+    group, no iterative solver, no collect."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.expr("(unix_micros(ts) - 1704067200000000) div 3600000000").alias("x"),
+        (dec("value", "decimal(8,2)") * 100).cast("long").alias("y"),
+    )
+    s = b.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        slope.alias("slope_cents_per_hour"),
+        intercept.alias("intercept_cents"),
+    ).orderBy("event_type")
+
+
+@register(
+    "events_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS start_us,
+             epoch_us(ts)
+               + CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) * 1000000
+               AS end_us
+      FROM events),
+    marked AS (
+      SELECT user_id, event_id, start_us, end_us,
+             CASE WHEN MAX(end_us) OVER (
+                    PARTITION BY user_id ORDER BY start_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR start_us > MAX(end_us) OVER (
+                    PARTITION BY user_id ORDER BY start_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT user_id, start_us, end_us,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY start_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM marked),
+    per_island AS (
+      SELECT user_id, island_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(end_us) - MIN(start_us) AS covered
+      FROM islands GROUP BY user_id, island_id)
+    SELECT user_id,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(covered) AS BIGINT) AS covered_us
+    FROM per_island GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION length per key (merge overlapping intervals — the
+    coverage question speech/video segment pipelines ask: how much
+    wall-clock does this user's media actually span once overlaps
+    collapse?). Pure gaps-and-islands in one window pass: each event
+    spans [ts, ts + value-cents seconds); a running MAX(end) over
+    (user, start-order) marks island heads where a start clears every
+    prior end, a running SUM of heads numbers the islands, and each
+    island contributes max(end)−min(start). One shuffle on user_id, two
+    window frames over the SAME (start_us, event_id) sort — sharing the
+    order is load-bearing twice over: Spark plans both frames off one
+    in-partition sort, and the island-membership runs are only
+    well-defined when the cumulative SUM walks rows in the exact order
+    the flags were computed in (numbering tied starts in any other
+    order can splice a row into the previous island and double-count
+    its span). Then an integer re-aggregate — vs the naive
+    self-join-and-dedup formulation whose fan-out is quadratic in
+    per-key density. All arithmetic is integer microseconds (exact
+    cents × 10⁶), so both engines hash-match bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("start_us"),
+        (
+            F.unix_micros("ts")
+            + (dec("value", "decimal(8,2)") * 100).cast("long") * F.lit(1_000_000)
+        ).alias("end_us"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("start_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_reach = F.max("end_us").over(w_prev)
+    marked = iv.select(
+        "user_id",
+        "event_id",
+        "start_us",
+        "end_us",
+        F.when(
+            prev_reach.isNull() | (F.col("start_us") > prev_reach), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("start_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.withColumn("island_id", F.sum("new_island").over(w_run))
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("end_us") - F.min("start_us")).alias("covered"),
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_islands"),
+            F.sum("covered").cast("long").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_stream_static_join",
+    oracle="""
+    WITH prof AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS user_n_events
+      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id,
+           CAST(CAST(e.value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+           prof.user_n_events,
+           CASE WHEN prof.user_n_events >= 70 THEN 'heavy'
+                WHEN prof.user_n_events >= 60 THEN 'mid'
+                ELSE 'light' END AS user_tier
+    FROM events e JOIN prof USING (user_id)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join — the Structured Streaming capability
+    the stream-stream family doesn't cover: a live fact stream joined to a
+    slowly-changing batch dimension (here a per-user activity profile
+    aggregated batch-side from the same table the stream replays). The
+    static side is a plain DataFrame: Spark re-plans it per micro-batch
+    (so a dimension refresh lands on the next trigger), broadcasts it when
+    small, and the join itself is STATELESS — no watermark, no state
+    store, append mode — which is why this is the default enrichment
+    pattern at any scale (state cost is zero; the stream never waits).
+    Executed as a real 4-micro-batch file-source stream
+    (_stage_event_stream); the batch oracle is the equivalent static
+    join, exact because a stateless inner join emits precisely the
+    matched pairs regardless of batch boundaries. Cents via the exact
+    DECIMAL route; tier thresholds decided on integer counts."""
+    from flusher_spark.streaming.windows import stream_events
+
+    e = load_table(spark, sf_dir, "events")
+    profile = (
+        e.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("user_n_events"))
+        .withColumn(
+            "user_tier",
+            F.when(F.col("user_n_events") >= 70, "heavy")
+            .when(F.col("user_n_events") >= 60, "mid")
+            .otherwise("light"),
+        )
+    )
+    path = _stage_event_stream(spark, sf_dir)
+    stream = (
+        stream_events(spark, path)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            (dec("value", "decimal(8,2)") * 100).cast("long").alias("cents"),
+        )
+    )
+    return _run_stream_entry(
+        spark,
+        lambda: stream.join(profile, "user_id").select(
+            "event_id", "user_id", "cents", "user_n_events", "user_tier"
+        ),
+        "cat_stream_static",
+        "append",
+    )

@@ -2584,3 +2584,83 @@ def test_media_features_null_payload_yields_null_rows(spark):
     feats = {r["asset_id"]: r for r in extract_features(df, fake=True, dim=4).collect()}
     assert feats[2]["n_bytes"] is None and feats[2]["sha256"] is None
     assert feats[1]["n_bytes"] == len(synth_wav(8000, 16, 5))
+
+
+def test_interval_coverage_matches_bruteforce_union(spark):
+    """events_interval_coverage vs an independent brute-force interval
+    union (sorted sweep per user in plain Python) at sf0.001 — the oracle
+    SQL mirrors the windowed algorithm, so this is the check that the
+    ALGORITHM computes true union lengths, including the tied-start edge
+    (the island-numbering window must walk the exact order the flags were
+    computed in)."""
+    from flusher_spark.plans.relational import events_interval_coverage
+
+    got = {
+        r["user_id"]: (r["n_events"], r["n_islands"], r["covered_us"])
+        for r in events_interval_coverage(spark, SF).collect()
+    }
+
+    e = load_table(spark, SF, "events").select("user_id", "event_id", "ts", "value")
+    rows = e.collect()
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        start = int(r["ts"].timestamp() * 1_000_000)
+        # exact cents like the entry: value carries 2 decimals
+        cents = round(float(r["value"]) * 100)
+        by_user.setdefault(r["user_id"], []).append((start, start + cents * 1_000_000))
+    for uid, ivs in by_user.items():
+        ivs.sort()
+        islands = 0
+        covered = 0
+        cur_start = cur_end = None
+        for s, t in ivs:
+            if cur_end is None or s > cur_end:
+                if cur_end is not None:
+                    covered += cur_end - cur_start
+                islands += 1
+                cur_start, cur_end = s, t
+            else:
+                cur_end = max(cur_end, t)
+        covered += cur_end - cur_start
+        assert got[uid] == (len(ivs), islands, covered), f"user {uid}"
+    assert set(got) == set(by_user)
+
+
+def test_interval_coverage_tied_starts_direct(spark):
+    """Directly pin the tied-start island splice: two intervals sharing a
+    start where one closes early must still merge into ONE island with the
+    longer reach, and a later disjoint interval opens a new island. The
+    pre-fix formulation (island sum ordered by (start, end)) spliced the
+    short tied interval into the PREVIOUS island and double-counted."""
+    import datetime
+
+    import flusher_spark.plans.relational as R
+
+    def mk(eid, start_s, dur_cents):
+        return (
+            eid,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=start_s),
+            1,
+            "view",
+            dur_cents / 100.0,
+            None,
+        )
+
+    events = spark.createDataFrame(
+        [mk(1, 0, 5), mk(2, 10, 1000), mk(3, 10, 5), mk(4, 100000, 7)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = R.load_table
+    R.load_table = lambda _s, _d, _t: events
+    try:
+        out = {r["user_id"]: r for r in R.events_interval_coverage(spark, SF).collect()}
+    finally:
+        R.load_table = orig
+    r = out[1]
+    # islands: {[0,5]}, {[10,1010] ∪ [10,15]}, {[100000,100007]} → 3
+    # islands, covered = 5s + 1000s + 7s in µs (durations are value-cents
+    # SECONDS: value 10.00 → 1000 s)
+    assert r["n_events"] == 4
+    assert r["n_islands"] == 3
+    assert r["covered_us"] == (5 + 1000 + 7) * 1_000_000
