@@ -19,11 +19,14 @@ from datetime import timedelta
 
 _ALLOWED = {"minute": "minutes", "hour": "hours", "day": "days"}
 _REJECTED = {"second", "microsecond", "millisecond", "week", "month", "year"}
-#: One "<amount> <unit>" term plus its trailing separator (comma/semicolon/
-#: "and"). Terms are matched POSITIONALLY over the whole string — a findall
-#: scan would skip unparsable stretches, silently turning "1,000 minutes"
-#: into 0 minutes ("1," dropped) and "1.5 hours" into 5 hours.
-_TERM_RE = re.compile(r"\s*(\d+)\s*([a-z]+)\s*(?:[,;]|\band\b)?\s*")
+#: One "<amount> <unit>" term plus its trailing separators (comma/semicolon/
+#: "and", in any combination — "1 hour, and 30 minutes" is fine; r9's
+#: single-separator rule rejected it, a needless tightening). Terms are
+#: matched POSITIONALLY over the whole string — a findall scan would skip
+#: unparsable stretches, silently turning "1,000 minutes" into 0 minutes
+#: ("1," dropped) and "1.5 hours" into 5 hours; repeated separators between
+#: terms are harmless because digits can never be dropped by them.
+_TERM_RE = re.compile(r"\s*(\d+)\s*([a-z]+)\s*(?:(?:[,;]|\band\b)\s*)*")
 
 
 def from_human(text: str) -> timedelta:

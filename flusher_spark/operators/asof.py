@@ -142,7 +142,28 @@ def asof_join_nearest(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in on and c != right_ts]
 
-    is_ts = dict(left.dtypes).get(left_ts, "").startswith("timestamp")
+    lt = dict(left.dtypes).get(left_ts, "")
+    rt = dict(right.dtypes).get(right_ts, "")
+    is_ts = lt.startswith("timestamp")
+    _NUMERIC = ("tinyint", "smallint", "int", "bigint", "long", "float", "double", "decimal")
+    for name, t in ((left_ts, lt), (right_ts, rt)):
+        if not (t.startswith("timestamp") or t.startswith(_NUMERIC)):
+            # Fail HERE with the real story, not at analysis: the forward
+            # key negates the timestamp, and negating e.g. a string column
+            # surfaces as an opaque DATATYPE_MISMATCH deep in the plan.
+            # (r9 removed a silent cast('long') that used to mask this by
+            # flooring fractional timestamps — truncation made "nearest"
+            # pick the farther row.)
+            raise ValueError(
+                f"asof_join_nearest timestamp column {name!r} has type {t!r}; "
+                "expected timestamp or numeric — cast it explicitly upstream"
+            )
+    if is_ts != rt.startswith("timestamp"):
+        raise ValueError(
+            f"asof_join_nearest timestamp columns disagree: {left_ts!r} is "
+            f"{lt!r} but {right_ts!r} is {rt!r} — both sides must be "
+            "timestamps, or both numeric in the same units"
+        )
 
     # TIMESTAMP columns map to exact microsecond longs; numeric timestamp
     # columns stay in their NATIVE type — negation and subtraction are exact

@@ -43,8 +43,13 @@ def _width_seconds(text: str) -> int:
             raise ValueError(f"unknown bin-width unit: {unit!r} in {text!r}")
         total += int(amount) * _UNIT_SECONDS[singular]
     # The whole string must be consumed: '1.5 hours' would otherwise parse
-    # as ('5','hours') and silently bin 3.3× coarser than asked.
-    if _TERM_RE.sub("", lowered).strip():
+    # as ('5','hours') and silently bin 3.3× coarser than asked. Bare
+    # separators between terms ("1 hour, 30 minutes", "1 hour and 30
+    # minutes") are fine — stripping them can never hide dropped DIGITS,
+    # which is what the residue check exists to catch ("1,000 minutes"
+    # still errors: its residue keeps the orphaned '1').
+    residue = re.sub(r"[,;]|\band\b", " ", _TERM_RE.sub(" ", lowered))
+    if residue.strip():
         raise ValueError(f"cannot parse bin width: {text!r} (integers + units only)")
     if total <= 0:
         raise ValueError(f"bin width must be positive: {text!r}")

@@ -1128,7 +1128,7 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (index, fixture) and reuse on every later invocation — each call used to
 #: mkdtemp a fresh dir and rewrite the whole index (correctness walk, bench
 #: repeats, plan audit), leaking unbounded /tmp garbage. Removed at exit.
-_INDEX_SCRATCH: dict[tuple[str, str], str] = {}
+_INDEX_SCRATCH: dict[tuple[str, str, int], str] = {}
 
 
 def _scratch_index(name: str, sf_dir: str, build) -> str:
@@ -1136,7 +1136,15 @@ def _scratch_index(name: str, sf_dir: str, build) -> str:
     import shutil
     import tempfile
 
-    key = (name, sf_dir)
+    # The cache key carries the fixture's mtime stamp: a fixture directory
+    # regenerated mid-process (the driver rewrites testdata between rounds;
+    # tests may rebuild tmp fixtures) must invalidate the built index, or a
+    # stale artifact would silently answer for the new data (r9 advisor).
+    try:
+        stamp = int(os.stat(os.path.join(sf_dir, "embeddings.parquet")).st_mtime_ns)
+    except OSError:
+        stamp = -1
+    key = (name, sf_dir, stamp)
     path = _INDEX_SCRATCH.get(key)
     if path is None:
         root = tempfile.mkdtemp(prefix=f"flusher_{name}_")

@@ -14,6 +14,7 @@ dependency-free.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -81,12 +82,21 @@ class Warehouse:
         afterwards are the snapshot's source files removed. Files appended
         concurrently by ``load(incremental=True)`` are not in the snapshot
         and are never touched, and the table directory itself never
-        disappears. A crash between publish and cleanup leaves duplicate
-        rows (re-runnable), never data loss. Concurrent full-refresh
-        overwrites remain unsafe alongside compact — use ``SnapshotTable``
-        for transactional semantics.
+        disappears. An interrupted run is DETECTED AND FINISHED
+        DETERMINISTICALLY on the next compact: a ``_compact_pending``
+        sentinel (written after staging, removed after cleanup) records the
+        snapshot; on restart, a surviving staging directory means the
+        publish was incomplete (roll BACK the partially-moved files and
+        redo), a missing one means publish finished (roll FORWARD by
+        deleting the recorded originals) — so the duplicate-rows window is
+        bounded by the crash-to-rerun gap, never left behind silently.
+        Readers between publish and cleanup can still observe duplicates
+        (single-maintainer contract); concurrent full-refresh overwrites
+        remain unsafe alongside compact — use ``SnapshotTable`` for
+        transactional semantics.
         """
         path = self._path(table)
+        self._recover_compact(path)
         snapshot = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
         if not snapshot:
             return 0
@@ -99,6 +109,10 @@ class Warehouse:
         shutil.rmtree(staged, ignore_errors=True)
         df.coalesce(int(target_partitions)).write.mode("overwrite").parquet(staged)
         compact_id = uuid.uuid4().hex[:12]
+        sentinel = os.path.join(path, "_compact_pending.json")
+        with open(sentinel + ".tmp", "w") as fh:
+            json.dump({"compact_id": compact_id, "snapshot": snapshot}, fh)
+        os.replace(sentinel + ".tmp", sentinel)
         for f in sorted(os.listdir(staged)):
             if not f.endswith(".parquet"):
                 continue
@@ -109,9 +123,42 @@ class Warehouse:
                 os.rename(crc, os.path.join(path, f".{dest}.crc"))
             os.rename(os.path.join(staged, f), os.path.join(path, dest))
         shutil.rmtree(staged, ignore_errors=True)
-        for f, p in zip(snapshot, src_paths):
-            os.remove(p)
+        self._remove_originals(path, snapshot)
+        os.unlink(sentinel)
+        return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+    @staticmethod
+    def _remove_originals(path: str, snapshot: list[str]) -> None:
+        for f in snapshot:
+            p = os.path.join(path, f)
+            if os.path.exists(p):
+                os.remove(p)
             crc = os.path.join(path, f".{f}.crc")
             if os.path.exists(crc):
                 os.remove(crc)
-        return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+    def _recover_compact(self, path: str) -> None:
+        """Finish or undo an interrupted compact (see compact's safety
+        model). Staging directory still present → the publish loop did not
+        complete (staging is removed before cleanup starts): roll BACK any
+        files it already moved in, so the table returns to exactly its
+        pre-compact state. Staging gone → every compacted file was
+        published: roll FORWARD by removing the sentinel's recorded
+        originals. Either way the sentinel is consumed and the table is
+        duplicate-free before a new compact begins."""
+        sentinel = os.path.join(path, "_compact_pending.json")
+        if not os.path.exists(sentinel):
+            return
+        with open(sentinel) as fh:
+            pending = json.load(fh)
+        staged = path + ".__compacting"
+        prefix = f"compacted-{pending['compact_id']}-"
+        if os.path.isdir(staged):
+            for f in os.listdir(path):
+                name = f.removeprefix(".").removesuffix(".crc")
+                if name.startswith(prefix):
+                    os.remove(os.path.join(path, f))
+            shutil.rmtree(staged, ignore_errors=True)
+        else:
+            self._remove_originals(path, pending["snapshot"])
+        os.unlink(sentinel)

@@ -1167,3 +1167,72 @@ def test_snapshot_vacuum_sweeps_sidecars_and_empty_dirs(spark, tmp_path):
     for d, subdirs, names in os.walk(root / "data"):
         if d != str(root / "data"):
             assert subdirs or names, f"empty commit dir {d}"
+
+
+def test_warehouse_compact_recovers_interrupted_runs(spark, tmp_path):
+    """The _compact_pending sentinel protocol: a crash mid-publish (staging
+    dir survives) rolls BACK the partially-moved files; a crash mid-cleanup
+    (staging gone, originals partially deleted) rolls FORWARD by finishing
+    the deletes. Either way the next compact starts duplicate-free and the
+    row set is untouched."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from flusher_spark.io.tables import load_table
+    from flusher_spark.sinks.table import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    region = load_table(spark, "/root/testdata/sf0.001", "region")
+    for _ in range(3):
+        wh.load(region.repartition(4), "t", incremental=True)
+    path = wh._path("t")
+    expected = wh.read("t").count()
+
+    def parquet_files():
+        return sorted(f for f in _os.listdir(path) if f.endswith(".parquet"))
+
+    # --- crash mid-PUBLISH: simulate by staging one compacted file +
+    # sentinel with the staging dir still present ---
+    snapshot = parquet_files()
+    staged = path + ".__compacting"
+    _os.makedirs(staged, exist_ok=True)
+    cid = "deadbeef0001"
+    with open(_os.path.join(path, "_compact_pending.json"), "w") as fh:
+        _json.dump({"compact_id": cid, "snapshot": snapshot}, fh)
+    # a file that "moved in" before the crash (content irrelevant: it must
+    # be rolled back before any reader touches it)
+    _shutil.copy(
+        _os.path.join(path, snapshot[0]),
+        _os.path.join(path, f"compacted-{cid}-part-00000.parquet"),
+    )
+    n_files = wh.compact("t", target_partitions=1)
+    assert wh.read("t").count() == expected, "roll-back must restore the exact row set"
+    assert not _os.path.exists(_os.path.join(path, "_compact_pending.json"))
+    assert n_files == 1
+
+    # --- crash mid-CLEANUP: publish finished (no staging dir), some
+    # originals already deleted; sentinel still lists the full snapshot ---
+    for _ in range(2):
+        wh.load(region.repartition(4), "t", incremental=True)
+    expected2 = wh.read("t").count()
+    snapshot2 = parquet_files()
+    df = spark.read.parquet(*[_os.path.join(path, f) for f in snapshot2])
+    cid2 = "deadbeef0002"
+    staged2 = path + ".__compacting"
+    df.coalesce(1).write.mode("overwrite").parquet(staged2)
+    with open(_os.path.join(path, "_compact_pending.json"), "w") as fh:
+        _json.dump({"compact_id": cid2, "snapshot": snapshot2}, fh)
+    for f in _os.listdir(staged2):
+        if f.endswith(".parquet"):
+            _os.rename(
+                _os.path.join(staged2, f),
+                _os.path.join(path, f"compacted-{cid2}-{f}"),
+            )
+    _shutil.rmtree(staged2)
+    # cleanup "crashed" after removing ONE original
+    _os.remove(_os.path.join(path, snapshot2[0]))
+    # table currently has duplicates (the remaining originals + compacted)
+    wh.compact("t", target_partitions=1)
+    assert wh.read("t").count() == expected2, "roll-forward must finish the cleanup"
+    assert not _os.path.exists(_os.path.join(path, "_compact_pending.json"))

@@ -57,3 +57,19 @@ def test_property_single_term(n, unit, plural):
 
 def test_sql_interval():
     assert to_sql_interval("90 minutes") == "INTERVAL 5400 SECOND"
+
+
+def test_accepts_stacked_separators():
+    """'1 hour, and 30 minutes' is idiomatic English; the strict positional
+    parser must treat any RUN of separators between terms as one gap
+    (stripping separators can never hide dropped digits — the partial-parse
+    cases above still all raise)."""
+    expect = timedelta(hours=1, minutes=30)
+    assert from_human("1 hour, and 30 minutes") == expect
+    assert from_human("1 hour; and, 30 minutes") == expect
+
+    from flusher_spark.operators.rangejoin import _width_seconds
+
+    assert _width_seconds("1 hour, and 30 minutes") == 5400
+    with pytest.raises(ValueError):
+        _width_seconds("1,000 minutes")  # orphaned digit group still errors

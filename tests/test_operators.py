@@ -2664,3 +2664,23 @@ def test_interval_coverage_tied_starts_direct(spark):
     assert r["n_events"] == 4
     assert r["n_islands"] == 3
     assert r["covered_us"] == (5 + 1000 + 7) * 1_000_000
+
+
+def test_asof_nearest_rejects_non_temporal_ts_columns(spark):
+    """A string-typed timestamp column must fail with a clear ValueError at
+    call time, not an opaque DATATYPE_MISMATCH when the forward key negates
+    it deep in the plan; mixed timestamp-vs-numeric sides likewise."""
+    from flusher_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame([(1, "2024-01-01")], "k long, ts string")
+    right = spark.createDataFrame([(1, "2024-01-01", 5)], "k long, ts string, v long")
+    with pytest.raises(ValueError, match="expected timestamp or numeric"):
+        asof_join_nearest(left, right, ["k"], "ts", "ts", tolerance_us=10)
+
+    lnum = spark.createDataFrame([(1, 100)], "k long, ts long")
+    rts = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), 5)],
+        "k long, ts timestamp, v long",
+    )
+    with pytest.raises(ValueError, match="disagree"):
+        asof_join_nearest(lnum, rts, ["k"], "ts", "ts", tolerance_us=10)
