@@ -222,6 +222,10 @@ HEADLINE = [
     "events_interval_coverage",
     "corpus_k_anonymity",
     "corpus_domain_quota",
+    "graph_label_propagation",
+    "events_cusum_changepoint",
+    "events_l_diversity",
+    "similarity_mmr_rerank",
 ]
 
 
@@ -245,7 +249,15 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_ONLY")
     if only:
         want = [s.strip() for s in only.split(",") if s.strip()]
-        names = [n for n in want if n in reg]
+        unknown = [s for s in want if s not in reg]
+        if unknown:
+            # Fail loudly: a typo'd subset would otherwise time ZERO queries
+            # and still print a well-formed {"value": ~0} line — which a
+            # before/after tuning comparison reads as a huge speedup.
+            raise SystemExit(
+                f"SPARK_GRAFT_ONLY names not in the registry: {unknown}"
+            )
+        names = want
     # Warmup: exercise the scan, shuffle, whole-stage-codegen, and noop-sink
     # machinery once on a tiny slice so one-time JVM/classloader costs don't
     # bill q1. (Different query shape than any headline — no result caching.)

@@ -63,6 +63,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 import time
 import uuid
 
@@ -73,6 +74,14 @@ from pyspark.sql.types import StructType
 
 class CommitConflict(RuntimeError):
     """Another writer published this version first; re-read and retry."""
+
+
+# Serializes the set-confs/write/restore-confs critical section of
+# _optimized_write across threads: SQL confs are session-global, so two
+# interleaved optimized writes could each snapshot the OTHER's temporary
+# values as "old" and restore them permanently. Process-wide (not
+# per-table) because tables may share one SparkSession.
+_OPTIMIZED_WRITE_LOCK = threading.Lock()
 
 
 def _stat_jsonable(v):
@@ -269,26 +278,38 @@ class SnapshotTable:
         for the duration of the action (its default preference for
         parallelism over size would emit up-to-#cores small files on
         mid-size commits — fine for a query stage, wrong for files hitting
-        disk); both confs are restored in ``finally``. Session-level
-        set/restore is safe here because commits are single-writer per
-        session by protocol (concurrent writers race on _publish, not on
-        one SparkSession)."""
+        disk); both confs are restored in ``finally``.
+
+        Blast radius, honestly: the session confs are GLOBAL for the
+        duration of this one write action. A process-wide lock serializes
+        concurrent optimized writes (two interleaved get-then-set/restore
+        pairs could otherwise restore a stale value and leave the session
+        misconfigured permanently), and the lock also bounds writer-vs-
+        writer interference. What it cannot scope away: an unrelated QUERY
+        planned on the same SparkSession during this write sees the
+        file-sized advisory and coalesces its own shuffles toward it —
+        results stay correct, partitions may come out smaller for that one
+        query. Sessions mixing a streaming commit sink with concurrent
+        interactive queries should either set ``cluster_files`` /
+        pass sized batches (both skip this path entirely) or isolate the
+        sink on its own SparkSession."""
         conf = self.spark.conf
         k_par = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
         k_adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
         k_min = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
-        old = {k: conf.get(k) for k in (k_par, k_adv, k_min)}
-        try:
-            conf.set(k_par, "false")
-            conf.set(k_adv, str(self.target_file_bytes))
-            # The 1 MiB coalescing floor would override a smaller target
-            # (tests use KiB-scale targets to exercise multi-file layouts
-            # on small fixtures); production targets are well above it.
-            conf.set(k_min, str(min(self.target_file_bytes, 1 << 20)))
-            df.write.mode("error").parquet(out)
-        finally:
-            for k, v in old.items():
-                conf.set(k, v)
+        with _OPTIMIZED_WRITE_LOCK:
+            old = {k: conf.get(k) for k in (k_par, k_adv, k_min)}
+            try:
+                conf.set(k_par, "false")
+                conf.set(k_adv, str(self.target_file_bytes))
+                # The 1 MiB coalescing floor would override a smaller target
+                # (tests use KiB-scale targets to exercise multi-file layouts
+                # on small fixtures); production targets are well above it.
+                conf.set(k_min, str(min(self.target_file_bytes, 1 << 20)))
+                df.write.mode("error").parquet(out)
+            finally:
+                for k, v in old.items():
+                    conf.set(k, v)
 
     def _write_files(
         self,
@@ -320,39 +341,51 @@ class SnapshotTable:
         single file still carries tight bounds), not a degenerate case.
         If AQE is disabled the optimized-write path would degrade to
         exactly ``spark.sql.shuffle.partitions`` files — the
-        config-coupled fragmentation this sizing exists to prevent — so
-        it falls back to one cheap column-pruned count instead."""
+        config-coupled fragmentation this sizing exists to prevent — so it
+        PERSISTS the input, counts the persisted data, and writes from the
+        cache: create/append inputs are arbitrary un-checkpointed queries,
+        and a bare ``df.count()`` would otherwise execute the caller's
+        whole plan once for the count and again for the write (the cache
+        keeps lineage, so an executor loss recomputes rather than
+        fails)."""
         commit = uuid.uuid4().hex
         out = os.path.join(self._ddir, commit)
-        if self.cluster_by:
-            n = n_files or self.cluster_files
-            if n is None and approx_rows is not None:
-                n = max(1, -(-approx_rows // self.target_file_rows))
-            if n is None:
-                aqe_on = (
-                    str(self.spark.conf.get("spark.sql.adaptive.enabled")).lower()
-                    == "true"
-                    and str(
-                        self.spark.conf.get(
-                            "spark.sql.adaptive.coalescePartitions.enabled"
-                        )
-                    ).lower()
-                    == "true"
-                )
-                if not aqe_on:
-                    n = max(1, -(-df.count() // self.target_file_rows))
-            if n is not None:
-                df = df.repartitionByRange(n, *self.cluster_by).sortWithinPartitions(
-                    *self.cluster_by
-                )
-                df.write.mode("error").parquet(out)
+        persisted = None
+        try:
+            if self.cluster_by:
+                n = n_files or self.cluster_files
+                if n is None and approx_rows is not None:
+                    n = max(1, -(-approx_rows // self.target_file_rows))
+                if n is None:
+                    aqe_on = (
+                        str(self.spark.conf.get("spark.sql.adaptive.enabled")).lower()
+                        == "true"
+                        and str(
+                            self.spark.conf.get(
+                                "spark.sql.adaptive.coalescePartitions.enabled"
+                            )
+                        ).lower()
+                        == "true"
+                    )
+                    if not aqe_on:
+                        persisted = df.persist()
+                        n = max(1, -(-persisted.count() // self.target_file_rows))
+                        df = persisted
+                if n is not None:
+                    df = df.repartitionByRange(
+                        n, *self.cluster_by
+                    ).sortWithinPartitions(*self.cluster_by)
+                    df.write.mode("error").parquet(out)
+                else:
+                    df = df.repartitionByRange(*self.cluster_by).sortWithinPartitions(
+                        *self.cluster_by
+                    )
+                    self._optimized_write(df, out)
             else:
-                df = df.repartitionByRange(*self.cluster_by).sortWithinPartitions(
-                    *self.cluster_by
-                )
-                self._optimized_write(df, out)
-        else:
-            df.write.mode("error").parquet(out)
+                df.write.mode("error").parquet(out)
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
         stats = (
             self.spark.read.parquet(out)
             .groupBy(F.input_file_name().alias("path"))

@@ -144,35 +144,65 @@ def asof_join_nearest(
 
     lt = dict(left.dtypes).get(left_ts, "")
     rt = dict(right.dtypes).get(right_ts, "")
-    is_ts = lt.startswith("timestamp")
-    _NUMERIC = ("tinyint", "smallint", "int", "bigint", "long", "float", "double", "decimal")
-    for name, t in ((left_ts, lt), (right_ts, rt)):
-        if not (t.startswith("timestamp") or t.startswith(_NUMERIC)):
+
+    def _ts_kind(t: str) -> str | None:
+        # Exact base-type match, not startswith: a prefix test on "int"
+        # also accepts "interval day to second", which would sail past the
+        # guard and then hit exactly the opaque analysis-time
+        # DATATYPE_MISMATCH this check exists to prevent.
+        base = t.split("(", 1)[0].strip()
+        if base in ("timestamp", "timestamp_ntz"):
+            return base
+        if base in (
+            "tinyint", "smallint", "int", "bigint", "long",
+            "float", "double", "decimal",
+        ):
+            return "numeric"
+        return None
+
+    lk, rk = _ts_kind(lt), _ts_kind(rt)
+    for name, t, k in ((left_ts, lt, lk), (right_ts, rt, rk)):
+        if k is None:
             # Fail HERE with the real story, not at analysis: the forward
-            # key negates the timestamp, and negating e.g. a string column
-            # surfaces as an opaque DATATYPE_MISMATCH deep in the plan.
-            # (r9 removed a silent cast('long') that used to mask this by
-            # flooring fractional timestamps — truncation made "nearest"
-            # pick the farther row.)
+            # key negates the timestamp, and negating e.g. a string or
+            # interval column surfaces as an opaque DATATYPE_MISMATCH deep
+            # in the plan. (r9 removed a silent cast('long') that used to
+            # mask this by flooring fractional timestamps — truncation
+            # made "nearest" pick the farther row.)
             raise ValueError(
                 f"asof_join_nearest timestamp column {name!r} has type {t!r}; "
-                "expected timestamp or numeric — cast it explicitly upstream"
+                "expected timestamp, timestamp_ntz or numeric — cast it "
+                "explicitly upstream"
             )
-    if is_ts != rt.startswith("timestamp"):
+    if lk != rk:
+        # Also rejects timestamp vs timestamp_ntz: the two sides are
+        # unioned into one column, and unionByName cannot reconcile the
+        # flavors any more than it can timestamp-vs-numeric.
         raise ValueError(
             f"asof_join_nearest timestamp columns disagree: {left_ts!r} is "
-            f"{lt!r} but {right_ts!r} is {rt!r} — both sides must be "
-            "timestamps, or both numeric in the same units"
+            f"{lt!r} but {right_ts!r} is {rt!r} — both sides must be the "
+            "same timestamp flavor, or both numeric in the same units"
         )
 
-    # TIMESTAMP columns map to exact microsecond longs; numeric timestamp
-    # columns stay in their NATIVE type — negation and subtraction are exact
-    # for long, double and decimal alike, and a cast('long') here would
-    # truncate fractional timestamps, colliding distinct sub-unit right rows
-    # in the forward key and computing distances on floored values (so
-    # "nearest" could pick the farther row — a confirmed defect, r9 review).
+    # TIMESTAMP columns map to exact microsecond longs (TIMESTAMP_NTZ via a
+    # wall-clock diff from the ntz epoch — monotonic and exact, where a cast
+    # to TIMESTAMP would route through the session time zone and fold DST
+    # transitions); numeric timestamp columns stay in their NATIVE type —
+    # negation and subtraction are exact for long, double and decimal alike,
+    # and a cast('long') here would truncate fractional timestamps,
+    # colliding distinct sub-unit right rows in the forward key and
+    # computing distances on floored values (so "nearest" could pick the
+    # farther row — a confirmed defect, r9 review).
     def tnum(c):
-        return F.unix_micros(c) if is_ts else c
+        if lk == "timestamp":
+            return F.unix_micros(c)
+        if lk == "timestamp_ntz":
+            return F.timestamp_diff(
+                "MICROSECOND",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                c,
+            )
+        return c
 
     out_cols = [f"{c}{suffix}" for c in value_cols]
     payload = F.struct(*[F.col(c).alias(c) for c in [right_ts, *value_cols]])

@@ -5448,11 +5448,13 @@ def scalar_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(x * x) AS BIGINT) AS sxx
       FROM b GROUP BY event_type)
     SELECT event_type, n AS n_events,
-           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
              AS slope_cents_per_hour,
            (CAST(sy AS DOUBLE)
-            - (CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+            - (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+              * CAST(sx AS DOUBLE))
              / CAST(n AS DOUBLE) AS intercept_cents
     FROM s ORDER BY event_type
     """,
@@ -5471,10 +5473,21 @@ def events_linreg_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules this repo pins in tests/test_oracle_types). x is whole hours
     since 2024-01-01 (integer division of epoch micros — fixture ts all
     follow that epoch), y is exact cents via the DECIMAL(8,2) route.
-    Magnitude audit: x ≤ 720, y < 5e4, so n·Σxy stays under 2^63 through
-    sf1 with two orders of magnitude to spare. At 100 TB this is the
-    map-reduce regression everyone actually ships — 5 longs of state per
-    group, no iterative solver, no collect."""
+    Magnitude audit: x ≤ 720 and y < 6e4 keep the SUMS comfortably in
+    int64 at any realistic scale (Σxy < n·720·6e4, safe past n = 2e11 rows
+    per group), but the CROSS PRODUCTS n·Σxy and Σx·Σy grow as n² — at
+    sf1 (~2e5 rows/group) they already reach ~1.6e18 with only ~5x int64
+    headroom, past which Spark (non-ANSI) would wrap silently while DuckDB
+    errors. So both engines compute the cross products in 128-bit exact
+    types (Spark DECIMAL(38,0) via the explicit decimal(20,0) casts below,
+    DuckDB HUGEINT) — overflow-free to ~1e38 — and only then convert to
+    double for the final division. At harness scale factors the converted
+    integers stay ≤ 2^53, where the 128-bit→double conversions of both
+    engines are exactly representable, keeping the hash compare bit-exact;
+    beyond that each engine's conversion is correct to 1 ulp, which is the
+    operator's stated precision. At 100 TB this is the map-reduce
+    regression everyone actually ships — 5 longs of state per group, no
+    iterative solver, no collect."""
     e = load_table(spark, sf_dir, "events")
     b = e.select(
         "event_type",
@@ -5488,8 +5501,13 @@ def events_linreg_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # 128-bit cross products (see magnitude audit above): the decimal(20,0)
+    # casts promote the long·long products to DECIMAL(38,0) arithmetic,
+    # mirroring the oracle's HUGEINT route.
+    n_d = F.col("n").cast("decimal(20,0)")
+    sx_d = F.col("sx").cast("decimal(20,0)")
+    num = (n_d * F.col("sxy") - sx_d * F.col("sy")).cast("double")
+    den = (n_d * F.col("sxx") - sx_d * F.col("sx")).cast("double")
     slope = num / den
     intercept = (
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")
@@ -5605,6 +5623,157 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("covered").cast("long").alias("covered_us"),
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, ts, event_id,
+             CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS y
+      FROM events),
+    w AS (
+      SELECT event_type, ts, event_id, y,
+             SUM(y) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS p,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(y) OVER (PARTITION BY event_type) AS s
+      FROM b),
+    c AS (
+      SELECT event_type, ts, i, n,
+             CAST(n AS HUGEINT) * CAST(p AS HUGEINT)
+               - CAST(i AS HUGEINT) * CAST(s AS HUGEINT) AS cexact
+      FROM w),
+    r AS (
+      SELECT event_type, ts, i, n, cexact,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(cexact) DESC, ts, i) AS rk
+      FROM c)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           ts AS cp_ts,
+           CAST(i AS BIGINT) AS cp_index,
+           CAST(cexact AS DOUBLE) AS cusum_peak
+    FROM r WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT detection per event type — "where did this
+    metric's level shift" — from exact integer arithmetic: with y in
+    cents, the classic cumulative sum of deviations from the mean,
+    C_i = Σ_{j<=i}(y_j - S/n), is computed SCALED BY n as
+    n·P_i - i·S (P = running prefix sum, S = group total), which keeps
+    every comparison integer-exact — no mean division, no float
+    accumulation — and the changepoint is the (ts, event_id)-earliest row
+    maximizing |C_i|, the standard CUSUM location estimator for a single
+    level shift. Like events_linreg_per_type, the n-scaled cross products
+    grow as n², so both engines compute them in 128-bit exact types
+    (Spark DECIMAL(38,0) via decimal(20,0) casts, DuckDB HUGEINT —
+    DuckDB's window SUM over BIGINT is already HUGEINT) and convert to
+    double only for the reported peak value — exactly representable at
+    harness scales (≤ 2^53), correct to 1 ulp beyond. One shuffle on
+    event_type serves all three windows (running sum, row number, group
+    totals share the partition key; the argmax rank re-sorts in place).
+    At 100 TB this is the single-pass changepoint screen run per metric
+    before alerting — no iterative segmentation, no collect."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (dec("value", "decimal(8,2)") * 100).cast("long").alias("y"),
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("event_type")
+    w = b.select(
+        "event_type",
+        "ts",
+        F.sum("y").over(w_run).alias("p"),
+        F.row_number().over(w_ord).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("y").over(w_all).alias("s"),
+    )
+    cexact = (
+        F.col("n").cast("decimal(20,0)") * F.col("p")
+        - F.col("i").cast("decimal(20,0)") * F.col("s")
+    )
+    c = w.select("event_type", "ts", "i", "n", cexact.alias("cexact"))
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cexact")).desc(), "ts", "i"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("ts").alias("cp_ts"),
+            F.col("i").cast("long").alias("cp_index"),
+            F.col("cexact").cast("double").alias("cusum_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_l_diversity",
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             user_id,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, 3)
+    SELECT event_type, day,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MAX(cnt) AS BIGINT) AS max_user_rows,
+           (COUNT(*) >= 5) AS l_ok,
+           (2 * MAX(cnt) <= SUM(cnt)) AS c_ok
+    FROM per GROUP BY event_type, day ORDER BY event_type, day
+    """,
+)
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit over released event aggregates — the privacy gate
+    that complements corpus_k_anonymity's group-SIZE check with a group-
+    CONTENT check: a (event_type, day) cell is safe to release only if it
+    mixes enough distinct individuals. Per quasi-identifier cell this
+    reports n_rows, the number of DISTINCT users (distinct l-diversity:
+    ``l_ok`` ⇔ ≥ l=5 distinct users — a cell failing it attributes its
+    rows to a handful of people), and the top user's row count with a
+    (c,l)-style dominance flag (``c_ok`` ⇔ the busiest user holds at most
+    half the cell: decided by INTEGER cross-multiplication ``2·max ≤ n``,
+    never a float ratio — the cross-engine rule this repo pins for
+    threshold booleans). Two partial-aggregated groupBys — (QI, user)
+    counts, then the per-cell fold — both map-side combinable; COUNT
+    (DISTINCT) never materializes a distinct set per cell, it is the
+    second groupBy's row count. At 100 TB this shape (re-aggregate a
+    keyed count table) is the standard way to audit billions of cells
+    without a distinct-set blow-up."""
+    e = load_table(spark, sf_dir, "events")
+    per = (
+        e.select(
+            "event_type",
+            F.to_date("ts").cast("string").alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "day", "user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per.groupBy("event_type", "day")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_users"),
+            F.max("cnt").cast("long").alias("max_user_rows"),
+            (F.count("*") >= F.lit(5)).alias("l_ok"),
+            (F.lit(2) * F.max("cnt") <= F.sum("cnt")).alias("c_ok"),
+        )
+        .orderBy("event_type", "day")
     )
 
 

@@ -84,11 +84,17 @@ class Warehouse:
         and are never touched, and the table directory itself never
         disappears. An interrupted run is DETECTED AND FINISHED
         DETERMINISTICALLY on the next compact: a ``_compact_pending``
-        sentinel (written after staging, removed after cleanup) records the
-        snapshot; on restart, a surviving staging directory means the
-        publish was incomplete (roll BACK the partially-moved files and
-        redo), a missing one means publish finished (roll FORWARD by
-        deleting the recorded originals) — so the duplicate-rows window is
+        sentinel records the snapshot AND the protocol phase, and the
+        phase is flipped ``publishing`` → ``published`` by an atomic
+        rename BETWEEN the publish loop and cleanup — so recovery reads
+        the state transition from the sentinel itself rather than
+        inferring it from filesystem side effects (a staging-dir probe
+        would mis-diagnose a silently-failed rmtree as "publish
+        incomplete" and roll back compacted files AFTER originals had
+        started being deleted — row loss). ``publishing`` → originals are
+        untouched, roll BACK the partially-moved files; ``published`` →
+        every compacted file is in place, roll FORWARD by deleting the
+        recorded originals. The duplicate-rows window is therefore
         bounded by the crash-to-rerun gap, never left behind silently.
         Readers between publish and cleanup can still observe duplicates
         (single-maintainer contract); concurrent full-refresh overwrites
@@ -110,9 +116,7 @@ class Warehouse:
         df.coalesce(int(target_partitions)).write.mode("overwrite").parquet(staged)
         compact_id = uuid.uuid4().hex[:12]
         sentinel = os.path.join(path, "_compact_pending.json")
-        with open(sentinel + ".tmp", "w") as fh:
-            json.dump({"compact_id": compact_id, "snapshot": snapshot}, fh)
-        os.replace(sentinel + ".tmp", sentinel)
+        self._write_sentinel(sentinel, compact_id, snapshot, "publishing")
         for f in sorted(os.listdir(staged)):
             if not f.endswith(".parquet"):
                 continue
@@ -122,10 +126,25 @@ class Warehouse:
             if os.path.exists(crc):
                 os.rename(crc, os.path.join(path, f".{dest}.crc"))
             os.rename(os.path.join(staged, f), os.path.join(path, dest))
+        # Atomic phase flip: from here on, recovery must roll FORWARD.
+        # Nothing before this line touches an original file; nothing after
+        # it touches a compacted one.
+        self._write_sentinel(sentinel, compact_id, snapshot, "published")
         shutil.rmtree(staged, ignore_errors=True)
         self._remove_originals(path, snapshot)
         os.unlink(sentinel)
         return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+    @staticmethod
+    def _write_sentinel(
+        sentinel: str, compact_id: str, snapshot: list[str], phase: str
+    ) -> None:
+        with open(sentinel + ".tmp", "w") as fh:
+            json.dump(
+                {"compact_id": compact_id, "snapshot": snapshot, "phase": phase},
+                fh,
+            )
+        os.replace(sentinel + ".tmp", sentinel)
 
     @staticmethod
     def _remove_originals(path: str, snapshot: list[str]) -> None:
@@ -139,13 +158,19 @@ class Warehouse:
 
     def _recover_compact(self, path: str) -> None:
         """Finish or undo an interrupted compact (see compact's safety
-        model). Staging directory still present → the publish loop did not
-        complete (staging is removed before cleanup starts): roll BACK any
-        files it already moved in, so the table returns to exactly its
-        pre-compact state. Staging gone → every compacted file was
-        published: roll FORWARD by removing the sentinel's recorded
-        originals. Either way the sentinel is consumed and the table is
-        duplicate-free before a new compact begins."""
+        model). The decision comes from the PHASE recorded in the sentinel
+        — the atomic rename that flips it is the transaction's commit
+        point — never from filesystem side effects like the staging dir's
+        existence (a silently-failed ``rmtree`` would otherwise read as
+        "publish incomplete" after cleanup had already deleted originals,
+        and the rollback would delete the only remaining copy of those
+        rows). Phase ``publishing`` → no original has been touched: roll
+        BACK any compacted files already moved in, so the table returns to
+        exactly its pre-compact state. Phase ``published`` → every
+        compacted file is in place: roll FORWARD by removing the recorded
+        originals. Either way the staging leftovers and the sentinel are
+        consumed and the table is duplicate-free before a new compact
+        begins."""
         sentinel = os.path.join(path, "_compact_pending.json")
         if not os.path.exists(sentinel):
             return
@@ -153,12 +178,12 @@ class Warehouse:
             pending = json.load(fh)
         staged = path + ".__compacting"
         prefix = f"compacted-{pending['compact_id']}-"
-        if os.path.isdir(staged):
+        if pending.get("phase") == "published":
+            self._remove_originals(path, pending["snapshot"])
+        else:
             for f in os.listdir(path):
                 name = f.removeprefix(".").removesuffix(".crc")
                 if name.startswith(prefix):
                     os.remove(os.path.join(path, f))
-            shutil.rmtree(staged, ignore_errors=True)
-        else:
-            self._remove_originals(path, pending["snapshot"])
+        shutil.rmtree(staged, ignore_errors=True)
         os.unlink(sentinel)

@@ -1170,10 +1170,13 @@ def test_snapshot_vacuum_sweeps_sidecars_and_empty_dirs(spark, tmp_path):
 
 
 def test_warehouse_compact_recovers_interrupted_runs(spark, tmp_path):
-    """The _compact_pending sentinel protocol: a crash mid-publish (staging
-    dir survives) rolls BACK the partially-moved files; a crash mid-cleanup
-    (staging gone, originals partially deleted) rolls FORWARD by finishing
-    the deletes. Either way the next compact starts duplicate-free and the
+    """The _compact_pending sentinel protocol: a crash mid-publish
+    (sentinel phase "publishing") rolls BACK the partially-moved files; a
+    crash mid-cleanup (phase "published", originals partially deleted)
+    rolls FORWARD by finishing the deletes — INCLUDING when the staging
+    directory still exists because its rmtree silently failed, the case a
+    staging-dir-existence discriminator would mis-read as "roll back" and
+    lose rows. Either way the next compact starts duplicate-free and the
     row set is untouched."""
     import json as _json
     import os as _os
@@ -1199,7 +1202,9 @@ def test_warehouse_compact_recovers_interrupted_runs(spark, tmp_path):
     _os.makedirs(staged, exist_ok=True)
     cid = "deadbeef0001"
     with open(_os.path.join(path, "_compact_pending.json"), "w") as fh:
-        _json.dump({"compact_id": cid, "snapshot": snapshot}, fh)
+        _json.dump(
+            {"compact_id": cid, "snapshot": snapshot, "phase": "publishing"}, fh
+        )
     # a file that "moved in" before the crash (content irrelevant: it must
     # be rolled back before any reader touches it)
     _shutil.copy(
@@ -1221,18 +1226,24 @@ def test_warehouse_compact_recovers_interrupted_runs(spark, tmp_path):
     cid2 = "deadbeef0002"
     staged2 = path + ".__compacting"
     df.coalesce(1).write.mode("overwrite").parquet(staged2)
-    with open(_os.path.join(path, "_compact_pending.json"), "w") as fh:
-        _json.dump({"compact_id": cid2, "snapshot": snapshot2}, fh)
     for f in _os.listdir(staged2):
         if f.endswith(".parquet"):
             _os.rename(
                 _os.path.join(staged2, f),
                 _os.path.join(path, f"compacted-{cid2}-{f}"),
             )
-    _shutil.rmtree(staged2)
-    # cleanup "crashed" after removing ONE original
+    with open(_os.path.join(path, "_compact_pending.json"), "w") as fh:
+        _json.dump(
+            {"compact_id": cid2, "snapshot": snapshot2, "phase": "published"}, fh
+        )
+    # the staging dir SURVIVES (simulates a silently-failed rmtree) and
+    # cleanup "crashed" after removing ONE original — recovery must trust
+    # the recorded phase and roll FORWARD; inferring "publish incomplete"
+    # from the staging dir here would delete the compacted files while the
+    # originals are already partial, i.e. lose snapshot2[0]'s rows.
     _os.remove(_os.path.join(path, snapshot2[0]))
     # table currently has duplicates (the remaining originals + compacted)
     wh.compact("t", target_partitions=1)
     assert wh.read("t").count() == expected2, "roll-forward must finish the cleanup"
     assert not _os.path.exists(_os.path.join(path, "_compact_pending.json"))
+    assert not _os.path.isdir(staged2), "recovery consumes staging leftovers"
