@@ -223,6 +223,63 @@ def connected_components(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """SYNCHRONOUS label propagation (community detection; Raghavan et al.
+    2007, made deterministic): every node starts labeled with its own id;
+    each round, every node adopts the most frequent label among its
+    NEIGHBORS' previous-round labels, breaking frequency ties by the
+    SMALLEST label. The classic algorithm's random tie-break and random
+    update order make it non-reproducible — this variant is a pure
+    function of (edge set, iters), so the same communities come out of
+    every run, every partitioning, and a SQL re-implementation (the
+    catalog entry hash-compares it against DuckDB). A FIXED round count
+    (not convergence) is the contract: synchronous LPA can oscillate
+    between two labelings on bipartite structures, so "run to fixpoint"
+    is not well-defined for it; k rounds means every label has propagated
+    k hops, which is the useful notion of community at bounded cost.
+
+    Returns (node, label) for every node with at least one edge.
+
+    Scale shape: per round, ONE equi-join of the (node, label) table
+    against the bidirected edge list + two partial-aggregated groupBys
+    ((node, label) counts, then the per-node argmax via min(struct)) —
+    all shuffles on the node key, state is one row per node, never a
+    per-node neighbor list in memory. The edge list is reused by every
+    round, so it is localCheckpoint'd lazily once (the PageRank/BPE
+    lineage-truncation pattern)."""
+    bi = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+    )
+    bi = (
+        bi.union(bi.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = bi.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        counts = (
+            bi.join(labels, bi.d == labels.node)
+            .groupBy(bi.s.alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        # argmax by (count DESC, label ASC) as one order-insensitive
+        # aggregate: min over struct(-c, label).
+        labels = counts.groupBy("node").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l")))[
+                "l"
+            ].alias("label")
+        )
+    return labels
+
+
 def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Exact triangle count + global clustering coefficient, via
     DEGREE-ORIENTED wedge counting (the MapReduce-standard trick): every

@@ -398,6 +398,90 @@ def brute_force_topk_arrow(
     )
 
 
+def mmr_rerank(
+    df: DataFrame,
+    query_ids,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein 1998)
+    — the diversity-aware top-k every RAG retriever bolts onto plain
+    cosine: greedily pick k results where each pick maximizes
+    ``lam·relevance − (1−lam)·max_similarity_to_already_picked``, so the
+    result set trades pure relevance for coverage (near-duplicate hits
+    stop crowding out distinct ones). The first pick is the most relevant
+    candidate outright; ties at any step break to the smallest id —
+    deterministic by construction.
+
+    Two stages, both distributed: candidate generation is the exact
+    cosine top-``pool`` (:func:`brute_force_topk` — swap in the IVF/LSH
+    paths at scale, the contract downstream only needs (query_id, id,
+    relevance, vector)); selection is ``applyInPandas`` grouped by
+    query_id — each group is one bounded pool (≤ ``pool`` rows × the
+    embedding width), the greedy loop is O(k·pool) numpy per group, and
+    NOTHING is collected to the driver: a million queries means a million
+    independent pandas groups. Returns (query_id, mmr_rank, vec_id,
+    relevance, mmr_score).
+
+    Greedy MMR is order-sequential, so it has no SQL twin — the catalog
+    entry is rows-only; selection-order correctness is pinned in pytest
+    against an independent per-step reference."""
+    import numpy as np
+
+    cands = brute_force_topk(df, query_ids, k=pool, id_col=id_col, vec_col=vec_col)
+    cands = cands.join(
+        df.select(F.col(id_col), F.col(vec_col).alias("__vec")), id_col
+    ).select(
+        "query_id",
+        F.col(id_col).alias("__cid"),
+        F.col("cosine_sim").alias("__rel"),
+        "__vec",
+    )
+
+    out_schema = (
+        "query_id long, mmr_rank long, vec_id long, "
+        "relevance double, mmr_score double"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # Candidate order pinned by id so every argmax's first-max IS the
+        # smallest-id tie-break, independent of shuffle arrival order.
+        pdf = pdf.sort_values("__cid").reset_index(drop=True)
+        qid = int(pdf["query_id"].iloc[0])
+        ids = pdf["__cid"].to_numpy()
+        rel = pdf["__rel"].to_numpy(dtype=np.float64)
+        V = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+        V /= _safe_norms(V)
+        n = len(ids)
+        chosen = 0
+        # max cosine to any already-picked result; -inf (not 0) so a
+        # candidate whose similarity to everything selected is NEGATIVE
+        # keeps its full diversity credit — a zero floor silently clamps
+        # anti-correlated candidates to "neutral" and mis-ranks them.
+        max_sim = np.full(n, -np.inf)
+        alive = np.ones(n, dtype=bool)
+        rows = []
+        for r in range(1, min(k, n) + 1):
+            score = rel if not chosen else lam * rel - (1.0 - lam) * max_sim
+            masked = np.where(alive, score, -np.inf)
+            j = int(np.argmax(masked))  # first max = smallest id (sorted)
+            chosen += 1
+            alive[j] = False
+            rows.append((qid, r, int(ids[j]), float(rel[j]), float(masked[j])))
+            max_sim = np.maximum(max_sim, V @ V[j])
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "mmr_rank", "vec_id", "relevance", "mmr_score"],
+        )
+
+    return cands.groupBy("query_id").applyInPandas(pick, out_schema)
+
+
 def _train_pq_codebooks(
     base: DataFrame,
     id_col: str,

@@ -116,16 +116,22 @@ PRIORITY = (
     "corpus_k_anonymity",
     "corpus_domain_quota",
     "events_stream_static_join",
+    "graph_label_propagation",
+    "events_cusum_changepoint",
+    "events_l_diversity",
+    "similarity_mmr_rerank",
     # (4) rows-only family head (last windowed r6; rows-only checks are
-    # their only cross-process signal)
+    # their only cross-process signal — the rest queue for r11, displaced
+    # by the four late round-10 additions above, which must take window
+    # slots for their FIRST verdict)
     "similarity_topk_arrow",
     "similarity_topk_ivf",
+    # ---- driver window ends here (50) ----
+    # remaining rows-only family: head of the r11 rotation
     "similarity_topk_lsh",
     "similarity_topk_pq",
     "dedup_simhash",
     "dedup_clusters_minhash",
-    # ---- driver window ends here (50) ----
-    # remaining rows-only family: head of the r11 rotation
     "dedup_minhash_lsh",
     "agg_count_min_freq",
     "agg_approx_sketches",

@@ -1113,6 +1113,20 @@ def similarity_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk_arrow(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10)
 
 
+@register("similarity_mmr_rerank")  # rows-only: greedy selection is order-sequential, no SQL twin
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: exact cosine top-50 candidates per query,
+    then MAXIMAL MARGINAL RELEVANCE greedy selection of 10 (λ=0.7) inside
+    each pool via applyInPandas (operators/similarity.py::mmr_rerank) —
+    the re-rank step RAG retrievers run so near-duplicate hits don't crowd
+    out distinct ones. Deterministic (smallest-id tie-break); per-step
+    selection optimality and the first-pick-is-max-relevance contract are
+    asserted in tests/test_operators.py."""
+    return S.mmr_rerank(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=10, pool=50, lam=0.7
+    )
+
+
 @register("similarity_topk_pq")  # rows-only: approximate by construction (ADC estimate)
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-10 (operators/similarity.py
@@ -1705,6 +1719,87 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("component").cast("long").alias("label_sum"),
         )
         .orderBy("comp_size")
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey*2 AS s, l.l_suppkey*2+1 AS d
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_quantity = 50 AND l.l_orderkey % 3 = 0),
+    bi AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+    lab0 AS (SELECT DISTINCT s AS node, s AS label FROM bi),
+    c1 AS (SELECT bi.s AS node, r.label, COUNT(*) AS c
+           FROM bi JOIN lab0 r ON bi.d = r.node GROUP BY bi.s, r.label),
+    l1 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) rn
+             FROM c1) WHERE rn = 1),
+    c2 AS (SELECT bi.s AS node, r.label, COUNT(*) AS c
+           FROM bi JOIN l1 r ON bi.d = r.node GROUP BY bi.s, r.label),
+    l2 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) rn
+             FROM c2) WHERE rn = 1),
+    c3 AS (SELECT bi.s AS node, r.label, COUNT(*) AS c
+           FROM bi JOIN l2 r ON bi.d = r.node GROUP BY bi.s, r.label),
+    l3 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) rn
+             FROM c3) WHERE rn = 1),
+    sizes AS (SELECT label, COUNT(*) AS n_members FROM l3 GROUP BY label)
+    SELECT n_members AS comm_size,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(label) AS BIGINT) AS label_sum
+    FROM sizes GROUP BY comm_size ORDER BY comm_size
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION via deterministic synchronous label propagation
+    (operators/graph.py::label_propagation) on the same sparse
+    max-quantity trade graph as graph_connected_components — communities
+    are the within-component local structure the CC labels can't see
+    (LPA's 3-hop majority vote splits a 140-member chain component into
+    its dense pockets). Classic LPA is famously non-reproducible (random
+    tie-break + random update order); this variant pins BOTH (smallest
+    label wins ties, synchronous rounds), which is what makes a bit-exact
+    DuckDB twin possible at all — the oracle unrolls the same three
+    rounds as chained CTEs with ROW_NUMBER argmax. Output pins the
+    labeling, not just the community shapes: size histogram + SUM of
+    winning labels per size. Per round the Spark side is one node-key
+    equi-join + two partial-aggregated groupBys over (node, label) rows —
+    never an adjacency list in memory, never all-pairs — so a round
+    costs O(edges) shuffle bytes at any scale; the fixed round count
+    (not convergence-polling) keeps the whole thing ONE lazy plan with
+    zero driver actions."""
+    from flusher_spark.operators.graph import label_propagation
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    edges = (
+        o.join(
+            l.where((F.col("l_quantity") == 50) & (F.col("l_orderkey") % 3 == 0)),
+            o.o_orderkey == l.l_orderkey,
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    lab = label_propagation(edges, iters=3)
+    sizes = lab.groupBy("label").agg(F.count("*").alias("n_members"))
+    return (
+        sizes.groupBy(F.col("n_members").alias("comm_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_communities"),
+            F.sum("label").cast("long").alias("label_sum"),
+        )
+        .orderBy("comm_size")
     )
 
 

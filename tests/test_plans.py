@@ -252,6 +252,7 @@ _NESTED_LOOP_OK = {
     "join_cross",  # the CROSS JOIN catalog entry itself
     "similarity_neardup_cosine",  # documented O(n²) exact baseline (oracle twin of LSH)
     "similarity_topk_exact",  # broadcast query-set × candidates, |queries| small
+    "similarity_mmr_rerank",  # same broadcast query-set scan feeding the MMR pools
     "similarity_matryoshka_truncated",  # same broadcast query-set scan, prefix dims
     "similarity_topk_ivf",  # broadcast centroid set (n_lists rows)
     "similarity_ivf_persisted",  # same broadcast centroid set on the probe side
