@@ -44,7 +44,13 @@ def vec_dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
-    return vec_dot(a, b) / (F.sqrt(norm_a) * F.sqrt(norm_b))
+    # try_divide, not `/`: a zero-norm vector must yield NULL similarity
+    # (sorts LAST under cosine_sim DESC, and callers can filter it) under
+    # ANSI mode too — a bare division RAISES DIVIDE_BY_ZERO there, taking
+    # the whole job down over one garbage embedding (r10 review). For
+    # nonzero denominators try_divide is the same IEEE division bit for
+    # bit, so oracle parity is untouched.
+    return F.try_divide(vec_dot(a, b), F.sqrt(norm_a) * F.sqrt(norm_b))
 
 
 def _safe_norms(m):
@@ -55,8 +61,9 @@ def _safe_norms(m):
     would take rank 1 for every query under ``cosine_sim DESC`` (r9
     review). With the guard a zero vector keeps similarity 0.0 everywhere:
     ranked like any orthogonal vector, never promoted. (The fold-left
-    exact twin yields NULL there — Spark non-ANSI x/0.0 — which sorts
-    LAST; both conventions keep garbage out of the top-k.)"""
+    exact twin yields NULL there — ``cosine`` divides via try_divide, so
+    ANSI mode returns NULL instead of raising — which sorts LAST; both
+    conventions keep garbage out of the top-k.)"""
     import numpy as np
 
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -423,15 +430,22 @@ def mmr_rerank(
     query_id — each group is one bounded pool (≤ ``pool`` rows × the
     embedding width), the greedy loop is O(k·pool) numpy per group, and
     NOTHING is collected to the driver: a million queries means a million
-    independent pandas groups. Returns (query_id, mmr_rank, vec_id,
-    relevance, mmr_score).
+    independent pandas groups. Returns (query_id, mmr_rank, <id_col>,
+    relevance, mmr_score) with the id columns typed from the input
+    (the _topk_schema discipline — no hardcoded long).
 
     Greedy MMR is order-sequential, so it has no SQL twin — the catalog
     entry is rows-only; selection-order correctness is pinned in pytest
     against an independent per-step reference."""
-    import numpy as np
+    from pyspark.sql import types as T
 
     cands = brute_force_topk(df, query_ids, k=pool, id_col=id_col, vec_col=vec_col)
+    # A zero-norm candidate has NULL cosine_sim (x/0.0 under non-ANSI);
+    # NULLs sort last but still take ranks, so with a small table they can
+    # reach the pool — and a NULL relevance becomes NaN in pandas, where
+    # np.argmax(NaN) would hand the garbage vector rank 1 (the exact
+    # mis-ranking _safe_norms exists to prevent). Drop them here.
+    cands = cands.where(F.col("cosine_sim").isNotNull())
     cands = cands.join(
         df.select(F.col(id_col), F.col(vec_col).alias("__vec")), id_col
     ).select(
@@ -441,9 +455,15 @@ def mmr_rerank(
         "__vec",
     )
 
-    out_schema = (
-        "query_id long, mmr_rank long, vec_id long, "
-        "relevance double, mmr_score double"
+    idt = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", idt),
+            T.StructField("mmr_rank", T.LongType()),
+            T.StructField(id_col, idt),
+            T.StructField("relevance", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
     )
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -452,31 +472,36 @@ def mmr_rerank(
         # Candidate order pinned by id so every argmax's first-max IS the
         # smallest-id tie-break, independent of shuffle arrival order.
         pdf = pdf.sort_values("__cid").reset_index(drop=True)
-        qid = int(pdf["query_id"].iloc[0])
-        ids = pdf["__cid"].to_numpy()
         rel = pdf["__rel"].to_numpy(dtype=np.float64)
         V = np.array(pdf["__vec"].tolist(), dtype=np.float64)
         V /= _safe_norms(V)
-        n = len(ids)
-        chosen = 0
+        n = len(pdf)
         # max cosine to any already-picked result; -inf (not 0) so a
         # candidate whose similarity to everything selected is NEGATIVE
         # keeps its full diversity credit — a zero floor silently clamps
         # anti-correlated candidates to "neutral" and mis-ranks them.
         max_sim = np.full(n, -np.inf)
         alive = np.ones(n, dtype=bool)
-        rows = []
-        for r in range(1, min(k, n) + 1):
-            score = rel if not chosen else lam * rel - (1.0 - lam) * max_sim
+        sel_idx: list[int] = []
+        scores: list[float] = []
+        for _ in range(min(k, n)):
+            score = rel if not sel_idx else lam * rel - (1.0 - lam) * max_sim
             masked = np.where(alive, score, -np.inf)
             j = int(np.argmax(masked))  # first max = smallest id (sorted)
-            chosen += 1
             alive[j] = False
-            rows.append((qid, r, int(ids[j]), float(rel[j]), float(masked[j])))
+            sel_idx.append(j)
+            scores.append(float(masked[j]))
             max_sim = np.maximum(max_sim, V @ V[j])
+        # Id columns pass through with their native pandas dtype — no
+        # int() coercion, so string/any-typed ids survive (id_col contract).
         return pd.DataFrame(
-            rows,
-            columns=["query_id", "mmr_rank", "vec_id", "relevance", "mmr_score"],
+            {
+                "query_id": pdf["query_id"].iloc[sel_idx].reset_index(drop=True),
+                "mmr_rank": pd.Series(range(1, len(sel_idx) + 1), dtype="int64"),
+                id_col: pdf["__cid"].iloc[sel_idx].reset_index(drop=True),
+                "relevance": pd.Series(rel[sel_idx]),
+                "mmr_score": pd.Series(scores, dtype="float64"),
+            }
         )
 
     return cands.groupBy("query_id").applyInPandas(pick, out_schema)

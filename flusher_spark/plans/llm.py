@@ -1789,7 +1789,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
-        .distinct()
+        # no .distinct() here: the operator's own union+distinct over the
+        # bidirected edge set subsumes it (exactly as the oracle's UNION
+        # subsumes a SELECT DISTINCT in its edges CTE) — a pre-distinct
+        # would just add a full extra shuffle for zero semantic effect.
     )
     lab = label_propagation(edges, iters=3)
     sizes = lab.groupBy("label").agg(F.count("*").alias("n_members"))
