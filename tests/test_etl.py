@@ -1247,3 +1247,53 @@ def test_warehouse_compact_recovers_interrupted_runs(spark, tmp_path):
     assert wh.read("t").count() == expected2, "roll-forward must finish the cleanup"
     assert not _os.path.exists(_os.path.join(path, "_compact_pending.json"))
     assert not _os.path.isdir(staged2), "recovery consumes staging leftovers"
+
+
+def test_snapshot_optimized_write_confs_survive_concurrent_writers(spark, tmp_path):
+    """Two clustered tables with DIFFERENT target_file_bytes committing from
+    two threads at once: the process-wide lock must serialize each writer's
+    set-confs/write/restore window, so the session's AQE confs come back to
+    their originals — without it, interleaved get-then-set pairs can snapshot
+    each other's temporary values and restore them permanently."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    keys = (
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+    )
+    before = {k: spark.conf.get(k) for k in keys}
+    src = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    errors = []
+
+    def writer(name, tfb):
+        try:
+            t = SnapshotTable(
+                spark, str(tmp_path / name), "k",
+                cluster_by=["k"], target_file_bytes=tfb,
+            )
+            t.create(src)
+            t.append(src.select((F.col("k") + 3000).alias("k"), "v"))
+        except Exception as exc:  # pragma: no cover - surfaced via errors
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=("a", 4096)),
+        threading.Thread(target=writer, args=("b", 1 << 20)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    after = {k: spark.conf.get(k) for k in keys}
+    assert after == before, "AQE confs must be restored to pre-write values"
+    for name in ("a", "b"):
+        t = SnapshotTable(spark, str(tmp_path / name), "k", cluster_by=["k"])
+        assert t.snapshot().count() == 6000
