@@ -197,3 +197,43 @@ def test_asof_nearest_fractional_equals_naive(spark, lefts, rights):
         assert got[lid] == (naive(k, t) or (None, None)), (
             f"lid={lid} k={k} t={t}: got {got[lid]}, naive {naive(k, t)}"
         )
+
+
+_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=11),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(edges=_edges_strategy, iters=st.integers(min_value=1, max_value=3))
+@settings(**SETTINGS)
+def test_label_propagation_equals_python_reference(spark, edges, iters):
+    """On random small graphs (self-loops, duplicate/bidirected edges,
+    multiple components, tie-heavy label counts), deterministic sync LPA
+    must agree exactly with a pure-Python simulation of its definition —
+    the tie/oscillation space is exactly what a hand-written case misses."""
+    from collections import Counter, defaultdict
+
+    from flusher_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, iters=iters).collect()}
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    lab = {n: n for n in adj}
+    for _ in range(iters):
+        nxt = {}
+        for n in adj:
+            cnt = Counter(lab[m] for m in adj[n])
+            best = max(cnt.values())
+            nxt[n] = min(l for l, c in cnt.items() if c == best)
+        lab = nxt
+    assert got == lab
