@@ -88,16 +88,21 @@ def _stat_jsonable(v):
     """Make a key_min/key_max stat JSON-serializable. int/float/str/bool
     pass through; date/datetime become ISO strings (lexicographic order ==
     chronological order, so string comparison still prunes correctly when
-    callers pass ISO bounds); anything else (Decimal, binary) falls back to
-    str() — json.dump previously raised TypeError AFTER the data files were
-    written, stranding orphans (r9 review)."""
+    callers pass ISO bounds); anything else (Decimal, binary) records NULL
+    — i.e. "stats unavailable, never prune this file" (every pruning site
+    treats a NULL bound as might-intersect). An earlier str() fallback
+    here was worse than the TypeError it replaced: stringified numerics
+    order lexicographically ('95' > '105'), so a range scan with string
+    bounds could prune files that numerically intersect and silently drop
+    rows (r10 review). json.dump raising AFTER the data files were written
+    stranded orphans (r9 review) — NULL avoids both failure modes."""
     import datetime
 
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat()
-    return str(v)
+    return None
 
 
 def _ranges_disjoint(fmin, fmax, lo, hi) -> bool:
@@ -180,7 +185,10 @@ class SnapshotTable:
         ``cluster_files``, if set, overrides the computed count outright
         (an explicit writer-chosen layout)."""
         self.spark = spark
-        self.root = root
+        # Absolute root: manifests record ABSOLUTE file paths (from
+        # input_file_name), so every path comparison against walked/joined
+        # local paths must not depend on the caller's cwd.
+        self.root = os.path.abspath(root)
         self.key = key
         self.cluster_by = list(cluster_by) if cluster_by else None
         self.cluster_files = cluster_files
@@ -190,8 +198,22 @@ class SnapshotTable:
             raise ValueError("target_file_bytes must be >= 1")
         self.target_file_rows = target_file_rows
         self.target_file_bytes = target_file_bytes
-        self._mdir = os.path.join(root, "_manifests")
-        self._ddir = os.path.join(root, "data")
+        self._mdir = os.path.join(self.root, "_manifests")
+        self._ddir = os.path.join(self.root, "data")
+        # Guard against opening an existing table under a DIFFERENT merge
+        # key: every file's recorded [key_min, key_max] stats are for the
+        # recorded key, so pruning under another column silently
+        # misclassifies touched files — merge would then keep old rows for
+        # matched keys AND insert the source rows (duplicate keys, no
+        # error), and the next publish would overwrite the manifest's key,
+        # destroying the evidence.
+        recorded = stored_key(self.root)
+        if recorded is not None and recorded != key:
+            raise ValueError(
+                f"table at {self.root} was created with merge key "
+                f"{recorded!r}, not {key!r} — file stats only prune "
+                "correctly under the recorded key"
+            )
 
     # -- manifest bookkeeping -------------------------------------------------
 
@@ -416,12 +438,25 @@ class SnapshotTable:
 
     # -- public API -----------------------------------------------------------
 
+    def _require_key(self, df: DataFrame) -> None:
+        """Fail BEFORE any data file lands when the source lacks the key
+        column: the post-write stats aggregate would raise anyway
+        (unresolved column), but only after a full commit's files are on
+        disk as orphans — the exact write-then-fail pattern create()'s
+        existence check is ordered to avoid."""
+        if self.key not in df.columns:
+            raise ValueError(
+                f"source has no merge-key column {self.key!r} "
+                f"(columns: {df.columns})"
+            )
+
     def create(self, df: DataFrame, batch_id: int | None = None) -> int:
         if self.current_version() is not None:
             # A real check, not an assert (stripped under -O), and BEFORE
             # the data files land — losing the publish race after writing
             # strands a full commit's files until vacuum.
             raise ValueError(f"table at {self.root} already exists")
+        self._require_key(df)
         files = self._write_files(df)
         manifest = {
             "version": 0, "parent": None, "key": self.key, "files": files,
@@ -439,6 +474,7 @@ class SnapshotTable:
         streaming-fed table — e.g. a manual backfill — must not reset the
         watermark, or a replayed micro-batch after restart would commit
         twice and break the exactly-once sink contract."""
+        self._require_key(df)
         cur = self.current_version()
         m = self._manifest(cur)
         last = m.get("batch_id")
@@ -537,6 +573,7 @@ class SnapshotTable:
         writing. Combined with the atomic manifest publish, a crash between
         data-file write and publish leaves only unreferenced files (cleaned
         by vacuum after retention), never a partial commit."""
+        self._require_key(source)
         cur = self.current_version()
         m = self._manifest(cur)
         if batch_id is not None:
@@ -581,6 +618,8 @@ class SnapshotTable:
             F.count(self.key).alias("nk"),
             F.count(F.when(is_upsert, F.lit(1))).alias("un"),
             F.count_distinct(F.when(is_upsert, F.col(self.key))).alias("und"),
+            F.count_distinct(F.when(~is_upsert, F.col(self.key))).alias("dnd"),
+            F.count_distinct(F.col(self.key)).alias("ad"),
         ).collect()[0]
         if b["n"] != b["nk"]:
             raise ValueError(
@@ -592,6 +631,18 @@ class SnapshotTable:
             raise ValueError(
                 f"merge source has {b['un'] - b['und']} duplicate upsert key(s) "
                 f"on '{self.key}' — dedup (e.g. latest-per-key) before merging"
+            )
+        if b["und"] + b["dnd"] > b["ad"]:
+            # A key appearing as BOTH an upsert and a delete in one batch is
+            # ambiguous: the anti-join removes the old row and the upsert
+            # re-inserts it, so the delete silently loses no matter which
+            # event was "last" in the source. Delta raises on multi-action
+            # matches for the same reason; callers should reduce a CDC
+            # micro-batch to one final action per key before merging.
+            raise ValueError(
+                f"merge source has {b['und'] + b['dnd'] - b['ad']} key(s) on "
+                f"'{self.key}' that appear as both an upsert and a delete — "
+                "reduce to one final action per key before merging"
             )
         lo, hi = b["lo"], b["hi"]
         touched = [
@@ -717,9 +768,13 @@ class SnapshotTable:
             manifest["batch_id"] = m_cur["batch_id"]
         return self._publish(manifest)
 
-    def compact(self, target_file_rows: int = 1 << 20) -> int:
+    def compact(self, target_file_rows: int | None = None) -> int:
         """Small-file compaction as a TRANSACTION: coalesce every file under
-        ``target_file_rows`` into ~target-sized replacements and publish a
+        ``target_file_rows`` (default: the TABLE's configured
+        ``target_file_rows`` — an explicit argument overrides per run; a
+        hardcoded default used to classify every correctly-sized file of a
+        smaller-target table as "small" and rewrite the whole table each
+        maintenance cycle) into ~target-sized replacements and publish a
         new version whose contents are row-identical (only the file layout
         changes). Large files carry forward by reference; readers on older
         versions are untouched (their files are immutable); a concurrent
@@ -727,6 +782,8 @@ class SnapshotTable:
         This is the maintenance half every streaming sink needs — per-batch
         commits accrete small files, compaction folds them without a write
         outage."""
+        if target_file_rows is None:
+            target_file_rows = self.target_file_rows
         cur = self.current_version()
         m = self._manifest(cur)
         small = [f for f in m["files"] if f["rows"] < target_file_rows]
@@ -738,7 +795,13 @@ class SnapshotTable:
         n_out = max(1, -(-total // target_file_rows))
         schema = self._read_schema(m)
         reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
-        df = reader.parquet(*[f["path"] for f in small]).coalesce(n_out)
+        df = reader.parquet(*[f["path"] for f in small])
+        if not self.cluster_by:
+            # Unclustered path: the coalesce IS the output sizing. On the
+            # clustered path _write_files repartitionByRange's to n_out
+            # anyway, and a pre-coalesce would only throttle the small-file
+            # scan's parallelism to n_out tasks for zero layout effect.
+            df = df.coalesce(n_out)
         # Pass the target through: the clustered write path re-shuffles via
         # repartitionByRange(cluster_files | shuffle.partitions), which
         # silently overrode this coalesce — a compaction that emits MORE
@@ -786,32 +849,51 @@ class SnapshotTable:
         known-single-writer maintenance only. (Dropping old manifests
         first — retention policy for time travel — remains the caller's
         call; files referenced by ANY retained version are always kept.)"""
+        # Reference identity is the path's LAST TWO components
+        # (<commit-uuid>/<file>): manifests record absolute paths from the
+        # writing process, so raw string comparison against walked paths
+        # breaks whenever the two spell the root differently (relative
+        # construction, symlinked mount, moved table) — and every miss here
+        # reads as "unreferenced", i.e. vacuum DELETING LIVE DATA once it
+        # ages past retention (r10 review). Commit dirs are uuid4-hex, so
+        # the 2-component suffix is unique within a table.
+        def _suffix(p: str) -> str:
+            parts = p.replace("\\", "/").rstrip("/").split("/")
+            return "/".join(parts[-2:])
+
         referenced = set()
         for v in self.versions():
-            referenced.update(f["path"] for f in self._manifest(v)["files"])
+            referenced.update(_suffix(f["path"]) for f in self._manifest(v)["files"])
         cutoff = time.time() - retention_seconds
         removed = 0
         for dirpath, _dirs, names in os.walk(self._ddir):
             dir_has_referenced = any(
-                os.path.join(dirpath, n) in referenced for n in names
+                _suffix(os.path.join(dirpath, n)) in referenced for n in names
             )
             for name in names:
                 p = os.path.join(dirpath, name)
-                if os.path.getmtime(p) > cutoff:
-                    continue  # possibly a concurrent writer's staged commit
-                if name.endswith(".parquet") and p not in referenced:
-                    os.unlink(p)
-                    removed += 1
-                elif name.endswith(".parquet.crc"):
-                    # Hadoop LocalFileSystem checksum sidecar: '.X.crc' next
-                    # to data file X. Orphaned once X is unreferenced/gone —
-                    # without this, sidecars accumulate without bound on a
-                    # long-running streaming sink (r9 review).
-                    target = os.path.join(dirpath, name[1:-4])
-                    if target not in referenced:
+                try:
+                    if os.path.getmtime(p) > cutoff:
+                        continue  # possibly a concurrent writer's staged commit
+                    if name.endswith(".parquet") and _suffix(p) not in referenced:
                         os.unlink(p)
-                elif name in ("_SUCCESS", "._SUCCESS.crc") and not dir_has_referenced:
-                    os.unlink(p)
+                        removed += 1
+                    elif name.endswith(".parquet.crc"):
+                        # Hadoop LocalFileSystem checksum sidecar: '.X.crc'
+                        # next to data file X. Orphaned once X is
+                        # unreferenced/gone — without this, sidecars
+                        # accumulate without bound on a long-running
+                        # streaming sink (r9 review).
+                        target = os.path.join(dirpath, name[1:-4])
+                        if _suffix(target) not in referenced:
+                            os.unlink(p)
+                    elif name in ("_SUCCESS", "._SUCCESS.crc") and not dir_has_referenced:
+                        os.unlink(p)
+                except OSError:
+                    # A concurrent vacuum/writer removed it between the walk
+                    # and the stat/unlink — someone else's cleanup is not
+                    # this sweep's failure.
+                    continue
         # Drop commit directories emptied by the sweep (bottom-up).
         for dirpath, dirs, names in os.walk(self._ddir, topdown=False):
             if dirpath != self._ddir and not dirs and not names:

@@ -1297,3 +1297,118 @@ def test_snapshot_optimized_write_confs_survive_concurrent_writers(spark, tmp_pa
     for name in ("a", "b"):
         t = SnapshotTable(spark, str(tmp_path / name), "k", cluster_by=["k"])
         assert t.snapshot().count() == 6000
+
+
+def test_snapshot_vacuum_is_root_spelling_independent(spark, tmp_path):
+    """vacuum must never classify LIVE files as unreferenced because the
+    table root is spelled differently than when the manifests were written
+    (relative path, trailing slash, symlink) — manifests record absolute
+    paths, so reference identity has to be root-independent."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    root = str(tmp_path / "vroot")
+    t = SnapshotTable(spark, root, "k")
+    src = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    t.create(src)
+    t.merge(spark.range(0, 10).select(F.col("id").alias("k"), F.lit(2).alias("v")))
+    # age every file past retention, then vacuum through a RELATIVE root
+    for dirpath, _d, names in _os.walk(root):
+        for n in names:
+            _os.utime(_os.path.join(dirpath, n), (0, 0))
+    cwd = _os.getcwd()
+    _os.chdir(tmp_path)
+    try:
+        t2 = SnapshotTable(spark, "vroot/", "k")
+        t2.vacuum(retention_seconds=0)
+    finally:
+        _os.chdir(cwd)
+    # live rows must all still be readable
+    assert t.snapshot().count() == 100
+    # and version 0 must still time-travel (all its files retained too)
+    assert t.snapshot(0).count() == 100
+
+
+def test_snapshot_decimal_key_stats_never_misprune(spark, tmp_path):
+    """A merge key whose stats can't round-trip JSON order-preservingly
+    (Decimal) must record NULL stats — files stay unprunable but EXACT; the
+    old str() fallback pruned lexicographically ('95' > '105') and silently
+    dropped rows from range scans."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "dec"), "k")
+    src = spark.range(90, 120).select(
+        F.col("id").cast("decimal(10,2)").alias("k"), F.lit(1).alias("v")
+    )
+    t.create(src)
+    m = t._manifest(t.current_version())
+    assert all(f["key_min"] is None and f["key_max"] is None for f in m["files"])
+    got = sorted(r["k"] for r in t.scan_range(Decimal(100), Decimal(110)).collect())
+    assert got == [Decimal(i).quantize(Decimal("0.01")) for i in range(100, 111)]
+
+
+def test_snapshot_reopen_with_wrong_key_raises(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    root = str(tmp_path / "wk")
+    t = SnapshotTable(spark, root, "k")
+    t.create(spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("ts")))
+    with pytest.raises(ValueError, match="created with merge key"):
+        SnapshotTable(spark, root, "ts")
+
+
+def test_snapshot_merge_rejects_upsert_delete_key_collision(spark, tmp_path):
+    """One batch carrying BOTH an upsert and a delete for the same key is
+    ambiguous (the upsert always silently wins) — must raise, like the
+    duplicate-upsert case."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "ud"), "k")
+    t.create(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(0).cast("long").alias("v"))
+    )
+    bad = spark.createDataFrame(
+        [(1, 9, False), (1, 0, True), (2, 7, False)],
+        "k long, v long, is_del boolean",
+    )
+    with pytest.raises(ValueError, match="both an upsert and a delete"):
+        t.merge(bad, delete_col="is_del")
+    # disjoint action keys stay legal
+    ok = spark.createDataFrame(
+        [(1, 9, False), (2, 0, True)], "k long, v long, is_del boolean"
+    )
+    t.merge(ok, delete_col="is_del")
+    assert sorted(r["k"] for r in t.snapshot().collect()) == [0, 1, 3, 4]
+
+
+def test_snapshot_missing_key_column_fails_before_writing(spark, tmp_path):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    root = str(tmp_path / "mk")
+    t = SnapshotTable(spark, root, "k")
+    nokey = spark.range(5).select(F.col("id").alias("other"))
+    with pytest.raises(ValueError, match="no merge-key column"):
+        t.create(nokey)
+    assert not _os.path.isdir(_os.path.join(root, "data")) or not any(
+        names for _p, _d, names in _os.walk(_os.path.join(root, "data"))
+    ), "failed create must leave zero data files"
+    t.create(spark.range(3).select(F.col("id").alias("k")))
+    with pytest.raises(ValueError, match="no merge-key column"):
+        t.append(nokey)
+    with pytest.raises(ValueError, match="no merge-key column"):
+        t.merge(nokey)
