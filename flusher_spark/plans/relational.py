@@ -2587,8 +2587,15 @@ def events_stateful_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _stage_event_stream(spark, sf_dir, dup=True)
     stream = stream_events(spark, path).where(F.col("user_id") % 5 == 0)
+    # The operator passes the FULL input schema through; this entry's oracle
+    # pins the 4-column projection, applied on the streaming result.
     return _run_stream_entry(
-        spark, lambda: streaming_dedup_first_seen(stream), "cat_first_seen", "update"
+        spark,
+        lambda: streaming_dedup_first_seen(stream).select(
+            "event_id", "user_id", "event_type", "value"
+        ),
+        "cat_first_seen",
+        "update",
     )
 
 

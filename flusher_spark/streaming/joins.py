@@ -25,6 +25,54 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> D
     return events.join(F.broadcast(dim), on, "left")
 
 
+def _purchases_views_join(
+    events: DataFrame, how: str, max_gap: str, watermark: str
+) -> DataFrame:
+    """Shared core of the four purchase/view stream-stream joins: both
+    sides are ALWAYS aliased (p_user_id / v_user_id) and the output picks
+    the orientation-correct user_id, so a fix to the range condition or
+    watermarking lands once — the four hand-expanded copies this replaces
+    had already drifted in their incidental aliasing (r10 review). The
+    event-time range condition + watermarks on both sides are what bound
+    the join state; without the range condition state grows forever."""
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    joined = purchases.join(
+        views,
+        (purchases.p_user_id == views.v_user_id)
+        & (views.view_ts <= purchases.purchase_ts)
+        & (views.view_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}")),
+        how,
+    )
+    # user_id per orientation: the purchase side where it can't be NULL
+    # (inner/left), the view side on the right join, coalesced on full.
+    user = {
+        "inner": F.col("p_user_id"),
+        "leftOuter": F.col("p_user_id"),
+        "rightOuter": F.col("v_user_id"),
+        "fullOuter": F.coalesce("p_user_id", "v_user_id"),
+    }[how]
+    return joined.select(
+        "purchase_id", user.alias("user_id"), "purchase_ts", "view_id", "view_ts"
+    )
+
+
 def join_purchases_to_views(
     events: DataFrame,
     max_gap: str = "1 hour",
@@ -33,27 +81,7 @@ def join_purchases_to_views(
     """Stream-stream join: each purchase paired with every prior view by the
     same user within ``max_gap``. Event-time range condition + watermarks on
     both sides bound the join state."""
-    purchases = (
-        events.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", watermark)
-    )
-    views = (
-        events.where(F.col("event_type") == "view")
-        .select(F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts"))
-        .withWatermark("view_ts", watermark)
-    )
-    return purchases.join(
-        views,
-        (purchases.user_id == views.user_id)
-        & (views.view_ts <= purchases.purchase_ts)
-        & (views.view_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}")),
-        "inner",
-    ).select("purchase_id", purchases.user_id, "purchase_ts", "view_id", "view_ts")
+    return _purchases_views_join(events, "inner", max_gap, watermark)
 
 
 def join_purchases_to_views_left(
@@ -70,28 +98,7 @@ def join_purchases_to_views_left(
     watermark delay, and a bounded run needs the watermark pushed past the
     last purchase before its final NULLs flush (see the catalog entry's
     sentinel file)."""
-    purchases = (
-        events.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", watermark)
-    )
-    views = (
-        events.where(F.col("event_type") == "view")
-        .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user_id"),
-                F.col("ts").alias("view_ts"))
-        .withWatermark("view_ts", watermark)
-    )
-    return purchases.join(
-        views,
-        (purchases.user_id == views.v_user_id)
-        & (views.view_ts <= purchases.purchase_ts)
-        & (views.view_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}")),
-        "leftOuter",
-    ).select("purchase_id", purchases.user_id, "purchase_ts", "view_id", "view_ts")
+    return _purchases_views_join(events, "leftOuter", max_gap, watermark)
 
 
 def join_purchases_to_views_full(
@@ -109,34 +116,7 @@ def join_purchases_to_views_full(
     watermark + range exactly as in the inner join, and a bounded run
     needs the sentinel flush on both sides. ``user_id`` is coalesced
     across sides since either may be NULL."""
-    purchases = (
-        events.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", watermark)
-    )
-    views = (
-        events.where(F.col("event_type") == "view")
-        .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user_id"),
-                F.col("ts").alias("view_ts"))
-        .withWatermark("view_ts", watermark)
-    )
-    return purchases.join(
-        views,
-        (purchases.p_user_id == views.v_user_id)
-        & (views.view_ts <= purchases.purchase_ts)
-        & (views.view_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}")),
-        "fullOuter",
-    ).select(
-        "purchase_id",
-        F.coalesce("p_user_id", "v_user_id").alias("user_id"),
-        "purchase_ts",
-        "view_id",
-        "view_ts",
-    )
+    return _purchases_views_join(events, "fullOuter", max_gap, watermark)
 
 
 def join_purchases_to_views_right(
@@ -154,24 +134,4 @@ def join_purchases_to_views_right(
     State on both sides stays watermark+range bounded exactly as in the
     inner join; a bounded run needs the sentinel flush on both sides.
     ``user_id`` comes from the view side (never NULL on the right join)."""
-    purchases = (
-        events.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", watermark)
-    )
-    views = (
-        events.where(F.col("event_type") == "view")
-        .select(F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts"))
-        .withWatermark("view_ts", watermark)
-    )
-    return purchases.join(
-        views,
-        (purchases.p_user_id == views.user_id)
-        & (views.view_ts <= purchases.purchase_ts)
-        & (views.view_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {max_gap}")),
-        "rightOuter",
-    ).select("purchase_id", views.user_id, "purchase_ts", "view_id", "view_ts")
+    return _purchases_views_join(events, "rightOuter", max_gap, watermark)

@@ -44,6 +44,34 @@ RUNNING_TOTALS_SCHEMA = T.StructType(
 _TOTALS_STATE_SCHEMA = "n_events long, sum_value double, max_value double"
 
 
+def _accumulate_totals(
+    n: int, s: float, m: float, pdfs: Iterator[pd.DataFrame]
+) -> tuple[int, float, float]:
+    """Fold a batch's frames into the (n_events, sum_value, max_value)
+    running state — ONE implementation shared by the applyInPandasWithState
+    operator and its transformWithState twin, so the module's "the
+    processor logic is identical" claim is structural, not a comment that
+    drifts (the two copies had already diverged in guard placement, r10
+    review)."""
+    for pdf in pdfs:
+        if len(pdf):
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            m = max(m, float(pdf["value"].max()))
+    return n, s, m
+
+
+def _pick_first_row(frames: list[pd.DataFrame]) -> pd.DataFrame:
+    """Deterministic in-batch winner for first-seen dedup. Row order inside
+    a shuffled group is NOT source order, so "first within this batch" is
+    undefined; take the row that is lexicographically smallest over ALL
+    columns (in schema order) so the admitted payload is deterministic
+    across retries and partitionings — replays with identical payloads (the
+    common at-least-once case) are unaffected. Shared by both API twins."""
+    batch = pd.concat(frames, ignore_index=True)
+    return batch.sort_values(list(batch.columns)).iloc[:1]
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running (n_events, sum_value, max_value), updated each batch.
 
@@ -55,15 +83,8 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     def update(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            n, s, m = state.get
-        else:
-            n, s, m = 0, 0.0, float("-inf")
-        for pdf in pdfs:
-            n += len(pdf)
-            s += float(pdf["value"].sum())
-            if len(pdf):
-                m = max(m, float(pdf["value"].max()))
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        n, s, m = _accumulate_totals(n, s, m, pdfs)
         state.update((n, s, m))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "max_value": [m]}
@@ -78,44 +99,29 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-FIRST_SEEN_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-    ]
-)
-
-
 def streaming_dedup_first_seen(events: DataFrame, key_col: str = "event_id") -> DataFrame:
     """Emit only the first-ever occurrence of each key across the stream.
 
     Replays of the same key in later batches (or later in the same batch)
     are dropped. The canonical LLM-pipeline ingestion guard: exactly-once
-    document admission over an at-least-once feed.
-    """
+    document admission over an at-least-once feed. The surviving row
+    passes through with the FULL input schema — a hardcoded projection
+    here used to silently drop the admitted document's ts/props payload
+    (and contradicted the generic ``key_col`` parameter, r10 review)."""
 
     def first_only(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             return
-        # Row order inside a shuffled group is NOT source order, so "first
-        # within this batch" is undefined; take the lexicographically
-        # smallest row so the admitted payload is deterministic across
-        # retries and partitionings (replays with identical payloads — the
-        # common at-least-once case — are unaffected).
         frames = [pdf for pdf in pdfs if len(pdf)]
         if frames:
-            cols = ["event_id", "user_id", "event_type", "value"]
-            batch = pd.concat(frames, ignore_index=True)
             state.update((True,))
-            yield batch[cols].sort_values(cols).iloc[:1]
+            yield _pick_first_row(frames)
 
     return events.groupBy(key_col).applyInPandasWithState(
         first_only,
-        outputStructType=FIRST_SEEN_SCHEMA,
+        outputStructType=events.schema,
         stateStructType="seen boolean",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -139,28 +145,40 @@ def streaming_dedup_first_seen(events: DataFrame, key_col: str = "event_id") -> 
 TWS_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
 
-def tws_available() -> bool:
-    """True when transformWithStateInPandas can actually execute: its state
-    server speaks protobuf from the Python side."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 try:  # the processor base class exists from Spark 4.0 on
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
+
+    _TWS_API_PRESENT = True
 except ImportError:  # pragma: no cover - older Spark
 
     class StatefulProcessor:  # type: ignore[no-redef]
         pass
 
     StatefulProcessorHandle = Any  # type: ignore[assignment]
+    _TWS_API_PRESENT = False
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually execute: the
+    Spark-4 StatefulProcessor API must have imported (on Spark 3.x the
+    fallback base class above exists precisely because it does NOT — a
+    protobuf-only probe returned True there and the live path crashed with
+    'GroupedData has no attribute transformWithStateInPandas', r10 review)
+    AND the Python state-server protocol's protobuf dependency must be
+    present. The RocksDB native library is a third requirement this probe
+    cannot see without starting a query; end-to-end tests treat a
+    provider-load failure as environmental."""
+    if not _TWS_API_PRESENT:  # pragma: no cover - older Spark
+        return False
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 class RunningTotalsProcessor(StatefulProcessor):
@@ -173,11 +191,7 @@ class RunningTotalsProcessor(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         n, s, m = self._totals.get() if self._totals.exists() else (0, 0.0, float("-inf"))
-        for pdf in rows:
-            if len(pdf):
-                n += len(pdf)
-                s += float(pdf["value"].sum())
-                m = max(m, float(pdf["value"].max()))
+        n, s, m = _accumulate_totals(n, s, m, rows)
         self._totals.update((n, s, m))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "max_value": [m]}
@@ -197,13 +211,10 @@ class FirstSeenProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         if self._seen.exists():
             return
-        # Deterministic in-batch winner — same rule as first_only above.
         frames = [pdf for pdf in rows if len(pdf)]
         if frames:
-            cols = ["event_id", "user_id", "event_type", "value"]
-            batch = pd.concat(frames, ignore_index=True)
             self._seen.update((True,))
-            yield batch[cols].sort_values(cols).iloc[:1]
+            yield _pick_first_row(frames)
 
     def close(self) -> None:
         pass
@@ -226,7 +237,16 @@ def _with_tws_provider(events: DataFrame):
 
 
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
-    """running_user_totals on the transformWithStateInPandas API."""
+    """running_user_totals on the transformWithStateInPandas API.
+
+    SESSION-WIDE SIDE EFFECT: building this query sets the session's
+    state-store provider to RocksDB (a SparkSession conf read at query
+    start, not a writeStream option — see _with_tws_provider). Other
+    streaming queries started on the same session afterwards inherit it:
+    a different checkpoint format, and a hard failure if the native
+    library is absent. Mixing tws and non-tws queries on one session?
+    Snapshot ``spark.sql.streaming.stateStore.providerClass`` before
+    calling and restore it after the tws query starts."""
     return _with_tws_provider(events).groupBy("user_id").transformWithStateInPandas(
         RunningTotalsProcessor(),
         outputStructType=RUNNING_TOTALS_SCHEMA,
@@ -236,10 +256,15 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
 
 
 def streaming_dedup_first_seen_tws(events: DataFrame, key_col: str = "event_id") -> DataFrame:
-    """streaming_dedup_first_seen on the transformWithStateInPandas API."""
+    """streaming_dedup_first_seen on the transformWithStateInPandas API
+    (full-schema pass-through, like its twin).
+
+    SESSION-WIDE SIDE EFFECT: building this query switches the session's
+    state-store provider to RocksDB — see running_user_totals_tws's
+    docstring for the mixing caveat and the snapshot/restore recipe."""
     return _with_tws_provider(events).groupBy(key_col).transformWithStateInPandas(
         FirstSeenProcessor(),
-        outputStructType=FIRST_SEEN_SCHEMA,
+        outputStructType=events.schema,
         outputMode="Update",
         timeMode="None",
     )

@@ -35,10 +35,6 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
-#: Legacy generation: ns timestamps as longs under nanosAsLong (io/tables.py).
-EVENTS_RAW_SCHEMA = _events_schema(T.LongType())
-
-
 def stream_events(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-based micro-batch stream of events (one parquet per trigger —
     in production this is the Kafka/queue reader; the transformations are
