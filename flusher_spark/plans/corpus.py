@@ -131,6 +131,77 @@ DECON_N = 3
 DECON_EVAL_MOD = 97
 
 
+def _gopher_stats():
+    """The three Gopher-style document statistics over a ``toks`` column —
+    (n_words, sum_word_len, n_alpha_words) as exact-integer Columns. ONE
+    definition consumed by the standalone corpus_gopher_rules report AND
+    the e2e pipeline's stage-1 filter, so the pipeline provably filters on
+    the same statistics the report explains (they were hand-synced copies
+    before, r10 review)."""
+    nw = F.size("toks").cast("long")
+    sumlen = F.expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)")
+    nalpha = F.expr("size(filter(toks, x -> x rlike '[a-z]'))").cast("long")
+    return nw, sumlen, nalpha
+
+
+def _decon_counts(eval_src: DataFrame, train: DataFrame, n: int, eval_mod: int) -> DataFrame:
+    """Decontamination overlap counts — (doc_id, n_shingles, n_overlap) of
+    each training document's distinct n-grams vs the broadcast held-out
+    eval split (doc_id % eval_mod == 0 over ``eval_src``). Shared by the
+    standalone decontaminate_ngram_overlap entry (eval and train both
+    drawn from the full corpus) and the e2e pipeline's stage 4 (train =
+    the dedup survivors): same broadcast + left-join + dual-count shape,
+    one shuffle after the eval build."""
+    ev = F.broadcast(
+        shingle_rows(eval_src, n=n).distinct()
+        .where(F.col("doc_id") % eval_mod == 0)
+        .select("s")
+        .distinct()
+    )
+    tr = shingle_rows(train, n=n).distinct().where(F.col("doc_id") % eval_mod != 0)
+    return (
+        tr.join(ev.withColumn("__hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"), F.count("__hit").alias("n_overlap"))
+    )
+
+
+def _mix_cols():
+    """(token_share, sample_frac) Columns of the uniform-target mixture
+    reweighting over a per-source aggregate carrying ``n_tokens`` — the one
+    formula behind corpus_source_mix (plans/llm.py), corpus_mix_apply, and
+    the e2e pipeline's stage 5, shared so the three cannot drift."""
+    w = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double")
+    target = F.lit(1.0) / F.count("*").over(w).cast("double")
+    return share, F.least(F.lit(1.0), target / share)
+
+
+def _pack_rollup(docs: DataFrame, ntok_col: str) -> DataFrame:
+    """(bucket, pack_id, n_docs, pack_tokens) rollup of the shared
+    contiguous-fill packing: stripe by doc_id % PACK_BUCKETS, running token
+    sum per bucket ordered by (doc_id, n_tok), pack = start div
+    PACK_BUDGET. One definition behind pack_sequences_fill and the e2e
+    pipeline's final stage."""
+    b = docs.select(
+        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
+        "doc_id",
+        F.col(ntok_col).alias("n_tok"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id", "n_tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = b.select("bucket", "n_tok", F.sum("n_tok").over(w).alias("cum"))
+    p = c.select(
+        "bucket", "n_tok", F.expr(f"(cum - n_tok) div {PACK_BUDGET}").alias("pack_id")
+    )
+    return (
+        p.groupBy("bucket", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("pack_tokens"))
+        .orderBy("bucket", "pack_id")
+    )
+
+
 @register(
     "decontaminate_ngram_overlap",
     oracle=f"""
@@ -163,17 +234,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the oracle's inner n⋈o join. No all-pairs comparison
     anywhere; top-50 is TakeOrderedAndProject."""
     d = load_table(spark, sf_dir, "documents")
-    g = shingle_rows(d, n=DECON_N).distinct()
-    ev = F.broadcast(
-        g.where(F.col("doc_id") % DECON_EVAL_MOD == 0).select("s").distinct()
-    )
-    tr = g.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
-    per = (
-        tr.join(ev.withColumn("__hit", F.lit(1)), "s", "left")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shingles"), F.count("__hit").alias("n_overlap"))
-        .where(F.col("n_overlap") > 0)
-    )
+    per = _decon_counts(d, d, DECON_N, DECON_EVAL_MOD).where(F.col("n_overlap") > 0)
     return (
         per.select(
             "doc_id", "n_overlap", "n_shingles",
@@ -227,20 +288,9 @@ def pack_sequences_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc_id and n_tok is in the key — so the packing stays engine- and
     run-deterministic instead of silently depending on tie order."""
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
-        n_tokens(F.col("text")).alias("n_tok"),
+        "doc_id", n_tokens(F.col("text")).alias("n_tok")
     )
-    w = Window.partitionBy("bucket").orderBy("doc_id", "n_tok").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = d.select("bucket", "n_tok", F.sum("n_tok").over(w).alias("cum"))
-    p = c.select("bucket", "n_tok", F.expr(f"(cum - n_tok) div {PACK_BUDGET}").alias("pack_id"))
-    return (
-        p.groupBy("bucket", "pack_id")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("pack_tokens"))
-        .orderBy("bucket", "pack_id")
-    )
+    return _pack_rollup(d, "n_tok")
 
 
 @register(
@@ -283,21 +333,18 @@ def shuffle_deterministic_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vocab_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-pair frequency count — the inner loop of a BPE vocabulary
-    build (the top pair is the next merge candidate). posexplode + lead
-    window keeps the pair construction inside whole-stage codegen (the HOF
-    zip formulation is CodegenFallback — same finding as
-    operators/dedup.py:47), the count is a partial-aggregated groupBy, and
-    the top-20 is TakeOrderedAndProject. One doc_id window shuffle + one
-    pair-key agg shuffle, independent of corpus width."""
+    build (the top pair is the next merge candidate). Pairs come from the
+    shared shingle_rows ROW-LOCAL transform (operators/dedup.py — a
+    codegen'd slice projection, no shuffle to build pairs; an earlier
+    posexplode + lead-window formulation exchanged the entire tokenized
+    corpus on doc_id before counting, the exact shape shingle_rows's
+    docstring documents migrating away from). The count is one
+    partial-aggregated groupBy and the top-20 is TakeOrderedAndProject —
+    ONE shuffle total, independent of corpus width."""
     d = load_table(spark, sf_dir, "documents")
-    pe = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    pair = pe.select(
-        F.concat_ws(" ", "tok", F.lead("tok").over(w)).alias("bigram"),
-        F.lead("tok").over(w).alias("nxt"),
-    ).where(F.col("nxt").isNotNull())
+    bg = shingle_rows(d, n=2).withColumnRenamed("s", "bigram")
     return (
-        pair.groupBy("bigram")
+        bg.groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
@@ -412,6 +459,24 @@ BOILER_K = 200
 BOILER_N = 3
 
 
+def _boilerplate_topk(d: DataFrame):
+    """(per-doc distinct shingles, top-K boilerplate set) for the
+    boilerplate DETECT and MASK entries — one implementation so the mask
+    entry provably applies exactly the set the detect half computes (a
+    K or tie-break change in one copy used to decouple them silently,
+    r10 review). The top-K head is TakeOrderedAndProject (K driver rows,
+    bounded by the constant) and is meant to be broadcast by callers."""
+    g = shingle_rows(d, n=BOILER_N).distinct()
+    b = (
+        g.groupBy("s")
+        .agg(F.count("*").alias("nd"))
+        .orderBy(F.col("nd").desc(), "s")
+        .limit(BOILER_K)
+        .select("s")
+    )
+    return g, b
+
+
 @register(
     "docs_boilerplate_ngrams",
     oracle=f"""
@@ -445,14 +510,8 @@ def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every downstream ratio — is deterministic cross-engine."""
 
     d = load_table(spark, sf_dir, "documents")
-    g = shingle_rows(d, n=BOILER_N).distinct()
-    b = (
-        g.groupBy("s")
-        .agg(F.count("*").alias("nd"))
-        .orderBy(F.col("nd").desc(), "s")
-        .limit(BOILER_K)
-        .select("s", F.lit(1).alias("__hit"))
-    )
+    g, b = _boilerplate_topk(d)
+    b = b.select("s", F.lit(1).alias("__hit"))
     per = (
         g.join(F.broadcast(b), "s", "left")
         .groupBy("doc_id")
@@ -470,6 +529,26 @@ def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("boiler_ratio").desc(), "doc_id")
         .limit(100)
+    )
+
+
+def _familiarity_per_doc(d: DataFrame) -> DataFrame:
+    """Per-document bigram familiarity sufficient statistics
+    (doc_id, n_bigrams, fam_sum) — ONE implementation shared by
+    docs_bigram_familiarity and corpus_perplexity_buckets, so the bucketing
+    entry's "same score as the familiarity entry" claim is structural
+    rather than two hand-synced copies (which had already been edited
+    independently once, r10 review). Integer-exact: counts and sums are
+    bigints on both engines until the caller's final division."""
+    bg = shingle_rows(d, n=2).withColumnRenamed("s", "b")
+    c = bg.groupBy("b").agg(F.count("*").cast("long").alias("cnt"))
+    return (
+        bg.join(c, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cnt").cast("long").alias("fam_sum"),
+        )
     )
 
 
@@ -506,16 +585,7 @@ def docs_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. No all-pairs, no Python."""
 
     d = load_table(spark, sf_dir, "documents")
-    bg = shingle_rows(d, n=2).withColumnRenamed("s", "b")
-    c = bg.groupBy("b").agg(F.count("*").cast("long").alias("cnt"))
-    per = (
-        bg.join(c, "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("cnt").cast("long").alias("familiarity_sum"),
-        )
-    )
+    per = _familiarity_per_doc(d).withColumnRenamed("fam_sum", "familiarity_sum")
     return per.select(
         "doc_id",
         "n_bigrams",
@@ -538,7 +608,7 @@ def docs_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM t, UNNEST(generate_series(1, len(toks) - {BOILER_N - 1})) AS u(i)
             WHERE array_to_string(toks[i:i+{BOILER_N - 1}], ' ') IN (SELECT s FROM b)),
     cov AS (SELECT DISTINCT doc_id, j + d AS p
-            FROM occ, UNNEST([0, 1, 2]) AS v(d)),
+            FROM occ, UNNEST(generate_series(0, {BOILER_N - 1})) AS v(d)),
     m AS (SELECT doc_id, COUNT(*) AS n_masked FROM cov GROUP BY doc_id)
     SELECT t.source, COUNT(*) AS n_docs,
            CAST(SUM(len(t.toks)) AS BIGINT) AS tokens_total,
@@ -553,9 +623,9 @@ def corpus_boilerplate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate 3-gram is masked, and the entry reports per-source token
     accounting (total vs masked) — the before/after a corpus-cleaning run
     signs off on. The subtle part is span OVERLAP: covered positions are
-    the UNION of [j, j+2] intervals over all boilerplate hits, counted by
-    exploding each hit into its three positions and de-duplicating per
-    document — set arithmetic, not per-hit×3 (which would double-count
+    the UNION of [j, j+BOILER_N-1] intervals over all boilerplate hits,
+    counted by exploding each hit into its BOILER_N positions (derived
+    from the constant on both engines) and de-duplicating per document — set arithmetic, not per-hit×3 (which would double-count
     overlapping spans). Scale shape: the top-K set broadcasts (K rows);
     occurrence positions come from the same row-local shingle transform
     the detect entry uses, so the mask pass adds one broadcast join, one
@@ -564,21 +634,23 @@ def corpus_boilerplate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass it composes with."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
-    g = shingle_rows(d, n=BOILER_N).distinct()
-    b = (
-        g.groupBy("s")
-        .agg(F.count("*").alias("nd"))
-        .orderBy(F.col("nd").desc(), "s")
-        .limit(BOILER_K)
-        .select("s")
-    )
+    _g, b = _boilerplate_topk(d)
     occ = (
         shingle_rows(d, n=BOILER_N, positions=True)
         .join(F.broadcast(b), "s")
         .select("doc_id", (F.col("pos") + 1).alias("j"))
     )
     cov = (
-        occ.select("doc_id", F.explode(F.expr("array(j, j + 1, j + 2)")).alias("p"))
+        occ.select(
+            "doc_id",
+            # span width derives from BOILER_N on BOTH sides — a hardcoded
+            # 3-position array stayed green under the hash harness when
+            # BOILER_N changed (both engines undercounted identically) while
+            # the masking report went silently wrong (r10 review).
+            F.explode(
+                F.expr(f"transform(sequence(0, {BOILER_N - 1}), v -> j + v)")
+            ).alias("p"),
+        )
         .distinct()
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_masked"))
@@ -595,7 +667,7 @@ def corpus_boilerplate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _c4_line(i: int, sql: bool) -> str:
+def _c4_line(i: int) -> str:
     """Line i of the synthesized multi-line document: a text slice plus
     deterministic decorations (terminal punctuation, a 'javascript' token,
     a brace, a lorem-ipsum marker) driven by doc_id arithmetic — IDENTICAL
@@ -609,19 +681,22 @@ def _c4_line(i: int, sql: bool) -> str:
     return f"({base} || {punct} || {js} || {brace} || {lorem})"
 
 
-def _c4_text(sql: bool) -> str:
+def _c4_text(spark_side: bool) -> str:
+    """``spark_side`` follows _aug_pii's flag convention (True = the Spark
+    plan, False = the DuckDB oracle) — the only engine-specific piece is
+    the newline-literal spelling."""
     lines = [
-        f"CASE WHEN {i} < 2 + doc_id % 4 THEN {_c4_line(i, sql)} ELSE NULL END"
+        f"CASE WHEN {i} < 2 + doc_id % 4 THEN {_c4_line(i)} ELSE NULL END"
         for i in range(5)
     ]
-    sep = "chr(10)" if sql else "'\\n'"
+    sep = "'\\n'" if spark_side else "chr(10)"
     return f"concat_ws({sep}, {', '.join(lines)})"
 
 
 @register(
     "corpus_c4_rules",
     oracle=f"""
-    WITH aug AS (SELECT doc_id, {_c4_text(True)} AS t FROM documents),
+    WITH aug AS (SELECT doc_id, {_c4_text(False)} AS t FROM documents),
     r AS (
       SELECT doc_id, t,
              len(string_split(t, chr(10))) AS n_lines,
@@ -652,7 +727,7 @@ def corpus_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted expression is the line-level HOF filter (bounded by line
     count per doc, not corpus size)."""
     d = load_table(spark, sf_dir, "documents")
-    aug = d.select("doc_id", F.expr(_c4_text(False)).alias("t"))
+    aug = d.select("doc_id", F.expr(_c4_text(True)).alias("t"))
     kept = F.expr(
         "size(filter(split(t, '\\n'), "
         "l -> endswith(l, '.') AND NOT contains(l, 'javascript')))"
@@ -760,16 +835,7 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Double ordering is safe cross-engine: both sides divide identical
     exact bigints, yielding bit-identical IEEE doubles."""
     d = load_table(spark, sf_dir, "documents")
-    bg = shingle_rows(d, n=2).withColumnRenamed("s", "b")
-    c = bg.groupBy("b").agg(F.count("*").cast("long").alias("cnt"))
-    per = (
-        bg.join(c, "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("cnt").cast("long").alias("fam_sum"),
-        )
-    )
+    per = _familiarity_per_doc(d)
     scored = d.select("doc_id", "lang").join(per, "doc_id").select(
         "doc_id",
         "lang",
@@ -854,18 +920,23 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("toks", w).cast("int")
         for w in ("the", "be", "to", "of", "and", "that", "have", "with")
     )
+    nw, sumlen, nalpha = _gopher_stats()
     m = t.select(
         "doc_id",
-        F.size("toks").cast("long").alias("n_words"),
-        F.expr(
-            "aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)"
-        ).alias("sum_word_len"),
-        F.expr("size(filter(toks, x -> x rlike '[a-z]'))").cast("long").alias(
-            "n_alpha_words"
-        ),
+        nw.alias("n_words"),
+        sumlen.alias("sum_word_len"),
+        nalpha.alias("n_alpha_words"),
         (
             (F.length("lt") - F.length(F.replace(F.col("lt"), F.lit("#"), F.lit(""))))
-            + (F.length("lt") - F.length(F.replace(F.col("lt"), F.lit("..."), F.lit("")))) / 3
+            # floor, not a bare double->long cast: the repo's cross-engine
+            # rule for double->long boundaries (Spark cast truncates, DuckDB
+            # rounds; the oracle's `// 3` is integer floor division). Exact
+            # today because the '...' delta is a multiple of 3, but floor
+            # keeps it exact if the numerator ever isn't.
+            + F.floor(
+                (F.length("lt") - F.length(F.replace(F.col("lt"), F.lit("..."), F.lit(""))))
+                / F.lit(3)
+            )
         ).cast("long").alias("n_symbols"),
         stop_hits.cast("long").alias("n_stop_hits"),
     )
@@ -1015,15 +1086,17 @@ from flusher_spark.plans.urls import keep_best_agg as _keep_best_agg  # noqa: E4
     s5 AS (SELECT per.* FROM per JOIN mix USING (source)
            WHERE CAST(('0x' || substr(md5(CAST(per.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                  % 1000000 < mix.keep_below),
-    -- stage 6: contiguous-fill sequence packing, 8 streams x 1024 tokens
-    c AS (SELECT doc_id % 8 AS bucket, doc_id, nt,
-                 SUM(nt) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, nt
+    -- stage 6: contiguous-fill sequence packing (PACK_BUCKETS streams x
+    -- PACK_BUDGET tokens, interpolated so a constant retune cannot
+    -- silently decouple this oracle from _pack_rollup)
+    c AS (SELECT doc_id % {PACK_BUCKETS} AS bucket, doc_id, nt,
+                 SUM(nt) OVER (PARTITION BY doc_id % {PACK_BUCKETS} ORDER BY doc_id, nt
                                ROWS UNBOUNDED PRECEDING) AS cum
           FROM s5)
     SELECT CAST(bucket AS BIGINT) AS bucket,
-           CAST((cum - nt) // 1024 AS BIGINT) AS pack_id,
+           CAST((cum - nt) // {PACK_BUDGET} AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS pack_tokens
-    FROM c GROUP BY bucket, CAST((cum - nt) // 1024 AS BIGINT)
+    FROM c GROUP BY bucket, CAST((cum - nt) // {PACK_BUDGET} AS BIGINT)
     ORDER BY bucket, pack_id
     """,
 )
@@ -1091,9 +1164,7 @@ def _e2e_pipeline(spark: SparkSession, sf_dir: str, near_dup_pairs) -> DataFrame
 
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", "source", "n_chars", "text", tokens(F.col("text")).alias("toks"))
-    nw = F.size("toks").cast("long")
-    sumlen = F.expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)")
-    nalpha = F.expr("size(filter(toks, x -> x rlike '[a-z]'))").cast("long")
+    nw, sumlen, nalpha = _gopher_stats()
     s1 = t.where(
         nw.between(50, 100000)
         & (3 * nw <= sumlen)
@@ -1113,50 +1184,22 @@ def _e2e_pipeline(spark: SparkSession, sf_dir: str, near_dup_pairs) -> DataFrame
     s3 = s2.join(
         pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
     )
-    g_all = shingle_rows(d, n=3).distinct()
-    ev = F.broadcast(g_all.where(F.col("doc_id") % 97 == 0).select("s").distinct())
-    tr = shingle_rows(s3, n=3).distinct().where(F.col("doc_id") % 97 != 0)
-    ratio = (
-        tr.join(ev.withColumn("__hit", F.lit(1)), "s", "left")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_sh"), F.count("__hit").alias("n_ov"))
-    )
-    s4 = s3.join(ratio, "doc_id").where(2 * F.col("n_ov") < F.col("n_sh"))
+    ratio = _decon_counts(d, s3, 3, 97)
+    s4 = s3.join(ratio, "doc_id").where(2 * F.col("n_overlap") < F.col("n_shingles"))
     per = s4.select("doc_id", "source", F.size("toks").cast("long").alias("nt"))
-    w = Window.partitionBy()
-    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double")
-    target = F.lit(1.0) / F.count("*").over(w).cast("double")
+    _share, frac = _mix_cols()
     mix = (
         per.groupBy("source")
         .agg(F.sum("nt").alias("n_tokens"))
         .select(
             "source",
-            F.floor(F.least(F.lit(1.0), target / share) * 1_000_000)
-            .cast("long").alias("keep_below"),
+            F.floor(frac * 1_000_000).cast("long").alias("keep_below"),
         )
     )
     s5 = per.join(F.broadcast(mix), "source").where(
         hash_bucket(F.col("doc_id"), 1_000_000) < F.col("keep_below")
     )
-    wc = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id", "nt")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = (
-        s5.select((F.col("doc_id") % 8).alias("bucket"), "doc_id", "nt")
-        .withColumn("cum", F.sum("nt").over(wc))
-    )
-    return (
-        c.select(
-            F.col("bucket").cast("long").alias("bucket"),
-            F.expr("CAST((cum - nt) DIV 1024 AS BIGINT)").alias("pack_id"),
-            "nt",
-        )
-        .groupBy("bucket", "pack_id")
-        .agg(F.count("*").alias("n_docs"), F.sum("nt").cast("long").alias("pack_tokens"))
-        .orderBy("bucket", "pack_id")
-    )
+    return _pack_rollup(s5, "nt")
 
 
 @register(

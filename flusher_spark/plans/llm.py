@@ -143,21 +143,24 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact bigints, so the shares compare bit-for-bit with the oracle."""
     from flusher_spark.operators.text import n_tokens
 
+    # The share/frac arithmetic is the ONE definition in plans/corpus.py
+    # (also consumed by the e2e pipeline's mixture stage) — function-level
+    # import keeps the module graph acyclic-by-construction.
+    from flusher_spark.plans.corpus import _mix_cols
+
     d = load_table(spark, sf_dir, "documents")
     agg = (
         d.select("source", n_tokens(F.col("text")).alias("__nt"))
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("__nt").alias("n_tokens"))
     )
-    w = Window.partitionBy()
-    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double")
-    target = F.lit(1.0) / F.count("*").over(w).cast("double")
+    share, frac = _mix_cols()
     return agg.select(
         "source",
         "n_docs",
         "n_tokens",
         share.alias("token_share"),
-        F.least(F.lit(1.0), target / share).alias("sample_frac"),
+        frac.alias("sample_frac"),
     )
 
 
