@@ -24,14 +24,9 @@ worst-case join fan-out, which is the standard guard in web-scale dedup.
 
 from __future__ import annotations
 
-import random
-
 from pyspark.sql import DataFrame, Window, functions as F
 
 from flusher_spark.operators.text import WS_CLASS, normalized_text, tokens
-
-#: 2^61-1 (Mersenne prime): modulus for the MinHash permutation family.
-_MERSENNE = (1 << 61) - 1
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -236,11 +231,27 @@ def _ngram_pair_intersections(
     ).join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("__sz_b")), "doc_b")
 
 
-def _permutation_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
-    # a,b < 2^31 so the affine transform of a 32-bit-masked hash stays within
-    # a signed 64-bit long (no ANSI overflow).
-    rng = random.Random(seed)
-    return [(rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31)) for _ in range(num_perm)]
+def minhash_min_aggs(num_perm: int, seed: int = 42, shingle_col: str = "s") -> list:
+    """One codegen'd min-aggregate per MinHash permutation, each over an
+    INDEPENDENTLY SEEDED xxhash64 of the shingle — the textbook k-hash
+    MinHash construction.
+
+    Why not the classic affine family min(pmod(a*h+b, p)) over ONE base
+    hash: the base hash had to be masked to 32 bits (a 31-bit a times a
+    64-bit h overflows a signed long under ANSI), and then a*h+b < p for
+    every h < p/a ≈ 2^30 — the "permutation" is ORDER-PRESERVING on a
+    quarter of the hash space, so whenever a document's smallest base hash
+    is small, ALL permutations pick the same argmin shingle. One shared
+    low-hash shingle dragged a fixture pair with true Jaccard 0.008 to
+    29/32 signature agreement (round 11 find, tests/test_dedup_index.py
+    guards the estimator). Distinct-salt xxhash64 calls are genuinely
+    independent permutations, stay whole-stage-codegen'd, and cost one
+    vectorized hash per (permutation, shingle occurrence) — the shuffle
+    still carries only num_perm longs per doc."""
+    return [
+        F.min(F.xxhash64(F.lit(seed * 1_000_003 + i), shingle_col)).alias(f"__m{i}")
+        for i in range(num_perm)
+    ]
 
 
 def minhash_signatures(
@@ -256,19 +267,12 @@ def minhash_signatures(
     Formulation matters at scale: higher-order functions (transform /
     array_min) are evaluated INTERPRETED in Spark — num_perm nested lambdas
     per row fall off the codegen path (measured ~20 s for 5000 docs). Instead
-    we explode shingles and compute each permutation as a plain
-    ``min(pmod(a*h+b))`` aggregate: whole-stage-codegen'd, map-side partial
+    we explode shingles and compute each permutation as a plain seeded-hash
+    min aggregate (minhash_min_aggs): whole-stage-codegen'd, map-side partial
     mins, and the shuffle carries only num_perm longs per doc."""
-    params = _permutation_params(num_perm, seed)
-    # Mask the base hash to 32 bits so a(31-bit) * h(32-bit) + b never
-    # overflows a signed 64-bit long (ANSI mode would raise on overflow).
-    h = F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF))
     exploded = shingle_rows(_ensure_parallelism(df), text_col, id_col, shingle_n)
     # min() is duplicate-insensitive: no distinct pass over occurrences.
-    aggs = [
-        F.min(F.pmod(a * h + b, F.lit(_MERSENNE))).alias(f"__m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
+    aggs = minhash_min_aggs(num_perm, seed)
     return (
         exploded.groupBy("doc_id")
         .agg(*aggs)
@@ -321,8 +325,6 @@ def minhash_lsh_pairs(
         .dropDuplicates(["doc_id", "s"])
         .localCheckpoint(eager=False)
     )
-    params = _permutation_params(num_perm, seed)
-    h = F.xxhash64("s").bitwiseAND(F.lit(0xFFFFFFFF))
     # The distinct-shingle count rides the SAME aggregate as the minima
     # (count over the dedup'd index == |shingle set|): the union-size branch
     # costs zero extra passes over the shingles. sig_sz is one compact row
@@ -331,10 +333,7 @@ def minhash_lsh_pairs(
     # tiny materialized table instead of re-running the signature aggregate.
     sig_sz = (
         inv.groupBy("doc_id")
-        .agg(
-            *[F.min(F.pmod(a * h + b, F.lit(_MERSENNE))).alias(f"__m{i}") for i, (a, b) in enumerate(params)],
-            F.count("*").alias("sz"),
-        )
+        .agg(*minhash_min_aggs(num_perm, seed), F.count("*").alias("sz"))
         .localCheckpoint(eager=False)
     )
     sig = sig_sz.select("doc_id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig"))

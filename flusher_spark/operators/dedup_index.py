@@ -1,0 +1,415 @@
+"""Incremental dedup against a PERSISTED fingerprint index.
+
+The missing 100 TB dedup mode next to the batch operators in
+``operators/dedup.py``: a crawl ingests batches continuously, and each batch
+must dedup against the WHOLE historical corpus without rescanning (or
+re-shingling) history. The pattern is build-once / append / query-many — the
+same discipline as the persisted ANN indexes (``similarity.ivf_build_index``
+/ ``ivf_append_index`` / ``ivf_query_index``):
+
+- ``fingerprint_index_build``   persist one md5-of-normalized-text row per
+                                document, parquet-PARTITIONED BY a stable
+                                hash bucket of the fingerprint
+- ``fingerprint_index_append``  add a new batch's fingerprints into the same
+                                layout (append-only — bucket mapping is a
+                                pure function of the fingerprint, so old
+                                files are never rewritten)
+- ``fingerprint_index_probe``   exact dedup of an incoming batch: within-
+                                batch groupBy + LEFT ANTI join against the
+                                stored fingerprints; the batch's bucket set
+                                prunes the index scan at the parquet layer
+
+and the MinHash twin for NEAR-dup (``minhash_index_build`` / ``_append`` /
+``_probe``): per-document signatures and banded LSH bucket rows are
+persisted; a probe joins the new batch's band rows against the stored
+buckets and verifies candidates by SIGNATURE AGREEMENT (fraction of equal
+minima — the standard unbiased Jaccard estimator), so verification touches
+only the compact stored signatures, never historical text.
+
+Scale design notes:
+
+- Exact probe: the anti-join shuffles on md5 hex — maximally uniform keys,
+  no skew. With a small batch against a huge index the win is the PARTITION
+  PRUNE: the batch covers few fingerprint buckets, and the isin filter on
+  the partition column skips every other bucket's files entirely (the same
+  mechanism as ``ivf_query_index``'s n_probe prune).
+- MinHash probe: candidates come from an equi-join on (band, bsig) — never
+  a cartesian; hot buckets are capped on BOTH sides with the same window
+  trick as ``dedup.minhash_lsh_pairs``. Historical signatures join back by
+  doc id only for surviving candidates. The signature table is ~num_perm
+  longs per document — hundreds of bytes against multi-KB documents, so at
+  100 TB of text the index is sub-1% of corpus size.
+- Parameters (num_perm/bands/shingle_n/seed, n_buckets) are recorded in a
+  one-row ``meta`` table at build time; append and probe READ them from the
+  index rather than trusting the caller, so a probe can never silently use
+  signatures from a different permutation family (a mismatch would yield
+  plausible-looking garbage, not an error).
+
+No counterpart in the reference (danielerapati/flusher): its pipeline is a
+Sheets-to-warehouse job runner (see ``plans/etl.py`` citations); incremental
+corpus dedup is part of the LLM-pipeline extension surface (SURVEY.md §2.C).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from flusher_spark.operators.dedup import (
+    _ensure_parallelism,
+    minhash_min_aggs,
+    shingle_rows,
+)
+from flusher_spark.operators.text import fingerprint_md5
+
+#: Default fingerprint-bucket count: enough files for a pruned small-batch
+#: probe to skip most of the index, few enough that each bucket's files stay
+#: large at production scale (64 buckets × target_file_bytes-sized files).
+_DEFAULT_BUCKETS = 64
+
+
+def _write_meta(spark: SparkSession, path: str, **params: int) -> None:
+    row = [tuple(int(params[k]) for k in sorted(params))]
+    schema = ", ".join(f"{k} long" for k in sorted(params))
+    spark.createDataFrame(row, schema).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "meta")
+    )
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict[str, int]:
+    row = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    return {k: int(v) for k, v in row.asDict().items()}
+
+
+# ---------------------------------------------------------------------------
+# Exact: persisted md5 fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _fingerprint_rows(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, fingerprint, fp_bucket) per document with non-NULL text.
+
+    NULL-text documents are EXCLUDED from the index on purpose: a NULL
+    fingerprint can never equi-match a future probe (exact_dedup's
+    "NULL is missing, not equal" policy), so storing them is dead weight
+    that every probe would scan past."""
+    fp = fingerprint_md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
+        # xxhash64 of the hex digest, not the raw md5 bytes: the digest is
+        # already uniform, the extra hash only folds it to a small stable
+        # bucket id. pmod keeps the bucket non-negative.
+        .withColumn(
+            "fp_bucket", F.pmod(F.xxhash64("fingerprint"), F.lit(n_buckets))
+        )
+    )
+
+
+def fingerprint_index_build(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = _DEFAULT_BUCKETS,
+) -> str:
+    """Build the exact-dedup fingerprint index over a corpus: one
+    (doc_id, fingerprint) row per document, written PARTITIONED BY the
+    fingerprint's stable hash bucket. Returns ``path``."""
+    rows = _fingerprint_rows(df, text_col, id_col, n_buckets)
+    rows.write.mode("overwrite").partitionBy("fp_bucket").parquet(
+        os.path.join(path, "fingerprints")
+    )
+    _write_meta(df.sparkSession, path, n_buckets=n_buckets)
+    return path
+
+
+def fingerprint_index_append(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Append a new batch's fingerprints into an existing index. The bucket
+    mapping is a pure function of the fingerprint and the STORED n_buckets
+    (read from the index meta, not the caller), so appends only add files
+    inside existing bucket directories — no rewrite, and every prior probe
+    plan stays valid."""
+    n_buckets = _read_meta(spark, path)["n_buckets"]
+    rows = _fingerprint_rows(df, text_col, id_col, n_buckets)
+    rows.write.mode("append").partitionBy("fp_bucket").parquet(
+        os.path.join(path, "fingerprints")
+    )
+    return path
+
+
+def fingerprint_index_probe(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prune: bool = True,
+) -> DataFrame:
+    """Exact dedup of an incoming batch against the PERSISTED index: returns
+    the surviving documents as (doc_id, fingerprint, n_copies) — one row per
+    distinct batch fingerprint not present in the historical corpus, keeping
+    the lowest doc id, with the batch-internal copy count.
+
+    Structurally incremental: this function receives only the index path and
+    the batch — historical TEXT is unreachable from here; the only
+    historical data read is the stored fingerprint table. NULL-text batch
+    docs survive as their own single-copy groups (exact_dedup's policy:
+    NULL content is missing, not equal — and the stored index holds no NULL
+    fingerprints to match them anyway).
+
+    ``prune=True`` spends one cheap aggregate job over the batch's
+    fingerprints to collect its distinct bucket ids (bounded ≤ n_buckets
+    values) and pushes an isin filter on the PARTITION column — the parquet
+    reader then skips every bucket the batch cannot match. Worth it exactly
+    when the batch is small relative to the index (the production case);
+    a full-corpus re-probe can pass prune=False and skip the extra job."""
+    n_buckets = _read_meta(spark, path)["n_buckets"]
+    fp = fingerprint_md5(F.col(text_col))
+    batch_fp = batch.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+    index = spark.read.parquet(os.path.join(path, "fingerprints"))
+    if prune:
+        # Bounded collect (≤ n_buckets ints): drives partition pruning.
+        buckets = [
+            r["fp_bucket"]
+            for r in batch_fp.where(F.col("fingerprint").isNotNull())
+            .select(
+                F.pmod(F.xxhash64("fingerprint"), F.lit(n_buckets)).alias("fp_bucket")
+            )
+            .distinct()
+            .collect()
+        ]
+        index = index.where(F.col("fp_bucket").isin(buckets))
+    survivors = batch_fp.join(
+        index.select("fingerprint"), "fingerprint", "left_anti"
+    )
+    # Within-batch dedup AFTER the anti-join (both orders are correct — a
+    # fingerprint is either wholly historical or wholly new; anti-join first
+    # lets the group-by run on the already-thinned set).
+    return (
+        survivors.groupBy(
+            "fingerprint",
+            F.when(F.col("fingerprint").isNull(), F.col("doc_id")).alias("__null_key"),
+        )
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "fingerprint", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: persisted MinHash signatures + banded LSH buckets
+# ---------------------------------------------------------------------------
+
+
+def _signature_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    shingle_n: int,
+    seed: int,
+) -> DataFrame:
+    """(doc_id, sig array<long>) — same permutation family and aggregate
+    formulation as ``dedup.minhash_signatures`` (explode + codegen'd
+    independently-seeded min aggregates; see minhash_min_aggs for why the
+    family must be k independent hashes, found while validating THIS
+    module's agreement estimator)."""
+    exploded = shingle_rows(_ensure_parallelism(df), text_col, id_col, shingle_n)
+    aggs = minhash_min_aggs(num_perm, seed)
+    return (
+        exploded.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig"))
+    )
+
+
+def _band_rows(sig: DataFrame, num_perm: int, bands: int, n_buckets: int) -> DataFrame:
+    """(doc_id, band, bsig, lsh_bucket) — one row per band, bucketed by a
+    stable hash of (band, bsig) for partition pruning at probe time."""
+    rows = num_perm // bands
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.hash(*[F.element_at("sig", i * rows + j + 1) for j in range(rows)]).alias(
+                "bsig"
+            ),
+        )
+        for i in range(bands)
+    ]
+    return (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b"))
+        .select("doc_id", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig"))
+        .withColumn(
+            "lsh_bucket",
+            F.pmod(F.xxhash64(F.col("band"), F.col("bsig")), F.lit(n_buckets)),
+        )
+    )
+
+
+def minhash_index_build(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    n_buckets: int = _DEFAULT_BUCKETS,
+) -> str:
+    """Build the near-dup index over a corpus: a ``sigs`` table (doc_id +
+    num_perm minima — the compact verification record) and a ``bands`` table
+    (banded LSH bucket rows, PARTITIONED BY a stable hash bucket of
+    (band, bsig) so a probe's isin filter prunes at the parquet layer).
+    All parameters land in the meta table; append/probe read them back."""
+    if bands <= 0 or num_perm % bands != 0:
+        raise ValueError(f"num_perm ({num_perm}) must be a positive multiple of bands ({bands})")
+    sig = _signature_rows(df, text_col, id_col, num_perm, shingle_n, seed)
+    # The band explode re-reads sig; localCheckpoint would pin it to this
+    # session, but an index build is a one-shot batch job — write sigs
+    # first, then derive bands FROM THE WRITTEN TABLE so the expensive
+    # shingle+aggregate pipeline runs exactly once.
+    sig.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    stored = df.sparkSession.read.parquet(os.path.join(path, "sigs"))
+    _band_rows(stored, num_perm, bands, n_buckets).write.mode("overwrite").partitionBy(
+        "lsh_bucket"
+    ).parquet(os.path.join(path, "bands"))
+    _write_meta(
+        df.sparkSession,
+        path,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        seed=seed,
+        n_buckets=n_buckets,
+    )
+    return path
+
+
+def minhash_index_append(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Append a new batch's signatures + band rows into an existing index,
+    computed with the STORED parameter family (meta table) — the caller
+    cannot accidentally mix permutation families. Append-only: bucket
+    mapping is a pure function of (band, bsig), so existing files are never
+    rewritten."""
+    m = _read_meta(spark, path)
+    # localCheckpoint: the signature pipeline (shingle + num_perm aggregates)
+    # is the dominant cost and feeds BOTH writes — materialize it once at the
+    # first write instead of re-executing the lazy plan for the band write.
+    # (Reading the batch's rows back from the sigs table instead would break
+    # on re-ingested doc_ids — the join would pick up old AND new records.)
+    sig = _signature_rows(
+        df, text_col, id_col, m["num_perm"], m["shingle_n"], m["seed"]
+    ).localCheckpoint(eager=False)
+    sig.write.mode("append").parquet(os.path.join(path, "sigs"))
+    _band_rows(sig, m["num_perm"], m["bands"], m["n_buckets"]).write.mode(
+        "append"
+    ).partitionBy("lsh_bucket").parquet(os.path.join(path, "bands"))
+    return path
+
+
+def minhash_index_probe(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    prune: bool = True,
+) -> DataFrame:
+    """Near-dup detection of an incoming batch against the PERSISTED index:
+    returns (doc_new, doc_hist, est_jaccard) pairs where a batch document
+    LSH-collides with a historical one and the SIGNATURE-AGREEMENT estimate
+    (fraction of equal minima — E[agree] = Jaccard) clears the threshold.
+
+    Structurally incremental: historical text is unreachable from here —
+    candidates come from the stored ``bands`` table and verification reads
+    only the stored ``sigs`` table. That is the honest trade vs the batch
+    operator (``dedup.minhash_lsh_pairs`` verifies with EXACT shingle
+    Jaccard): exactness would require re-shingling history, which is
+    precisely what an incremental probe must not do. With num_perm=32 the
+    estimator's σ is ≤ 0.09, tightest near 0/1 — fine for a 0.5 gate whose
+    candidates already passed a band collision.
+
+    Fan-out bounds: both the stored side and the batch side of the bucket
+    join are capped at ``max_bucket`` rows per (band, bsig) — same window
+    trick, same rationale as ``minhash_lsh_pairs`` (degenerate signatures,
+    e.g. boilerplate-only pages, would otherwise square)."""
+    m = _read_meta(spark, path)
+    sig_new = _signature_rows(
+        batch, text_col, id_col, m["num_perm"], m["shingle_n"], m["seed"]
+    ).localCheckpoint(eager=False)  # consumed twice: band rows + verification
+    bands_new = _band_rows(sig_new, m["num_perm"], m["bands"], m["n_buckets"])
+    index = spark.read.parquet(os.path.join(path, "bands"))
+    if prune:
+        # Bounded collect (≤ n_buckets ints) → parquet partition pruning.
+        buckets = [
+            r["lsh_bucket"] for r in bands_new.select("lsh_bucket").distinct().collect()
+        ]
+        index = index.where(F.col("lsh_bucket").isin(buckets))
+    wcap = Window.partitionBy("band", "bsig")
+    index = (
+        index.withColumn("__n", F.count("*").over(wcap))
+        .where(F.col("__n") <= max_bucket)
+        .drop("__n")
+    )
+    bands_new = (
+        bands_new.withColumn("__n", F.count("*").over(wcap))
+        .where(F.col("__n") <= max_bucket)
+        .drop("__n")
+    )
+    cand = (
+        bands_new.alias("n")
+        .join(
+            index.alias("h"),
+            (F.col("n.band") == F.col("h.band")) & (F.col("n.bsig") == F.col("h.bsig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"), F.col("h.doc_id").alias("doc_hist")
+        )
+        # A doc re-ingested verbatim collides with its own stored record;
+        # keep it — "this new doc duplicates history" is the signal. But a
+        # batch probed against an index that ALREADY CONTAINS it (rebuild
+        # flows) would self-pair; drop identical ids.
+        .where(F.col("doc_new") != F.col("doc_hist"))
+        .dropDuplicates(["doc_new", "doc_hist"])
+    )
+    sig_hist = spark.read.parquet(os.path.join(path, "sigs"))
+    pairs = cand.join(
+        sig_new.select(F.col("doc_id").alias("doc_new"), F.col("sig").alias("__sn")),
+        "doc_new",
+    ).join(
+        sig_hist.select(F.col("doc_id").alias("doc_hist"), F.col("sig").alias("__sh")),
+        "doc_hist",
+    )
+    # Agreement count as num_perm codegen'd comparisons, not a zip_with
+    # lambda: num_perm is known from the meta at plan-build time, and HOFs
+    # drop the stage to interpreted evaluation (module docstring in
+    # operators/dedup.py) — this stays in whole-stage codegen.
+    agree = sum(
+        (F.element_at("__sn", i + 1) == F.element_at("__sh", i + 1)).cast("int")
+        for i in range(m["num_perm"])
+    )
+    return (
+        pairs.withColumn(
+            "est_jaccard", agree.cast("double") / F.lit(float(m["num_perm"]))
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_new", "doc_hist", "est_jaccard")
+    )

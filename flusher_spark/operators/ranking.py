@@ -122,6 +122,44 @@ def with_group_row_number(
     )
 
 
+def topk_per_group_skew(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str | Column],
+    k: int,
+    out: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group under GROUP SKEW, two-phase.
+
+    A plain ``row_number() OVER (PARTITION BY group ...)`` sorts each group
+    on ONE task — fatal when a mega-group holds 10% of a 100 TB corpus.
+    When only the top k matter (quota capping, per-domain sampling) the
+    full distributed ranking of :func:`with_group_row_number` is overkill;
+    a LOCAL PRUNE bounds the problem instead:
+
+    1. window over (group, spark_partition_id()): the ingest partition id
+       rides the shuffle key, so a mega-group spreads over as many tasks as
+       it had input splits; each keeps its local top-k. A partition's local
+       top-k is a superset of its contribution to the global top-k (the
+       order is total), so no global winner is ever pruned.
+    2. global rank over the surviving candidates — ≤ k × input-partitions
+       rows per group, constant-bounded however large the group was.
+
+    The OUTPUT is independent of the physical input split (superset
+    property), provided ``order_cols`` totally order rows within a group
+    (add a unique tiebreak — same contract as every ranking op here).
+    Returns the kept rows with their 1..k rank in ``out``."""
+    local = Window.partitionBy(*group_cols, "__pid").orderBy(*order_cols)
+    cand = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrk", F.row_number().over(local))
+        .where(F.col("__lrk") <= k)
+        .drop("__pid", "__lrk")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return cand.withColumn(out, F.row_number().over(w)).where(F.col(out) <= k)
+
+
 def with_global_ntile(
     df: DataFrame,
     order_cols: list[str | Column],

@@ -56,88 +56,86 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Names surfaced first by ``registry()``. The driver's correctness harness
 #: covers a bounded prefix of the registry (50 entries per round), so this
 #: list rotates per round toward the entries whose latest driver verdict is
-#: weakest. Round-10 rotation, in order: (1) the two r4-verdict strays that
-#: r9's late additions displaced (the oldest records in the registry);
-#: (2) the full r5-verdict cohort (37 entries — after this round nothing in
-#: the registry has a verdict older than r6); (3) the round-10 NEW entries
-#: in the order added, each getting its FIRST driver verdict; (4) the head
-#: of the rows-only (no-oracle) family, last driver-windowed in r6 — the
-#: driver's rows-only check is their only cross-process signal, so they
-#: re-window ahead of the hash-green r6 cohort. (1)+(2)+(3)+(4) fill
-#: exactly 50. Past the window, the REMAINING rows-only family is queued
-#: first (it leads the r11 rotation), then the r6 cohort, then back-fill.
-#: Every name here must exist (asserted in tests/test_plans.py); the rest
-#: follow in import order.
+#: weakest. Round-11 rotation, in order: (1) the round-11 NEW entries, each
+#: getting its FIRST driver verdict (first-verdict beats re-verdict); (2)
+#: the full r6-verdict cohort — 48 entries, the stalest records in the
+#: registry, including all 19 rows-only entries (MinHash/SimHash/semantic/
+#: similarity/BPE/sketch/PageRank) whose rows-only driver check is their
+#: only cross-process signal and whose last one was r6, four fixture
+#: regenerations ago. Extra weight this round: the MinHash permutation
+#: family changed (dedup.minhash_min_aggs — the affine family was
+#: order-preserving on small hashes), so every minhash-derived entry's
+#: output is new. (1)+(2) fill exactly 50; the r7 cohort (50 entries)
+#: queues complete for the r12 window. After this round the freshness
+#: histogram bottoms at r7. Every name here must exist (asserted in
+#: tests/test_plans.py); the rest follow in import order.
 PRIORITY = (
-    # (1) r4-verdict strays displaced from the r9 window
-    "text_html_strip",
-    "vocab_bigram_counts",
-    # (2) the r5-verdict cohort (37)
-    "agg_corr_exact",
-    "agg_incremental_merge",
-    "agg_mode_exact",
-    "corpus_importance_resample",
-    "corpus_mix_apply",
-    "corpus_mix_upsample",
-    "corpus_source_mix",
-    "dedup_containment_ngram",
-    "docs_bigram_familiarity",
-    "docs_boilerplate_ngrams",
-    "etl_backfill_partition_overwrite",
-    "etl_cdc_apply",
-    "etl_content_checksum",
-    "etl_jsonl_ingest",
-    "etl_orc_roundtrip",
-    "etl_schema_evolution_merge",
-    "etl_sheet_writeback",
-    "etl_table_diff",
-    "etl_zorder_layout",
-    "events_anomaly_mad",
-    "events_attribution_first_touch",
-    "events_audience_overlap",
-    "events_ewma_per_user",
-    "events_histogram_equiwidth",
-    "events_stream_stream_left_join",
-    "events_top_paths",
-    "events_tz_local_days",
-    "events_winsorized_stats",
-    "join_dynamic_partition_pruning",
-    "join_null_safe",
-    "multimodal_tiff_decode",
-    "pack_sequences_fill",
-    "q15_top_supplier",
-    "sample_split_by_source",
-    "scalar_variant_extract",
-    "top_suppliers_revenue",
-    "window_rank_distributions",
-    # (3) round-10 additions — first driver verdict
-    "events_linreg_per_type",
-    "events_interval_coverage",
-    "corpus_k_anonymity",
-    "corpus_domain_quota",
-    "events_stream_static_join",
-    "graph_label_propagation",
-    "events_cusum_changepoint",
-    "events_l_diversity",
-    "similarity_mmr_rerank",
-    # (4) rows-only family head (last windowed r6; rows-only checks are
-    # their only cross-process signal — the rest queue for r11, displaced
-    # by the four late round-10 additions above, which must take window
-    # slots for their FIRST verdict)
-    "similarity_topk_arrow",
-    "similarity_topk_ivf",
-    # ---- driver window ends here (50) ----
-    # remaining rows-only family: head of the r11 rotation
+    # (1) round-11 additions — first driver verdict
+    "dedup_incremental_exact",
+    "dedup_minhash_index",  # rows-only: signature-agreement estimate
+    # (2) the r6-verdict cohort (48) — includes the whole stale rows-only
+    # family plus the r6 hash-green entries, all four fixtures stale
+    "agg_approx_sketches",
+    "agg_bitmap_distinct",
+    "agg_count_min_freq",
+    "agg_exact_quantile_interpolated",
+    "agg_histogram_rollup_percentile",
+    "agg_hll_rollup_reuse",
+    "agg_weighted_avg_exact",
+    "asof_view_staleness_bound",
+    "corpus_boilerplate_mask",
+    "corpus_c4_rules",
+    "dedup_clusters_minhash",
+    "dedup_minhash_builtin",
+    "dedup_minhash_lsh",
+    "dedup_semantic_clusters",
+    "dedup_semantic_embedding",
+    "dedup_simhash",
+    "docs_chunk_udtf",
+    "embedding_centroid_int8",
+    "etl_csv_export_roundtrip",
+    "etl_load_full_vs_incremental",
+    "etl_schema_drift_report",
+    "etl_schema_inference_typed",
+    "etl_sheet_range_scan",
+    "etl_snapshot_merge_timetravel",
+    "events_funnel_single_scan",
+    "events_sessionize_dynamic_gap",
+    "events_sliding_distinct_bitmap",
+    "events_zscore_outliers",
+    "graph_pagerank_bipartite",
+    "multimodal_audio_spectral",
+    "multimodal_image_resize",
+    "multimodal_jpeg_color_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_media_routing",
+    "multimodal_video_frames",
+    "profile_join_key_skew",
+    "similarity_ivf_persisted",
+    "similarity_neardup_cosine",
+    "similarity_pq_persisted",
     "similarity_topk_lsh",
     "similarity_topk_pq",
-    "dedup_simhash",
-    "dedup_clusters_minhash",
-    "dedup_minhash_lsh",
-    "agg_count_min_freq",
-    "agg_approx_sketches",
-    "agg_hll_rollup_reuse",
-    "vocab_bpe_merges",
+    "sql_api_revenue_report",
+    "text_hash_classifier",
+    "text_lang_id",
+    "text_quality_score",
+    "text_url_components",
     "vocab_bpe_encode",
+    "vocab_bpe_merges",
+    # ---- driver window ends here (50) ----
+    # r7-verdict cohort: head of the r12 rotation (all 50 fit exactly)
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_variance_manual",
+    "agg_weighted_median_udaf",
+    "corpus_dup_rate_by_source",
+    "corpus_gopher_rules",
+    "corpus_perplexity_buckets",
+    "dedup_canonical_url",
+    "dedup_sorted_neighborhood",
 )
 
 

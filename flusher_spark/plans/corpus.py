@@ -1278,15 +1278,55 @@ def corpus_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on source, rank + conditional aggregate in the same pass —
     never a per-domain collect or a self-join against a count table. At
     100 TB the known hazard is domain skew (one source holding 10% of
-    the corpus): the window sort for a single key lands on one
-    partition, so the scale path pre-prunes with a per-partition
-    top-(Q) combine (sample_per_group_topk in this catalog demonstrates
-    exactly that bounded-state pattern) before the global rank; at
-    fixture scale the direct rank is the right plan and the output
-    contract is identical."""
-    d = load_table(spark, sf_dir, "documents")
+    the corpus): the window sort for a single key lands on one partition,
+    so the scale path pre-prunes each ingest partition down to its local
+    top-Q before the global rank (domain_quota_report with
+    skew_precombine=True → operators/ranking.py::topk_per_group_skew;
+    output equality with the direct form and the partition-balance claim
+    are asserted in tests/test_corpus.py). At fixture scale the direct
+    rank is the right plan and the output contract is identical."""
+    return domain_quota_report(load_table(spark, sf_dir, "documents"), q=10)
+
+
+def domain_quota_report(d: DataFrame, q: int = 10, skew_precombine: bool = False) -> DataFrame:
+    """Per-source quota report: (source, n_total, n_kept, n_dropped,
+    kept_chars) keeping the q longest documents per source.
+
+    ``skew_precombine=False``: one window + conditional aggregate on one
+    source-shuffle — the right plan when no single source dwarfs a task.
+
+    ``skew_precombine=True``: the mega-domain path. Kept rows come from
+    topk_per_group_skew (local per-ingest-partition top-q prune, then a
+    global rank over ≤ q × partitions candidates per source); totals come
+    from a separate map-side-combinable count — partial aggregation absorbs
+    the skew before the shuffle, so no task ever sorts a whole mega-domain.
+    Same output, bit for bit (asserted in tests/test_corpus.py)."""
+    if skew_precombine:
+        from flusher_spark.operators.ranking import topk_per_group_skew
+
+        kept = topk_per_group_skew(
+            d.select("source", "n_chars", "doc_id"),
+            ["source"],
+            [F.col("n_chars").desc(), F.col("doc_id")],
+            k=q,
+        )
+        kept_agg = kept.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        totals = d.groupBy("source").agg(F.count("*").cast("long").alias("n_total"))
+        return (
+            totals.join(kept_agg, "source")  # every source has ≥1 kept row
+            .select(
+                "source",
+                "n_total",
+                "n_kept",
+                (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+                "kept_chars",
+            )
+            .orderBy("source")
+        )
     w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    q = F.lit(10)
     ranked = d.select("source", "n_chars", F.row_number().over(w).alias("rk"))
     return (
         ranked.groupBy("source")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from flusher_spark.io.tables import load_table
 from flusher_spark.operators import dedup as D
+from flusher_spark.operators import dedup_index as DI
 from flusher_spark.operators import similarity as S
 from flusher_spark.operators import text as T
 from flusher_spark.plans.catalog import register
@@ -438,6 +439,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit, Hamming ≤ 3 via pigeonhole banding)."""
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents),
+    batch AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 2 = 1)
+    SELECT MIN(doc_id) AS doc_id, fingerprint, COUNT(*) AS n_copies
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM fp h
+                      WHERE h.doc_id % 2 = 0 AND h.fingerprint = b.fingerprint)
+    GROUP BY fingerprint, CASE WHEN fingerprint IS NULL THEN doc_id END
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the 100 TB crawl pattern: the historical
+    corpus (even doc_ids) is fingerprinted ONCE into a persisted, bucket-
+    partitioned index (operators/dedup_index.py::fingerprint_index_build);
+    the incoming batch (odd doc_ids) then dedups against the stored
+    fingerprints alone — a bucket-pruned LEFT ANTI join, historical text
+    never rescanned (structurally enforced: the probe half takes only the
+    index path; asserted via input-file inspection in
+    tests/test_dedup_index.py). Survivors = batch docs whose content is new,
+    deduped within-batch (min id per fingerprint, NULL text = unique doc —
+    exact_dedup's policy). The oracle replays the same split + anti-join
+    semantics over the raw table."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch_index(
+        "fpidx",
+        sf_dir,
+        lambda p: DI.fingerprint_index_build(docs.where(F.col("doc_id") % 2 == 0), p),
+        stamp_file="documents.parquet",
+    )
+    return DI.fingerprint_index_probe(spark, path, docs.where(F.col("doc_id") % 2 == 1))
+
+
+@register("dedup_minhash_index")  # rows-only: seeded-hash approximate operator
+def dedup_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection — the MinHash twin of
+    dedup_incremental_exact: the historical corpus's signatures + banded
+    LSH buckets are persisted once (minhash_index_build, 32 perms / 8
+    bands); the incoming batch probes the stored buckets and verifies
+    candidates by SIGNATURE AGREEMENT (the unbiased Jaccard estimator) —
+    only the compact stored signatures are read, historical text is never
+    re-shingled (tests/test_dedup_index.py asserts the input files and
+    cross-checks pairs against the batch operator over the union corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch_index(
+        "mhidx",
+        sf_dir,
+        lambda p: DI.minhash_index_build(docs.where(F.col("doc_id") % 2 == 0), p),
+        stamp_file="documents.parquet",
+    )
+    return DI.minhash_index_probe(
+        spark, path, docs.where(F.col("doc_id") % 2 == 1), threshold=0.5
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1148,7 +1205,7 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INDEX_SCRATCH: dict[tuple[str, str, int], str] = {}
 
 
-def _scratch_index(name: str, sf_dir: str, build) -> str:
+def _scratch_index(name: str, sf_dir: str, build, stamp_file: str = "embeddings.parquet") -> str:
     import atexit
     import shutil
     import tempfile
@@ -1157,8 +1214,10 @@ def _scratch_index(name: str, sf_dir: str, build) -> str:
     # regenerated mid-process (the driver rewrites testdata between rounds;
     # tests may rebuild tmp fixtures) must invalidate the built index, or a
     # stale artifact would silently answer for the new data (r9 advisor).
+    # ``stamp_file`` is whichever fixture the index derives from (embeddings
+    # for the ANN indexes, documents for the dedup fingerprint indexes).
     try:
-        stamp = int(os.stat(os.path.join(sf_dir, "embeddings.parquet")).st_mtime_ns)
+        stamp = int(os.stat(os.path.join(sf_dir, stamp_file)).st_mtime_ns)
     except OSError:
         stamp = -1
     key = (name, sf_dir, stamp)

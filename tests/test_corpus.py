@@ -167,3 +167,82 @@ def test_minhash_pipeline_shares_schema_and_runs(spark):
     assert a.schema == b.schema
     rows = b.collect()
     assert rows and all(r["pack_tokens"] > 0 for r in rows)
+
+
+def test_domain_quota_skew_precombine_equals_direct(spark):
+    """The mega-domain scale path (local per-partition top-Q prune, then a
+    global rank over bounded candidates) must emit the SAME report as the
+    direct window form — on the fixture AND on a synthetic frame with ties
+    and a dominant source."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    direct = sorted(tuple(r) for r in C.domain_quota_report(docs, q=10).collect())
+    skew = sorted(
+        tuple(r) for r in C.domain_quota_report(docs, q=10, skew_precombine=True).collect()
+    )
+    assert direct == skew and direct
+
+    rows = [(i, "mega" if i % 10 != 0 else f"s{i % 40}", (i * 7919) % 500) for i in range(4000)]
+    synth = spark.createDataFrame(rows, "doc_id long, source string, n_chars long").repartition(16)
+    d2 = sorted(tuple(r) for r in C.domain_quota_report(synth, q=5).collect())
+    s2 = sorted(
+        tuple(r) for r in C.domain_quota_report(synth, q=5, skew_precombine=True).collect()
+    )
+    assert d2 == s2 and d2
+
+
+def test_domain_quota_precombine_splits_mega_domain(spark):
+    """The balance claim, asserted structurally (the join_salted_skew
+    discipline): with one source owning ~90% of rows, the direct window's
+    sort stage concentrates the mega-domain in ONE task, while the
+    pre-combine's local-prune stage spreads it across the ingest partitions
+    (shuffle key carries spark_partition_id)."""
+    from pyspark.sql import Window
+
+    from flusher_spark.operators.ranking import topk_per_group_skew
+
+    rows = [(i, "mega" if i % 10 != 0 else f"s{i % 40}", (i * 7919) % 500) for i in range(4000)]
+    synth = spark.createDataFrame(rows, "doc_id long, source string, n_chars long").repartition(16)
+
+    def max_share(df):
+        # Counted at the RDD layer, not groupBy(spark_partition_id()):
+        # Catalyst pushes the pid projection BELOW a Window (it depends on
+        # no window column), which would measure the input partitioning
+        # instead of the window's sort stage.
+        counts = df.rdd.mapPartitions(lambda it: iter([sum(1 for _ in it)])).collect()
+        return max(counts) / sum(counts)
+
+    # Phase-1 local prune, exactly as topk_per_group_skew builds it: the
+    # window shuffle keys on (source, __pid), so the mega source spreads
+    # over its 16 ingest partitions instead of serializing on one task.
+    local = Window.partitionBy("source", "__pid").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    # Measured BEFORE the rank filter: the per-task row distribution of the
+    # window's sort stage is the thing the pre-combine exists to balance.
+    phase1 = synth.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__lrk", F.row_number().over(local)
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    direct_ranked = synth.select("source", F.row_number().over(w).alias("rk"))
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        # Direct window: the mega source (90% of rows) lands on one task.
+        assert max_share(direct_ranked) >= 0.8
+        # Local prune: no task sorts more than a few ingest partitions'
+        # share of the mega source.
+        assert max_share(phase1) <= 0.35
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    # And the op itself shuffles on (source, __pid) first — the structural
+    # half of the claim, pinned on the executed plan like the salted join.
+    cand = topk_per_group_skew(
+        synth, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], k=5
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        seg.lstrip().startswith("hashpartitioning") and "__pid" in seg and "source" in seg
+        for seg in plan.split("Exchange")[1:]
+    ), plan
+    # Output contract sanity: the mega source keeps exactly k rows.
+    assert cand.where(F.col("source") == "mega").count() == 5

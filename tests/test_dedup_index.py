@@ -1,0 +1,201 @@
+"""Incremental dedup against a persisted fingerprint index
+(operators/dedup_index.py).
+
+The load-bearing contracts:
+- probe correctness vs a recompute-everything twin (exact) and a
+  hand-checked synthetic corpus (minhash);
+- the probe NEVER rescans historical text — asserted on the executed plan's
+  input files, not just by API shape;
+- append-only growth: a second batch's fingerprints join the layout without
+  rewriting any existing file, and later probes see both generations;
+- parameter integrity: probe/append read the permutation family from the
+  index meta, so an index built with one family answers with that family.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flusher_spark.operators import dedup as D
+from flusher_spark.operators import dedup_index as DI
+
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+HIST = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "  The   QUICK brown fox jumps over the lazy dog  "),  # dup of 1 (normalized)
+    (4, None),
+]
+BATCH = [
+    (10, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),  # dup of hist 1
+    (11, "sphinx of black quartz judge my vow"),  # new
+    (12, "sphinx of black quartz judge my vow"),  # batch-internal dup of 11
+    (13, None),  # NULL text: unique by policy
+    (14, None),  # NULL text: unique by policy
+]
+
+
+class TestFingerprintIndex:
+    def test_probe_matches_recompute_twin(self, spark, tmp_path):
+        path = str(tmp_path / "fpidx")
+        DI.fingerprint_index_build(_docs(spark, HIST), path)
+        got = {
+            (r["doc_id"], r["n_copies"])
+            for r in DI.fingerprint_index_probe(spark, path, _docs(spark, BATCH)).collect()
+        }
+        # hist dup 10 is gone; 11/12 collapse to min id 11 with 2 copies;
+        # NULL-text docs each survive alone.
+        assert got == {(11, 2), (13, 1), (14, 1)}
+
+    def test_probe_never_reads_historical_text(self, spark, tmp_path):
+        hist_dir = str(tmp_path / "hist")
+        batch_dir = str(tmp_path / "batch")
+        _docs(spark, HIST).write.parquet(hist_dir)
+        _docs(spark, BATCH).write.parquet(batch_dir)
+        path = str(tmp_path / "fpidx")
+        DI.fingerprint_index_build(spark.read.parquet(hist_dir), path)
+        probe = DI.fingerprint_index_probe(spark, path, spark.read.parquet(batch_dir))
+        files = probe.inputFiles()
+        assert any(f"fpidx{os.sep}fingerprints" in f for f in files), files
+        assert not any(f"{os.sep}hist{os.sep}" in f for f in files), files
+
+    def test_append_grows_without_rewriting(self, spark, tmp_path):
+        path = str(tmp_path / "fpidx")
+        DI.fingerprint_index_build(_docs(spark, HIST), path)
+        fp_root = os.path.join(path, "fingerprints")
+
+        def _data_files():
+            out = {}
+            for root, _, names in os.walk(fp_root):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        p = os.path.join(root, n)
+                        out[p] = os.stat(p).st_mtime_ns
+            return out
+
+        before = _data_files()
+        survivors = [(11, "sphinx of black quartz judge my vow")]
+        DI.fingerprint_index_append(spark, path, _docs(spark, survivors))
+        after = _data_files()
+        # Append-only: every pre-existing file still there, byte-identical
+        # mtime; new files only added.
+        for p, m in before.items():
+            assert after.get(p) == m, f"rewritten: {p}"
+        assert len(after) > len(before)
+        # A third batch duplicating the appended survivor is now caught.
+        got = {
+            r["doc_id"]
+            for r in DI.fingerprint_index_probe(
+                spark, path, _docs(spark, [(20, "Sphinx of black quartz judge my vow")])
+            ).collect()
+        }
+        assert got == set()
+
+    def test_prune_matches_unpruned(self, spark, tmp_path):
+        path = str(tmp_path / "fpidx")
+        DI.fingerprint_index_build(_docs(spark, HIST), path, n_buckets=8)
+        batch = _docs(spark, BATCH)
+        pruned = {
+            tuple(r) for r in DI.fingerprint_index_probe(spark, path, batch, prune=True).collect()
+        }
+        full = {
+            tuple(r) for r in DI.fingerprint_index_probe(spark, path, batch, prune=False).collect()
+        }
+        assert pruned == full
+
+
+# Synthetic near-dup corpus: batch doc 10 is IDENTICAL to hist 1 (sig
+# agreement exactly 1.0 — every band collides, capture guaranteed); batch 11
+# shares no 3-gram with history (agreement ~0); batch 12 is a heavy overlap
+# of hist 2 (most shingles shared).
+_BASE = " ".join(f"w{i}" for i in range(60))
+_NEAR = " ".join(f"w{i}" for i in range(58)) + " x1 x2"
+MH_HIST = [(1, _BASE), (2, "alpha beta gamma delta epsilon zeta eta theta " * 6)]
+MH_BATCH = [
+    (10, _BASE),
+    (11, "completely different tokens entirely unrelated content here now " * 5),
+    (12, _NEAR),
+]
+
+
+class TestMinhashIndex:
+    def test_probe_identical_and_near_docs(self, spark, tmp_path):
+        path = str(tmp_path / "mhidx")
+        DI.minhash_index_build(_docs(spark, MH_HIST), path)
+        rows = DI.minhash_index_probe(
+            spark, path, _docs(spark, MH_BATCH), threshold=0.5
+        ).collect()
+        by_pair = {(r["doc_new"], r["doc_hist"]): r["est_jaccard"] for r in rows}
+        assert by_pair[(10, 1)] == 1.0  # identical text: exact signature match
+        assert (12, 1) in by_pair and by_pair[(12, 1)] >= 0.5  # heavy overlap
+        assert not any(n == 11 for n, _ in by_pair)  # unrelated doc: no pair
+
+    def test_probe_never_reads_historical_text(self, spark, tmp_path):
+        hist_dir = str(tmp_path / "hist")
+        batch_dir = str(tmp_path / "batch")
+        _docs(spark, MH_HIST).write.parquet(hist_dir)
+        _docs(spark, MH_BATCH).write.parquet(batch_dir)
+        path = str(tmp_path / "mhidx")
+        DI.minhash_index_build(spark.read.parquet(hist_dir), path)
+        probe = DI.minhash_index_probe(spark, path, spark.read.parquet(batch_dir))
+        files = probe.inputFiles()
+        assert any(f"mhidx{os.sep}bands" in f for f in files), files
+        assert any(f"mhidx{os.sep}sigs" in f for f in files), files
+        assert not any(f"{os.sep}hist{os.sep}" in f for f in files), files
+
+    def test_append_then_probe_sees_both_generations(self, spark, tmp_path):
+        path = str(tmp_path / "mhidx")
+        DI.minhash_index_build(_docs(spark, MH_HIST), path)
+        DI.minhash_index_append(spark, path, _docs(spark, [(3, _NEAR)]))
+        rows = DI.minhash_index_probe(spark, path, _docs(spark, [(20, _NEAR)])).collect()
+        hits = {r["doc_hist"]: r["est_jaccard"] for r in rows}
+        assert hits[3] == 1.0  # identical to the APPENDED doc
+        assert 1 in hits  # near-dup of the ORIGINAL build's doc
+
+    def test_probe_uses_stored_params_not_defaults(self, spark, tmp_path):
+        path = str(tmp_path / "mhidx")
+        DI.minhash_index_build(
+            _docs(spark, MH_HIST), path, num_perm=16, bands=4, shingle_n=2, seed=7
+        )
+        # A probe must answer with the STORED family: identical text still
+        # agrees exactly 1.0 — possible only if the probe recomputed with
+        # num_perm=16/seed=7, since signatures from the default family would
+        # share no minima positions.
+        rows = DI.minhash_index_probe(spark, path, _docs(spark, [(10, _BASE)])).collect()
+        assert {(r["doc_new"], r["doc_hist"], r["est_jaccard"]) for r in rows} == {(10, 1, 1.0)}
+
+    def test_estimate_tracks_exact_jaccard_on_fixture(self, spark, tmp_path):
+        """Cross-check against the batch operator over the union corpus:
+        every probe pair with near-certain agreement (est ≥ 0.9) must be a
+        real near-dup pair under the EXACT shingle-Jaccard verification of
+        dedup.minhash_lsh_pairs at a loose 0.3 gate (est 0.9 = 29/32 minima
+        agree — exact J below 0.3 at that agreement is impossible on any
+        corpus small enough that all bands survive the bucket cap)."""
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        hist = docs.where(F.col("doc_id") % 2 == 0)
+        batch = docs.where(F.col("doc_id") % 2 == 1)
+        path = str(tmp_path / "mhidx")
+        DI.minhash_index_build(hist, path)
+        probe = DI.minhash_index_probe(spark, path, batch, threshold=0.9).collect()
+        exact = {
+            (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+            for r in D.minhash_lsh_pairs(docs, threshold=0.3).collect()
+        }
+        for r in probe:
+            pair = (min(r["doc_new"], r["doc_hist"]), max(r["doc_new"], r["doc_hist"]))
+            assert pair in exact, (pair, r["est_jaccard"])
+
+    def test_build_rejects_bad_band_split(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="multiple of bands"):
+            DI.minhash_index_build(
+                _docs(spark, MH_HIST), str(tmp_path / "bad"), num_perm=32, bands=5
+            )
