@@ -333,6 +333,78 @@ class SnapshotTable:
                 for k, v in old.items():
                     conf.set(k, v)
 
+    def _footer_stats(self, out: str) -> list[dict] | None:
+        """Per-file commit stats straight from the parquet FOOTERS,
+        driver-side — zero Spark jobs. The footers already carry row
+        counts, per-row-group null counts, and key min/max; re-scanning
+        the just-written files with a Spark aggregate to recompute them
+        was one full action per commit (the Delta/Iceberg approach is
+        exactly this footer read). Returns None whenever ANY footer lacks
+        trustworthy stats — missing null_count/min/max, a stats type
+        pyarrow can't extract (Decimal keys), an unexpected layout — and
+        the caller falls back to the Spark aggregate; correctness never
+        depends on this fast path. Footer min/max for long binary values
+        may be TRUNCATED bounds (parquet truncate-down / increment-up),
+        which is safe here: every consumer treats [key_min, key_max] as an
+        over-approximation of the file's key range (pruning only — a loose
+        bound only means one more file read). NULL merge keys found in the
+        footers raise the same ValueError as the aggregate path. Empty
+        part files (0 rows) are skipped, matching the aggregate path
+        (groupBy(input_file_name) emits no row for them)."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+            return None
+        files: list[dict] = []
+        nulls = 0
+        try:
+            for name in sorted(os.listdir(out)):
+                if name.startswith((".", "_")) or not name.endswith(".parquet"):
+                    continue
+                path = os.path.join(out, name)
+                md = pq.ParquetFile(path).metadata
+                if md.num_rows == 0:
+                    continue
+                key_idx = None
+                for i in range(md.num_columns):
+                    c = md.schema.column(i)
+                    if c.name == self.key and c.path == self.key:
+                        key_idx = i
+                        break
+                if key_idx is None:
+                    return None
+                kmin = kmax = None
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    st = rg.column(key_idx).statistics
+                    if st is None or not st.has_null_count:
+                        return None
+                    nulls += st.null_count
+                    if rg.num_rows == st.null_count:
+                        continue  # all-NULL group: no min/max, raise below
+                    if not st.has_min_max:
+                        return None
+                    mn, mx = st.min, st.max  # raises on unextractable types
+                    kmin = mn if kmin is None or mn < kmin else kmin
+                    kmax = mx if kmax is None or mx > kmax else kmax
+                files.append(
+                    {
+                        "path": path,
+                        "rows": md.num_rows,
+                        "key_min": _stat_jsonable(kmin),
+                        "key_max": _stat_jsonable(kmax),
+                    }
+                )
+        except Exception:
+            return None
+        if nulls:
+            raise ValueError(
+                f"{nulls} row(s) with NULL merge key '{self.key}': NULL keys "
+                "have no position in file key ranges and would break "
+                "copy-on-write file pruning — filter or fill them upstream"
+            )
+        return files
+
     def _write_files(
         self,
         df: DataFrame,
@@ -341,10 +413,13 @@ class SnapshotTable:
     ) -> list[dict]:
         """Write ``df`` as immutable parquet files under a fresh commit
         prefix and return per-file stats rows (path, rows, key min/max) —
-        one aggregate over only the just-written files. Rejects NULL merge
-        keys: min/max ignore NULLs, so a NULL-keyed row would fall outside
-        every file's [key_min, key_max] and break copy-on-write pruning
-        (it could never be matched by a later merge).
+        read from the parquet FOOTERS driver-side when they carry full
+        stats (_footer_stats — zero extra Spark jobs, one action saved per
+        commit), else one Spark aggregate over only the just-written
+        files. Rejects NULL merge keys either way: min/max ignore NULLs,
+        so a NULL-keyed row would fall outside every file's
+        [key_min, key_max] and break copy-on-write pruning (it could never
+        be matched by a later merge).
 
         Clustered commits are sized from the DATA, never session config,
         by whichever source of size knowledge is free at this call site:
@@ -408,6 +483,9 @@ class SnapshotTable:
         finally:
             if persisted is not None:
                 persisted.unpersist()
+        fast = self._footer_stats(out)
+        if fast is not None:
+            return fast
         stats = (
             self.spark.read.parquet(out)
             .groupBy(F.input_file_name().alias("path"))
@@ -586,7 +664,14 @@ class SnapshotTable:
         # lets a key slip outside the collected pruning bounds — its file
         # stays "untouched" while the new row inserts → silent duplicate
         # keys (r9 review). Sources are micro-batch-sized by contract.
-        source = source.localCheckpoint(eager=True)
+        # eager=False: the validation aggregate right below is merge's
+        # FIRST action, so it is the run that materializes the checkpoint —
+        # every later consumer (anti-join, write) reads the same
+        # materialized partitions, the identical once-only guarantee, one
+        # fewer full pass over the source than an eager checkpoint plus
+        # the aggregate (r11: merge was fixed-overhead-bound, ~4 actions
+        # per commit; this and the footer-stats read cut it to 2).
+        source = source.localCheckpoint(eager=False)
         if delete_col is not None:
             # Delete semantics flow entirely through the all-source-keys
             # anti-join below: a marked key's victim row is removed there and

@@ -2468,7 +2468,15 @@ def _stage_event_stream(
 
     from flusher_spark.io.tables import normalize_event_ts
 
-    key = (sf_dir, n_files, dup, sentinel)
+    # The cache key carries the fixture's mtime stamp — the same staleness
+    # guard as plans/llm.py::_scratch_index (r9 advisor): a fixture
+    # regenerated mid-process must invalidate the staged files, or a stale
+    # staging would silently answer for the new data.
+    try:
+        stamp = int(os.stat(os.path.join(sf_dir, "events.parquet")).st_mtime_ns)
+    except OSError:
+        stamp = -1
+    key = (sf_dir, n_files, dup, sentinel, stamp)
     cached = _STREAM_STAGE_CACHE.get(key)
     if cached and os.path.isdir(cached):
         return cached

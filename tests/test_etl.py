@@ -1412,3 +1412,52 @@ def test_snapshot_missing_key_column_fails_before_writing(spark, tmp_path):
         t.append(nokey)
     with pytest.raises(ValueError, match="no merge-key column"):
         t.merge(nokey)
+
+
+def test_snapshot_footer_stats_match_spark_aggregate(spark, tmp_path):
+    """The r11 footer fast path (manifest stats read driver-side from the
+    parquet footers, zero Spark jobs) must ENGAGE for plain long keys and
+    agree with the Spark-aggregate fallback field for field — and a string
+    key's footer stats must still prune-safely bound the real values."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 97).alias("v")
+    ).repartition(4)
+    t = SnapshotTable(spark, str(tmp_path / "fs"), "k")
+    files = t._write_files(df)
+    # The fast path engaged: recompute via the Spark aggregate and compare.
+    out = os.path.dirname(files[0]["path"])
+    fast = t._footer_stats(out)
+    assert fast is not None and len(fast) == len(files)
+    slow = {
+        r["path"].removeprefix("file://"): (r["rows"], r["key_min"], r["key_max"])
+        for r in spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("path"))
+        .agg(F.count("*").alias("rows"), F.min("k").alias("key_min"), F.max("k").alias("key_max"))
+        .collect()
+    }
+    for f in fast:
+        assert slow[f["path"]] == (f["rows"], f["key_min"], f["key_max"])
+
+    # String key: footer bounds must CONTAIN the true value range (loose is
+    # fine — truncation only widens; tight is what pyarrow actually gives).
+    sdf = spark.range(0, 200).select(
+        F.concat(F.lit("key_"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("sk"),
+        F.col("id").alias("v"),
+    ).repartition(2)
+    ts = SnapshotTable(spark, str(tmp_path / "fs_str"), "sk")
+    sfiles = ts._write_files(sdf)
+    lo = min(f["key_min"] for f in sfiles)
+    hi = max(f["key_max"] for f in sfiles)
+    assert lo <= "key_0000" and hi >= "key_0199"
+
+    # NULL merge keys must still raise through the fast path.
+    bad = spark.range(0, 10).select(
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("k")
+    )
+    tb = SnapshotTable(spark, str(tmp_path / "fs_bad"), "k")
+    with pytest.raises(ValueError, match="NULL merge key"):
+        tb._write_files(bad)
