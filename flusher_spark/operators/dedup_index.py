@@ -178,6 +178,11 @@ def fingerprint_index_probe(
     batch_fp = batch.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
     index = spark.read.parquet(os.path.join(path, "fingerprints"))
     if prune:
+        # The bucket-collect job and the anti-join both consume the batch
+        # fingerprints — checkpoint them once so the batch text is scanned
+        # (and md5'd) a single time, the same shared-prefix discipline as
+        # minhash_index_probe's sig_new (r11 review).
+        batch_fp = batch_fp.localCheckpoint(eager=False)
         # Bounded collect (≤ n_buckets ints): drives partition pruning.
         buckets = [
             r["fp_bucket"]
@@ -316,10 +321,19 @@ def minhash_index_append(
     sig = _signature_rows(
         df, text_col, id_col, m["num_perm"], m["shingle_n"], m["seed"]
     ).localCheckpoint(eager=False)
-    sig.write.mode("append").parquet(os.path.join(path, "sigs"))
+    # WRITE ORDER is the torn-append guard (two parquet appends can't be
+    # atomic together): bands FIRST, sigs second. A crash between them
+    # leaves band rows whose doc has no stored signature — which the probe
+    # DETECTS and raises on (candidate-without-signature). The opposite
+    # order would leave signatures with no band rows: those docs are never
+    # generated as candidates, so their near-dups would be missed SILENTLY
+    # forever — undetectable. Recovery from a detected tear: re-run the
+    # same append (both writes are append-only and the probe dedups
+    # candidate pairs, so duplicated band rows are harmless).
     _band_rows(sig, m["num_perm"], m["bands"], m["n_buckets"]).write.mode(
         "append"
     ).partitionBy("lsh_bucket").parquet(os.path.join(path, "bands"))
+    sig.write.mode("append").parquet(os.path.join(path, "sigs"))
     return path
 
 
@@ -391,12 +405,35 @@ def minhash_index_probe(
         .dropDuplicates(["doc_new", "doc_hist"])
     )
     sig_hist = spark.read.parquet(os.path.join(path, "sigs"))
+    # LEFT join + loud error on a candidate whose historical doc has no
+    # stored signature: that state only exists after a TORN APPEND (bands
+    # committed, sigs crash — see minhash_index_append's write-order note).
+    # An inner join would silently drop exactly the pairs the index was
+    # grown to find; raise_error keeps the plan lazy and fails the query
+    # with a recovery instruction instead.
     pairs = cand.join(
         sig_new.select(F.col("doc_id").alias("doc_new"), F.col("sig").alias("__sn")),
         "doc_new",
     ).join(
         sig_hist.select(F.col("doc_id").alias("doc_hist"), F.col("sig").alias("__sh")),
         "doc_hist",
+        "left",
+    ).withColumn(
+        "__sh",
+        F.when(
+            F.col("__sh").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("minhash index is torn: historical doc "),
+                    F.col("doc_hist").cast("string"),
+                    F.lit(
+                        " has band rows but no stored signature — a prior"
+                        " append crashed between its two writes; re-run the"
+                        " same append to repair"
+                    ),
+                )
+            ).cast(sig_hist.schema["sig"].dataType),
+        ).otherwise(F.col("__sh")),
     )
     # Agreement count as num_perm codegen'd comparisons, not a zip_with
     # lambda: num_perm is known from the meta at plan-build time, and HOFs

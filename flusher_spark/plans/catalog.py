@@ -65,16 +65,26 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: regenerations ago. Extra weight this round: the MinHash permutation
 #: family changed (dedup.minhash_min_aggs — the affine family was
 #: order-preserving on small hashes), so every minhash-derived entry's
-#: output is new. (1)+(2) fill exactly 50; the r7 cohort (50 entries)
-#: queues complete for the r12 window. After this round the freshness
-#: histogram bottoms at r7. Every name here must exist (asserted in
+#: output is new — which also pulls corpus_e2e_pipeline_minhash (r9
+#: verdict, stage 3 = minhash_lsh_pairs) into the window ahead of one r6
+#: hash-green entry whose code is unchanged since r6
+#: (etl_load_full_vs_incremental — fully pytest-covered warehouse
+#: mechanics, deferred to r12): a changed-output entry outranks a stale
+#: re-verdict of identical output. (1)+(2) fill exactly 50; the r7
+#: cohort plus the one deferred r6 entry queue for the r12 window. After
+#: this round the freshness histogram bottoms at r6 with exactly ONE
+#: entry there. Every name here must exist (asserted in
 #: tests/test_plans.py); the rest follow in import order.
 PRIORITY = (
     # (1) round-11 additions — first driver verdict
     "dedup_incremental_exact",
     "dedup_minhash_index",  # rows-only: signature-agreement estimate
-    # (2) the r6-verdict cohort (48) — includes the whole stale rows-only
-    # family plus the r6 hash-green entries, all four fixtures stale
+    # changed-output re-verdict: the only minhash consumer NOT already in
+    # the r6 cohort below
+    "corpus_e2e_pipeline_minhash",
+    # (2) the r6-verdict cohort (47 of 48) — includes the whole stale
+    # rows-only family plus the r6 hash-green entries, all four fixtures
+    # stale
     "agg_approx_sketches",
     "agg_bitmap_distinct",
     "agg_count_min_freq",
@@ -94,7 +104,6 @@ PRIORITY = (
     "docs_chunk_udtf",
     "embedding_centroid_int8",
     "etl_csv_export_roundtrip",
-    "etl_load_full_vs_incremental",
     "etl_schema_drift_report",
     "etl_schema_inference_typed",
     "etl_sheet_range_scan",
@@ -124,7 +133,8 @@ PRIORITY = (
     "vocab_bpe_encode",
     "vocab_bpe_merges",
     # ---- driver window ends here (50) ----
-    # r7-verdict cohort: head of the r12 rotation (all 50 fit exactly)
+    # r12 rotation head: the one deferred r6 entry, then the r7 cohort
+    "etl_load_full_vs_incremental",
     "agg_cube",
     "agg_distinct",
     "agg_grouping_sets",

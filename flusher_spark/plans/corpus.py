@@ -1315,10 +1315,19 @@ def domain_quota_report(d: DataFrame, q: int = 10, skew_precombine: bool = False
             F.sum("n_chars").cast("long").alias("kept_chars"),
         )
         totals = d.groupBy("source").agg(F.count("*").cast("long").alias("n_total"))
+        # NULL-SAFE join: groupBy keeps a NULL-source group on both sides
+        # (the direct window path reports it too), but a plain equi-join
+        # would drop it — the one input class where the two forms could
+        # silently diverge (r11 review; NULL sources are in the equality
+        # test now).
         return (
-            totals.join(kept_agg, "source")  # every source has ≥1 kept row
+            totals.alias("t")
+            .join(
+                kept_agg.alias("ka"),
+                F.col("t.source").eqNullSafe(F.col("ka.source")),
+            )  # inner: every source group has ≥1 kept row by construction
             .select(
-                "source",
+                F.col("t.source").alias("source"),
                 "n_total",
                 "n_kept",
                 (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),

@@ -181,13 +181,20 @@ def test_domain_quota_skew_precombine_equals_direct(spark):
     )
     assert direct == skew and direct
 
-    rows = [(i, "mega" if i % 10 != 0 else f"s{i % 40}", (i * 7919) % 500) for i in range(4000)]
+    # Synthetic frame with ties, a dominant source, AND NULL sources (the
+    # NULL group must survive both forms — the skew path's join is
+    # null-safe for exactly this).
+    rows = [
+        (i, None if i % 97 == 0 else ("mega" if i % 10 != 0 else f"s{i % 40}"), (i * 7919) % 500)
+        for i in range(4000)
+    ]
     synth = spark.createDataFrame(rows, "doc_id long, source string, n_chars long").repartition(16)
-    d2 = sorted(tuple(r) for r in C.domain_quota_report(synth, q=5).collect())
-    s2 = sorted(
-        tuple(r) for r in C.domain_quota_report(synth, q=5, skew_precombine=True).collect()
-    )
+    d2 = sorted((tuple(r) for r in C.domain_quota_report(synth, q=5).collect()),
+                key=lambda t: (t[0] is not None, t))
+    s2 = sorted((tuple(r) for r in C.domain_quota_report(synth, q=5, skew_precombine=True).collect()),
+                key=lambda t: (t[0] is not None, t))
     assert d2 == s2 and d2
+    assert any(t[0] is None for t in d2), "NULL-source group missing from the report"
 
 
 def test_domain_quota_precombine_splits_mega_domain(spark):

@@ -199,3 +199,20 @@ class TestMinhashIndex:
             DI.minhash_index_build(
                 _docs(spark, MH_HIST), str(tmp_path / "bad"), num_perm=32, bands=5
             )
+
+    def test_torn_append_detected(self, spark, tmp_path):
+        """A crash between append's two writes (bands committed, sigs not)
+        must fail the next probe LOUDLY, not silently drop the torn docs'
+        pairs — the write order in minhash_index_append exists for this."""
+        path = str(tmp_path / "mhidx")
+        DI.minhash_index_build(_docs(spark, MH_HIST), path)
+        m = DI._read_meta(spark, path)
+        # Simulate the tear: band rows for a new doc land, signatures don't.
+        sig = DI._signature_rows(_docs(spark, [(3, _NEAR)]), "text", "doc_id",
+                                 m["num_perm"], m["shingle_n"], m["seed"])
+        DI._band_rows(sig, m["num_perm"], m["bands"], m["n_buckets"]).write.mode(
+            "append"
+        ).partitionBy("lsh_bucket").parquet(os.path.join(path, "bands"))
+        probe = DI.minhash_index_probe(spark, path, _docs(spark, [(20, _NEAR)]))
+        with pytest.raises(Exception, match="torn"):
+            probe.collect()

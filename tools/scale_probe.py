@@ -68,6 +68,10 @@ PROBES = [
     ("events_cusum_changepoint", "3-window exact CUSUM argmax"),
     ("events_l_diversity", "two-level distinct-diversity audit"),
     ("similarity_mmr_rerank", "top-50 pools + applyInPandas greedy"),
+    # round 11 (both include the one-time index BUILD via _scratch_index on
+    # the first sf visit; the timed repeats measure the probe half)
+    ("dedup_incremental_exact", "bucket-pruned anti-join vs stored md5 index"),
+    ("dedup_minhash_index", "banded probe + signature-agreement verify"),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
