@@ -223,16 +223,20 @@ def decode_ppm(payload: bytes) -> dict:
     pixels = payload[pos : pos + width * height * 3]
     if len(pixels) != width * height * 3:
         raise ValueError("truncated PPM pixel data")
+    import numpy as np
+
     n = width * height
-    sums = [0, 0, 0]
-    for i, b in enumerate(pixels):
-        sums[i % 3] += b
+    # Vectorized channel sums: integer-exact (int64 accumulate), ~100× the
+    # per-byte Python loop this replaced (r11 review) — the decode runs on
+    # the mapInPandas executor hot path.
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(n, 3)
+    sums = px.sum(axis=0, dtype=np.int64)
     return {
         "width": width,
         "height": height,
-        "mean_r": sums[0] / n,
-        "mean_g": sums[1] / n,
-        "mean_b": sums[2] / n,
+        "mean_r": int(sums[0]) / n,
+        "mean_g": int(sums[1]) / n,
+        "mean_b": int(sums[2]) / n,
     }
 
 
@@ -317,6 +321,15 @@ def decimate_wav(payload: bytes, factor: int) -> bytes:
         sr = w.getframerate()
         n = w.getnframes()
         raw = w.readframes(n)
+    if len(raw) != n * 2:
+        # readframes returns what's THERE, not what the header claims: a
+        # truncated payload would otherwise be silently re-encoded as a
+        # VALID shorter WAV — laundering the truncation past downstream
+        # decoders' guards, so the spectral stage computes a confidently
+        # wrong frequency instead of a NULL drift row (r11 review).
+        raise ValueError(
+            f"truncated WAV data: header claims {n} frames, found {len(raw) // 2}"
+        )
     if sr % factor:
         raise ValueError("sample rate must be divisible by the decimation factor")
     import numpy as np
@@ -574,28 +587,31 @@ def decode_png(payload: bytes) -> dict:
         pixels = full
     if len(pixels) != width * height * bpp:
         raise ValueError("truncated PNG pixel data")
+    import numpy as np
+
+    # Palette expansion and channel sums are vectorized (numpy fancy index /
+    # int64-exact sums) — the per-pixel Python loops they replace were the
+    # decode hot path's bottleneck on the mapInPandas executors (r11 review).
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
-        expanded = bytearray(width * height * 3)
+        idx = np.frombuffer(bytes(pixels), dtype=np.uint8)
         n_entries = len(plte) // 3
-        for i, idx in enumerate(pixels):
-            if idx >= n_entries:
-                raise ValueError(f"palette index {idx} out of range")
-            expanded[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
-        pixels = expanded
+        if idx.size and int(idx.max()) >= n_entries:
+            raise ValueError(f"palette index {int(idx.max())} out of range")
+        pal = np.frombuffer(bytes(plte[: n_entries * 3]), dtype=np.uint8).reshape(
+            n_entries, 3
+        )
+        pixels = pal[idx].tobytes()
         bpp = 3
     n = width * height
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
     if color == 0:
-        mean = sum(pixels) / n
+        mean = int(arr.sum(dtype=np.int64)) / n
         means = (mean, mean, mean)
     else:
-        sums = [0, 0, 0]
-        for i in range(0, len(pixels), bpp):
-            sums[0] += pixels[i]
-            sums[1] += pixels[i + 1]
-            sums[2] += pixels[i + 2]
-        means = (sums[0] / n, sums[1] / n, sums[2] / n)
+        s = arr.reshape(n, bpp)[:, :3].sum(axis=0, dtype=np.int64)
+        means = (int(s[0]) / n, int(s[1]) / n, int(s[2]) / n)
     return {
         "width": width,
         "height": height,
@@ -647,32 +663,37 @@ def decode_bmp(payload: bytes) -> dict:
     (compression,) = struct.unpack_from("<I", payload, 30)
     if planes != 1 or compression != 0 or bpp not in (24, 32):
         raise ValueError(f"only uncompressed 24/32-bit BMP supported (bpp={bpp})")
+    if width <= 0 or height_raw == 0:
+        # biWidth is SIGNED on disk but a negative width is meaningless; a
+        # negative value made the stride arithmetic negative, the truncation
+        # check vacuously true, and the function returned a garbage non-NULL
+        # feature row instead of raising (r11 review).
+        raise ValueError(f"invalid BMP dimensions {width}x{height_raw}")
     height = abs(height_raw)
     nbytes = bpp // 8
     stride = (width * nbytes + 3) & ~3
     if len(payload) < data_offset + stride * height:
         raise ValueError("truncated BMP pixel data")
-    sums = [0, 0, 0]
-    # Iterate image rows top-down: a positive height_raw means the file
-    # stores rows bottom-up, so image row y lives at file row height-1-y.
-    # Means are order-independent, but keeping the traversal in image order
-    # means a pixel-grid consumer can extend this loop without re-deriving
-    # the orientation rule.
-    for y in range(height):
-        file_row = (height - 1 - y) if height_raw > 0 else y
-        base = data_offset + file_row * stride
-        for x in range(width):
-            i = base + x * nbytes
-            sums[0] += payload[i + 2]  # R (stored BGR)
-            sums[1] += payload[i + 1]
-            sums[2] += payload[i]
+    import numpy as np
+
+    # Vectorized: strided rows → (h, w, nbytes) view, int64-exact channel
+    # sums (was a 6-indexing-ops-per-pixel Python loop — r11 review). File
+    # rows are bottom-up when height_raw > 0; flipping keeps the traversal
+    # in image order for any future pixel-grid consumer (means unaffected).
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)
+    px = rows[:, : width * nbytes].reshape(height, width, nbytes)
+    if height_raw > 0:
+        px = px[::-1]
+    sums = px[:, :, :3].sum(axis=(0, 1), dtype=np.int64)  # disk order: B, G, R
     n = width * height
     return {
         "width": width,
         "height": height,
-        "mean_r": sums[0] / n,
-        "mean_g": sums[1] / n,
-        "mean_b": sums[2] / n,
+        "mean_r": int(sums[2]) / n,
+        "mean_g": int(sums[1]) / n,
+        "mean_b": int(sums[0]) / n,
     }
 
 
@@ -980,23 +1001,28 @@ def decode_tiff(payload: bytes) -> dict:
         raise ValueError("only RGB 3-sample TIFF supported")
     if tags.get(258, [8, 8, 8]) != [8, 8, 8]:
         raise ValueError("only 8-bit samples supported")
+    if tags.get(284, [1])[0] != 1:
+        # PlanarConfiguration=2 stores R/G/B as separate planes; reading it
+        # as interleaved RGB silently scrambles the channel means (the
+        # docstring always promised planar raises — the check was missing,
+        # r11 review).
+        raise ValueError("only chunky (PlanarConfiguration=1) TIFF supported")
     data = b"".join(
         payload[o : o + c] for o, c in zip(tags[273], tags[279])
     )
     if len(data) != width * height * 3:
         raise ValueError("strip data does not match dimensions")
-    sums = [0, 0, 0]
-    for i in range(0, len(data), 3):
-        sums[0] += data[i]
-        sums[1] += data[i + 1]
-        sums[2] += data[i + 2]
+    import numpy as np
+
     n = width * height
+    # Vectorized int64-exact channel sums (was a per-pixel loop, r11 review).
+    s = np.frombuffer(data, dtype=np.uint8).reshape(n, 3).sum(axis=0, dtype=np.int64)
     return {
         "width": width,
         "height": height,
-        "mean_r": sums[0] / n,
-        "mean_g": sums[1] / n,
-        "mean_b": sums[2] / n,
+        "mean_r": int(s[0]) / n,
+        "mean_g": int(s[1]) / n,
+        "mean_b": int(s[2]) / n,
     }
 
 
@@ -1112,6 +1138,12 @@ def parse_mp3_meta(payload: bytes) -> dict:
             raise ValueError(f"truncated frame at byte {pos}")
         pos += frame_len
         frames += 1
+    if pos != len(payload):
+        # The loop condition (pos + 4 <= len) exits cleanly on 1-3 leftover
+        # bytes while 4+ raise on bad sync — an inconsistent boundary: a
+        # truncation leaving part of the next header was accepted as a clean
+        # file (r11 review). Trailing bytes of any count now raise.
+        raise ValueError(f"trailing garbage after last frame at byte {pos}")
     return {
         "n_frames": frames,
         "bitrate_kbps": br // 1000,
@@ -1148,6 +1180,11 @@ def parse_jpeg_meta(payload: bytes) -> dict:
         # 0xFF fill bytes may pad between segments (ITU T.81 B.1.1.2).
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(payload):
+            # A payload ENDING in a fill run has no marker byte to read —
+            # fall out to the ValueError below instead of IndexError
+            # (r11 review: the contract is ValueError on corrupt input).
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -1540,6 +1577,10 @@ def decode_jpeg(payload: bytes) -> dict:
             raise ValueError(f"bad marker alignment at byte {pos}")
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(payload):
+            # Payload ending in a 0xFF fill run: no marker byte to read —
+            # ValueError (the corrupt-input contract), not IndexError.
+            raise ValueError("truncated JPEG: fill bytes run to end of payload")
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
@@ -1811,14 +1852,19 @@ def decode_avi_frames(payload: bytes) -> dict:
                         if fcc_type == b"vids" and video_stream is None:
                             video_stream = stream_idx
                             if strf_fields is not None:
-                                _, _, _, _, bpp, compression = strf_fields
+                                _, _, strf_height, _, bpp, compression = strf_fields
                         stream_idx += 1
                     inner += 8 + isize + (isize % 2)
             elif kind == b"movi":
-                inner = pos + 12
-                while inner + 8 <= pos + 8 + size:
+                # Frame chunks may sit directly in movi OR inside 'LIST rec '
+                # groupings (the interleave unit standard muxers emit for
+                # co-scheduled audio+video); skipping rec lists silently
+                # dropped every frame of such files (r11 review). The descent
+                # is IN ORDER (a rec list's children are consumed before the
+                # chunks after it) so frame_no stays chronological; rec
+                # lists do not nest, so one level suffices.
+                def _movi_chunk(inner: int, isize: int) -> None:
                     icid = payload[inner : inner + 4]
-                    (isize,) = struct.unpack_from("<I", payload, inner + 4)
                     is_video_chunk = (
                         video_stream is not None
                         and icid[:2].isdigit()
@@ -1830,6 +1876,19 @@ def decode_avi_frames(payload: bytes) -> dict:
                         )
                     if is_video_chunk and icid[2:4] == b"db":
                         frames.append(payload[inner + 8 : inner + 8 + isize])
+
+                inner = pos + 12
+                while inner + 8 <= pos + 8 + size:
+                    icid = payload[inner : inner + 4]
+                    (isize,) = struct.unpack_from("<I", payload, inner + 4)
+                    if icid == b"LIST" and payload[inner + 8 : inner + 12] == b"rec ":
+                        sub = inner + 12
+                        while sub + 8 <= inner + 8 + isize:
+                            (ssize,) = struct.unpack_from("<I", payload, sub + 4)
+                            _movi_chunk(sub, ssize)
+                            sub += 8 + ssize + (ssize % 2)
+                    else:
+                        _movi_chunk(inner, isize)
                     inner += 8 + isize + (isize % 2)
         pos += 8 + size + (size % 2)
     if compression is None or bpp is None:
@@ -1842,7 +1901,13 @@ def decode_avi_frames(payload: bytes) -> dict:
         if len(raw) != stride * h:
             raise ValueError("frame chunk size does not match dimensions")
         a = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)[:, : 3 * w]
-        bgr = a.reshape(h, w, 3)[::-1]  # bottom-up rows -> top-down
+        bgr = a.reshape(h, w, 3)
+        if strf_height >= 0:
+            # Positive biHeight = bottom-up DIB (flip to image order);
+            # NEGATIVE = top-down, already in image order — the same signed
+            # convention decode_bmp honors; the unconditional flip returned
+            # top-down streams vertically mirrored (r11 review).
+            bgr = bgr[::-1]
         out.append(bgr[..., ::-1].copy())  # BGR -> RGB
     return {**meta, "frames": out}
 

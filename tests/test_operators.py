@@ -2917,3 +2917,122 @@ def test_mmr_rerank_zero_norm_candidate_excluded(spark):
     picked = [r["vec_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
     assert 2 not in picked
     assert picked[0] == 1  # highest real cosine to the query
+
+
+def test_multimodal_r11_review_fixes():
+    """Round-11 review regressions: corrupt/variant payloads that previously
+    decoded to confidently wrong non-NULL rows (or the wrong exception type)
+    must now raise ValueError / decode correctly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from flusher_spark.operators.multimodal import (
+        decimate_wav,
+        decode_avi_frames,
+        decode_bmp,
+        decode_jpeg,
+        decode_tiff,
+        parse_jpeg_meta,
+        parse_mp3_meta,
+        synth_avi_rawvideo,
+        synth_bmp,
+        synth_mp3,
+        synth_tiff,
+        synth_wav,
+    )
+
+    # (1) planar TIFF (tag 284 = 2) must raise, not decode scrambled means.
+    chunky = synth_tiff(4, 3, (100, 150, 200))
+    decode_tiff(chunky)  # sanity: chunky still decodes
+    # Overwrite the decoder-ignored RowsPerStrip entry (tag 278) IN PLACE
+    # with PlanarConfiguration=2 — inserting an entry would shift every
+    # out-of-line IFD offset and corrupt the file for the wrong reason.
+    e = "<" if chunky[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(e + "I", chunky, 4)
+    (n_entries,) = struct.unpack_from(e + "H", chunky, ifd_off)
+    planar = bytearray(chunky)
+    for i in range(n_entries):
+        base = ifd_off + 2 + i * 12
+        (tag,) = struct.unpack_from(e + "H", chunky, base)
+        if tag == 278:
+            planar[base : base + 12] = struct.pack(e + "HHIHH", 284, 3, 1, 2, 0)
+            break
+    else:
+        raise AssertionError("synth_tiff no longer emits tag 278")
+    with _pytest.raises(ValueError, match="PlanarConfiguration"):
+        decode_tiff(bytes(planar))
+
+    # (2) truncated WAV must raise in decimate_wav, not re-encode shorter.
+    wav = synth_wav(8000, 100, 1000)
+    with _pytest.raises(Exception):
+        decimate_wav(wav[:-40], 2)
+    decimate_wav(wav, 2)  # intact payload still decimates
+
+    # (5) negative-width BMP must raise, not emit a garbage feature row.
+    bmp = bytearray(synth_bmp(4, 2, (1, 2, 3)))
+    struct.pack_into("<i", bmp, 18, -4)
+    with _pytest.raises(ValueError, match="invalid BMP dimensions"):
+        decode_bmp(bytes(bmp))
+
+    # (6) MP3 with 1-3 trailing garbage bytes must raise like 4+ bytes do.
+    mp3 = synth_mp3(9, 0, 3)
+    with _pytest.raises(ValueError, match="trailing garbage"):
+        parse_mp3_meta(mp3 + b"\xde\xad")
+    assert parse_mp3_meta(mp3)["n_frames"] == 3
+
+    # (7) payload ending in a 0xFF fill run: ValueError, never IndexError.
+    with _pytest.raises(ValueError):
+        parse_jpeg_meta(b"\xff\xd8\xff\xff")
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xff")
+
+    # (3) frames wrapped in 'LIST rec ' decode in order, not silently empty.
+    avi = synth_avi_rawvideo(3, 2, 40000, [(10, 20, 30), (40, 50, 60)])
+    # Walk TOP-LEVEL RIFF chunks to the movi LIST (a bare .index() would land
+    # on the strl LIST nested inside hdrl).
+    movi_at = 12
+    while True:
+        (tsize,) = struct.unpack_from("<I", avi, movi_at + 4)
+        if avi[movi_at : movi_at + 4] == b"LIST" and avi[movi_at + 8 : movi_at + 12] == b"movi":
+            break
+        movi_at += 8 + tsize + (tsize % 2)
+    # Rebuild: wrap the first frame chunk in a rec list, keep the second bare.
+    (movi_size,) = struct.unpack_from("<I", avi, movi_at + 4)
+    movi_body = avi[movi_at + 8 : movi_at + 8 + movi_size]
+    assert movi_body[:4] == b"movi"
+    chunks = []
+    p = 4
+    while p + 8 <= len(movi_body):
+        (csz,) = struct.unpack_from("<I", movi_body, p + 4)
+        chunks.append(movi_body[p : p + 8 + csz + (csz % 2)])
+        p += 8 + csz + (csz % 2)
+    rec_body = b"rec " + chunks[0]
+    wrapped = (
+        b"movi" + b"LIST" + struct.pack("<I", len(rec_body)) + rec_body + chunks[1]
+    )
+    new_movi = b"LIST" + struct.pack("<I", len(wrapped)) + wrapped
+    rebuilt = bytearray(avi[:movi_at] + new_movi)
+    struct.pack_into("<I", rebuilt, 4, len(rebuilt) - 8)  # fix RIFF size
+    d = decode_avi_frames(bytes(rebuilt))
+    assert len(d["frames"]) == 2
+    # Order preserved: first frame is the rec-wrapped one.
+    assert tuple(d["frames"][0][0, 0]) == (10, 20, 30)
+    assert tuple(d["frames"][1][0, 0]) == (40, 50, 60)
+
+    # (4) top-down DIB (negative biHeight in strf): rows NOT flipped.
+    avi2 = bytearray(synth_avi_rawvideo(3, 2, 40000, [(0, 0, 0)]))
+    # Build a two-row gradient frame: row0 = 100s, row1 = 200s (BGR equal).
+    stride = (3 * 3 + 3) & ~3
+    frame = bytes([100] * 9 + [0] * (stride - 9)) + bytes([200] * 9 + [0] * (stride - 9))
+    fpos = bytes(avi2).index(b"00db") + 8
+    avi2[fpos : fpos + stride * 2] = frame
+    # Bottom-up (positive biHeight): file row0 is the BOTTOM image row.
+    d_up = decode_avi_frames(bytes(avi2))
+    assert d_up["frames"][0][0, 0, 0] == 200 and d_up["frames"][0][1, 0, 0] == 100
+    # Flip biHeight negative in strf → top-down: file order IS image order.
+    strf_at = bytes(avi2).index(b"strf") + 8
+    struct.pack_into("<i", avi2, strf_at + 8, -2)
+    d_down = decode_avi_frames(bytes(avi2))
+    assert d_down["frames"][0][0, 0, 0] == 100 and d_down["frames"][0][1, 0, 0] == 200
