@@ -55,7 +55,20 @@ def pagerank(
         (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("w"),
     )
     deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
-    ed = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+    # Zero/NULL-weight guard: an edge with w <= 0 (or NULL) spreads nothing,
+    # and a node whose out-weights SUM to zero has nowhere to spread — it is
+    # treated as DANGLING (excluded from out_nodes below, so its mass
+    # redistributes uniformly) instead of evaluating rank·0/0, which under
+    # this repo's ANSI sessions raises DIVIDE_BY_ZERO and kills the job
+    # (r11 review; the similarity cosine fixed the same class with
+    # try_divide in r10 — here the dangling term is the SEMANTICALLY right
+    # destination for that mass, not NULL).
+    ed = (
+        e.where(F.col("w") > 0)
+        .join(deg.where(F.col("deg") > 0), "src")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -73,7 +86,10 @@ def pagerank(
     # the full edge scan + deg aggregation from the raw input — n_iter
     # extra edge-table passes, against this module's own "the edge table
     # never re-shuffles" design (r9 review).
-    out_nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+    out_nodes = (
+        deg.where(F.col("deg") > 0).select(F.col("src").alias("node"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(n_iter):
         # Dangling mass: total rank parked on nodes with no out-edges.
         # 1-row aggregate -> scalar; bounded regardless of graph size.
@@ -264,7 +280,7 @@ def label_propagation(
     labels = bi.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(iters):
+    for i in range(iters):
         counts = (
             bi.join(labels, bi.d == labels.node)
             .groupBy(bi.s.alias("node"), "label")
@@ -277,6 +293,14 @@ def label_propagation(
                 "l"
             ].alias("label")
         )
+        # LAZY per-round lineage truncation (pagerank/BPE discipline, r11
+        # review): without it the labels plan nests one join + two aggs
+        # DEEPER per round — invisible at iters=3, a superlinear
+        # analysis-time blowup at iters=30. eager=False keeps the whole
+        # thing a zero-driver-action lazy plan; the final round's output
+        # is the returned frame, so it stays un-truncated for the caller.
+        if i < iters - 1:
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 

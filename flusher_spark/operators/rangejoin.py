@@ -56,6 +56,44 @@ def _width_seconds(text: str) -> int:
     return total
 
 
+def _bin_explode(df: DataFrame, start: str, end: str, width_s) -> DataFrame:
+    """One row per fixed-width bin the [start, end] interval touches."""
+    secs = F.unix_timestamp
+    return df.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(secs(F.col(start)) / width_s),
+                F.floor(secs(F.col(end)) / width_s),
+            )
+        ),
+    )
+
+
+def _rename_collisions(
+    left_cols: list[str], rhs: DataFrame, on: list[str], suffix: str = "_right"
+) -> tuple[DataFrame, dict[str, str]]:
+    """Suffix right-side columns that collide with left names (join keys
+    excluded), picking a target not already taken on EITHER side — the
+    fuzzy_join_ed1 guard: a naive f'{c}_right' can itself collide with an
+    existing left column and yield two same-named columns, failing only
+    later with AMBIGUOUS_REFERENCE (r11 review). Returns the renamed frame
+    plus the old→new map so callers resolve bound references through it
+    (which also covers bounds listed in ``on``: those are join keys, never
+    renamed, and the map just doesn't contain them)."""
+    taken = set(left_cols) | set(rhs.columns)
+    renames: dict[str, str] = {}
+    for c in list(rhs.columns):
+        if c in left_cols and c != "__bin" and c not in on:
+            new = f"{c}{suffix}"
+            while new in taken:
+                new += suffix
+            taken.add(new)
+            rhs = rhs.withColumnRenamed(c, new)
+            renames[c] = new
+    return rhs, renames
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -77,32 +115,35 @@ def range_join(
     ``how``: ``inner`` or ``left``. Left-outer CANNOT ride the binned
     equi-join directly — the exact predicate runs after the join, and a
     null-extended (or matched-in-bin-only) row fails it, silently giving
-    inner results (r9 review). Instead: binned inner join + a null-safe
-    anti-join that unions back the left rows with no true match,
+    inner results (r9 review). Instead: binned inner join + an anti-join
+    on a per-row id that unions back the left rows with no true match,
     null-extended — the standard outer decomposition for candidate-join
     rewrites; both halves stay shuffle-parallel.
     """
     on = on or []
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"range_join supports inner/left, got {how!r}")
-    secs = F.unix_timestamp  # timestamp -> epoch seconds
-
     width_s = F.lit(_width_seconds(bin_width))
-
+    if how != "inner":
+        # Row identity for the outer decomposition: a monotonic id, LAZILY
+        # checkpointed so both consumers (the inner join and the anti-join
+        # probe) see the SAME materialized ids — monotonically_increasing_id
+        # is partitioning-dependent and two independent executions could
+        # disagree. The id also replaces the previous all-left-columns
+        # eqNullSafe compare, which (a) failed at analysis on map-typed
+        # columns (maps don't support equality) and (b) collapsed identical
+        # duplicate left rows — if one of two byte-identical rows matched,
+        # the anti-join dropped BOTH (r11 review); the row id keeps exact
+        # multiplicity.
+        left = left.withColumn(
+            "__rj_rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+    secs = F.unix_timestamp  # timestamp -> epoch seconds
     lhs = left.withColumn("__bin", F.floor(secs(F.col(left_point)) / width_s))
-    rhs = right.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                F.floor(secs(F.col(right_start)) / width_s),
-                F.floor(secs(F.col(right_end)) / width_s),
-            )
-        ),
-    )
-    for c in set(lhs.columns) & set(rhs.columns) - {"__bin"} - set(on):
-        rhs = rhs.withColumnRenamed(c, f"{c}_right")
-    r_start = f"{right_start}_right" if right_start in left.columns else right_start
-    r_end = f"{right_end}_right" if right_end in left.columns else right_end
+    rhs = _bin_explode(right, right_start, right_end, width_s)
+    rhs, renames = _rename_collisions(left.columns, rhs, on)
+    r_start = renames.get(right_start, right_start)
+    r_end = renames.get(right_end, right_end)
     inner = (
         lhs.join(rhs, ["__bin", *on], "inner")
         .where((F.col(left_point) >= F.col(r_start)) & (F.col(left_point) < F.col(r_end)))
@@ -110,22 +151,12 @@ def range_join(
     )
     if how == "inner":
         return inner
-    # Left-outer: every left row with at least one true match already
-    # appears in `inner` (with full duplicate multiplicity — the inner join
-    # preserves it); the anti-join finds the rest. eqNullSafe so left rows
-    # containing nulls don't show up on both sides.
-    # Renamed probe side: `matched` derives from `left`, so same-name column
-    # references would hit Spark's self-join ambiguity.
-    matched = inner.select(*[F.col(c).alias(f"__m_{c}") for c in left.columns])
-    cond = None
-    for c in left.columns:
-        eq = F.col(c).eqNullSafe(F.col(f"__m_{c}"))
-        cond = eq if cond is None else cond & eq
-    unmatched = left.join(matched, cond, "left_anti")
+    matched_ids = inner.select("__rj_rid").distinct()
+    unmatched = left.join(matched_ids, "__rj_rid", "left_anti")
     for c in inner.columns:
         if c not in left.columns:
             unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(inner.dtypes)[c]))
-    return inner.unionByName(unmatched.select(*inner.columns))
+    return inner.unionByName(unmatched.select(*inner.columns)).drop("__rj_rid")
 
 
 def interval_overlap_join(
@@ -158,24 +189,11 @@ def interval_overlap_join(
     on = on or []
     secs = F.unix_timestamp
     width_s = F.lit(_width_seconds(bin_width))
-
-    def binned(df: DataFrame, start: str, end: str) -> DataFrame:
-        return df.withColumn(
-            "__bin",
-            F.explode(
-                F.sequence(
-                    F.floor(secs(F.col(start)) / width_s),
-                    F.floor(secs(F.col(end)) / width_s),
-                )
-            ),
-        )
-
-    lhs = binned(left, left_start, left_end)
-    rhs = binned(right, right_start, right_end)
-    for c in set(lhs.columns) & set(rhs.columns) - {"__bin"} - set(on):
-        rhs = rhs.withColumnRenamed(c, f"{c}_right")
-    r_start = f"{right_start}_right" if right_start in left.columns else right_start
-    r_end = f"{right_end}_right" if right_end in left.columns else right_end
+    lhs = _bin_explode(left, left_start, left_end, width_s)
+    rhs = _bin_explode(right, right_start, right_end, width_s)
+    rhs, renames = _rename_collisions(left.columns, rhs, on)
+    r_start = renames.get(right_start, right_start)
+    r_end = renames.get(right_end, right_end)
     canonical = F.floor(
         F.greatest(secs(F.col(left_start)), secs(F.col(r_start))) / width_s
     )

@@ -72,7 +72,14 @@ def take_per_group(df: DataFrame, key_col: str, group_col: str, k: int) -> DataF
     md5 of their key — an unbiased, append-stable pseudo-random order any
     engine reproduces — and keep the first k. One shuffle on the group key
     (the same partitioning downstream per-group work needs); no rand(), so
-    task retries and re-runs return identical samples."""
+    task retries and re-runs return identical samples.
+
+    CONTRACT: ``key_col`` must be UNIQUE and NON-NULL within each group —
+    (md5(key), key) is the entire sort order, so duplicate or NULL keys tie
+    and row_number then picks partition-order-dependent winners, which is
+    exactly the rand()-style instability this function exists to remove
+    (r11 review). Every catalog caller keys on doc_id; synthesize a unique
+    key upstream if yours isn't."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(

@@ -123,11 +123,24 @@ def zorder_key(cols: list, bits: int = 8):
     deterministic function reproducible in ANSI SQL). The interleave is a
     statically generated codegen'd expression: bit b of column j lands at
     output bit b*len(cols)+j — ``bits × len(cols)`` shift/mask/or terms,
-    no Python at row time."""
+    no Python at row time.
+
+    Width safety (r11 review): the key must fit a SIGNED long, so
+    ``bits × len(cols) > 63`` raises instead of silently wrapping, and
+    every input is cast to long before shifting — Spark's shiftleft keeps
+    the INPUT's integer width, so a raw IntegerType column would hit the
+    sign bit at position 31 and wrap shift counts mod 32, landing bits
+    from different dimensions on the same output position (distinct
+    coordinates colliding on one key = clustering silently broken)."""
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_key width {bits}*{n}={bits * n} bits exceeds a signed "
+            "long (63 usable bits) — lower bits or split the column set"
+        )
     terms = []
     for j, c in enumerate(cols):
-        expr = F.col(c) if isinstance(c, str) else c
+        expr = (F.col(c) if isinstance(c, str) else c).cast("long")
         for b in range(bits):
             terms.append(F.shiftleft(F.shiftright(expr, b).bitwiseAND(F.lit(1)), b * n + j))
     out = terms[0]

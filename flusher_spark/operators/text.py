@@ -32,8 +32,14 @@ WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization of trimmed, lowercased text."""
-    return F.split(F.lower(F.trim(text)), WS_CLASS + "+")
+    """Whitespace tokenization of the canonical form: split the collapsed,
+    WS-trimmed lowercase text on single spaces. Defined VIA normalized_text
+    so the two can never drift — and because F.trim strips only ASCII space
+    (0x20): the old lower(trim(text)) + split formulation left a trailing
+    '\\n' in place, growing a phantom '' token on every document bounded by
+    non-space whitespace (r11 review; the DuckDB twins mirrored the
+    artifact, so the hash gate never saw it)."""
+    return F.split(normalized_text(text), " ")
 
 
 def n_tokens(text: Column) -> Column:
@@ -84,10 +90,14 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """Stopword-profile argmax with a fixed tie-break chain (en>de>fr>es);
-    CJK characters trump everything. Mirrors the SQL oracle's CASE chain."""
+    CJK characters trump everything. NULL text is NULL, not a language:
+    without the leading guard every score comparison is NULL, the whole
+    chain falls through, and otherwise('es') silently labeled contentless
+    documents Spanish (r11 review). Mirrors the SQL oracle's CASE chain."""
     s = lang_scores(text)
     return (
-        F.when(s["zh"] > 0, "zh")
+        F.when(text.isNull(), F.lit(None).cast("string"))
+        .when(s["zh"] > 0, "zh")
         .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
         .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
         .when(s["fr"] >= s["es"], "fr")
@@ -96,8 +106,14 @@ def lang_id(text: Column) -> Column:
 
 
 def normalized_text(text: Column) -> Column:
-    """Whitespace-collapsed lowercase — the dedup canonical form."""
-    return F.regexp_replace(F.lower(F.trim(text)), WS_CLASS + "+", " ")
+    """Whitespace-collapsed lowercase with the FULL whitespace class trimmed
+    from both ends — the dedup canonical form. Collapse-then-trim, in that
+    order: after every WS run becomes one space, plain F.trim (space-only)
+    correctly strips the edges. The old trim-then-collapse left a trailing
+    space on text bounded by '\\n'/'\\t', so 'good doc\\n' and 'good doc'
+    fingerprinted as DIFFERENT documents — the exact miss the canonical
+    form exists to prevent (r11 review)."""
+    return F.trim(F.regexp_replace(F.lower(text), WS_CLASS + "+", " "))
 
 
 def fingerprint_md5(text: Column) -> Column:
@@ -135,8 +151,17 @@ def winnow_fingerprints(df, k: int = 7, w: int = 4, text_col: str = "text", id_c
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     return (
         grams.withColumn("fp", F.min("__h").over(win))
-        # only full windows: the last w-1 positions have truncated windows
-        .where(F.col("pos") <= F.col("__n") - (w - 1))
+        # Only full windows — EXCEPT for documents shorter than one full
+        # window (fewer than k+w-1 chars), which keep the min over all their
+        # grams (the pos==1 truncated window): the full-window-only rule
+        # emitted ZERO fingerprints for them, so even byte-identical short
+        # documents could never match each other (r11 review). The
+        # shared-substring guarantee is unaffected; short docs simply get
+        # their whole-doc minimum, standard winnowing practice.
+        .where(
+            (F.col("pos") <= F.col("__n") - (w - 1))
+            | ((F.col("__n") < w) & (F.col("pos") == 1))
+        )
         .select("doc_id", "fp")
         .distinct()
     )

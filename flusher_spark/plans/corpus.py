@@ -36,7 +36,7 @@ from flusher_spark.plans.catalog import register
 # The whitespace class is spelled out (not '\s') in every oracle: DuckDB's
 # RE2 \s excludes \x0B while Spark/Java's includes it — the explicit class
 # keeps both engines' tokenization identical on any fixture.
-_TOKENS_SQL = r"string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')"
+_TOKENS_SQL = r"string_split(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')"
 
 #: Java-regex == RE2 subset; '%' is dropped from the local-part class vs the
 #: usual RFC-ish pattern purely to stay printf-safe in logs/oracles.

@@ -31,8 +31,8 @@ from flusher_spark.plans.num import sql_davg
 
 # Whitespace class spelled out (not '\s'): DuckDB's RE2 \s excludes \x0B
 # while Spark/Java's includes it — explicit keeps both engines identical.
-_NORM_SQL = r"regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')"
-_TOKENS_SQL = r"string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')"
+_NORM_SQL = r"trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))"
+_TOKENS_SQL = r"string_split(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')"
 EMBEDDING_DIM = 64
 
 
@@ -556,7 +556,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_lang_id",
     oracle=rf"""
     WITH s AS (
-      SELECT doc_id,
+      SELECT doc_id, (text IS NULL) AS no_text,
              len(regexp_extract_all(lower(text), '{T.LANG_PROFILES["en"]}')) AS s_en,
              len(regexp_extract_all(lower(text), '{T.LANG_PROFILES["de"]}')) AS s_de,
              len(regexp_extract_all(lower(text), '{T.LANG_PROFILES["fr"]}')) AS s_fr,
@@ -564,7 +564,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(regexp_extract_all(text, '{T.CJK_PATTERN}')) AS s_zh
       FROM documents)
     SELECT doc_id,
-           CASE WHEN s_zh > 0 THEN 'zh'
+           CASE WHEN no_text THEN NULL
+                WHEN s_zh > 0 THEN 'zh'
                 WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
                 WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
                 WHEN s_fr >= s_es THEN 'fr'
@@ -1370,7 +1371,8 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
       FROM g)
-    SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n - 3
+    SELECT DISTINCT doc_id, fp FROM wins
+    WHERE pos <= n - 3 OR (n < 4 AND pos = 1)
     """,
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1557,7 +1559,7 @@ def text_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tfidf_top_terms",
     oracle=r"""
     WITH toks AS (
-      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS term
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')) AS term
       FROM documents),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
     dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),

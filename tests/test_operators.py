@@ -3036,3 +3036,106 @@ def test_multimodal_r11_review_fixes():
     struct.pack_into("<i", avi2, strf_at + 8, -2)
     d_down = decode_avi_frames(bytes(avi2))
     assert d_down["frames"][0][0, 0, 0] == 100 and d_down["frames"][0][1, 0, 0] == 200
+
+
+def test_operators_r11_review_fixes(spark):
+    """Round-11 operator-sweep regressions (text/graph/rangejoin/scale)."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.operators.graph import pagerank
+    from flusher_spark.operators.rangejoin import interval_overlap_join, range_join
+    from flusher_spark.operators.scale import zorder_key
+    from flusher_spark.operators.text import (
+        lang_id,
+        n_tokens,
+        normalized_text,
+        winnow_fingerprints,
+    )
+
+    # Tokenization: edge non-space whitespace no longer grows phantom ''
+    # tokens, and the canonical form identifies '\n'-bounded duplicates.
+    df = spark.createDataFrame(
+        [("good doc\n",), ("good doc",), ("\ta b\x0b",), (None,)], "text string"
+    )
+    rows = df.select(
+        n_tokens(F.col("text")).alias("nt"),
+        normalized_text(F.col("text")).alias("norm"),
+        lang_id(F.col("text")).alias("lang"),
+    ).collect()
+    assert [r["nt"] for r in rows] == [2, 2, 2, None]
+    assert rows[0]["norm"] == rows[1]["norm"] == "good doc"
+    assert rows[3]["lang"] is None  # NULL text is NULL, not 'es'
+
+    # Winnowing: byte-identical docs SHORTER than one full window now emit
+    # (matching) fingerprints instead of none.
+    short = spark.createDataFrame(
+        [(1, "abcdefghi"), (2, "abcdefghi")], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(short, k=7, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc and by_doc[1] == by_doc[2] and len(by_doc[1]) >= 1
+
+    # Weighted pagerank: a node whose out-weights sum to zero is DANGLING,
+    # not a DIVIDE_BY_ZERO crash; ranks still sum to 1.
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 0.0), (3, 1, 2.0)], "src long, dst long, w double"
+    )
+    ranks = pagerank(edges, n_iter=3, weight="w")
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+
+    # range_join: rename target colliding with an existing left column, and
+    # a bound column listed in `on`, both resolve instead of failing.
+    left = spark.createDataFrame(
+        [(1, "x", "2024-01-01 00:10:00", "decoy")],
+        "lid long, s string, ts string, s_right string",
+    ).select("lid", "s", F.col("ts").cast("timestamp").alias("ts"), "s_right")
+    right = spark.createDataFrame(
+        [("x", "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "s string, st string, en string",
+    ).select(
+        "s",
+        F.col("st").cast("timestamp").alias("s2"),  # no collision
+        F.col("en").cast("timestamp").alias("en"),
+    )
+    # collision case: right carries a column literally named like left's
+    right = right.withColumnRenamed("s2", "s_right2").withColumnRenamed(
+        "s_right2", "st"
+    )
+    out = range_join(left, right, "ts", "st", "en", on=["s"])
+    assert out.count() == 1
+    # left-outer with a MAP-typed left column (the eqNullSafe form failed
+    # at analysis) and exact multiplicity for identical left rows.
+    left2 = spark.createDataFrame(
+        [(1, "x", "2024-01-01 00:10:00"), (2, "x", "2024-01-01 09:00:00")],
+        "lid long, s string, ts string",
+    ).select(
+        "lid", "s", F.col("ts").cast("timestamp").alias("ts"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("props"),
+    )
+    out2 = range_join(left2, right, "ts", "st", "en", on=["s"], how="left")
+    got = {(r["lid"], r["st"] is None) for r in out2.collect()}
+    assert got == {(1, False), (2, True)}
+
+    # interval_overlap_join still works through the shared helpers.
+    iv = interval_overlap_join(
+        left2.select("lid", F.col("ts").alias("a0"), (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("a1")),
+        right.select(F.col("st").alias("b0"), F.col("en").alias("b1")),
+        "a0", "a1", "b0", "b1",
+    )
+    assert iv.count() == 1
+
+    # zorder_key: >63-bit keys raise; int inputs match long inputs.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exceeds a signed long"):
+        zorder_key(["a"] * 9, bits=8)
+    zin = spark.createDataFrame([(200, 3)], "a int, b int").select(
+        zorder_key(["a", "b"], bits=8).alias("z")
+    ).first()["z"]
+    zlong = spark.createDataFrame([(200, 3)], "a long, b long").select(
+        zorder_key(["a", "b"], bits=8).alias("z")
+    ).first()["z"]
+    assert zin == zlong
