@@ -31,8 +31,11 @@ EDGE_TEXTS = [
     "\x0b",
 ]
 
-_TOKENS_SQL = r"string_split_regex(lower(trim(t)), '[ \t\n\x0b\f\r]+')"
-_NORM_SQL = r"regexp_replace(lower(trim(t)), '[ \t\n\x0b\f\r]+', ' ', 'g')"
+# The r11 canonical forms (collapse-then-trim; see operators/text.py
+# normalized_text) — must stay byte-identical to plans/llm.py _TOKENS_SQL /
+# _NORM_SQL modulo the column name.
+_TOKENS_SQL = r"string_split(trim(regexp_replace(lower(t), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')"
+_NORM_SQL = r"trim(regexp_replace(lower(t), '[ \t\n\x0b\f\r]+', ' ', 'g'))"
 
 
 @pytest.fixture(scope="module")
@@ -199,3 +202,15 @@ def test_business_day_prefix_formula_matches_calendar():
         got = prefix((b - epoch).days) - prefix((a - epoch).days)
         want = naive(a, b) if b >= a else -naive(b, a)
         assert got == want, f"{a}..{b}: formula {got} != calendar {want}"
+
+
+def test_local_sql_twins_match_plans_constants():
+    """The module-local _TOKENS_SQL/_NORM_SQL above exist to run on the `t`
+    column; they must stay byte-identical to the plans-layer constants
+    (modulo the column name) or these edge tests silently stop testing the
+    production forms — exactly how the r11 tokenization fix briefly left
+    them pinning the OLD artifact."""
+    from flusher_spark.plans import llm
+
+    assert llm._NORM_SQL.replace("lower(text)", "lower(t)") == _NORM_SQL
+    assert llm._TOKENS_SQL.replace("lower(text)", "lower(t)") == _TOKENS_SQL
