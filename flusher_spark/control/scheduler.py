@@ -25,6 +25,7 @@ results are reported in due order regardless of completion order.
 
 from __future__ import annotations
 
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -88,8 +89,13 @@ def due_jobs(
     lease_age = now_ts.cast("long") - F.to_timestamp(
         F.when(F.col("lease_ts") == "", None).otherwise(F.col("lease_ts"))
     ).cast("long")
+    # A Running row with NO lease timestamp counts as EXPIRED, not fresh:
+    # rows migrated from the reference system (no lease column) or
+    # hand-edited ones arrive exactly like that, and coalescing the NULL
+    # age to 0 wedged them as Running forever — the stuck-Running hazard
+    # the lease exists to fix (r11 review).
     not_running = (F.col("state") != STATE_RUNNING) | (
-        F.coalesce(lease_age, F.lit(0)) > lease_seconds
+        F.coalesce(lease_age, F.lit(lease_seconds + 1)) > lease_seconds
     )
     scheduled = secs.isNotNull() & (elapsed > secs)
     return jobs_df.where(
@@ -100,17 +106,21 @@ def due_jobs(
 def translate_error(exc: Exception, job: Job, source: SheetSource) -> str:
     """Error enrichment (reference translate_error, manager.py:69-80)."""
     msg = str(exc)
-    if isinstance(exc, KeyError) and "document" in msg:
-        return (
-            f"Could not open document {job.document!r} — does it exist, and is it "
-            "shared with the service account?"
-        )
+    # Worksheet FIRST: the zero-sheets message is "worksheet not found:
+    # document %r has no sheets" — it contains BOTH words, and matching
+    # 'document' first misdiagnosed an openable document as missing/unshared
+    # while skipping the candidate enrichment (r11 review).
     if isinstance(exc, KeyError) and "worksheet" in msg:
         try:
             candidates = source.available_sheets(job.document)
         except Exception:
             candidates = []
         return f"Worksheet {job.sheet!r} not found. Available: {candidates}"
+    if isinstance(exc, KeyError) and "document" in msg:
+        return (
+            f"Could not open document {job.document!r} — does it exist, and is it "
+            "shared with the service account?"
+        )
     return msg
 
 
@@ -199,6 +209,24 @@ class Scheduler:
 
         def execute(claim: tuple[int, Job, str]) -> tuple[int, Job, str, str, str, str]:
             job_id, job, start = claim
+            # Lease HEARTBEAT for the duration of the run: without it a
+            # healthy pipeline that outlives lease_seconds looks crashed to
+            # a later tick, which claims and runs it AGAIN concurrently —
+            # duplicate appends (incremental) or two overwrites racing one
+            # path (r11 review). Refreshing at half the lease keeps the
+            # lease always-fresh while alive; a real crash stops the beat
+            # and the lease expires as designed.
+            stop_beat = threading.Event()
+
+            def _beat() -> None:
+                while not stop_beat.wait(self.lease_seconds / 2):
+                    try:
+                        self.store.refresh_lease(job_id, self.clock())
+                    except Exception:  # noqa: BLE001 — heartbeat must not kill the run
+                        pass
+
+            beat = threading.Thread(target=_beat, daemon=True)
+            beat.start()
             try:
                 result = self.run_job(job)
                 end = self.store.mark_success(job_id, result, self.clock())
@@ -207,6 +235,8 @@ class Scheduler:
                 result = translate_error(exc, job, self.source)
                 end = self.store.mark_failure(job_id, result, self.clock())
                 status = "Failure"
+            finally:
+                stop_beat.set()
             return (job_id, job, start, end, status, result)
 
         if self.max_concurrency > 1 and len(claimed) > 1:

@@ -123,6 +123,21 @@ class JobStore:
             self._save()
         return now
 
+    def refresh_lease(self, job_id: int, now: str | None = None) -> str:
+        """Heartbeat: extend a Running job's lease without touching any
+        other field. A pipeline that legitimately outlives ``lease_seconds``
+        (a big first load) would otherwise look crashed to a later tick and
+        be DOUBLE-DISPATCHED — two concurrent appends to the same lake
+        table (r11 review). No-op unless the job is still Running (the run
+        may have completed between the timer firing and the lock)."""
+        now = now or utcnow_iso()
+        with self._lock:
+            j = self._jobs.get(job_id)
+            if j is not None and j.state == STATE_RUNNING:
+                j.lease_ts = now
+                self._save()
+        return now
+
     def mark_success(self, job_id: int, result: str, now: str | None = None) -> str:
         now = now or utcnow_iso()
         with self._lock:

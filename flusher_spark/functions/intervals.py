@@ -54,7 +54,15 @@ def from_human(text: str) -> timedelta:
         kwargs[key] = kwargs.get(key, 0) + int(amount)
     if not kwargs:
         raise ValueError(f"no interval terms found in {text!r}")
-    return timedelta(**kwargs)
+    try:
+        return timedelta(**kwargs)
+    except OverflowError as exc:
+        # timedelta(days=1e14) raises OverflowError, which callers that
+        # catch ValueError (the documented contract — scheduler
+        # parse_intervals feeds fail-and-disable) would NOT see: one absurd
+        # user-typed cell would then crash every scheduler tick forever
+        # instead of disabling that one job (r11 review).
+        raise ValueError(f"interval out of range: {text!r} ({exc})") from exc
 
 
 def to_sql_interval(text: str) -> str:

@@ -11,6 +11,7 @@ that need a literal file.
 from __future__ import annotations
 
 import os
+import uuid
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
@@ -34,7 +35,17 @@ def to_csv(
     names come from the user-editable control table, so path separators
     are flattened — one export is always exactly one entry directly under
     ``out_dir``, never a traversal outside it."""
-    name = f"{now_str or _now_str()} {document}" + (f" - {sheet}" if sheet else "")
+    if now_str is None:
+        # Auto-stamped exports get a short unique suffix: the timestamp is
+        # second-granular, so two jobs exporting the same document+sheet in
+        # one concurrent tick computed the SAME path and the overwrite mode
+        # silently replaced the first export while both reported Success
+        # (r11 review). An explicit now_str keeps the fully deterministic
+        # path — that caller owns idempotence.
+        stamp = f"{_now_str()} {uuid.uuid4().hex[:8]}"
+    else:
+        stamp = now_str
+    name = f"{stamp} {document}" + (f" - {sheet}" if sheet else "")
     name = name.replace("/", "_").replace("\\", "_").replace("\0", "_")
     path = os.path.join(out_dir, name)
     writer = df.coalesce(1) if single_file else df

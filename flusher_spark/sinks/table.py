@@ -144,7 +144,22 @@ class Warehouse:
                 {"compact_id": compact_id, "snapshot": snapshot, "phase": phase},
                 fh,
             )
+            # DURABILITY, not just atomicity: the 'published' flip must hit
+            # disk BEFORE _remove_originals starts unlinking — on a power
+            # loss (vs a mere process kill) delayed allocation can persist
+            # the unlinks while losing the rename, and recovery would then
+            # read 'publishing' and roll BACK the compacted files: the only
+            # remaining copy of those rows (r11 review). fsync file, then
+            # rename, then fsync the directory so the rename itself is
+            # durable.
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(sentinel + ".tmp", sentinel)
+        dfd = os.open(os.path.dirname(sentinel) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     @staticmethod
     def _remove_originals(path: str, snapshot: list[str]) -> None:

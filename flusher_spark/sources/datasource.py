@@ -148,6 +148,14 @@ class WorksheetDataSource(DataSource):
             rng = parse_a1_range(cellrange)
             col_lo = rng.col_start
             col_hi = min(rng.col_end, len(header)) if rng.col_end != -1 else len(header)
+            if col_lo > len(header):
+                # Same guard as read_sheet (r11 review): a range starting
+                # past the last column must fail at PLANNING with the real
+                # story, not produce a zero-column schema.
+                raise ValueError(
+                    f"cell range {cellrange!r} starts at column {col_lo}, but "
+                    f"the sheet has only {len(header)} column(s)"
+                )
         names = normalize_header_names(
             [str(h) for h in header[col_lo - 1 : col_hi]], start_col=col_lo
         )
@@ -234,7 +242,15 @@ class WorksheetWriter(DataSourceWriter):
             grid = [list(self.field_names), *rows]
         else:
             grid = _read_grid(self.path) + rows
-        tmp = self.path + ".__tmp__"
+        # The temp file carries THIS job's stage UUID: a shared
+        # '<path>.__tmp__' let two concurrent committers truncate each
+        # other mid-write — one could publish the other's half-written file
+        # and the loser's os.replace then raised FileNotFoundError — the
+        # exact torn-read/spurious-failure pair the per-job staging above
+        # exists to prevent (r11 review). With unique temps the final
+        # os.replace stays the only serialization point: last PUBLISH wins,
+        # atomically.
+        tmp = f"{self.stage_dir}.__tmp__"
         with open(tmp, "w", newline="", encoding="utf-8") as f:
             csv.writer(f).writerows(grid)
         os.replace(tmp, self.path)

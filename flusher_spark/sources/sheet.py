@@ -122,6 +122,16 @@ def read_sheet(
     if cellrange:
         rng = parse_a1_range(cellrange)
         col_lo, col_hi = rng.col_start, min(rng.col_end, ncols)
+        if col_lo > ncols:
+            # Loud, not a 0-column frame: a range starting past the sheet's
+            # last column previously produced a NEGATIVE width — every slice
+            # went empty and the job failed much later with a baffling
+            # empty-schema parquet error, after mark_failure had silently
+            # unscheduled it (r11 review).
+            raise ValueError(
+                f"cell range {cellrange!r} starts at column {col_lo}, but the "
+                f"sheet has only {ncols} column(s)"
+            )
         if rng.row_start is not None:
             row_lo = rng.row_start
         if rng.row_end is not None:
@@ -141,9 +151,11 @@ def read_sheet(
         data_rows = rows[row_lo - 1 : row_hi]
     names = normalize_header_names(names, start_col=col_lo)
 
+    # One slice per row (it was computed twice — once for values, once for
+    # the padding length — in the hot driver loop feeding createDataFrame).
     padded = [
-        [str(c) if c is not None else "" for c in r[col_lo - 1 : col_hi]] + [""] * (width - len(r[col_lo - 1 : col_hi]))
-        for r in data_rows
+        [str(c) if c is not None else "" for c in sl] + [""] * (width - len(sl))
+        for sl in (r[col_lo - 1 : col_hi] for r in data_rows)
     ]
     schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
     return spark.createDataFrame(padded, schema)

@@ -368,3 +368,54 @@ def test_streaming_scheduler_trigger(spark, tmp_path):
         assert wh.read("t1").count() == 2
     finally:
         q.stop()
+
+
+def test_r11_control_plane_fixes(spark, tmp_path):
+    """Round-11 review regressions for the control plane + sheet sources."""
+    import pytest as _pytest
+
+    from flusher_spark.control.model import EPOCH_NEVER, Job
+    from flusher_spark.control.scheduler import due_jobs, parse_intervals, translate_error
+    from flusher_spark.control.store import JobStore
+    from flusher_spark.functions.intervals import from_human
+    from flusher_spark.sources.sheet import SheetGrid, SheetSource, read_sheet
+
+    # (1) An absurd interval is a ValueError (fail-and-disable), never an
+    # OverflowError that would crash every scheduler tick forever.
+    with _pytest.raises(ValueError, match="out of range"):
+        from_human("99999999999999 days")
+    job = Job(job_id=7, document="D", sheet="S", cellrange="", target_system="",
+              destination="", incremental=False, refresh_now=False,
+              refresh_interval="99999999999999 days", last_success="", state="")
+    _, errors = parse_intervals([job])
+    assert 7 in errors and "out of range" in errors[7]
+
+    # (2) A Running row with EMPTY lease_ts (reference-migrated / hand-edited)
+    # counts as expired — due again, not wedged forever.
+    store = JobStore(spark, str(tmp_path / "ctrl"))
+    store.put(Job(job_id=1, document="D", sheet="S", cellrange="", target_system="",
+                  destination="", incremental=False, refresh_now=True,
+                  refresh_interval="", last_success="", state="Running", lease_ts=""))
+    due = due_jobs(store.jobs_df(), {}, "2026-01-01T00:00:00", lease_seconds=3600)
+    assert [r["job_id"] for r in due.select("job_id").collect()] == [1]
+
+    # (3) The zero-sheets KeyError (mentions BOTH words) is diagnosed as a
+    # worksheet problem with candidate enrichment, not document-not-found.
+    src = SheetSource({"D": {"S1": SheetGrid.from_csv("S1", "a\n1\n")}})
+    err = translate_error(
+        KeyError("worksheet not found: document 'D' has no sheets"), job, src
+    )
+    assert err.startswith("Worksheet") and "Available" in err
+
+    # (4) A cell range starting past the sheet's last column fails loudly at
+    # read time with the real story.
+    grid = SheetGrid.from_csv("S1", "a,b,c\n1,2,3\n")
+    with _pytest.raises(ValueError, match="starts at column 5"):
+        read_sheet(spark, grid, "E2:H")
+
+    # (5) refresh_lease extends a Running lease and no-ops after completion.
+    t1 = store.refresh_lease(1, "2026-01-01T00:10:00")
+    assert store.get(1).lease_ts == t1
+    store.mark_success(1, "ok", "2026-01-01T00:11:00")
+    store.refresh_lease(1, "2026-01-01T00:12:00")
+    assert store.get(1).lease_ts == ""  # success cleared it; heartbeat no-ops
