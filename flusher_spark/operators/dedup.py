@@ -658,9 +658,11 @@ def remove_dup_spans(
     doc_id — policy, not mechanism, so it stays out of this operator).
 
     Surviving tokens keep their ORIGINAL text (casing, punctuation): the
-    rebuild splits the un-lowercased trimmed text with the same whitespace
-    regex ``tokens`` uses — lowercasing never moves a whitespace boundary,
-    so positions align 1:1 with the span indexes — and only inter-token
+    rebuild applies the same collapse-then-trim shape as ``tokens`` to the
+    UN-lowercased text — lowercasing never moves a whitespace boundary, so
+    positions align 1:1 with the span indexes (an old trim-then-split here
+    kept a phantom '' token on edge-whitespace docs, shifting every span
+    index by one relative to tokens(); r11 review) — and only inter-token
     whitespace is normalized to single spaces (inherent to token-level
     masking; runs of whitespace collapse). Documents with no spans pass
     through byte-verbatim via the left join.
@@ -681,8 +683,9 @@ def remove_dup_spans(
         )
     )
     keep = [c for c in df.columns if c != text_col]
+    canon = F.trim(F.regexp_replace(F.col(text_col), WS_CLASS + "+", " "))
     return (
-        df.withColumn("__t", F.split(F.trim(F.col(text_col)), WS_CLASS + "+"))
+        df.withColumn("__t", F.split(canon, " "))
         .join(per_doc, df[id_col] == per_doc["doc_id"], "left")
         .drop(per_doc["doc_id"])
         .select(*keep, out_text.alias(text_col))

@@ -3139,3 +3139,25 @@ def test_operators_r11_review_fixes(spark):
         zorder_key(["a", "b"], bits=8).alias("z")
     ).first()["z"]
     assert zin == zlong
+
+
+def test_remove_dup_spans_aligns_on_edge_whitespace(spark):
+    """Span positions come from tokens() (full-WS-class trimmed); the
+    rebuild's split must use the same shape or every index shifts by one on
+    edge-whitespace docs (r11 review). Two docs share an 8-gram passage;
+    doc 1 has a LEADING newline — the masked output must drop exactly the
+    shared passage, keeping the unique prefix/suffix tokens."""
+    from flusher_spark.operators.dedup import remove_dup_spans, substring_dup_spans
+
+    shared = " ".join(f"p{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"\nAlpha {shared} Omega"),
+            (2, f"Beta {shared} Gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = substring_dup_spans(docs, k=8, min_docs=2)
+    got = {r["doc_id"]: r["text"] for r in remove_dup_spans(docs, spans).collect()}
+    assert got[1] == "Alpha Omega", got
+    assert got[2] == "Beta Gamma", got
