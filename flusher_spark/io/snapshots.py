@@ -373,6 +373,20 @@ class SnapshotTable:
                         break
                 if key_idx is None:
                     return None
+                # TIMESTAMP keys never take the fast path: pyarrow footer
+                # stats surface them as UTC-based datetimes while the Spark
+                # aggregate fallback collects SESSION-timezone datetimes —
+                # _stat_jsonable isoformats both, so one table's manifests
+                # could mix two string representations across commits, and
+                # scan_range's string comparison would then wrongly prune
+                # files (silently dropped rows in non-UTC sessions — r12 /
+                # ADVICE). DATE stays: date stats are timezone-free and both
+                # paths emit identical ISO strings.
+                kc = md.schema.column(key_idx)
+                if kc.physical_type == "INT96" or str(
+                    kc.logical_type
+                ).upper().startswith("TIMESTAMP"):
+                    return None
                 kmin = kmax = None
                 for g in range(md.num_row_groups):
                     rg = md.row_group(g)
@@ -389,7 +403,14 @@ class SnapshotTable:
                     kmax = mx if kmax is None or mx > kmax else kmax
                 files.append(
                     {
-                        "path": path,
+                        # abspath matches the aggregate path's shape (it
+                        # strips file:// off input_file_name(), which is
+                        # always absolute): with a RELATIVE table root the
+                        # two commit paths would otherwise store
+                        # differently-shaped strings in manifests, and
+                        # merge's kept-vs-touched path-set comparisons mix
+                        # manifests across commits (r12 / ADVICE).
+                        "path": os.path.abspath(path),
                         "rows": md.num_rows,
                         "key_min": _stat_jsonable(kmin),
                         "key_max": _stat_jsonable(kmax),

@@ -449,4 +449,13 @@ def minhash_index_probe(
         )
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_new", "doc_hist", "est_jaccard")
+        # Idempotent under the documented repair flow: "re-run the same
+        # append" executed when the prior append had in fact completed both
+        # writes leaves doc_ids with DUPLICATE sigs/bands rows, and the
+        # joins above would emit one output row per stored copy. Dedup on
+        # the output pair (copies carry identical signatures, so identical
+        # est_jaccard) rather than on sig_hist — deduping history would
+        # shuffle the whole corpus-sized table, against this module's
+        # probe-cost-follows-the-batch contract (r12 / ADVICE).
+        .dropDuplicates(["doc_new", "doc_hist"])
     )

@@ -54,18 +54,21 @@ def pagerank(
         F.col(dst).alias("dst"),
         (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("w"),
     )
-    deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     # Zero/NULL-weight guard: an edge with w <= 0 (or NULL) spreads nothing,
-    # and a node whose out-weights SUM to zero has nowhere to spread — it is
+    # and a node with NO positive out-weight has nowhere to spread — it is
     # treated as DANGLING (excluded from out_nodes below, so its mass
     # redistributes uniformly) instead of evaluating rank·0/0, which under
     # this repo's ANSI sessions raises DIVIDE_BY_ZERO and kills the job
     # (r11 review; the similarity cosine fixed the same class with
     # try_divide in r10 — here the dangling term is the SEMANTICALLY right
-    # destination for that mass, not NULL).
+    # destination for that mass, not NULL). deg MUST be summed over the
+    # same filtered edge set the spread uses: summing raw weights let a
+    # mixed-sign node (w = [2, -1] → deg 1) spread 2/1 > 1 of its rank,
+    # inflating total mass every iteration (r12 / ADVICE).
+    pos = e.where(F.col("w") > 0)
+    deg = pos.groupBy("src").agg(F.sum("w").alias("deg"))
     ed = (
-        e.where(F.col("w") > 0)
-        .join(deg.where(F.col("deg") > 0), "src")
+        pos.join(deg, "src")
         .repartition("src")
         .localCheckpoint(eager=True)
     )

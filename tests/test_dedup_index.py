@@ -200,6 +200,22 @@ class TestMinhashIndex:
                 _docs(spark, MH_HIST), str(tmp_path / "bad"), num_perm=32, bands=5
             )
 
+    def test_probe_idempotent_after_repair_rerun(self, spark, tmp_path):
+        """The documented torn-append recovery is 're-run the same append' —
+        but if the prior append had in fact COMPLETED both writes, the
+        re-run leaves every doc of that batch with duplicate sigs/bands
+        rows. The probe must still emit each (doc_new, doc_hist) pair once
+        (r12 / ADVICE: duplicated sig_hist rows doubled the output)."""
+        path = str(tmp_path / "mhidx")
+        DI.minhash_index_build(_docs(spark, MH_HIST), path)
+        batch2 = _docs(spark, [(3, _NEAR)])
+        DI.minhash_index_append(spark, path, batch2)
+        DI.minhash_index_append(spark, path, batch2)  # repair re-run (no-op tear)
+        rows = DI.minhash_index_probe(spark, path, _docs(spark, [(20, _NEAR)])).collect()
+        pairs = [(r["doc_new"], r["doc_hist"]) for r in rows]
+        assert len(pairs) == len(set(pairs)), f"duplicated pairs: {pairs}"
+        assert (20, 3) in set(pairs)
+
     def test_torn_append_detected(self, spark, tmp_path):
         """A crash between append's two writes (bands committed, sigs not)
         must fail the next probe LOUDLY, not silently drop the torn docs'

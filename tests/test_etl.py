@@ -1461,3 +1461,40 @@ def test_snapshot_footer_stats_match_spark_aggregate(spark, tmp_path):
     tb = SnapshotTable(spark, str(tmp_path / "fs_bad"), "k")
     with pytest.raises(ValueError, match="NULL merge key"):
         tb._write_files(bad)
+
+
+def test_snapshot_footer_stats_decline_timestamp_keys(spark, tmp_path):
+    """TIMESTAMP merge keys must NOT take the footer fast path: pyarrow
+    footer stats are UTC-based while the Spark aggregate collects
+    session-timezone datetimes, so one table's manifests could mix two ISO
+    string shapes across commits and scan_range's string comparison would
+    wrongly prune files (r12 / ADVICE). The aggregate fallback must produce
+    session-consistent bounds that contain the written range."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.range(0, 100).select(
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 3600).alias("ts"),
+            F.col("id").alias("v"),
+        ).repartition(2)
+        t = SnapshotTable(spark, str(tmp_path / "fs_ts"), "ts")
+        files = t._write_files(df)
+        out = os.path.dirname(files[0]["path"])
+        assert t._footer_stats(out) is None, "timestamp key must decline fast path"
+        # Aggregate-path bounds: pyspark collect() renders TimestampType via
+        # datetime.fromtimestamp (PYTHON-process local tz) — whatever the
+        # session tz says. The point of this test is that ALL bounds come
+        # from that one representation, so compute the expectation the same
+        # way and require exact agreement.
+        lo = min(f["key_min"] for f in files)
+        hi = max(f["key_max"] for f in files)
+        import datetime
+
+        assert lo == datetime.datetime.fromtimestamp(1700000000).isoformat()
+        assert hi == datetime.datetime.fromtimestamp(1700000000 + 99 * 3600).isoformat()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

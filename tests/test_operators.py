@@ -1146,6 +1146,50 @@ def test_pagerank_weighted_matches_numpy(spark):
     assert got[1] > unweighted[1] + 1e-3
 
 
+def test_pagerank_mixed_sign_weights_conserve_mass(spark):
+    """A node with BOTH positive and non-positive out-weights must spread
+    exactly its rank, not more: the out-weight denominator has to be summed
+    over the same w>0 edge set the spread uses (r12 / ADVICE — deg summed
+    over ALL edges let w=[2,-1] spread 2/1 of the node's rank, inflating
+    total mass each iteration). Non-positive-only nodes stay dangling."""
+    import numpy as np
+
+    from flusher_spark.operators.graph import pagerank
+
+    edges = [
+        (0, 1, 2.0),   # spreads
+        (0, 2, -1.0),  # ignored, but old code still counted it in deg
+        (1, 2, 4.0),
+        (1, 3, 0.0),   # ignored
+        (2, 0, 2.0),
+        (3, 0, -5.0),  # node 3's ONLY edge is non-positive -> dangling
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, damping=0.85, n_iter=8, weight="w").collect()
+    }
+
+    n, d = 4, 0.85
+    out: dict = {}
+    for s, t, w in edges:
+        if w > 0:
+            out.setdefault(s, []).append((t, w))
+    r = np.full(n, 1.0 / n)
+    for _ in range(8):
+        nxt = np.full(n, (1 - d) / n)
+        dang = sum(r[u] for u in range(n) if u not in out)
+        nxt += d * dang / n
+        for s, ts in out.items():
+            tot = sum(w for _, w in ts)
+            for t, w in ts:
+                nxt[t] += d * r[s] * w / tot
+        r = nxt
+    assert abs(sum(got.values()) - 1.0) < 1e-9, "rank mass must stay 1"
+    for u in range(n):
+        assert abs(got[u] - r[u]) < 1e-12, (u, got[u], r[u])
+
+
 def test_pagerank_tol_early_stop(spark, monkeypatch):
     """tol must stop the iteration loop before n_iter once the L1 delta
     converges (observed by counting per-iteration localCheckpoint calls),
