@@ -369,6 +369,22 @@ def minhash_index_probe(
     sig_new = _signature_rows(
         batch, text_col, id_col, m["num_perm"], m["shingle_n"], m["seed"]
     ).localCheckpoint(eager=False)  # consumed twice: band rows + verification
+    return _probe_pairs(spark, path, m, sig_new, threshold, max_bucket, prune)
+
+
+def _probe_pairs(
+    spark: SparkSession,
+    path: str,
+    m: dict[str, int],
+    sig_new: DataFrame,
+    threshold: float,
+    max_bucket: int,
+    prune: bool,
+) -> DataFrame:
+    """minhash_index_probe's body, split out so the cluster layer can reuse
+    it with an ALREADY-COMPUTED signature frame (the append flow consumes
+    sig_new several times — probe pairs, batch-internal pairs, both index
+    writes, base labels — and must not re-run the shingle pipeline)."""
     bands_new = _band_rows(sig_new, m["num_perm"], m["bands"], m["n_buckets"])
     index = spark.read.parquet(os.path.join(path, "bands"))
     if prune:
@@ -458,4 +474,323 @@ def minhash_index_probe(
         # shuffle the whole corpus-sized table, against this module's
         # probe-cost-follows-the-batch contract (r12 / ADVICE).
         .dropDuplicates(["doc_new", "doc_hist"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental cluster labels: persisted canonical ids that survive appends
+# ---------------------------------------------------------------------------
+#
+# The missing last step of the incremental near-dup story (r11 verdict):
+# minhash_index_probe yields candidate PAIRS vs history, but a production
+# crawl wants a persisted (doc_id, cluster_id) table whose ids stay STABLE
+# as batches append — re-running dedup_clusters over all accumulated pairs
+# per batch re-does label propagation over the whole corpus.
+#
+# Layout under <index>/clusters/:
+#   base/   (doc_id, cluster_id, c_bucket)  APPEND-ONLY — one row per doc,
+#           labeled with the canonical id known AT APPEND TIME, parquet-
+#           partitioned by a stable hash bucket of doc_id (probe-side label
+#           lookups prune to the batch's buckets).
+#   remap/  (old_id, new_id)  the tiny merge ledger: when a new doc bridges
+#           two existing clusters, the losing cluster's id maps to the
+#           surviving (minimum) id. PATH-COMPRESSED AT WRITE TIME: stored
+#           new_ids are always canonical (a later merge of a winner rewrites
+#           every ledger row pointing at it), so reads resolve in ONE
+#           broadcast join — never an iterative chain. Size is bounded by
+#           the number of merges ever performed, orders of magnitude below
+#           corpus size; the per-batch overwrite is of this tiny table only.
+#   meta/   min_agree (integer agreement threshold = ceil(threshold ×
+#           num_perm) — exact, no float round-trip) + max_bucket.
+#
+# Why base never rewrites: the alternative (rewrite losing clusters' member
+# rows in place) would need either an inverted cluster->files lookup or a
+# partition-overwrite whose rows MOVE buckets when relabeled (cluster-keyed
+# bucketing) — both turn rare merges into corpus-sized writes. The ledger
+# keeps every merge O(|ledger|) and every read base-scan + broadcast.
+#
+# Label semantics match the batch operator exactly: a cluster's canonical id
+# is the MINIMUM member doc_id (dedup_clusters' convention). Induction: the
+# bootstrap labels by min member; a batch component's collapsed graph holds
+# new doc ids + touched clusters' canonical ids (each = min of its members),
+# so the component minimum IS the union component's minimum member. A test
+# pins equality with a from-scratch clustering of the union corpus.
+#
+# Crash consistency (four writes can't be atomic together): order is
+# bands -> sigs -> base -> remap, and the recovery for ANY tear is the same
+# "re-run the same append" as minhash_index_append — duplicated bands/sigs
+# are harmless (probe dedups), duplicated base rows carry equal-or-mergeable
+# labels (reads resolve through the ledger and take the min), and the remap
+# rewrite is idempotent. minhash_cluster_bootstrap rebuilds clusters/ from
+# bands+sigs outright if a table is ever lost.
+
+
+def _capped_bands(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop rows of (band, bsig) buckets larger than ``max_bucket`` — the
+    shared fan-out cap (degenerate signatures would square the bucket
+    join)."""
+    w = Window.partitionBy("band", "bsig")
+    return (
+        bands.withColumn("__n", F.count("*").over(w))
+        .where(F.col("__n") <= max_bucket)
+        .drop("__n")
+    )
+
+
+def _agree_expr(num_perm: int, a: str, b: str):
+    """Signature-agreement count as num_perm codegen'd comparisons (same
+    rationale as the probe: a zip_with HOF drops the stage to interpreted
+    evaluation)."""
+    return sum(
+        (F.element_at(a, i + 1) == F.element_at(b, i + 1)).cast("int")
+        for i in range(num_perm)
+    )
+
+
+def _verified_pairs(
+    cand: DataFrame, sigs: DataFrame, num_perm: int, min_agree: int
+) -> DataFrame:
+    """(doc_a, doc_b) candidates -> pairs whose signature agreement clears
+    the INTEGER threshold (exact comparison, no float round-trip)."""
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("__sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("__sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(_agree_expr(num_perm, "__sa", "__sb") >= F.lit(min_agree))
+        .select("doc_a", "doc_b")
+    )
+
+
+def _self_candidates(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Within-one-table LSH candidates: equi-join on (band, bsig), ordered
+    doc_a < doc_b, deduped across bands. Never a cartesian."""
+    b = _capped_bands(bands, max_bucket)
+    return (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def minhash_cluster_bootstrap(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> str:
+    """Initialize the persisted cluster-label table from the CURRENT index
+    content — stored bands + sigs only, historical text is never touched.
+    Every signed document gets a row: near-dup components are labeled by
+    their minimum member id (dedup_clusters), everything else is its own
+    singleton. The agreement threshold is frozen into clusters/meta as an
+    INTEGER minimum (ceil(threshold × num_perm)) so appends can never
+    drift to a different float cut."""
+    from flusher_spark.operators.dedup import dedup_clusters
+
+    m = _read_meta(spark, path)
+    min_agree = -(-int(threshold * m["num_perm"] * 1000000) // 1000000)  # ceil, float-safe
+    min_agree = max(min_agree, 1)
+    sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    bands = spark.read.parquet(os.path.join(path, "bands"))
+    cand = _self_candidates(bands, max_bucket)
+    pairs = _verified_pairs(cand, sigs, m["num_perm"], min_agree)
+    comp = dedup_clusters(pairs)
+    labels = (
+        sigs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "c_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(m["n_buckets"]))
+        )
+    )
+    croot = os.path.join(path, "clusters")
+    labels.write.mode("overwrite").partitionBy("c_bucket").parquet(
+        os.path.join(croot, "base")
+    )
+    spark.createDataFrame([], "old_id long, new_id long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(croot, "remap"))
+    _write_meta(spark, croot, min_agree=min_agree, max_bucket=max_bucket)
+    return path
+
+
+def minhash_cluster_append(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest a batch: append its signatures + band rows into the index AND
+    extend the persisted cluster labels — returning the batch's
+    (doc_id, cluster_id) rows. Untouched clusters are NEVER relabeled or
+    rewritten: only the batch's docs append to base, and only clusters a
+    new doc actually bridges enter the merge ledger.
+
+    The label computation collapses history to CLUSTER IDS: probe pairs map
+    doc_hist -> its canonical cluster id (bucket-pruned base lookup +
+    broadcast ledger resolve), batch-internal pairs come from a self-join of
+    the batch's own band rows, and min-label propagation runs over that
+    batch-sized graph — never over historical members. A component whose
+    minimum is an existing cluster id extends that cluster; a component
+    whose minimum is a new doc id (or that bridges two clusters) relabels
+    the touched clusters through the ledger, leaving their base rows as-is.
+    """
+    from flusher_spark.operators.dedup import dedup_clusters
+
+    m = _read_meta(spark, path)
+    croot = os.path.join(path, "clusters")
+    cm = _read_meta(spark, croot)
+    # Consumed by: probe pairs, internal pairs, two index writes, and the
+    # base-label append — eager checkpoint so the shingle+aggregate pipeline
+    # (the dominant cost) runs exactly once.
+    sig_new = _signature_rows(
+        batch, text_col, id_col, m["num_perm"], m["shingle_n"], m["seed"]
+    ).localCheckpoint(eager=True)
+    threshold = cm["min_agree"] / m["num_perm"]  # exact: agree/k >= a/k <=> agree >= a
+    pairs_hist = _probe_pairs(
+        spark, path, m, sig_new, threshold, cm["max_bucket"], prune=True
+    )
+    bands_new = _band_rows(sig_new, m["num_perm"], m["bands"], m["n_buckets"])
+    pairs_int = _verified_pairs(
+        _self_candidates(bands_new, cm["max_bucket"]),
+        sig_new,
+        m["num_perm"],
+        cm["min_agree"],
+    )
+    # doc_hist -> canonical cluster id. Base lookup is bucket-pruned (the
+    # batch's historical matches cover few doc_id buckets; bounded collect
+    # of <= n_buckets ints) and the hist side is broadcast; the ledger is
+    # tiny by construction, broadcast too. A doc_hist with NO base row can
+    # only come from a torn append's own re-run (its index rows landed, its
+    # base row didn't) — treating it as a singleton labeled by its own id
+    # reproduces exactly the internal-pair handling of that same batch.
+    hist = pairs_hist.select(
+        "doc_new", F.col("doc_hist").alias("doc_id")
+    ).localCheckpoint(eager=True)  # consumed by bucket collect + join
+    base = spark.read.parquet(os.path.join(croot, "base"))
+    hbuckets = [
+        r["b"]
+        for r in hist.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(m["n_buckets"])).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    remap = spark.read.parquet(os.path.join(croot, "remap"))
+    hist_cid = (
+        base.where(F.col("c_bucket").isin(hbuckets))
+        .join(F.broadcast(hist), "doc_id")
+        .select("doc_new", "doc_id", "cluster_id")
+        .unionByName(
+            # torn-re-run orphans: index rows without base rows
+            hist.join(
+                F.broadcast(
+                    base.where(F.col("c_bucket").isin(hbuckets)).select("doc_id")
+                ),
+                "doc_id",
+                "left_anti",
+            ).select("doc_new", "doc_id", F.col("doc_id").alias("cluster_id"))
+        )
+        .alias("h")
+        .join(
+            F.broadcast(remap).alias("r"),
+            F.col("h.cluster_id") == F.col("r.old_id"),
+            "left",
+        )
+        .select(
+            "doc_new", F.coalesce("r.new_id", "h.cluster_id").alias("cid")
+        )
+    )
+    edges = pairs_int.unionByName(
+        hist_cid.select(F.col("doc_new").alias("doc_a"), F.col("cid").alias("doc_b"))
+    )
+    comp = dedup_clusters(edges)
+    lab_new = (
+        sig_new.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+        .withColumn("c_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(m["n_buckets"])))
+        .localCheckpoint(eager=True)  # returned to the caller after the writes
+    )
+    # Touched clusters that lost their id -> ledger entries. Targets are
+    # canonical by construction: the component minimum either IS an existing
+    # canonical id or a brand-new doc id.
+    remap_new = (
+        hist_cid.select(F.col("cid").alias("doc_id"))
+        .distinct()
+        .join(comp, "doc_id")
+        .where(F.col("cluster_id") != F.col("doc_id"))
+        .select(
+            F.col("doc_id").alias("old_id"), F.col("cluster_id").alias("new_id")
+        )
+        .localCheckpoint(eager=True)  # consumed by the ledger rewrite below
+    )
+    # Same torn-append guard + write order as minhash_index_append, with the
+    # cluster tables last (see the layout comment above for recovery).
+    bands_new.write.mode("append").partitionBy("lsh_bucket").parquet(
+        os.path.join(path, "bands")
+    )
+    sig_new.write.mode("append").parquet(os.path.join(path, "sigs"))
+    lab_new.write.mode("append").partitionBy("c_bucket").parquet(
+        os.path.join(croot, "base")
+    )
+    if remap_new.limit(1).count():
+        # Path compression at write time: a ledger row whose target just
+        # lost its id follows it, so stored new_ids stay canonical and reads
+        # never chain. The whole table is rewritten — it is merge-ledger
+        # sized, not corpus sized. localCheckpoint first: Spark cannot
+        # overwrite a parquet path its own lazy plan still reads from.
+        updated = (
+            remap.alias("r")
+            .join(
+                remap_new.alias("n2"),
+                F.col("r.new_id") == F.col("n2.old_id"),
+                "left",
+            )
+            .select(
+                F.col("r.old_id"),
+                F.coalesce("n2.new_id", "r.new_id").alias("new_id"),
+            )
+            .unionByName(remap_new)
+            .localCheckpoint(eager=True)
+        )
+        updated.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(croot, "remap")
+        )
+    return lab_new.select("doc_id", "cluster_id")
+
+
+def minhash_cluster_labels(spark: SparkSession, path: str) -> DataFrame:
+    """The full (doc_id, cluster_id) table with every merge resolved: base
+    rows pass through the broadcast ledger; duplicate base rows (torn-append
+    re-runs) collapse to their minimum resolved label — the canonical-id
+    convention applied to the duplicate itself."""
+    croot = os.path.join(path, "clusters")
+    base = spark.read.parquet(os.path.join(croot, "base"))
+    remap = spark.read.parquet(os.path.join(croot, "remap"))
+    return (
+        base.alias("b")
+        .join(
+            F.broadcast(remap).alias("r"),
+            F.col("b.cluster_id") == F.col("r.old_id"),
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("r.new_id", "b.cluster_id").alias("cluster_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
     )

@@ -56,85 +56,25 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Names surfaced first by ``registry()``. The driver's correctness harness
 #: covers a bounded prefix of the registry (50 entries per round), so this
 #: list rotates per round toward the entries whose latest driver verdict is
-#: weakest. Round-11 rotation, in order: (1) the round-11 NEW entries, each
-#: getting its FIRST driver verdict (first-verdict beats re-verdict); (2)
-#: the full r6-verdict cohort — 48 entries, the stalest records in the
-#: registry, including all 19 rows-only entries (MinHash/SimHash/semantic/
-#: similarity/BPE/sketch/PageRank) whose rows-only driver check is their
-#: only cross-process signal and whose last one was r6, four fixture
-#: regenerations ago. Extra weight this round: the MinHash permutation
-#: family changed (dedup.minhash_min_aggs — the affine family was
-#: order-preserving on small hashes), so every minhash-derived entry's
-#: output is new — which also pulls corpus_e2e_pipeline_minhash (r9
-#: verdict, stage 3 = minhash_lsh_pairs) into the window ahead of one r6
-#: hash-green entry whose code is unchanged since r6
-#: (etl_load_full_vs_incremental — fully pytest-covered warehouse
-#: mechanics, deferred to r12): a changed-output entry outranks a stale
-#: re-verdict of identical output. (1)+(2) fill exactly 50; the r7
-#: cohort plus the one deferred r6 entry queue for the r12 window. After
-#: this round the freshness histogram bottoms at r6 with exactly ONE
-#: entry there. Every name here must exist (asserted in
-#: tests/test_plans.py); the rest follow in import order.
+#: weakest. Round-12 rotation, in order: (1) the round-12 NEW entry
+#: (dedup_incremental_clusters), getting its FIRST driver verdict
+#: (first-verdict beats re-verdict); (2) the lone r6 straggler
+#: (etl_load_full_vs_incremental, deferred from the r11 window); (3) 48 of
+#: the 50 r7-verdict entries — the stalest remaining cohort, five fixture
+#: regenerations old. graph_pagerank_weighted carries extra weight: the
+#: r12 out-weight-denominator fix can change its output wherever fixture
+#: weights are non-positive. The two spilled r7 entries (join_semi,
+#: window_ntile — single-shuffle hash-green plans with direct pytest
+#: twins, the lowest-risk picks) queue first for the r13 window; after
+#: this round the freshness histogram bottoms at r7 with exactly TWO
+#: entries. Every name here must exist (asserted in tests/test_plans.py);
+#: the rest follow in import order.
 PRIORITY = (
-    # (1) round-11 additions — first driver verdict
-    "dedup_incremental_exact",
-    "dedup_minhash_index",  # rows-only: signature-agreement estimate
-    # changed-output re-verdict: the only minhash consumer NOT already in
-    # the r6 cohort below
-    "corpus_e2e_pipeline_minhash",
-    # (2) the r6-verdict cohort (47 of 48) — includes the whole stale
-    # rows-only family plus the r6 hash-green entries, all four fixtures
-    # stale
-    "agg_approx_sketches",
-    "agg_bitmap_distinct",
-    "agg_count_min_freq",
-    "agg_exact_quantile_interpolated",
-    "agg_histogram_rollup_percentile",
-    "agg_hll_rollup_reuse",
-    "agg_weighted_avg_exact",
-    "asof_view_staleness_bound",
-    "corpus_boilerplate_mask",
-    "corpus_c4_rules",
-    "dedup_clusters_minhash",
-    "dedup_minhash_builtin",
-    "dedup_minhash_lsh",
-    "dedup_semantic_clusters",
-    "dedup_semantic_embedding",
-    "dedup_simhash",
-    "docs_chunk_udtf",
-    "embedding_centroid_int8",
-    "etl_csv_export_roundtrip",
-    "etl_schema_drift_report",
-    "etl_schema_inference_typed",
-    "etl_sheet_range_scan",
-    "etl_snapshot_merge_timetravel",
-    "events_funnel_single_scan",
-    "events_sessionize_dynamic_gap",
-    "events_sliding_distinct_bitmap",
-    "events_zscore_outliers",
-    "graph_pagerank_bipartite",
-    "multimodal_audio_spectral",
-    "multimodal_image_resize",
-    "multimodal_jpeg_color_decode",
-    "multimodal_jpeg_decode",
-    "multimodal_media_routing",
-    "multimodal_video_frames",
-    "profile_join_key_skew",
-    "similarity_ivf_persisted",
-    "similarity_neardup_cosine",
-    "similarity_pq_persisted",
-    "similarity_topk_lsh",
-    "similarity_topk_pq",
-    "sql_api_revenue_report",
-    "text_hash_classifier",
-    "text_lang_id",
-    "text_quality_score",
-    "text_url_components",
-    "vocab_bpe_encode",
-    "vocab_bpe_merges",
-    # ---- driver window ends here (50) ----
-    # r12 rotation head: the one deferred r6 entry, then the r7 cohort
+    # (1) round-12 addition — first driver verdict
+    "dedup_incremental_clusters",  # rows-only: seeded-hash clusters
+    # (2) the r6 straggler
     "etl_load_full_vs_incremental",
+    # (3) the r7-verdict cohort (48 of 50)
     "agg_cube",
     "agg_distinct",
     "agg_grouping_sets",
@@ -146,6 +86,47 @@ PRIORITY = (
     "corpus_perplexity_buckets",
     "dedup_canonical_url",
     "dedup_sorted_neighborhood",
+    "etl_snapshot_cdc_delete",
+    "etl_snapshot_changes_feed",
+    "etl_snapshot_schema_evolution",
+    "events_attribution_split_touch",
+    "events_cumulative_reach",
+    "events_histogram_equidepth",
+    "events_longest_streak",
+    "events_rollup_day_hour",
+    "events_session_funnel",
+    "events_stateful_dedup_first",
+    "events_stateful_running_totals",
+    "events_stream_stream_full_join",
+    "events_trend_grouped_map",
+    "graph_connected_components",
+    "graph_pagerank_weighted",
+    "graph_triangle_stats",
+    "join_broadcast_dim",
+    "join_full_outer",
+    "join_left_outer",
+    "join_scd2_pointintime",
+    "multimodal_audio_decimate",
+    "multimodal_binary_stats",
+    "multimodal_feature_extract",
+    "multimodal_png_variants",
+    "reco_copurchase_similarity",
+    "sample_hash_split",
+    "sample_stratified_split",
+    "similarity_ivf_appended",
+    "similarity_matryoshka_truncated",
+    "similarity_topk_exact",
+    "text_edit_distance",
+    "text_quality_filter_pipeline",
+    "text_winnow_fingerprints",
+    "window_lag_delta",
+    "window_range_interval",
+    "window_running_sum",
+    "window_topk_per_group",
+    # ---- driver window ends here (50) ----
+    # r13 rotation head: the two spilled r7 entries
+    "join_semi",
+    "window_ntile",
 )
 
 

@@ -497,6 +497,42 @@ def dedup_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_incremental_clusters")  # rows-only: seeded-hash approximate operator
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup CLUSTER LABELS — the final step of the
+    incremental dedup story (r11 verdict item 2): the historical corpus
+    (even doc_ids) is indexed + clustered once
+    (minhash_cluster_bootstrap — canonical id = min member id); the
+    incoming batch (odd doc_ids) then appends THROUGH the cluster layer
+    (minhash_cluster_append): probe pairs map history to stored canonical
+    ids, label propagation runs over the batch-sized collapsed graph, and
+    merges land in a tiny path-compressed ledger — untouched clusters are
+    never relabeled or rewritten (tests/test_dedup_index.py pins byte-level
+    base-file stability AND equality with a from-scratch clustering of the
+    union corpus). Output: every multi-member cluster with its size and
+    how many members arrived in the batch. The whole ingest happens inside
+    the cached index build so repeated calls are read-only."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _build(p: str) -> None:
+        DI.minhash_index_build(docs.where(F.col("doc_id") % 2 == 0), p)
+        DI.minhash_cluster_bootstrap(spark, p, threshold=0.5)
+        DI.minhash_cluster_append(spark, p, docs.where(F.col("doc_id") % 2 == 1))
+
+    path = _scratch_index(
+        "mhcidx", sf_dir, _build, stamp_file="documents.parquet"
+    )
+    labels = DI.minhash_cluster_labels(spark, path)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("n_from_batch"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -232,3 +232,155 @@ class TestMinhashIndex:
         probe = DI.minhash_index_probe(spark, path, _docs(spark, [(20, _NEAR)]))
         with pytest.raises(Exception, match="torn"):
             probe.collect()
+
+
+def _w(lo, hi):
+    return " ".join(f"w{i}" for i in range(lo, hi))
+
+
+# Three text families for the cluster tests: A and C share a token window
+# (3-gram Jaccard 0.318 — BELOW the 0.5 gate, so they stay separate until a
+# bridge doc overlapping both arrives); B is token-disjoint from everything.
+_FAM_A = _w(0, 60)
+_FAM_C = _w(30, 90)
+_BRIDGE_AC = _w(5, 85)  # 3-gram Jaccard ~0.64 with BOTH A and C
+_FAM_B = "alpha beta gamma delta epsilon zeta eta theta " * 6
+_FAM_D = "omicron sigma tau upsilon phi chi psi omega " * 6
+
+
+class TestMinhashClusters:
+    def _bootstrap(self, spark, tmp_path):
+        path = str(tmp_path / "mhc")
+        corpus = [
+            (1, _FAM_A), (2, _FAM_A),   # cluster {1,2} -> 1
+            (5, _FAM_C), (6, _FAM_C),   # cluster {5,6} -> 5
+            (7, _FAM_B), (8, _FAM_B),   # cluster {7,8} -> 7
+            (9, "one of a kind document with its own tokens"),
+        ]
+        DI.minhash_index_build(_docs(spark, corpus), path)
+        DI.minhash_cluster_bootstrap(spark, path, threshold=0.5)
+        return path, corpus
+
+    @staticmethod
+    def _labels(spark, path):
+        return {
+            r["doc_id"]: r["cluster_id"]
+            for r in DI.minhash_cluster_labels(spark, path).collect()
+        }
+
+    @staticmethod
+    def _from_scratch(spark, docs_rows, scratch):
+        """The from-scratch twin: same criterion (band candidates + integer
+        signature-agreement gate + min-label propagation) over the UNION
+        corpus, via a fresh build+bootstrap."""
+        p = str(scratch)
+        DI.minhash_index_build(_docs(spark, docs_rows), p)
+        DI.minhash_cluster_bootstrap(spark, p, threshold=0.5)
+        return TestMinhashClusters._labels(spark, p)
+
+    def test_bootstrap_labels_min_member(self, spark, tmp_path):
+        path, _ = self._bootstrap(spark, tmp_path)
+        assert self._labels(spark, path) == {
+            1: 1, 2: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 9
+        }
+
+    def test_append_extends_without_relabeling_untouched(self, spark, tmp_path):
+        path, corpus = self._bootstrap(spark, tmp_path)
+        base_dir = os.path.join(path, "clusters", "base")
+
+        def _base_files():
+            out = {}
+            for root, _dirs, names in os.walk(base_dir):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        st = os.stat(os.path.join(root, n))
+                        out[os.path.join(root, n)] = (st.st_size, st.st_mtime_ns)
+            return out
+
+        before = _base_files()
+        batch1 = [(11, _FAM_A), (12, _FAM_D), (13, _FAM_D), (14, "another unique one")]
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in DI.minhash_cluster_append(spark, path, _docs(spark, batch1)).collect()
+        }
+        # new doc joins the existing cluster's STABLE id; new family gets a
+        # new min-id cluster; the singleton labels itself
+        assert got == {11: 1, 12: 12, 13: 12, 14: 14}
+        after = _base_files()
+        for p, stamp in before.items():
+            assert after[p] == stamp, f"pre-append base file rewritten: {p}"
+        labels = self._labels(spark, path)
+        assert labels[5] == 5 and labels[7] == 7, "untouched clusters relabeled"
+        # and the whole table equals the from-scratch twin on the union
+        assert labels == self._from_scratch(
+            spark, corpus + batch1, tmp_path / "scratch1"
+        )
+
+    def test_bridge_merges_clusters_through_ledger(self, spark, tmp_path):
+        path, corpus = self._bootstrap(spark, tmp_path)
+        batch1 = [(22, _BRIDGE_AC), (23, _FAM_B)]
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in DI.minhash_cluster_append(spark, path, _docs(spark, batch1)).collect()
+        }
+        assert got == {22: 1, 23: 7}
+        labels = self._labels(spark, path)
+        # clusters {1,2} and {5,6} merged under the surviving min id 1;
+        # {7,8} extended in place; 9 untouched
+        assert labels == {1: 1, 2: 1, 5: 1, 6: 1, 22: 1, 7: 7, 8: 7, 23: 7, 9: 9}
+        remap = {
+            (r["old_id"], r["new_id"])
+            for r in spark.read.parquet(
+                os.path.join(path, "clusters", "remap")
+            ).collect()
+        }
+        assert remap == {(5, 1)}
+        assert labels == self._from_scratch(
+            spark, corpus + batch1, tmp_path / "scratch2"
+        )
+
+    def test_ledger_path_compression_across_appends(self, spark, tmp_path):
+        """A merge of a prior merge's WINNER must rewrite the old ledger rows
+        (stored new_ids stay canonical — reads resolve in one join, never a
+        chain)."""
+        path, corpus = self._bootstrap(spark, tmp_path)
+        b1 = [(22, _BRIDGE_AC)]              # merges {5,6} into 1
+        DI.minhash_cluster_append(spark, path, _docs(spark, b1))
+        b2 = [(0, _FAM_A)]                   # id 0 < 1: cluster 1 relabels to 0
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in DI.minhash_cluster_append(spark, path, _docs(spark, b2)).collect()
+        }
+        assert got == {0: 0}
+        remap = {
+            (r["old_id"], r["new_id"])
+            for r in spark.read.parquet(
+                os.path.join(path, "clusters", "remap")
+            ).collect()
+        }
+        assert remap == {(5, 0), (1, 0)}, "old 5->1 row must follow the winner"
+        olds = {o for o, _ in remap}
+        news = {n for _, n in remap}
+        assert not (olds & news), "ledger must stay chain-free"
+        labels = self._labels(spark, path)
+        assert labels == self._from_scratch(
+            spark, corpus + b1 + b2, tmp_path / "scratch3"
+        )
+
+    def test_append_never_reads_historical_text(self, spark, tmp_path):
+        """Like the probe test: the cluster append's executed plans must not
+        touch the historical corpus parquet — only index tables + the batch."""
+        hist_dir = str(tmp_path / "hist")
+        batch_dir = str(tmp_path / "batch")
+        _docs(spark, [(1, _FAM_A), (2, _FAM_A), (5, _FAM_C)]).write.parquet(hist_dir)
+        _docs(spark, [(20, _FAM_A)]).write.parquet(batch_dir)
+        path = str(tmp_path / "mhc")
+        DI.minhash_index_build(spark.read.parquet(hist_dir), path)
+        DI.minhash_cluster_bootstrap(spark, path, threshold=0.5)
+        # strongest possible assertion: remove the historical text outright;
+        # every append-side read must still succeed from index tables alone
+        os.rename(hist_dir, hist_dir + ".gone")
+        got = DI.minhash_cluster_append(
+            spark, path, spark.read.parquet(batch_dir)
+        ).collect()
+        assert {(r["doc_id"], r["cluster_id"]) for r in got} == {(20, 1)}

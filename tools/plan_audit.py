@@ -75,6 +75,16 @@ EXTRA = [
     # agg(max) broadcast-joined back, and the only SinglePartition exchange
     # carries one partial-max row per task, the same benign shape as any
     # scalar aggregate.)
+    # round 11/12: the incremental-dedup index entries are bench-excluded
+    # (index-write dominated) but their PROBE plans are exactly the 100 TB
+    # evidence this file exists for — the bucket-pruned anti-join, the
+    # banded bucket join verified from stored signatures, and the cluster
+    # labels' broadcast-ledger resolve. The fn's eager build half runs
+    # before the returned plan is explained; the audited plan is the
+    # read-side probe/labels query.
+    "dedup_incremental_exact",
+    "dedup_minhash_index",
+    "dedup_incremental_clusters",
 ]
 SKIP_PREFIXES = ("events_tumbling", "events_sliding", "events_sessionize",
                  "events_rollup", "events_stateful", "events_stream_")

@@ -72,6 +72,10 @@ PROBES = [
     # the first sf visit; the timed repeats measure the probe half)
     ("dedup_incremental_exact", "bucket-pruned anti-join vs stored md5 index"),
     ("dedup_minhash_index", "banded probe + signature-agreement verify"),
+    # round 12 (build+bootstrap+append run once per sf via _scratch_index;
+    # the timed repeats measure the labels read: base scan + broadcast
+    # ledger resolve + groupBy)
+    ("dedup_incremental_clusters", "persisted cluster labels + merge ledger"),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
