@@ -403,13 +403,10 @@ class SnapshotTable:
                     kmax = mx if kmax is None or mx > kmax else kmax
                 files.append(
                     {
-                        # abspath matches the aggregate path's shape (it
-                        # strips file:// off input_file_name(), which is
-                        # always absolute): with a RELATIVE table root the
-                        # two commit paths would otherwise store
-                        # differently-shaped strings in manifests, and
-                        # merge's kept-vs-touched path-set comparisons mix
-                        # manifests across commits (r12 / ADVICE).
+                        # abspath-normalized to stay shape-identical to the
+                        # aggregate path's input_file_name() form (already
+                        # absolute here — __init__ abspaths self.root; this
+                        # only pins the invariant locally).
                         "path": os.path.abspath(path),
                         "rows": md.num_rows,
                         "key_min": _stat_jsonable(kmin),

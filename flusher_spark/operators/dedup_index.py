@@ -380,11 +380,20 @@ def _probe_pairs(
     threshold: float,
     max_bucket: int,
     prune: bool,
+    fallback_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """minhash_index_probe's body, split out so the cluster layer can reuse
     it with an ALREADY-COMPUTED signature frame (the append flow consumes
     sig_new several times — probe pairs, batch-internal pairs, both index
-    writes, base labels — and must not re-run the shingle pipeline)."""
+    writes, base labels — and must not re-run the shingle pipeline).
+
+    ``fallback_sigs``: optional (doc_id, sig) frame consulted when a
+    candidate's STORED signature is missing before raising the torn-index
+    error. The cluster append passes its own batch here so that the
+    documented recovery — re-run the same append after a crash between the
+    bands and sigs writes — actually completes instead of tripping over the
+    crashed run's own sig-less band rows; candidates torn by some OTHER
+    batch still raise."""
     bands_new = _band_rows(sig_new, m["num_perm"], m["bands"], m["n_buckets"])
     index = spark.read.parquet(os.path.join(path, "bands"))
     if prune:
@@ -393,17 +402,8 @@ def _probe_pairs(
             r["lsh_bucket"] for r in bands_new.select("lsh_bucket").distinct().collect()
         ]
         index = index.where(F.col("lsh_bucket").isin(buckets))
-    wcap = Window.partitionBy("band", "bsig")
-    index = (
-        index.withColumn("__n", F.count("*").over(wcap))
-        .where(F.col("__n") <= max_bucket)
-        .drop("__n")
-    )
-    bands_new = (
-        bands_new.withColumn("__n", F.count("*").over(wcap))
-        .where(F.col("__n") <= max_bucket)
-        .drop("__n")
-    )
+    index = _capped_bands(index, max_bucket)
+    bands_new = _capped_bands(bands_new, max_bucket)
     cand = (
         bands_new.alias("n")
         .join(
@@ -434,7 +434,18 @@ def _probe_pairs(
         sig_hist.select(F.col("doc_id").alias("doc_hist"), F.col("sig").alias("__sh")),
         "doc_hist",
         "left",
-    ).withColumn(
+    )
+    if fallback_sigs is not None:
+        pairs = pairs.join(
+            F.broadcast(
+                fallback_sigs.select(
+                    F.col("doc_id").alias("doc_hist"), F.col("sig").alias("__sf")
+                )
+            ),
+            "doc_hist",
+            "left",
+        ).withColumn("__sh", F.coalesce("__sh", "__sf")).drop("__sf")
+    pairs = pairs.withColumn(
         "__sh",
         F.when(
             F.col("__sh").isNull(),
@@ -451,29 +462,26 @@ def _probe_pairs(
             ).cast(sig_hist.schema["sig"].dataType),
         ).otherwise(F.col("__sh")),
     )
-    # Agreement count as num_perm codegen'd comparisons, not a zip_with
-    # lambda: num_perm is known from the meta at plan-build time, and HOFs
-    # drop the stage to interpreted evaluation (module docstring in
-    # operators/dedup.py) — this stays in whole-stage codegen.
-    agree = sum(
-        (F.element_at("__sn", i + 1) == F.element_at("__sh", i + 1)).cast("int")
-        for i in range(m["num_perm"])
-    )
+    agree = _agree_expr(m["num_perm"], "__sn", "__sh")
     return (
         pairs.withColumn(
             "est_jaccard", agree.cast("double") / F.lit(float(m["num_perm"]))
         )
         .where(F.col("est_jaccard") >= threshold)
-        .select("doc_new", "doc_hist", "est_jaccard")
         # Idempotent under the documented repair flow: "re-run the same
         # append" executed when the prior append had in fact completed both
         # writes leaves doc_ids with DUPLICATE sigs/bands rows, and the
-        # joins above would emit one output row per stored copy. Dedup on
-        # the output pair (copies carry identical signatures, so identical
-        # est_jaccard) rather than on sig_hist — deduping history would
-        # shuffle the whole corpus-sized table, against this module's
-        # probe-cost-follows-the-batch contract (r12 / ADVICE).
-        .dropDuplicates(["doc_new", "doc_hist"])
+        # joins above would emit one output row per stored copy. Collapse on
+        # the output pair rather than deduping sig_hist — that would shuffle
+        # the corpus-sized table, against this module's probe-cost-follows-
+        # the-batch contract (r12 / ADVICE). MAX (not dropDuplicates) keeps
+        # the output deterministic even when a re-ingested doc_id carries
+        # DIFFERENT content across its stored copies: "best evidence of
+        # duplication" wins, never whichever copy a task happened to see
+        # first.
+        .groupBy("doc_new", "doc_hist")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+        .select("doc_new", "doc_hist", "est_jaccard")
     )
 
 
@@ -517,12 +525,17 @@ def _probe_pairs(
 # pins equality with a from-scratch clustering of the union corpus.
 #
 # Crash consistency (four writes can't be atomic together): order is
-# bands -> sigs -> base -> remap, and the recovery for ANY tear is the same
-# "re-run the same append" as minhash_index_append — duplicated bands/sigs
-# are harmless (probe dedups), duplicated base rows carry equal-or-mergeable
-# labels (reads resolve through the ledger and take the min), and the remap
-# rewrite is idempotent. minhash_cluster_bootstrap rebuilds clusters/ from
-# bands+sigs outright if a table is ever lost.
+# bands -> remap -> base -> SIGS LAST, so a crash anywhere mid-sequence
+# leaves band rows whose doc has no stored signature — the same torn state
+# minhash_index_probe already RAISES on, extending the index layer's loud
+# tear detection over the cluster tables. Recovery for ANY tear is the same
+# "re-run the same append" (the probe verifies the crashed run's own band
+# rows from the batch's recomputed signatures via fallback_sigs, so the
+# re-run completes): duplicated bands/sigs are harmless (probe collapses
+# pairs), duplicated base rows carry equal-or-mergeable labels (reads
+# resolve through the ledger and take the min), and the remap rewrite is
+# idempotent. minhash_cluster_bootstrap rebuilds clusters/ from bands+sigs
+# outright if a table is ever lost.
 
 
 def _capped_bands(bands: DataFrame, max_bucket: int) -> DataFrame:
@@ -658,8 +671,14 @@ def minhash_cluster_append(
         batch, text_col, id_col, m["num_perm"], m["shingle_n"], m["seed"]
     ).localCheckpoint(eager=True)
     threshold = cm["min_agree"] / m["num_perm"]  # exact: agree/k >= a/k <=> agree >= a
+    # fallback_sigs=sig_new: after a crash anywhere in THIS append's write
+    # sequence, the recovery re-run's probe meets the crashed run's own
+    # sig-less band rows — verifying those candidates from the batch's
+    # recomputed signatures (identical by construction) lets the recovery
+    # complete; tears left by OTHER batches still raise.
     pairs_hist = _probe_pairs(
-        spark, path, m, sig_new, threshold, cm["max_bucket"], prune=True
+        spark, path, m, sig_new, threshold, cm["max_bucket"], prune=True,
+        fallback_sigs=sig_new,
     )
     bands_new = _band_rows(sig_new, m["num_perm"], m["bands"], m["n_buckets"])
     pairs_int = _verified_pairs(
@@ -688,16 +707,24 @@ def minhash_cluster_append(
         .collect()
     ]
     remap = spark.read.parquet(os.path.join(croot, "remap"))
-    hist_cid = (
+    # ONE pass over the bucket-pruned base: its batch-matched rows are
+    # batch-bounded, so checkpoint them and derive the orphan set by
+    # anti-joining hist against THOSE ids (both sides batch-sized). An
+    # anti-join against base itself would have to broadcast or shuffle the
+    # corpus-sized label table on every append — at the default 64 buckets
+    # any real batch covers all buckets, so the prune would not save it
+    # (r12 review).
+    matched = (
         base.where(F.col("c_bucket").isin(hbuckets))
         .join(F.broadcast(hist), "doc_id")
         .select("doc_new", "doc_id", "cluster_id")
-        .unionByName(
+        .localCheckpoint(eager=True)
+    )
+    hist_cid = (
+        matched.unionByName(
             # torn-re-run orphans: index rows without base rows
             hist.join(
-                F.broadcast(
-                    base.where(F.col("c_bucket").isin(hbuckets)).select("doc_id")
-                ),
+                F.broadcast(matched.select("doc_id").distinct()),
                 "doc_id",
                 "left_anti",
             ).select("doc_new", "doc_id", F.col("doc_id").alias("cluster_id"))
@@ -738,14 +765,20 @@ def minhash_cluster_append(
         )
         .localCheckpoint(eager=True)  # consumed by the ledger rewrite below
     )
-    # Same torn-append guard + write order as minhash_index_append, with the
-    # cluster tables last (see the layout comment above for recovery).
+    # Write order: bands -> remap -> base -> SIGS LAST. sigs-last extends
+    # minhash_index_append's tear detector over the cluster tables too: a
+    # crash anywhere before the final write leaves band rows whose doc has
+    # no stored signature, which a later probe RAISES on (candidate-
+    # without-signature) instead of serving silently-split labels. The
+    # premature-remap window (ledger updated, bridging doc's base row not
+    # yet written) merges the touched clusters a re-run early — the benign
+    # direction; the old sigs-second order had the opposite window: a
+    # crash after sigs left docs in the index but permanently absent from
+    # the labels table, with nothing anywhere to notice (r12 review).
+    # Recovery for every tear stays "re-run the same append" — the probe's
+    # fallback_sigs covers the crashed run's own band rows.
     bands_new.write.mode("append").partitionBy("lsh_bucket").parquet(
         os.path.join(path, "bands")
-    )
-    sig_new.write.mode("append").parquet(os.path.join(path, "sigs"))
-    lab_new.write.mode("append").partitionBy("c_bucket").parquet(
-        os.path.join(croot, "base")
     )
     if remap_new.limit(1).count():
         # Path compression at write time: a ledger row whose target just
@@ -770,6 +803,10 @@ def minhash_cluster_append(
         updated.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(croot, "remap")
         )
+    lab_new.write.mode("append").partitionBy("c_bucket").parquet(
+        os.path.join(croot, "base")
+    )
+    sig_new.write.mode("append").parquet(os.path.join(path, "sigs"))
     return lab_new.select("doc_id", "cluster_id")
 
 

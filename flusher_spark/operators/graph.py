@@ -89,8 +89,10 @@ def pagerank(
     # the full edge scan + deg aggregation from the raw input — n_iter
     # extra edge-table passes, against this module's own "the edge table
     # never re-shuffles" design (r9 review).
+    # deg is summed over w>0 edges only, so every row is strictly positive:
+    # deg's key set IS the non-dangling node set, no filter needed.
     out_nodes = (
-        deg.where(F.col("deg") > 0).select(F.col("src").alias("node"))
+        deg.select(F.col("src").alias("node"))
         .localCheckpoint(eager=True)
     )
     for _ in range(n_iter):

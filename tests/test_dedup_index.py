@@ -367,6 +367,34 @@ class TestMinhashClusters:
             spark, corpus + b1 + b2, tmp_path / "scratch3"
         )
 
+    def test_torn_cluster_append_recovers_by_rerun(self, spark, tmp_path):
+        """Crash right after the FIRST write of a cluster append (band rows
+        committed, remap/base/sigs not): a plain probe from another batch
+        must still detect the tear loudly, but re-running the SAME append —
+        the documented recovery — must complete (the probe verifies the
+        crashed run's own band rows from the batch's recomputed signatures)
+        and converge to the from-scratch labels."""
+        path, corpus = self._bootstrap(spark, tmp_path)
+        batch = [(11, _FAM_A), (12, _FAM_D), (13, _FAM_D)]
+        m = DI._read_meta(spark, path)
+        sig = DI._signature_rows(
+            _docs(spark, batch), "text", "doc_id",
+            m["num_perm"], m["shingle_n"], m["seed"],
+        )
+        DI._band_rows(sig, m["num_perm"], m["bands"], m["n_buckets"]).write.mode(
+            "append"
+        ).partitionBy("lsh_bucket").parquet(os.path.join(path, "bands"))
+        with pytest.raises(Exception, match="torn"):
+            DI.minhash_index_probe(spark, path, _docs(spark, [(30, _FAM_D)])).collect()
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in DI.minhash_cluster_append(spark, path, _docs(spark, batch)).collect()
+        }
+        assert got == {11: 1, 12: 12, 13: 12}
+        assert self._labels(spark, path) == self._from_scratch(
+            spark, corpus + batch, tmp_path / "scratch_torn"
+        )
+
     def test_append_never_reads_historical_text(self, spark, tmp_path):
         """Like the probe test: the cluster append's executed plans must not
         touch the historical corpus parquet — only index tables + the batch."""
