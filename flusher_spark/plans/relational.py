@@ -560,7 +560,9 @@ def agg_variance_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             n.alias("n"),
             (s1 / n).alias("mean_qty"),
-            ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("var_qty"),
+            # try_divide: a singleton group has n-1 = 0 and ANSI decimal
+            # division RAISES; NULL matches the oracle (r12 review).
+            F.try_divide(s2 - s1 * s1 / n, n - F.lit(1)).alias("var_qty"),
         )
         .orderBy("l_returnflag")
     )
@@ -1809,7 +1811,14 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered lineitem joins it broadcast. Both sums are exact decimals; the
     ratio is computed in doubles AFTER casting each sum, so Spark and the
     oracle perform the identical two IEEE ops (decimal division rules differ
-    between engines — doubles don't)."""
+    between engines — doubles don't). Precision bound (the repo-wide
+    convention, see plans/num.py::dsum_exact and events_linreg_per_type):
+    each scale-4 sum's decimal→double cast is ONE correctly-rounded
+    division while the sum's unscaled value stays ≤ 2^53 (≈ $900 B of
+    month-filtered revenue — far past any fixture and most clusters);
+    beyond that each engine is correct to 1 ulp, which is the stated
+    precision. Deliberately NOT routed through a wider decimal: widening
+    the scale multiplies the unscaled value and only tightens the wall."""
     l = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
@@ -2480,6 +2489,12 @@ def _stage_event_stream(
     cached = _STREAM_STAGE_CACHE.get(key)
     if cached and os.path.isdir(cached):
         return cached
+    # Evict any superseded stamp for the same logical key NOW: a fixture
+    # regenerated mid-process would otherwise orphan the old-stamp staging
+    # until exit (its atexit hook still fires, but the dict entry is dead
+    # weight and the dir lingers for the rest of the run — r12 review).
+    for k in [k for k in _STREAM_STAGE_CACHE if k[:4] == key[:4]]:
+        shutil.rmtree(_STREAM_STAGE_CACHE.pop(k), ignore_errors=True)
     # Stage files with ts already canonicalized to TIMESTAMP (io/tables.py):
     # the stream reader's footer probe then sees one encoding regardless of
     # which testdata generation (INT64-ns vs timestamp[us]) is on disk.
@@ -2490,6 +2505,12 @@ def _stage_event_stream(
     ).first()[0]
     bounds = [None, *cuts, None]
     out = tempfile.mkdtemp(prefix="flusher_stream_")
+    # Same end-of-process cleanup as plans/llm.py::_scratch_index — without
+    # it every process left one staged events copy per key in /tmp forever
+    # (r12 review).
+    import atexit
+
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     base = _time.time() - 3600
     for i in range(n_files):
         part = raw
@@ -3511,8 +3532,13 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     dx = F.sqrt((nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
     dy = F.sqrt((nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    # try_divide: a zero-variance group (constant qty or price) makes
+    # dx·dy = 0, and under this repo's ANSI sessions double division by
+    # zero RAISES (verified: both double and decimal raise on Spark 4.1) —
+    # NULL matches the DuckDB oracle's x/0 and is IEEE-identical for every
+    # nonzero denominator, so hashes are unaffected (r12 review).
     return m.select(
-        "l_returnflag", "n", (num / (dx * dy)).alias("corr_qty_price")
+        "l_returnflag", "n", F.try_divide(num, dx * dy).alias("corr_qty_price")
     ).orderBy("l_returnflag")
 
 
@@ -4765,8 +4791,6 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     and asof_join's largest-payload-wins tie-break picks that same
     highest-id change (tie-collision test in tests/test_operators.py). Purchases are events, so every purchase has a
     covering interval — the aggregate drops nothing on either engine."""
-    from flusher_spark.operators.asof import asof_join
-
     e = load_table(spark, sf_dir, "events")
     wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
@@ -5059,12 +5083,17 @@ def events_trend_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxx = sum(v * v for v in xs)
         sxy = sum(a * b for a, b in zip(xs, ys))
         den = n * sxx - sx * sx
+        # den == 0 (single event, or all events on one timestamp) must emit
+        # NULL like the oracle (DuckDB double/0 is NULL), not raise
+        # ZeroDivisionError and kill the whole job (r12 review).
         return pd.DataFrame(
             [{
                 "event_type": pdf["event_type"].iloc[0],
                 "n": n,
-                "slope": float(n * sxy - sx * sy) / float(den),
-                "intercept": float(sy * sxx - sx * sxy) / float(den),
+                "slope": float(n * sxy - sx * sy) / float(den) if den else None,
+                "intercept": (
+                    float(sy * sxx - sx * sxy) / float(den) if den else None
+                ),
             }]
         )
 
@@ -5523,7 +5552,10 @@ def events_linreg_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx_d = F.col("sx").cast("decimal(20,0)")
     num = (n_d * F.col("sxy") - sx_d * F.col("sy")).cast("double")
     den = (n_d * F.col("sxx") - sx_d * F.col("sx")).cast("double")
-    slope = num / den
+    # try_divide: den = 0 when all of a type's events land in ONE hour
+    # bucket — ANSI double division RAISES; NULL matches the oracle's
+    # DuckDB x/0 (r12 review). n >= 1 always, so the intercept's /n stays.
+    slope = F.try_divide(num, den)
     intercept = (
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")
     ) / F.col("n").cast("double")

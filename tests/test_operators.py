@@ -2849,6 +2849,64 @@ def test_cusum_changepoint_locates_injected_level_shift(spark):
     assert r["cusum_peak"] == float(20 * 1000 - 10 * 10000)
 
 
+def test_degenerate_groups_emit_null_not_divide_by_zero(spark):
+    """Groups that zero a variance/regression denominator must emit NULL
+    (the DuckDB oracles' x/0) — under this repo's ANSI sessions the old
+    bare divisions RAISED DIVIDE_BY_ZERO and killed the whole job, and the
+    grouped-map UDF raised Python ZeroDivisionError (r12 review). Covers:
+    events_trend_grouped_map + events_linreg_per_type (single-event type /
+    all events in one hour), agg_corr_exact + agg_variance_manual
+    (constant-value / singleton lineitem group)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from flusher_spark.plans.catalog import registry
+
+    reg = registry()
+    events = spark.createDataFrame(
+        [
+            # type 'solo': ONE event -> trend den=0, linreg den=0
+            (0, dt.datetime(2024, 1, 1, 12, 0, 0), 1, "solo", 5.0, "{}"),
+            # type 'hour': many events, all in one hour bucket AND one
+            # timestamp -> linreg den=0, trend den=0
+            (1, dt.datetime(2024, 1, 2, 3, 4, 5), 1, "hour", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 2, 3, 4, 5), 2, "hour", 2.0, "{}"),
+            # type 'ok': a healthy group as the control
+            (3, dt.datetime(2024, 1, 3, 1, 0, 0), 1, "ok", 1.0, "{}"),
+            (4, dt.datetime(2024, 1, 3, 5, 0, 0), 1, "ok", 3.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            # flag 'C': constant quantity -> corr dx=0; singleton 'S' ->
+            # variance n-1=0
+            ("C", 5.0, 10.0), ("C", 5.0, 20.0),
+            ("S", 7.0, 30.0),
+            ("O", 1.0, 10.0), ("O", 2.0, 30.0),
+        ],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        events.write.parquet(os.path.join(d, "events.parquet"))
+        lineitem.write.parquet(os.path.join(d, "lineitem.parquet"))
+        trend = {r["event_type"]: r for r in reg["events_trend_grouped_map"].fn(spark, d).collect()}
+        lin = {r["event_type"]: r for r in reg["events_linreg_per_type"].fn(spark, d).collect()}
+        corr = {r["l_returnflag"]: r for r in reg["agg_corr_exact"].fn(spark, d).collect()}
+        var = {r["l_returnflag"]: r for r in reg["agg_variance_manual"].fn(spark, d).collect()}
+    assert trend["solo"]["slope"] is None and trend["hour"]["slope"] is None
+    assert trend["ok"]["slope"] is not None
+    assert lin["solo"]["slope_cents_per_hour"] is None
+    assert lin["hour"]["slope_cents_per_hour"] is None
+    assert lin["ok"]["slope_cents_per_hour"] is not None
+    assert corr["C"]["corr_qty_price"] is None
+    assert corr["O"]["corr_qty_price"] is not None
+    assert var["S"]["var_qty"] is None and var["S"]["mean_qty"] is not None
+    assert var["O"]["var_qty"] is not None
+
+
 def test_l_diversity_flags(spark):
     """l_ok iff >=5 distinct users; c_ok iff the busiest user holds at most
     half the cell's rows."""
