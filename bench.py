@@ -233,12 +233,15 @@ HEADLINE = [
     # shapes are already timed — the signature pipeline + banded bucket
     # join by dedup_minhash_lsh, and the exact probe is a sub-second md5
     # anti-join whose scan/groupBy shape dedup_keep_best covers)
-    # round 12 addition (dedup_incremental_clusters is excluded like its
+    # round 12 additions (dedup_incremental_clusters is excluded like its
     # siblings above: the entry's cached-build half writes THREE index
     # tables plus the bootstrap clustering — index-write-dominated and
     # iterative (label propagation); the probe/labels read shapes it adds
     # are a broadcast-ledger resolve + one groupBy, both already headline-
-    # timed shapes. NOTES.md r12 records a probe-only timing instead.)
+    # timed shapes. NOTES.md r12 records a probe-only timing instead.
+    # dedup_index_delete: same reasoning — its cached build half is the
+    # index write PLUS a delete and a full compact rewrite; the probe it
+    # returns is byte-for-byte the dedup_incremental_exact probe shape.)
 ]
 
 

@@ -26,6 +26,18 @@ buckets and verifies candidates by SIGNATURE AGREEMENT (fraction of equal
 minima — the standard unbiased Jaccard estimator), so verification touches
 only the compact stored signatures, never historical text.
 
+Both indexes also support the rest of the lifecycle a long-lived corpus
+needs — DELETE (opt-out / takedown: ``fingerprint_index_delete`` /
+``minhash_index_delete`` append tombstone rows; probes subtract them, so a
+removed document stops blocking or attracting matches immediately) and
+COMPACT (``fingerprint_index_compact`` / ``minhash_index_compact``
+physically rewrite the data minus tombstones into a NEW GENERATION
+directory and flip an fsync'd ``GENERATION`` pointer file — the same
+durable-rename discipline as ``sinks/table.py`` compaction — so a crash at
+any step leaves a readable index; reads always resolve through the
+pointer). Contract: doc_ids are unique forever — re-ingesting a tombstoned
+doc_id before a compact would be masked by its own tombstone.
+
 Scale design notes:
 
 - Exact probe: the anti-join shuffles on md5 hex — maximally uniform keys,
@@ -53,6 +65,7 @@ corpus dedup is part of the LLM-pipeline extension surface (SURVEY.md §2.C).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -80,6 +93,69 @@ def _write_meta(spark: SparkSession, path: str, **params: int) -> None:
 def _read_meta(spark: SparkSession, path: str) -> dict[str, int]:
     row = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
     return {k: int(v) for k, v in row.asDict().items()}
+
+
+# --- generation pointer + tombstones (delete / compact lifecycle) ----------
+
+
+def _current_gen(path: str) -> int:
+    """Compaction generation from the ``GENERATION`` pointer file; absent
+    (every pre-compact index) means generation 0."""
+    try:
+        with open(os.path.join(path, "GENERATION")) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def _set_gen(path: str, gen: int) -> None:
+    """Atomically + DURABLY flip the generation pointer (fsync file, rename,
+    fsync directory — the ``sinks/table.py`` compaction discipline: on power
+    loss the unlinks that follow must never persist ahead of the flip)."""
+    target = os.path.join(path, "GENERATION")
+    with open(target + ".tmp", "w") as fh:
+        fh.write(str(int(gen)))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(target + ".tmp", target)
+    dfd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _gen_dir(root: str, table: str, gen: int) -> str:
+    """Data directory for a table at a generation. Generation 0 keeps the
+    bare name so every pre-compact index (and its pinned probe plans) keeps
+    working unchanged."""
+    return os.path.join(root, table if gen == 0 else f"{table}_g{gen}")
+
+
+def _drop_stale_gens(root: str, table: str, keep: int) -> None:
+    """Remove every ``<table>_g*`` directory except the kept generation —
+    self-healing for compacts that crashed after writing a new generation
+    (pointer not flipped: the torn write is removed and rebuilt) or before
+    removing the old one (stale directory reclaimed)."""
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return
+    for n in names:
+        stale = (
+            n.startswith(f"{table}_g") and n != os.path.basename(_gen_dir(root, table, keep))
+        ) or (n == table and keep != 0)
+        if stale:
+            shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+
+
+def _tombstones(spark: SparkSession, path: str, name: str) -> DataFrame | None:
+    """The tombstone table if any deletes were recorded, else None. Reads
+    gate on directory existence so pre-delete indexes never pay a read."""
+    tpath = os.path.join(path, name)
+    if not os.path.isdir(tpath):
+        return None
+    return spark.read.parquet(tpath)
 
 
 # ---------------------------------------------------------------------------
@@ -123,6 +199,13 @@ def fingerprint_index_build(
     rows.write.mode("overwrite").partitionBy("fp_bucket").parquet(
         os.path.join(path, "fingerprints")
     )
+    # A REBUILD over an existing path resets the whole lifecycle: the pointer
+    # returns to generation 0 (where the fresh data just landed), stale
+    # generation directories and tombstones from the previous life are gone.
+    if os.path.exists(os.path.join(path, "GENERATION")):
+        _set_gen(path, 0)
+    _drop_stale_gens(path, "fingerprints", 0)
+    shutil.rmtree(os.path.join(path, "fp_tombstones"), ignore_errors=True)
     _write_meta(df.sparkSession, path, n_buckets=n_buckets)
     return path
 
@@ -142,7 +225,7 @@ def fingerprint_index_append(
     n_buckets = _read_meta(spark, path)["n_buckets"]
     rows = _fingerprint_rows(df, text_col, id_col, n_buckets)
     rows.write.mode("append").partitionBy("fp_bucket").parquet(
-        os.path.join(path, "fingerprints")
+        _gen_dir(path, "fingerprints", _current_gen(path))
     )
     return path
 
@@ -172,11 +255,18 @@ def fingerprint_index_probe(
     values) and pushes an isin filter on the PARTITION column — the parquet
     reader then skips every bucket the batch cannot match. Worth it exactly
     when the batch is small relative to the index (the production case);
-    a full-corpus re-probe can pass prune=False and skip the extra job."""
+    a full-corpus re-probe can pass prune=False and skip the extra job.
+
+    Tombstoned documents (``fingerprint_index_delete``) are subtracted from
+    the index side before the anti-join — a deleted document stops blocking
+    its fingerprint immediately, without waiting for a compact. The
+    tombstone table shares the fp_bucket partitioning, so the same isin
+    filter prunes it."""
     n_buckets = _read_meta(spark, path)["n_buckets"]
     fp = fingerprint_md5(F.col(text_col))
     batch_fp = batch.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
-    index = spark.read.parquet(os.path.join(path, "fingerprints"))
+    index = spark.read.parquet(_gen_dir(path, "fingerprints", _current_gen(path)))
+    tomb = _tombstones(spark, path, "fp_tombstones")
     if prune:
         # The bucket-collect job and the anti-join both consume the batch
         # fingerprints — checkpoint them once so the batch text is scanned
@@ -194,6 +284,18 @@ def fingerprint_index_probe(
             .collect()
         ]
         index = index.where(F.col("fp_bucket").isin(buckets))
+        if tomb is not None:
+            tomb = tomb.where(F.col("fp_bucket").isin(buckets))
+    if tomb is not None:
+        # Row-identity subtraction on (doc_id, fingerprint): a fingerprint
+        # shared by a deleted AND a live document must keep blocking (the
+        # live row survives the anti-join); the tombstone side is the small
+        # one — broadcast.
+        index = index.join(
+            F.broadcast(tomb.select("doc_id", "fingerprint")),
+            ["doc_id", "fingerprint"],
+            "left_anti",
+        )
     survivors = batch_fp.join(
         index.select("fingerprint"), "fingerprint", "left_anti"
     )
@@ -208,6 +310,78 @@ def fingerprint_index_probe(
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
         .select("doc_id", "fingerprint", "n_copies")
     )
+
+
+def fingerprint_index_delete(
+    spark: SparkSession, path: str, doc_ids: DataFrame, id_col: str = "doc_id"
+) -> int:
+    """Tombstone documents out of the exact index (opt-out / takedown):
+    appends (doc_id, fingerprint, fp_bucket) tombstone rows; every later
+    probe subtracts them, so a deleted document stops blocking its
+    fingerprint IMMEDIATELY — ``fingerprint_index_compact`` reclaims the
+    space later. Returns the number of index rows tombstoned.
+
+    The delete set arrives as doc_ids only; one scan of the stored
+    fingerprints recovers each row's (fingerprint, fp_bucket) so the
+    tombstone table can share the index's partitioning (probe-side
+    subtraction then prunes with the SAME bucket filter as the index scan).
+    That scan is the right trade: deletes are rare relative to probes, the
+    fingerprint table is a sliver of corpus size (one md5 per document),
+    and the delete set — an opt-out list — broadcasts.
+
+    Contract: doc_ids are unique forever. Re-ingesting a tombstoned doc_id
+    before a compact is masked by its own tombstone."""
+    gen = _current_gen(path)
+    fps = spark.read.parquet(_gen_dir(path, "fingerprints", gen))
+    ids = doc_ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    tomb = (
+        fps.join(F.broadcast(ids), "doc_id")
+        .select("doc_id", "fingerprint", "fp_bucket")
+        # duplicate stored rows (torn-append repairs) collapse to one
+        # tombstone; the probe's anti-join needs row identity, not counts
+        .dropDuplicates(["doc_id", "fingerprint"])
+        .localCheckpoint(eager=True)  # consumed by count + write
+    )
+    n = tomb.count()
+    if n:
+        tomb.write.mode("append").partitionBy("fp_bucket").parquet(
+            os.path.join(path, "fp_tombstones")
+        )
+    return n
+
+
+def fingerprint_index_compact(spark: SparkSession, path: str) -> int:
+    """Physically drop tombstoned rows (and coalesce append-accumulated
+    small files) by rewriting the live rows into a NEW GENERATION directory,
+    then flipping the fsync'd ``GENERATION`` pointer. Returns the new
+    generation number.
+
+    Crash-safe at every step, single writer assumed (the scheduler runs
+    jobs serially): a crash while writing the new generation leaves the
+    pointer — and every reader — on the intact old one (the torn directory
+    is reclaimed by the next compact's stale-generation sweep); a crash
+    after the flip but before cleanup leaves tombstones that subtract
+    already-absent rows (a no-op) and a stale directory the next compact
+    removes."""
+    gen = _current_gen(path)
+    _drop_stale_gens(path, "fingerprints", gen)  # reclaim prior torn/stale dirs
+    index = spark.read.parquet(_gen_dir(path, "fingerprints", gen))
+    tomb = _tombstones(spark, path, "fp_tombstones")
+    if tomb is not None:
+        index = index.join(
+            F.broadcast(tomb.select("doc_id", "fingerprint")),
+            ["doc_id", "fingerprint"],
+            "left_anti",
+        )
+    index.write.mode("overwrite").partitionBy("fp_bucket").parquet(
+        _gen_dir(path, "fingerprints", gen + 1)
+    )
+    _set_gen(path, gen + 1)
+    # Post-flip cleanup; already-applied tombstones and the old generation
+    # are dead weight, not correctness state.
+    shutil.rmtree(os.path.join(path, "fp_tombstones"), ignore_errors=True)
+    _drop_stale_gens(path, "fingerprints", gen + 1)
+    return gen + 1
 
 
 # ---------------------------------------------------------------------------
@@ -288,6 +462,15 @@ def minhash_index_build(
     _band_rows(stored, num_perm, bands, n_buckets).write.mode("overwrite").partitionBy(
         "lsh_bucket"
     ).parquet(os.path.join(path, "bands"))
+    # Rebuild over an existing path resets the lifecycle (see
+    # fingerprint_index_build): pointer back to generation 0, stale
+    # generation directories and tombstones gone.
+    if os.path.exists(os.path.join(path, "GENERATION")):
+        _set_gen(path, 0)
+    for tbl in ("sigs", "bands"):
+        _drop_stale_gens(path, tbl, 0)
+    _drop_stale_gens(os.path.join(path, "clusters"), "base", 0)
+    shutil.rmtree(os.path.join(path, "mh_tombstones"), ignore_errors=True)
     _write_meta(
         df.sparkSession,
         path,
@@ -330,10 +513,11 @@ def minhash_index_append(
     # forever — undetectable. Recovery from a detected tear: re-run the
     # same append (both writes are append-only and the probe dedups
     # candidate pairs, so duplicated band rows are harmless).
+    gen = _current_gen(path)
     _band_rows(sig, m["num_perm"], m["bands"], m["n_buckets"]).write.mode(
         "append"
-    ).partitionBy("lsh_bucket").parquet(os.path.join(path, "bands"))
-    sig.write.mode("append").parquet(os.path.join(path, "sigs"))
+    ).partitionBy("lsh_bucket").parquet(_gen_dir(path, "bands", gen))
+    sig.write.mode("append").parquet(_gen_dir(path, "sigs", gen))
     return path
 
 
@@ -394,8 +578,9 @@ def _probe_pairs(
     bands and sigs writes — actually completes instead of tripping over the
     crashed run's own sig-less band rows; candidates torn by some OTHER
     batch still raise."""
+    gen = _current_gen(path)
     bands_new = _band_rows(sig_new, m["num_perm"], m["bands"], m["n_buckets"])
-    index = spark.read.parquet(os.path.join(path, "bands"))
+    index = spark.read.parquet(_gen_dir(path, "bands", gen))
     if prune:
         # Bounded collect (≤ n_buckets ints) → parquet partition pruning.
         buckets = [
@@ -420,7 +605,18 @@ def _probe_pairs(
         .where(F.col("doc_new") != F.col("doc_hist"))
         .dropDuplicates(["doc_new", "doc_hist"])
     )
-    sig_hist = spark.read.parquet(os.path.join(path, "sigs"))
+    tomb = _tombstones(spark, path, "mh_tombstones")
+    if tomb is not None:
+        # Deleted documents stop ATTRACTING matches immediately: subtract
+        # tombstones from the candidate set (batch-bounded — far cheaper
+        # than filtering the corpus-sized bands/sigs tables; compact does
+        # the physical removal later).
+        cand = cand.join(
+            F.broadcast(tomb.select(F.col("doc_id").alias("doc_hist"))),
+            "doc_hist",
+            "left_anti",
+        )
+    sig_hist = spark.read.parquet(_gen_dir(path, "sigs", gen))
     # LEFT join + loud error on a candidate whose historical doc has no
     # stored signature: that state only exists after a TORN APPEND (bands
     # committed, sigs crash — see minhash_index_append's write-order note).
@@ -483,6 +679,71 @@ def _probe_pairs(
         .agg(F.max("est_jaccard").alias("est_jaccard"))
         .select("doc_new", "doc_hist", "est_jaccard")
     )
+
+
+def minhash_index_delete(
+    spark: SparkSession, path: str, doc_ids: DataFrame, id_col: str = "doc_id"
+) -> int:
+    """Tombstone documents out of the near-dup index (opt-out / takedown):
+    appends doc_id tombstone rows; probes subtract them from the CANDIDATE
+    set (batch-bounded — the corpus-sized sigs/bands tables are untouched
+    until ``minhash_index_compact``), and the persisted cluster-label reads
+    exclude them. Unlike the exact twin no index scan is needed: candidates
+    carry doc ids, so a bare id list suffices. Returns the number of ids
+    tombstoned.
+
+    Cluster semantics after a delete: the doc's label row disappears from
+    ``minhash_cluster_labels``; cluster ids themselves are opaque integers
+    and stay stable even when the id-donating member is deleted."""
+    ids = (
+        doc_ids.select(F.col(id_col).cast("long").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by count + write
+    )
+    n = ids.count()
+    if n:
+        ids.write.mode("append").parquet(os.path.join(path, "mh_tombstones"))
+    return n
+
+
+def minhash_index_compact(spark: SparkSession, path: str) -> int:
+    """Physically drop tombstoned documents from sigs, bands, and (when the
+    cluster layer exists) the base label table, rewriting each into a NEW
+    GENERATION directory before flipping the shared fsync'd ``GENERATION``
+    pointer — one atomic cut-over for all three tables, same crash story as
+    ``fingerprint_index_compact`` (torn new generations are reclaimed by the
+    next compact's sweep; post-flip tombstones subtract absent rows, a
+    no-op). The merge ledger (``clusters/remap``) is merge-sized, not
+    corpus-sized, and its ids are opaque — it is left as-is. Returns the
+    new generation number."""
+    gen = _current_gen(path)
+    croot = os.path.join(path, "clusters")
+    for tbl in ("sigs", "bands"):
+        _drop_stale_gens(path, tbl, gen)
+    _drop_stale_gens(croot, "base", gen)
+    tomb = _tombstones(spark, path, "mh_tombstones")
+
+    def _live(df: DataFrame) -> DataFrame:
+        if tomb is None:
+            return df
+        return df.join(F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti")
+
+    _live(spark.read.parquet(_gen_dir(path, "sigs", gen))).write.mode(
+        "overwrite"
+    ).parquet(_gen_dir(path, "sigs", gen + 1))
+    _live(spark.read.parquet(_gen_dir(path, "bands", gen))).write.mode(
+        "overwrite"
+    ).partitionBy("lsh_bucket").parquet(_gen_dir(path, "bands", gen + 1))
+    if os.path.isdir(_gen_dir(croot, "base", gen)):
+        _live(spark.read.parquet(_gen_dir(croot, "base", gen))).write.mode(
+            "overwrite"
+        ).partitionBy("c_bucket").parquet(_gen_dir(croot, "base", gen + 1))
+    _set_gen(path, gen + 1)
+    shutil.rmtree(os.path.join(path, "mh_tombstones"), ignore_errors=True)
+    for tbl in ("sigs", "bands"):
+        _drop_stale_gens(path, tbl, gen + 1)
+    _drop_stale_gens(croot, "base", gen + 1)
+    return gen + 1
 
 
 # ---------------------------------------------------------------------------
@@ -608,10 +869,18 @@ def minhash_cluster_bootstrap(
     from flusher_spark.operators.dedup import dedup_clusters
 
     m = _read_meta(spark, path)
+    gen = _current_gen(path)
     min_agree = -(-int(threshold * m["num_perm"] * 1000000) // 1000000)  # ceil, float-safe
     min_agree = max(min_agree, 1)
-    sigs = spark.read.parquet(os.path.join(path, "sigs"))
-    bands = spark.read.parquet(os.path.join(path, "bands"))
+    sigs = spark.read.parquet(_gen_dir(path, "sigs", gen))
+    bands = spark.read.parquet(_gen_dir(path, "bands", gen))
+    tomb = _tombstones(spark, path, "mh_tombstones")
+    if tomb is not None:
+        # Bootstrapping between a delete and its compact: deleted docs get
+        # no label row and contribute no pairs.
+        t = F.broadcast(tomb.select("doc_id"))
+        sigs = sigs.join(t, "doc_id", "left_anti")
+        bands = bands.join(t, "doc_id", "left_anti")
     cand = _self_candidates(bands, max_bucket)
     pairs = _verified_pairs(cand, sigs, m["num_perm"], min_agree)
     comp = dedup_clusters(pairs)
@@ -628,7 +897,7 @@ def minhash_cluster_bootstrap(
     )
     croot = os.path.join(path, "clusters")
     labels.write.mode("overwrite").partitionBy("c_bucket").parquet(
-        os.path.join(croot, "base")
+        _gen_dir(croot, "base", gen)
     )
     spark.createDataFrame([], "old_id long, new_id long").write.mode(
         "overwrite"
@@ -694,10 +963,11 @@ def minhash_cluster_append(
     # only come from a torn append's own re-run (its index rows landed, its
     # base row didn't) — treating it as a singleton labeled by its own id
     # reproduces exactly the internal-pair handling of that same batch.
+    gen = _current_gen(path)
     hist = pairs_hist.select(
         "doc_new", F.col("doc_hist").alias("doc_id")
     ).localCheckpoint(eager=True)  # consumed by bucket collect + join
-    base = spark.read.parquet(os.path.join(croot, "base"))
+    base = spark.read.parquet(_gen_dir(croot, "base", gen))
     hbuckets = [
         r["b"]
         for r in hist.select(
@@ -778,7 +1048,7 @@ def minhash_cluster_append(
     # Recovery for every tear stays "re-run the same append" — the probe's
     # fallback_sigs covers the crashed run's own band rows.
     bands_new.write.mode("append").partitionBy("lsh_bucket").parquet(
-        os.path.join(path, "bands")
+        _gen_dir(path, "bands", gen)
     )
     if remap_new.limit(1).count():
         # Path compression at write time: a ledger row whose target just
@@ -804,9 +1074,9 @@ def minhash_cluster_append(
             os.path.join(croot, "remap")
         )
     lab_new.write.mode("append").partitionBy("c_bucket").parquet(
-        os.path.join(croot, "base")
+        _gen_dir(croot, "base", gen)
     )
-    sig_new.write.mode("append").parquet(os.path.join(path, "sigs"))
+    sig_new.write.mode("append").parquet(_gen_dir(path, "sigs", gen))
     return lab_new.select("doc_id", "cluster_id")
 
 
@@ -814,9 +1084,13 @@ def minhash_cluster_labels(spark: SparkSession, path: str) -> DataFrame:
     """The full (doc_id, cluster_id) table with every merge resolved: base
     rows pass through the broadcast ledger; duplicate base rows (torn-append
     re-runs) collapse to their minimum resolved label — the canonical-id
-    convention applied to the duplicate itself."""
+    convention applied to the duplicate itself. Tombstoned documents
+    (``minhash_index_delete``) are excluded."""
     croot = os.path.join(path, "clusters")
-    base = spark.read.parquet(os.path.join(croot, "base"))
+    base = spark.read.parquet(_gen_dir(croot, "base", _current_gen(path)))
+    tomb = _tombstones(spark, path, "mh_tombstones")
+    if tomb is not None:
+        base = base.join(F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti")
     remap = spark.read.parquet(os.path.join(croot, "remap"))
     return (
         base.alias("b")

@@ -56,25 +56,27 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Names surfaced first by ``registry()``. The driver's correctness harness
 #: covers a bounded prefix of the registry (50 entries per round), so this
 #: list rotates per round toward the entries whose latest driver verdict is
-#: weakest. Round-12 rotation, in order: (1) the round-12 NEW entry
-#: (dedup_incremental_clusters), getting its FIRST driver verdict
-#: (first-verdict beats re-verdict); (2) the lone r6 straggler
-#: (etl_load_full_vs_incremental, deferred from the r11 window); (3) 48 of
-#: the 50 r7-verdict entries — the stalest remaining cohort, five fixture
-#: regenerations old. graph_pagerank_weighted carries extra weight: the
-#: r12 out-weight-denominator fix can change its output wherever fixture
-#: weights are non-positive. The two spilled r7 entries (join_semi,
-#: window_ntile — single-shuffle hash-green plans with direct pytest
-#: twins, the lowest-risk picks) queue first for the r13 window; after
-#: this round the freshness histogram bottoms at r7 with exactly TWO
-#: entries. Every name here must exist (asserted in tests/test_plans.py);
-#: the rest follow in import order.
+#: weakest. Round-12 rotation, in order: (1) the two round-12 NEW entries
+#: (dedup_incremental_clusters, dedup_index_delete), getting their FIRST
+#: driver verdicts (first-verdict beats re-verdict; dedup_index_delete is
+#: FULL-oracle — the delete/compact lifecycle is deterministic); (2) the
+#: lone r6 straggler (etl_load_full_vs_incremental, deferred from the r11
+#: window); (3) 47 of the 50 r7-verdict entries — the stalest remaining
+#: cohort, five fixture regenerations old. graph_pagerank_weighted carries
+#: extra weight: the r12 out-weight-denominator fix can change its output
+#: wherever fixture weights are non-positive. The three spilled r7 entries
+#: (join_semi, window_ntile, window_topk_per_group — single-shuffle
+#: hash-green plans with direct pytest twins, the lowest-risk picks) queue
+#: first for the r13 window; after this round the freshness histogram
+#: bottoms at r7 with exactly THREE entries. Every name here must exist
+#: (asserted in tests/test_plans.py); the rest follow in import order.
 PRIORITY = (
-    # (1) round-12 addition — first driver verdict
+    # (1) round-12 additions — first driver verdicts
     "dedup_incremental_clusters",  # rows-only: seeded-hash clusters
+    "dedup_index_delete",  # FULL oracle: delete+compact lifecycle
     # (2) the r6 straggler
     "etl_load_full_vs_incremental",
-    # (3) the r7-verdict cohort (48 of 50)
+    # (3) the r7-verdict cohort (47 of 50)
     "agg_cube",
     "agg_distinct",
     "agg_grouping_sets",
@@ -122,11 +124,11 @@ PRIORITY = (
     "window_lag_delta",
     "window_range_interval",
     "window_running_sum",
-    "window_topk_per_group",
     # ---- driver window ends here (50) ----
-    # r13 rotation head: the two spilled r7 entries
+    # r13 rotation head: the three spilled r7 entries
     "join_semi",
     "window_ntile",
+    "window_topk_per_group",
 )
 
 

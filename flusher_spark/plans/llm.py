@@ -475,6 +475,46 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DI.fingerprint_index_probe(spark, path, docs.where(F.col("doc_id") % 2 == 1))
 
 
+@register(
+    "dedup_index_delete",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents),
+    batch AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 2 = 1)
+    SELECT MIN(doc_id) AS doc_id, fingerprint, COUNT(*) AS n_copies
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM fp h
+                      WHERE h.doc_id % 2 = 0 AND h.doc_id % 10 <> 0
+                        AND h.fingerprint = b.fingerprint)
+    GROUP BY fingerprint, CASE WHEN fingerprint IS NULL THEN doc_id END
+    """,
+)
+def dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE + COMPACT half of the persisted-index lifecycle (opt-out /
+    takedown at 100 TB): the historical corpus (even doc_ids) is indexed
+    once, the opt-out set (doc_id % 10 == 0) is TOMBSTONED out
+    (operators/dedup_index.py::fingerprint_index_delete — probes subtract
+    tombstones immediately) and then physically removed by
+    ``fingerprint_index_compact`` (generation rewrite behind an fsync'd
+    pointer flip — the sinks/table.py compaction discipline), before the
+    batch (odd doc_ids) probes the compacted index. Deleted documents no
+    longer block their fingerprints, shared fingerprints keep blocking
+    while any holder is live, and delete-then-compact answers identically
+    to delete-alone (tests/test_dedup_index.py::TestFingerprintLifecycle).
+    The oracle replays the split with the opt-out set excluded from
+    history."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _build(p: str) -> None:
+        DI.fingerprint_index_build(docs.where(F.col("doc_id") % 2 == 0), p)
+        DI.fingerprint_index_delete(
+            spark, p, docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
+        )
+        DI.fingerprint_index_compact(spark, p)
+
+    path = _scratch_index("fpdel", sf_dir, _build, stamp_file="documents.parquet")
+    return DI.fingerprint_index_probe(spark, path, docs.where(F.col("doc_id") % 2 == 1))
+
+
 @register("dedup_minhash_index")  # rows-only: seeded-hash approximate operator
 def dedup_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup detection — the MinHash twin of

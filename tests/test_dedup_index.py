@@ -412,3 +412,154 @@ class TestMinhashClusters:
             spark, path, spark.read.parquet(batch_dir)
         ).collect()
         assert {(r["doc_id"], r["cluster_id"]) for r in got} == {(20, 1)}
+
+
+def _ids(spark, *xs):
+    return spark.createDataFrame([(x,) for x in xs], "doc_id long")
+
+
+class TestFingerprintLifecycle:
+    """Delete (tombstones) + compact (generation rewrite) for the exact
+    index: a deleted doc stops blocking immediately, a shared fingerprint
+    keeps blocking while ANY holder is live, compaction changes bytes but
+    never probe answers, and a torn compact leaves a readable index."""
+
+    def test_delete_unblocks_only_when_all_holders_gone(self, spark, tmp_path):
+        path = str(tmp_path / "fpidx")
+        DI.fingerprint_index_build(_docs(spark, HIST), path)
+        # hist 1 and 3 share one normalized fingerprint (batch 10's too).
+        assert DI.fingerprint_index_delete(spark, path, _ids(spark, 1)) == 1
+        got = {
+            r["doc_id"]
+            for r in DI.fingerprint_index_probe(spark, path, _docs(spark, BATCH)).collect()
+        }
+        assert 10 not in got  # doc 3 still holds the fingerprint
+        assert DI.fingerprint_index_delete(spark, path, _ids(spark, 3)) == 1
+        got = {
+            r["doc_id"]
+            for r in DI.fingerprint_index_probe(spark, path, _docs(spark, BATCH)).collect()
+        }
+        assert 10 in got  # every holder tombstoned: fingerprint unblocked
+        # unknown ids tombstone no index rows
+        assert DI.fingerprint_index_delete(spark, path, _ids(spark, 999)) == 0
+
+    def test_compact_preserves_probe_and_flips_generation(self, spark, tmp_path):
+        path = str(tmp_path / "fpidx")
+        DI.fingerprint_index_build(_docs(spark, HIST), path)
+        DI.fingerprint_index_delete(spark, path, _ids(spark, 1, 3))
+        before = {
+            tuple(r)
+            for r in DI.fingerprint_index_probe(spark, path, _docs(spark, BATCH)).collect()
+        }
+        assert DI.fingerprint_index_compact(spark, path) == 1
+        assert os.path.isdir(os.path.join(path, "fingerprints_g1"))
+        assert not os.path.isdir(os.path.join(path, "fingerprints"))
+        assert not os.path.isdir(os.path.join(path, "fp_tombstones"))
+        after = {
+            tuple(r)
+            for r in DI.fingerprint_index_probe(spark, path, _docs(spark, BATCH)).collect()
+        }
+        assert before == after
+        # physical removal: only hist 2 remains (NULL-text 4 never indexed)
+        live = spark.read.parquet(os.path.join(path, "fingerprints_g1"))
+        assert {r["doc_id"] for r in live.collect()} == {2}
+        # appends keep working and land in the live generation
+        DI.fingerprint_index_append(
+            spark, path, _docs(spark, [(11, "sphinx of black quartz judge my vow")])
+        )
+        got = DI.fingerprint_index_probe(
+            spark, path, _docs(spark, [(20, "Sphinx of black quartz judge my vow")])
+        ).collect()
+        assert got == []
+        assert DI.fingerprint_index_compact(spark, path) == 2
+
+    def test_torn_compact_leaves_readable_index(self, spark, tmp_path):
+        path = str(tmp_path / "fpidx")
+        DI.fingerprint_index_build(_docs(spark, HIST), path)
+        DI.fingerprint_index_delete(spark, path, _ids(spark, 1, 3))
+        before = {
+            tuple(r)
+            for r in DI.fingerprint_index_probe(spark, path, _docs(spark, BATCH)).collect()
+        }
+        # simulate a compact that crashed after writing the new generation
+        # but BEFORE flipping the pointer: a garbage g1 directory exists
+        spark.createDataFrame([], "doc_id long, fingerprint string, fp_bucket long").write.partitionBy(
+            "fp_bucket"
+        ).parquet(os.path.join(path, "fingerprints_g1"))
+        assert DI._current_gen(path) == 0  # pointer untouched by the tear
+        mid = {
+            tuple(r)
+            for r in DI.fingerprint_index_probe(spark, path, _docs(spark, BATCH)).collect()
+        }
+        assert mid == before  # readers still on the intact generation
+        # a re-run compact reclaims the torn directory and completes
+        assert DI.fingerprint_index_compact(spark, path) == 1
+        after = {
+            tuple(r)
+            for r in DI.fingerprint_index_probe(spark, path, _docs(spark, BATCH)).collect()
+        }
+        assert after == before
+
+    def test_rebuild_resets_lifecycle(self, spark, tmp_path):
+        path = str(tmp_path / "fpidx")
+        DI.fingerprint_index_build(_docs(spark, HIST), path)
+        DI.fingerprint_index_delete(spark, path, _ids(spark, 1, 3))
+        DI.fingerprint_index_compact(spark, path)
+        DI.fingerprint_index_build(_docs(spark, HIST), path)
+        assert DI._current_gen(path) == 0
+        assert not os.path.isdir(os.path.join(path, "fingerprints_g1"))
+        assert not os.path.isdir(os.path.join(path, "fp_tombstones"))
+        got = {
+            r["doc_id"]
+            for r in DI.fingerprint_index_probe(spark, path, _docs(spark, BATCH)).collect()
+        }
+        assert 10 not in got  # the rebuilt index blocks again
+
+
+class TestMinhashLifecycle:
+    def test_delete_stops_attracting(self, spark, tmp_path):
+        path = str(tmp_path / "mhidx")
+        DI.minhash_index_build(_docs(spark, MH_HIST), path)
+        assert DI.minhash_index_delete(spark, path, _ids(spark, 1)) == 1
+        rows = DI.minhash_index_probe(
+            spark, path, _docs(spark, MH_BATCH), threshold=0.5
+        ).collect()
+        hists = {r["doc_hist"] for r in rows}
+        assert 1 not in hists  # deleted doc attracts nothing
+
+    def test_compact_preserves_probe_and_labels(self, spark, tmp_path):
+        path = str(tmp_path / "mhidx")
+        DI.minhash_index_build(_docs(spark, MH_HIST + [(3, _BASE)]), path)
+        DI.minhash_cluster_bootstrap(spark, path, threshold=0.5)
+        # cluster {1, 3} -> 1; delete 1: labels exclude it immediately
+        DI.minhash_index_delete(spark, path, _ids(spark, 1))
+        labels_before = {
+            (r["doc_id"], r["cluster_id"])
+            for r in DI.minhash_cluster_labels(spark, path).collect()
+        }
+        assert labels_before == {(2, 2), (3, 1)}  # 3 keeps its (opaque) id
+        probe_before = {
+            (r["doc_new"], r["doc_hist"])
+            for r in DI.minhash_index_probe(spark, path, _docs(spark, MH_BATCH)).collect()
+        }
+        assert not any(h == 1 for _, h in probe_before)
+        assert DI.minhash_index_compact(spark, path) == 1
+        assert not os.path.isdir(os.path.join(path, "mh_tombstones"))
+        assert {
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(path, "sigs_g1")).collect()
+        } == {2, 3}
+        assert {
+            (r["doc_new"], r["doc_hist"])
+            for r in DI.minhash_index_probe(spark, path, _docs(spark, MH_BATCH)).collect()
+        } == probe_before
+        assert {
+            (r["doc_id"], r["cluster_id"])
+            for r in DI.minhash_cluster_labels(spark, path).collect()
+        } == labels_before
+        # the cluster layer keeps working against the new generation
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in DI.minhash_cluster_append(spark, path, _docs(spark, [(10, _BASE)])).collect()
+        }
+        assert got == {(10, 1)}  # joins survivor 3's cluster (opaque id 1)

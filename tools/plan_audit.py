@@ -85,6 +85,11 @@ EXTRA = [
     "dedup_incremental_exact",
     "dedup_minhash_index",
     "dedup_incremental_clusters",
+    # round 12: the delete+compact lifecycle entry — the audited plan is the
+    # probe against the COMPACTED generation (tombstones already applied, so
+    # the plan is the same bucket-pruned anti-join shape; the tombstone-
+    # subtraction variant is plan-asserted in tests/test_dedup_index.py).
+    "dedup_index_delete",
 ]
 SKIP_PREFIXES = ("events_tumbling", "events_sliding", "events_sessionize",
                  "events_rollup", "events_stateful", "events_stream_")
