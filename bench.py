@@ -241,7 +241,10 @@ HEADLINE = [
     # timed shapes. NOTES.md r12 records a probe-only timing instead.
     # dedup_index_delete: same reasoning — its cached build half is the
     # index write PLUS a delete and a full compact rewrite; the probe it
-    # returns is byte-for-byte the dedup_incremental_exact probe shape.)
+    # returns is byte-for-byte the dedup_incremental_exact probe shape.
+    # dedup_stream_incremental is stream-executed like the other streaming
+    # entries — its cached build runs a real StreamingQuery; timed by its
+    # own tests, not the headline.)
 ]
 
 

@@ -237,6 +237,7 @@ def fingerprint_index_probe(
     text_col: str = "text",
     id_col: str = "doc_id",
     prune: bool = True,
+    exclude_src_batch: int | None = None,
 ) -> DataFrame:
     """Exact dedup of an incoming batch against the PERSISTED index: returns
     the surviving documents as (doc_id, fingerprint, n_copies) — one row per
@@ -261,11 +262,28 @@ def fingerprint_index_probe(
     the index side before the anti-join — a deleted document stops blocking
     its fingerprint immediately, without waiting for a compact. The
     tombstone table shares the fp_bucket partitioning, so the same isin
-    filter prunes it."""
+    filter prunes it.
+
+    ``exclude_src_batch``: for indexes whose rows carry a ``src_batch``
+    column (``streaming/dedup_stream.py``), ignore rows this batch id wrote
+    itself — the SELF-EXCLUSION that makes a retried streaming micro-batch
+    recompute identical survivors even after its own append landed
+    (foreachBatch is at-least-once; without this, the retry would see its
+    first attempt's fingerprints and emit zero survivors). Null-safe:
+    legacy rows with no/NULL src_batch are always kept."""
     n_buckets = _read_meta(spark, path)["n_buckets"]
     fp = fingerprint_md5(F.col(text_col))
     batch_fp = batch.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
     index = spark.read.parquet(_gen_dir(path, "fingerprints", _current_gen(path)))
+    if exclude_src_batch is not None:
+        if "src_batch" not in index.columns:
+            raise ValueError(
+                "exclude_src_batch requires an index whose rows carry a"
+                " src_batch column (stream_fingerprint_index_init)"
+            )
+        index = index.where(
+            ~F.col("src_batch").eqNullSafe(F.lit(int(exclude_src_batch)))
+        )
     tomb = _tombstones(spark, path, "fp_tombstones")
     if prune:
         # The bucket-collect job and the anti-join both consume the batch

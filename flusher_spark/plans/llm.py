@@ -515,6 +515,81 @@ def dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DI.fingerprint_index_probe(spark, path, docs.where(F.col("doc_id") % 2 == 1))
 
 
+@register(
+    "dedup_stream_incremental",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents),
+    t AS (SELECT doc_id, fingerprint,
+                 COALESCE(fingerprint, 'N' || CAST(doc_id AS VARCHAR)) AS gk,
+                 CASE WHEN doc_id <= (SELECT MAX(doc_id) // 2 FROM documents)
+                      THEN 0 ELSE 1 END AS b
+          FROM fp),
+    w AS (SELECT gk, MIN(b) AS wb FROM t GROUP BY gk)
+    SELECT MIN(t.doc_id) AS doc_id, MIN(t.fingerprint) AS fingerprint,
+           COUNT(*) AS n_copies, CAST(t.b AS BIGINT) AS batch_id
+    FROM t JOIN w ON t.gk = w.gk AND t.b = w.wb
+    GROUP BY t.gk, t.b
+    """,
+)
+def dedup_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental exact dedup — the continuous form of
+    dedup_incremental_exact (streaming/dedup_stream.py): the documents
+    table arrives as a real file-source stream in two mtime-ordered
+    micro-batches (doc_id ≤ max/2, then the rest), each micro-batch probes
+    the persisted fingerprint index with SELF-EXCLUSION on its batch id
+    (retry-idempotent without a ledger — see the module docstring), writes
+    survivors to a batch_id-partitioned sink, and appends the survivors'
+    fingerprints for the batches that follow. Because the split is
+    MONOTONE in doc_id, the cross-batch semantics are fully
+    SQL-expressible: a fingerprint's survivor is its global-minimum doc_id,
+    n_copies counts copies within the winning batch only (later batches'
+    copies were blocked wholesale), NULL-text docs are unique per policy —
+    the oracle replays exactly that. End-to-end retry/restart behavior is
+    pinned in tests/test_dedup_stream.py."""
+    import shutil
+    import tempfile
+    import time
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _build(p: str) -> None:
+        from flusher_spark.streaming.dedup_stream import (
+            run_stream_dedup,
+            stream_fingerprint_index_init,
+        )
+
+        k = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] // 2
+        stream_fingerprint_index_init(spark, os.path.join(p, "idx"))
+        src = os.path.join(p, "src")
+        os.makedirs(src)
+        now = time.time()
+        for i, half in enumerate(
+            (docs.where(F.col("doc_id") <= k), docs.where(F.col("doc_id") > k))
+        ):
+            staged = tempfile.mkdtemp(prefix="flusher_stream_stage_")
+            half.select("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(staged)
+            part = next(n for n in os.listdir(staged) if n.endswith(".parquet"))
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.move(os.path.join(staged, part), dst)
+            shutil.rmtree(staged, ignore_errors=True)
+            # the file source processes oldest-first: pin strict order
+            os.utime(dst, (now + i, now + i))
+        q = run_stream_dedup(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            os.path.join(p, "idx"),
+            os.path.join(p, "out"),
+            os.path.join(p, "ckpt"),
+        )
+        q.awaitTermination()
+
+    path = _scratch_index("fpstream", sf_dir, _build, stamp_file="documents.parquet")
+    return spark.read.parquet(os.path.join(path, "out")).select(
+        "doc_id", "fingerprint", "n_copies", F.col("batch_id").cast("long").alias("batch_id")
+    )
+
+
 @register("dedup_minhash_index")  # rows-only: seeded-hash approximate operator
 def dedup_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup detection — the MinHash twin of

@@ -1,0 +1,164 @@
+"""Streaming incremental dedup over the persisted fingerprint index
+(streaming/dedup_stream.py).
+
+Load-bearing contracts:
+- cross-batch dedup: a micro-batch dedups against every PRIOR batch's
+  survivors and duplicates, including within the same stream run;
+- retry idempotency WITHOUT a ledger: re-running a micro-batch after its
+  index append already landed recomputes the identical survivor set
+  (self-exclusion on src_batch), and the duplicated index rows are harmless
+  to later batches;
+- interop: the stream-built index answers batch probes and supports the
+  delete/compact lifecycle unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from flusher_spark.operators import dedup_index as DI
+from flusher_spark.streaming.dedup_stream import (
+    dedup_stream_sink,
+    run_stream_dedup,
+    stream_fingerprint_index_init,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sink_rows(spark, sink):
+    return {
+        (r["batch_id"], r["doc_id"], r["n_copies"])
+        for r in spark.read.parquet(sink).collect()
+    }
+
+
+class TestDedupStreamSink:
+    """Direct foreachBatch-function tests (deterministic batch ids)."""
+
+    def test_cross_batch_dedup_and_internal_collapse(self, spark, tmp_path):
+        idx = str(tmp_path / "idx")
+        sink = str(tmp_path / "out")
+        stream_fingerprint_index_init(spark, idx)
+        fn = dedup_stream_sink(idx, sink)
+        fn(_docs(spark, [(1, "aaa"), (2, "bbb")]), 0)
+        # 3 duplicates batch-0's survivor; 4/5 are an internal dup pair
+        fn(_docs(spark, [(3, "aaa"), (4, "ccc"), (5, "ccc")]), 1)
+        # 6 duplicates a batch-1 SURVIVOR: proves survivors were indexed
+        fn(_docs(spark, [(6, "ccc")]), 2)
+        assert _sink_rows(spark, sink) == {(0, 1, 1), (0, 2, 1), (1, 4, 2)}
+
+    def test_retry_recomputes_identical_survivors(self, spark, tmp_path):
+        """The at-least-once case: the same (df, batch_id) runs again AFTER
+        its first attempt fully landed (survivors written AND fingerprints
+        appended). Self-exclusion must yield the identical survivor set —
+        not the empty set a naive probe would produce."""
+        idx = str(tmp_path / "idx")
+        sink = str(tmp_path / "out")
+        stream_fingerprint_index_init(spark, idx)
+        fn = dedup_stream_sink(idx, sink)
+        fn(_docs(spark, [(1, "aaa")]), 0)
+        b1 = _docs(spark, [(2, "bbb"), (3, "aaa")])  # 3 dups history
+        fn(b1, 1)
+        first = _sink_rows(spark, sink)
+        assert first == {(0, 1, 1), (1, 2, 1)}
+        fn(b1, 1)  # retry
+        assert _sink_rows(spark, sink) == first
+        # the duplicated index rows must not double-block or unblock later
+        # batches: 4 dups batch-1's survivor, 5 is new
+        fn(_docs(spark, [(4, "bbb"), (5, "ddd")]), 2)
+        assert _sink_rows(spark, sink) == first | {(2, 5, 1)}
+
+    def test_seed_and_batch_interop(self, spark, tmp_path):
+        idx = str(tmp_path / "idx")
+        sink = str(tmp_path / "out")
+        stream_fingerprint_index_init(
+            spark, idx, seed_df=_docs(spark, [(100, "legacy corpus doc")])
+        )
+        fn = dedup_stream_sink(idx, sink)
+        fn(_docs(spark, [(1, "legacy corpus doc"), (2, "new doc")]), 0)
+        assert _sink_rows(spark, sink) == {(0, 2, 1)}
+        # batch probe (no exclusion) answers from the stream-built index
+        got = {
+            r["doc_id"]
+            for r in DI.fingerprint_index_probe(
+                spark, idx, _docs(spark, [(10, "new doc"), (11, "never seen")])
+            ).collect()
+        }
+        assert got == {11}
+        # the delete/compact lifecycle works unchanged; src_batch survives
+        DI.fingerprint_index_delete(spark, idx, _docs(spark, [(100, "x")]).select("doc_id"))
+        got = {
+            r["doc_id"]
+            for r in DI.fingerprint_index_probe(
+                spark, idx, _docs(spark, [(12, "legacy corpus doc")])
+            ).collect()
+        }
+        assert got == {12}  # seed doc tombstoned: fingerprint unblocked
+        assert DI.fingerprint_index_compact(spark, idx) == 1
+        live = spark.read.parquet(os.path.join(idx, "fingerprints_g1"))
+        assert "src_batch" in live.columns
+        # survivors-only indexing: doc 1 (a dup of the seed) never landed
+        assert {r["doc_id"] for r in live.collect()} == {2}
+        # and the stream keeps running against the compacted generation
+        fn(_docs(spark, [(20, "new doc"), (21, "post compact")]), 1)
+        assert (1, 21, 1) in _sink_rows(spark, sink)
+        assert not any(b == 1 and d == 20 for b, d, _ in _sink_rows(spark, sink))
+
+
+class TestDedupStreamEndToEnd:
+    def test_file_stream_availablenow(self, spark, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        idx = str(tmp_path / "idx")
+        sink = str(tmp_path / "out")
+        stream_fingerprint_index_init(spark, idx)
+        # one parquet file per intended micro-batch, mtimes strictly ordered
+        # (the file source processes oldest-first)
+        batches = [
+            [(1, "aaa"), (2, "bbb")],
+            [(3, "aaa"), (4, "ccc")],
+            [(5, "ccc"), (6, "ddd")],
+        ]
+        now = time.time()
+        for i, rows in enumerate(batches):
+            # the file source reads FLAT files, not parquet directories:
+            # stage each batch and move its part file into the source dir
+            staged = str(tmp_path / f"stage{i}")
+            _docs(spark, rows).coalesce(1).write.parquet(staged)
+            part = next(n for n in os.listdir(staged) if n.endswith(".parquet"))
+            dst = str(src / f"b{i}.parquet")
+            os.rename(os.path.join(staged, part), dst)
+            os.utime(dst, (now + i, now + i))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = run_stream_dedup(stream, idx, sink, str(tmp_path / "ckpt"))
+        q.awaitTermination()
+        # batch-id assignment is the file source's business; assert the
+        # batch-independent contract — the global survivor set
+        survivors = {(d, n) for _, d, n in _sink_rows(spark, sink)}
+        assert survivors == {(1, 1), (2, 1), (4, 1), (6, 1)}
+        # restart the stream with a NEW checkpoint but the same index: a
+        # re-sent duplicate is still caught (the index is the state, not
+        # the state store)
+        src2 = tmp_path / "src2"
+        src2.mkdir()
+        staged2 = str(tmp_path / "stage_restart")
+        _docs(spark, [(7, "ddd"), (8, "eee")]).coalesce(1).write.parquet(staged2)
+        part2 = next(n for n in os.listdir(staged2) if n.endswith(".parquet"))
+        os.rename(os.path.join(staged2, part2), str(src2 / "b0.parquet"))
+        stream2 = (
+            spark.readStream.schema("doc_id long, text string").parquet(str(src2))
+        )
+        q2 = run_stream_dedup(stream2, idx, str(tmp_path / "out2"), str(tmp_path / "ckpt2"))
+        q2.awaitTermination()
+        got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out2")).collect()}
+        assert got == {8}
