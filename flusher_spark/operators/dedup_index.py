@@ -149,13 +149,44 @@ def _drop_stale_gens(root: str, table: str, keep: int) -> None:
             shutil.rmtree(os.path.join(root, n), ignore_errors=True)
 
 
-def _tombstones(spark: SparkSession, path: str, name: str) -> DataFrame | None:
-    """The tombstone table if any deletes were recorded, else None. Reads
-    gate on directory existence so pre-delete indexes never pay a read."""
-    tpath = os.path.join(path, name)
+def _tombstones(
+    spark: SparkSession, path: str, name: str, gen: int
+) -> DataFrame | None:
+    """The CURRENT GENERATION's tombstone table if any deletes were
+    recorded, else None. Tombstones are generation-scoped (written under
+    ``<name>`` at gen 0, ``<name>_g<N>`` after): the pointer flip that
+    makes a compacted or rebuilt generation live atomically takes the old
+    generation's tombstones OUT of scope with it — no ordering window in
+    which stale tombstones subtract rows from a new life (a crash between
+    a flip and a tombstone cleanup merely leaves an out-of-scope directory
+    for the next sweep). Reads gate on directory existence so pre-delete
+    indexes never pay a read."""
+    tpath = _gen_dir(path, name, gen)
     if not os.path.isdir(tpath):
         return None
     return spark.read.parquet(tpath)
+
+
+def _write_table(df: DataFrame, out: str, part_col: str | None) -> None:
+    """Overwrite-write a (possibly partitioned) table, guaranteeing the
+    result is READABLE even with zero rows: an empty partitionBy job emits
+    no data files at all (and an empty plain write can too), which would
+    brick any reader with UNABLE_TO_INFER_SCHEMA — fatal when the caller
+    is a compact about to flip the generation pointer at this directory.
+    The guard writes one empty schema-bearing file (into an explicit
+    partition directory when partitioned, so later appends' partition
+    discovery still applies)."""
+    w = df.write.mode("overwrite")
+    (w.partitionBy(part_col) if part_col else w).parquet(out)
+    for root, _, names in os.walk(out):
+        if any(n.endswith(".parquet") for n in names):
+            return
+    empty = df.limit(0)
+    dst = out
+    if part_col:
+        empty = empty.drop(part_col)
+        dst = os.path.join(out, f"{part_col}=0")
+    empty.coalesce(1).write.mode("overwrite").parquet(dst)
 
 
 # ---------------------------------------------------------------------------
@@ -194,19 +225,29 @@ def fingerprint_index_build(
 ) -> str:
     """Build the exact-dedup fingerprint index over a corpus: one
     (doc_id, fingerprint) row per document, written PARTITIONED BY the
-    fingerprint's stable hash bucket. Returns ``path``."""
-    rows = _fingerprint_rows(df, text_col, id_col, n_buckets)
-    rows.write.mode("overwrite").partitionBy("fp_bucket").parquet(
+    fingerprint's stable hash bucket. Returns ``path``.
+
+    A REBUILD over a live path writes into a NEW generation and flips the
+    pointer — never an in-place overwrite — so the previous life (data AND
+    its generation-scoped tombstones) stays intact and in scope until one
+    atomic flip, exactly the compact crash story; the swept-away old
+    directories are reclaimed after. (One documented non-atomicity: the
+    shared meta table is overwritten before the flip, so rebuilding IN
+    PLACE with a DIFFERENT n_buckets has a tiny window where old data
+    pairs with new meta — prefer a fresh path when changing parameters.)"""
+    spark = df.sparkSession
+    rebuild = os.path.exists(os.path.join(path, "GENERATION")) or os.path.isdir(
         os.path.join(path, "fingerprints")
     )
-    # A REBUILD over an existing path resets the whole lifecycle: the pointer
-    # returns to generation 0 (where the fresh data just landed), stale
-    # generation directories and tombstones from the previous life are gone.
-    if os.path.exists(os.path.join(path, "GENERATION")):
-        _set_gen(path, 0)
-    _drop_stale_gens(path, "fingerprints", 0)
-    shutil.rmtree(os.path.join(path, "fp_tombstones"), ignore_errors=True)
-    _write_meta(df.sparkSession, path, n_buckets=n_buckets)
+    new_gen = _current_gen(path) + 1 if rebuild else 0
+    rows = _fingerprint_rows(df, text_col, id_col, n_buckets)
+    _write_table(rows, _gen_dir(path, "fingerprints", new_gen), "fp_bucket")
+    _write_meta(spark, path, n_buckets=n_buckets)
+    if rebuild:
+        _set_gen(path, new_gen)
+    _drop_stale_gens(path, "fingerprints", new_gen)
+    _drop_stale_gens(path, "fp_tombstones", new_gen)
+    shutil.rmtree(_gen_dir(path, "fp_tombstones", new_gen), ignore_errors=True)
     return path
 
 
@@ -224,9 +265,19 @@ def fingerprint_index_append(
     plan stays valid."""
     n_buckets = _read_meta(spark, path)["n_buckets"]
     rows = _fingerprint_rows(df, text_col, id_col, n_buckets)
-    rows.write.mode("append").partitionBy("fp_bucket").parquet(
-        _gen_dir(path, "fingerprints", _current_gen(path))
-    )
+    target = _gen_dir(path, "fingerprints", _current_gen(path))
+    cols = spark.read.parquet(target).columns
+    if "src_batch" in cols:
+        # Stream-initialized index (streaming/dedup_stream.py): every file
+        # must carry the tag column, or Spark's non-mergeSchema read could
+        # infer a schema WITHOUT it from this append's files and break the
+        # stream's self-exclusion (or a compact could strip the column for
+        # good). NULL = "not written by any stream batch" — always kept by
+        # the probe's null-safe exclusion.
+        rows = rows.withColumn("src_batch", F.lit(None).cast("string")).select(
+            "doc_id", "fingerprint", "src_batch", "fp_bucket"
+        )
+    rows.write.mode("append").partitionBy("fp_bucket").parquet(target)
     return path
 
 
@@ -237,7 +288,7 @@ def fingerprint_index_probe(
     text_col: str = "text",
     id_col: str = "doc_id",
     prune: bool = True,
-    exclude_src_batch: int | None = None,
+    exclude_src_batch: str | None = None,
 ) -> DataFrame:
     """Exact dedup of an incoming batch against the PERSISTED index: returns
     the surviving documents as (doc_id, fingerprint, n_copies) — one row per
@@ -265,16 +316,19 @@ def fingerprint_index_probe(
     filter prunes it.
 
     ``exclude_src_batch``: for indexes whose rows carry a ``src_batch``
-    column (``streaming/dedup_stream.py``), ignore rows this batch id wrote
-    itself — the SELF-EXCLUSION that makes a retried streaming micro-batch
-    recompute identical survivors even after its own append landed
-    (foreachBatch is at-least-once; without this, the retry would see its
-    first attempt's fingerprints and emit zero survivors). Null-safe:
-    legacy rows with no/NULL src_batch are always kept."""
+    tag column (``streaming/dedup_stream.py`` — a "<run_id>#<batch_id>"
+    string, unique per logical micro-batch ACROSS stream restarts), ignore
+    rows this micro-batch wrote itself — the SELF-EXCLUSION that makes a
+    retried streaming micro-batch recompute identical survivors even after
+    its own append landed (foreachBatch is at-least-once; without this,
+    the retry would see its first attempt's fingerprints and emit zero
+    survivors). Null-safe: rows with no/NULL src_batch (batch appends into
+    a stream index) are always kept."""
     n_buckets = _read_meta(spark, path)["n_buckets"]
+    gen = _current_gen(path)
     fp = fingerprint_md5(F.col(text_col))
     batch_fp = batch.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
-    index = spark.read.parquet(_gen_dir(path, "fingerprints", _current_gen(path)))
+    index = spark.read.parquet(_gen_dir(path, "fingerprints", gen))
     if exclude_src_batch is not None:
         if "src_batch" not in index.columns:
             raise ValueError(
@@ -282,9 +336,9 @@ def fingerprint_index_probe(
                 " src_batch column (stream_fingerprint_index_init)"
             )
         index = index.where(
-            ~F.col("src_batch").eqNullSafe(F.lit(int(exclude_src_batch)))
+            ~F.col("src_batch").eqNullSafe(F.lit(str(exclude_src_batch)))
         )
-    tomb = _tombstones(spark, path, "fp_tombstones")
+    tomb = _tombstones(spark, path, "fp_tombstones", gen)
     if prune:
         # The bucket-collect job and the anti-join both consume the batch
         # fingerprints — checkpoint them once so the batch text is scanned
@@ -363,7 +417,7 @@ def fingerprint_index_delete(
     n = tomb.count()
     if n:
         tomb.write.mode("append").partitionBy("fp_bucket").parquet(
-            os.path.join(path, "fp_tombstones")
+            _gen_dir(path, "fp_tombstones", gen)
         )
     return n
 
@@ -376,29 +430,33 @@ def fingerprint_index_compact(spark: SparkSession, path: str) -> int:
 
     Crash-safe at every step, single writer assumed (the scheduler runs
     jobs serially): a crash while writing the new generation leaves the
-    pointer — and every reader — on the intact old one (the torn directory
-    is reclaimed by the next compact's stale-generation sweep); a crash
-    after the flip but before cleanup leaves tombstones that subtract
-    already-absent rows (a no-op) and a stale directory the next compact
+    pointer — and every reader — on the intact old (data, tombstones) pair
+    (the torn directory is reclaimed by the next compact's sweep); a crash
+    after the flip but before cleanup leaves only OUT-OF-SCOPE directories
+    (tombstones are generation-scoped, so the flip that publishes the
+    compacted data atomically retires them) which the next compact
     removes."""
     gen = _current_gen(path)
-    _drop_stale_gens(path, "fingerprints", gen)  # reclaim prior torn/stale dirs
+    # reclaim prior torn/stale dirs (data AND out-of-scope tombstones)
+    _drop_stale_gens(path, "fingerprints", gen)
+    _drop_stale_gens(path, "fp_tombstones", gen)
     index = spark.read.parquet(_gen_dir(path, "fingerprints", gen))
-    tomb = _tombstones(spark, path, "fp_tombstones")
+    tomb = _tombstones(spark, path, "fp_tombstones", gen)
     if tomb is not None:
         index = index.join(
             F.broadcast(tomb.select("doc_id", "fingerprint")),
             ["doc_id", "fingerprint"],
             "left_anti",
         )
-    index.write.mode("overwrite").partitionBy("fp_bucket").parquet(
-        _gen_dir(path, "fingerprints", gen + 1)
-    )
+    # _write_table, not a bare write: an all-tombstoned index compacts to
+    # ZERO rows, and a bare empty partitionBy write would leave the new
+    # generation unreadable — bricking the index at the pointer flip.
+    _write_table(index, _gen_dir(path, "fingerprints", gen + 1), "fp_bucket")
     _set_gen(path, gen + 1)
-    # Post-flip cleanup; already-applied tombstones and the old generation
-    # are dead weight, not correctness state.
-    shutil.rmtree(os.path.join(path, "fp_tombstones"), ignore_errors=True)
+    # Post-flip cleanup; the old generation and its (now out-of-scope)
+    # tombstones are dead weight, not correctness state.
     _drop_stale_gens(path, "fingerprints", gen + 1)
+    _drop_stale_gens(path, "fp_tombstones", gen + 1)
     return gen + 1
 
 
@@ -470,25 +528,28 @@ def minhash_index_build(
     All parameters land in the meta table; append/probe read them back."""
     if bands <= 0 or num_perm % bands != 0:
         raise ValueError(f"num_perm ({num_perm}) must be a positive multiple of bands ({bands})")
+    croot = os.path.join(path, "clusters")
+    rebuild = os.path.exists(os.path.join(path, "GENERATION")) or os.path.isdir(
+        os.path.join(path, "sigs")
+    )
+    new_gen = _current_gen(path) + 1 if rebuild else 0
     sig = _signature_rows(df, text_col, id_col, num_perm, shingle_n, seed)
     # The band explode re-reads sig; localCheckpoint would pin it to this
     # session, but an index build is a one-shot batch job — write sigs
     # first, then derive bands FROM THE WRITTEN TABLE so the expensive
     # shingle+aggregate pipeline runs exactly once.
-    sig.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
-    stored = df.sparkSession.read.parquet(os.path.join(path, "sigs"))
+    sig.write.mode("overwrite").parquet(_gen_dir(path, "sigs", new_gen))
+    stored = df.sparkSession.read.parquet(_gen_dir(path, "sigs", new_gen))
     _band_rows(stored, num_perm, bands, n_buckets).write.mode("overwrite").partitionBy(
         "lsh_bucket"
-    ).parquet(os.path.join(path, "bands"))
-    # Rebuild over an existing path resets the lifecycle (see
-    # fingerprint_index_build): pointer back to generation 0, stale
-    # generation directories and tombstones gone.
-    if os.path.exists(os.path.join(path, "GENERATION")):
-        _set_gen(path, 0)
-    for tbl in ("sigs", "bands"):
-        _drop_stale_gens(path, tbl, 0)
-    _drop_stale_gens(os.path.join(path, "clusters"), "base", 0)
-    shutil.rmtree(os.path.join(path, "mh_tombstones"), ignore_errors=True)
+    ).parquet(_gen_dir(path, "bands", new_gen))
+    # A REBUILD over a live path lands in a NEW generation and flips the
+    # pointer (see fingerprint_index_build — the old life's data and its
+    # generation-scoped tombstones stay in scope until one atomic flip).
+    # The previous life's cluster layer dies with it: the new generation
+    # has no base table, so label reads and cluster appends FAIL LOUDLY
+    # until minhash_cluster_bootstrap runs — never silently serve the old
+    # corpus's labels.
     _write_meta(
         df.sparkSession,
         path,
@@ -497,7 +558,14 @@ def minhash_index_build(
         shingle_n=shingle_n,
         seed=seed,
         n_buckets=n_buckets,
-    )
+    )  # before the flip: the published generation must pair with its meta
+    if rebuild:
+        _set_gen(path, new_gen)
+    for tbl in ("sigs", "bands", "mh_tombstones"):
+        _drop_stale_gens(path, tbl, new_gen)
+    shutil.rmtree(_gen_dir(path, "mh_tombstones", new_gen), ignore_errors=True)
+    _drop_stale_gens(croot, "base", new_gen)
+    shutil.rmtree(_gen_dir(croot, "base", new_gen), ignore_errors=True)
     return path
 
 
@@ -623,7 +691,7 @@ def _probe_pairs(
         .where(F.col("doc_new") != F.col("doc_hist"))
         .dropDuplicates(["doc_new", "doc_hist"])
     )
-    tomb = _tombstones(spark, path, "mh_tombstones")
+    tomb = _tombstones(spark, path, "mh_tombstones", gen)
     if tomb is not None:
         # Deleted documents stop ATTRACTING matches immediately: subtract
         # tombstones from the candidate set (batch-bounded — far cheaper
@@ -720,7 +788,9 @@ def minhash_index_delete(
     )
     n = ids.count()
     if n:
-        ids.write.mode("append").parquet(os.path.join(path, "mh_tombstones"))
+        ids.write.mode("append").parquet(
+            _gen_dir(path, "mh_tombstones", _current_gen(path))
+        )
     return n
 
 
@@ -729,36 +799,45 @@ def minhash_index_compact(spark: SparkSession, path: str) -> int:
     cluster layer exists) the base label table, rewriting each into a NEW
     GENERATION directory before flipping the shared fsync'd ``GENERATION``
     pointer — one atomic cut-over for all three tables, same crash story as
-    ``fingerprint_index_compact`` (torn new generations are reclaimed by the
-    next compact's sweep; post-flip tombstones subtract absent rows, a
-    no-op). The merge ledger (``clusters/remap``) is merge-sized, not
-    corpus-sized, and its ids are opaque — it is left as-is. Returns the
-    new generation number."""
+    ``fingerprint_index_compact`` (torn new generations are reclaimed by
+    the next compact's sweep; the flip retires the old generation's
+    tombstones with it — tombstones are generation-scoped). The merge
+    ledger (``clusters/remap``) is merge-sized, not corpus-sized, and its
+    ids are opaque — it is left as-is. Returns the new generation
+    number."""
     gen = _current_gen(path)
     croot = os.path.join(path, "clusters")
-    for tbl in ("sigs", "bands"):
+    for tbl in ("sigs", "bands", "mh_tombstones"):
         _drop_stale_gens(path, tbl, gen)
     _drop_stale_gens(croot, "base", gen)
-    tomb = _tombstones(spark, path, "mh_tombstones")
+    tomb = _tombstones(spark, path, "mh_tombstones", gen)
 
     def _live(df: DataFrame) -> DataFrame:
         if tomb is None:
             return df
         return df.join(F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti")
 
-    _live(spark.read.parquet(_gen_dir(path, "sigs", gen))).write.mode(
-        "overwrite"
-    ).parquet(_gen_dir(path, "sigs", gen + 1))
-    _live(spark.read.parquet(_gen_dir(path, "bands", gen))).write.mode(
-        "overwrite"
-    ).partitionBy("lsh_bucket").parquet(_gen_dir(path, "bands", gen + 1))
+    # _write_table throughout: a fully-tombstoned table compacts to zero
+    # rows, and a bare empty write would leave the new generation
+    # unreadable at the pointer flip.
+    _write_table(
+        _live(spark.read.parquet(_gen_dir(path, "sigs", gen))),
+        _gen_dir(path, "sigs", gen + 1),
+        None,
+    )
+    _write_table(
+        _live(spark.read.parquet(_gen_dir(path, "bands", gen))),
+        _gen_dir(path, "bands", gen + 1),
+        "lsh_bucket",
+    )
     if os.path.isdir(_gen_dir(croot, "base", gen)):
-        _live(spark.read.parquet(_gen_dir(croot, "base", gen))).write.mode(
-            "overwrite"
-        ).partitionBy("c_bucket").parquet(_gen_dir(croot, "base", gen + 1))
+        _write_table(
+            _live(spark.read.parquet(_gen_dir(croot, "base", gen))),
+            _gen_dir(croot, "base", gen + 1),
+            "c_bucket",
+        )
     _set_gen(path, gen + 1)
-    shutil.rmtree(os.path.join(path, "mh_tombstones"), ignore_errors=True)
-    for tbl in ("sigs", "bands"):
+    for tbl in ("sigs", "bands", "mh_tombstones"):
         _drop_stale_gens(path, tbl, gen + 1)
     _drop_stale_gens(croot, "base", gen + 1)
     return gen + 1
@@ -892,7 +971,7 @@ def minhash_cluster_bootstrap(
     min_agree = max(min_agree, 1)
     sigs = spark.read.parquet(_gen_dir(path, "sigs", gen))
     bands = spark.read.parquet(_gen_dir(path, "bands", gen))
-    tomb = _tombstones(spark, path, "mh_tombstones")
+    tomb = _tombstones(spark, path, "mh_tombstones", gen)
     if tomb is not None:
         # Bootstrapping between a delete and its compact: deleted docs get
         # no label row and contribute no pairs.
@@ -1105,8 +1184,9 @@ def minhash_cluster_labels(spark: SparkSession, path: str) -> DataFrame:
     convention applied to the duplicate itself. Tombstoned documents
     (``minhash_index_delete``) are excluded."""
     croot = os.path.join(path, "clusters")
-    base = spark.read.parquet(_gen_dir(croot, "base", _current_gen(path)))
-    tomb = _tombstones(spark, path, "mh_tombstones")
+    gen = _current_gen(path)
+    base = spark.read.parquet(_gen_dir(croot, "base", gen))
+    tomb = _tombstones(spark, path, "mh_tombstones", gen)
     if tomb is not None:
         base = base.join(F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti")
     remap = spark.read.parquet(os.path.join(croot, "remap"))

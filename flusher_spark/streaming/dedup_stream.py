@@ -17,9 +17,17 @@ the delete/compact lifecycle work on this index unchanged).
 
 EXACTLY-ONCE STORY — foreachBatch is at-least-once, so a crashed micro-batch
 re-runs with the same batch_id after its side effects may have partially
-landed. Every index row written by the stream carries a ``src_batch``
-column, and the probe excludes rows tagged with the CURRENT batch id
-(self-exclusion, ``fingerprint_index_probe(exclude_src_batch=...)``). That
+landed. Every index row written by the stream carries a ``src_batch`` TAG
+("<run_id>#<batch_id>"), and the probe excludes rows tagged with the
+CURRENT micro-batch's tag (self-exclusion,
+``fingerprint_index_probe(exclude_src_batch=...)``). The run_id half makes
+the tag unique across stream RESTARTS: batch ids are only unique per
+checkpoint, so a stream restarted with a fresh checkpoint against the same
+index re-counts from 0 — a bare batch-id tag would wrongly self-exclude the
+PREVIOUS run's batch-0 rows and leak their duplicates. ``run_stream_dedup``
+persists the run id inside the checkpoint directory, so a driver restart on
+the SAME checkpoint (where Spark re-delivers the same logical batch)
+resolves the same tag, while a fresh checkpoint gets a fresh one. The tag
 makes each attempt a deterministic function of the index-minus-self:
 
 - retry after the survivor write, before the index append: recomputes the
@@ -33,7 +41,8 @@ makes each attempt a deterministic function of the index-minus-self:
 
 No applied-batch ledger is needed, and no ordering between the survivor
 write and the index append matters for correctness; the survivor write goes
-first anyway so the sink never trails the index.
+first anyway so the sink never trails the index. The sink is partitioned by
+(run_id, batch_id), so two runs' outputs never collide either.
 
 At scale: each micro-batch costs one bucket-pruned anti-join against the
 fingerprint table (probe cost follows the batch, not the corpus) plus one
@@ -48,6 +57,7 @@ LLM-pipeline extension surface (SURVEY.md §2.C).
 from __future__ import annotations
 
 import os
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -73,16 +83,17 @@ def stream_fingerprint_index_init(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> str:
-    """Create a fingerprint index whose rows carry a ``src_batch`` column —
-    the self-exclusion tag the streaming sink's retry idempotency rests on.
-    ``seed_df`` optionally pre-loads an existing corpus (tagged -1, a real
-    batch id is never negative) so the stream dedups against history from
-    its very first micro-batch. Layout-compatible with the batch index:
-    probes, deletes, and compacts from ``operators/dedup_index`` work on it
-    unchanged (the extra column rides along)."""
+    """Create a fingerprint index whose rows carry a ``src_batch`` tag
+    column — the self-exclusion tag the streaming sink's retry idempotency
+    rests on. ``seed_df`` optionally pre-loads an existing corpus (tagged
+    "seed" — no run/batch tag ever matches it) so the stream dedups against
+    history from its very first micro-batch. Layout-compatible with the
+    batch index: probes, deletes, compacts, and appends from
+    ``operators/dedup_index`` work on it unchanged (appends backfill the
+    tag column with NULL, which no exclusion matches)."""
     if seed_df is not None:
         _fingerprint_rows(seed_df, text_col, id_col, n_buckets).withColumn(
-            "src_batch", F.lit(-1).cast("long")
+            "src_batch", F.lit("seed")
         ).select("doc_id", "fingerprint", "src_batch", "fp_bucket").write.mode(
             "overwrite"
         ).partitionBy("fp_bucket").parquet(os.path.join(path, "fingerprints"))
@@ -92,7 +103,7 @@ def stream_fingerprint_index_init(
         # explicit partition directory instead (readable immediately,
         # partition discovery still applies once real appends land).
         spark.createDataFrame(
-            [], "doc_id long, fingerprint string, src_batch long"
+            [], "doc_id long, fingerprint string, src_batch string"
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, "fingerprints", "fp_bucket=0")
         )
@@ -103,29 +114,38 @@ def stream_fingerprint_index_init(
 def dedup_stream_sink(
     index_path: str,
     sink_path: str,
+    run_id: str,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch function: probe the micro-batch against the index
-    (self-excluding this batch id — see module docstring), write survivors
-    to ``<sink_path>/batch_id=<id>/`` (overwrite: retries rewrite identical
-    bytes), then append the SURVIVORS' tagged fingerprints to the index.
+    (self-excluding this micro-batch's "<run_id>#<batch_id>" tag — see
+    module docstring), write survivors to
+    ``<sink_path>/run_id=<rid>/batch_id=<bid>/`` (overwrite: retries
+    rewrite identical bytes; distinct runs never collide), then append the
+    SURVIVORS' tagged fingerprints to the index.
 
-    The sink is readable as one partitioned parquet table
-    (``spark.read.parquet(sink_path)`` with a ``batch_id`` partition
-    column); survivors have the probe's (doc_id, fingerprint, n_copies)
-    shape."""
+    ``run_id`` must be unique per checkpoint lifetime and stable across
+    driver restarts on the same checkpoint — ``run_stream_dedup`` derives
+    one; pass your own only with that contract. The sink is readable as
+    one partitioned parquet table (``spark.read.parquet(sink_path)`` with
+    ``run_id``/``batch_id`` partition columns); survivors have the probe's
+    (doc_id, fingerprint, n_copies) shape."""
+    meta_cache: dict[str, int] = {}
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        part = os.path.join(sink_path, f"batch_id={int(batch_id)}")
+        tag = f"{run_id}#{int(batch_id)}"
+        part = os.path.join(
+            sink_path, f"run_id={run_id}", f"batch_id={int(batch_id)}"
+        )
         fingerprint_index_probe(
             spark,
             index_path,
             batch_df,
             text_col=text_col,
             id_col=id_col,
-            exclude_src_batch=int(batch_id),
+            exclude_src_batch=tag,
         ).write.mode("overwrite").parquet(part)
         # Index only the SURVIVORS' fingerprints, derived from the sink
         # partition just written (one read instead of recomputing the md5
@@ -134,14 +154,16 @@ def dedup_stream_sink(
         # already blocked by the historical row, and a batch-internal dup
         # group collapsed into its one survivor row. NULL fingerprints
         # (NULL-text docs) stay out of the index — the build-side policy.
-        n_buckets = _read_meta(spark, index_path)["n_buckets"]
+        if "n_buckets" not in meta_cache:  # immutable after init: read once
+            meta_cache["n_buckets"] = _read_meta(spark, index_path)["n_buckets"]
+        n_buckets = meta_cache["n_buckets"]
         (
             spark.read.parquet(part)
             .where(F.col("fingerprint").isNotNull())
             .select(
                 "doc_id",
                 "fingerprint",
-                F.lit(int(batch_id)).cast("long").alias("src_batch"),
+                F.lit(tag).alias("src_batch"),
                 F.pmod(F.xxhash64("fingerprint"), F.lit(n_buckets)).alias("fp_bucket"),
             )
             .write.mode("append")
@@ -150,6 +172,30 @@ def dedup_stream_sink(
         )
 
     return _sink
+
+
+def _checkpoint_run_id(checkpoint_dir: str) -> str:
+    """A run id that is STABLE across driver restarts on the same
+    checkpoint (Spark re-delivers the same logical batch ids there — the
+    retry tag must match) and FRESH for a new checkpoint (batch ids restart
+    from 0 there — the tag must not). The checkpoint directory IS the run
+    identity, so the id lives in a marker file inside it; written with the
+    atomic tmp+rename discipline (single streaming writer assumed, as
+    everywhere in this module)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "flusher_run_id")
+    try:
+        with open(marker) as fh:
+            return fh.read().strip()
+    except FileNotFoundError:
+        pass
+    rid = uuid.uuid4().hex[:16]
+    with open(marker + ".tmp", "w") as fh:
+        fh.write(rid)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(marker + ".tmp", marker)
+    return rid
 
 
 def run_stream_dedup(
@@ -164,8 +210,11 @@ def run_stream_dedup(
     trigger (drain everything queued, then stop — the batch-ingest form;
     drop the trigger for a continuous deployment). Returns the started
     StreamingQuery; callers await ``q.awaitTermination()``."""
+    run_id = _checkpoint_run_id(checkpoint_dir)
     return (
-        stream_df.writeStream.foreachBatch(dedup_stream_sink(index_path, sink_path, text_col, id_col))
+        stream_df.writeStream.foreachBatch(
+            dedup_stream_sink(index_path, sink_path, run_id, text_col, id_col)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -505,15 +505,67 @@ class TestFingerprintLifecycle:
         DI.fingerprint_index_build(_docs(spark, HIST), path)
         DI.fingerprint_index_delete(spark, path, _ids(spark, 1, 3))
         DI.fingerprint_index_compact(spark, path)
+        # a rebuild lands in a NEW generation (never an in-place overwrite:
+        # the old life and its tombstones stay live until the atomic flip)
         DI.fingerprint_index_build(_docs(spark, HIST), path)
-        assert DI._current_gen(path) == 0
+        assert DI._current_gen(path) == 2
+        assert os.path.isdir(os.path.join(path, "fingerprints_g2"))
         assert not os.path.isdir(os.path.join(path, "fingerprints_g1"))
-        assert not os.path.isdir(os.path.join(path, "fp_tombstones"))
+        assert not os.path.isdir(os.path.join(path, "fingerprints"))
+        assert not any(
+            n.startswith("fp_tombstones") for n in os.listdir(path)
+        ), os.listdir(path)
         got = {
             r["doc_id"]
             for r in DI.fingerprint_index_probe(spark, path, _docs(spark, BATCH)).collect()
         }
         assert 10 not in got  # the rebuilt index blocks again
+
+    def test_rebuild_pending_tombstones_never_leak(self, spark, tmp_path):
+        """r12 review: tombstones are GENERATION-SCOPED — a rebuild with
+        pending (uncompacted) deletes must not let the old life's
+        tombstones subtract matching rows from the rebuilt index (the old
+        in-place rebuild had a crash window doing exactly that; now the
+        stale tombstone directory is out of scope the moment the pointer
+        flips, deleted or not)."""
+        path = str(tmp_path / "fpidx")
+        DI.fingerprint_index_build(_docs(spark, HIST), path)
+        DI.fingerprint_index_delete(spark, path, _ids(spark, 1, 3))
+        DI.fingerprint_index_build(_docs(spark, HIST), path)  # no compact
+        # simulate the cleanup never running (crash right after the flip):
+        # resurrect a stale gen-0 tombstone directory and assert it is
+        # IGNORED by probes at the live generation
+        stale = _docs(spark, [(1, "x")]).selectExpr(
+            "doc_id", "'dead' as fingerprint", "0 as fp_bucket"
+        )
+        stale.write.partitionBy("fp_bucket").parquet(
+            os.path.join(path, "fp_tombstones")
+        )
+        got = {
+            r["doc_id"]
+            for r in DI.fingerprint_index_probe(spark, path, _docs(spark, BATCH)).collect()
+        }
+        assert 10 not in got  # rebuilt rows block; stale tombstones ignored
+
+    def test_compact_all_tombstoned_stays_readable(self, spark, tmp_path):
+        """r12 review: compacting an index whose EVERY row is tombstoned
+        must not flip the pointer onto an unreadable empty directory."""
+        path = str(tmp_path / "fpidx")
+        DI.fingerprint_index_build(_docs(spark, HIST), path)
+        DI.fingerprint_index_delete(spark, path, _ids(spark, 1, 2, 3))
+        assert DI.fingerprint_index_compact(spark, path) == 1
+        got = {
+            r["doc_id"]
+            for r in DI.fingerprint_index_probe(spark, path, _docs(spark, BATCH)).collect()
+        }
+        assert 10 in got  # everything unblocked, index fully functional
+        # and the empty index accepts appends + blocks from them again
+        DI.fingerprint_index_append(spark, path, _docs(spark, HIST))
+        got = {
+            r["doc_id"]
+            for r in DI.fingerprint_index_probe(spark, path, _docs(spark, BATCH)).collect()
+        }
+        assert 10 not in got
 
 
 class TestMinhashLifecycle:
@@ -563,3 +615,38 @@ class TestMinhashLifecycle:
             for r in DI.minhash_cluster_append(spark, path, _docs(spark, [(10, _BASE)])).collect()
         }
         assert got == {(10, 1)}  # joins survivor 3's cluster (opaque id 1)
+
+    def test_compact_all_tombstoned_minhash(self, spark, tmp_path):
+        """r12 review: the empty-rewrite hazard, MinHash side — sigs, bands
+        and the cluster base must all stay readable when everything is
+        deleted."""
+        path = str(tmp_path / "mhidx")
+        DI.minhash_index_build(_docs(spark, MH_HIST), path)
+        DI.minhash_cluster_bootstrap(spark, path, threshold=0.5)
+        DI.minhash_index_delete(spark, path, _ids(spark, 1, 2))
+        assert DI.minhash_index_compact(spark, path) == 1
+        rows = DI.minhash_index_probe(spark, path, _docs(spark, MH_BATCH)).collect()
+        assert rows == []  # nothing left to attract, but fully functional
+        assert DI.minhash_cluster_labels(spark, path).collect() == []
+        # the emptied index accepts appends and attracts from them again
+        DI.minhash_index_append(spark, path, _docs(spark, [(3, _BASE)]))
+        rows = DI.minhash_index_probe(spark, path, _docs(spark, [(10, _BASE)])).collect()
+        assert {(r["doc_new"], r["doc_hist"]) for r in rows} == {(10, 3)}
+
+    def test_rebuild_clears_cluster_layer_loudly(self, spark, tmp_path):
+        """r12 review: a rebuild must not let minhash_cluster_labels serve
+        the PREVIOUS corpus's labels — the new generation has no base
+        table, so label reads fail loudly until a fresh bootstrap."""
+        path = str(tmp_path / "mhidx")
+        DI.minhash_index_build(_docs(spark, MH_HIST), path)
+        DI.minhash_cluster_bootstrap(spark, path, threshold=0.5)
+        assert DI.minhash_cluster_labels(spark, path).count() == 2
+        DI.minhash_index_build(_docs(spark, [(30, _BASE), (31, _BASE)]), path)
+        with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+            DI.minhash_cluster_labels(spark, path).collect()
+        DI.minhash_cluster_bootstrap(spark, path, threshold=0.5)
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in DI.minhash_cluster_labels(spark, path).collect()
+        }
+        assert got == {(30, 30), (31, 30)}  # the NEW corpus only

@@ -45,7 +45,7 @@ class TestDedupStreamSink:
         idx = str(tmp_path / "idx")
         sink = str(tmp_path / "out")
         stream_fingerprint_index_init(spark, idx)
-        fn = dedup_stream_sink(idx, sink)
+        fn = dedup_stream_sink(idx, sink, "runA")
         fn(_docs(spark, [(1, "aaa"), (2, "bbb")]), 0)
         # 3 duplicates batch-0's survivor; 4/5 are an internal dup pair
         fn(_docs(spark, [(3, "aaa"), (4, "ccc"), (5, "ccc")]), 1)
@@ -61,7 +61,7 @@ class TestDedupStreamSink:
         idx = str(tmp_path / "idx")
         sink = str(tmp_path / "out")
         stream_fingerprint_index_init(spark, idx)
-        fn = dedup_stream_sink(idx, sink)
+        fn = dedup_stream_sink(idx, sink, "runA")
         fn(_docs(spark, [(1, "aaa")]), 0)
         b1 = _docs(spark, [(2, "bbb"), (3, "aaa")])  # 3 dups history
         fn(b1, 1)
@@ -80,7 +80,7 @@ class TestDedupStreamSink:
         stream_fingerprint_index_init(
             spark, idx, seed_df=_docs(spark, [(100, "legacy corpus doc")])
         )
-        fn = dedup_stream_sink(idx, sink)
+        fn = dedup_stream_sink(idx, sink, "runA")
         fn(_docs(spark, [(1, "legacy corpus doc"), (2, "new doc")]), 0)
         assert _sink_rows(spark, sink) == {(0, 2, 1)}
         # batch probe (no exclusion) answers from the stream-built index
@@ -162,3 +162,49 @@ class TestDedupStreamEndToEnd:
         q2.awaitTermination()
         got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out2")).collect()}
         assert got == {8}
+
+    def test_fresh_run_reused_batch_ids_still_dedup(self, spark, tmp_path):
+        """r12 review: batch ids are only unique per checkpoint — a stream
+        restarted with a FRESH checkpoint against the same index re-counts
+        from 0, and a bare batch-id self-exclusion would wrongly exclude
+        the previous run's batch-0 rows and leak their duplicates. The
+        run-scoped tag must keep them visible."""
+        idx = str(tmp_path / "idx")
+        stream_fingerprint_index_init(spark, idx)
+        fn_a = dedup_stream_sink(idx, str(tmp_path / "outA"), "runA")
+        fn_a(_docs(spark, [(1, "aaa")]), 0)
+        fn_b = dedup_stream_sink(idx, str(tmp_path / "outB"), "runB")
+        fn_b(_docs(spark, [(7, "aaa"), (8, "fresh")]), 0)  # same batch id!
+        got = {
+            (r["doc_id"], r["n_copies"])
+            for r in spark.read.parquet(str(tmp_path / "outB")).collect()
+        }
+        assert got == {(8, 1)}  # 7 blocked by runA's batch-0 row
+        # and runA's sink partition was not clobbered by runB's batch 0
+        got_a = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "outA")).collect()}
+        assert got_a == {1}
+
+    def test_batch_append_interop_keeps_tag_column(self, spark, tmp_path):
+        """r12 review: a BATCH fingerprint_index_append into a stream
+        index must backfill the src_batch column — otherwise schema
+        inference could drop the tag column (killing self-exclusion) or a
+        compact could strip it for good."""
+        idx = str(tmp_path / "idx")
+        sink = str(tmp_path / "out")
+        stream_fingerprint_index_init(spark, idx)
+        fn = dedup_stream_sink(idx, sink, "runA")
+        fn(_docs(spark, [(1, "aaa")]), 0)
+        DI.fingerprint_index_append(spark, idx, _docs(spark, [(2, "bbb")]))
+        cols = spark.read.parquet(os.path.join(idx, "fingerprints")).columns
+        assert "src_batch" in cols
+        # the stream keeps working and the batch-appended row blocks
+        fn(_docs(spark, [(3, "bbb"), (4, "ccc")]), 1)
+        got = {(b, d) for b, d, _ in _sink_rows(spark, sink)}
+        assert got == {(0, 1), (1, 4)}
+        # compact preserves the tag column end-to-end
+        assert DI.fingerprint_index_compact(spark, idx) == 1
+        live = spark.read.parquet(os.path.join(idx, "fingerprints_g1"))
+        assert "src_batch" in live.columns
+        fn(_docs(spark, [(5, "aaa"), (6, "ddd")]), 2)
+        got = {(b, d) for b, d, _ in _sink_rows(spark, sink)}
+        assert got == {(0, 1), (1, 4), (2, 6)}
