@@ -157,10 +157,16 @@ def winnow_fingerprints(df, k: int = 7, w: int = 4, text_col: str = "text", id_c
         # emitted ZERO fingerprints for them, so even byte-identical short
         # documents could never match each other (r11 review). The
         # shared-substring guarantee is unaffected; short docs simply get
-        # their whole-doc minimum, standard winnowing practice.
+        # their whole-doc minimum, standard winnowing practice. The
+        # ``__n >= 1`` guard matters (r12 review): a document with NO
+        # k-gram at all (text shorter than k chars, or NULL) must emit
+        # ZERO fingerprints — sequence(1, greatest(n, 0)) DESCENDS to
+        # [1, 0] when n <= 0, so a phantom pos=1 row reaches this filter
+        # carrying the md5 of the truncated sub-k text (NULL for NULL
+        # text), which no other engine's winnowing would produce.
         .where(
             (F.col("pos") <= F.col("__n") - (w - 1))
-            | ((F.col("__n") < w) & (F.col("pos") == 1))
+            | ((F.col("__n") < w) & (F.col("__n") >= 1) & (F.col("pos") == 1))
         )
         .select("doc_id", "fp")
         .distinct()

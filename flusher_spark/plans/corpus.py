@@ -166,14 +166,24 @@ def _decon_counts(eval_src: DataFrame, train: DataFrame, n: int, eval_mod: int) 
     )
 
 
+def _mix_share_target():
+    """(token_share, uniform_target) Columns over a per-source aggregate
+    carrying ``n_tokens`` — the ONE definition of the mixture arithmetic
+    that both the downsample clamp (``_mix_cols``) and the upsample clamp
+    (corpus_mix_upsample, plans/llm.py) derive from, so the two complements
+    cannot drift (r12 review)."""
+    w = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double")
+    target = F.lit(1.0) / F.count("*").over(w).cast("double")
+    return share, target
+
+
 def _mix_cols():
     """(token_share, sample_frac) Columns of the uniform-target mixture
     reweighting over a per-source aggregate carrying ``n_tokens`` — the one
     formula behind corpus_source_mix (plans/llm.py), corpus_mix_apply, and
     the e2e pipeline's stage 5, shared so the three cannot drift."""
-    w = Window.partitionBy()
-    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double")
-    target = F.lit(1.0) / F.count("*").over(w).cast("double")
+    share, target = _mix_share_target()
     return share, F.least(F.lit(1.0), target / share)
 
 

@@ -97,18 +97,21 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     MISSING, not equal — each contentless doc is its own group via an
     id-valued disambiguator (exact_dedup's policy, operators/dedup.py)."""
     from flusher_spark.operators.text import normalized_text
+    from flusher_spark.plans.urls import keep_best_agg
 
     d = load_table(spark, sf_dir, "documents")
     norm = normalized_text(F.col("text"))
-    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid")))
+    # the ONE keep-best argmax definition (longest, then lowest id) shared
+    # with dedup_canonical_url / the corpus pipeline — the tie-break policy
+    # must not drift between the text- and URL-dedup entries (r12 review)
     return (
         d.groupBy(
             norm.alias("__norm"),
             F.when(norm.isNull(), F.col("doc_id")).alias("__null_key"),
         )
-        .agg(best.alias("__best"), F.count("*").alias("n_copies"))
+        .agg(keep_best_agg().alias("__best"), F.count("*").alias("n_copies"))
         .select(
-            (-F.col("__best.nid")).alias("doc_id"),
+            (-F.col("__best.negid")).alias("doc_id"),
             "n_copies",
             F.col("__best.n_chars").alias("n_chars"),
         )
@@ -279,9 +282,12 @@ def corpus_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("__nt").alias("n_tokens"))
     )
-    w = Window.partitionBy()
-    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double")
-    target = F.lit(1.0) / F.count("*").over(w).cast("double")
+    # the shared share/target definition (plans/corpus.py) — the upsample
+    # clamp (≥1) must stay the exact complement of _mix_cols' downsample
+    # clamp (≤1), so both derive from one expression (r12 review)
+    from flusher_spark.plans.corpus import _mix_share_target
+
+    share, target = _mix_share_target()
     mix = agg.select(
         "source",
         F.greatest(F.lit(1.0), target / share).alias("r"),
@@ -738,6 +744,30 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERY_IDS = (0, 1, 2, 3, 4)
 
 
+def _int8_codes(emb: DataFrame, *extra_cols: str, cast: str = "int") -> DataFrame:
+    """ONE definition of the symmetric per-vector absmax int8 quantization
+    — (vec_id[, extra...], pos, q) in long form — shared by
+    embedding_quantize_int8 / embedding_centroid_int8 /
+    similarity_topk_quantized, whose three DuckDB oracles must match this
+    arithmetic bit-for-bit (the scheme must not be able to drift between
+    them — the plans/corpus._mix_cols discipline, r12 review). posexplode
+    once, per-vector absmax as an UNORDERED window over the vec_id
+    partition (the array-HOF formulation would be CodegenFallback — see
+    operators/dedup.py:47), then one round+cast per element: float→double
+    widening is exact and round-half-away-from-zero agrees between Spark
+    and DuckDB."""
+    flat = emb.select(
+        "vec_id", *extra_cols, F.posexplode("embedding").alias("pos0", "x")
+    )
+    maxabs = F.max(F.abs(F.col("x").cast("double"))).over(Window.partitionBy("vec_id"))
+    return flat.select(
+        "vec_id",
+        *extra_cols,
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * 127.0 / maxabs).cast(cast).alias("q"),
+    )
+
+
 @register(
     "similarity_topk_exact",
     oracle=f"""
@@ -838,6 +868,26 @@ def _synth_assets(docs: DataFrame, build) -> DataFrame:
     # Bound Python-worker fan-out at fixture scale (cf. multimodal_feature_extract).
     return docs.select("doc_id", "n_chars").coalesce(4).mapInPandas(
         op, "asset_id long, payload binary"
+    )
+
+
+
+def _sine_assets(docs: DataFrame) -> DataFrame:
+    """ONE definition of the synthetic pure-sine WAV corpus shared by
+    multimodal_audio_spectral and multimodal_audio_decimate (r12 review:
+    two verbatim copies): rate 8000, 256+16·(n_chars%8) samples,
+    1+(doc_id%7) integer cycles, 12000+(doc_id%9)·2000 amplitude. BOTH
+    entries' oracles are closed-form in exactly these parameters (the
+    decimate oracle additionally halves rate and sample count), so a
+    retune must be a single edit that forces both oracles to be revisited
+    together."""
+    from flusher_spark.operators.multimodal import synth_sine_wav
+
+    return _synth_assets(
+        docs,
+        lambda d, c: synth_sine_wav(
+            8000, 256 + 16 * (c % 8), 1 + (d % 7), 12000 + (d % 9) * 2000
+        ),
     )
 
 
@@ -1041,15 +1091,10 @@ def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     value, one IEEE division identical in both engines. This is the audio
     twin of the image codec entries: real container parse, real numeric
     kernel, features only across the Arrow boundary."""
-    from flusher_spark.operators.multimodal import spectral_features, synth_sine_wav
+    from flusher_spark.operators.multimodal import spectral_features
 
     docs = load_table(spark, sf_dir, "documents")
-    assets = _synth_assets(
-        docs,
-        lambda d, c: synth_sine_wav(
-            8000, 256 + 16 * (c % 8), 1 + (d % 7), 12000 + (d % 9) * 2000
-        ),
-    )
+    assets = _sine_assets(docs)
     return spectral_features(assets)
 
 
@@ -1812,6 +1857,37 @@ def sample_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _purchase_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    sparse: bool = False,
+    weighted: bool = False,
+    distinct: bool = True,
+) -> DataFrame:
+    """ONE definition of the customer→supplier purchase graph that all four
+    graph entries walk (r12 review: four hand-synced copies): orders ⋈
+    lineitem with the *2 / *2+1 bipartite node encoding every entry's
+    oracle hard-codes. ``sparse`` applies the quantity-50 / orderkey%3
+    filter of the CC/LPA twins; ``weighted`` returns purchase-multiplicity
+    weights instead of distinct edges; ``distinct=False`` skips the
+    pre-dedup for operators whose own bidirected union+distinct subsumes it
+    (a pre-distinct there would add a full extra shuffle for zero semantic
+    effect)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lcols = ["l_orderkey", "l_suppkey"] + (["l_quantity"] if sparse else [])
+    l = load_table(spark, sf_dir, "lineitem").select(*lcols)
+    if sparse:
+        l = l.where((F.col("l_quantity") == 50) & (F.col("l_orderkey") % 3 == 0))
+    j = o.join(l, o.o_orderkey == l.l_orderkey)
+    src = (F.col("o_custkey") * 2).alias("src")
+    dst = (F.col("l_suppkey") * 2 + 1).alias("dst")
+    if weighted:
+        return j.groupBy(src, dst).agg(F.count("*").alias("w"))
+    out = j.select(src, dst)
+    return out.distinct() if distinct else out
+
+
 @register("graph_pagerank_bipartite")  # rows-only: double rank mass has no bit-stable SQL twin
 def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer→supplier purchase graph (edges derived
@@ -1827,16 +1903,7 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     power iteration is asserted in tests/test_operators.py."""
     from flusher_spark.operators.graph import pagerank, top_ranked
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
+    edges = _purchase_edges(spark, sf_dir)
     return top_ranked(pagerank(edges, damping=0.85, n_iter=3), k=20)
 
 
@@ -1855,16 +1922,7 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_operators.py."""
     from flusher_spark.operators.graph import pagerank, top_ranked
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .agg(F.count("*").alias("w"))
-    )
+    edges = _purchase_edges(spark, sf_dir, weighted=True)
     return top_ranked(
         pagerank(edges, damping=0.85, n_iter=6, weight="w", tol=1e-6), k=20
     )
@@ -1910,21 +1968,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence contract are asserted in tests/test_operators.py."""
     from flusher_spark.operators.graph import connected_components
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_quantity"
-    )
-    edges = (
-        o.join(
-            l.where((F.col("l_quantity") == 50) & (F.col("l_orderkey") % 3 == 0)),
-            o.o_orderkey == l.l_orderkey,
-        )
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
+    edges = _purchase_edges(spark, sf_dir, sparse=True)
     comp = connected_components(edges)
     sizes = comp.groupBy("component").agg(F.count("*").alias("n_members"))
     return (
@@ -1991,24 +2035,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero driver actions."""
     from flusher_spark.operators.graph import label_propagation
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_quantity"
-    )
-    edges = (
-        o.join(
-            l.where((F.col("l_quantity") == 50) & (F.col("l_orderkey") % 3 == 0)),
-            o.o_orderkey == l.l_orderkey,
-        )
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        # no .distinct() here: the operator's own union+distinct over the
-        # bidirected edge set subsumes it (exactly as the oracle's UNION
-        # subsumes a SELECT DISTINCT in its edges CTE) — a pre-distinct
-        # would just add a full extra shuffle for zero semantic effect.
-    )
+    # distinct=False: the operator's own union+distinct over the bidirected
+    # edge set subsumes it (exactly as the oracle's UNION subsumes a SELECT
+    # DISTINCT in its edges CTE).
+    edges = _purchase_edges(spark, sf_dir, sparse=True, distinct=False)
     lab = label_propagation(edges, iters=3)
     sizes = lab.groupBy("label").agg(F.count("*").alias("n_members"))
     return (
@@ -2144,16 +2174,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-half-away-from-zero agrees between Spark and DuckDB, so the
     quantized codes hash-match exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
-    flat = emb.select("vec_id", F.posexplode("embedding").alias("pos0", "x"))
-    maxabs = F.max(F.abs(F.col("x").cast("double"))).over(Window.partitionBy("vec_id"))
-    return (
-        flat.select(
-            "vec_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.round(F.col("x").cast("double") * 127.0 / maxabs).cast("int").alias("q"),
-        )
-        .orderBy("vec_id", "pos")
-    )
+    return _int8_codes(emb).orderBy("vec_id", "pos")
 
 
 @register(
@@ -2190,13 +2211,7 @@ def embedding_centroid_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational ops (operators/similarity.py trains its codebooks
     sample-side; this is the full-corpus distributed counterpart)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    flat = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos0", "x"))
-    maxabs = F.max(F.abs(F.col("x").cast("double"))).over(Window.partitionBy("vec_id"))
-    codes = flat.select(
-        "label",
-        (F.col("pos0") + 1).alias("pos"),
-        F.round(F.col("x").cast("double") * 127.0 / maxabs).cast("long").alias("q"),
-    )
+    codes = _int8_codes(emb, "label", cast="long").select("label", "pos", "q")
     return (
         codes.groupBy("label", "pos")
         .agg(
@@ -2243,13 +2258,7 @@ def similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes broadcast into a pos-equi-join, and the per-(query, candidate)
     dot is a map-side-combined SUM — no cartesian, no Python."""
     emb = load_table(spark, sf_dir, "embeddings")
-    flat = emb.select("vec_id", F.posexplode("embedding").alias("pos0", "x"))
-    maxabs = F.max(F.abs(F.col("x").cast("double"))).over(Window.partitionBy("vec_id"))
-    codes = flat.select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.round(F.col("x").cast("double") * 127.0 / maxabs).cast("int").alias("q"),
-    )
+    codes = _int8_codes(emb)
     qs = codes.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("q_id"), "pos", F.col("q").alias("qq")
     )
@@ -2809,17 +2818,10 @@ def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     above-Nyquist ALIASING case (what zero-filter decimation does to high
     tones, and why production resamplers low-pass first) is asserted in
     tests/test_operators.py rather than smoothed over."""
-    from flusher_spark.operators.multimodal import (
-        decimate_audio, spectral_features, synth_sine_wav,
-    )
+    from flusher_spark.operators.multimodal import decimate_audio, spectral_features
 
     docs = load_table(spark, sf_dir, "documents")
-    assets = _synth_assets(
-        docs,
-        lambda d, c: synth_sine_wav(
-            8000, 256 + 16 * (c % 8), 1 + (d % 7), 12000 + (d % 9) * 2000
-        ),
-    )
+    assets = _sine_assets(docs)
     return spectral_features(decimate_audio(assets, factor=2))
 
 

@@ -3179,6 +3179,17 @@ def test_operators_r11_review_fixes(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc and by_doc[1] == by_doc[2] and len(by_doc[1]) >= 1
 
+    # ...but a doc with NO k-gram at all (shorter than k, or NULL text)
+    # emits ZERO fingerprints — the descending sequence(1, 0) phantom row
+    # must not survive (r12 review: DuckDB's range() emits nothing there,
+    # so the phantom silently broke the oracle lockstep on short fixtures).
+    gramless = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, None), (4, "abcdefg")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(gramless, k=7, w=4).collect()
+    assert {r["doc_id"] for r in fps} == {4}  # only the exactly-k doc
+
     # Weighted pagerank: a node whose out-weights sum to zero is DANGLING,
     # not a DIVIDE_BY_ZERO crash; ranks still sum to 1.
     edges = spark.createDataFrame(
