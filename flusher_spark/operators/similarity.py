@@ -71,6 +71,57 @@ def _safe_norms(m):
     return n
 
 
+def _rank_topk(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """ONE definition of the deterministic top-k epilogue every search path
+    shares (r12 review: seven verbatim copies): rank by (cosine_sim DESC,
+    id) per query, keep k, rank typed long."""
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _explode_query_sims(scored: DataFrame, q_ids, id_col: str, id_type) -> DataFrame:
+    """Shared epilogue of the Arrow paths: explode a per-row ``__sims``
+    array (one sim per query, query order = ``q_ids``) into
+    (query_id, id, cosine_sim) rows with self-matches dropped. query_id is
+    CAST to the input id type: ``F.lit(python_int)`` is IntegerType, which
+    silently broke the _topk_schema typing contract on the NON-empty side
+    (int query_id un-unionable with the empty branch's long — r12
+    review)."""
+    q_id_arr = F.array(*[F.lit(i).cast(id_type) for i in q_ids])
+    return (
+        scored.select(
+            id_col,
+            F.explode(
+                F.arrays_zip(q_id_arr.alias("query_id"), F.col("__sims").alias("cosine_sim"))
+            ).alias("__z"),
+        )
+        .select(
+            F.col("__z.query_id").alias("query_id"),
+            F.col(id_col),
+            F.col("__z.cosine_sim").alias("cosine_sim"),
+        )
+        .where(F.col(id_col) != F.col("query_id"))
+    )
+
+
+def _hash_sample(base: DataFrame, id_col: str, cols, n: int) -> list:
+    """The deterministic hash-ordered training sample shared by the IVF
+    seeder and the PQ trainer (r12 review: two copies that must stay
+    bit-identical for the documented same-sample property): a distributed
+    TakeOrdered by (pmod(hash(id), 7919), id) — one scan, no full sort,
+    stable across runs and partitionings."""
+    return (
+        base.orderBy(F.pmod(F.hash(F.col(id_col)), F.lit(7919)), F.col(id_col))
+        .limit(n)
+        .select(*cols)
+        .collect()
+    )
+
+
 def _topk_schema(df: DataFrame, id_col: str):
     """Result schema for the top-k functions' empty-query branches, with the
     id columns TYPED FROM THE INPUT — a hardcoded ``long`` made the empty
@@ -106,13 +157,7 @@ def brute_force_topk(
     )
     pairs = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
     sim = cosine(F.col("__qvec"), F.col(vec_col), F.col("__qnsq"), F.col("__nsq"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-    return (
-        pairs.select("query_id", id_col, sim.alias("cosine_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
-    )
+    return _rank_topk(pairs.select("query_id", id_col, sim.alias("cosine_sim")), id_col, k)
 
 
 def neardup_cosine_exact(
@@ -181,8 +226,16 @@ def lsh_topk(
     null-pads the shorter side, one null product makes every plane dot
     NULL, every signature collapses to 0, and the per-bucket equi-join
     becomes the one all-pairs join this function exists to avoid."""
-    row = df.select(F.size(F.col(vec_col)).alias("__d")).first()
-    if row is not None and row["__d"] != dim:
+    # Probe a NON-NULL row: F.size(NULL) is NULL, and a NULL embedding
+    # happening to be the first row must not masquerade as a dimension
+    # mismatch and refuse the whole job (r12 review) — NULL vectors degrade
+    # gracefully downstream exactly as in brute_force_topk.
+    row = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("__d"))
+        .first()
+    )
+    if row is not None and row["__d"] is not None and row["__d"] != dim:
         raise ValueError(
             f"lsh_topk: dim={dim} but '{vec_col}' vectors have {row['__d']} elements; "
             "a mismatch zeroes every signature and degrades to an all-pairs join"
@@ -204,13 +257,7 @@ def lsh_topk(
         F.broadcast(q), (F.col("__sig") == F.col("__qsig")) & (F.col(id_col) != F.col("query_id"))
     )
     sim = cosine(F.col("__qvec"), F.col(vec_col), F.col("__qnsq"), F.col("__nsq"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-    return (
-        pairs.select("query_id", id_col, sim.alias("cosine_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
-    )
+    return _rank_topk(pairs.select("query_id", id_col, sim.alias("cosine_sim")), id_col, k)
 
 
 def _seed_centroids(
@@ -236,28 +283,55 @@ def _seed_centroids(
     ids: list identity is internal, and deriving it from ``id_col`` made
     every IVF path crash on non-integer id columns the rest of the module
     accepts (r9 review)."""
+    return _centroid_frame(
+        base.sparkSession,
+        _seed_centroid_rows(base, id_col, vec_col, n_lists, sample_size),
+    )
+
+
+def _seed_centroid_rows(
+    base: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    sample_size: int = 1024,
+) -> list[tuple[int, list[float]]]:
+    """_seed_centroids' driver-side half: the (rank, vector) seed list. Kept
+    separate so the Lloyd loop (_ivf_assign) can carry centroids as plain
+    Python across iterations instead of collect()ing back a DataFrame it
+    built from driver rows in the first place (r12 review)."""
     import numpy as np
 
-    spark = base.sparkSession
-    sample = (
-        base.orderBy(F.pmod(F.hash(F.col(id_col)), F.lit(7919)), F.col(id_col))
-        .limit(sample_size)
-        .select(id_col, vec_col)
-        .collect()
-    )
+    sample = _hash_sample(base, id_col, (id_col, vec_col), sample_size)
     if not sample:
         raise ValueError("cannot seed IVF centroids from an empty input DataFrame")
     V = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
+    # Zero-norm rows (garbage embeddings) are dropped from the SAMPLE before
+    # seeding (r12 review): a zero row's cosine to every chosen seed stays
+    # <= 0, making it a permanent argmin attractor that the farthest-point
+    # loop would re-pick for EVERY remaining centroid — collapsing the
+    # index to one real list and the per-list joins to all-pairs. (An
+    # all-zero sample keeps its rows: nothing sensible to seed from, but
+    # the loop still terminates thanks to the +inf marking below.)
+    nz = np.linalg.norm(V, axis=1) > 0
+    if nz.any():
+        V = V[nz]
     norms = np.linalg.norm(V, axis=1)
     norms[norms == 0] = 1.0
     U = V / norms[:, None]
     chosen = [0]
     best_sim = U @ U[0]  # cosine to the nearest chosen seed, per sample row
-    while len(chosen) < min(n_lists, len(sample)):
+    best_sim[0] = np.inf  # chosen rows can never be re-picked (r12 review)
+    while len(chosen) < min(n_lists, len(V)):
         nxt = int(np.argmin(best_sim))  # farthest point; ties → first (stable)
         chosen.append(nxt)
         best_sim = np.maximum(best_sim, U @ U[nxt])
-    rows = [(rank, [float(x) for x in V[i]]) for rank, i in enumerate(chosen)]
+        best_sim[nxt] = np.inf
+    return [(rank, [float(x) for x in V[i]]) for rank, i in enumerate(chosen)]
+
+
+def _centroid_frame(spark: SparkSession, rows: list) -> DataFrame:
+    """(__cid, __cvec, __cnsq) centroid DataFrame from driver-side rows."""
     return spark.createDataFrame(rows, "__cid long, __cvec array<double>").select(
         "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
     )
@@ -327,15 +401,9 @@ def ivf_topk(
     )
     pairs = assigned.join(F.broadcast(probes), "__list").where(F.col(id_col) != F.col("query_id"))
     sim = cosine(F.col("__qvec"), F.col(vec_col), F.col("__qnsq"), F.col("__nsq"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-    return (
-        # Each vector lives in exactly one list, so (query, vector) pairs are
-        # already unique — no dedup shuffle needed.
-        pairs.select("query_id", id_col, sim.alias("cosine_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
-    )
+    # Each vector lives in exactly one list, so (query, vector) pairs are
+    # already unique — no dedup shuffle needed.
+    return _rank_topk(pairs.select("query_id", id_col, sim.alias("cosine_sim")), id_col, k)
 
 
 def brute_force_topk_arrow(
@@ -383,26 +451,13 @@ def brute_force_topk_arrow(
         s = m @ qm.T  # (batch × queries), one BLAS call
         return pd.Series(list(s))
 
-    q_id_arr = F.array(*[F.lit(i) for i in q_ids])
-    scored = (
-        df.select(F.col(id_col), sims(F.col(vec_col)).alias("__sims"))
-        .select(
-            id_col,
-            F.explode(F.arrays_zip(q_id_arr.alias("query_id"), F.col("__sims").alias("cosine_sim"))).alias("__z"),
-        )
-        .select(
-            F.col("__z.query_id").alias("query_id"),
-            F.col(id_col),
-            F.col("__z.cosine_sim").alias("cosine_sim"),
-        )
-        .where(F.col(id_col) != F.col("query_id"))
+    scored = _explode_query_sims(
+        df.select(F.col(id_col), sims(F.col(vec_col)).alias("__sims")),
+        q_ids,
+        id_col,
+        df.schema[id_col].dataType,
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
-    )
+    return _rank_topk(scored, id_col, k)
 
 
 def mmr_rerank(
@@ -485,7 +540,12 @@ def mmr_rerank(
         sel_idx: list[int] = []
         scores: list[float] = []
         for _ in range(min(k, n)):
-            score = rel if not sel_idx else lam * rel - (1.0 - lam) * max_sim
+            # First pick: standard MMR treats the empty-set max-sim as 0,
+            # so the score is lam*rel — same argmax as raw relevance, but
+            # the RECORDED score stays on one scale across ranks (a raw-rel
+            # first score was inflated 1/lam vs every later rank, breaking
+            # any consumer thresholding on mmr_score — r12 review).
+            score = lam * rel if not sel_idx else lam * rel - (1.0 - lam) * max_sim
             masked = np.where(alive, score, -np.inf)
             j = int(np.argmax(masked))  # first max = smallest id (sorted)
             alive[j] = False
@@ -530,12 +590,7 @@ def _train_pq_codebooks(
     """
     import numpy as np
 
-    sample = (
-        base.orderBy(F.pmod(F.hash(F.col(id_col)), F.lit(7919)), F.col(id_col))
-        .limit(sample_size)
-        .select(vec_col)
-        .collect()
-    )
+    sample = _hash_sample(base, id_col, (vec_col,), sample_size)
     if not sample:
         raise ValueError("cannot train PQ codebooks on an empty input DataFrame")
     V = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
@@ -631,28 +686,13 @@ def pq_topk(
         sims = (approx_dot / approx_norm[None, :]).T  # (n, queries)
         return pd.Series(list(sims))
 
-    q_id_arr = F.array(*[F.lit(i) for i in q_ids])
-    scored = (
-        df.select(F.col(id_col), adc_sims(F.col(vec_col)).alias("__sims"))
-        .select(
-            id_col,
-            F.explode(
-                F.arrays_zip(q_id_arr.alias("query_id"), F.col("__sims").alias("cosine_sim"))
-            ).alias("__z"),
-        )
-        .select(
-            F.col("__z.query_id").alias("query_id"),
-            F.col(id_col),
-            F.col("__z.cosine_sim").alias("cosine_sim"),
-        )
-        .where(F.col(id_col) != F.col("query_id"))
+    scored = _explode_query_sims(
+        df.select(F.col(id_col), adc_sims(F.col(vec_col)).alias("__sims")),
+        q_ids,
+        id_col,
+        df.schema[id_col].dataType,
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
-    )
+    return _rank_topk(scored, id_col, k)
 
 
 # -- Persisted indexes --------------------------------------------------------
@@ -761,29 +801,15 @@ def pq_query_index(
         sims = (approx_dot / approx_norm[None, :]).T  # (n, queries)
         return pd.Series(list(sims))
 
-    q_id_arr = F.array(*[F.lit(i) for i in q_ids])
-    scored = (
-        spark.read.parquet(os.path.join(path, "codes"))
-        .select(F.col(id_col), adc(F.col("codes")).alias("__sims"))
-        .select(
-            id_col,
-            F.explode(
-                F.arrays_zip(q_id_arr.alias("query_id"), F.col("__sims").alias("cosine_sim"))
-            ).alias("__z"),
-        )
-        .select(
-            F.col("__z.query_id").alias("query_id"),
-            F.col(id_col),
-            F.col("__z.cosine_sim").alias("cosine_sim"),
-        )
-        .where(F.col(id_col) != F.col("query_id"))
+    scored = _explode_query_sims(
+        spark.read.parquet(os.path.join(path, "codes")).select(
+            F.col(id_col), adc(F.col("codes")).alias("__sims")
+        ),
+        q_ids,
+        id_col,
+        query_df.schema[id_col].dataType,
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
-    )
+    return _rank_topk(scored, id_col, k)
 
 
 def ivf_build_index(
@@ -818,7 +844,15 @@ def _ivf_assign(
     ``keep`` nearest lists — Lloyd refinement always uses keep=1)."""
     spark = df.sparkSession
     base = df.select(F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq"))
-    cents = _seed_centroids(base, id_col, vec_col, n_lists)
+    # Centroids live DRIVER-SIDE across the Lloyd loop (they are built from
+    # driver rows in the first place — collect()ing them back each
+    # iteration was a pointless extra Spark job per step, r12 review); the
+    # cluster only ever sees them broadcast inside _nearest_lists. The base
+    # scan deliberately re-runs per iteration: at corpus scale a pruned
+    # parquet re-scan beats materializing every vector into executor
+    # storage for the loop's short lifetime.
+    rows = _seed_centroid_rows(base, id_col, vec_col, n_lists)
+    cents = _centroid_frame(spark, rows)
     for _ in range(n_iter):
         assigned0 = _nearest_lists(base, cents, 1, "__list", id_col, vec_col)
         means = (
@@ -830,14 +864,11 @@ def _ivf_assign(
         by_list: dict = {}
         for r in means:
             by_list.setdefault(r["__list"], {})[r["__d"]] = r["__m"]
-        prev = {r["__cid"]: [float(x) for x in r["__cvec"]] for r in cents.collect()}
-        data = [
+        rows = [
             (int(cid), [by_list[cid][i] for i in sorted(by_list[cid])] if cid in by_list else vec)
-            for cid, vec in sorted(prev.items())
+            for cid, vec in rows
         ]
-        cents = spark.createDataFrame(data, "__cid long, __cvec array<double>").select(
-            "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
-        )
+        cents = _centroid_frame(spark, rows)
     return cents, _nearest_lists(base, cents, keep, "__list", id_col, vec_col)
 
 
@@ -883,13 +914,7 @@ def ivf_query_index(
     )
     pairs = index.join(F.broadcast(probes), "__list").where(F.col(id_col) != F.col("query_id"))
     sim = cosine(F.col("__qvec"), F.col(vec_col), F.col("__qnsq"), F.col("__nsq"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-    return (
-        pairs.select("query_id", id_col, sim.alias("cosine_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
-    )
+    return _rank_topk(pairs.select("query_id", id_col, sim.alias("cosine_sim")), id_col, k)
 
 
 def ivf_append_index(

@@ -3274,3 +3274,39 @@ def test_remove_dup_spans_aligns_on_edge_whitespace(spark):
     got = {r["doc_id"]: r["text"] for r in remove_dup_spans(docs, spans).collect()}
     assert got[1] == "Alpha Omega", got
     assert got[2] == "Beta Gamma", got
+
+
+def test_ivf_seeding_survives_zero_norm_sample_row(spark):
+    """r12 review: a zero-norm embedding in the seeding sample was a
+    permanent argmin attractor — its cosine to every chosen seed stayed
+    <= 0, so the farthest-point loop re-picked it for EVERY remaining
+    centroid, collapsing the index to one real list (and the per-list pair
+    joins to all-pairs). Zero rows are now dropped from the sample and
+    chosen rows are marked unpickable."""
+    import numpy as np
+
+    from flusher_spark.operators import similarity as S
+
+    rng = [
+        (i, [1.0 + 0.01 * i, 0.0, 0.0, 0.0]) for i in range(10)
+    ] + [
+        (100 + i, [0.0, 1.0 + 0.01 * i, 0.0, 0.0]) for i in range(10)
+    ] + [
+        (200 + i, [0.0, 0.0, 1.0 + 0.01 * i, 0.0]) for i in range(10)
+    ] + [(999, [0.0, 0.0, 0.0, 0.0])]  # the garbage row
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    base = df.selectExpr("vec_id", "embedding")
+    rows = S._seed_centroid_rows(
+        base.withColumn("__nsq", S.vec_norm_sq(F.col("embedding"))),
+        "vec_id",
+        "embedding",
+        n_lists=3,
+    )
+    vecs = [tuple(v) for _, v in rows]
+    assert len(vecs) == 3
+    assert len(set(vecs)) == 3, f"duplicate centroids: {vecs}"
+    assert all(any(x != 0 for x in v) for v in vecs), f"zero centroid: {vecs}"
+    # end-to-end: every mode keeps its own list (no one-list collapse)
+    _, assigned = S._ivf_assign(df, "vec_id", "embedding", n_lists=3, n_iter=1)
+    n_lists_used = assigned.select("__list").distinct().count()
+    assert n_lists_used == 3
