@@ -38,6 +38,20 @@ def _grid_from_table(spark: SparkSession, sf_dir: str, name: str, order_col: str
     return SheetGrid(name, [header, *rows], header=True)
 
 
+def _scratch_root(prefix: str) -> str:
+    """mkdtemp + atexit cleanup (the _scratch_index discipline, r12 review):
+    eleven entries staged fresh /tmp directories per invocation with no
+    cleanup path, so a long-lived driver process looping the catalog (bench
+    reruns, multi-round correctness) leaked disk linearly toward ENOSPC.
+    Scratch roots now die with the process."""
+    import atexit
+    import shutil
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
 #: Worksheet backing files, one per (sf_dir, table) per process — the CSV
 #: stands in for the Sheets HTTP fetch (sources/datasource.py docstring).
 _WS_CSV_CACHE: dict[tuple[str, str], str] = {}
@@ -50,7 +64,7 @@ def _worksheet_csv(spark: SparkSession, sf_dir: str, name: str, order_col: str) 
     if path and os.path.exists(path):
         return path
     grid = _grid_from_table(spark, sf_dir, name, order_col)
-    path = os.path.join(tempfile.mkdtemp(prefix="flusher_ws_"), f"{name}.csv")
+    path = os.path.join(_scratch_root("flusher_ws_"), f"{name}.csv")
     with open(path, "w", newline="", encoding="utf-8") as f:
         csv.writer(f).writerows(grid.rows)
     _WS_CSV_CACHE[key] = path
@@ -128,7 +142,7 @@ def etl_load_full_vs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     appears exactly twice. Spark's synchronous write fixes the reference's
     never-awaited LoadJob by construction."""
     region = load_table(spark, sf_dir, "region")
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="flusher_wh_"))
+    wh = Warehouse(spark, _scratch_root("flusher_wh_"))
     wh.load(region, "region_copy", incremental=False)  # full refresh
     wh.load(region, "region_copy", incremental=False)  # overwrite is idempotent
     wh.load(region, "region_copy", incremental=True)  # append
@@ -157,7 +171,7 @@ def etl_csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-partition re-read keep the roundtrip's job count (and the harness's
     # per-entry wall time) proportional to the data, not the core count.
     path = to_csv(
-        region, tempfile.mkdtemp(prefix="flusher_csv_"), "Flush Control", "region",
+        region, _scratch_root("flusher_csv_"), "Flush Control", "region",
         single_file=True,
     )
     raw = spark.read.option("header", True).csv(path)  # untyped: all strings
@@ -208,7 +222,7 @@ def events_by_day_path(spark: SparkSession, sf_dir: str) -> str:
     key = sf_dir
     path = _PART_DIR_CACHE.get(key)
     if not (path and os.path.isdir(path)):
-        path = os.path.join(tempfile.mkdtemp(prefix="flusher_lake_"), "events_by_day")
+        path = os.path.join(_scratch_root("flusher_lake_"), "events_by_day")
         e = load_table(spark, sf_dir, "events")
         (
             e.withColumn("event_date", F.to_date("ts"))
@@ -397,8 +411,19 @@ def _documents_jsonl_path(spark: SparkSession, sf_dir: str) -> str:
     key = ("jsonl", sf_dir)
     path = _PART_DIR_CACHE.get(key)
     if not (path and os.path.isdir(path)):
-        path = os.path.join(tempfile.mkdtemp(prefix="flusher_jsonl_"), "documents_jsonl")
+        path = os.path.join(_scratch_root("flusher_jsonl_"), "documents_jsonl")
         d = load_table(spark, sf_dir, "documents")
+        # etl_jsonl_ingest's quarantine count is count(*) − count(source),
+        # which is only equal to the corrupt-line count when every VALID
+        # document carries a source. Nothing upstream enforces that, so
+        # enforce it here — a NULL-source fixture fails LOUDLY at staging
+        # instead of surfacing as a baffling oracle diff (r12 review).
+        n_null = d.where(F.col("source").isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"documents fixture has {n_null} NULL-source rows; "
+                "etl_jsonl_ingest's quarantine arithmetic assumes none"
+            )
         d.coalesce(4).write.mode("overwrite").json(path)
         with open(os.path.join(path, "part-corrupt.json"), "w", encoding="utf-8") as f:
             f.write("\n".join(_JSONL_CORRUPT_LINES) + "\n")
@@ -551,7 +576,7 @@ def _evolving_lake_path(spark: SparkSession, sf_dir: str) -> str:
     key = ("evolve", sf_dir)
     path = _PART_DIR_CACHE.get(key)
     if not (path and os.path.isdir(path)):
-        path = os.path.join(tempfile.mkdtemp(prefix="flusher_evolve_"), "orders_evolving")
+        path = os.path.join(_scratch_root("flusher_evolve_"), "orders_evolving")
         o = load_table(spark, sf_dir, "orders")
         g1 = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
         g1.coalesce(2).write.mode("overwrite").parquet(path)
@@ -628,7 +653,7 @@ def etl_sheet_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_worksheet(spark)
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     path = os.path.join(
-        tempfile.mkdtemp(prefix="flusher_wb_"), f"suppliers_{_uuid.uuid4().hex}.csv"
+        _scratch_root("flusher_wb_"), f"suppliers_{_uuid.uuid4().hex}.csv"
     )
     sup.write.format("worksheet").option("path", path).mode("overwrite").save()
     sup.write.format("worksheet").option("path", path).mode("append").save()
@@ -646,7 +671,7 @@ def _lineitem_orc_path(spark: SparkSession, sf_dir: str) -> str:
     key = ("orc", sf_dir)
     path = _PART_DIR_CACHE.get(key)
     if not (path and os.path.isdir(path)):
-        path = os.path.join(tempfile.mkdtemp(prefix="flusher_orc_"), "lineitem_orc")
+        path = os.path.join(_scratch_root("flusher_orc_"), "lineitem_orc")
         load_table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(path)
         _PART_DIR_CACHE[key] = path
     return path
@@ -741,10 +766,17 @@ def etl_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inserted = o.where(k % 103 == 0).select((k + 1000000000).alias("o_orderkey"), "p")
     new = updated.unionByName(inserted)
-    j = o.alias("a").join(new.alias("b"), "o_orderkey", "full_outer")
+    # Row existence is tested on the KEY, not the value column, exactly as
+    # the oracle does (b.o_orderkey IS NULL): classifying on value nullness
+    # silently re-labels a both-sides key with a NULL value as added/removed
+    # while the oracle calls it same (r12 review) — latent until a fixture
+    # carries a NULL price, then a hash mismatch.
+    j = o.alias("a").join(
+        new.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
     change = (
-        F.when(F.col("b.p").isNull() & F.col("a.p").isNotNull(), "removed")
-        .when(F.col("a.p").isNull(), "added")
+        F.when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.o_orderkey").isNull(), "added")
         .when(F.col("a.p") != F.col("b.p"), "changed")
         .otherwise("same")
     )
@@ -872,7 +904,7 @@ def etl_backfill_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     e = load_table(spark, sf_dir, "events")
     bad_day = "2024-01-15"
     base = e.withColumn("event_date", F.to_date("ts"))
-    path = os.path.join(tempfile.mkdtemp(prefix="flusher_backfill_"), "events_lake")
+    path = os.path.join(_scratch_root("flusher_backfill_"), "events_lake")
     corrupt = base.withColumn(
         "value",
         F.when(F.col("event_date") == F.lit(bad_day), F.col("value") * 2).otherwise(
@@ -1079,7 +1111,7 @@ def etl_snapshot_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", dec("o_totalprice", "decimal(12,2)").alias("price")
     )
-    root = os.path.join(tempfile.mkdtemp(prefix="flusher_snap_"), "orders_snap")
+    root = os.path.join(_scratch_root("flusher_snap_"), "orders_snap")
     t = SnapshotTable(spark, root, "o_orderkey")
     t.create(o.where(F.col("o_orderkey") % 7 != 0))
     src = o.where(F.col("o_orderkey") % 3 == 0).withColumn(
@@ -1133,7 +1165,7 @@ def etl_snapshot_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("k"), dec("o_totalprice", "decimal(12,2)").alias("p")
     )
     k, p = F.col("k"), F.col("p")
-    root = os.path.join(tempfile.mkdtemp(prefix="flusher_snap_cdc_"), "orders_cdc")
+    root = os.path.join(_scratch_root("flusher_snap_cdc_"), "orders_cdc")
     t = SnapshotTable(spark, root, "k")
     t.create(o)
     upd = o.where((k % 7 == 0) & (k % 11 != 0)).select(
@@ -1200,7 +1232,7 @@ def etl_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("o_orderkey").alias("k"), dec("o_totalprice", "decimal(12,2)").alias("p")
     )
     k, p = F.col("k"), F.col("p")
-    root = os.path.join(tempfile.mkdtemp(prefix="flusher_snap_evo_"), "orders_evo")
+    root = os.path.join(_scratch_root("flusher_snap_evo_"), "orders_evo")
     t = SnapshotTable(spark, root, "k")
     t.create(o.where(k % 2 == 0))
     src = o.where(k % 3 == 0).select(
@@ -1265,7 +1297,7 @@ def etl_snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("k"), dec("o_totalprice", "decimal(12,2)").alias("p")
     )
     k, p = F.col("k"), F.col("p")
-    root = os.path.join(tempfile.mkdtemp(prefix="flusher_snap_cdf_"), "orders_cdf")
+    root = os.path.join(_scratch_root("flusher_snap_cdf_"), "orders_cdf")
     t = SnapshotTable(spark, root, "k")
     t.create(o)
     upd = o.where((k % 5 == 0) & (k % 9 != 0)).select(
@@ -1320,7 +1352,7 @@ def etl_snapshot_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), dec("o_totalprice", "decimal(12,2)").alias("p")
     )
-    root = os.path.join(tempfile.mkdtemp(prefix="flusher_snap_clus_"), "orders_clus")
+    root = os.path.join(_scratch_root("flusher_snap_clus_"), "orders_clus")
     # target_file_bytes sizes each commit's file count FROM ITS BYTES via
     # the AQE optimized-write path (~a handful of files per commit at
     # sf0.1, one at sf0.01) — never from session config; see
@@ -1389,7 +1421,7 @@ def etl_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(dec("value", "decimal(8,2)")).cast("decimal(18,2)").alias("v"),
         )
     )
-    root = os.path.join(tempfile.mkdtemp(prefix="flusher_dpo_"), "daily")
+    root = os.path.join(_scratch_root("flusher_dpo_"), "daily")
     daily.write.partitionBy("day").mode("overwrite").parquet(root)
     # The revised slice reads the day-partitioned table BACK with a
     # day-predicate — partition pruning touches only the revised days'
@@ -1462,7 +1494,7 @@ def etl_snapshot_expire_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("pri"),
         dec("o_totalprice", "decimal(12,2)").alias("p"),
     )
-    root = os.path.join(tempfile.mkdtemp(prefix="flusher_snap_exp_"), "orders_exp")
+    root = os.path.join(_scratch_root("flusher_snap_exp_"), "orders_exp")
     t = SnapshotTable(spark, root, "k")
     t.create(o.where(F.col("k") % 4 != 0).repartition(8))
     t.merge(
