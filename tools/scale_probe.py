@@ -76,6 +76,11 @@ PROBES = [
     # the timed repeats measure the labels read: base scan + broadcast
     # ledger resolve + groupBy)
     ("dedup_incremental_clusters", "persisted cluster labels + merge ledger"),
+    # round 12, second wave (build+delete+compact / the full streaming run
+    # happen once per sf via _scratch_index; the timed repeats measure the
+    # compacted-index probe and the partitioned-sink read respectively)
+    ("dedup_index_delete", "probe vs compacted index (post delete)"),
+    ("dedup_stream_incremental", "batch_id-partitioned survivor sink read"),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
