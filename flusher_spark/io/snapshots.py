@@ -66,6 +66,7 @@ import re
 import threading
 import time
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -145,6 +146,20 @@ def stored_key(root: str) -> str | None:
         return json.load(f).get("key")
 
 
+def stored_cluster_by(root: str) -> list[str] | None:
+    """Recover the clustered layout recorded in a table's latest manifest —
+    the same cross-writer config recovery as ``stored_key``: a writer that
+    omits cluster_by adopts the table's recorded layout instead of silently
+    destroying it (r12 review). None for unclustered or uncommitted
+    tables."""
+    mdir = os.path.join(root, "_manifests")
+    vs = list_versions(mdir)
+    if not vs:
+        return None
+    with open(os.path.join(mdir, f"v{vs[-1]}.json")) as f:
+        return json.load(f).get("cluster_by")
+
+
 class SnapshotTable:
     def __init__(
         self,
@@ -214,6 +229,16 @@ class SnapshotTable:
                 f"{recorded!r}, not {key!r} — file stats only prune "
                 "correctly under the recorded key"
             )
+        # The clustered layout is recovered like the key (r12 review): a
+        # second writer that omits cluster_by — the CLI opens tables with
+        # key alone — must not silently rewrite files UNCLUSTERED, with
+        # whole-keyspace min/max ranges that degrade every later pruned
+        # read. An explicit cluster_by wins (a deliberate re-layout);
+        # omission adopts the recorded one.
+        if self.cluster_by is None:
+            rec_cb = stored_cluster_by(self.root)
+            if rec_cb:
+                self.cluster_by = list(rec_cb)
 
     # -- manifest bookkeeping -------------------------------------------------
 
@@ -237,10 +262,22 @@ class SnapshotTable:
         concurrent writer got there first (hard-link creation is the
         exclusive primitive — EEXIST means lost race, nothing partial)."""
         os.makedirs(self._mdir, exist_ok=True)
+        # Record the clustered layout with the commit (recovered in
+        # __init__ via stored_cluster_by — the stored_key discipline).
+        if self.cluster_by and "cluster_by" not in manifest:
+            manifest["cluster_by"] = self.cluster_by
         version = manifest["version"]
         tmp = os.path.join(self._mdir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
+            # DURABILITY (the sinks/table.py discipline, r12 review): the
+            # manifest CONTENTS must be on disk before the link makes the
+            # version visible — on power loss, delayed allocation can
+            # persist the link metadata while losing the data pages,
+            # leaving an empty/truncated v<N>.json that bricks every
+            # reader (JSONDecodeError on the highest version).
+            f.flush()
+            os.fsync(f.fileno())
         target = os.path.join(self._mdir, f"v{version}.json")
         try:
             os.link(tmp, target)
@@ -248,22 +285,56 @@ class SnapshotTable:
             raise CommitConflict(f"version {version} already committed") from exc
         finally:
             os.unlink(tmp)
+        # fsync the directory so the link itself is durable before callers
+        # act on the commit (e.g. checkpoint a consumed source batch).
+        dfd = os.open(self._mdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         return version
 
     # -- schema evolution -----------------------------------------------------
+
+    @staticmethod
+    def _type_shape(dt):
+        """A type with every NESTED nullability flag normalized to True —
+        the comparison shape for evolution conflicts. Top-level
+        StructField.nullable was already excluded from the check, but
+        nested nullability (struct inner fields, array containsNull, map
+        valueContainsNull) lives INSIDE dataType: a non-nullable inner
+        field (lit()/range() lineage) vs the same field inferred nullable
+        (outer-join lineage) raised a spurious 'type conflict' on
+        compatible data, permanently failing a streaming sink's commit
+        (r12 review). The file source forces everything nullable on read
+        anyway, so nullability is not a real type distinction here."""
+        from pyspark.sql.types import ArrayType, MapType, StructField
+        from pyspark.sql.types import StructType as ST
+
+        shape = SnapshotTable._type_shape
+        if isinstance(dt, ST):
+            return ST([StructField(f.name, shape(f.dataType), True) for f in dt.fields])
+        if isinstance(dt, ArrayType):
+            return ArrayType(shape(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(shape(dt.keyType), shape(dt.valueType), True)
+        return dt
 
     @staticmethod
     def _evolved_schema(old: StructType | None, new: StructType) -> StructType:
         """Union-by-name of two schemas: old columns keep their position,
         genuinely new columns append. A name present in both with a
         DIFFERENT type raises — silent type coercion is the lake-corruption
-        path this format exists to prevent."""
+        path this format exists to prevent. Nullability (at any nesting
+        depth) is not a conflict; the old field's declaration wins."""
         if old is None:
             return new
         by_name = {f.name: f for f in new.fields}
         for f in old.fields:
             n = by_name.get(f.name)
-            if n is not None and n.dataType != f.dataType:
+            if n is not None and SnapshotTable._type_shape(
+                n.dataType
+            ) != SnapshotTable._type_shape(f.dataType):
                 raise ValueError(
                     f"schema evolution type conflict on '{f.name}': "
                     f"{f.dataType.simpleString()} vs {n.dataType.simpleString()}"
@@ -275,6 +346,12 @@ class SnapshotTable:
 
     def _read_schema(self, m: dict) -> StructType | None:
         return StructType.fromJson(m["schema"]) if "schema" in m else None
+
+    def _reader(self, schema: StructType | None):
+        """DataFrameReader honoring a recorded schema — ONE definition for
+        the five read sites (r12 review: a copy-pasted ternary), so future
+        read-behavior changes apply everywhere at once."""
+        return self.spark.read.schema(schema) if schema is not None else self.spark.read
 
     def _conform(self, df: DataFrame, schema: StructType) -> DataFrame:
         """Project ``df`` onto ``schema``: missing columns become typed
@@ -524,7 +601,12 @@ class SnapshotTable:
             )
         return [
             {
-                "path": r["path"].removeprefix("file://"),
+                # input_file_name() is a URI: strip the scheme AND percent-
+                # decode (a root with a space stores 'my%20tables' otherwise,
+                # and spark.read on the recorded path raises PATH_NOT_FOUND —
+                # Spark does not decode on read; r12 review). Literal '%' in
+                # a real path arrives encoded as %25, so unquote round-trips.
+                "path": unquote(r["path"].removeprefix("file://")),
                 "rows": r["rows"],
                 "key_min": _stat_jsonable(r["key_min"]),
                 "key_max": _stat_jsonable(r["key_max"]),
@@ -604,8 +686,7 @@ class SnapshotTable:
                 raise ValueError("empty snapshot of a schemaless table")
             return self.spark.createDataFrame([], schema)
         paths = [f["path"] for f in m["files"]]
-        reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
-        return reader.parquet(*paths)
+        return self._reader(schema).parquet(*paths)
 
     def rows(self, version: int | None = None) -> int:
         """Metadata-only COUNT(*): the manifest already carries exact
@@ -626,18 +707,24 @@ class SnapshotTable:
         (pre-validation tables) are conservatively read."""
         v = self.current_version() if version is None else version
         m = self._manifest(v)
+        # Prune with JSON-shaped bounds (the manifests' shape): a caller
+        # passing raw date/datetime bounds used to TypeError into reading
+        # every file (exact results — the WHERE below reapplies the raw
+        # bounds — but zero pruning, r12 review).
+        jlo, jhi = _stat_jsonable(lo), _stat_jsonable(hi)
+        prunable = jlo is not None and jhi is not None
         files = [
             f for f in m["files"]
             if f["key_min"] is None or f["key_max"] is None
-            or not _ranges_disjoint(f["key_min"], f["key_max"], lo, hi)
+            or not prunable
+            or not _ranges_disjoint(f["key_min"], f["key_max"], jlo, jhi)
         ]
         schema = self._read_schema(m)
         if not files:
             if schema is None:
                 raise ValueError("empty pruned scan on a schemaless table")
             return self.spark.createDataFrame([], schema)
-        reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
-        return reader.parquet(*[f["path"] for f in files]).where(
+        return self._reader(schema).parquet(*[f["path"] for f in files]).where(
             (F.col(self.key) >= F.lit(lo)) & (F.col(self.key) <= F.lit(hi))
         )
 
@@ -747,22 +834,33 @@ class SnapshotTable:
                 f"'{self.key}' that appear as both an upsert and a delete — "
                 "reduce to one final action per key before merging"
             )
-        lo, hi = b["lo"], b["hi"]
+        # Normalize the source bounds through _stat_jsonable BEFORE comparing
+        # against manifest stats (r12 review): stats are stored JSON-shaped
+        # (dates/datetimes as ISO strings), while collect() returns raw
+        # date/datetime objects — the raw comparison TypeError'd to
+        # "might intersect" on EVERY file, silently degrading copy-on-write
+        # to a full-table rewrite per merge for date-keyed tables. A
+        # non-empty source whose bounds are unrepresentable (Decimal/binary
+        # keys → None) must touch every file — None here means "cannot
+        # prune", never "nothing touched".
+        lo, hi = _stat_jsonable(b["lo"]), _stat_jsonable(b["hi"])
+        source_empty = b["lo"] is None and b["hi"] is None
+        unprunable = not source_empty and (lo is None or hi is None)
         touched = [
             f for f in m["files"]
             if f["key_min"] is None or f["key_max"] is None
-            or (lo is not None and not _ranges_disjoint(f["key_min"], f["key_max"], lo, hi))
+            or (
+                not source_empty
+                and (unprunable or not _ranges_disjoint(f["key_min"], f["key_max"], lo, hi))
+            )
         ]
         touched_paths = {f["path"] for f in touched}
         kept = [f for f in m["files"] if f["path"] not in touched_paths]
         new_files = list(kept)
         if touched:
-            old_schema = self._read_schema(m)
-            reader = (
-                self.spark.read.schema(old_schema)
-                if old_schema is not None else self.spark.read
+            old = self._reader(self._read_schema(m)).parquet(
+                *[f["path"] for f in touched]
             )
-            old = reader.parquet(*[f["path"] for f in touched])
             # One anti-join removes BOTH upsert victims (replaced by the
             # source row) and delete victims (replaced by nothing).
             survivors = old.join(source.select(self.key), self.key, "left_anti")
@@ -835,9 +933,9 @@ class SnapshotTable:
         def side(paths: list[str], m: dict) -> DataFrame:
             if not paths:
                 return self.spark.createDataFrame([], out_schema)
-            s = self._read_schema(m)
-            reader = self.spark.read.schema(s) if s is not None else self.spark.read
-            return self._conform(reader.parquet(*paths), out_schema)
+            return self._conform(
+                self._reader(self._read_schema(m)).parquet(*paths), out_schema
+            )
 
         olds = side(only_a, m_from)
         news = side(only_b, m_to)
@@ -890,15 +988,19 @@ class SnapshotTable:
         cur = self.current_version()
         m = self._manifest(cur)
         small = [f for f in m["files"] if f["rows"] < target_file_rows]
-        if len(small) <= 1:
+        total = sum(f["rows"] for f in small)
+        n_out = max(1, -(-total // target_file_rows))
+        # Converge or do nothing: when the rewrite cannot REDUCE the file
+        # count (e.g. two 90%-full files still need two output files), a
+        # compact would rewrite the same rows into the same layout and
+        # publish a new version every maintenance cycle, forever (r12
+        # review; the old guard only caught len(small) <= 1).
+        if len(small) <= n_out:
             return cur
         small_paths = {f["path"] for f in small}
         kept = [f for f in m["files"] if f["path"] not in small_paths]
-        total = sum(f["rows"] for f in small)
-        n_out = max(1, -(-total // target_file_rows))
         schema = self._read_schema(m)
-        reader = self.spark.read.schema(schema) if schema is not None else self.spark.read
-        df = reader.parquet(*[f["path"] for f in small])
+        df = self._reader(schema).parquet(*[f["path"] for f in small])
         if not self.cluster_by:
             # Unclustered path: the coalesce IS the output sizing. On the
             # clustered path _write_files repartitionByRange's to n_out

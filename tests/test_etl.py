@@ -1498,3 +1498,138 @@ def test_snapshot_footer_stats_decline_timestamp_keys(spark, tmp_path):
         assert hi == datetime.datetime.fromtimestamp(1700000000 + 99 * 3600).isoformat()
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_snapshot_merge_prunes_date_keyed_tables(spark, tmp_path):
+    """r12 review: manifest stats are ISO strings but the merge source's
+    collected bounds were raw datetime.date objects — the comparison
+    TypeError'd to 'might intersect' on EVERY file, silently degrading
+    copy-on-write to a full-table rewrite per merge on date-keyed tables.
+    Bounds now normalize through _stat_jsonable before pruning."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    df = spark.range(0, 100).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+        F.col("id").alias("v"),
+    )
+    t = SnapshotTable(spark, str(tmp_path / "snap_date"), "d", cluster_by=["d"],
+                      cluster_files=4)
+    t.create(df)
+    before = {f["path"] for f in t._manifest(t.current_version())["files"]}
+    assert len(before) == 4
+    # merge touching only the last file's range
+    src = spark.range(95, 100).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t.merge(src)
+    after = {f["path"] for f in t._manifest(t.current_version())["files"]}
+    carried = before & after
+    assert len(carried) >= 3, (
+        f"only {len(carried)} files carried forward — date-keyed merge "
+        "rewrote untouched files"
+    )
+    got = {(r["d"].isoformat(), r["v"]) for r in t.snapshot().collect()}
+    assert ("2024-04-05", 950) in got and ("2024-01-01", 0) in got
+    # scan_range with raw date bounds prunes too (and stays exact)
+    import datetime
+
+    pruned = t.scan_range(datetime.date(2024, 1, 1), datetime.date(2024, 1, 10))
+    assert len(pruned.inputFiles()) <= 2
+    assert pruned.count() == 10
+
+
+def test_snapshot_table_with_percent_encodable_root(spark, tmp_path):
+    """r12 review: the Spark-aggregate stats fallback recorded URL-encoded
+    paths (input_file_name gives 'file:///my%20tables/...'), so any
+    timestamp/Decimal-keyed table under a root with encodable characters
+    published unreadable versions. Paths are percent-decoded now."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    root = str(tmp_path / "my tables" / "events")
+    df = spark.range(0, 20).select(
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    t = SnapshotTable(spark, root, "ts")  # timestamp key: aggregate fallback
+    t.create(df)
+    assert t.snapshot().count() == 20  # readable despite the space in root
+    t.merge(
+        spark.range(0, 5).select(
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60).alias("ts"),
+            (F.col("id") + 100).alias("v"),
+        )
+    )
+    assert t.snapshot().where(F.col("v") >= 100).count() == 5
+
+
+def test_snapshot_compact_skips_nonconverging_rewrite(spark, tmp_path):
+    """r12 review: when the small-file set cannot be folded into FEWER
+    files (e.g. two 90%-full files), compact must be a no-op — the old
+    guard (len(small) <= 1) rewrote the same rows into the same layout and
+    published a junk version every maintenance cycle, forever."""
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap_conv"), "k")
+    t.create(spark.range(0, 18).selectExpr("id as k", "id as v").coalesce(2))
+    v = t.current_version()
+    # each file ~9 rows; target 10 → n_out = ceil(18/10) = 2 == len(small)
+    assert t.compact(target_file_rows=10) == v  # no-op, no new version
+    assert t.current_version() == v
+    # a genuinely foldable layout still compacts
+    assert t.compact(target_file_rows=100) == v + 1
+
+
+def test_snapshot_cluster_by_recovered_across_writers(spark, tmp_path):
+    """r12 review: cluster_by is now manifest-recorded and recovered like
+    the key, so a second writer (the CLI opens tables with key alone) no
+    longer silently rewrites files unclustered with whole-keyspace
+    ranges."""
+    from flusher_spark.io.snapshots import SnapshotTable, stored_cluster_by
+
+    root = str(tmp_path / "snap_cb")
+    a = SnapshotTable(spark, root, "k", cluster_by=["k"], cluster_files=4)
+    a.create(spark.range(0, 100).selectExpr("id as k", "id as v"))
+    assert stored_cluster_by(root) == ["k"]
+    b = SnapshotTable(spark, root, "k")  # omits cluster_by: adopts recorded
+    assert b.cluster_by == ["k"]
+    b.merge(spark.range(200, 210).selectExpr("id as k", "id*2 as v"))
+    files = b._manifest(b.current_version())["files"]
+    new = [f for f in files if f["key_min"] is not None and int(f["key_min"]) >= 200]
+    assert new, files
+    # the rewritten commit kept tight (not whole-keyspace) ranges
+    assert all(int(f["key_max"]) <= 209 for f in new)
+
+
+def test_snapshot_schema_evolution_ignores_nested_nullability(spark, tmp_path):
+    """r12 review: nested nullability (struct inner fields, array
+    containsNull) lives inside dataType, so a non-nullable inner field vs
+    the same field inferred nullable raised a spurious type conflict and
+    permanently failed the sink's commit. Real type conflicts still
+    raise."""
+    import pytest as _pytest
+
+    from flusher_spark.io.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap_nn"), "k")
+    # struct inner field non-nullable (lit lineage)
+    t.create(spark.range(0, 3).select("id").selectExpr(
+        "id as k", "named_struct('a', id) as s"
+    ))
+    # same logical shape, inner field nullable
+    nullable_src = spark.range(3, 6).selectExpr(
+        "id as k", "named_struct('a', if(id > 100, id, id)) as s"
+    ).selectExpr("k", "named_struct('a', nullif(s.a, -1)) as s")
+    t.append(nullable_src)
+    assert t.snapshot().count() == 6
+    # a REAL nested type conflict still raises
+    with _pytest.raises(ValueError, match="type conflict"):
+        t.append(spark.range(6, 7).selectExpr(
+            "id as k", "named_struct('a', cast(id as string)) as s"
+        ))
