@@ -244,7 +244,10 @@ HEADLINE = [
     # returns is byte-for-byte the dedup_incremental_exact probe shape.
     # dedup_stream_incremental is stream-executed like the other streaming
     # entries — its cached build runs a real StreamingQuery; timed by its
-    # own tests, not the headline.)
+    # own tests, not the headline. similarity_ivf_deleted is excluded like
+    # similarity_ivf_persisted: build+delete+compact dominated; the query
+    # half is the same pruned probe similarity_ivf_persisted's family
+    # already shapes.)
 ]
 
 

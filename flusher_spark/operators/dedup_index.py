@@ -69,6 +69,8 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from flusher_spark.io import generations as G
+
 from flusher_spark.operators.dedup import (
     _ensure_parallelism,
     minhash_min_aggs,
@@ -96,57 +98,16 @@ def _read_meta(spark: SparkSession, path: str) -> dict[str, int]:
 
 
 # --- generation pointer + tombstones (delete / compact lifecycle) ----------
-
-
-def _current_gen(path: str) -> int:
-    """Compaction generation from the ``GENERATION`` pointer file; absent
-    (every pre-compact index) means generation 0."""
-    try:
-        with open(os.path.join(path, "GENERATION")) as fh:
-            return int(fh.read().strip())
-    except FileNotFoundError:
-        return 0
-
-
-def _set_gen(path: str, gen: int) -> None:
-    """Atomically + DURABLY flip the generation pointer (fsync file, rename,
-    fsync directory — the ``sinks/table.py`` compaction discipline: on power
-    loss the unlinks that follow must never persist ahead of the flip)."""
-    target = os.path.join(path, "GENERATION")
-    with open(target + ".tmp", "w") as fh:
-        fh.write(str(int(gen)))
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(target + ".tmp", target)
-    dfd = os.open(path, os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
-
-
-def _gen_dir(root: str, table: str, gen: int) -> str:
-    """Data directory for a table at a generation. Generation 0 keeps the
-    bare name so every pre-compact index (and its pinned probe plans) keeps
-    working unchanged."""
-    return os.path.join(root, table if gen == 0 else f"{table}_g{gen}")
-
-
-def _drop_stale_gens(root: str, table: str, keep: int) -> None:
-    """Remove every ``<table>_g*`` directory except the kept generation —
-    self-healing for compacts that crashed after writing a new generation
-    (pointer not flipped: the torn write is removed and rebuilt) or before
-    removing the old one (stale directory reclaimed)."""
-    try:
-        names = os.listdir(root)
-    except FileNotFoundError:
-        return
-    for n in names:
-        stale = (
-            n.startswith(f"{table}_g") and n != os.path.basename(_gen_dir(root, table, keep))
-        ) or (n == table and keep != 0)
-        if stale:
-            shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+#
+# The pointer/generation/empty-write machinery is shared with the IVF
+# vector-index lifecycle — ONE definition in io/generations.py (the names
+# keep their module-private aliases here so call sites and tests read the
+# same either way).
+_current_gen = G.current_gen
+_set_gen = G.set_gen
+_gen_dir = G.gen_dir
+_drop_stale_gens = G.drop_stale_gens
+_write_table = G.write_table
 
 
 def _tombstones(
@@ -165,28 +126,6 @@ def _tombstones(
     if not os.path.isdir(tpath):
         return None
     return spark.read.parquet(tpath)
-
-
-def _write_table(df: DataFrame, out: str, part_col: str | None) -> None:
-    """Overwrite-write a (possibly partitioned) table, guaranteeing the
-    result is READABLE even with zero rows: an empty partitionBy job emits
-    no data files at all (and an empty plain write can too), which would
-    brick any reader with UNABLE_TO_INFER_SCHEMA — fatal when the caller
-    is a compact about to flip the generation pointer at this directory.
-    The guard writes one empty schema-bearing file (into an explicit
-    partition directory when partitioned, so later appends' partition
-    discovery still applies)."""
-    w = df.write.mode("overwrite")
-    (w.partitionBy(part_col) if part_col else w).parquet(out)
-    for root, _, names in os.walk(out):
-        if any(n.endswith(".parquet") for n in names):
-            return
-    empty = df.limit(0)
-    dst = out
-    if part_col:
-        empty = empty.drop(part_col)
-        dst = os.path.join(out, f"{part_col}=0")
-    empty.coalesce(1).write.mode("overwrite").parquet(dst)
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from flusher_spark.io import generations as G
+
 
 def vec_norm_sq(col: Column) -> Column:
     """Sum of squares, double accumulation in array order (fold-left)."""
@@ -715,6 +717,114 @@ def pq_topk(
 # raise after build).
 
 
+def _index_tombstones(spark: SparkSession, path: str, gen: int) -> DataFrame | None:
+    """The current generation's deleted-id table (one ``doc_id``-style id
+    column named ``__dead``), or None when no deletes were recorded.
+    Generation-scoped like the dedup indexes (io/generations.py): the
+    pointer flip that publishes a compacted/rebuilt generation atomically
+    retires the old generation's tombstones with it."""
+    tpath = G.gen_dir(path, "tombstones", gen)
+    if not os.path.isdir(tpath):
+        return None
+    return spark.read.parquet(tpath)
+
+
+def _subtract_tombstones(
+    spark: SparkSession, path: str, gen: int, df: DataFrame, id_col: str
+) -> DataFrame:
+    tomb = _index_tombstones(spark, path, gen)
+    if tomb is None:
+        return df
+    return df.join(
+        F.broadcast(tomb.select(F.col("__dead").alias(id_col))), id_col, "left_anti"
+    )
+
+
+def _index_delete(spark: SparkSession, path: str, ids: DataFrame, id_col: str) -> int:
+    """Shared delete half of the IVF/PQ lifecycle: tombstone ids out of a
+    persisted vector/code index (opt-out / takedown — the dedup-index
+    discipline applied to the ANN family). Queries subtract tombstones
+    immediately; the matching compact reclaims the space. Returns the
+    number of ids tombstoned."""
+    gen = G.current_gen(path)
+    dead = (
+        ids.select(F.col(id_col).alias("__dead"))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by count + write
+    )
+    n = dead.count()
+    if n:
+        dead.write.mode("append").parquet(G.gen_dir(path, "tombstones", gen))
+    return n
+
+
+def ivf_delete_index(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "vec_id"
+) -> int:
+    """Tombstone vectors out of a persisted IVF index: a deleted vector
+    stops appearing in any query's top-k IMMEDIATELY (the probe subtracts
+    tombstones from the pruned list partitions before ranking);
+    ``ivf_compact_index`` physically removes the rows later."""
+    return _index_delete(spark, path, ids, id_col)
+
+
+def ivf_compact_index(spark: SparkSession, path: str, id_col: str = "vec_id") -> int:
+    """Physically drop tombstoned vectors by rewriting the live rows into a
+    NEW GENERATION of the ``vectors`` table behind the fsync'd pointer flip
+    (io/generations.py — same crash story as the dedup-index compacts:
+    torn new generations are reclaimed by the next compact's sweep, the
+    flip retires the old generation's tombstones). Centroids are training
+    artifacts, untouched. Returns the new generation number."""
+    gen = G.current_gen(path)
+    for tbl in ("vectors", "centroids", "tombstones"):
+        G.drop_stale_gens(path, tbl, gen)
+    live = _subtract_tombstones(
+        spark, path, gen, spark.read.parquet(G.gen_dir(path, "vectors", gen)), id_col
+    )
+    G.write_table(live, G.gen_dir(path, "vectors", gen + 1), "__list")
+    # The pointer is index-wide, so the (KB-sized) centroid table rides
+    # along into the new generation — every table of a generation must
+    # exist the moment the flip lands.
+    spark.read.parquet(G.gen_dir(path, "centroids", gen)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(G.gen_dir(path, "centroids", gen + 1))
+    G.set_gen(path, gen + 1)
+    for tbl in ("vectors", "centroids", "tombstones"):
+        G.drop_stale_gens(path, tbl, gen + 1)
+    return gen + 1
+
+
+def pq_delete_index(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "vec_id"
+) -> int:
+    """Tombstone vectors out of a persisted PQ index (codes-table twin of
+    ``ivf_delete_index``): deleted ids stop scoring immediately;
+    ``pq_compact_index`` reclaims the rows."""
+    return _index_delete(spark, path, ids, id_col)
+
+
+def pq_compact_index(spark: SparkSession, path: str, id_col: str = "vec_id") -> int:
+    """Rewrite the live ``codes`` rows into a new generation behind the
+    pointer flip; codebooks are training artifacts, untouched. Returns the
+    new generation number."""
+    gen = G.current_gen(path)
+    for tbl in ("codes", "codebooks", "tombstones"):
+        G.drop_stale_gens(path, tbl, gen)
+    live = _subtract_tombstones(
+        spark, path, gen, spark.read.parquet(G.gen_dir(path, "codes", gen)), id_col
+    )
+    G.write_table(live, G.gen_dir(path, "codes", gen + 1), None)
+    # index-wide pointer: the KB-sized codebooks ride along (see
+    # ivf_compact_index).
+    spark.read.parquet(G.gen_dir(path, "codebooks", gen)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(G.gen_dir(path, "codebooks", gen + 1))
+    G.set_gen(path, gen + 1)
+    for tbl in ("codes", "codebooks", "tombstones"):
+        G.drop_stale_gens(path, tbl, gen + 1)
+    return gen + 1
+
+
 def pq_build_index(
     df: DataFrame,
     path: str,
@@ -744,15 +854,30 @@ def pq_build_index(
         codes = (cnorm2[None, :, :] - 2.0 * cross).argmin(axis=2)
         return pd.Series([[int(c) for c in row] for row in codes])
 
+    rebuild = os.path.exists(os.path.join(path, "GENERATION")) or os.path.isdir(
+        os.path.join(path, "codes")
+    )
+    new_gen = G.current_gen(path) + 1 if rebuild else 0
     df.select(F.col(id_col), encode(F.col(vec_col)).alias("codes")).write.mode(
         "overwrite"
-    ).parquet(os.path.join(path, "codes"))
+    ).parquet(G.gen_dir(path, "codes", new_gen))
     rows = [
         (j, c, [float(x) for x in books[j][c]]) for j in range(mm) for c in range(kk)
     ]
     df.sparkSession.createDataFrame(
         rows, "j int, c int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    ).coalesce(1).write.mode("overwrite").parquet(G.gen_dir(path, "codebooks", new_gen))
+    # A REBUILD over a live path lands in a new generation and flips the
+    # pointer (io/generations.py): the old life — data AND its
+    # generation-scoped tombstones — stays intact and in scope until one
+    # atomic flip.
+    if rebuild:
+        G.set_gen(path, new_gen)
+    for tbl in ("codes", "codebooks", "tombstones"):
+        G.drop_stale_gens(path, tbl, new_gen)
+    import shutil as _sh
+
+    _sh.rmtree(G.gen_dir(path, "tombstones", new_gen), ignore_errors=True)
     return path
 
 
@@ -772,7 +897,8 @@ def pq_query_index(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    cb = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    gen = G.current_gen(path)
+    cb = spark.read.parquet(G.gen_dir(path, "codebooks", gen)).collect()
     mm = 1 + max(r["j"] for r in cb)
     kk = 1 + max(r["c"] for r in cb)
     dsub = len(cb[0]["centroid"])
@@ -801,10 +927,11 @@ def pq_query_index(
         sims = (approx_dot / approx_norm[None, :]).T  # (n, queries)
         return pd.Series(list(sims))
 
+    codes_live = _subtract_tombstones(
+        spark, path, gen, spark.read.parquet(G.gen_dir(path, "codes", gen)), id_col
+    )
     scored = _explode_query_sims(
-        spark.read.parquet(os.path.join(path, "codes")).select(
-            F.col(id_col), adc(F.col("codes")).alias("__sims")
-        ),
+        codes_live.select(F.col(id_col), adc(F.col("codes")).alias("__sims")),
         q_ids,
         id_col,
         query_df.schema[id_col].dataType,
@@ -826,12 +953,26 @@ def ivf_build_index(
     into parquet partition pruning at query time. Returns ``path``."""
     assigned = _ivf_assign(df, id_col, vec_col, n_lists, n_iter)
     cents, vectors = assigned
-    vectors.write.mode("overwrite").partitionBy("__list").parquet(
+    rebuild = os.path.exists(os.path.join(path, "GENERATION")) or os.path.isdir(
         os.path.join(path, "vectors")
     )
-    cents.select("__cid", "__cvec").coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "centroids")
+    new_gen = G.current_gen(path) + 1 if rebuild else 0
+    vectors.write.mode("overwrite").partitionBy("__list").parquet(
+        G.gen_dir(path, "vectors", new_gen)
     )
+    cents.select("__cid", "__cvec").coalesce(1).write.mode("overwrite").parquet(
+        G.gen_dir(path, "centroids", new_gen)
+    )
+    # Rebuild lifecycle: new generation + atomic flip (io/generations.py) —
+    # centroids and vectors cut over TOGETHER, so a crash mid-rebuild never
+    # pairs new centroids with old list assignments.
+    if rebuild:
+        G.set_gen(path, new_gen)
+    for tbl in ("vectors", "centroids", "tombstones"):
+        G.drop_stale_gens(path, tbl, new_gen)
+    import shutil as _sh
+
+    _sh.rmtree(G.gen_dir(path, "tombstones", new_gen), ignore_errors=True)
     return path
 
 
@@ -886,7 +1027,8 @@ def ivf_query_index(
     stored vector table (parquet partition pruning — the isin filter on the
     partition column never scans the other lists), and re-rank exactly
     inside them. No training, no base-table access."""
-    cents = spark.read.parquet(os.path.join(path, "centroids")).select(
+    gen = G.current_gen(path)
+    cents = spark.read.parquet(G.gen_dir(path, "centroids", gen)).select(
         "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
     )
     q_base = query_df.select(
@@ -909,9 +1051,12 @@ def ivf_query_index(
     # Bounded collect (|queries| × n_probe ints): the probe list drives the
     # partition-pruning filter below.
     probe_lists = sorted({r["__list"] for r in probes.select("__list").distinct().collect()})
-    index = spark.read.parquet(os.path.join(path, "vectors")).where(
+    index = spark.read.parquet(G.gen_dir(path, "vectors", gen)).where(
         F.col("__list").isin(probe_lists)
     )
+    # Deleted vectors stop ranking immediately (tombstones subtract from
+    # the already-pruned list partitions; compact reclaims them later).
+    index = _subtract_tombstones(spark, path, gen, index, id_col)
     pairs = index.join(F.broadcast(probes), "__list").where(F.col(id_col) != F.col("query_id"))
     sim = cosine(F.col("__qvec"), F.col(vec_col), F.col("__qnsq"), F.col("__nsq"))
     return _rank_topk(pairs.select("query_id", id_col, sim.alias("cosine_sim")), id_col, k)
@@ -939,7 +1084,8 @@ def ivf_append_index(
     fixture in tests/test_operators.py). Periodic ivf_build_index over
     the full corpus is the re-center maintenance job, exactly like any
     IVF deployment (FAISS's add-after-train contract)."""
-    cents = spark.read.parquet(os.path.join(path, "centroids")).select(
+    gen = G.current_gen(path)
+    cents = spark.read.parquet(G.gen_dir(path, "centroids", gen)).select(
         "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
     )
     base = new_df.select(
@@ -947,7 +1093,7 @@ def ivf_append_index(
     )
     assigned = _nearest_lists(base, cents, 1, "__list", id_col, vec_col)
     assigned.write.mode("append").partitionBy("__list").parquet(
-        os.path.join(path, "vectors")
+        G.gen_dir(path, "vectors", gen)
     )
     return path
 

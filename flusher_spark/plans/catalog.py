@@ -127,7 +127,11 @@ PRIORITY = (
     "window_lag_delta",
     "window_range_interval",
     # ---- driver window ends here (50) ----
-    # r13 rotation head: the four spilled r7 entries
+    # r13 rotation head: the round-12 late addition (first verdict next
+    # round — adding it INSIDE this round's window would displace a fifth
+    # r7 rotation slot; it is fully pytest- and local-oracle-verified now),
+    # then the four spilled r7 entries
+    "similarity_ivf_deleted",
     "join_semi",
     "window_ntile",
     "window_topk_per_group",

@@ -1465,6 +1465,32 @@ def similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_query_index(spark, path, queries, k=10, n_probe=3)
 
 
+@register("similarity_ivf_deleted")  # rows-only: approximate by construction
+def similarity_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE + COMPACT half of the IVF story (r12 — the persisted-
+    index lifecycle applied to the ANN family, mirroring
+    dedup_index_delete): build the index once, TOMBSTONE the opt-out set
+    (vec_id % 10 == 0, ivf_delete_index — queries subtract tombstones
+    from the pruned list partitions immediately), physically reclaim them
+    with ivf_compact_index (generation rewrite behind the fsync'd pointer
+    flip, io/generations.py), then answer the top-10 query from the
+    compacted index. Deleted vectors can never appear in any ranking;
+    delete-then-compact answers identically to delete-alone
+    (tests/test_operators.py::test_ivf_index_delete_and_compact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _build(p: str) -> None:
+        S.ivf_build_index(emb, p, n_lists=8, n_iter=1)
+        S.ivf_delete_index(
+            spark, p, emb.where(F.col("vec_id") % 10 == 0).select("vec_id")
+        )
+        S.ivf_compact_index(spark, p)
+
+    path = _scratch_index("ivfdel", sf_dir, _build)
+    queries = emb.where(F.col("vec_id").isin(list(_QUERY_IDS)))
+    return S.ivf_query_index(spark, path, queries, k=10, n_probe=3)
+
+
 @register("similarity_ivf_appended")  # rows-only: approximate by construction
 def similarity_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GROWING-corpus half of the IVF story (ivf_append_index): build

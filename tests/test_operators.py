@@ -3310,3 +3310,77 @@ def test_ivf_seeding_survives_zero_norm_sample_row(spark):
     _, assigned = S._ivf_assign(df, "vec_id", "embedding", n_lists=3, n_iter=1)
     n_lists_used = assigned.select("__list").distinct().count()
     assert n_lists_used == 3
+
+
+def _toy_vectors(spark, n=40, dim=8):
+    import math as _math
+
+    rows = [
+        (i, [round(_math.sin(0.7 * i + 0.3 * j), 6) + (j == i % dim) for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_index_delete_and_compact(spark, tmp_path):
+    """The ANN half of the r12 delete/compact lifecycle: a tombstoned
+    vector stops ranking immediately, compact preserves answers while
+    physically removing rows, and appends keep working against the new
+    generation."""
+    import os
+
+    from flusher_spark.operators import similarity as S
+
+    df = _toy_vectors(spark)
+    path = str(tmp_path / "ivfidx")
+    S.ivf_build_index(df, path, n_lists=4, n_iter=1)
+    q = df.where(F.col("vec_id") == 0)
+    before = S.ivf_query_index(spark, path, q, k=5).collect()
+    victim = before[0]["vec_id"]
+    assert S.ivf_delete_index(spark, path, spark.createDataFrame([(victim,)], "vec_id long")) == 1
+    after_del = S.ivf_query_index(spark, path, q, k=5).collect()
+    assert victim not in {r["vec_id"] for r in after_del}
+    assert len(after_del) == 5  # ranking refills from the probed lists
+    assert S.ivf_compact_index(spark, path) == 1
+    assert os.path.isdir(os.path.join(path, "vectors_g1"))
+    assert not os.path.isdir(os.path.join(path, "vectors"))
+    after_compact = S.ivf_query_index(spark, path, q, k=5).collect()
+    assert [tuple(r) for r in after_compact] == [tuple(r) for r in after_del]
+    live = spark.read.parquet(os.path.join(path, "vectors_g1"))
+    assert victim not in {r["vec_id"] for r in live.select("vec_id").collect()}
+    # append lands in the live generation and is queryable: a copy of the
+    # query vector under a new id must rank for that query
+    qvec = df.where(F.col("vec_id") == 0).select(
+        F.lit(1000).alias("vec_id"), F.col("embedding")
+    )
+    S.ivf_append_index(spark, path, qvec)
+    got = {r["vec_id"] for r in S.ivf_query_index(spark, path, q, k=5).collect()}
+    assert 1000 in got  # the appended near-identical vector ranks
+
+
+def test_pq_index_delete_and_compact(spark, tmp_path):
+    import os
+
+    from flusher_spark.operators import similarity as S
+
+    df = _toy_vectors(spark)
+    path = str(tmp_path / "pqidx")
+    S.pq_build_index(df, path, m=4, ksub=8)
+    q = df.where(F.col("vec_id") == 0)
+    before = S.pq_query_index(spark, path, q, k=5).collect()
+    victim = before[0]["vec_id"]
+    assert S.pq_delete_index(spark, path, spark.createDataFrame([(victim,)], "vec_id long")) == 1
+    after_del = S.pq_query_index(spark, path, q, k=5).collect()
+    assert victim not in {r["vec_id"] for r in after_del}
+    assert S.pq_compact_index(spark, path) == 1
+    after_compact = S.pq_query_index(spark, path, q, k=5).collect()
+    assert [tuple(r) for r in after_compact] == [tuple(r) for r in after_del]
+    assert victim not in {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(path, "codes_g1")).select("vec_id").collect()
+    }
+    # rebuild resets the lifecycle into a fresh generation
+    S.pq_build_index(df, path, m=4, ksub=8)
+    assert {r["vec_id"] for r in S.pq_query_index(spark, path, q, k=5).collect()} == {
+        r["vec_id"] for r in before
+    }

@@ -90,6 +90,9 @@ EXTRA = [
     # the plan is the same bucket-pruned anti-join shape; the tombstone-
     # subtraction variant is plan-asserted in tests/test_dedup_index.py).
     "dedup_index_delete",
+    # round 12 late: the ANN twin of the lifecycle — the audited plan is
+    # the partition-pruned IVF probe against the compacted generation.
+    "similarity_ivf_deleted",
 ]
 SKIP_PREFIXES = ("events_tumbling", "events_sliding", "events_sessionize",
                  "events_rollup", "events_stateful", "events_stream_")
