@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from flusher_spark.io.tables import load_table
 from flusher_spark.operators.dedup import shingle_rows
-from flusher_spark.operators.text import n_tokens, tokens
+from flusher_spark.operators.text import WS_CLASS, n_tokens, tokens
 from flusher_spark.plans.catalog import register
 
 # The whitespace class is spelled out (not '\s') in every oracle: DuckDB's
@@ -48,11 +48,16 @@ TAG_RE = r"<[^>]+>"
 def _aug_pii(spark_side: bool) -> str:
     """The deterministic PII suffix, as a SQL expression string (same text
     on both engines): ' contact user<id>@example.com or +1-555-<id%%10000>.'"""
+    # coalesce(text, ''): Spark's concat is NULL-propagating while DuckDB's
+    # SKIPS NULL arguments, so a NULL-text fixture row would zero the whole
+    # augmented string on one engine and keep the synthesized suffix on the
+    # other — a loud hash mismatch on an unrelated fixture regen (r12
+    # review). Guarded identically on both sides, the engines agree.
     return (
-        "concat(substring(text, 1, 40), ' contact user', cast(doc_id as string)"
+        "concat(substring(coalesce(text, ''), 1, 40), ' contact user', cast(doc_id as string)"
         ", '@example.com or +1-555-', lpad(cast(doc_id % 10000 as string), 4, '0'), '.')"
         if spark_side
-        else "concat(text[1:40], ' contact user', CAST(doc_id AS VARCHAR)"
+        else "concat(coalesce(text, '')[1:40], ' contact user', CAST(doc_id AS VARCHAR)"
         ", '@example.com or +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '.')"
     )
 
@@ -91,7 +96,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_html_strip",
     oracle=f"""
     WITH aug AS (SELECT doc_id,
-           concat('<p id="d', CAST(doc_id AS VARCHAR), '">', text, '</p>', chr(10), '<br/>') AS t
+           concat('<p id="d', CAST(doc_id AS VARCHAR), '">', coalesce(text, ''), '</p>', chr(10), '<br/>') AS t
       FROM documents)
     SELECT doc_id,
            len(regexp_extract_all(t, '{TAG_RE}')) AS n_tags,
@@ -110,14 +115,18 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(
             F.lit('<p id="d'), F.col("doc_id").cast("string"), F.lit('">'),
-            F.col("text"), F.lit("</p>\n<br/>"),
+            # coalesce: Spark concat NULL-propagates, DuckDB concat skips
+            # NULLs — guard both sides identically (r12 review, _aug_pii)
+            F.coalesce(F.col("text"), F.lit("")), F.lit("</p>\n<br/>"),
         ).alias("t"),
     )
     return aug.select(
         "doc_id",
         F.regexp_count("t", F.lit(TAG_RE)).cast("long").alias("n_tags"),
         F.trim(
-            F.regexp_replace(F.regexp_replace("t", TAG_RE, " "), "[ \\t\\n\\x0B\\f\\r]+", " ")
+            # WS_CLASS: the repo's ONE Spark-side whitespace class
+            # (operators/text.py) — an inline copy could drift (r12 review)
+            F.regexp_replace(F.regexp_replace("t", TAG_RE, " "), WS_CLASS + "+", " ")
         ).alias("clean_text"),
     ).orderBy("doc_id")
 
@@ -152,8 +161,12 @@ def _decon_counts(eval_src: DataFrame, train: DataFrame, n: int, eval_mod: int) 
     drawn from the full corpus) and the e2e pipeline's stage 4 (train =
     the dedup survivors): same broadcast + left-join + dual-count shape,
     one shuffle after the eval build."""
+    # The eval side dedups on s ALONE — a (doc_id, s) pre-distinct was one
+    # full extra exchange+aggregate over the eval shingle set for nothing
+    # (r12 review); the train side keeps its per-doc distinct, which the
+    # n_shingles count needs.
     ev = F.broadcast(
-        shingle_rows(eval_src, n=n).distinct()
+        shingle_rows(eval_src, n=n)
         .where(F.col("doc_id") % eval_mod == 0)
         .select("s")
         .distinct()
@@ -361,15 +374,22 @@ def vocab_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "docs_chunk_overlap",
-    oracle="""
+#: The chunking oracle shared VERBATIM by docs_chunk_overlap and its UDTF
+#: twin docs_chunk_udtf — one definition, so the "identical oracle and
+#: hashes" equivalence claim is enforced by construction rather than
+#: hand-sync (r12 review; the _gopher_stats/_mix_cols discipline).
+_CHUNK_ORACLE = """
     SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
            substring(text, CAST(start AS INTEGER), 200) AS chunk_text,
            length(substring(text, CAST(start AS INTEGER), 200)) AS chunk_len
     FROM documents, UNNEST(generate_series(1, GREATEST(n_chars - 50, 1), 150)) AS u(start)
     ORDER BY doc_id, chunk_start
-    """,
+"""
+
+
+@register(
+    "docs_chunk_overlap",
+    oracle=_CHUNK_ORACLE,
 )
 def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style document chunking: 200-char windows on a 150-char stride
@@ -757,13 +777,7 @@ def corpus_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_chunk_udtf",
-    oracle="""
-    SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
-           substring(text, CAST(start AS INTEGER), 200) AS chunk_text,
-           length(substring(text, CAST(start AS INTEGER), 200)) AS chunk_len
-    FROM documents, UNNEST(generate_series(1, GREATEST(n_chars - 50, 1), 150)) AS u(start)
-    ORDER BY doc_id, chunk_start
-    """,
+    oracle=_CHUNK_ORACLE,  # ONE definition with docs_chunk_overlap (see _CHUNK_ORACLE)
 )
 def docs_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME chunking as docs_chunk_overlap, authored as a Spark 4
@@ -975,7 +989,9 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_dup_rate_by_source",
     oracle="""
-    WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    WITH d AS (SELECT doc_id, source,
+                      COALESCE(md5(text), 'N:' || CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
     g AS (SELECT h, COUNT(*) AS n_copies FROM d GROUP BY h)
     SELECT d.source, COUNT(*) AS n_docs,
            CAST(COUNT(*) FILTER (WHERE g.n_copies > 1) AS BIGINT) AS n_dup_docs,
@@ -997,9 +1013,17 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups, then a broadcast-joinable group-size table folded back per
     source — the diagnostic stage that runs BEFORE committing to the
     expensive near-dup pass, at scan cost. Ratios are one double
-    division of exact counts (bit-equal cross-engine)."""
+    division of exact counts (bit-equal cross-engine). NULL-text docs are
+    their own singleton groups via a per-doc key ('N:' can't collide with
+    md5 hex) — a bare md5 key made the equi-join drop them from the
+    report entirely, identically in both engines, so the hash gate never
+    noticed (r12 review; exact_dedup's NULL-is-missing policy)."""
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.md5("text").alias("h")
+        "doc_id",
+        "source",
+        F.coalesce(
+            F.md5("text"), F.concat(F.lit("N:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
     )
     g = d.groupBy("h").agg(F.count("*").alias("n_copies"))
     j = d.join(g, "h")
@@ -1072,13 +1096,16 @@ from flusher_spark.plans.urls import keep_best_agg as _keep_best_agg  # noqa: E4
                   / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
                          AS DOUBLE) >= 0.5),
     s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_b FROM dup_b)),
-    -- stage 4: decontamination vs the held-out eval split (doc_id % 97 = 0):
-    -- eval docs drop, training docs with >= 50% distinct-3gram overlap drop
-    g_all AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
-              FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)),
-    ev AS (SELECT DISTINCT s FROM g_all WHERE doc_id % 97 = 0),
+    -- stage 4: decontamination vs the held-out eval split (interpolated
+    -- DECON_N / DECON_EVAL_MOD, so a constant retune cannot silently
+    -- decouple this oracle from decontaminate_ngram_overlap — the same
+    -- treatment stage 6 already gives PACK_BUCKETS/PACK_BUDGET):
+    -- eval docs drop, training docs with >= 50% distinct-ngram overlap drop
+    g_all AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{DECON_N - 1}], ' ') AS s
+              FROM t, UNNEST(generate_series(1, len(toks) - {DECON_N - 1})) AS u(i)),
+    ev AS (SELECT DISTINCT s FROM g_all WHERE doc_id % {DECON_EVAL_MOD} = 0),
     tr AS (SELECT g_all.* FROM g_all JOIN s3 USING (doc_id)
-           WHERE g_all.doc_id % 97 <> 0),
+           WHERE g_all.doc_id % {DECON_EVAL_MOD} <> 0),
     ratio AS (SELECT tr.doc_id, COUNT(*) AS n_sh,
                      SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS n_ov
               FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id),
@@ -1093,7 +1120,11 @@ from flusher_spark.plans.urls import keep_best_agg as _keep_best_agg  # noqa: E4
                   / (CAST(n_tokens AS DOUBLE)
                      / CAST(SUM(n_tokens) OVER () AS DOUBLE))
               ) * 1000000) AS BIGINT) AS keep_below FROM agg),
-    s5 AS (SELECT per.* FROM per JOIN mix USING (source)
+    -- null-safe source join: a NULL-source doc that survived stages 1-4
+    -- must reach packing, not silently drop at the mixture join (r12
+    -- review; both engines dropped it identically, invisible to the gate)
+    s5 AS (SELECT per.* FROM per JOIN mix
+           ON per.source IS NOT DISTINCT FROM mix.source
            WHERE CAST(('0x' || substr(md5(CAST(per.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                  % 1000000 < mix.keep_below),
     -- stage 6: contiguous-fill sequence packing (PACK_BUCKETS streams x
@@ -1194,7 +1225,7 @@ def _e2e_pipeline(spark: SparkSession, sf_dir: str, near_dup_pairs) -> DataFrame
     s3 = s2.join(
         pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
     )
-    ratio = _decon_counts(d, s3, 3, 97)
+    ratio = _decon_counts(d, s3, DECON_N, DECON_EVAL_MOD)
     s4 = s3.join(ratio, "doc_id").where(2 * F.col("n_overlap") < F.col("n_shingles"))
     per = s4.select("doc_id", "source", F.size("toks").cast("long").alias("nt"))
     _share, frac = _mix_cols()
@@ -1206,8 +1237,16 @@ def _e2e_pipeline(spark: SparkSession, sf_dir: str, near_dup_pairs) -> DataFrame
             F.floor(frac * 1_000_000).cast("long").alias("keep_below"),
         )
     )
-    s5 = per.join(F.broadcast(mix), "source").where(
-        hash_bucket(F.col("doc_id"), 1_000_000) < F.col("keep_below")
+    # eqNullSafe: a NULL-source survivor must meet its own mix row, not
+    # silently vanish at the equi-join (r12 review)
+    s5 = (
+        per.alias("p")
+        .join(
+            F.broadcast(mix).alias("m"),
+            F.col("p.source").eqNullSafe(F.col("m.source")),
+        )
+        .where(hash_bucket(F.col("p.doc_id"), 1_000_000) < F.col("m.keep_below"))
+        .select(F.col("p.doc_id").alias("doc_id"), F.col("p.nt").alias("nt"))
     )
     return _pack_rollup(s5, "nt")
 

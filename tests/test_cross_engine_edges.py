@@ -214,3 +214,55 @@ def test_local_sql_twins_match_plans_constants():
 
     assert llm._NORM_SQL.replace("lower(text)", "lower(t)") == _NORM_SQL
     assert llm._TOKENS_SQL.replace("lower(text)", "lower(t)") == _TOKENS_SQL
+
+
+def test_null_text_concat_parity_pii_and_html(spark):
+    """r12 review: Spark's concat NULL-PROPAGATES while DuckDB's SKIPS
+    NULL arguments, so any synthesized-column entry concat'ing raw text
+    diverges the engines the moment a fixture carries a NULL text. The
+    corpus entries guard with coalesce(text, '') on BOTH sides — this
+    test runs both engines on a NULL-text micro-fixture and requires
+    byte-identical augmented strings."""
+    import duckdb as _dd
+
+    from flusher_spark.plans.corpus import _aug_pii
+
+    rows = [(1, "hello world"), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.selectExpr("doc_id", f"{_aug_pii(True)} as t").collect()
+    }
+    con = _dd.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = dict(
+        con.sql(f"SELECT doc_id, {_aug_pii(False)} FROM documents ORDER BY doc_id").fetchall()
+    )
+    assert got == want
+    assert got[2] is not None and "@example.com" in got[2]  # NULL text guarded
+
+
+def test_dup_rate_counts_null_text_docs(spark):
+    """r12 review: the dup-rate report's md5 equi-join silently dropped
+    NULL-text documents in BOTH engines (invisible to the hash gate). The
+    per-doc 'N:' disambiguator keeps them as singleton non-dup rows."""
+    from flusher_spark.plans.corpus import corpus_dup_rate_by_source
+
+    import os
+    import tempfile
+
+    rows = [
+        (1, "same", "a"), (2, "same", "a"),  # one dup pair
+        (3, None, "a"),  # NULL text: counted, never a dup
+        (4, None, "b"),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["source"]: (r["n_docs"], r["n_dup_docs"])
+        for r in corpus_dup_rate_by_source(spark, d).collect()
+    }
+    assert got == {"a": (3, 2), "b": (1, 0)}
