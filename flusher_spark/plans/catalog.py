@@ -56,30 +56,32 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Names surfaced first by ``registry()``. The driver's correctness harness
 #: covers a bounded prefix of the registry (50 entries per round), so this
 #: list rotates per round toward the entries whose latest driver verdict is
-#: weakest. Round-12 rotation, in order: (1) the three round-12 NEW entries
+#: weakest. Round-12 rotation, in order: (1) the four round-12 NEW entries
 #: (dedup_incremental_clusters, dedup_index_delete,
-#: dedup_stream_incremental), getting their FIRST driver verdicts
-#: (first-verdict beats re-verdict; the latter two are FULL-oracle — the
-#: delete/compact lifecycle and the monotone-split streaming dedup are both
-#: deterministic); (2) the lone r6 straggler (etl_load_full_vs_incremental,
-#: deferred from the r11 window); (3) 46 of the 50 r7-verdict entries — the
-#: stalest remaining cohort, five fixture regenerations old.
-#: graph_pagerank_weighted carries extra weight: the r12
-#: out-weight-denominator fix can change its output wherever fixture
-#: weights are non-positive. The four spilled r7 entries (join_semi,
-#: window_ntile, window_topk_per_group, window_running_sum — single-shuffle
-#: hash-green plans with direct pytest twins, the lowest-risk picks) queue
-#: first for the r13 window; after this round the freshness histogram
-#: bottoms at r7 with exactly FOUR entries. Every name here must exist
-#: (asserted in tests/test_plans.py); the rest follow in import order.
+#: dedup_stream_incremental, similarity_ivf_deleted), getting their FIRST
+#: driver verdicts (first-verdict beats re-verdict; the middle two are
+#: FULL-oracle — the delete/compact lifecycle and the monotone-split
+#: streaming dedup are both deterministic); (2) the lone r6 straggler
+#: (etl_load_full_vs_incremental, deferred from the r11 window); (3) 45 of
+#: the 50 r7-verdict entries — the stalest remaining cohort, five fixture
+#: regenerations old. graph_pagerank_weighted carries extra weight: the
+#: r12 out-weight-denominator fix can change its output wherever fixture
+#: weights are non-positive. The five spilled r7 entries (join_semi,
+#: window_ntile, window_topk_per_group, window_running_sum,
+#: window_range_interval — single-shuffle hash-green plans with direct
+#: pytest twins, the lowest-risk picks) queue first for the r13 window;
+#: after this round the freshness histogram bottoms at r7 with exactly
+#: FIVE entries. Every name here must exist (asserted in
+#: tests/test_plans.py); the rest follow in import order.
 PRIORITY = (
     # (1) round-12 additions — first driver verdicts
     "dedup_incremental_clusters",  # rows-only: seeded-hash clusters
     "dedup_index_delete",  # FULL oracle: delete+compact lifecycle
     "dedup_stream_incremental",  # FULL oracle: foreachBatch index dedup
+    "similarity_ivf_deleted",  # rows-only: ANN delete+compact lifecycle
     # (2) the r6 straggler
     "etl_load_full_vs_incremental",
-    # (3) the r7-verdict cohort (46 of 50)
+    # (3) the r7-verdict cohort (45 of 50)
     "agg_cube",
     "agg_distinct",
     "agg_grouping_sets",
@@ -125,17 +127,13 @@ PRIORITY = (
     "text_quality_filter_pipeline",
     "text_winnow_fingerprints",
     "window_lag_delta",
-    "window_range_interval",
     # ---- driver window ends here (50) ----
-    # r13 rotation head: the round-12 late addition (first verdict next
-    # round — adding it INSIDE this round's window would displace a fifth
-    # r7 rotation slot; it is fully pytest- and local-oracle-verified now),
-    # then the four spilled r7 entries
-    "similarity_ivf_deleted",
+    # r13 rotation head: the five spilled r7 entries
     "join_semi",
     "window_ntile",
     "window_topk_per_group",
     "window_running_sum",
+    "window_range_interval",
 )
 
 
