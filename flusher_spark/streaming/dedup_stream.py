@@ -62,7 +62,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from flusher_spark.io import generations as G
 from flusher_spark.operators.dedup_index import (
+    _DEFAULT_BUCKETS,
     _current_gen,
     _fingerprint_rows,
     _gen_dir,
@@ -70,9 +72,6 @@ from flusher_spark.operators.dedup_index import (
     _write_meta,
     fingerprint_index_probe,
 )
-
-#: Matches operators/dedup_index's default — see its sizing note.
-_DEFAULT_BUCKETS = 64
 
 
 def stream_fingerprint_index_init(
@@ -91,23 +90,39 @@ def stream_fingerprint_index_init(
     batch index: probes, deletes, compacts, and appends from
     ``operators/dedup_index`` work on it unchanged (appends backfill the
     tag column with NULL, which no exclusion matches)."""
+    # Re-initializing a LIVE index is a rebuild: follow the
+    # fingerprint_index_build lifecycle (io/generations.py) — the seed
+    # lands in a NEW generation and the pointer flips, so probes/appends
+    # resolve the fresh state instead of a dead gen-0 directory, and the
+    # overwritten meta (possibly a different n_buckets) can never pair
+    # with the old generation's bucketing (r12 review).
+    rebuild = os.path.exists(os.path.join(path, "GENERATION")) or os.path.isdir(
+        os.path.join(path, "fingerprints")
+    )
+    new_gen = G.current_gen(path) + 1 if rebuild else 0
     if seed_df is not None:
-        _fingerprint_rows(seed_df, text_col, id_col, n_buckets).withColumn(
-            "src_batch", F.lit("seed")
-        ).select("doc_id", "fingerprint", "src_batch", "fp_bucket").write.mode(
-            "overwrite"
-        ).partitionBy("fp_bucket").parquet(os.path.join(path, "fingerprints"))
-    else:
-        # A zero-row partitionBy write emits NO data files, leaving an
-        # unreadable table; write one empty schema-bearing file into an
-        # explicit partition directory instead (readable immediately,
-        # partition discovery still applies once real appends land).
-        spark.createDataFrame(
-            [], "doc_id long, fingerprint string, src_batch string"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, "fingerprints", "fp_bucket=0")
+        rows = (
+            _fingerprint_rows(seed_df, text_col, id_col, n_buckets)
+            .withColumn("src_batch", F.lit("seed"))
+            .select("doc_id", "fingerprint", "src_batch", "fp_bucket")
         )
+    else:
+        rows = spark.createDataFrame(
+            [], "doc_id long, fingerprint string, src_batch string, fp_bucket long"
+        )
+    # G.write_table, not a bare write: a seed_df with zero fingerprint rows
+    # (empty, or all-NULL text) would otherwise emit no data files and
+    # brick the first probe with UNABLE_TO_INFER_SCHEMA — the exact hazard
+    # the old else-branch guarded for the no-seed case only (r12 review).
+    G.write_table(rows, G.gen_dir(path, "fingerprints", new_gen), "fp_bucket")
     _write_meta(spark, path, n_buckets=n_buckets)
+    if rebuild:
+        G.set_gen(path, new_gen)
+    G.drop_stale_gens(path, "fingerprints", new_gen)
+    G.drop_stale_gens(path, "fp_tombstones", new_gen)
+    import shutil
+
+    shutil.rmtree(G.gen_dir(path, "fp_tombstones", new_gen), ignore_errors=True)
     return path
 
 
@@ -195,6 +210,17 @@ def _checkpoint_run_id(checkpoint_dir: str) -> str:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(marker + ".tmp", marker)
+    # fsync the directory: the marker must be durable BEFORE Spark's first
+    # checkpoint commit — a power loss persisting the commit but losing
+    # the marker dirent would mint a fresh run id on restart, the
+    # re-delivered batch's self-exclusion would match nothing, and its
+    # sink partition would be overwritten with an empty survivor set (r12
+    # review; the io/generations.set_gen discipline).
+    dfd = os.open(checkpoint_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     return rid
 
 
@@ -205,12 +231,30 @@ def run_stream_dedup(
     checkpoint_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    run_id: str | None = None,
 ):
     """Wire a document stream through the dedup sink with an availableNow
     trigger (drain everything queued, then stop — the batch-ingest form;
     drop the trigger for a continuous deployment). Returns the started
-    StreamingQuery; callers await ``q.awaitTermination()``."""
-    run_id = _checkpoint_run_id(checkpoint_dir)
+    StreamingQuery; callers await ``q.awaitTermination()``.
+
+    ``run_id``: required when ``checkpoint_dir`` is a REMOTE URI
+    (s3://, hdfs://, ...): the marker file that derives a stable run id
+    lives inside the checkpoint directory via local-filesystem I/O, so on
+    a remote checkpoint it would silently land on the driver's local disk
+    and vanish with the driver — breaking the tag-stability contract
+    (r12 review). Supply an id that is stable across driver restarts on
+    the same checkpoint and fresh for a new one (e.g. derive it from the
+    checkpoint URI itself plus a deploy stamp)."""
+    if run_id is None:
+        scheme = checkpoint_dir.split("://", 1)[0] if "://" in checkpoint_dir else ""
+        if scheme and scheme != "file":
+            raise ValueError(
+                f"checkpoint_dir {checkpoint_dir!r} is a remote URI: the"
+                " local run-id marker cannot live there — pass run_id="
+                " explicitly (stable per checkpoint lifetime)"
+            )
+        run_id = _checkpoint_run_id(checkpoint_dir.removeprefix("file://"))
     return (
         stream_df.writeStream.foreachBatch(
             dedup_stream_sink(index_path, sink_path, run_id, text_col, id_col)

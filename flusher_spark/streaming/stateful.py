@@ -41,24 +41,48 @@ RUNNING_TOTALS_SCHEMA = T.StructType(
     ]
 )
 
-_TOTALS_STATE_SCHEMA = "n_events long, sum_value double, max_value double"
+#: State schema carries n_vals (count of NON-NULL values) so an all-NULL
+#: user emits NULL sum/max exactly like the batch groupBy twin — the old
+#: (-inf seed, skipna sum) state emitted max_value=-Infinity / sum=0.0 for
+#: such users, diverging from F.max/F.sum's NULL and leaking -Infinity to
+#: downstream consumers (r12 review). Widening the state schema restarts
+#: existing checkpoints fresh — deliberate: the old state could not
+#: distinguish "no values yet" from a genuine 0.0 sum.
+_TOTALS_STATE_SCHEMA = "n_events long, n_vals long, sum_value double, max_value double"
 
 
 def _accumulate_totals(
-    n: int, s: float, m: float, pdfs: Iterator[pd.DataFrame]
-) -> tuple[int, float, float]:
-    """Fold a batch's frames into the (n_events, sum_value, max_value)
-    running state — ONE implementation shared by the applyInPandasWithState
-    operator and its transformWithState twin, so the module's "the
-    processor logic is identical" claim is structural, not a comment that
-    drifts (the two copies had already diverged in guard placement, r10
-    review)."""
+    n: int, nv: int, s: float, m: float, pdfs: Iterator[pd.DataFrame]
+) -> tuple[int, int, float, float]:
+    """Fold a batch's frames into the (n_events, n_vals, sum_value,
+    max_value) running state — ONE implementation shared by the
+    applyInPandasWithState operator and its transformWithState twin, so
+    the module's "the processor logic is identical" claim is structural,
+    not a comment that drifts (the two copies had already diverged in
+    guard placement, r10 review). NULL values count toward n_events but
+    not the aggregates (the F.sum/F.max convention)."""
     for pdf in pdfs:
         if len(pdf):
             n += len(pdf)
-            s += float(pdf["value"].sum())
-            m = max(m, float(pdf["value"].max()))
-    return n, s, m
+            vals = pdf["value"].dropna()
+            if len(vals):
+                nv += len(vals)
+                s += float(vals.sum())
+                m = max(m, float(vals.max()))
+    return n, nv, s, m
+
+
+def _totals_row(key, n: int, nv: int, s: float, m: float) -> pd.DataFrame:
+    """Emission row shared by both twins: NULL aggregates until the user
+    has a non-NULL value (batch-twin parity)."""
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [s if nv else None],
+            "max_value": [m if nv else None],
+        }
+    )
 
 
 def _pick_first_row(frames: list[pd.DataFrame]) -> pd.DataFrame:
@@ -83,12 +107,10 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     def update(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
-        n, s, m = _accumulate_totals(n, s, m, pdfs)
-        state.update((n, s, m))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "max_value": [m]}
-        )
+        n, nv, s, m = state.get if state.exists else (0, 0, 0.0, float("-inf"))
+        n, nv, s, m = _accumulate_totals(n, nv, s, m, pdfs)
+        state.update((n, nv, s, m))
+        yield _totals_row(key, n, nv, s, m)
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
@@ -190,12 +212,12 @@ class RunningTotalsProcessor(StatefulProcessor):
         self._totals = handle.getValueState("totals", _TOTALS_STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        n, s, m = self._totals.get() if self._totals.exists() else (0, 0.0, float("-inf"))
-        n, s, m = _accumulate_totals(n, s, m, rows)
-        self._totals.update((n, s, m))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "max_value": [m]}
+        n, nv, s, m = (
+            self._totals.get() if self._totals.exists() else (0, 0, 0.0, float("-inf"))
         )
+        n, nv, s, m = _accumulate_totals(n, nv, s, m, rows)
+        self._totals.update((n, nv, s, m))
+        yield _totals_row(key, n, nv, s, m)
 
     def close(self) -> None:
         pass

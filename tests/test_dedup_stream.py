@@ -208,3 +208,52 @@ class TestDedupStreamEndToEnd:
         fn(_docs(spark, [(5, "aaa"), (6, "ddd")]), 2)
         got = {(b, d) for b, d, _ in _sink_rows(spark, sink)}
         assert got == {(0, 1), (1, 4), (2, 6)}
+
+
+class TestInitLifecycle:
+    def test_empty_seed_does_not_brick_index(self, spark, tmp_path):
+        """r12 review: a seed_df with zero fingerprint rows (empty, or
+        all-NULL text) used to emit no data files — the first probe died
+        with UNABLE_TO_INFER_SCHEMA."""
+        idx = str(tmp_path / "idx")
+        stream_fingerprint_index_init(
+            spark, idx, seed_df=_docs(spark, [(1, None), (2, None)])
+        )
+        fn = dedup_stream_sink(idx, str(tmp_path / "out"), "runA")
+        fn(_docs(spark, [(10, "alive")]), 0)
+        got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+        assert got == {10}
+
+    def test_reinit_over_compacted_index_resets(self, spark, tmp_path):
+        """r12 review: re-initializing a LIVE (possibly compacted) index
+        must follow the rebuild lifecycle — the old flow wrote a dead
+        gen-0 directory that probes never read, and the overwritten meta
+        could pair a new n_buckets with the old generation's bucketing
+        (silently leaking duplicates through the pruned probe)."""
+        idx = str(tmp_path / "idx")
+        sink1 = str(tmp_path / "out1")
+        stream_fingerprint_index_init(spark, idx)
+        fn = dedup_stream_sink(idx, sink1, "runA")
+        fn(_docs(spark, [(1, "aaa")]), 0)
+        DI.fingerprint_index_compact(spark, idx)  # generation 1
+        # re-init with a DIFFERENT bucket count and a fresh seed
+        stream_fingerprint_index_init(
+            spark, idx, n_buckets=8, seed_df=_docs(spark, [(50, "bbb")])
+        )
+        fn2 = dedup_stream_sink(idx, str(tmp_path / "out2"), "runB")
+        # 'aaa' belongs to the PREVIOUS life: it must survive again;
+        # 'bbb' is seeded history: it must be blocked
+        fn2(_docs(spark, [(60, "aaa"), (61, "bbb")]), 0)
+        got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out2")).collect()}
+        assert got == {60}
+
+    def test_remote_checkpoint_requires_explicit_run_id(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from flusher_spark.streaming.dedup_stream import run_stream_dedup as rsd
+
+        src = tmp_path / "src"
+        src.mkdir()
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        with _pytest.raises(ValueError, match="remote URI"):
+            rsd(stream, str(tmp_path / "idx"), str(tmp_path / "out"), "s3://bucket/ckpt")

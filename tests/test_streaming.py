@@ -666,3 +666,30 @@ def test_right_outer_stream_join_matches_batch(spark):
     }
     assert got == expected
     assert any(pid is None for pid, _ in got), "fixture should have unclaimed views"
+
+
+def test_tws_running_totals_all_null_user_emits_null_aggregates():
+    """r12 review: a user whose events all carry NULL value used to emit
+    max_value=-Infinity / sum_value=0.0 (the -inf seed + skipna sum),
+    where the batch groupBy twin (F.max/F.sum) yields NULL. The state now
+    tracks the non-NULL count and both twins emit NULL aggregates until a
+    real value arrives."""
+    import math
+
+    import pandas as pd
+
+    from flusher_spark.streaming.stateful import RunningTotalsProcessor
+
+    batches = {
+        7: [pd.DataFrame({"value": [None, None]})],
+        8: [pd.DataFrame({"value": [None]}), pd.DataFrame({"value": [4.0]})],
+    }
+    rows = pd.concat(_drive_processor(RunningTotalsProcessor, batches))
+    by_user = rows.groupby("user_id").last()
+    assert by_user.loc[7, "n_events"] == 2  # NULLs still count as events
+    assert pd.isna(by_user.loc[7, "sum_value"])
+    assert pd.isna(by_user.loc[7, "max_value"])
+    assert not math.isinf(float(by_user.loc[8, "max_value"]))
+    assert by_user.loc[8, "n_events"] == 2  # the NULL event + the real one
+    assert by_user.loc[8, "sum_value"] == 4.0
+    assert by_user.loc[8, "max_value"] == 4.0
