@@ -9,12 +9,16 @@ Four tiers, all expressed with built-in Spark ops (no Python UDFs):
 - simhash_pairs        64-bit SimHash + pigeonhole banding on 16-bit chunks,
                        Hamming-verified
 
-Formulation note: everything is posexplode/window/aggregate — deliberately
-NOT higher-order array functions. HOFs (transform/aggregate over arrays) are
+Formulation note: the HOT paths (signatures, votes, pair arithmetic) are
+posexplode/window/aggregate — not higher-order array functions, which are
 CodegenFallback in Spark: one in a stage drops the whole stage to
-interpreted evaluation (measured ~10× on these pipelines; see shingle_rows).
-Jaccard is computed from set-size arithmetic over the inverted index, never
-per-pair array intersection.
+interpreted evaluation (measured ~10× on these pipelines; see
+shingle_rows). The exceptions are deliberate and ROW-LOCAL: shingle_rows'
+transform() builds each doc's shingle array without the full-corpus
+shuffle the posexplode+window formulation needed (its docstring carries
+the measurement), and remove_dup_spans' filter()/exists() rebuild
+per-document token lists. Jaccard is computed from set-size arithmetic
+over the inverted index, never per-pair array intersection.
 
 Scale design: every pairing step goes through an equi-join on a bucket key
 (shingle, band signature, or chunk value) — never a cartesian product. Hot
@@ -110,9 +114,50 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     # test frames) pass through untouched: their partitioning is whatever
     # the caller built, and probing it isn't worth a plan compile.
     files = df.inputFiles()
-    if files and len(files) < p:
-        return df.repartition(p)
-    return df
+    if not files or len(files) >= p:
+        return df
+    # Few files is NOT few partitions when the files are LARGE and
+    # splittable (r12 review: 8×10 GB parquet scans into ~640
+    # maxPartitionBytes splits — a forced repartition(p) would pay a
+    # full-corpus shuffle to REDUCE parallelism). Estimate the scan's
+    # split count from file sizes; any stat failure (object-store URI)
+    # falls back to the file-count signal, which can only over-shuffle,
+    # never under-parallelize.
+    try:
+        import os
+        from urllib.parse import unquote
+
+        raw = str(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        digits = "".join(c for c in raw if c.isdigit()) or "134217728"
+        max_bytes = max(1, int(digits))
+        splits = 0
+        for f in files:
+            local = unquote(f.removeprefix("file://").removeprefix("file:"))
+            splits += max(1, -(-os.stat(local).st_size // max_bytes))
+        if splits >= p:
+            return df
+    except OSError:
+        pass
+    return df.repartition(p)
+
+
+def _jaccard_filtered(sized: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, jaccard) from (__inter, __sz_a, __sz_b) columns — the
+    ONE copy of the oracle-sensitive |A∩B| / (|A|+|B|−|A∩B|) arithmetic
+    shared by the exact n-gram path and MinHash verification (r12 review:
+    two hand-synced copies of an expression two DuckDB oracles must match
+    bit-for-bit)."""
+    return (
+        sized.withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -135,15 +180,7 @@ def ngram_jaccard_pairs(
     |A∪B| = |A| + |B| − |A∩B|. No collect_set / array_intersect — those are
     interpreted per-pair array scans; this is three codegen'd aggregates."""
     sized = _ngram_pair_intersections(df, text_col, id_col, n, max_bucket)
-    return (
-        sized.withColumn(
-            "jaccard",
-            F.col("__inter").cast("double")
-            / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_filtered(sized, threshold)
 
 
 def ngram_containment_pairs(
@@ -294,10 +331,12 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-dup pairs, Jaccard-verified.
 
     bands=8 × rows=4 over 32 permutations → candidate-capture s-curve with
-    ~50% capture at J≈0.59; verification then enforces the exact threshold.
+    ~50% capture at J≈0.54 (1−(1−s⁴)⁸ = 0.5 at s≈0.537; the often-quoted
+    (1/b)^(1/r) ≈ 0.59 is the curve's steepness threshold, where capture is
+    already ~65%); verification then enforces the exact threshold.
     Each band signature is one equi-join key: shuffle is per-band, never
     quadratic. Oversized buckets are capped (see module docstring)."""
-    if bands <= 0 or num_perm % bands != 0:
+    if bands <= 0 or num_perm <= 0 or num_perm % bands != 0:
         # A remainder would silently compute-and-shuffle permutations that
         # never feed a band key, quietly shifting the s-curve the caller
         # parameterized; bands > num_perm would build zero-row bands.
@@ -383,16 +422,15 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("__inter"))
     )
-    return (
-        inter.join(sizes_inv.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("__sz_a")), "doc_a")
-        .join(sizes_inv.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("__sz_b")), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("__inter").cast("double")
-            / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    return _jaccard_filtered(
+        inter.join(
+            sizes_inv.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("__sz_a")),
+            "doc_a",
+        ).join(
+            sizes_inv.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("__sz_b")),
+            "doc_b",
+        ),
+        threshold,
     )
 
 
@@ -403,9 +441,17 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     bit. Like minhash_signatures, the folds are expressed as plain SUM
     aggregates over exploded tokens (whole-stage codegen, map-side partials)
     instead of interpreted higher-order lambdas."""
-    toks = _ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
-    ).where(F.size("t") > 0)
+    # Contentless docs are EXCLUDED up front: tokens('') is [''] (size 1),
+    # so the old size guard let every blank/whitespace-only doc hash the
+    # phantom empty token into one shared signature — N such docs meant
+    # ~N²/2 hamming-0 "near-dup" pairs of nothing (r12 review). NULL text
+    # drops too (the predicate is NULL). exact_dedup owns identical-empty
+    # grouping.
+    toks = (
+        _ensure_parallelism(df)
+        .where(normalized_text(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+    )
     h = F.xxhash64("s")
     exploded = toks.select("doc_id", F.explode("t").alias("s"))
     votes = [
@@ -439,6 +485,15 @@ def simhash_pairs(
     the bucket-size filter and both sides of the candidate self-join, and
     without materialization each branch replays the full-corpus explode +
     64-vote aggregate (same reasoning as minhash_lsh_pairs)."""
+    if not 0 <= max_hamming <= 3:
+        # The 4-chunk pigeonhole only GUARANTEES a shared chunk for pairs
+        # within Hamming 3 (4 differing bits can hit all 4 chunks); a
+        # larger bound would silently return an arbitrary subset of the
+        # promised pair set (r12 review — the minhash guard's discipline).
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be 0..3: the fixed 4-chunk"
+            " banding cannot guarantee recall beyond Hamming 3"
+        )
     sigs = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=False)
     chunks = sigs.select(
         "doc_id",
@@ -455,8 +510,16 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("doc_id", "sig", F.col("c.chunk").alias("chunk"), F.col("c.cval").alias("cval"))
-    sizes = chunks.groupBy("chunk", "cval").agg(F.count("*").alias("n")).where(F.col("n") <= max_bucket)
-    chunks = chunks.join(sizes.select("chunk", "cval"), ["chunk", "cval"])
+    # One-shuffle bucket cap (the minhash_lsh_pairs window formulation —
+    # the old groupBy + join-back paid a second full exchange of the chunk
+    # table, r12 review); the window also leaves the data partitioned by
+    # exactly the key the candidate self-join needs next.
+    wc = Window.partitionBy("chunk", "cval")
+    chunks = (
+        chunks.withColumn("__n", F.count("*").over(wc))
+        .where(F.col("__n") <= max_bucket)
+        .drop("__n")
+    )
     cand = (
         chunks.alias("a")
         .join(

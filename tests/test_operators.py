@@ -3384,3 +3384,23 @@ def test_pq_index_delete_and_compact(spark, tmp_path):
     assert {r["vec_id"] for r in S.pq_query_index(spark, path, q, k=5).collect()} == {
         r["vec_id"] for r in before
     }
+
+
+def test_simhash_excludes_contentless_docs_and_guards_hamming(spark):
+    """r12 review: tokens('') is [''], so blank/whitespace-only docs used
+    to share one phantom-token signature and emit ~N^2/2 hamming-0 pairs
+    of nothing; they are excluded up front now. And max_hamming > 3 must
+    raise — the 4-chunk pigeonhole cannot guarantee recall beyond 3."""
+    import pytest as _pytest
+
+    from flusher_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\t\n"), (4, None), (5, "real content here")],
+        "doc_id long, text string",
+    )
+    sigs = simhash_signatures(df)
+    assert {r["doc_id"] for r in sigs.collect()} == {5}
+    assert simhash_pairs(df).collect() == []  # no phantom pairs
+    with _pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs(df, max_hamming=4)
