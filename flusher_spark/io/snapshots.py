@@ -180,6 +180,10 @@ class SnapshotTable:
         pruning get TIGHT: a range scan touches ~selectivity × files
         instead of every file (each unclustered file spans the whole key
         space). One extra range shuffle per commit, repaid on every read.
+        Omitting ``cluster_by`` (None) ADOPTS the table's recorded layout;
+        passing the explicit empty list ``[]`` deliberately re-layouts to
+        UNCLUSTERED (commits stop recording a layout, clearing it for
+        later openers).
 
         ``target_file_rows`` / ``target_file_bytes`` size every clustered
         commit FROM ITS DATA — the Iceberg/Delta write.target-file-size
@@ -233,9 +237,13 @@ class SnapshotTable:
         # second writer that omits cluster_by — the CLI opens tables with
         # key alone — must not silently rewrite files UNCLUSTERED, with
         # whole-keyspace min/max ranges that degrade every later pruned
-        # read. An explicit cluster_by wins (a deliberate re-layout);
-        # omission adopts the recorded one.
-        if self.cluster_by is None:
+        # read. An explicit cluster_by wins (a deliberate re-layout), and
+        # the EMPTY list is the deliberate re-layout TO UNCLUSTERED
+        # (r12 ADVICE: without the sentinel, omission always adopted and
+        # every commit re-recorded, so un-clustering was impossible) — its
+        # commits stop recording the layout, which clears it for later
+        # openers; only true omission (None) adopts the recorded one.
+        if cluster_by is None:
             rec_cb = stored_cluster_by(self.root)
             if rec_cb:
                 self.cluster_by = list(rec_cb)

@@ -100,6 +100,41 @@ def shingles_table(
     )
 
 
+#: Spark byte-string suffixes (JavaUtils.byteStringAsBytes): a bare number
+#: means BYTES for this conf; "k/m/g/t/p" (optionally with a trailing "b",
+#: e.g. "128m" == "128mb") are binary multiples.
+_BYTE_SUFFIXES = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
+}
+
+
+def _parse_byte_string(raw: str, default: int = 128 << 20) -> int:
+    """Parse a Spark byte-size conf value ("134217728", "128m", "1g") the way
+    JavaUtils.byteStringAsBytes does. Stripping non-digits is NOT a parse:
+    "128m" would become 128 BYTES, exploding the split estimate below and
+    silently skipping the repartition this helper exists to apply. Unknown
+    shapes fall back to Spark's 128m default rather than guessing."""
+    s = raw.strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:].strip()
+    if not num or suffix not in _BYTE_SUFFIXES:
+        return default
+    return max(1, int(num) * _BYTE_SUFFIXES[suffix])
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition CPU-bound inputs that arrive under-split (e.g. a single
     row group): the shuffle of a document table is trivia next to running
@@ -130,8 +165,7 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
         raw = str(
             df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
-        digits = "".join(c for c in raw if c.isdigit()) or "134217728"
-        max_bytes = max(1, int(digits))
+        max_bytes = _parse_byte_string(raw)
         splits = 0
         for f in files:
             local = unquote(f.removeprefix("file://").removeprefix("file:"))

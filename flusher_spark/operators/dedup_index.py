@@ -84,16 +84,29 @@ from flusher_spark.operators.text import fingerprint_md5
 _DEFAULT_BUCKETS = 64
 
 
-def _write_meta(spark: SparkSession, path: str, **params: int) -> None:
+def _write_meta(spark: SparkSession, path: str, gen: int = 0, **params: int) -> None:
+    """Write the one-row parameter table, GENERATION-SCOPED like the data
+    tables (``meta`` at gen 0, ``meta_g<N>`` after — resolved through the
+    same pointer). Builds/compacts write the NEW generation's meta before
+    the flip, so the flip publishes data and parameters ATOMICALLY — a crash
+    in between leaves the old (data, meta) pair intact instead of pairing
+    old data with new parameters (a changed n_buckets would silently break
+    the probe's bucket pruning — r12 ADVICE)."""
     row = [tuple(int(params[k]) for k in sorted(params))]
     schema = ", ".join(f"{k} long" for k in sorted(params))
     spark.createDataFrame(row, schema).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "meta")
+        G.gen_dir(path, "meta", gen)
     )
 
 
 def _read_meta(spark: SparkSession, path: str) -> dict[str, int]:
-    row = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    """Parameters of the LIVE generation. Pre-fix indexes (compacted before
+    meta was generation-scoped) have only the bare shared ``meta`` table —
+    fall back to it so every existing index keeps working unchanged."""
+    mdir = G.gen_dir(path, "meta", G.current_gen(path))
+    if not os.path.isdir(mdir):
+        mdir = os.path.join(path, "meta")
+    row = spark.read.parquet(mdir).collect()[0]
     return {k: int(v) for k, v in row.asDict().items()}
 
 
@@ -170,10 +183,9 @@ def fingerprint_index_build(
     pointer — never an in-place overwrite — so the previous life (data AND
     its generation-scoped tombstones) stays intact and in scope until one
     atomic flip, exactly the compact crash story; the swept-away old
-    directories are reclaimed after. (One documented non-atomicity: the
-    shared meta table is overwritten before the flip, so rebuilding IN
-    PLACE with a DIFFERENT n_buckets has a tiny window where old data
-    pairs with new meta — prefer a fresh path when changing parameters.)"""
+    directories are reclaimed after. Meta is generation-scoped too (r13),
+    so even rebuilding in place with a DIFFERENT n_buckets is atomic: old
+    data can never pair with new parameters."""
     spark = df.sparkSession
     rebuild = os.path.exists(os.path.join(path, "GENERATION")) or os.path.isdir(
         os.path.join(path, "fingerprints")
@@ -181,11 +193,11 @@ def fingerprint_index_build(
     new_gen = _current_gen(path) + 1 if rebuild else 0
     rows = _fingerprint_rows(df, text_col, id_col, n_buckets)
     _write_table(rows, _gen_dir(path, "fingerprints", new_gen), "fp_bucket")
-    _write_meta(spark, path, n_buckets=n_buckets)
+    _write_meta(spark, path, new_gen, n_buckets=n_buckets)
     if rebuild:
         _set_gen(path, new_gen)
-    _drop_stale_gens(path, "fingerprints", new_gen)
-    _drop_stale_gens(path, "fp_tombstones", new_gen)
+    for tbl in ("fingerprints", "fp_tombstones", "meta"):
+        _drop_stale_gens(path, tbl, new_gen)
     shutil.rmtree(_gen_dir(path, "fp_tombstones", new_gen), ignore_errors=True)
     return path
 
@@ -387,15 +399,26 @@ def fingerprint_index_compact(spark: SparkSession, path: str) -> int:
             ["doc_id", "fingerprint"],
             "left_anti",
         )
+    # Collapse IDENTICAL rows (all columns): a retried streaming micro-batch
+    # appends its rows twice (self-excluded for that batch, existence-safe
+    # for later probes — see streaming/dedup_stream.py), and the documented
+    # torn-append repair re-runs a whole append. Without this the "compact
+    # reclaims the space" promise was false for retry duplicates (r12
+    # ADVICE) — they'd survive every compact forever. Safe under the probe's
+    # existence semantics; distinct src_batch tags stay distinct rows.
+    index = index.dropDuplicates()
     # _write_table, not a bare write: an all-tombstoned index compacts to
     # ZERO rows, and a bare empty partitionBy write would leave the new
     # generation unreadable — bricking the index at the pointer flip.
     _write_table(index, _gen_dir(path, "fingerprints", gen + 1), "fp_bucket")
+    # Carry the (unchanged) parameters into the new generation so every
+    # generation owns its meta — the flip publishes both atomically.
+    _write_meta(spark, path, gen + 1, **_read_meta(spark, path))
     _set_gen(path, gen + 1)
     # Post-flip cleanup; the old generation and its (now out-of-scope)
     # tombstones are dead weight, not correctness state.
-    _drop_stale_gens(path, "fingerprints", gen + 1)
-    _drop_stale_gens(path, "fp_tombstones", gen + 1)
+    for tbl in ("fingerprints", "fp_tombstones", "meta"):
+        _drop_stale_gens(path, tbl, gen + 1)
     return gen + 1
 
 
@@ -492,15 +515,16 @@ def minhash_index_build(
     _write_meta(
         df.sparkSession,
         path,
+        new_gen,  # generation-scoped: the flip publishes data + meta atomically
         num_perm=num_perm,
         bands=bands,
         shingle_n=shingle_n,
         seed=seed,
         n_buckets=n_buckets,
-    )  # before the flip: the published generation must pair with its meta
+    )
     if rebuild:
         _set_gen(path, new_gen)
-    for tbl in ("sigs", "bands", "mh_tombstones"):
+    for tbl in ("sigs", "bands", "mh_tombstones", "meta"):
         _drop_stale_gens(path, tbl, new_gen)
     shutil.rmtree(_gen_dir(path, "mh_tombstones", new_gen), ignore_errors=True)
     _drop_stale_gens(croot, "base", new_gen)
@@ -775,8 +799,12 @@ def minhash_index_compact(spark: SparkSession, path: str) -> int:
             _gen_dir(croot, "base", gen + 1),
             "c_bucket",
         )
+    # Carry the (unchanged) parameter family into the new generation —
+    # meta is generation-scoped, and a probe must never resolve signatures
+    # against a different permutation family's parameters.
+    _write_meta(spark, path, gen + 1, **_read_meta(spark, path))
     _set_gen(path, gen + 1)
-    for tbl in ("sigs", "bands", "mh_tombstones"):
+    for tbl in ("sigs", "bands", "mh_tombstones", "meta"):
         _drop_stale_gens(path, tbl, gen + 1)
     _drop_stale_gens(croot, "base", gen + 1)
     return gen + 1

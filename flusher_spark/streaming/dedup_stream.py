@@ -115,11 +115,11 @@ def stream_fingerprint_index_init(
     # brick the first probe with UNABLE_TO_INFER_SCHEMA — the exact hazard
     # the old else-branch guarded for the no-seed case only (r12 review).
     G.write_table(rows, G.gen_dir(path, "fingerprints", new_gen), "fp_bucket")
-    _write_meta(spark, path, n_buckets=n_buckets)
+    _write_meta(spark, path, new_gen, n_buckets=n_buckets)
     if rebuild:
         G.set_gen(path, new_gen)
-    G.drop_stale_gens(path, "fingerprints", new_gen)
-    G.drop_stale_gens(path, "fp_tombstones", new_gen)
+    for tbl in ("fingerprints", "fp_tombstones", "meta"):
+        G.drop_stale_gens(path, tbl, new_gen)
     import shutil
 
     shutil.rmtree(G.gen_dir(path, "fp_tombstones", new_gen), ignore_errors=True)

@@ -650,3 +650,100 @@ class TestMinhashLifecycle:
             for r in DI.minhash_cluster_labels(spark, path).collect()
         }
         assert got == {(30, 30), (31, 30)}  # the NEW corpus only
+
+
+class TestMetaGenerationScoping:
+    """r13 (r12 ADVICE): meta is generation-scoped like the data tables, so
+    the pointer flip publishes data AND parameters atomically — rebuilding
+    in place with a different n_buckets has no window where old data pairs
+    with new meta (which would silently break the probe's bucket prune)."""
+
+    def test_rebuild_with_new_buckets_is_atomic(self, spark, tmp_path):
+        path = str(tmp_path / "fpidx")
+        DI.fingerprint_index_build(_docs(spark, HIST), path, n_buckets=4)
+        assert os.path.isdir(os.path.join(path, "meta"))  # gen 0: bare name
+        DI.fingerprint_index_build(_docs(spark, HIST), path, n_buckets=16)
+        # gen 1 owns its meta; the old shared table is swept after the flip
+        assert os.path.isdir(os.path.join(path, "meta_g1"))
+        assert not os.path.isdir(os.path.join(path, "meta"))
+        assert DI._read_meta(spark, path)["n_buckets"] == 16
+        got = {
+            r["doc_id"]
+            for r in DI.fingerprint_index_probe(spark, path, _docs(spark, BATCH)).collect()
+        }
+        assert got == {11, 13, 14}
+
+    def test_compact_carries_meta_forward(self, spark, tmp_path):
+        path = str(tmp_path / "fpidx")
+        DI.fingerprint_index_build(_docs(spark, HIST), path, n_buckets=8)
+        DI.fingerprint_index_delete(spark, path, _ids(spark, 2))
+        gen = DI.fingerprint_index_compact(spark, path)
+        assert gen == 1
+        assert os.path.isdir(os.path.join(path, f"meta_g{gen}"))
+        assert not os.path.isdir(os.path.join(path, "meta"))
+        assert DI._read_meta(spark, path)["n_buckets"] == 8
+        # the compacted index still answers probes with the carried params
+        got = {
+            r["doc_id"]
+            for r in DI.fingerprint_index_probe(spark, path, _docs(spark, BATCH)).collect()
+        }
+        assert got == {11, 13, 14}
+
+    def test_read_meta_falls_back_to_pre_fix_shared_meta(self, spark, tmp_path):
+        """An index compacted BEFORE meta was generation-scoped has a live
+        generation > 0 but only the bare shared meta table — reads must keep
+        working on it unchanged."""
+        import shutil
+
+        path = str(tmp_path / "fpidx")
+        DI.fingerprint_index_build(_docs(spark, HIST), path, n_buckets=8)
+        DI.fingerprint_index_compact(spark, path)
+        shutil.move(os.path.join(path, "meta_g1"), os.path.join(path, "meta"))
+        assert DI._read_meta(spark, path)["n_buckets"] == 8
+        # and the next compact migrates it into the generation scheme
+        gen = DI.fingerprint_index_compact(spark, path)
+        assert os.path.isdir(os.path.join(path, f"meta_g{gen}"))
+        assert not os.path.isdir(os.path.join(path, "meta"))
+
+    def test_minhash_compact_carries_meta_forward(self, spark, tmp_path):
+        path = str(tmp_path / "mhidx")
+        docs = _docs(
+            spark,
+            [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")],
+        )
+        DI.minhash_index_build(docs, path, num_perm=16, bands=4)
+        DI.minhash_index_delete(spark, path, _ids(spark, 2))
+        gen = DI.minhash_index_compact(spark, path)
+        assert os.path.isdir(os.path.join(path, f"meta_g{gen}"))
+        assert not os.path.isdir(os.path.join(path, "meta"))
+        m = DI._read_meta(spark, path)
+        assert (m["num_perm"], m["bands"]) == (16, 4)
+        # probing an identical copy of the live doc still works post-compact
+        probe = DI.minhash_index_probe(
+            spark, path, _docs(spark, [(10, "alpha beta gamma delta epsilon zeta")])
+        )
+        assert {r["doc_hist"] for r in probe.collect()} == {1}
+
+    def test_compact_collapses_retry_duplicate_rows(self, spark, tmp_path):
+        """r12 ADVICE: the docstring promise 'a compact collapses the
+        duplicates physically' — a repair re-run (or a retried streaming
+        micro-batch) appends identical rows twice; compact must reclaim
+        them, not carry them forever."""
+        path = str(tmp_path / "fpidx")
+        DI.fingerprint_index_build(_docs(spark, HIST), path)
+        batch = _docs(spark, [(11, "sphinx of black quartz judge my vow")])
+        DI.fingerprint_index_append(spark, path, batch)
+        DI.fingerprint_index_append(spark, path, batch)  # the documented repair re-run
+        fp0 = spark.read.parquet(os.path.join(path, "fingerprints"))
+        assert fp0.where(F.col("doc_id") == 11).count() == 2
+        DI.fingerprint_index_compact(spark, path)
+        fp1 = spark.read.parquet(os.path.join(path, "fingerprints_g1"))
+        assert fp1.where(F.col("doc_id") == 11).count() == 1
+        # existence semantics unchanged: the duplicate is still blocked
+        got = {
+            r["doc_id"]
+            for r in DI.fingerprint_index_probe(
+                spark, path, _docs(spark, [(20, "sphinx of black quartz judge my vow")])
+            ).collect()
+        }
+        assert got == set()

@@ -1633,3 +1633,29 @@ def test_snapshot_schema_evolution_ignores_nested_nullability(spark, tmp_path):
         t.append(spark.range(6, 7).selectExpr(
             "id as k", "named_struct('a', cast(id as string)) as s"
         ))
+
+
+def test_snapshot_cluster_by_empty_list_unclusters(spark, tmp_path):
+    """r13 (r12 ADVICE): cluster_by=[] is the deliberate re-layout TO
+    UNCLUSTERED. Omission (None) adopts the recorded layout; the explicit
+    empty list must NOT adopt, and its commits stop recording a layout so
+    later omitted-cluster_by openers see an unclustered table."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.snapshots import SnapshotTable, stored_cluster_by
+
+    root = str(tmp_path / "uncluster")
+    src = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    SnapshotTable(spark, root, "k", cluster_by=["k"]).create(src)
+    assert stored_cluster_by(root) == ["k"]
+    # omission adopts
+    assert SnapshotTable(spark, root, "k").cluster_by == ["k"]
+    # explicit [] does not adopt, and its commit clears the recorded layout
+    t = SnapshotTable(spark, root, "k", cluster_by=[])
+    assert t.cluster_by is None
+    t.append(
+        spark.range(1000, 2000).select(F.col("id").alias("k"), F.lit(2).alias("v"))
+    )
+    assert stored_cluster_by(root) is None
+    assert SnapshotTable(spark, root, "k").cluster_by is None
+    assert SnapshotTable(spark, root, "k").snapshot().count() == 2000

@@ -3404,3 +3404,23 @@ def test_simhash_excludes_contentless_docs_and_guards_hamming(spark):
     assert simhash_pairs(df).collect() == []  # no phantom pairs
     with _pytest.raises(ValueError, match="max_hamming"):
         simhash_pairs(df, max_hamming=4)
+
+
+def test_parse_byte_string_units():
+    """r13 ADVICE: '128m' used to parse as 128 BYTES (digit-stripping),
+    which exploded the split estimate and silently skipped the repartition
+    for genuinely under-split scans. Real suffixes now multiply; junk falls
+    back to Spark's 128m default instead of guessing."""
+    from flusher_spark.operators.dedup import _parse_byte_string
+
+    assert _parse_byte_string("134217728") == 128 << 20
+    assert _parse_byte_string("134217728b") == 128 << 20
+    assert _parse_byte_string("128m") == 128 << 20
+    assert _parse_byte_string("128MB") == 128 << 20
+    assert _parse_byte_string("1g") == 1 << 30
+    assert _parse_byte_string("4k") == 4 << 10
+    assert _parse_byte_string(" 2t ") == 2 << 40
+    # unknown/garbage shapes -> the conservative default, never tiny values
+    assert _parse_byte_string("") == 128 << 20
+    assert _parse_byte_string("abc") == 128 << 20
+    assert _parse_byte_string("12parsecs") == 128 << 20
