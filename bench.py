@@ -248,6 +248,14 @@ HEADLINE = [
     # similarity_ivf_persisted: build+delete+compact dominated; the query
     # half is the same pruned probe similarity_ivf_persisted's family
     # already shapes.)
+    # round 13 additions (both excluded by the precedents above:
+    # dedup_stream_neardup is stream-executed — its cached build runs a
+    # real StreamingQuery whose per-batch probe/self-join shapes are
+    # already headline-timed by dedup_minhash_lsh; corpus_e2e_incremental
+    # is index-write-dominated on first call like dedup_incremental_exact,
+    # and its read half composes three shapes the headline already times —
+    # corpus_gopher_rules' stats filter, the exact probe's anti-join, and
+    # corpus_source_mix's broadcast mixture.)
 ]
 
 

@@ -563,9 +563,20 @@ def minhash_index_append(
     # same append (both writes are append-only and the probe dedups
     # candidate pairs, so duplicated band rows are harmless).
     gen = _current_gen(path)
-    _band_rows(sig, m["num_perm"], m["bands"], m["n_buckets"]).write.mode(
-        "append"
-    ).partitionBy("lsh_bucket").parquet(_gen_dir(path, "bands", gen))
+    bands = _band_rows(sig, m["num_perm"], m["bands"], m["n_buckets"])
+    if "src_batch" in spark.read.parquet(_gen_dir(path, "sigs", gen)).columns:
+        # Stream-initialized index (streaming/dedup_stream.py): every file
+        # must carry the tag column (same rationale as
+        # fingerprint_index_append). NULL = "not written by any stream
+        # batch" — always kept by the probe's null-safe exclusion.
+        none = F.lit(None).cast("string")
+        bands = bands.withColumn("src_batch", none).select(
+            "doc_id", "band", "bsig", "src_batch", "lsh_bucket"
+        )
+        sig = sig.withColumn("src_batch", none).select("doc_id", "sig", "src_batch")
+    bands.write.mode("append").partitionBy("lsh_bucket").parquet(
+        _gen_dir(path, "bands", gen)
+    )
     sig.write.mode("append").parquet(_gen_dir(path, "sigs", gen))
     return path
 
@@ -579,6 +590,7 @@ def minhash_index_probe(
     threshold: float = 0.5,
     max_bucket: int = 1000,
     prune: bool = True,
+    exclude_src_batch: str | None = None,
 ) -> DataFrame:
     """Near-dup detection of an incoming batch against the PERSISTED index:
     returns (doc_new, doc_hist, est_jaccard) pairs where a batch document
@@ -597,12 +609,24 @@ def minhash_index_probe(
     Fan-out bounds: both the stored side and the batch side of the bucket
     join are capped at ``max_bucket`` rows per (band, bsig) — same window
     trick, same rationale as ``minhash_lsh_pairs`` (degenerate signatures,
-    e.g. boilerplate-only pages, would otherwise square)."""
+    e.g. boilerplate-only pages, would otherwise square).
+
+    ``exclude_src_batch``: for indexes whose rows carry a ``src_batch`` tag
+    column (``streaming/dedup_stream.py`` — "<run_id>#<batch_id>", unique
+    per logical micro-batch across stream restarts), ignore band rows this
+    micro-batch wrote itself — the SELF-EXCLUSION that makes a retried
+    at-least-once micro-batch recompute identical survivors even after its
+    own append landed (its first attempt's band rows would otherwise turn
+    batch-internal pairs into history matches). Null-safe: untagged rows
+    (batch appends into a stream index) are always kept."""
     m = _read_meta(spark, path)
     sig_new = _signature_rows(
         batch, text_col, id_col, m["num_perm"], m["shingle_n"], m["seed"]
     ).localCheckpoint(eager=False)  # consumed twice: band rows + verification
-    return _probe_pairs(spark, path, m, sig_new, threshold, max_bucket, prune)
+    return _probe_pairs(
+        spark, path, m, sig_new, threshold, max_bucket, prune,
+        exclude_src_batch=exclude_src_batch,
+    )
 
 
 def _probe_pairs(
@@ -614,6 +638,7 @@ def _probe_pairs(
     max_bucket: int,
     prune: bool,
     fallback_sigs: DataFrame | None = None,
+    exclude_src_batch: str | None = None,
 ) -> DataFrame:
     """minhash_index_probe's body, split out so the cluster layer can reuse
     it with an ALREADY-COMPUTED signature frame (the append flow consumes
@@ -630,6 +655,18 @@ def _probe_pairs(
     gen = _current_gen(path)
     bands_new = _band_rows(sig_new, m["num_perm"], m["bands"], m["n_buckets"])
     index = spark.read.parquet(_gen_dir(path, "bands", gen))
+    if exclude_src_batch is not None:
+        if "src_batch" not in index.columns:
+            raise ValueError(
+                "exclude_src_batch requires an index whose rows carry a"
+                " src_batch column (stream_minhash_index_init)"
+            )
+        # Candidates are generated from the bands side only, so excluding
+        # there suffices; the sigs lookup never requests a doc that produced
+        # no candidate rows.
+        index = index.where(
+            ~F.col("src_batch").eqNullSafe(F.lit(str(exclude_src_batch)))
+        )
     if prune:
         # Bounded collect (≤ n_buckets ints) → parquet partition pruning.
         buckets = [
@@ -776,9 +813,14 @@ def minhash_index_compact(spark: SparkSession, path: str) -> int:
     tomb = _tombstones(spark, path, "mh_tombstones", gen)
 
     def _live(df: DataFrame) -> DataFrame:
-        if tomb is None:
-            return df
-        return df.join(F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti")
+        if tomb is not None:
+            df = df.join(F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti")
+        # Collapse IDENTICAL rows: a retried streaming micro-batch or the
+        # documented torn-append repair re-run appends its rows twice —
+        # harmless to probes (candidate dedup + max-agreement), but compact
+        # is where the space comes back (the fingerprint twin's r12 ADVICE
+        # promise, applied to both index families).
+        return df.dropDuplicates()
 
     # _write_table throughout: a fully-tombstoned table compacts to zero
     # rows, and a bare empty write would leave the new generation

@@ -56,84 +56,84 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Names surfaced first by ``registry()``. The driver's correctness harness
 #: covers a bounded prefix of the registry (50 entries per round), so this
 #: list rotates per round toward the entries whose latest driver verdict is
-#: weakest. Round-12 rotation, in order: (1) the four round-12 NEW entries
-#: (dedup_incremental_clusters, dedup_index_delete,
-#: dedup_stream_incremental, similarity_ivf_deleted), getting their FIRST
-#: driver verdicts (first-verdict beats re-verdict; the middle two are
-#: FULL-oracle — the delete/compact lifecycle and the monotone-split
-#: streaming dedup are both deterministic); (2) the lone r6 straggler
-#: (etl_load_full_vs_incremental, deferred from the r11 window); (3) 45 of
-#: the 50 r7-verdict entries — the stalest remaining cohort, five fixture
-#: regenerations old. graph_pagerank_weighted carries extra weight: the
-#: r12 out-weight-denominator fix can change its output wherever fixture
-#: weights are non-positive. The five spilled r7 entries (join_semi,
-#: window_ntile, window_topk_per_group, window_running_sum,
-#: window_range_interval — single-shuffle hash-green plans with direct
-#: pytest twins, the lowest-risk picks) queue first for the r13 window;
-#: after this round the freshness histogram bottoms at r7 with exactly
-#: FIVE entries. Every name here must exist (asserted in
+#: weakest. Round-13 rotation, in order: (1) the two round-13 NEW entries
+#: (dedup_stream_neardup — the streaming MinHash sink, rows-only by the
+#: approximate-operator convention; corpus_e2e_incremental — the composed
+#: incremental pipeline, FULL oracle via the monotone doc_id split),
+#: getting their FIRST driver verdicts per the freshness-guard convention;
+#: (2) the five r7-verdict entries spilled from the r12 window (join_semi
+#: + the four window_* entries — the stalest cohort, six fixture
+#: regenerations old); (3) 43 of the 50 r8-verdict entries. The seven
+#: spilled r8 entries (count_rows, distinct_values, setop_union,
+#: setop_intersect, setop_except, join_cross, case_when_bucketing —
+#: single-operator relational plans with direct pytest twins and no code
+#: touched since r8, the lowest-risk picks) queue first for the r14
+#: window; after this round the freshness histogram bottoms at r8 with
+#: exactly SEVEN entries. Every name here must exist (asserted in
 #: tests/test_plans.py); the rest follow in import order.
 PRIORITY = (
-    # (1) round-12 additions — first driver verdicts
-    "dedup_incremental_clusters",  # rows-only: seeded-hash clusters
-    "dedup_index_delete",  # FULL oracle: delete+compact lifecycle
-    "dedup_stream_incremental",  # FULL oracle: foreachBatch index dedup
-    "similarity_ivf_deleted",  # rows-only: ANN delete+compact lifecycle
-    # (2) the r6 straggler
-    "etl_load_full_vs_incremental",
-    # (3) the r7-verdict cohort (45 of 50)
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "agg_variance_manual",
-    "agg_weighted_median_udaf",
-    "corpus_dup_rate_by_source",
-    "corpus_gopher_rules",
-    "corpus_perplexity_buckets",
-    "dedup_canonical_url",
-    "dedup_sorted_neighborhood",
-    "etl_snapshot_cdc_delete",
-    "etl_snapshot_changes_feed",
-    "etl_snapshot_schema_evolution",
-    "events_attribution_split_touch",
-    "events_cumulative_reach",
-    "events_histogram_equidepth",
-    "events_longest_streak",
-    "events_rollup_day_hour",
-    "events_session_funnel",
-    "events_stateful_dedup_first",
-    "events_stateful_running_totals",
-    "events_stream_stream_full_join",
-    "events_trend_grouped_map",
-    "graph_connected_components",
-    "graph_pagerank_weighted",
-    "graph_triangle_stats",
-    "join_broadcast_dim",
-    "join_full_outer",
-    "join_left_outer",
-    "join_scd2_pointintime",
-    "multimodal_audio_decimate",
-    "multimodal_binary_stats",
-    "multimodal_feature_extract",
-    "multimodal_png_variants",
-    "reco_copurchase_similarity",
-    "sample_hash_split",
-    "sample_stratified_split",
-    "similarity_ivf_appended",
-    "similarity_matryoshka_truncated",
-    "similarity_topk_exact",
-    "text_edit_distance",
-    "text_quality_filter_pipeline",
-    "text_winnow_fingerprints",
-    "window_lag_delta",
-    # ---- driver window ends here (50) ----
-    # r13 rotation head: the five spilled r7 entries
+    # (1) round-13 additions — first driver verdicts
+    "dedup_stream_neardup",  # rows-only: streaming MinHash near-dup sink
+    "corpus_e2e_incremental",  # FULL oracle: composed incremental pipeline
+    # (2) the r7-verdict cohort (the five spilled from r12)
     "join_semi",
     "window_ntile",
     "window_topk_per_group",
     "window_running_sum",
     "window_range_interval",
+    # (3) the r8-verdict cohort (43 of 50)
+    "agg_exact_median_histogram",
+    "agg_exact_median_ranked",
+    "asof_purchase_last_view",
+    "corpus_e2e_pipeline",
+    "dedup_substring_mask",
+    "dedup_substring_spans",
+    "embedding_quantize_int8",
+    "etl_partitioned_write_pruning",
+    "etl_snapshot_clustered_scan",
+    "etl_upsert_latest",
+    "events_markov_transitions",
+    "events_resample_gapfill",
+    "events_retention_cohorts",
+    "events_rfm_segmentation",
+    "events_scd2_intervals",
+    "events_sessionize_30m",
+    "events_sliding_2h_1h",
+    "events_stream_stream_join",
+    "events_stream_stream_right_join",
+    "events_stream_upsert_latest",
+    "events_tumbling_hourly",
+    "filter_projection_pushdown",
+    "join_anti",
+    "multimodal_png_decode",
+    "multimodal_ppm_decode",
+    "multimodal_wav_decode",
+    "pivot_linestatus",
+    "profile_lineitem_columns",
+    "quality_expectations_orders",
+    "range_scan_rows",
+    "sample_per_group_topk",
+    "scalar_array_ops",
+    "scalar_date_funcs",
+    "scalar_json_extract",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "shuffle_deterministic_order",
+    "similarity_topk_quantized",
+    "text_bm25_topk",
+    "text_fuzzy_join_typos",
+    "text_pii_redact",
+    "topk_orders_global",
+    "unpivot_part_attrs",
+    # ---- driver window ends here (50) ----
+    # r14 rotation head: the seven spilled r8 entries
+    "count_rows",
+    "distinct_values",
+    "setop_union",
+    "setop_intersect",
+    "setop_except",
+    "join_cross",
+    "case_when_bucketing",
 )
 
 

@@ -596,6 +596,177 @@ def dedup_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_stream_neardup")  # rows-only: seeded-hash approximate operator
+def dedup_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental NEAR-dup dedup — the MinHash twin of
+    dedup_stream_incremental (streaming/dedup_stream.py::run_stream_neardup):
+    the documents table arrives as a real file-source stream in two
+    mtime-ordered micro-batches; each micro-batch's signatures probe the
+    persisted band/sig tables with SELF-EXCLUSION on its
+    "<run_id>#<batch_id>" tag (the exact sink's retry-idempotency
+    discipline, no ledger), batch docs near-matching history or a
+    smaller-id batch member are dropped (keep-min, the semantic_dedup_keep
+    convention), survivors land in a batch-partitioned sink, and the
+    SURVIVORS' sigs+bands join the index (bands before sigs — the
+    torn-append order the probe detects). Rows-only by the
+    approximate-operator convention (seeded permutation family); retry /
+    restart / delete-compact interop pinned in tests/test_dedup_stream.py.
+    Output: surviving doc_ids with their micro-batch id."""
+    import shutil
+    import tempfile
+    import time
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _build(p: str) -> None:
+        from flusher_spark.streaming.dedup_stream import (
+            run_stream_neardup,
+            stream_minhash_index_init,
+        )
+
+        k = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] // 2
+        stream_minhash_index_init(spark, os.path.join(p, "idx"))
+        src = os.path.join(p, "src")
+        os.makedirs(src)
+        now = time.time()
+        for i, half in enumerate(
+            (docs.where(F.col("doc_id") <= k), docs.where(F.col("doc_id") > k))
+        ):
+            staged = tempfile.mkdtemp(prefix="flusher_stream_stage_")
+            half.select("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(staged)
+            part = next(n for n in os.listdir(staged) if n.endswith(".parquet"))
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.move(os.path.join(staged, part), dst)
+            shutil.rmtree(staged, ignore_errors=True)
+            # the file source processes oldest-first: pin strict order
+            os.utime(dst, (now + i, now + i))
+        q = run_stream_neardup(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            os.path.join(p, "idx"),
+            os.path.join(p, "out"),
+            os.path.join(p, "ckpt"),
+        )
+        q.awaitTermination()
+
+    path = _scratch_index("mhstream", sf_dir, _build, stamp_file="documents.parquet")
+    return spark.read.parquet(os.path.join(path, "out")).select(
+        "doc_id", F.col("batch_id").cast("long").alias("batch_id")
+    )
+
+
+def _incremental_pipeline(
+    spark: SparkSession, index_path: str, batch: DataFrame
+) -> DataFrame:
+    """The incremental corpus-prep body shared by [corpus_e2e_incremental]
+    and its never-rescans-history test: quality-stats rules over the
+    incoming batch → exact dedup against the PERSISTED fingerprint index
+    (history reachable only through the index path — batch-1 text is
+    structurally out of reach) → uniform-target mixture downsample →
+    per-source admission report. One lazy plan over the batch; the only
+    history read is the bucket-pruned fingerprint scan inside the probe."""
+    from flusher_spark.operators.sampling import hash_bucket
+    from flusher_spark.operators.text import tokens
+    from flusher_spark.plans.corpus import _gopher_stats, _mix_cols
+
+    t = batch.select("doc_id", "source", "text", tokens(F.col("text")).alias("toks"))
+    nw, sumlen, nalpha = _gopher_stats()
+    s1 = t.where(
+        nw.between(50, 100000)
+        & (3 * nw <= sumlen)
+        & (sumlen <= 10 * nw)
+        & (5 * nalpha >= 4 * nw)
+    )
+    surv = DI.fingerprint_index_probe(spark, index_path, s1)
+    per = s1.join(surv.select("doc_id"), "doc_id").select(
+        "doc_id", "source", F.size("toks").cast("long").alias("nt")
+    )
+    _share, frac = _mix_cols()
+    mix = (
+        per.groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+        .select("source", F.floor(frac * 1_000_000).cast("long").alias("keep_below"))
+    )
+    s5 = (
+        per.alias("p")
+        .join(
+            F.broadcast(mix).alias("m"),
+            F.col("p.source").eqNullSafe(F.col("m.source")),
+        )
+        .where(hash_bucket(F.col("p.doc_id"), 1_000_000) < F.col("m.keep_below"))
+        .select(F.col("p.source").alias("source"), F.col("p.nt").alias("nt"))
+    )
+    return s5.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+
+
+@register(
+    "corpus_e2e_incremental",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, source, text, {_TOKENS_SQL} AS toks FROM documents),
+    k AS (SELECT MAX(doc_id) // 2 AS k FROM documents),
+    b AS (SELECT t.* FROM t, k WHERE t.doc_id > k.k),
+    -- stage 1: document-statistics quality rules over the incoming batch
+    s1 AS (SELECT * FROM b
+           WHERE len(toks) BETWEEN 50 AND 100000
+             AND 3 * len(toks) <= list_sum(list_transform(toks, x -> length(x)))
+             AND list_sum(list_transform(toks, x -> length(x))) <= 10 * len(toks)
+             AND 5 * len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   >= 4 * len(toks)),
+    -- stage 2: exact dedup vs batch-1 history + within-batch collapse
+    fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents),
+    hist AS (SELECT fp.fingerprint FROM fp, k WHERE fp.doc_id <= k.k),
+    bfp AS (SELECT s1.doc_id, s1.source, CAST(len(s1.toks) AS BIGINT) AS nt,
+                   fp.fingerprint
+            FROM s1 JOIN fp USING (doc_id)),
+    surv AS (SELECT MIN(doc_id) AS doc_id FROM bfp b2
+             WHERE NOT EXISTS (SELECT 1 FROM hist h
+                               WHERE h.fingerprint = b2.fingerprint)
+             GROUP BY fingerprint, CASE WHEN fingerprint IS NULL THEN doc_id END),
+    per AS (SELECT bfp.doc_id, bfp.source, bfp.nt FROM bfp JOIN surv USING (doc_id)),
+    -- stage 3: uniform-target mixture downsample over the admitted batch
+    agg AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens FROM per GROUP BY source),
+    mix AS (SELECT source,
+              CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                (CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE))
+                  / (CAST(n_tokens AS DOUBLE)
+                     / CAST(SUM(n_tokens) OVER () AS DOUBLE))
+              ) * 1000000) AS BIGINT) AS keep_below FROM agg),
+    s5 AS (SELECT per.source, per.nt FROM per JOIN mix
+           ON per.source IS NOT DISTINCT FROM mix.source
+           WHERE CAST(('0x' || substr(md5(CAST(per.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 1000000 < mix.keep_below)
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM s5 GROUP BY source
+    """,
+)
+def corpus_e2e_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE INCREMENTAL PRODUCTION SHAPE, composed end to end: batch 2 of a
+    corpus (doc_id > max/2) flows through quality-stats rules →
+    persisted-index exact dedup against batch 1's fingerprint index
+    (dedup_incremental_exact's probe — batch-1 TEXT is structurally
+    unreachable, only the stored md5 table is read, bucket-pruned) →
+    uniform-target mixture downsample (corpus_source_mix's arithmetic) —
+    proving that the e2e pipeline's stages compose against PERSISTED state
+    instead of a full-corpus rescan. The monotone doc_id split keeps every
+    stage SQL-expressible, so unlike the from-scratch [corpus_e2e_pipeline]
+    this is a FULL-oracle incremental run. Output: per-source admitted
+    document/token counts (the ingest report a crawl operator watches).
+    The never-rescans-history property is input-file-asserted in
+    tests/test_corpus.py over physically separate corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] // 2
+    path = _scratch_index(
+        "fpincr",
+        sf_dir,
+        lambda p: DI.fingerprint_index_build(docs.where(F.col("doc_id") <= k), p),
+        stamp_file="documents.parquet",
+    )
+    return _incremental_pipeline(spark, path, docs.where(F.col("doc_id") > k))
+
+
 @register("dedup_minhash_index")  # rows-only: seeded-hash approximate operator
 def dedup_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup detection — the MinHash twin of

@@ -65,10 +65,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from flusher_spark.io import generations as G
 from flusher_spark.operators.dedup_index import (
     _DEFAULT_BUCKETS,
+    _band_rows,
     _current_gen,
     _fingerprint_rows,
     _gen_dir,
+    _probe_pairs,
     _read_meta,
+    _self_candidates,
+    _signature_rows,
+    _verified_pairs,
     _write_meta,
     fingerprint_index_probe,
 )
@@ -189,6 +194,177 @@ def dedup_stream_sink(
     return _sink
 
 
+def stream_minhash_index_init(
+    spark: SparkSession,
+    path: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    n_buckets: int = _DEFAULT_BUCKETS,
+    seed_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Create a MinHash near-dup index whose ``sigs`` AND ``bands`` rows
+    carry a ``src_batch`` tag column — the self-exclusion tag the streaming
+    NEAR-dup sink's retry idempotency rests on (the exact twin is
+    ``stream_fingerprint_index_init``). ``seed_df`` optionally pre-loads an
+    existing corpus (tagged "seed"). Layout-compatible with the batch
+    index: ``minhash_index_probe/append/delete/compact`` and the cluster
+    layer work on it unchanged (batch appends backfill the tag with NULL,
+    which no exclusion matches)."""
+    if bands <= 0 or num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a positive multiple of bands ({bands})"
+        )
+    rebuild = os.path.exists(os.path.join(path, "GENERATION")) or os.path.isdir(
+        os.path.join(path, "sigs")
+    )
+    new_gen = G.current_gen(path) + 1 if rebuild else 0
+    if seed_df is not None:
+        sig = (
+            _signature_rows(seed_df, text_col, id_col, num_perm, shingle_n, seed)
+            .withColumn("src_batch", F.lit("seed"))
+            .select("doc_id", "sig", "src_batch")
+        )
+    else:
+        sig = spark.createDataFrame([], "doc_id long, sig array<long>, src_batch string")
+    # Write sigs first, then derive bands FROM THE WRITTEN TABLE so the
+    # shingle+aggregate pipeline runs once (the minhash_index_build
+    # discipline). G.write_table keeps zero-row seeds readable.
+    G.write_table(sig, G.gen_dir(path, "sigs", new_gen), None)
+    stored = spark.read.parquet(G.gen_dir(path, "sigs", new_gen))
+    band_rows = (
+        _band_rows(stored, num_perm, bands, n_buckets)
+        .join(stored.select("doc_id", "src_batch"), "doc_id")
+        .select("doc_id", "band", "bsig", "src_batch", "lsh_bucket")
+    )
+    G.write_table(band_rows, G.gen_dir(path, "bands", new_gen), "lsh_bucket")
+    _write_meta(
+        spark,
+        path,
+        new_gen,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        seed=seed,
+        n_buckets=n_buckets,
+    )
+    if rebuild:
+        G.set_gen(path, new_gen)
+    for tbl in ("sigs", "bands", "mh_tombstones", "meta"):
+        G.drop_stale_gens(path, tbl, new_gen)
+    import shutil
+
+    shutil.rmtree(G.gen_dir(path, "mh_tombstones", new_gen), ignore_errors=True)
+    croot = os.path.join(path, "clusters")
+    G.drop_stale_gens(croot, "base", new_gen)
+    shutil.rmtree(G.gen_dir(croot, "base", new_gen), ignore_errors=True)
+    return path
+
+
+def neardup_stream_sink(
+    index_path: str,
+    sink_path: str,
+    run_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> Callable[[DataFrame, int], None]:
+    """The NEAR-dup foreachBatch function — the MinHash twin of
+    ``dedup_stream_sink``: probe the micro-batch's signatures against the
+    STORED band/sig tables (self-excluding this micro-batch's tag), drop
+    batch docs that near-match history or a smaller-id batch member, write
+    survivors to ``<sink_path>/run_id=<rid>/batch_id=<bid>/``, then append
+    the SURVIVORS' band rows and signatures to the index (bands before
+    sigs — the torn-append order whose tear the probe detects, see
+    minhash_index_append).
+
+    Survivor rule (deterministic, batch-bounded): a doc is dropped iff it
+    (a) clears the agreement threshold against ANY historical doc, or
+    (b) clears it against a SMALLER-id member of its own batch — the
+    greedy keep-min convention of ``semantic_dedup_keep``. Docs too short
+    to produce a signature (NULL/blank text) can never near-match and pass
+    through. Appending survivors only is the transitive-closure trade: a
+    later doc similar to a DROPPED near-dup but not to its surviving
+    representative is missed — the standard crawl-dedup semantics, and the
+    same trade the batch cluster layer makes explicit.
+
+    Retry idempotency is the exact sink's discipline (module docstring):
+    the probe self-excludes "<run_id>#<batch_id>"-tagged rows, so a
+    retried at-least-once micro-batch recomputes identical survivors even
+    after its own append landed; duplicated append rows are self-excluded
+    for this batch, harmless to later batches (candidate dedup +
+    max-agreement), and physically collapsed by minhash_index_compact.
+
+    At scale: one bucket-pruned band join per micro-batch (probe cost
+    follows the batch), one batch-sized self-join for internal pairs, and
+    two append-only writes sized by the batch's survivors."""
+    meta_cache: dict[str, int] = {}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = f"{run_id}#{int(batch_id)}"
+        part = os.path.join(sink_path, f"run_id={run_id}", f"batch_id={int(batch_id)}")
+        if not meta_cache:  # immutable after init: read once
+            meta_cache.update(_read_meta(spark, index_path))
+        m = meta_cache
+        # ceil(threshold × num_perm) as an exact integer, the float-safe
+        # way the cluster layer freezes it — probe and batch-internal
+        # verification must cut at the SAME agreement count.
+        min_agree = max(-(-int(threshold * m["num_perm"] * 1000000) // 1000000), 1)
+        sig_new = _signature_rows(
+            batch_df, text_col, id_col, m["num_perm"], m["shingle_n"], m["seed"]
+        ).localCheckpoint(eager=False)  # probe + self-pairs + survivor append
+        hist = _probe_pairs(
+            spark,
+            index_path,
+            m,
+            sig_new,
+            threshold,
+            max_bucket,
+            prune=True,
+            exclude_src_batch=tag,
+        )
+        bands_new = _band_rows(sig_new, m["num_perm"], m["bands"], m["n_buckets"])
+        internal = _verified_pairs(
+            _self_candidates(bands_new, max_bucket), sig_new, m["num_perm"], min_agree
+        )
+        dropped = (
+            hist.select(F.col("doc_new").alias("doc_id"))
+            .union(internal.select(F.col("doc_b").alias("doc_id")))  # doc_a < doc_b
+            .distinct()
+        )
+        (
+            batch_df.select(F.col(id_col).alias("doc_id"))
+            .join(dropped, "doc_id", "left_anti")
+            .write.mode("overwrite")
+            .parquet(part)
+        )
+        # Index only the SURVIVORS' rows, keyed off the sink partition just
+        # written (the sink and the index can never diverge). Bands FIRST,
+        # sigs second — the torn-append order (minhash_index_append).
+        surv_sig = sig_new.join(
+            spark.read.parquet(part).select("doc_id"), "doc_id"
+        ).withColumn("src_batch", F.lit(tag))
+        gen = _current_gen(index_path)
+        (
+            _band_rows(surv_sig, m["num_perm"], m["bands"], m["n_buckets"])
+            .withColumn("src_batch", F.lit(tag))  # one tag per whole batch
+            .select("doc_id", "band", "bsig", "src_batch", "lsh_bucket")
+            .write.mode("append")
+            .partitionBy("lsh_bucket")
+            .parquet(_gen_dir(index_path, "bands", gen))
+        )
+        surv_sig.select("doc_id", "sig", "src_batch").write.mode("append").parquet(
+            _gen_dir(index_path, "sigs", gen)
+        )
+
+    return _sink
+
+
 def _checkpoint_run_id(checkpoint_dir: str) -> str:
     """A run id that is STABLE across driver restarts on the same
     checkpoint (Spark re-delivers the same logical batch ids there — the
@@ -246,18 +422,55 @@ def run_stream_dedup(
     (r12 review). Supply an id that is stable across driver restarts on
     the same checkpoint and fresh for a new one (e.g. derive it from the
     checkpoint URI itself plus a deploy stamp)."""
-    if run_id is None:
-        scheme = checkpoint_dir.split("://", 1)[0] if "://" in checkpoint_dir else ""
-        if scheme and scheme != "file":
-            raise ValueError(
-                f"checkpoint_dir {checkpoint_dir!r} is a remote URI: the"
-                " local run-id marker cannot live there — pass run_id="
-                " explicitly (stable per checkpoint lifetime)"
-            )
-        run_id = _checkpoint_run_id(checkpoint_dir.removeprefix("file://"))
+    run_id = _resolve_run_id(checkpoint_dir, run_id)
     return (
         stream_df.writeStream.foreachBatch(
             dedup_stream_sink(index_path, sink_path, run_id, text_col, id_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _resolve_run_id(checkpoint_dir: str, run_id: str | None) -> str:
+    """Shared run-id contract of both streaming sinks (see
+    ``run_stream_dedup``'s docstring for the remote-checkpoint rule)."""
+    if run_id is not None:
+        return run_id
+    scheme = checkpoint_dir.split("://", 1)[0] if "://" in checkpoint_dir else ""
+    if scheme and scheme != "file":
+        raise ValueError(
+            f"checkpoint_dir {checkpoint_dir!r} is a remote URI: the"
+            " local run-id marker cannot live there — pass run_id="
+            " explicitly (stable per checkpoint lifetime)"
+        )
+    return _checkpoint_run_id(checkpoint_dir.removeprefix("file://"))
+
+
+def run_stream_neardup(
+    stream_df: DataFrame,
+    index_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    run_id: str | None = None,
+):
+    """Wire a document stream through the NEAR-dup sink (availableNow
+    trigger — the batch-ingest form; drop the trigger for a continuous
+    deployment). The index at ``index_path`` must be
+    ``stream_minhash_index_init``-initialized (rows carry the src_batch
+    tag). Same run-id contract as ``run_stream_dedup``. Returns the
+    started StreamingQuery."""
+    run_id = _resolve_run_id(checkpoint_dir, run_id)
+    return (
+        stream_df.writeStream.foreachBatch(
+            neardup_stream_sink(
+                index_path, sink_path, run_id, text_col, id_col, threshold, max_bucket
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -253,3 +253,40 @@ def test_domain_quota_precombine_splits_mega_domain(spark):
     ), plan
     # Output contract sanity: the mega source keeps exactly k rows.
     assert cand.where(F.col("source") == "mega").count() == 5
+
+
+def test_incremental_pipeline_never_rescans_history(spark, tmp_path):
+    """r13: [corpus_e2e_incremental]'s contract — batch-2 survivors respect
+    batch-1 history through the PERSISTED fingerprint index alone. Proven
+    physically: history and batch live in separate parquet directories, the
+    executed plan's input files must include the index and must NOT include
+    the history directory."""
+    import os
+
+    from flusher_spark.operators import dedup_index as DI
+    from flusher_spark.plans.llm import _incremental_pipeline
+
+    filler = " ".join(f"tok{i}" for i in range(60))  # clears the 50-word rule
+    hist_rows = [(i, "src_a", f"{filler} history doc {i}") for i in range(1, 6)]
+    batch_rows = (
+        # 11 duplicates history doc 1 verbatim: must be dropped by the probe
+        [(11, "src_a", f"{filler} history doc 1")]
+        # 12/13 are a batch-internal dup pair: min id 12 survives
+        + [(12, "src_b", f"{filler} fresh doc x"), (13, "src_b", f"{filler} fresh doc x")]
+        + [(14, "src_b", f"{filler} fresh doc y")]
+    )
+    schema = "doc_id long, source string, text string"
+    hist_dir = str(tmp_path / "hist")
+    batch_dir = str(tmp_path / "batch")
+    spark.createDataFrame(hist_rows, schema).write.parquet(hist_dir)
+    spark.createDataFrame(batch_rows, schema).write.parquet(batch_dir)
+    idx = str(tmp_path / "fpidx")
+    DI.fingerprint_index_build(spark.read.parquet(hist_dir), idx)
+    out = _incremental_pipeline(spark, idx, spark.read.parquet(batch_dir))
+    files = out.inputFiles()
+    assert any(f"fpidx{os.sep}fingerprints" in f for f in files), files
+    assert not any(f"{os.sep}hist{os.sep}" in f for f in files), files
+    got = {(r["source"], r["n_docs"]) for r in out.collect()}
+    # 11 blocked by history, 13 collapsed into 12; with one source left the
+    # uniform-target mixture keeps everything (share == target)
+    assert got == {("src_b", 2)}

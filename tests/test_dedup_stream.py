@@ -257,3 +257,177 @@ class TestInitLifecycle:
         stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
         with _pytest.raises(ValueError, match="remote URI"):
             rsd(stream, str(tmp_path / "idx"), str(tmp_path / "out"), "s3://bucket/ckpt")
+
+
+# --------------------------------------------------------------------------
+# Streaming NEAR-dup (MinHash twin) — r13
+# --------------------------------------------------------------------------
+
+from flusher_spark.streaming.dedup_stream import (  # noqa: E402
+    neardup_stream_sink,
+    run_stream_neardup,
+    stream_minhash_index_init,
+)
+
+# ≥ shingle_n tokens each; identical texts agree 32/32 (est 1.0), disjoint
+# vocabularies cannot clear the 0.5 gate (≥16 of 32 seeded minima equal).
+T1 = "the quick brown fox jumps over the lazy dog"
+T2 = "pack my box with five dozen liquor jugs today"
+T3 = "sphinx of black quartz judge my vow tonight"
+T4 = "how vexingly quick daft zebras jump around here"
+T5 = "waltz bad nymph for quick jigs vex friends"
+T6 = "crazy frederick bought many very exquisite opal jewels"
+
+
+def _nd_rows(spark, sink):
+    return {
+        (r["batch_id"], r["doc_id"]) for r in spark.read.parquet(sink).collect()
+    }
+
+
+class TestNeardupStreamSink:
+    """Direct foreachBatch-function tests (deterministic batch ids)."""
+
+    def test_cross_batch_neardup_and_internal_collapse(self, spark, tmp_path):
+        idx = str(tmp_path / "idx")
+        sink = str(tmp_path / "out")
+        stream_minhash_index_init(spark, idx)
+        fn = neardup_stream_sink(idx, sink, "runA")
+        fn(_docs(spark, [(1, T1), (2, T2)]), 0)
+        # 3 near-matches batch-0's survivor 1; 4/5 are an internal pair
+        # (keep-min: 4 survives)
+        fn(_docs(spark, [(3, T1), (4, T3), (5, T3)]), 1)
+        # 6 matches a batch-1 SURVIVOR: proves survivors' sigs were indexed
+        fn(_docs(spark, [(6, T3), (7, T4)]), 2)
+        assert _nd_rows(spark, sink) == {(0, 1), (0, 2), (1, 4), (2, 7)}
+
+    def test_retry_recomputes_identical_survivors(self, spark, tmp_path):
+        """At-least-once: the same (df, batch_id) runs again AFTER its
+        first attempt fully landed (survivors written AND sigs+bands
+        appended). Self-exclusion must yield the identical survivor set —
+        without it, the retry's batch-internal docs would 'match history'
+        (their own first-attempt rows) and emit zero survivors."""
+        idx = str(tmp_path / "idx")
+        sink = str(tmp_path / "out")
+        stream_minhash_index_init(spark, idx)
+        fn = neardup_stream_sink(idx, sink, "runA")
+        fn(_docs(spark, [(1, T1)]), 0)
+        b1 = _docs(spark, [(2, T2), (3, T1)])  # 3 near-dups history
+        fn(b1, 1)
+        first = _nd_rows(spark, sink)
+        assert first == {(0, 1), (1, 2)}
+        fn(b1, 1)  # retry
+        assert _nd_rows(spark, sink) == first
+        # duplicated index rows are harmless to later batches
+        fn(_docs(spark, [(4, T2), (5, T5)]), 2)
+        assert _nd_rows(spark, sink) == first | {(2, 5)}
+
+    def test_unsigned_docs_pass_through(self, spark, tmp_path):
+        """NULL-text and too-short docs produce no signature, can never
+        near-match, and must SURVIVE (the exact sink's NULL-is-unique
+        policy, near-dup form) without landing in the index."""
+        idx = str(tmp_path / "idx")
+        sink = str(tmp_path / "out")
+        stream_minhash_index_init(spark, idx)
+        fn = neardup_stream_sink(idx, sink, "runA")
+        fn(_docs(spark, [(1, None), (2, "two tokens"), (3, T1)]), 0)
+        assert _nd_rows(spark, sink) == {(0, 1), (0, 2), (0, 3)}
+        sigs = spark.read.parquet(os.path.join(idx, "sigs"))
+        assert {r["doc_id"] for r in sigs.collect()} == {3}
+
+    def test_fresh_run_reused_batch_ids_still_dedup(self, spark, tmp_path):
+        """Batch ids restart at 0 on a fresh checkpoint — the run-scoped
+        tag must keep the previous run's batch-0 rows visible."""
+        idx = str(tmp_path / "idx")
+        stream_minhash_index_init(spark, idx)
+        fn_a = neardup_stream_sink(idx, str(tmp_path / "outA"), "runA")
+        fn_a(_docs(spark, [(1, T1)]), 0)
+        fn_b = neardup_stream_sink(idx, str(tmp_path / "outB"), "runB")
+        fn_b(_docs(spark, [(7, T1), (8, T6)]), 0)  # same batch id!
+        got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "outB")).collect()}
+        assert got == {8}  # 7 blocked by runA's batch-0 rows
+        got_a = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "outA")).collect()}
+        assert got_a == {1}
+
+    def test_delete_compact_interop(self, spark, tmp_path):
+        idx = str(tmp_path / "idx")
+        sink = str(tmp_path / "out")
+        stream_minhash_index_init(spark, idx, seed_df=_docs(spark, [(100, T1)]))
+        fn = neardup_stream_sink(idx, sink, "runA")
+        fn(_docs(spark, [(1, T1), (2, T2)]), 0)  # 1 near-dups the seed
+        assert _nd_rows(spark, sink) == {(0, 2)}
+        # batch probe (no exclusion) answers from the stream-built index
+        pairs = DI.minhash_index_probe(spark, idx, _docs(spark, [(10, T2)]))
+        assert {r["doc_hist"] for r in pairs.collect()} == {2}
+        # tombstone the seed: it stops attracting immediately
+        DI.minhash_index_delete(spark, idx, _docs(spark, [(100, "x")]).select("doc_id"))
+        fn(_docs(spark, [(3, T1), (4, T5)]), 1)  # T1 no longer blocked
+        assert _nd_rows(spark, sink) == {(0, 2), (1, 3), (1, 4)}
+        # compact flips the generation; tag column survives; stream continues
+        assert DI.minhash_index_compact(spark, idx) == 1
+        sigs = spark.read.parquet(os.path.join(idx, "sigs_g1"))
+        assert "src_batch" in sigs.columns
+        assert {r["doc_id"] for r in sigs.collect()} == {2, 3, 4}
+        fn(_docs(spark, [(5, T5), (6, T6)]), 2)  # 5 near-dups survivor 4
+        assert _nd_rows(spark, sink) == {(0, 2), (1, 3), (1, 4), (2, 6)}
+
+    def test_batch_append_interop_keeps_tag_column(self, spark, tmp_path):
+        """A BATCH minhash_index_append into a stream index must backfill
+        src_batch on BOTH tables (sigs + bands) — otherwise schema
+        inference could drop the tag column and kill self-exclusion."""
+        idx = str(tmp_path / "idx")
+        sink = str(tmp_path / "out")
+        stream_minhash_index_init(spark, idx)
+        fn = neardup_stream_sink(idx, sink, "runA")
+        fn(_docs(spark, [(1, T1)]), 0)
+        DI.minhash_index_append(spark, idx, _docs(spark, [(2, T2)]))
+        for tbl in ("sigs", "bands"):
+            assert "src_batch" in spark.read.parquet(os.path.join(idx, tbl)).columns
+        # the batch-appended doc blocks its near-dups in the stream
+        fn(_docs(spark, [(3, T2), (4, T4)]), 1)
+        assert _nd_rows(spark, sink) == {(0, 1), (1, 4)}
+
+
+class TestNeardupStreamEndToEnd:
+    def test_file_stream_availablenow_and_restart(self, spark, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        idx = str(tmp_path / "idx")
+        sink = str(tmp_path / "out")
+        stream_minhash_index_init(spark, idx)
+        batches = [
+            [(1, T1), (2, T2)],
+            [(3, T1), (4, T3)],  # 3 near-dups batch-0
+            [(5, T3), (6, T4)],  # 5 near-dups batch-1's survivor
+        ]
+        now = time.time()
+        for i, rows in enumerate(batches):
+            staged = str(tmp_path / f"stage{i}")
+            _docs(spark, rows).coalesce(1).write.parquet(staged)
+            part = next(n for n in os.listdir(staged) if n.endswith(".parquet"))
+            dst = str(src / f"b{i}.parquet")
+            os.rename(os.path.join(staged, part), dst)
+            os.utime(dst, (now + i, now + i))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = run_stream_neardup(stream, idx, sink, str(tmp_path / "ckpt"))
+        q.awaitTermination()
+        survivors = {d for _, d in _nd_rows(spark, sink)}
+        assert survivors == {1, 2, 4, 6}
+        # restart with a NEW checkpoint, same index: re-sent near-dup caught
+        src2 = tmp_path / "src2"
+        src2.mkdir()
+        staged2 = str(tmp_path / "stage_restart")
+        _docs(spark, [(7, T4), (8, T5)]).coalesce(1).write.parquet(staged2)
+        part2 = next(n for n in os.listdir(staged2) if n.endswith(".parquet"))
+        os.rename(os.path.join(staged2, part2), str(src2 / "b0.parquet"))
+        stream2 = spark.readStream.schema("doc_id long, text string").parquet(str(src2))
+        q2 = run_stream_neardup(
+            stream2, idx, str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+        )
+        q2.awaitTermination()
+        got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out2")).collect()}
+        assert got == {8}
