@@ -81,6 +81,12 @@ PROBES = [
     # compacted-index probe and the partitioned-sink read respectively)
     ("dedup_index_delete", "probe vs compacted index (post delete)"),
     ("dedup_stream_incremental", "batch_id-partitioned survivor sink read"),
+    # round 13 (the full streaming near-dup run / the index build happen
+    # once per sf via _scratch_index; the timed repeats measure the
+    # partitioned-sink read and the composed quality+probe+mixture read
+    # plan respectively)
+    ("dedup_stream_neardup", "near-dup survivor sink read"),
+    ("corpus_e2e_incremental", "quality + index probe + mixture, one plan"),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
