@@ -130,7 +130,11 @@ def _parse_byte_string(raw: str, default: int = 128 << 20) -> int:
     while i > 0 and not s[i - 1].isdigit():
         i -= 1
     num, suffix = s[:i], s[i:].strip()
-    if not num or suffix not in _BYTE_SUFFIXES:
+    # isdigit, not int(): '1.5g' strips to num='1.5' and '0x800...' to a
+    # hex-ish remnant — int() would raise past _ensure_parallelism's
+    # OSError-only catch and crash the operator; the contract is fall back,
+    # never raise (r13 review).
+    if not num.isdigit() or suffix not in _BYTE_SUFFIXES:
         return default
     return max(1, int(num) * _BYTE_SUFFIXES[suffix])
 

@@ -552,10 +552,6 @@ def dedup_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies were blocked wholesale), NULL-text docs are unique per policy —
     the oracle replays exactly that. End-to-end retry/restart behavior is
     pinned in tests/test_dedup_stream.py."""
-    import shutil
-    import tempfile
-    import time
-
     docs = load_table(spark, sf_dir, "documents")
 
     def _build(p: str) -> None:
@@ -564,35 +560,47 @@ def dedup_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream_fingerprint_index_init,
         )
 
-        k = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] // 2
         stream_fingerprint_index_init(spark, os.path.join(p, "idx"))
-        src = os.path.join(p, "src")
-        os.makedirs(src)
-        now = time.time()
-        for i, half in enumerate(
-            (docs.where(F.col("doc_id") <= k), docs.where(F.col("doc_id") > k))
-        ):
-            staged = tempfile.mkdtemp(prefix="flusher_stream_stage_")
-            half.select("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(staged)
-            part = next(n for n in os.listdir(staged) if n.endswith(".parquet"))
-            dst = os.path.join(src, f"b{i}.parquet")
-            shutil.move(os.path.join(staged, part), dst)
-            shutil.rmtree(staged, ignore_errors=True)
-            # the file source processes oldest-first: pin strict order
-            os.utime(dst, (now + i, now + i))
-        q = run_stream_dedup(
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src),
-            os.path.join(p, "idx"),
-            os.path.join(p, "out"),
+        stream = _staged_two_batch_stream(spark, docs, os.path.join(p, "src"))
+        run_stream_dedup(
+            stream, os.path.join(p, "idx"), os.path.join(p, "out"),
             os.path.join(p, "ckpt"),
-        )
-        q.awaitTermination()
+        ).awaitTermination()
 
     path = _scratch_index("fpstream", sf_dir, _build, stamp_file="documents.parquet")
     return spark.read.parquet(os.path.join(path, "out")).select(
         "doc_id", "fingerprint", "n_copies", F.col("batch_id").cast("long").alias("batch_id")
+    )
+
+
+def _staged_two_batch_stream(spark: SparkSession, docs: DataFrame, src: str):
+    """Stage the documents table as a two-file streaming source — the
+    monotone doc_id split (≤ max/2, then the rest), one flat parquet file
+    per intended micro-batch with STRICTLY ordered mtimes (the file source
+    processes oldest-first) — and return the readStream over it. The one
+    copy of the mtime-pinning discipline both streaming catalog entries
+    rely on (r13 review: it was pasted per entry)."""
+    import shutil
+    import tempfile
+    import time
+
+    k = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] // 2
+    os.makedirs(src)
+    now = time.time()
+    for i, half in enumerate(
+        (docs.where(F.col("doc_id") <= k), docs.where(F.col("doc_id") > k))
+    ):
+        staged = tempfile.mkdtemp(prefix="flusher_stream_stage_")
+        half.select("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(n for n in os.listdir(staged) if n.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.move(os.path.join(staged, part), dst)
+        shutil.rmtree(staged, ignore_errors=True)
+        os.utime(dst, (now + i, now + i))
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
     )
 
 
@@ -612,10 +620,6 @@ def dedup_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate-operator convention (seeded permutation family); retry /
     restart / delete-compact interop pinned in tests/test_dedup_stream.py.
     Output: surviving doc_ids with their micro-batch id."""
-    import shutil
-    import tempfile
-    import time
-
     docs = load_table(spark, sf_dir, "documents")
 
     def _build(p: str) -> None:
@@ -624,31 +628,12 @@ def dedup_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream_minhash_index_init,
         )
 
-        k = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] // 2
         stream_minhash_index_init(spark, os.path.join(p, "idx"))
-        src = os.path.join(p, "src")
-        os.makedirs(src)
-        now = time.time()
-        for i, half in enumerate(
-            (docs.where(F.col("doc_id") <= k), docs.where(F.col("doc_id") > k))
-        ):
-            staged = tempfile.mkdtemp(prefix="flusher_stream_stage_")
-            half.select("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(staged)
-            part = next(n for n in os.listdir(staged) if n.endswith(".parquet"))
-            dst = os.path.join(src, f"b{i}.parquet")
-            shutil.move(os.path.join(staged, part), dst)
-            shutil.rmtree(staged, ignore_errors=True)
-            # the file source processes oldest-first: pin strict order
-            os.utime(dst, (now + i, now + i))
-        q = run_stream_neardup(
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src),
-            os.path.join(p, "idx"),
-            os.path.join(p, "out"),
+        stream = _staged_two_batch_stream(spark, docs, os.path.join(p, "src"))
+        run_stream_neardup(
+            stream, os.path.join(p, "idx"), os.path.join(p, "out"),
             os.path.join(p, "ckpt"),
-        )
-        q.awaitTermination()
+        ).awaitTermination()
 
     path = _scratch_index("mhstream", sf_dir, _build, stamp_file="documents.parquet")
     return spark.read.parquet(os.path.join(path, "out")).select(

@@ -3424,3 +3424,9 @@ def test_parse_byte_string_units():
     assert _parse_byte_string("") == 128 << 20
     assert _parse_byte_string("abc") == 128 << 20
     assert _parse_byte_string("12parsecs") == 128 << 20
+    # r13 review: non-integer numeric parts must FALL BACK, never raise
+    # (the enclosing operator catches OSError only), and Python's
+    # underscore-int syntax must not silently parse '12_5m' as 125MB
+    assert _parse_byte_string("1.5g") == 128 << 20
+    assert _parse_byte_string("0x8000") == 128 << 20
+    assert _parse_byte_string("12_5m") == 128 << 20

@@ -105,14 +105,24 @@ SKIP_PREFIXES = ("events_tumbling", "events_sliding", "events_sessionize",
                  "events_rollup", "events_stateful", "events_stream_")
 
 
+def _audit_scratch(prefix: str) -> str:
+    """A tempdir reclaimed at process exit — the audit builders used to
+    leak one orphaned directory per run (r13 review)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
 def _stream_dedup_inner(spark, sf_dir):
     """The per-micro-batch plan of [dedup_stream_incremental]: the entry's
     catalog fn EXECUTES a StreamingQuery (no lazy plan to explain), so the
     audited plan is what every micro-batch runs — the bucket-pruned
     fingerprint probe with src_batch self-exclusion against a
     stream-initialized index over half the corpus."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from flusher_spark.io.tables import load_table
@@ -121,7 +131,7 @@ def _stream_dedup_inner(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     k = docs.agg(F.max("doc_id")).collect()[0][0] // 2
-    idx = os.path.join(tempfile.mkdtemp(prefix="flusher_planaudit_fp_"), "idx")
+    idx = os.path.join(_audit_scratch("flusher_planaudit_fp_"), "idx")
     stream_fingerprint_index_init(
         spark, idx, seed_df=docs.where(F.col("doc_id") <= k)
     )
@@ -136,8 +146,6 @@ def _stream_neardup_inner(spark, sf_dir):
     bucket-pruned) verified from stored signatures — the dominant half of
     the sink; the batch-internal self-join shares the same capped-bucket
     shape and is plan-asserted in tests."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from flusher_spark.io.tables import load_table
@@ -146,7 +154,7 @@ def _stream_neardup_inner(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     k = docs.agg(F.max("doc_id")).collect()[0][0] // 2
-    idx = os.path.join(tempfile.mkdtemp(prefix="flusher_planaudit_mh_"), "idx")
+    idx = os.path.join(_audit_scratch("flusher_planaudit_mh_"), "idx")
     stream_minhash_index_init(
         spark, idx, seed_df=docs.where(F.col("doc_id") <= k)
     )
