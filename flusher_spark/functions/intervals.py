@@ -45,7 +45,17 @@ def from_human(text: str) -> timedelta:
             raise ValueError(f"unparsable interval text {cleaned[pos:].strip()!r} in {text!r}")
         pos = m.end()
         amount, unit = m.groups()
-        singular = unit.rstrip("s") if unit != "s" else unit
+        # A dangling separator at the very end ("1 hour and", "1 hour,,,")
+        # is unconsumed intent — a truncated cell must fail loudly, per the
+        # whole-string contract above (r13 review).
+        if pos >= len(cleaned) and cleaned[m.end(2) : pos].strip():
+            raise ValueError(
+                f"dangling separator after {unit!r} in {text!r}"
+            )
+        # Strip ONE plural 's', not rstrip: 'hourss' must stay misspelled
+        # and be rejected below, not silently collapse to 'hour' (r13
+        # review).
+        singular = unit[:-1] if len(unit) > 1 and unit.endswith("s") else unit
         if singular in _REJECTED:
             raise ValueError(f"unsupported interval granularity: {unit!r} in {text!r}")
         if singular not in _ALLOWED:
@@ -66,6 +76,10 @@ def from_human(text: str) -> timedelta:
 
 
 def to_sql_interval(text: str) -> str:
-    """Same language → an ANSI ``INTERVAL`` literal body, e.g. "'90' MINUTE"."""
+    """Same language → a complete ANSI ``INTERVAL`` literal, e.g.
+    ``"INTERVAL 5400 SECOND"`` — paste it into SQL as-is, do NOT prefix
+    another ``INTERVAL`` (the docstring used to describe a bare literal
+    body, and a caller following it would have produced ``INTERVAL
+    INTERVAL …`` — r13 review)."""
     delta = from_human(text)
     return f"INTERVAL {int(delta.total_seconds())} SECOND"

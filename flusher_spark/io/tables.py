@@ -56,7 +56,10 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
         # Integer division (`div`), NOT `/`: float division of an ~1.7e18 ns
         # value loses the last microsecond digit (doubles are exact only to
         # 2^53) — caught by the asof oracle check.
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        # Backticked: `col` is a public parameter, and an unquoted name
+        # with a space (or a SQL keyword) fails F.expr at plan time while
+        # the ntz branch's F.col handles it fine (r13 review).
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     elif dtype == "timestamp_ntz":
         # Session tz is UTC (session.py), so NTZ → TIMESTAMP preserves the
         # wall-clock value and matches DuckDB's naive read bit-for-bit.

@@ -74,6 +74,17 @@ def _read_grid(path: str) -> list[list[str]]:
         return [list(r) for r in csv.reader(f)]
 
 
+def _grid_width(path: str) -> int:
+    """Widest record in the grid (csv.reader streams — no materialization).
+    Planning needs it because a header row NARROWER than the widest data
+    row still names a column per grid column: read_sheet pads the schema
+    with col_<N> names (sources/sheet.py), and this reader must expose the
+    SAME columns, not silently truncate the extra cells (r13 review). One
+    streamed pass, bounded by the sheet's own ~10M-cell ceiling."""
+    with _open(path) as f:
+        return max((len(r) for r in csv.reader(f)), default=0)
+
+
 @dataclass
 class _RowRange(InputPartition):
     start: int  # 0-based index into the data rows (header excluded)
@@ -140,25 +151,33 @@ class WorksheetDataSource(DataSource):
         return "worksheet"
 
     def schema(self) -> T.StructType:
-        # Planning needs only the header record, not the grid.
-        header = _read_header(self.options["path"])
+        # Planning reads the header record plus one streamed width pass —
+        # the grid can be WIDER than its header row, and those columns must
+        # surface as col_<N> exactly like read_sheet's padding (r13 review:
+        # capping at len(header) silently dropped the extra cells, two
+        # readers of the same worksheet model exposing different data).
+        path = self.options["path"]
+        header = _read_header(path)
+        width = max(len(header), _grid_width(path))
         cellrange = self.options.get("cellrange", "")
-        col_lo, col_hi = 1, len(header)
+        col_lo, col_hi = 1, width
         if cellrange:
             rng = parse_a1_range(cellrange)
+            # parse_a1_range always yields col_end >= 1 (open-ended ranges
+            # are open in ROWS only) — no sentinel branch needed.
             col_lo = rng.col_start
-            col_hi = min(rng.col_end, len(header)) if rng.col_end != -1 else len(header)
-            if col_lo > len(header):
+            col_hi = min(rng.col_end, width)
+            if col_lo > width:
                 # Same guard as read_sheet (r11 review): a range starting
                 # past the last column must fail at PLANNING with the real
                 # story, not produce a zero-column schema.
                 raise ValueError(
                     f"cell range {cellrange!r} starts at column {col_lo}, but "
-                    f"the sheet has only {len(header)} column(s)"
+                    f"the sheet has only {width} column(s)"
                 )
-        names = normalize_header_names(
-            [str(h) for h in header[col_lo - 1 : col_hi]], start_col=col_lo
-        )
+        names = [str(h) for h in header[col_lo - 1 : col_hi]]
+        names += [""] * ((col_hi - col_lo + 1) - len(names))
+        names = normalize_header_names(names, start_col=col_lo)
         return T.StructType([T.StructField(n, T.StringType(), True) for n in names])
 
     def reader(self, schema: T.StructType) -> WorksheetReader:
@@ -231,6 +250,7 @@ class WorksheetWriter(DataSourceWriter):
         return _ShardCommit(pid, shard, n)
 
     def commit(self, messages):
+        import fcntl
         import os
         import shutil
 
@@ -238,23 +258,58 @@ class WorksheetWriter(DataSourceWriter):
         for m in sorted(messages, key=lambda m: (m.partition_id, m.shard_path)):
             with open(m.shard_path, newline="", encoding="utf-8") as f:
                 rows.extend(list(r) for r in csv.reader(f))
-        if self.overwrite or not os.path.exists(self.path):
-            grid = [list(self.field_names), *rows]
-        else:
-            grid = _read_grid(self.path) + rows
-        # The temp file carries THIS job's stage UUID: a shared
-        # '<path>.__tmp__' let two concurrent committers truncate each
-        # other mid-write — one could publish the other's half-written file
-        # and the loser's os.replace then raised FileNotFoundError — the
-        # exact torn-read/spurious-failure pair the per-job staging above
-        # exists to prevent (r11 review). With unique temps the final
-        # os.replace stays the only serialization point: last PUBLISH wins,
-        # atomically.
-        tmp = f"{self.stage_dir}.__tmp__"
-        with open(tmp, "w", newline="", encoding="utf-8") as f:
-            csv.writer(f).writerows(grid)
-        os.replace(tmp, self.path)
+        # The read-merge-publish below must be one critical section: two
+        # concurrent APPEND committers each read the pre-existing grid and
+        # publish base+own rows, so without the lock the later os.replace
+        # DISCARDED the earlier job's acknowledged rows (r13 review —
+        # "last publish wins" is a sheet semantic for overwrite, silent
+        # data loss for append). flock on a sidecar, never the sheet
+        # itself: os.replace swaps the sheet's inode, which would strand
+        # the lock on the old one.
+        with open(f"{self.path}.__lock__", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if self.overwrite or not os.path.exists(self.path):
+                grid = [list(self.field_names), *rows]
+            else:
+                grid = _read_grid(self.path)
+                rows = self._align_to_header(
+                    [str(h) for h in (grid[0] if grid else [])], rows
+                )
+                grid = grid + rows
+            # The temp file lives INSIDE this job's staging directory: a
+            # shared '<path>.__tmp__' let two concurrent committers
+            # truncate each other mid-write (r11 review), and a sibling
+            # '<stage>.__tmp__' orphaned the partial file when a crash hit
+            # between its write and the publish — abort() removes the
+            # staging dir only (r13 review). os.replace publishes
+            # atomically: readers never observe a half-written sheet.
+            tmp = os.path.join(self.stage_dir, "__publish__.csv")
+            os.makedirs(self.stage_dir, exist_ok=True)  # zero-task writes
+            with open(tmp, "w", newline="", encoding="utf-8") as f:
+                csv.writer(f).writerows(grid)
+            os.replace(tmp, self.path)
         shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+    def _align_to_header(
+        self, header: list[str], rows: list[list[str]]
+    ) -> list[list[str]]:
+        """Append-mode column alignment: the existing sheet's header is the
+        layout contract. Same names in a different order → reorder this
+        job's columns to match; different column SETS → loud error. Without
+        this, appending df.select(b, a) to a sheet written as (a, b) landed
+        values under the wrong headers with no error anywhere (r13 review),
+        and downstream cast_with_schema silently NULLed the misfits."""
+        fields = list(self.field_names)
+        if header == fields:
+            return rows
+        if sorted(header) != sorted(fields):
+            raise ValueError(
+                f"append schema {fields} does not match the existing sheet"
+                f" header {header} — write mode='overwrite' to replace the"
+                " layout"
+            )
+        idx = [fields.index(h) for h in header]
+        return [[r[i] if i < len(r) else "" for i in idx] for r in rows]
 
     def abort(self, messages):
         import shutil

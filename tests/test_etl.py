@@ -1659,3 +1659,60 @@ def test_snapshot_cluster_by_empty_list_unclusters(spark, tmp_path):
     assert stored_cluster_by(root) is None
     assert SnapshotTable(spark, root, "k").cluster_by is None
     assert SnapshotTable(spark, root, "k").snapshot().count() == 2000
+
+
+def test_worksheet_writer_append_aligns_columns_by_name(spark, tmp_path):
+    """r13 review: append-mode commit concatenated shard rows under the
+    existing header with NO alignment — appending df.select(v, k) to a
+    sheet written as (k, v) landed values under the wrong headers with no
+    error anywhere. Same names in a different order now reorder; different
+    column sets fail loudly."""
+    import pytest as _pytest
+
+    from flusher_spark.sources.datasource import WorksheetDataSource
+
+    try:
+        spark.dataSource.register(WorksheetDataSource)
+    except Exception:
+        pass
+    path = str(tmp_path / "sheet.csv")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.format(
+        "worksheet"
+    ).option("path", path).mode("overwrite").save()
+    # reversed column order: must align by name, not position
+    spark.createDataFrame([("b", 2)], "v string, k int").coalesce(1).write.format(
+        "worksheet"
+    ).option("path", path).mode("append").save()
+    lines = open(path).read().splitlines()
+    assert lines[0] == "k,v"
+    assert "2,b" in lines and "b,2" not in lines
+    # a different column SET is a layout conflict: loud error
+    with _pytest.raises(Exception, match="does not match the existing sheet"):
+        spark.createDataFrame([(3, "c")], "k int, other string").coalesce(
+            1
+        ).write.format("worksheet").option("path", path).mode("append").save()
+
+
+def test_worksheet_datasource_wide_rows_match_read_sheet(spark, tmp_path):
+    """r13 review: a grid WIDER than its header row silently truncated the
+    extra cells in the registered DataSource while read_sheet padded
+    col_<N> names for them — two readers of one worksheet model exposing
+    different data. Both must surface the padded columns."""
+    from flusher_spark.sources.datasource import WorksheetDataSource
+    from flusher_spark.sources.sheet import SheetGrid, read_sheet
+
+    try:
+        spark.dataSource.register(WorksheetDataSource)
+    except Exception:
+        pass
+    path = str(tmp_path / "wide.csv")
+    with open(path, "w") as f:
+        f.write("a,b\n1,2,3\n4,5\n")
+    ds = spark.read.format("worksheet").load(path)
+    assert ds.columns == ["a", "b", "col_3"]
+    got = {tuple(r) for r in ds.collect()}
+    assert got == {("1", "2", "3"), ("4", "5", "")}
+    grid = SheetGrid("wide", rows=[["a", "b"], ["1", "2", "3"], ["4", "5"]], header=True)
+    via_sheet = read_sheet(spark, grid)
+    assert via_sheet.columns == ds.columns
+    assert {tuple(r) for r in via_sheet.collect()} == got

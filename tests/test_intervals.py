@@ -73,3 +73,13 @@ def test_accepts_stacked_separators():
     assert _width_seconds("1 hour, and 30 minutes") == 5400
     with pytest.raises(ValueError):
         _width_seconds("1,000 minutes")  # orphaned digit group still errors
+
+
+@pytest.mark.parametrize("bad", ["2 hourss", "1 minutess", "1 hour and", "1 hour,,,", "1 hour; "])
+def test_rejects_misspelled_plurals_and_dangling_separators(bad):
+    """r13 review: rstrip('s') collapsed 'hourss' to 'hour' (misspellings
+    silently accepted), and a dangling trailing separator ('1 hour and' —
+    a truncated cell) parsed as 1 hour instead of failing loudly per the
+    whole-string contract."""
+    with pytest.raises(ValueError):
+        from_human(bad)
