@@ -98,15 +98,25 @@ class Recorder:
 
     @contextmanager
     def timed(self, op: str, **args):
-        """Time a block; set ``ctx['rows']`` inside to record a row count."""
+        """Time a block; set ``ctx['rows']`` inside to record a row count.
+
+        A block that RAISES records under ``<op>:failed`` — the Metric
+        schema has no status column, so a failure recorded under the bare
+        op (the old finally did exactly that) was indistinguishable from a
+        success: a fast-failing run_job skewed latency medians low with no
+        way to filter it out (r13 review). The suffixed op keeps failure
+        latency observable while op-keyed success analyses stay clean; the
+        reference decorator logs nothing on failure at all."""
         if args:
             self.logfunc(f"{op}: called with arguments {args}")
         ctx: dict = {"rows": -1}
         start = time.time()
         try:
             yield ctx
-        finally:
-            self.observe(op, time.time() - start, rows=int(ctx.get("rows", -1)), **args)
+        except BaseException:
+            self.observe(f"{op}:failed", time.time() - start, rows=int(ctx.get("rows", -1)), **args)
+            raise
+        self.observe(op, time.time() - start, rows=int(ctx.get("rows", -1)), **args)
 
     def drain(self) -> list[Metric]:
         out, self.records = self.records, []

@@ -19,6 +19,24 @@ _SIDE = "__asof_side"
 _PAYLOAD = "__asof_payload"
 _FWDKEY = "__asof_fwdkey"
 _ORDKEY = "__asof_ordkey"
+_BACK = "__asof_back"
+_FWD = "__asof_fwd"
+
+
+def _align_to_left(left: DataFrame, lhs: DataFrame, rhs: DataFrame) -> DataFrame:
+    """Give ``rhs`` the full lhs column set (missing left columns as typed
+    NULLs) in ONE select — the per-column withColumn loop this replaces
+    rebuilt the dtype dict and nested one projection per column, O(cols²)
+    driver work on wide frames, and was pasted in both asof variants
+    (r13 review)."""
+    dtypes = dict(lhs.dtypes)
+    have = set(rhs.columns)
+    return rhs.select(
+        *[
+            F.col(c) if c in have else F.lit(None).cast(dtypes[c]).alias(c)
+            for c in lhs.columns
+        ]
+    )
 
 
 def asof_join(
@@ -77,10 +95,7 @@ def asof_join(
         *[e.alias(name) for name, e in rhs_extra.items()],
     )
     # Align schemas: left keeps all its columns; right rows carry nulls there.
-    for c in left.columns:
-        if c not in rhs.columns:
-            rhs = rhs.withColumn(c, F.lit(None).cast(dict(lhs.dtypes)[c]))
-    rhs = rhs.select(*lhs.columns)
+    rhs = _align_to_left(left, lhs, rhs)
 
     # Right rows sort before left rows at equal timestamps (side 0 < 1), so an
     # equal-ts right row is already visible — matching ASOF '>=' semantics.
@@ -222,10 +237,7 @@ def asof_join_nearest(
         payload.alias(_PAYLOAD),
         fwdkey.alias(_FWDKEY),
     )
-    for c in left.columns:
-        if c not in rhs.columns:
-            rhs = rhs.withColumn(c, F.lit(None).cast(dict(lhs.dtypes)[c]))
-    rhs = rhs.select(*lhs.columns)
+    rhs = _align_to_left(left, lhs, rhs)
 
     order = [F.col(left_ts).asc(), F.col(_SIDE).asc()]
     w_back = (
@@ -236,20 +248,23 @@ def asof_join_nearest(
         Window.partitionBy(*on).orderBy(*order)
         .rowsBetween(0, Window.unboundedFollowing)
     )
+    # Namespaced temps (r13 review): bare '__back'/'__fwd' silently
+    # OVERWROTE a left column of the same name and returned the candidate
+    # struct under the user's column in the final select(*left.columns).
     merged = (
         lhs.unionByName(rhs)
-        .withColumn("__back", F.max(_PAYLOAD).over(w_back))
-        .withColumn("__fwd", F.max(_FWDKEY).over(w_fwd).getField("p"))
+        .withColumn(_BACK, F.max(_PAYLOAD).over(w_back))
+        .withColumn(_FWD, F.max(_FWDKEY).over(w_fwd).getField("p"))
     )
 
     ts_us = tnum(F.col(left_ts))
-    back_diff = ts_us - tnum(F.col(f"__back.{right_ts}"))
-    fwd_diff = tnum(F.col(f"__fwd.{right_ts}")) - ts_us
-    back_ok = F.col("__back").isNotNull() & (back_diff <= tolerance_us)
-    fwd_ok = F.col("__fwd").isNotNull() & (fwd_diff <= tolerance_us)
+    back_diff = ts_us - tnum(F.col(f"{_BACK}.{right_ts}"))
+    fwd_diff = tnum(F.col(f"{_FWD}.{right_ts}")) - ts_us
+    back_ok = F.col(_BACK).isNotNull() & (back_diff <= tolerance_us)
+    fwd_ok = F.col(_FWD).isNotNull() & (fwd_diff <= tolerance_us)
     chosen = (
-        F.when(back_ok & (~fwd_ok | (back_diff <= fwd_diff)), F.col("__back"))
-        .when(fwd_ok, F.col("__fwd"))
+        F.when(back_ok & (~fwd_ok | (back_diff <= fwd_diff)), F.col(_BACK))
+        .when(fwd_ok, F.col(_FWD))
         .otherwise(F.lit(None).cast(ptype))
     )
     return (

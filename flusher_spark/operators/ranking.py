@@ -43,6 +43,22 @@ def with_global_row_number(
     review: the returned frame is a derived join, so ``.unpersist()`` on it
     was a no-op and each call pinned an unreachable cached copy).
     """
+    numbered, _counts = _global_row_number_parts(df, order_cols, out, num_partitions)
+    return numbered
+
+
+def _global_row_number_parts(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    out: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(numbered frame, per-partition counts) — the counts ride the SAME
+    checkpointed blocks as the numbering, so a caller needing the total row
+    count (with_global_ntile) can sum them instead of scanning the source a
+    second time (r13 review: the second scan also risked a DIFFERENT N on a
+    concurrently-appended source, making N inconsistent with the row
+    numbers it brackets)."""
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     ranged = (
@@ -64,12 +80,13 @@ def with_global_row_number(
     ).fillna(0, ["__offset"])
     # offsets has one row per partition — broadcast join, no shuffle of data.
     w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
+    numbered = (
         ranged.withColumn("__local_rn", F.row_number().over(w))
         .join(F.broadcast(offsets), "__pid")
         .withColumn(out, (F.col("__offset") + F.col("__local_rn")).cast("long"))
         .drop("__pid", "__local_rn", "__offset")
     )
+    return numbered, counts
 
 
 def with_group_row_number(
@@ -114,11 +131,31 @@ def with_group_row_number(
         ).alias("__offset"),
     ).fillna(0, ["__offset"])
     w = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+    # NULL-SAFE offsets join (r13 review): a plain column-list equi-join
+    # silently DROPPED every row whose group key is NULL — a real
+    # ROW_NUMBER() OVER (PARTITION BY g) numbers the NULL partition (same
+    # class as the corpus mixture's eqNullSafe fix, r12). The offsets side
+    # renames its key copies so the condition never self-references one
+    # attribute id.
+    off = offsets.select(
+        F.col("__pid").alias("__off_pid"),
+        *[F.col(g).alias(f"__off_g{i}") for i, g in enumerate(group_cols)],
+        "__offset",
+    )
+    cond = F.col("__pid") == F.col("__off_pid")
+    for i, g in enumerate(group_cols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__off_g{i}"))
     return (
         ranged.withColumn("__local_rn", F.row_number().over(w))
-        .join(F.broadcast(offsets), ["__pid", *group_cols])
+        .join(F.broadcast(off), cond)
         .withColumn(out, (F.col("__offset") + F.col("__local_rn")).cast("long"))
-        .drop("__pid", "__local_rn", "__offset")
+        .drop(
+            "__pid",
+            "__local_rn",
+            "__offset",
+            "__off_pid",
+            *[f"__off_g{i}" for i in range(len(group_cols))],
+        )
     )
 
 
@@ -173,10 +210,14 @@ def with_global_ntile(
     q+1 rows. Computed from the global row number plus a broadcast 1-row
     total count.
     """
-    rn = with_global_row_number(df, order_cols, out="__rn")
-    # Count the INPUT, not rn: same number, but counting rn would execute
-    # the whole partition-window + offsets-join plan just to count rows.
-    total = df.agg(F.count("*").alias("__N"))
+    rn, counts = _global_row_number_parts(df, order_cols, "__rn", None)
+    # Total from the numbering pass's own per-partition counts — they ride
+    # the CHECKPOINTED blocks, so this is a tiny aggregate over already-
+    # materialized data, not a second scan of the source plan (r13 review:
+    # the old df.agg(count) re-executed an arbitrarily expensive upstream
+    # plan, and on a concurrently-appended source could return an N
+    # inconsistent with the row numbers).
+    total = counts.agg(F.sum("__cnt").alias("__N"))
     big = (F.floor(F.col("__N") / n) + 1).cast("long")  # rows per early bucket
     small = F.floor(F.col("__N") / n).cast("long")
     r = (F.col("__N") % n).cast("long")
@@ -198,9 +239,12 @@ def global_row_slice(
     end: int,
 ) -> DataFrame:
     """Rows [start, end] (1-based, inclusive) of the total order — the A1
-    row-range semantic (`A11:E50`), distributed. Range partitioning lets
-    every partition whose offset range misses [start, end] return early
-    after the (cheap) count pass."""
+    row-range semantic (`A11:E50`), distributed: no single-partition
+    window, numbering + a row-level filter. Every partition is still
+    numbered before the filter discards rows (the filter cannot push below
+    the window) — the win over a global sort is parallelism, not pruning
+    (r13 review: the docstring used to promise an early-exit that nothing
+    implemented)."""
     rn = with_global_row_number(df, order_cols, out="__rn")
     return rn.where(F.col("__rn").between(start, end)).drop("__rn")
 

@@ -133,6 +133,10 @@ def zorder_key(cols: list, bits: int = 8):
     from different dimensions on the same output position (distinct
     coordinates colliding on one key = clustering silently broken)."""
     n = len(cols)
+    if n < 1 or bits < 1:
+        # Loud at the API, not an unexplained IndexError at terms[0] (r13
+        # review): zorder over zero columns / zero bits is always misuse.
+        raise ValueError(f"zorder_key needs >= 1 column and >= 1 bit (got {n} cols, {bits} bits)")
     if bits * n > 63:
         raise ValueError(
             f"zorder_key width {bits}*{n}={bits * n} bits exceeds a signed "

@@ -3430,3 +3430,94 @@ def test_parse_byte_string_units():
     assert _parse_byte_string("1.5g") == 128 << 20
     assert _parse_byte_string("0x8000") == 128 << 20
     assert _parse_byte_string("12_5m") == 128 << 20
+
+
+def test_group_row_number_numbers_null_groups(spark):
+    """r13 review: with_group_row_number's offsets join was null-UNSAFE, so
+    every row whose group key is NULL silently vanished — a real
+    ROW_NUMBER() OVER (PARTITION BY g) numbers the NULL partition."""
+    from flusher_spark.operators.ranking import with_group_row_number
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), (None, 2), (None, 1), ("b", 5)], "g string, v int"
+    )
+    got = {
+        (r["g"], r["v"], r["rn"])
+        for r in with_group_row_number(df, ["g"], ["v"]).collect()
+    }
+    assert got == {
+        ("a", 1, 1), ("a", 3, 2),
+        (None, 1, 1), (None, 2, 2),
+        ("b", 5, 1),
+    }
+
+
+def test_global_ntile_counts_checkpointed_blocks_once(spark):
+    """r13 review: with_global_ntile re-scanned the SOURCE plan for the
+    total count; it now sums the numbering pass's own per-partition counts.
+    Output semantics pinned: standard NTILE bucket sizes differ by <= 1,
+    larger buckets first."""
+    from flusher_spark.operators.ranking import with_global_ntile
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    got = sorted(
+        (r["v"], r["bucket"]) for r in with_global_ntile(df, ["v"], 3).collect()
+    )
+    # 10 rows / 3 buckets: sizes 4,3,3
+    assert [b for _, b in got] == [1, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+
+
+def test_asof_nearest_preserves_left_columns_named_like_temps(spark):
+    """r13 review: bare '__back'/'__fwd' temp names silently overwrote a
+    same-named left column and returned the candidate struct under it."""
+    import datetime
+
+    from flusher_spark.operators.asof import asof_join_nearest
+
+    t = datetime.datetime
+    left = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 0, 0, 10), "keepme")],
+        "user_id long, ts timestamp, __back string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 0, 0, 0), "r0")],
+        "user_id long, rts timestamp, rv string",
+    )
+    out = asof_join_nearest(
+        left, right, on=["user_id"], left_ts="ts", right_ts="rts",
+        tolerance_us=60_000_000, value_cols=["rv"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["__back"] == "keepme"
+    assert out[0]["rv_right"] == "r0"
+
+
+def test_zorder_rejects_degenerate_inputs():
+    """r13 review: zero columns / zero bits used to die with an
+    unexplained IndexError instead of a ValueError naming the misuse."""
+    import pytest as _pytest
+
+    from flusher_spark.operators.scale import zorder_key
+
+    with _pytest.raises(ValueError, match="zorder_key needs"):
+        zorder_key([], 8)
+    with _pytest.raises(ValueError, match="zorder_key needs"):
+        zorder_key(["a"], 0)
+
+
+def test_recorder_timed_marks_failures():
+    """r13 review: a raising block recorded a success-shaped metric row —
+    with no status column, fast failures skewed op latency medians with no
+    way to filter. Failures now record under '<op>:failed'."""
+    import pytest as _pytest
+
+    from flusher_spark.instrumentation import Recorder
+
+    rec = Recorder(logfunc=lambda m: None)
+    with rec.timed("ok_op") as ctx:
+        ctx["rows"] = 5
+    with _pytest.raises(RuntimeError):
+        with rec.timed("bad_op"):
+            raise RuntimeError("boom")
+    ops = [m.op for m in rec.records]
+    assert ops == ["ok_op", "bad_op:failed"]
