@@ -256,6 +256,14 @@ HEADLINE = [
     # and its read half composes three shapes the headline already times —
     # corpus_gopher_rules' stats filter, the exact probe's anti-join, and
     # corpus_source_mix's broadcast mixture.)
+    # round 14 additions (both excluded by the precedents above:
+    # dedup_stream_semantic is stream-executed — its cached build runs a
+    # real StreamingQuery whose per-batch pruned-list cosine join is the
+    # ivf_query_index shape already headline-timed by similarity_ivf_*;
+    # corpus_e2e_incremental_neardup is index-write-dominated on first call
+    # like corpus_e2e_incremental, and its read half composes shapes the
+    # headline already times — the gopher stats filter, dedup_minhash_lsh's
+    # band join + agreement verify, and the broadcast mixture.)
 ]
 
 

@@ -767,6 +767,93 @@ def _probe_pairs(
     )
 
 
+def resolve_min_agree(
+    spark: SparkSession, path: str, threshold: float, num_perm: int
+) -> int:
+    """ONE definition of the near-dup agreement cut for a persisted MinHash
+    index. When the index has a bootstrapped cluster layer, clusters/meta
+    already froze the integer minimum (minhash_cluster_bootstrap) — read
+    it, so the streaming sink's survivor rule, the batch dedup helper, and
+    the cluster layer's edge rule can never diverge by each re-deriving it
+    from a float. The ceiling recompute is only the fallback for indexes
+    without a cluster layer, where the caller's ``threshold`` argument
+    defines the cut."""
+    croot = os.path.join(path, "clusters")
+    cmdir = G.gen_dir(croot, "meta", G.current_gen(croot))
+    if not os.path.isdir(cmdir):
+        cmdir = os.path.join(croot, "meta")
+    if os.path.isdir(cmdir):
+        return int(_read_meta(spark, croot)["min_agree"])
+    # ceil(threshold × num_perm) as an exact integer — the float-safe form
+    # minhash_cluster_bootstrap freezes.
+    return max(-(-int(threshold * num_perm * 1000000) // 1000000), 1)
+
+
+def minhash_index_dedup(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    exclude_src_batch: str | None = None,
+    sig_new: DataFrame | None = None,
+) -> DataFrame:
+    """The APPLY half of ``minhash_index_probe`` — batch near-dup dedup
+    against a persisted index, the batch form of the streaming NEAR-dup
+    sink's survivor rule (``streaming/dedup_stream.py::neardup_stream_sink``
+    computes the identical set, pinned by a reference-equality test): drop
+    every batch doc that clears the agreement threshold against ANY
+    historical doc (candidates from the STORED bands, verification from
+    the STORED sigs — history is never re-shingled) or against a
+    SMALLER-id member of its own batch (keep-min, the semantic_dedup_keep
+    convention). Docs too short to produce a signature can never
+    near-match and pass through. Returns the surviving ids (one ``id_col``
+    column).
+
+    The agreement cut comes from ``resolve_min_agree`` — the frozen
+    clusters/meta integer when the index has a cluster layer, the float
+    ceiling of ``threshold`` otherwise — and the probe receives it as
+    ``min_agree / num_perm`` (exact round-trip: agree/k ≥ a/k ⟺ agree ≥ a),
+    so probe and batch-internal verification cut at the SAME count.
+
+    ``sig_new``: optional precomputed ``_signature_rows`` frame over
+    ``batch`` (the streaming sink passes its checkpointed one so the
+    shingle+aggregate pipeline — the dominant cost — runs exactly once).
+
+    At scale: one bucket-pruned band join (probe cost follows the batch),
+    one batch-sized self-join, one anti-join — never a corpus scan."""
+    m = _read_meta(spark, path)
+    min_agree = resolve_min_agree(spark, path, threshold, m["num_perm"])
+    if sig_new is None:
+        sig_new = _signature_rows(
+            batch, text_col, id_col, m["num_perm"], m["shingle_n"], m["seed"]
+        ).localCheckpoint(eager=False)  # probe + self-candidates + verification
+    hist = _probe_pairs(
+        spark,
+        path,
+        m,
+        sig_new,
+        min_agree / m["num_perm"],
+        max_bucket,
+        prune=True,
+        exclude_src_batch=exclude_src_batch,
+    )
+    bands_new = _band_rows(sig_new, m["num_perm"], m["bands"], m["n_buckets"])
+    internal = _verified_pairs(
+        _self_candidates(bands_new, max_bucket), sig_new, m["num_perm"], min_agree
+    )
+    dropped = (
+        hist.select(F.col("doc_new").alias("doc_id"))
+        .union(internal.select(F.col("doc_b").alias("doc_id")))  # doc_a < doc_b
+        .distinct()
+    )
+    return batch.select(F.col(id_col)).join(
+        dropped.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+
+
 def minhash_index_delete(
     spark: SparkSession, path: str, doc_ids: DataFrame, id_col: str = "doc_id"
 ) -> int:

@@ -781,6 +781,13 @@ def ivf_compact_index(spark: SparkSession, path: str, id_col: str = "vec_id") ->
     live = _subtract_tombstones(
         spark, path, gen, spark.read.parquet(G.gen_dir(path, "vectors", gen)), id_col
     )
+    # Collapse IDENTICAL rows (all columns): a retried streaming micro-batch
+    # (streaming/dedup_stream.py::semantic_stream_sink) appends its survivor
+    # vectors twice — self-excluded for that batch, existence-safe for later
+    # probes — and they must not survive every compact forever (the
+    # fingerprint_index_compact discipline, r12 ADVICE). Distinct src_batch
+    # tags stay distinct rows.
+    live = live.dropDuplicates()
     G.write_table(live, G.gen_dir(path, "vectors", gen + 1), "__list")
     # The pointer is index-wide, so the (KB-sized) centroid table rides
     # along into the new generation — every table of a generation must
@@ -1092,6 +1099,15 @@ def ivf_append_index(
         F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
     )
     assigned = _nearest_lists(base, cents, 1, "__list", id_col, vec_col)
+    # Batch appends into a STREAM-initialized index (rows carry a src_batch
+    # tag — streaming/dedup_stream.py) backfill the tag with NULL, which no
+    # self-exclusion ever matches; without the backfill the vectors
+    # directory would hold mixed parquet schemas and a non-mergeSchema read
+    # could drop the column (the minhash_index_append discipline).
+    if "src_batch" in spark.read.parquet(G.gen_dir(path, "vectors", gen)).columns:
+        assigned = assigned.withColumn(
+            "src_batch", F.lit(None).cast("string")
+        ).select(id_col, vec_col, "__nsq", "src_batch", "__list")
     assigned.write.mode("append").partitionBy("__list").parquet(
         G.gen_dir(path, "vectors", gen)
     )

@@ -56,77 +56,33 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Names surfaced first by ``registry()``. The driver's correctness harness
 #: covers a bounded prefix of the registry (50 entries per round), so this
 #: list rotates per round toward the entries whose latest driver verdict is
-#: weakest. Round-13 rotation, in order: (1) the two round-13 NEW entries
-#: (dedup_stream_neardup — the streaming MinHash sink, rows-only by the
-#: approximate-operator convention; corpus_e2e_incremental — the composed
-#: incremental pipeline, FULL oracle via the monotone doc_id split),
+#: weakest. Round-14 rotation, in order: (1) the two round-14 NEW entries
+#: (dedup_stream_semantic — the streaming embedding near-dup sink over the
+#: persisted IVF index, rows-only by the approximate-operator convention;
+#: corpus_e2e_incremental_neardup — the composed incremental pipeline with
+#: the MinHash-index near-dup stage, rows-only by the same convention),
 #: getting their FIRST driver verdicts per the freshness-guard convention;
-#: (2) the five r7-verdict entries spilled from the r12 window (join_semi
-#: + the four window_* entries — the stalest cohort, six fixture
-#: regenerations old); (3) 43 of the 50 r8-verdict entries. The seven
-#: spilled r8 entries (count_rows, distinct_values, setop_union,
-#: setop_intersect, setop_except, join_cross, case_when_bucketing —
-#: single-operator relational plans with direct pytest twins and no code
-#: touched since r8, the lowest-risk picks) queue first for the r14
-#: window; after this round the freshness histogram bottoms at r8 with
-#: exactly SEVEN entries. Every name here must exist (asserted in
+#: (2) the seven r8-verdict entries spilled from the r13 window
+#: (count_rows, distinct_values, setop_* ×3, join_cross,
+#: case_when_bucketing — the stalest cohort, six fixture regenerations
+#: old); (3) 41 of the 49 r9-verdict entries. The r13 verdict asked for
+#: "≤6 spill", which is unsatisfiable together with the first-verdict
+#: convention (2 new + 7 r8 + 49 r9 = 58 > 50); first-verdicts win
+#: because a never-driver-checked entry is strictly weaker evidence than
+#: a 6-round-stale one with a pytest twin. The EIGHT spilled r9 entries
+#: (q6_revenue_filter, q10_returned_items, q12_conditional_agg,
+#: q13_order_distribution, q14_promo_ratio, q16_supplier_variety,
+#: q19_disjunctive_filter, q22_global_avg_anti — the simplest TPC-H
+#: shapes, each a reference-equality pytest twin in tests/test_tpch.py
+#: with plan code untouched since r9) queue first for the r15 window;
+#: after this round the freshness histogram bottoms at r9 with exactly
+#: EIGHT entries. Every name here must exist (asserted in
 #: tests/test_plans.py); the rest follow in import order.
 PRIORITY = (
-    # (1) round-13 additions — first driver verdicts
-    "dedup_stream_neardup",  # rows-only: streaming MinHash near-dup sink
-    "corpus_e2e_incremental",  # FULL oracle: composed incremental pipeline
-    # (2) the r7-verdict cohort (the five spilled from r12)
-    "join_semi",
-    "window_ntile",
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_range_interval",
-    # (3) the r8-verdict cohort (43 of 50)
-    "agg_exact_median_histogram",
-    "agg_exact_median_ranked",
-    "asof_purchase_last_view",
-    "corpus_e2e_pipeline",
-    "dedup_substring_mask",
-    "dedup_substring_spans",
-    "embedding_quantize_int8",
-    "etl_partitioned_write_pruning",
-    "etl_snapshot_clustered_scan",
-    "etl_upsert_latest",
-    "events_markov_transitions",
-    "events_resample_gapfill",
-    "events_retention_cohorts",
-    "events_rfm_segmentation",
-    "events_scd2_intervals",
-    "events_sessionize_30m",
-    "events_sliding_2h_1h",
-    "events_stream_stream_join",
-    "events_stream_stream_right_join",
-    "events_stream_upsert_latest",
-    "events_tumbling_hourly",
-    "filter_projection_pushdown",
-    "join_anti",
-    "multimodal_png_decode",
-    "multimodal_ppm_decode",
-    "multimodal_wav_decode",
-    "pivot_linestatus",
-    "profile_lineitem_columns",
-    "quality_expectations_orders",
-    "range_scan_rows",
-    "sample_per_group_topk",
-    "scalar_array_ops",
-    "scalar_date_funcs",
-    "scalar_json_extract",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "shuffle_deterministic_order",
-    "similarity_topk_quantized",
-    "text_bm25_topk",
-    "text_fuzzy_join_typos",
-    "text_pii_redact",
-    "topk_orders_global",
-    "unpivot_part_attrs",
-    # ---- driver window ends here (50) ----
-    # r14 rotation head: the seven spilled r8 entries
+    # (1) round-14 additions — first driver verdicts
+    "dedup_stream_semantic",  # rows-only: streaming IVF semantic dedup sink
+    "corpus_e2e_incremental_neardup",  # rows-only: incremental + MinHash stage
+    # (2) the r8-verdict cohort (the seven spilled from r13)
     "count_rows",
     "distinct_values",
     "setop_union",
@@ -134,6 +90,58 @@ PRIORITY = (
     "setop_except",
     "join_cross",
     "case_when_bucketing",
+    # (3) the r9-verdict cohort (41 of 49)
+    "asof_nearest_view",
+    "decontaminate_ngram_overlap",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_keep_best",
+    "dedup_ngram_jaccard",
+    "dedup_substring_spans_hashed",
+    "docs_chunk_overlap",
+    "docs_ngram_novelty",
+    "docs_repetition_signals",
+    "etl_dynamic_partition_overwrite",
+    "etl_referential_integrity",
+    "etl_snapshot_expire_vacuum",
+    "events_funnel_conversion",
+    "events_minmax_norm_arrow",
+    "events_stream_dedup_native",
+    "events_stream_dedup_watermarked",
+    "events_time_weighted_avg",
+    "join_bucketed_colocated",
+    "join_interval_overlap",
+    "join_range_binned",
+    "join_salted_skew",
+    "multimodal_bmp_decode",
+    "multimodal_gif_decode",
+    "q11_important_parts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q20_qualified_suppliers",
+    "q21_sole_flagged_supplier",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q5_region_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "scalar_business_days",
+    "skyline_price_quantity",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    # ---- driver window ends here (50) ----
+    # r15 rotation head: the eight spilled r9 entries
+    "q6_revenue_filter",
+    "q10_returned_items",
+    "q12_conditional_agg",
+    "q13_order_distribution",
+    "q14_promo_ratio",
+    "q16_supplier_variety",
+    "q19_disjunctive_filter",
+    "q22_global_avg_anti",
 )
 
 

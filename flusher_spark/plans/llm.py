@@ -573,32 +573,42 @@ def dedup_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _staged_two_batch_stream(spark: SparkSession, docs: DataFrame, src: str):
-    """Stage the documents table as a two-file streaming source — the
-    monotone doc_id split (≤ max/2, then the rest), one flat parquet file
+def _staged_two_batch_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    src: str,
+    id_col: str = "doc_id",
+    cols: tuple[str, ...] = ("doc_id", "text"),
+    schema: str = "doc_id long, text string",
+    k: int | None = None,
+):
+    """Stage a table as a two-file streaming source — a monotone id split
+    (≤ k, then the rest; k defaults to max(id)/2), one flat parquet file
     per intended micro-batch with STRICTLY ordered mtimes (the file source
     processes oldest-first) — and return the readStream over it. The one
-    copy of the mtime-pinning discipline both streaming catalog entries
-    rely on (r13 review: it was pasted per entry)."""
+    copy of the mtime-pinning discipline every streaming catalog entry
+    relies on (r13 review: it was pasted per entry); the id/column/schema
+    parameters let the embedding stream reuse it (r14)."""
     import shutil
     import tempfile
     import time
 
-    k = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] // 2
+    if k is None:
+        k = docs.agg(F.max(id_col).alias("m")).collect()[0]["m"] // 2
     os.makedirs(src)
     now = time.time()
     for i, half in enumerate(
-        (docs.where(F.col("doc_id") <= k), docs.where(F.col("doc_id") > k))
+        (docs.where(F.col(id_col) <= k), docs.where(F.col(id_col) > k))
     ):
         staged = tempfile.mkdtemp(prefix="flusher_stream_stage_")
-        half.select("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(staged)
+        half.select(*cols).coalesce(1).write.mode("overwrite").parquet(staged)
         part = next(n for n in os.listdir(staged) if n.endswith(".parquet"))
         dst = os.path.join(src, f"b{i}.parquet")
         shutil.move(os.path.join(staged, part), dst)
         shutil.rmtree(staged, ignore_errors=True)
         os.utime(dst, (now + i, now + i))
     return (
-        spark.readStream.schema("doc_id long, text string")
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
@@ -641,19 +651,89 @@ def dedup_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_stream_semantic")  # rows-only: IVF-bucketed (recall<1 by construction)
+def dedup_stream_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental SEMANTIC dedup — the IVF twin of
+    dedup_stream_incremental/_neardup, completing the stream ×
+    index-family matrix (streaming/dedup_stream.py::run_stream_semantic):
+    the FIRST HALF of the embeddings table (vec_id ≤ max/2) trains the
+    centroids and seeds the persisted IVF index
+    (stream_ivf_index_init — IVF cannot start empty, the train-before-add
+    contract); the second half then arrives as a real file-source stream
+    in two mtime-ordered micro-batches. Each micro-batch's vectors are
+    assigned to their 2 nearest centroid lists and compared by EXACT
+    fold-left cosine against ONLY those stored list partitions
+    (partition-pruned — probe cost follows the batch) with SELF-EXCLUSION
+    on the "<run_id>#<batch_id>" tag; vectors clearing the threshold
+    against history or a smaller-id batch member are dropped (keep-min),
+    survivors land in a batch-partitioned sink and their vectors join the
+    index for the batches that follow. Threshold 0.4 is the fixture
+    convention (dedup_semantic_embedding — the i.i.d. embeddings top out
+    near cosine 0.51; real corpora use ≥0.9). Rows-only by the
+    IVF-bucketed convention (a cross-list pair sharing no probed list is
+    missed); retry / restart / delete-compact interop pinned in
+    tests/test_dedup_stream.py. Output: surviving vec_ids with their
+    micro-batch id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    k = mx // 2  # history: trains centroids + seeds the index
+    k2 = (k + mx) // 2  # micro-batch split inside the streamed half
+
+    def _build(p: str) -> None:
+        from flusher_spark.streaming.dedup_stream import (
+            run_stream_semantic,
+            stream_ivf_index_init,
+        )
+
+        stream_ivf_index_init(
+            spark,
+            os.path.join(p, "idx"),
+            n_lists=8,
+            n_iter=1,
+            seed_df=emb.where(F.col("vec_id") <= k),
+        )
+        stream = _staged_two_batch_stream(
+            spark,
+            emb.where(F.col("vec_id") > k),
+            os.path.join(p, "src"),
+            id_col="vec_id",
+            cols=("vec_id", "embedding"),
+            schema="vec_id long, embedding array<float>",
+            k=k2,
+        )
+        run_stream_semantic(
+            stream, os.path.join(p, "idx"), os.path.join(p, "out"),
+            os.path.join(p, "ckpt"), threshold=0.4, n_probe=2,
+        ).awaitTermination()
+
+    path = _scratch_index("ivfstream", sf_dir, _build, stamp_file="embeddings.parquet")
+    return spark.read.parquet(os.path.join(path, "out")).select(
+        "vec_id", F.col("batch_id").cast("long").alias("batch_id")
+    )
+
+
 def _incremental_pipeline(
-    spark: SparkSession, index_path: str, batch: DataFrame
+    spark: SparkSession, index_path: str, batch: DataFrame, survivors=None
 ) -> DataFrame:
-    """The incremental corpus-prep body shared by [corpus_e2e_incremental]
-    and its never-rescans-history test: quality-stats rules over the
-    incoming batch → exact dedup against the PERSISTED fingerprint index
-    (history reachable only through the index path — batch-1 text is
+    """The incremental corpus-prep body shared by [corpus_e2e_incremental],
+    [corpus_e2e_incremental_neardup] and their never-rescans-history tests:
+    quality-stats rules over the incoming batch → dedup against a PERSISTED
+    index (history reachable only through the index path — batch-1 text is
     structurally out of reach) → uniform-target mixture downsample →
     per-source admission report. One lazy plan over the batch; the only
-    history read is the bucket-pruned fingerprint scan inside the probe."""
+    history read is the bucket-pruned index scan inside the probe.
+    ``survivors`` is the one pluggable stage (the _e2e_pipeline
+    discipline): a callable mapping the quality-filtered batch to its
+    admitted ids (a ``doc_id`` column); default is the exact
+    fingerprint-index probe."""
     from flusher_spark.operators.sampling import hash_bucket
     from flusher_spark.operators.text import tokens
     from flusher_spark.plans.corpus import _gopher_stats, _mix_cols
+
+    if survivors is None:
+
+        def survivors(s1: DataFrame) -> DataFrame:
+            return DI.fingerprint_index_probe(spark, index_path, s1)
 
     t = batch.select("doc_id", "source", "text", tokens(F.col("text")).alias("toks"))
     nw, sumlen, nalpha = _gopher_stats()
@@ -663,7 +743,7 @@ def _incremental_pipeline(
         & (sumlen <= 10 * nw)
         & (5 * nalpha >= 4 * nw)
     )
-    surv = DI.fingerprint_index_probe(spark, index_path, s1)
+    surv = survivors(s1)
     per = s1.join(surv.select("doc_id"), "doc_id").select(
         "doc_id", "source", F.size("toks").cast("long").alias("nt")
     )
@@ -750,6 +830,38 @@ def corpus_e2e_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         stamp_file="documents.parquet",
     )
     return _incremental_pipeline(spark, path, docs.where(F.col("doc_id") > k))
+
+
+@register("corpus_e2e_incremental_neardup")  # rows-only: seeded-hash approximate operator
+def corpus_e2e_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[corpus_e2e_incremental] with the NEAR-dup index stage swapped in
+    for the exact fingerprint probe — the production crawl shape where
+    batch 2 dedups against batch 1's persisted MINHASH index
+    (operators/dedup_index.py::minhash_index_dedup: candidates from the
+    STORED bands, verification from the STORED sigs — history is never
+    re-shingled — plus the keep-min within-batch collapse), then flows
+    through the same quality rules and mixture downsample. The one
+    pluggable stage is the dedup survivor rule (the _e2e_pipeline /
+    corpus_e2e_pipeline_minhash precedent, here over PERSISTED state).
+    Rows-only by the approximate-operator convention (seeded permutation
+    family); the never-rescans-history input-file assertion and the
+    exact-duplicates-always-drop invariant are pinned in
+    tests/test_corpus.py. Output: per-source admitted document/token
+    counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] // 2
+    path = _scratch_index(
+        "mhincr",
+        sf_dir,
+        lambda p: DI.minhash_index_build(docs.where(F.col("doc_id") <= k), p),
+        stamp_file="documents.parquet",
+    )
+    return _incremental_pipeline(
+        spark,
+        path,
+        docs.where(F.col("doc_id") > k),
+        survivors=lambda s1: DI.minhash_index_dedup(spark, path, s1, threshold=0.5),
+    )
 
 
 @register("dedup_minhash_index")  # rows-only: seeded-hash approximate operator

@@ -266,6 +266,15 @@ class WorksheetWriter(DataSourceWriter):
         # data loss for append). flock on a sidecar, never the sheet
         # itself: os.replace swaps the sheet's inode, which would strand
         # the lock on the old one.
+        # PORTABILITY BOUND: flock is LOCAL-FILESYSTEM-ONLY (advisory,
+        # single-host; no-op or unreliable on NFS/object stores). That is
+        # the right tool for this source — a worksheet is a ≤10M-cell
+        # spreadsheet (Google's own limit), driver-committed on one host.
+        # On an object store there is no atomic read-merge-publish to
+        # protect: either serialize appends outside the engine
+        # (single-writer discipline per sheet) or use the snapshot table
+        # format (io/snapshots.py), whose commit protocol is designed for
+        # that world.
         with open(f"{self.path}.__lock__", "w") as lk:
             fcntl.flock(lk, fcntl.LOCK_EX)
             if self.overwrite or not os.path.exists(self.path):

@@ -1,5 +1,8 @@
-"""Streaming incremental dedup: a foreachBatch sink over the persisted
-fingerprint index (operators/dedup_index.py).
+"""Streaming incremental dedup: foreachBatch sinks over the persisted
+dedup indexes — EXACT (fingerprint index, operators/dedup_index.py),
+NEAR-DUP (MinHash band/sig index, same module), and SEMANTIC (IVF vector
+index, operators/similarity.py) — one shared retry/self-exclusion
+discipline across the whole stream × index-family matrix.
 
 The continuous form of the crawl pattern the batch index serves: documents
 arrive as a stream, every micro-batch dedups against EVERYTHING ingested
@@ -76,6 +79,7 @@ from flusher_spark.operators.dedup_index import (
     _verified_pairs,
     _write_meta,
     fingerprint_index_probe,
+    resolve_min_agree,
 )
 
 
@@ -299,6 +303,14 @@ def neardup_stream_sink(
     for this batch, harmless to later batches (candidate dedup +
     max-agreement), and physically collapsed by minhash_index_compact.
 
+    Agreement threshold: when the index has a bootstrapped cluster layer,
+    its clusters/meta already froze the integer cut
+    (minhash_cluster_bootstrap) — the sink reads THAT and ``threshold`` is
+    ignored, so a sink-vs-cluster divergence is impossible by construction
+    (the index, not each consumer, owns the near-dup relation). The float
+    ceiling recompute applies only to cluster-less indexes
+    (operators/dedup_index.py::resolve_min_agree).
+
     At scale: one bucket-pruned band join per micro-batch (probe cost
     follows the batch), one batch-sized self-join for internal pairs, and
     two append-only writes sized by the batch's survivors."""
@@ -310,11 +322,11 @@ def neardup_stream_sink(
         part = os.path.join(sink_path, f"run_id={run_id}", f"batch_id={int(batch_id)}")
         if not meta_cache:  # immutable after init: read once
             meta_cache.update(_read_meta(spark, index_path))
+            meta_cache["__min_agree"] = resolve_min_agree(
+                spark, index_path, threshold, meta_cache["num_perm"]
+            )
         m = meta_cache
-        # ceil(threshold × num_perm) as an exact integer, the float-safe
-        # way the cluster layer freezes it — probe and batch-internal
-        # verification must cut at the SAME agreement count.
-        min_agree = max(-(-int(threshold * m["num_perm"] * 1000000) // 1000000), 1)
+        min_agree = m["__min_agree"]
         sig_new = _signature_rows(
             batch_df, text_col, id_col, m["num_perm"], m["shingle_n"], m["seed"]
         ).localCheckpoint(eager=False)  # probe + self-pairs + survivor append
@@ -323,7 +335,9 @@ def neardup_stream_sink(
             index_path,
             m,
             sig_new,
-            threshold,
+            # exact round-trip: agree/k >= a/k  <=>  agree >= a — the probe
+            # and the batch-internal verification cut at the SAME count
+            min_agree / m["num_perm"],
             max_bucket,
             prune=True,
             exclude_src_batch=tag,
@@ -363,6 +377,260 @@ def neardup_stream_sink(
         )
 
     return _sink
+
+
+def stream_ivf_index_init(
+    spark: SparkSession,
+    path: str,
+    n_lists: int = 16,
+    n_iter: int = 1,
+    seed_df: DataFrame | None = None,
+    train_df: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Create an IVF vector index whose rows carry a ``src_batch`` tag
+    column — the self-exclusion tag the streaming SEMANTIC dedup sink's
+    retry idempotency rests on (the exact twin is
+    ``stream_fingerprint_index_init``, the MinHash twin
+    ``stream_minhash_index_init``). Unlike the hash-based indexes an IVF
+    index cannot start empty: centroids must be TRAINED before anything is
+    assigned (the FAISS train-before-add contract), so at least one of
+    ``seed_df`` (historical corpus — trains the centroids AND pre-loads the
+    index, tagged "seed") or ``train_df`` (trains only; the index starts
+    empty) is required. Layout-compatible with the batch index:
+    ``ivf_query_index/append/delete/compact`` work on it unchanged (batch
+    appends backfill the tag with NULL, which no exclusion matches)."""
+    from flusher_spark.operators.similarity import (
+        _ivf_assign,
+        _nearest_lists,
+        vec_norm_sq,
+    )
+
+    train = train_df if train_df is not None else seed_df
+    if train is None:
+        raise ValueError(
+            "IVF centroids must be trained before streaming appends (the"
+            " train-before-add contract): pass seed_df (history, also"
+            " indexed) and/or train_df (training only)"
+        )
+    cents, _assigned_train = _ivf_assign(train, id_col, vec_col, n_lists, n_iter)
+    rebuild = os.path.exists(os.path.join(path, "GENERATION")) or os.path.isdir(
+        os.path.join(path, "vectors")
+    )
+    new_gen = G.current_gen(path) + 1 if rebuild else 0
+    if seed_df is not None:
+        base = seed_df.select(
+            F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
+        )
+        rows = _nearest_lists(base, cents, 1, "__list", id_col, vec_col).select(
+            id_col, vec_col, "__nsq", F.lit("seed").alias("src_batch"), "__list"
+        )
+    else:
+        rows = train.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(None).cast("double").alias("__nsq"),
+            F.lit(None).cast("string").alias("src_batch"),
+            F.lit(None).cast("long").alias("__list"),
+        ).limit(0)
+    # G.write_table keeps a zero-row index readable (train-only init, or an
+    # all-NULL-embedding seed) — the stream_fingerprint_index_init hazard.
+    G.write_table(rows, G.gen_dir(path, "vectors", new_gen), "__list")
+    cents.select("__cid", "__cvec").coalesce(1).write.mode("overwrite").parquet(
+        G.gen_dir(path, "centroids", new_gen)
+    )
+    if rebuild:
+        G.set_gen(path, new_gen)
+    for tbl in ("vectors", "centroids", "tombstones"):
+        G.drop_stale_gens(path, tbl, new_gen)
+    import shutil
+
+    shutil.rmtree(G.gen_dir(path, "tombstones", new_gen), ignore_errors=True)
+    return path
+
+
+def semantic_stream_sink(
+    index_path: str,
+    sink_path: str,
+    run_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_probe: int = 2,
+) -> Callable[[DataFrame, int], None]:
+    """The SEMANTIC (embedding-space) foreachBatch function — the IVF twin
+    of ``dedup_stream_sink``/``neardup_stream_sink``, completing the
+    stream × index-family matrix: assign the micro-batch's vectors to their
+    ``n_probe`` nearest centroid lists, compare them EXACTLY (fold-left
+    cosine, the semantic_neardup_pairs arithmetic) against the STORED
+    vectors of those lists only (parquet partition pruning — probe cost
+    follows the batch, never the corpus), drop batch vectors that clear
+    the cosine threshold against history or against a SMALLER-id batch
+    member sharing an assigned list (keep-min, the semantic_dedup_keep
+    convention), write survivors to
+    ``<sink_path>/run_id=<rid>/batch_id=<bid>/``, then append the
+    SURVIVORS' vectors (single nearest list, the ivf_append_index
+    assignment) tagged with this micro-batch's "<run_id>#<batch_id>".
+
+    Multi-probe (``n_probe``) is the recall lever for Voronoi-boundary
+    pairs, exactly as in semantic_neardup_pairs' n_assign; like every
+    IVF/LSH family member, recall < 1 by construction (a cross-list pair
+    sharing none of the probed lists is missed) — rows-only checks, exact
+    twin neardup_cosine_exact. Vectors with NULL embeddings can never
+    clear the threshold (NULL cosine) and pass through — the unsigned-doc
+    policy of the text sinks.
+
+    Retry idempotency is the shared sink discipline (module docstring):
+    the probe excludes rows tagged with the CURRENT micro-batch's tag, so
+    a retried at-least-once micro-batch recomputes identical survivors
+    even after its own append landed; duplicated append rows are
+    self-excluded for this batch, harmless to later batches (the dropped
+    set is a distinct of ids), and physically collapsed by
+    ivf_compact_index. Deleted vectors stop attracting matches
+    immediately (tombstones subtract from the pruned lists — the
+    ivf_query_index interop).
+
+    At scale: one bounded centroid read + one pruned-partition join per
+    micro-batch, one batch-sized per-list self-join, one survivor write,
+    one partitioned append — all sized by the batch."""
+    from flusher_spark.operators.similarity import (
+        _nearest_lists,
+        _subtract_tombstones,
+        cosine,
+        vec_norm_sq,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = f"{run_id}#{int(batch_id)}"
+        part = os.path.join(sink_path, f"run_id={run_id}", f"batch_id={int(batch_id)}")
+        # Re-resolved per batch (not cached): a compact/rebuild between
+        # micro-batches flips the generation, and centroids — unlike the
+        # hash indexes' meta — CAN legitimately change on a rebuild.
+        gen = G.current_gen(index_path)
+        cents = spark.read.parquet(G.gen_dir(index_path, "centroids", gen)).select(
+            "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
+        )
+        base = batch_df.select(
+            F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
+        )
+        # Consumed by: probe-list collect, history join, internal self-join,
+        # survivor append — one centroid crossJoin + window, not four.
+        assigned = _nearest_lists(
+            base, cents, n_probe, "__list", id_col, vec_col
+        ).localCheckpoint(eager=False)
+        # Bounded collect (≤ |batch| × n_probe ints, ≤ n_lists distinct) →
+        # parquet partition pruning on the stored vector table.
+        probe_lists = sorted(
+            {r["__list"] for r in assigned.select("__list").distinct().collect()}
+        )
+        index = spark.read.parquet(G.gen_dir(index_path, "vectors", gen)).where(
+            F.col("__list").isin(probe_lists)
+        )
+        if "src_batch" not in index.columns:
+            raise ValueError(
+                "semantic_stream_sink requires an index whose rows carry a"
+                " src_batch column (stream_ivf_index_init)"
+            )
+        index = index.where(~F.col("src_batch").eqNullSafe(F.lit(tag)))
+        index = _subtract_tombstones(spark, index_path, gen, index, id_col)
+        h = index.select(
+            "__list",
+            F.col(id_col).alias("__hid"),
+            F.col(vec_col).alias("__hv"),
+            F.col("__nsq").alias("__hn"),
+        )
+        n = assigned.select(
+            "__list",
+            F.col(id_col).alias("__nid"),
+            F.col(vec_col).alias("__nv"),
+            F.col("__nsq").alias("__nn"),
+        )
+        # A vector re-ingested verbatim matches its own stored record; keep
+        # the match ("this new vector duplicates history" is the signal)
+        # but drop identical ids so rebuild flows can't self-pair — the
+        # _probe_pairs convention.
+        dropped_hist = (
+            n.join(h, "__list")
+            .where(F.col("__nid") != F.col("__hid"))
+            .where(
+                cosine(F.col("__nv"), F.col("__hv"), F.col("__nn"), F.col("__hn"))
+                >= threshold
+            )
+            .select(F.col("__nid").alias(id_col))
+        )
+        b = assigned.select(
+            "__list",
+            F.col(id_col).alias("__ib"),
+            F.col(vec_col).alias("__vb"),
+            F.col("__nsq").alias("__nb"),
+        )
+        dropped_internal = (
+            n.join(b, "__list")
+            .where(F.col("__nid") < F.col("__ib"))  # keep-min: higher id drops
+            .where(
+                cosine(F.col("__nv"), F.col("__vb"), F.col("__nn"), F.col("__nb"))
+                >= threshold
+            )
+            .select(F.col("__ib").alias(id_col))
+        )
+        dropped = dropped_hist.union(dropped_internal).distinct()
+        (
+            batch_df.select(F.col(id_col))
+            .join(dropped, id_col, "left_anti")
+            .write.mode("overwrite")
+            .parquet(part)
+        )
+        # Index only the SURVIVORS' vectors, keyed off the sink partition
+        # just written (sink and index can never diverge); single nearest
+        # list — the ivf_append_index assignment. NULL embeddings stay out
+        # of the index (they can never attract a match) — the unsigned-doc
+        # policy of the text sinks.
+        surv = base.where(F.col(vec_col).isNotNull()).join(
+            spark.read.parquet(part).select(id_col), id_col
+        )
+        (
+            _nearest_lists(surv, cents, 1, "__list", id_col, vec_col)
+            .select(
+                id_col, vec_col, "__nsq", F.lit(tag).alias("src_batch"), "__list"
+            )
+            .write.mode("append")
+            .partitionBy("__list")
+            .parquet(G.gen_dir(index_path, "vectors", gen))
+        )
+
+    return _sink
+
+
+def run_stream_semantic(
+    stream_df: DataFrame,
+    index_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_probe: int = 2,
+    run_id: str | None = None,
+):
+    """Wire an embedding stream through the SEMANTIC dedup sink
+    (availableNow trigger — the batch-ingest form; drop the trigger for a
+    continuous deployment). The index at ``index_path`` must be
+    ``stream_ivf_index_init``-initialized (trained centroids + src_batch
+    tag). Same run-id contract as ``run_stream_dedup``. Returns the
+    started StreamingQuery."""
+    run_id = _resolve_run_id(checkpoint_dir, run_id)
+    return (
+        stream_df.writeStream.foreachBatch(
+            semantic_stream_sink(
+                index_path, sink_path, run_id, id_col, vec_col, threshold, n_probe
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def _checkpoint_run_id(checkpoint_dir: str) -> str:

@@ -290,3 +290,55 @@ def test_incremental_pipeline_never_rescans_history(spark, tmp_path):
     # 11 blocked by history, 13 collapsed into 12; with one source left the
     # uniform-target mixture keeps everything (share == target)
     assert got == {("src_b", 2)}
+
+
+def test_incremental_neardup_pipeline_never_rescans_history(spark, tmp_path):
+    """r14: [corpus_e2e_incremental_neardup]'s contract — batch-2 survivors
+    respect batch-1 history through the PERSISTED MinHash index alone
+    (candidates from the stored bands, verification from the stored sigs).
+    Proven physically: history and batch live in separate parquet
+    directories; the executed plan's input files must include the index and
+    must NOT include the history directory. Each doc family gets a DISJOINT
+    60-token vocabulary so only intended (verbatim) near-dups can clear the
+    0.5 Jaccard gate."""
+    import os
+
+    from flusher_spark.operators import dedup_index as DI
+    from flusher_spark.plans.llm import _incremental_pipeline
+
+    def filler(fam: str) -> str:
+        return " ".join(f"{fam}tok{i}" for i in range(60))  # clears 50-word rule
+
+    hist_rows = [(i, "src_a", f"{filler(f'h{i}')} history doc {i}") for i in range(1, 6)]
+    batch_rows = (
+        # 11 duplicates history doc 1 verbatim: must be dropped by the probe
+        [(11, "src_a", f"{filler('h1')} history doc 1")]
+        # 12/13 are a batch-internal verbatim pair: min id 12 survives
+        + [
+            (12, "src_b", f"{filler('b')} fresh doc x"),
+            (13, "src_b", f"{filler('b')} fresh doc x"),
+        ]
+        + [(14, "src_b", f"{filler('c')} fresh doc y")]
+    )
+    schema = "doc_id long, source string, text string"
+    hist_dir = str(tmp_path / "hist")
+    batch_dir = str(tmp_path / "batch")
+    spark.createDataFrame(hist_rows, schema).write.parquet(hist_dir)
+    spark.createDataFrame(batch_rows, schema).write.parquet(batch_dir)
+    idx = str(tmp_path / "mhidx")
+    DI.minhash_index_build(spark.read.parquet(hist_dir), idx)
+    out = _incremental_pipeline(
+        spark,
+        idx,
+        spark.read.parquet(batch_dir),
+        survivors=lambda s1: DI.minhash_index_dedup(spark, idx, s1, threshold=0.5),
+    )
+    files = out.inputFiles()
+    assert any(f"mhidx{os.sep}bands" in f for f in files), files
+    assert any(f"mhidx{os.sep}sigs" in f for f in files), files
+    assert not any(f"{os.sep}hist{os.sep}" in f for f in files), files
+    got = {(r["source"], r["n_docs"]) for r in out.collect()}
+    # 11 blocked by history (verbatim ⇒ signature agreement 1.0 ≥ 0.5),
+    # 13 collapsed into 12 (keep-min); with one source left the
+    # uniform-target mixture keeps everything (share == target)
+    assert got == {("src_b", 2)}
