@@ -1114,6 +1114,88 @@ def ivf_append_index(
     return path
 
 
+def ivf_index_neardup_pairs(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    threshold: float = 0.95,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_src_batch: str | None = None,
+) -> DataFrame:
+    """Semantic near-dup detection of an incoming batch against a PERSISTED
+    IVF index — the embedding-space analogue of ``minhash_index_probe``:
+    assign each batch vector to its ``n_probe`` nearest stored centroids,
+    compare it by EXACT fold-left cosine against ONLY those list partitions
+    of the stored vector table (parquet partition pruning — probe cost
+    follows the batch, never the corpus), and return
+    (id_new, id_hist, cosine_sim) pairs at or above the threshold.
+
+    Pairs with identical ids are dropped (rebuild flows must not
+    self-pair) but a re-ingested vector DOES match its own stored record
+    under a different id — "this new vector duplicates history" is the
+    signal, the _probe_pairs convention. Tombstoned vectors stop
+    attracting matches immediately (the ivf_query_index interop). Like
+    every IVF family member, recall < 1 by construction: a cross-list pair
+    sharing none of the probed lists is missed (exact twin:
+    neardup_cosine_exact over the union corpus).
+
+    ``exclude_src_batch``: for STREAM-initialized indexes whose rows carry
+    a ``src_batch`` tag (streaming/dedup_stream.py), ignore rows this
+    micro-batch wrote itself — the retry self-exclusion. Null-safe:
+    untagged rows (batch appends into a stream index) are always kept."""
+    gen = G.current_gen(path)
+    cents = spark.read.parquet(G.gen_dir(path, "centroids", gen)).select(
+        "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
+    )
+    base = batch.select(
+        F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
+    )
+    assigned = _nearest_lists(base, cents, n_probe, "__list", id_col, vec_col)
+    # Bounded collect (≤ n_lists distinct ints) → parquet partition pruning.
+    probe_lists = sorted(
+        {r["__list"] for r in assigned.select("__list").distinct().collect()}
+    )
+    index = spark.read.parquet(G.gen_dir(path, "vectors", gen)).where(
+        F.col("__list").isin(probe_lists)
+    )
+    if exclude_src_batch is not None:
+        if "src_batch" not in index.columns:
+            raise ValueError(
+                "exclude_src_batch requires an index whose rows carry a"
+                " src_batch column (stream_ivf_index_init)"
+            )
+        index = index.where(
+            ~F.col("src_batch").eqNullSafe(F.lit(str(exclude_src_batch)))
+        )
+    index = _subtract_tombstones(spark, path, gen, index, id_col)
+    h = index.select(
+        "__list",
+        F.col(id_col).alias("id_hist"),
+        F.col(vec_col).alias("__hv"),
+        F.col("__nsq").alias("__hn"),
+    )
+    n = assigned.select(
+        "__list",
+        F.col(id_col).alias("id_new"),
+        F.col(vec_col).alias("__nv"),
+        F.col("__nsq").alias("__nn"),
+    )
+    sim = cosine(F.col("__nv"), F.col("__hv"), F.col("__nn"), F.col("__hn"))
+    pairs = (
+        n.join(h, "__list")
+        .where(F.col("id_new") != F.col("id_hist"))
+        .select("id_new", "id_hist", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+    # Multi-probe can surface one pair through several shared lists; the
+    # duplicates are bit-identical rows (same fold-left arithmetic) — the
+    # semantic_neardup_pairs collapse. Skipped at n_probe=1 (no dups
+    # possible: each stored vector lives in exactly one list).
+    return pairs.distinct() if n_probe > 1 else pairs
+
+
 # -- Semantic (embedding-space) near-dedup ------------------------------------
 
 

@@ -496,8 +496,8 @@ def semantic_stream_sink(
     one partitioned append — all sized by the batch."""
     from flusher_spark.operators.similarity import (
         _nearest_lists,
-        _subtract_tombstones,
         cosine,
+        ivf_index_neardup_pairs,
         vec_norm_sq,
     )
 
@@ -505,6 +505,21 @@ def semantic_stream_sink(
         spark = batch_df.sparkSession
         tag = f"{run_id}#{int(batch_id)}"
         part = os.path.join(sink_path, f"run_id={run_id}", f"batch_id={int(batch_id)}")
+        # History half: the ONE probe implementation
+        # (operators/similarity.py::ivf_index_neardup_pairs — pruned-list
+        # cosine join, tombstone subtraction, tag self-exclusion), so the
+        # sink's survivor rule and the batch probe API can never drift.
+        dropped_hist = ivf_index_neardup_pairs(
+            spark,
+            index_path,
+            batch_df,
+            threshold,
+            n_probe,
+            id_col,
+            vec_col,
+            exclude_src_batch=tag,
+        ).select(F.col("id_new").alias(id_col))
+        # Batch-internal half: keep-min over shared assigned lists.
         # Re-resolved per batch (not cached): a compact/rebuild between
         # micro-batches flips the generation, and centroids — unlike the
         # hash indexes' meta — CAN legitimately change on a rebuild.
@@ -515,50 +530,16 @@ def semantic_stream_sink(
         base = batch_df.select(
             F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
         )
-        # Consumed by: probe-list collect, history join, internal self-join,
-        # survivor append — one centroid crossJoin + window, not four.
+        # Consumed by both sides of the self-join and the survivor append —
+        # one centroid crossJoin + window, not three.
         assigned = _nearest_lists(
             base, cents, n_probe, "__list", id_col, vec_col
         ).localCheckpoint(eager=False)
-        # Bounded collect (≤ |batch| × n_probe ints, ≤ n_lists distinct) →
-        # parquet partition pruning on the stored vector table.
-        probe_lists = sorted(
-            {r["__list"] for r in assigned.select("__list").distinct().collect()}
-        )
-        index = spark.read.parquet(G.gen_dir(index_path, "vectors", gen)).where(
-            F.col("__list").isin(probe_lists)
-        )
-        if "src_batch" not in index.columns:
-            raise ValueError(
-                "semantic_stream_sink requires an index whose rows carry a"
-                " src_batch column (stream_ivf_index_init)"
-            )
-        index = index.where(~F.col("src_batch").eqNullSafe(F.lit(tag)))
-        index = _subtract_tombstones(spark, index_path, gen, index, id_col)
-        h = index.select(
-            "__list",
-            F.col(id_col).alias("__hid"),
-            F.col(vec_col).alias("__hv"),
-            F.col("__nsq").alias("__hn"),
-        )
         n = assigned.select(
             "__list",
             F.col(id_col).alias("__nid"),
             F.col(vec_col).alias("__nv"),
             F.col("__nsq").alias("__nn"),
-        )
-        # A vector re-ingested verbatim matches its own stored record; keep
-        # the match ("this new vector duplicates history" is the signal)
-        # but drop identical ids so rebuild flows can't self-pair — the
-        # _probe_pairs convention.
-        dropped_hist = (
-            n.join(h, "__list")
-            .where(F.col("__nid") != F.col("__hid"))
-            .where(
-                cosine(F.col("__nv"), F.col("__hv"), F.col("__nn"), F.col("__hn"))
-                >= threshold
-            )
-            .select(F.col("__nid").alias(id_col))
         )
         b = assigned.select(
             "__list",

@@ -100,6 +100,13 @@ EXTRA = [
     # dedup_stream_neardup) are stream-executed; their per-micro-batch
     # probe plans are reconstructed below (STREAM_INNER).
     "corpus_e2e_incremental",
+    # round 14: the near-dup composed incremental pipeline — bench-excluded
+    # like its exact twin, but the READ half (quality filter + banded
+    # stored-bands probe + keep-min self-join + broadcast mixture as one
+    # lazy plan) is the 100 TB evidence. dedup_stream_semantic is
+    # stream-executed; its per-micro-batch probe plan is reconstructed
+    # below (STREAM_INNER).
+    "corpus_e2e_incremental_neardup",
 ]
 SKIP_PREFIXES = ("events_tumbling", "events_sliding", "events_sessionize",
                  "events_rollup", "events_stateful", "events_stream_")
@@ -163,12 +170,43 @@ def _stream_neardup_inner(spark, sf_dir):
     )
 
 
+def _stream_semantic_inner(spark, sf_dir):
+    """The per-micro-batch HISTORY-probe plan of [dedup_stream_semantic]:
+    the pruned-list cosine join against stored vectors (tag-excluded,
+    partition-pruned via the bounded probe-list collect) — the dominant
+    half of the sink, and the exact implementation it calls
+    (operators/similarity.py::ivf_index_neardup_pairs); the batch-internal
+    self-join shares the per-list equi-join shape and is pinned in
+    tests/test_dedup_stream.py."""
+    from pyspark.sql import functions as F
+
+    from flusher_spark.io.tables import load_table
+    from flusher_spark.operators.similarity import ivf_index_neardup_pairs
+    from flusher_spark.streaming.dedup_stream import stream_ivf_index_init
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = emb.agg(F.max("vec_id")).collect()[0][0] // 2
+    idx = os.path.join(_audit_scratch("flusher_planaudit_ivf_"), "idx")
+    stream_ivf_index_init(
+        spark, idx, n_lists=8, n_iter=1, seed_df=emb.where(F.col("vec_id") <= k)
+    )
+    return ivf_index_neardup_pairs(
+        spark,
+        idx,
+        emb.where(F.col("vec_id") > k),
+        threshold=0.4,
+        n_probe=2,
+        exclude_src_batch="audit#0",
+    )
+
+
 #: Stream-EXECUTED catalog entries whose fn runs a StreamingQuery and
 #: returns a bare sink scan — the plan worth auditing is the inner
 #: per-micro-batch query, reconstructed here (r12 verdict item 5).
 STREAM_INNER = {
     "dedup_stream_incremental (per-micro-batch probe)": _stream_dedup_inner,
     "dedup_stream_neardup (per-micro-batch history probe)": _stream_neardup_inner,
+    "dedup_stream_semantic (per-micro-batch history probe)": _stream_semantic_inner,
 }
 #: Batch entries that share a streaming-skip prefix but return LAZY plans —
 #: audit them normally (the prefixes exist for stream-EXECUTED entries only).

@@ -87,6 +87,12 @@ PROBES = [
     # plan respectively)
     ("dedup_stream_neardup", "near-dup survivor sink read"),
     ("corpus_e2e_incremental", "quality + index probe + mixture, one plan"),
+    # round 14 (the full streaming semantic run / the MinHash index build
+    # happen once per sf via _scratch_index; the timed repeats measure the
+    # partitioned-sink read and the composed quality+banded-probe+mixture
+    # read plan respectively)
+    ("dedup_stream_semantic", "semantic survivor sink read"),
+    ("corpus_e2e_incremental_neardup", "quality + banded probe + mixture"),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
