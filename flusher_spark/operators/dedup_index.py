@@ -778,11 +778,12 @@ def resolve_min_agree(
     from a float. The ceiling recompute is only the fallback for indexes
     without a cluster layer, where the caller's ``threshold`` argument
     defines the cut."""
+    # clusters/meta is NOT generation-scoped (no GENERATION pointer is ever
+    # written under the clusters root — bootstrap writes the bare table and
+    # overwrites it wholesale), so a plain existence check IS the whole
+    # resolution.
     croot = os.path.join(path, "clusters")
-    cmdir = G.gen_dir(croot, "meta", G.current_gen(croot))
-    if not os.path.isdir(cmdir):
-        cmdir = os.path.join(croot, "meta")
-    if os.path.isdir(cmdir):
+    if os.path.isdir(os.path.join(croot, "meta")):
         return int(_read_meta(spark, croot)["min_agree"])
     # ceil(threshold × num_perm) as an exact integer — the float-safe form
     # minhash_cluster_bootstrap freezes.
@@ -799,18 +800,19 @@ def minhash_index_dedup(
     max_bucket: int = 1000,
     exclude_src_batch: str | None = None,
     sig_new: DataFrame | None = None,
+    _meta: dict[str, int] | None = None,
+    _min_agree: int | None = None,
 ) -> DataFrame:
     """The APPLY half of ``minhash_index_probe`` — batch near-dup dedup
-    against a persisted index, the batch form of the streaming NEAR-dup
-    sink's survivor rule (``streaming/dedup_stream.py::neardup_stream_sink``
-    computes the identical set, pinned by a reference-equality test): drop
-    every batch doc that clears the agreement threshold against ANY
-    historical doc (candidates from the STORED bands, verification from
-    the STORED sigs — history is never re-shingled) or against a
-    SMALLER-id member of its own batch (keep-min, the semantic_dedup_keep
-    convention). Docs too short to produce a signature can never
-    near-match and pass through. Returns the surviving ids (one ``id_col``
-    column).
+    against a persisted index, and THE survivor rule of the streaming
+    NEAR-dup sink (``streaming/dedup_stream.py::neardup_stream_sink``
+    delegates here, so the two call sites cannot drift): drop every batch
+    doc that clears the agreement threshold against ANY historical doc
+    (candidates from the STORED bands, verification from the STORED
+    sigs — history is never re-shingled) or against a SMALLER-id member of
+    its own batch (keep-min, the semantic_dedup_keep convention). Docs too
+    short to produce a signature can never near-match and pass through.
+    Returns the surviving ids (one ``id_col`` column).
 
     The agreement cut comes from ``resolve_min_agree`` — the frozen
     clusters/meta integer when the index has a cluster layer, the float
@@ -821,11 +823,18 @@ def minhash_index_dedup(
     ``sig_new``: optional precomputed ``_signature_rows`` frame over
     ``batch`` (the streaming sink passes its checkpointed one so the
     shingle+aggregate pipeline — the dominant cost — runs exactly once).
+    ``_meta``/``_min_agree``: the sink's per-run caches of the immutable
+    index parameters and the resolved cut, passed back in so a long
+    stream doesn't re-read the KB-sized meta tables every micro-batch.
 
     At scale: one bucket-pruned band join (probe cost follows the batch),
     one batch-sized self-join, one anti-join — never a corpus scan."""
-    m = _read_meta(spark, path)
-    min_agree = resolve_min_agree(spark, path, threshold, m["num_perm"])
+    m = _meta if _meta is not None else _read_meta(spark, path)
+    min_agree = (
+        _min_agree
+        if _min_agree is not None
+        else resolve_min_agree(spark, path, threshold, m["num_perm"])
+    )
     if sig_new is None:
         sig_new = _signature_rows(
             batch, text_col, id_col, m["num_perm"], m["shingle_n"], m["seed"]

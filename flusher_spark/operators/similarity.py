@@ -340,21 +340,34 @@ def _centroid_frame(spark: SparkSession, rows: list) -> DataFrame:
 
 
 def _nearest_lists(
-    side: DataFrame, cents: DataFrame, keep: int, out: str, id_col: str, vec_col: str
+    side: DataFrame,
+    cents: DataFrame,
+    keep: int,
+    out: str,
+    id_col: str,
+    vec_col: str,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Attach the ``keep`` nearest centroid ids to each row of ``side``
     (which must carry a ``__nsq`` norm column): broadcast the tiny centroid
-    set, one argmax window per row — a single parallel scan."""
+    set, one argmax window per row — a single parallel scan. ``rank_col``
+    optionally keeps the 1-based nearness rank, so a caller needing BOTH
+    the multi-probe assignment and the single-nearest one (the streaming
+    semantic sink) can derive the latter as ``rank == 1`` instead of
+    running a second assignment job."""
     sim = cosine(F.col(vec_col), F.col("__cvec"), F.col("__nsq"), F.col("__cnsq"))
     w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("__cid"))
-    return (
+    ranked = (
         side.crossJoin(F.broadcast(cents))
         .withColumn("__csim", sim)
         .withColumn("__crank", F.row_number().over(w))
         .where(F.col("__crank") <= keep)
         .withColumnRenamed("__cid", out)
-        .drop("__cvec", "__cnsq", "__csim", "__crank")
     )
+    if rank_col is not None:
+        ranked = ranked.withColumnRenamed("__crank", rank_col)
+        return ranked.drop("__cvec", "__cnsq", "__csim")
+    return ranked.drop("__cvec", "__cnsq", "__csim", "__crank")
 
 
 def ivf_topk(
@@ -1123,6 +1136,7 @@ def ivf_index_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_src_batch: str | None = None,
+    _assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic near-dup detection of an incoming batch against a PERSISTED
     IVF index — the embedding-space analogue of ``minhash_index_probe``:
@@ -1144,15 +1158,28 @@ def ivf_index_neardup_pairs(
     ``exclude_src_batch``: for STREAM-initialized indexes whose rows carry
     a ``src_batch`` tag (streaming/dedup_stream.py), ignore rows this
     micro-batch wrote itself — the retry self-exclusion. Null-safe:
-    untagged rows (batch appends into a stream index) are always kept."""
+    untagged rows (batch appends into a stream index) are always kept.
+
+    ``_assigned``: optional precomputed ``n_probe`` assignment frame
+    ((id, vec, __nsq, __list) rows, extra columns ignored) — the streaming
+    sink passes its checkpointed one so the centroid read + assignment
+    job run exactly once per micro-batch (the sig_new precedent of
+    minhash_index_dedup)."""
     gen = G.current_gen(path)
-    cents = spark.read.parquet(G.gen_dir(path, "centroids", gen)).select(
-        "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
-    )
-    base = batch.select(
-        F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
-    )
-    assigned = _nearest_lists(base, cents, n_probe, "__list", id_col, vec_col)
+    if _assigned is None:
+        cents = spark.read.parquet(G.gen_dir(path, "centroids", gen)).select(
+            "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
+        )
+        base = batch.select(
+            F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
+        )
+        # Consumed twice (probe-list collect + the pairs join): checkpoint
+        # so the crossJoin+window assignment runs once, exactly like
+        # ivf_query_index's probes frame.
+        _assigned = _nearest_lists(
+            base, cents, n_probe, "__list", id_col, vec_col
+        ).localCheckpoint(eager=False)
+    assigned = _assigned
     # Bounded collect (≤ n_lists distinct ints) → parquet partition pruning.
     probe_lists = sorted(
         {r["__list"] for r in assigned.select("__list").distinct().collect()}
@@ -1183,8 +1210,10 @@ def ivf_index_neardup_pairs(
         F.col("__nsq").alias("__nn"),
     )
     sim = cosine(F.col("__nv"), F.col("__hv"), F.col("__nn"), F.col("__hn"))
+    # The probe side is micro-batch-sized by contract: broadcast it so the
+    # pruned stored lists never shuffle (the ivf_query_index join shape).
     pairs = (
-        n.join(h, "__list")
+        h.join(F.broadcast(n), "__list")
         .where(F.col("id_new") != F.col("id_hist"))
         .select("id_new", "id_hist", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)

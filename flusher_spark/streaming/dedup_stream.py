@@ -72,13 +72,11 @@ from flusher_spark.operators.dedup_index import (
     _current_gen,
     _fingerprint_rows,
     _gen_dir,
-    _probe_pairs,
     _read_meta,
-    _self_candidates,
     _signature_rows,
-    _verified_pairs,
     _write_meta,
     fingerprint_index_probe,
+    minhash_index_dedup,
     resolve_min_agree,
 )
 
@@ -326,34 +324,30 @@ def neardup_stream_sink(
                 spark, index_path, threshold, meta_cache["num_perm"]
             )
         m = meta_cache
-        min_agree = m["__min_agree"]
         sig_new = _signature_rows(
             batch_df, text_col, id_col, m["num_perm"], m["shingle_n"], m["seed"]
-        ).localCheckpoint(eager=False)  # probe + self-pairs + survivor append
-        hist = _probe_pairs(
-            spark,
-            index_path,
-            m,
-            sig_new,
-            # exact round-trip: agree/k >= a/k  <=>  agree >= a — the probe
-            # and the batch-internal verification cut at the SAME count
-            min_agree / m["num_perm"],
-            max_bucket,
-            prune=True,
-            exclude_src_batch=tag,
-        )
-        bands_new = _band_rows(sig_new, m["num_perm"], m["bands"], m["n_buckets"])
-        internal = _verified_pairs(
-            _self_candidates(bands_new, max_bucket), sig_new, m["num_perm"], min_agree
-        )
-        dropped = (
-            hist.select(F.col("doc_new").alias("doc_id"))
-            .union(internal.select(F.col("doc_b").alias("doc_id")))  # doc_a < doc_b
-            .distinct()
-        )
+        ).localCheckpoint(eager=False)  # survivor rule + survivor append
+        # Survivor rule: THE one implementation
+        # (operators/dedup_index.py::minhash_index_dedup — bucket-pruned
+        # history probe + keep-min internal collapse, cutting at the
+        # resolved integer agreement), with this micro-batch's tag
+        # self-excluded and the checkpointed sig_new passed so the shingle
+        # pipeline runs exactly once.
         (
-            batch_df.select(F.col(id_col).alias("doc_id"))
-            .join(dropped, "doc_id", "left_anti")
+            minhash_index_dedup(
+                spark,
+                index_path,
+                batch_df,
+                text_col,
+                id_col,
+                threshold,
+                max_bucket,
+                exclude_src_batch=tag,
+                sig_new=sig_new,
+                _meta=m,
+                _min_agree=m["__min_agree"],
+            )
+            .select(F.col(id_col).alias("doc_id"))
             .write.mode("overwrite")
             .parquet(part)
         )
@@ -505,6 +499,25 @@ def semantic_stream_sink(
         spark = batch_df.sparkSession
         tag = f"{run_id}#{int(batch_id)}"
         part = os.path.join(sink_path, f"run_id={run_id}", f"batch_id={int(batch_id)}")
+        # Centroids re-resolved per batch (not cached): a compact/rebuild
+        # between micro-batches flips the generation, and centroids —
+        # unlike the hash indexes' meta — CAN legitimately change on a
+        # rebuild.
+        gen = G.current_gen(index_path)
+        cents = spark.read.parquet(G.gen_dir(index_path, "centroids", gen)).select(
+            "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
+        )
+        base = batch_df.select(
+            F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
+        )
+        # ONE assignment job per micro-batch (the sig_new discipline of the
+        # MinHash sink): rank kept so the history probe (all n_probe
+        # lists), the internal self-join (all lists), AND the survivor
+        # append (rank 1 = single nearest list, the ivf_append_index
+        # assignment) all derive from this checkpointed frame.
+        assigned = _nearest_lists(
+            base, cents, n_probe, "__list", id_col, vec_col, rank_col="__crank"
+        ).localCheckpoint(eager=False)
         # History half: the ONE probe implementation
         # (operators/similarity.py::ivf_index_neardup_pairs — pruned-list
         # cosine join, tombstone subtraction, tag self-exclusion), so the
@@ -518,23 +531,9 @@ def semantic_stream_sink(
             id_col,
             vec_col,
             exclude_src_batch=tag,
+            _assigned=assigned,
         ).select(F.col("id_new").alias(id_col))
         # Batch-internal half: keep-min over shared assigned lists.
-        # Re-resolved per batch (not cached): a compact/rebuild between
-        # micro-batches flips the generation, and centroids — unlike the
-        # hash indexes' meta — CAN legitimately change on a rebuild.
-        gen = G.current_gen(index_path)
-        cents = spark.read.parquet(G.gen_dir(index_path, "centroids", gen)).select(
-            "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
-        )
-        base = batch_df.select(
-            F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
-        )
-        # Consumed by both sides of the self-join and the survivor append —
-        # one centroid crossJoin + window, not three.
-        assigned = _nearest_lists(
-            base, cents, n_probe, "__list", id_col, vec_col
-        ).localCheckpoint(eager=False)
         n = assigned.select(
             "__list",
             F.col(id_col).alias("__nid"),
@@ -564,15 +563,15 @@ def semantic_stream_sink(
             .parquet(part)
         )
         # Index only the SURVIVORS' vectors, keyed off the sink partition
-        # just written (sink and index can never diverge); single nearest
-        # list — the ivf_append_index assignment. NULL embeddings stay out
-        # of the index (they can never attract a match) — the unsigned-doc
-        # policy of the text sinks.
-        surv = base.where(F.col(vec_col).isNotNull()).join(
-            spark.read.parquet(part).select(id_col), id_col
-        )
+        # just written (sink and index can never diverge); rank-1 rows of
+        # the shared assignment = the single nearest list, exactly the
+        # ivf_append_index placement. NULL embeddings stay out of the index
+        # (they can never attract a match) — the unsigned-doc policy of
+        # the text sinks.
         (
-            _nearest_lists(surv, cents, 1, "__list", id_col, vec_col)
+            assigned.where(F.col("__crank") == 1)
+            .where(F.col(vec_col).isNotNull())
+            .join(spark.read.parquet(part).select(id_col), id_col)
             .select(
                 id_col, vec_col, "__nsq", F.lit(tag).alias("src_batch"), "__list"
             )
