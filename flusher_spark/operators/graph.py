@@ -29,6 +29,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _tracked_checkpoint(df: DataFrame) -> tuple[DataFrame, list]:
+    """``localCheckpoint(eager=True)`` plus the ids of the RDD blocks it
+    pinned. Checkpoint storage is NEVER freed by ``DataFrame.unpersist``
+    or by GC (measured, r14 review), so an iterative loop that checkpoints
+    per round must release the superseded round's blocks itself through
+    the JVM handle (``_free_checkpoints``) — otherwise every round's copy
+    of the iteration state stays pinned for the whole session. The
+    before/after id diff assumes no concurrent checkpointing from other
+    driver threads — true for these single-threaded loops."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    cp = df.localCheckpoint(eager=True)
+    after = sc._jsc.getPersistentRDDs().keySet().toArray()
+    return cp, [i for i in after if i not in before]
+
+
+def _free_checkpoints(spark, rdd_ids: list) -> None:
+    """Release a SUPERSEDED tracked checkpoint's blocks. A checkpoint has
+    no lineage left to recompute from, so this must only run on frames
+    nothing will ever read again (the loop's previous iteration state)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in rdd_ids:
+        jrdd = jmap.get(i)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -64,8 +91,11 @@ def pagerank(
     # destination for that mass, not NULL). deg MUST be summed over the
     # same filtered edge set the spread uses: summing raw weights let a
     # mixed-sign node (w = [2, -1] → deg 1) spread 2/1 > 1 of its rank,
-    # inflating total mass every iteration (r12 / ADVICE).
-    pos = e.where(F.col("w") > 0)
+    # inflating total mass every iteration (r12 / ADVICE). NaN weights are
+    # excluded EXPLICITLY: Spark orders NaN above every numeric, so a NaN
+    # weight passes `w > 0` and one such edge would poison deg — and from
+    # there every reachable rank — to NaN with no error (r14 review).
+    pos = e.where((F.col("w") > 0) & ~F.isnan("w"))
     deg = pos.groupBy("src").agg(F.sum("w").alias("deg"))
     ed = (
         pos.join(deg, "src")
@@ -95,6 +125,18 @@ def pagerank(
         deg.select(F.col("src").alias("node"))
         .localCheckpoint(eager=True)
     )
+    # Storage discipline for the iteration state (r14 review): checkpoint
+    # blocks are NEVER freed by DataFrame.unpersist or GC (measured), so
+    # the old bare per-iteration checkpoint pinned n_iter rank-vector
+    # copies in executor storage for the whole session. The per-iteration
+    # checkpoint itself stays — each round's plan references the previous
+    # state, so truncation per round is what keeps analysis time linear —
+    # but the SUPERSEDED round's blocks are now explicitly released
+    # through the tracked JVM handle once the new state is materialized
+    # and the old one can never be read again. Peak storage: 2 rank
+    # vectors + the 3 setup checkpoints, independent of n_iter; the final
+    # vector stays pinned for the caller.
+    prev_ids: list = []
     for _ in range(n_iter):
         # Dangling mass: total rank parked on nodes with no out-edges.
         # 1-row aggregate -> scalar; bounded regardless of graph size.
@@ -114,17 +156,16 @@ def pagerank(
             .agg(F.sum("c").alias("in_rank"))
         )
         base = (1.0 - damping) / n + damping * dang / n
-        new_ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
+        new_ranks, new_ids = _tracked_checkpoint(
+            nodes.join(contribs, "node", "left").select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
+                ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
         if tol is not None:
+            # Consumes the PREVIOUS vector's blocks — freed only after.
             delta = (
                 new_ranks.join(
                     ranks.withColumnRenamed("rank", "prev"), "node"
@@ -132,11 +173,13 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
                 .collect()[0]["d"]
             )
-            ranks = new_ranks
-            if delta is not None and delta < tol:
-                break
         else:
-            ranks = new_ranks
+            delta = None
+        _free_checkpoints(edges.sparkSession, prev_ids)
+        prev_ids = new_ids
+        ranks = new_ranks
+        if tol is not None and delta is not None and delta < tol:
+            break
     return ranks
 
 
@@ -172,14 +215,13 @@ def connected_components(
     returns the partially-contracted labeling when strict=False (callers
     who opt out should inspect stats["converged"])."""
     a, b = F.col("a"), F.col("b")
-    e = (
+    e, e_ids = _tracked_checkpoint(
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
         .where(F.col("x") != F.col("y"))
         .select(
             F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -189,6 +231,14 @@ def connected_components(
     )
     rounds = 0
     converged = False
+    # Same storage discipline as pagerank (r14 review): the per-round
+    # checkpoint stays — each round references the edge set SEVERAL times
+    # (bi doubles it, large/small reuse bi/e1), so without per-round plan
+    # truncation the logical tree grows multiplicatively per round — but
+    # the superseded round's blocks are explicitly released once the
+    # fixpoint counts have consumed them. Peak storage: 2 edge-set copies
+    # + the nodes checkpoint, independent of round count; the converged
+    # set stays pinned for the final labeling.
     for _ in range(max_iter):
         rounds += 1
         # Large-star: full neighborhood (both directions); each node u's
@@ -214,19 +264,20 @@ def connected_components(
             .select(b.alias("x"), F.col("m").alias("y"))
             .unionByName(smins.select(a.alias("x"), F.col("m").alias("y")))
         )
-        e2 = (
+        e2, e2_ids = _tracked_checkpoint(
             small.where(F.col("x") != F.col("y"))
             .select(F.greatest("x", "y").alias("a"), F.least("x", "y").alias("b"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # Fixpoint probe: the edge set is monotonically contracting, so
-        # equal counts + empty difference == converged (two scalar counts).
-        if e2.count() == e.count() and e2.exceptAll(e).count() == 0:
-            e = e2
+        # equal counts + empty difference == converged (two scalar counts;
+        # they consume the superseded e, which is freed right after).
+        done = e2.count() == e.count() and e2.exceptAll(e).count() == 0
+        _free_checkpoints(edges.sparkSession, e_ids)
+        e, e_ids = e2, e2_ids
+        if done:
             converged = True
             break
-        e = e2
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
@@ -282,9 +333,18 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = bi.select(F.col("s").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # Node set from the RAW edges (the connected_components discipline),
+    # not from bi: a node whose only edges are self-loops has an edge —
+    # the documented return contract — but the s != d filter removes it
+    # from bi, and deriving the label table from bi silently dropped its
+    # row (r14 review).
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
+    labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(iters):
         counts = (
             bi.join(labels, bi.d == labels.node)
@@ -292,11 +352,16 @@ def label_propagation(
             .agg(F.count("*").alias("c"))
         )
         # argmax by (count DESC, label ASC) as one order-insensitive
-        # aggregate: min over struct(-c, label).
-        labels = counts.groupBy("node").agg(
+        # aggregate: min over struct(-c, label). Nodes with no non-self
+        # neighbor (self-loop-only) have no counts row and KEEP their own
+        # label via the left join below.
+        adopted = counts.groupBy("node").agg(
             F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l")))[
                 "l"
-            ].alias("label")
+            ].alias("adopted")
+        )
+        labels = nodes.join(adopted, "node", "left").select(
+            "node", F.coalesce("adopted", "node").alias("label")
         )
         # LAZY per-round lineage truncation (pagerank/BPE discipline, r11
         # review): without it the labels plan nests one join + two aggs
@@ -331,7 +396,16 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .localCheckpoint(eager=True)
     )
     bi = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = bi.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed("a", "node")
+    # Checkpointed like `e`: deg feeds THREE independent actions (n_nodes,
+    # the wedge-total aggregate, and the orientation joins under the final
+    # triangle count) — without it each re-ran the doubled-edge groupBy
+    # over the full edge set (r14 review).
+    deg = (
+        bi.groupBy("a")
+        .agg(F.count("*").alias("deg"))
+        .withColumnRenamed("a", "node")
+        .localCheckpoint(eager=True)
+    )
     n_nodes = deg.count()
     n_edges = e.count()
     # Integer DIV keeps the wedge total exact at any scale (deg·(deg−1) is

@@ -29,7 +29,15 @@ def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
     a NULL bucket fails BOTH sides of a split predicate — rows would vanish
     from train AND test silently (r9 review), breaking the disjoint-and-
     exhaustive contract. With the sentinel every row lands in exactly one
-    bucket; non-null keys hash identically to before (and to the oracles)."""
+    bucket; non-null keys hash identically to before (and to the oracles).
+
+    KEY-TYPE CONTRACT (r14 review): the engine-portability property holds
+    for integer/string/boolean keys, whose string forms are universal.
+    Fractional keys stringify engine-specifically (Spark renders 1e7 as
+    '1.0E7', DuckDB as '10000000.0'), which would make the md5 inputs —
+    and therefore train/test membership — silently diverge between
+    engines; pre-cast such a key to a canonical string yourself if you
+    truly must split on one. Every catalog caller keys on ids."""
     s = F.coalesce(key.cast("string"), F.lit("\x00null"))
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % n_buckets
 

@@ -60,7 +60,15 @@ def _accumulate_totals(
     the module's "the processor logic is identical" claim is structural,
     not a comment that drifts (the two copies had already diverged in
     guard placement, r10 review). NULL values count toward n_events but
-    not the aggregates (the F.sum/F.max convention)."""
+    not the aggregates (the F.sum/F.max convention).
+
+    DOCUMENTED DIVERGENCE for genuine double NaN on disk (r14 review):
+    Arrow→pandas conversion renders SQL NULL as NaN in this frame, so a
+    stored NaN value is indistinguishable from NULL here and is treated
+    as NULL (skipped), whereas batch F.sum/F.max PROPAGATE NaN. Exact
+    parity would need nullable extension dtypes end-to-end; skipping is
+    the safer side (a single NaN event cannot permanently poison a user's
+    lifetime totals)."""
     for pdf in pdfs:
         if len(pdf):
             n += len(pdf)
@@ -85,15 +93,46 @@ def _totals_row(key, n: int, nv: int, s: float, m: float) -> pd.DataFrame:
     )
 
 
+def _canon(v) -> tuple:
+    """A total order over arbitrary Arrow-decoded cell values. pandas
+    ``sort_values`` over all columns crashed on any non-orderable payload
+    type — array columns arrive as numpy arrays ('truth value is
+    ambiguous'), map columns as dicts ('<' unsupported) — breaking the
+    full-schema pass-through contract (r14 review). Keys are typed tuples
+    so mixed/NULL cells compare by type tag first, values second; floats
+    render via repr (deterministic digits), nested values recurse."""
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return ("arr", tuple(_canon(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((str(k), _canon(x)) for k, x in v.items())))
+    if v is None or (isinstance(v, float) and v != v):  # None / float NaN
+        return ("nul",)
+    if isinstance(v, bytes):
+        return ("bin", v.hex())
+    return ("val", type(v).__name__, repr(v))
+
+
 def _pick_first_row(frames: list[pd.DataFrame]) -> pd.DataFrame:
     """Deterministic in-batch winner for first-seen dedup. Row order inside
     a shuffled group is NOT source order, so "first within this batch" is
-    undefined; take the row that is lexicographically smallest over ALL
-    columns (in schema order) so the admitted payload is deterministic
-    across retries and partitionings — replays with identical payloads (the
-    common at-least-once case) are unaffected. Shared by both API twins."""
+    undefined; take the row that is smallest under a canonical total order
+    over ALL columns (in schema order, ``_canon`` per cell) so the admitted
+    payload is deterministic across retries and partitionings — replays
+    with identical payloads (the common at-least-once case) are unaffected.
+    The group is one key's duplicates within one micro-batch, so the
+    Python-side keying is batch-bounded. Shared by both API twins."""
     batch = pd.concat(frames, ignore_index=True)
-    return batch.sort_values(list(batch.columns)).iloc[:1]
+    if len(batch) == 1:
+        return batch
+    keys = [
+        tuple(_canon(v) for v in row)
+        for row in batch.itertuples(index=False, name=None)
+    ]
+    return batch.iloc[[min(range(len(keys)), key=keys.__getitem__)]]
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:

@@ -45,10 +45,20 @@ def stream_events(spark: SparkSession, path: str, max_files_per_trigger: int = 1
     timestamp[us] (→ ``timestamp_ntz``). One batch footer read resolves the
     on-disk encoding; ``normalize_event_ts`` then canonicalizes either to
     session-tz ``timestamp`` so every window/watermark downstream is
-    encoding-agnostic.
+    encoding-agnostic. The probe freezes whatever encoding it sees — a
+    streaming source's schema is fixed at start by design, so a producer
+    that switches encodings mid-run needs a stream restart either way.
     """
     configure(spark)
-    on_disk = spark.read.parquet(path).schema["ts"].dataType
+    try:
+        on_disk = spark.read.parquet(path).schema["ts"].dataType
+    except Exception:
+        # Stream started before the producer wrote its first file — the
+        # normal deployment order (the directory exists, no parquet yet):
+        # nothing to probe (UNABLE_TO_INFER_SCHEMA), so assume the
+        # canonical timestamp encoding instead of crashing at startup
+        # (r14 review). normalize_event_ts handles it identically.
+        on_disk = T.TimestampType()
     raw = (
         spark.readStream.schema(_events_schema(on_disk))
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -1192,8 +1192,10 @@ def test_pagerank_mixed_sign_weights_conserve_mass(spark):
 
 def test_pagerank_tol_early_stop(spark, monkeypatch):
     """tol must stop the iteration loop before n_iter once the L1 delta
-    converges (observed by counting per-iteration localCheckpoint calls),
-    and the early-stopped result must match the run-to-cap result."""
+    converges (observed by counting per-iteration persist-or-checkpoint
+    calls — each iteration materializes its rank vector through exactly
+    one of the two since the r14 storage-discipline change), and the
+    early-stopped result must match the run-to-cap result."""
     from flusher_spark.operators.graph import pagerank
 
     edges = [(0, 1), (1, 2), (2, 0), (0, 3), (1, 3), (3, 4), (2, 4)]
@@ -1203,22 +1205,31 @@ def test_pagerank_tol_early_stop(spark, monkeypatch):
     # the abstract base; instances are the classic subclass, which overrides
     # localCheckpoint — patching the base would never be hit).
     cls = type(df)
-    calls = {"n": 0}
-    orig = cls.localCheckpoint
+    calls = {"cp": 0, "p": 0}
+    orig_cp = cls.localCheckpoint
+    orig_p = cls.persist
 
-    def counting(self, eager=True):
-        calls["n"] += 1
-        return orig(self, eager=eager)
+    def counting_cp(self, eager=True):
+        calls["cp"] += 1
+        return orig_cp(self, eager=eager)
 
-    monkeypatch.setattr(cls, "localCheckpoint", counting)
+    def counting_p(self, *a, **k):
+        calls["p"] += 1
+        return orig_p(self, *a, **k)
+
+    monkeypatch.setattr(cls, "localCheckpoint", counting_cp)
+    monkeypatch.setattr(cls, "persist", counting_p)
+
+    def iters():
+        # ed + nodes + out_nodes checkpoints are setup, not iterations
+        return calls["p"] + calls["cp"] - 3
+
     full = {r["node"]: r["rank"] for r in pagerank(df, n_iter=50).collect()}
-    # ed + nodes + out_nodes checkpoints are setup, not iterations
-    full_iters = calls["n"] - 3
-    assert full_iters == 50
+    assert iters() == 50
 
-    calls["n"] = 0
+    calls["cp"] = calls["p"] = 0
     got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=50, tol=1e-6).collect()}
-    tol_iters = calls["n"] - 3
+    tol_iters = iters()
     assert tol_iters < 50, "tol=1e-6 must stop before the n_iter cap"
     assert tol_iters >= 3  # but not before doing real work
     for u in full:
@@ -3571,3 +3582,33 @@ def test_ivf_index_neardup_pairs_vs_exact_twin(spark, emb, tmp_path):
     )
     hits = ivf_index_neardup_pairs(spark, path, dup, threshold=0.99, n_probe=2)
     assert hits.count() >= 1
+
+
+def test_pagerank_nan_weight_ignored(spark):
+    """r14: Spark orders NaN above every numeric, so a NaN edge weight used
+    to pass the `w > 0` guard and poison every reachable rank to NaN with
+    no error. A NaN-weighted edge must behave exactly like a NULL/<=0 one:
+    spread nothing."""
+    import math
+
+    from flusher_spark.operators.graph import pagerank
+
+    schema = "src long, dst long, w double"
+    clean = spark.createDataFrame([(0, 1, 1.0), (1, 2, 2.0), (2, 0, 1.0)], schema)
+    dirty = clean.union(spark.createDataFrame([(0, 2, float("nan"))], schema))
+    a = {r["node"]: r["rank"] for r in pagerank(clean, weight="w", n_iter=10).collect()}
+    b = {r["node"]: r["rank"] for r in pagerank(dirty, weight="w", n_iter=10).collect()}
+    assert all(math.isfinite(v) for v in b.values())
+    assert a == b
+
+
+def test_label_propagation_self_loop_only_node(spark):
+    """r14: a node whose only edges are self-loops has an edge — the
+    documented return contract — but used to be silently dropped by the
+    s != d filter (connected_components labels the same input)."""
+    from flusher_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(5, 5), (1, 2)], "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(edges).collect()}
+    assert set(got) == {1, 2, 5}
+    assert got[5] == 5  # keeps its own label: no non-self neighbor to adopt

@@ -693,3 +693,42 @@ def test_tws_running_totals_all_null_user_emits_null_aggregates():
     assert by_user.loc[8, "n_events"] == 2  # the NULL event + the real one
     assert by_user.loc[8, "sum_value"] == 4.0
     assert by_user.loc[8, "max_value"] == 4.0
+
+
+def test_pick_first_row_non_orderable_payload():
+    """r14: the deterministic in-batch winner used pandas sort_values over
+    ALL columns, which crashes on array (numpy 'truth value is ambiguous')
+    and map (dict '<' unsupported) payload columns — breaking the
+    full-schema pass-through contract. The canonical total order must
+    handle them and stay permutation-invariant."""
+    import numpy as np
+    import pandas as pd
+
+    from flusher_spark.streaming.stateful import _pick_first_row
+
+    f = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "emb": [np.array([3.0, 4.0]), np.array([1.0, 2.0])],
+            "props": [{"b": 1}, {"a": 2}],
+        }
+    )
+    row = _pick_first_row([f])
+    assert list(row["emb"].iloc[0]) == [1.0, 2.0]
+    rev = f.iloc[::-1].reset_index(drop=True)
+    row2 = _pick_first_row([rev])
+    assert list(row2["emb"].iloc[0]) == [1.0, 2.0]  # order-invariant winner
+
+
+def test_stream_events_empty_source_dir(spark, tmp_path):
+    """r14: starting the stream before the producer writes its first file
+    (the normal deployment order) used to crash the batch schema probe
+    with UNABLE_TO_INFER_SCHEMA; it must fall back to the canonical
+    timestamp encoding."""
+    from flusher_spark.streaming.windows import stream_events
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    df = stream_events(spark, str(src))
+    assert df.isStreaming
+    assert "ts" in df.columns
