@@ -176,24 +176,44 @@ def winnow_fingerprints(df, k: int = 7, w: int = 4, text_col: str = "text", id_c
 # -- fuzzy (typo-tolerant) joining -------------------------------------------
 
 
-def deletion_variants(df, col: str, keep_pos: bool = False):
-    """One row per (input row, variant): the string itself (``__d`` = 0) plus
-    every single-character deletion (``__d`` = position). All codegen'd
-    concat/substr — fan-out is len+1, bounded by the string length."""
+def deletion_variants(
+    df,
+    col: str,
+    keep_pos: bool = False,
+    d_col: str = "__d",
+    variant_col: str = "__variant",
+):
+    """One row per (input row, variant): the string itself (``d_col`` = 0)
+    plus every single-character deletion (``d_col`` = position). All
+    codegen'd concat/substr — fan-out is len+1, bounded by the string
+    length. ``d_col``/``variant_col`` let a caller whose frame already
+    uses the default working names pick non-colliding ones (a duplicate
+    name would make every later reference AMBIGUOUS_REFERENCE —
+    fuzzy_join_ed1 uniquifies them automatically, r14 review); colliding
+    defaults raise rather than silently duplicate."""
+    for working in (d_col, variant_col):
+        if working in df.columns:
+            raise ValueError(
+                f"deletion_variants working column {working!r} already exists"
+                " in the input — pass d_col=/variant_col= names that don't"
+            )
     s = F.col(col)
-    # Backtick-quote the identifier inside the SQL fragment: a column named
+    # Backtick-quote the identifiers inside the SQL fragment: a column named
     # with spaces/dashes/reserved words is a valid DataFrame column but an
     # invalid bare SQL identifier.
     q = f"`{col.replace('`', '``')}`"
+    qd = f"`{d_col.replace('`', '``')}`"
     out = df.select(
-        "*", F.explode(F.sequence(F.lit(0), F.length(s))).alias("__d")
+        "*", F.explode(F.sequence(F.lit(0), F.length(s))).alias(d_col)
     ).select(
         "*",
-        F.when(F.col("__d") == 0, s)
-        .otherwise(F.expr(f"concat(substr({q}, 1, __d - 1), substr({q}, __d + 1))"))
-        .alias("__variant"),
+        F.when(F.col(d_col) == 0, s)
+        .otherwise(
+            F.expr(f"concat(substr({q}, 1, {qd} - 1), substr({q}, {qd} + 1))")
+        )
+        .alias(variant_col),
     )
-    return out if keep_pos else out.drop("__d")
+    return out if keep_pos else out.drop(d_col)
 
 
 def fuzzy_join_ed1(left, right, left_col: str, right_col: str, suffix: str = "_right"):
@@ -228,12 +248,21 @@ def fuzzy_join_ed1(left, right, left_col: str, right_col: str, suffix: str = "_r
             right = right.withColumnRenamed(c, new)
             if c == right_col:
                 rc = new
-    lv = deletion_variants(left, left_col)
-    rv = deletion_variants(right, rc)
+    # Working-column names uniquified against BOTH frames (the same
+    # discipline as the data-column rename loop above): a caller frame
+    # already carrying __variant/__d would otherwise duplicate the name
+    # and break the join/filter with AMBIGUOUS_REFERENCE (r14 review).
+    vcol, dcol = "__variant", "__d"
+    while vcol in taken:
+        vcol += "_"
+    while dcol in taken:
+        dcol += "_"
+    lv = deletion_variants(left, left_col, d_col=dcol, variant_col=vcol)
+    rv = deletion_variants(right, rc, d_col=dcol, variant_col=vcol)
     return (
-        lv.join(rv, "__variant")
+        lv.join(rv, vcol)
         .where(F.levenshtein(F.col(left_col), F.col(rc)) <= 1)
-        .drop("__variant")
+        .drop(vcol)
         .distinct()
     )
 
@@ -301,17 +330,30 @@ def bpe_learn_merges(df, n_merges: int = 3, text_col: str = "text", id_col: str 
 
     Returns (rules_df, final_corpus_df): rules as (step, left, right,
     merged, pair_count), corpus as (doc_id, toks) after all merges."""
-    from pyspark.sql import Window
-
     spark = df.sparkSession
     cur = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
     rules = []
+    # Adjacent pairs are formed ROW-LOCALLY from the token array (each of
+    # the first size-1 tokens struct'd with its successor — the
+    # shingle_rows shape), so the only shuffle per merge iteration is the
+    # partial-aggregated pair count. The old posexplode + lead-window
+    # formulation paid a full corpus exchange on doc_id per iteration just
+    # to see neighbors — the exact antipattern shingle_rows documents, and
+    # it contradicted this docstring's own one-shuffle claim (r14 review).
+    # greatest(size-1, 0) keeps slice lengths legal for empty/1-token/NULL
+    # docs (they contribute no pairs; explode drops them).
+    adjacent = F.expr(
+        """
+        transform(
+          slice(toks, 1, greatest(size(toks) - 1, 0)),
+          (t, i) -> struct(t AS tok, toks[i + 1] AS nxt)
+        )
+        """
+    )
     for step_no in range(1, n_merges + 1):
-        pe = cur.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
-        w = Window.partitionBy("doc_id").orderBy("pos")
         pairs = (
-            pe.select("tok", F.lead("tok").over(w).alias("nxt"))
-            .where(F.col("nxt").isNotNull())
+            cur.select(F.explode(adjacent).alias("__p"))
+            .select("__p.tok", "__p.nxt")
             .groupBy("tok", "nxt")
             .agg(F.count("*").alias("c"))
         )

@@ -796,11 +796,17 @@ def docs_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, chunk_start bigint, chunk_text string, chunk_len int")
     class Chunker:
         def eval(self, doc_id: int, text: str, n_chars: int):
+            # NULL text / NULL n_chars must behave exactly like the
+            # codegen'd twin — substring/length of NULL are NULL, and
+            # Spark's greatest SKIPS the NULL operand (one start=1 row) —
+            # not kill the whole query with a Python TypeError on the
+            # first NULL document (r14 review; the twin and the shared
+            # oracle both emit the NULL-chunk row).
             start = 1
-            top = max(n_chars - 50, 1)
+            top = max(n_chars - 50, 1) if n_chars is not None else 1
             while start <= top:
-                chunk = text[start - 1 : start - 1 + 200]
-                yield doc_id, start, chunk, len(chunk)
+                chunk = None if text is None else text[start - 1 : start - 1 + 200]
+                yield doc_id, start, chunk, None if chunk is None else len(chunk)
                 start += 150
 
     spark.udtf.register("chunker", Chunker)

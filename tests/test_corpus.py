@@ -342,3 +342,29 @@ def test_incremental_neardup_pipeline_never_rescans_history(spark, tmp_path):
     # 13 collapsed into 12 (keep-min); with one source left the
     # uniform-target mixture keeps everything (share == target)
     assert got == {("src_b", 2)}
+
+
+def test_chunk_udtf_matches_twin_on_null_documents(spark, tmp_path):
+    """r14: the UDTF chunker used to die with a Python TypeError on a
+    NULL-text (or NULL n_chars) document, while the codegen'd twin and the
+    shared oracle emit the NULL-chunk row. Both entries must produce
+    identical rows over a corpus containing the NULL shapes."""
+    import os
+
+    from flusher_spark.plans.catalog import registry
+
+    rows = [
+        (1, "x" * 300, 300),   # two chunks
+        (2, None, 0),          # NULL text, zero n_chars
+        (3, None, None),       # NULL text AND NULL n_chars
+        (4, "short doc", 9),   # single chunk
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+    docs.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    reg = registry()
+    twin = reg["docs_chunk_overlap"].fn(spark, str(tmp_path)).collect()
+    udtf = reg["docs_chunk_udtf"].fn(spark, str(tmp_path)).collect()
+    as_set = lambda rs: {tuple(r) for r in rs}  # noqa: E731
+    assert as_set(udtf) == as_set(twin)
+    assert (2, 1, None, None) in as_set(udtf)  # the NULL-chunk row exists
+    assert (3, 1, None, None) in as_set(udtf)  # Spark greatest skips NULL

@@ -3612,3 +3612,22 @@ def test_label_propagation_self_loop_only_node(spark):
     got = {r["node"]: r["label"] for r in label_propagation(edges).collect()}
     assert set(got) == {1, 2, 5}
     assert got[5] == 5  # keeps its own label: no non-self neighbor to adopt
+
+
+def test_fuzzy_join_survives_working_column_collisions(spark):
+    """r14: an input frame already carrying __variant/__d (plausible —
+    this codebase's own operators emit __-prefixed columns) used to
+    duplicate the working names and fail with AMBIGUOUS_REFERENCE. The
+    working columns must uniquify against both frames."""
+    from flusher_spark.operators.text import fuzzy_join_ed1
+
+    left = spark.createDataFrame(
+        [("acme", "l1")], "probe string, __variant string"
+    )
+    right = spark.createDataFrame(
+        [("acme", "r1"), ("zzz", "r2")], "name string, __d string"
+    )
+    got = fuzzy_join_ed1(left, right, "probe", "name").collect()
+    assert len(got) == 1 and got[0]["name"] == "acme"
+    # the callers' own __-columns pass through untouched
+    assert got[0]["__variant"] == "l1" and got[0]["__d"] == "r1"
