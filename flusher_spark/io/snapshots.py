@@ -854,12 +854,18 @@ class SnapshotTable:
         lo, hi = _stat_jsonable(b["lo"]), _stat_jsonable(b["hi"])
         source_empty = b["lo"] is None and b["hi"] is None
         unprunable = not source_empty and (lo is None or hi is None)
+        # An EMPTY source can match no key, so nothing is touched — checked
+        # FIRST: the NULL-stat file branch used to short-circuit ahead of
+        # it, so a Decimal/binary-keyed table (every file's stats are None)
+        # fed an empty micro-batch rewrote the ENTIRE table and published a
+        # version per empty batch (r14 review).
         touched = [
             f for f in m["files"]
-            if f["key_min"] is None or f["key_max"] is None
-            or (
-                not source_empty
-                and (unprunable or not _ranges_disjoint(f["key_min"], f["key_max"], lo, hi))
+            if not source_empty
+            and (
+                f["key_min"] is None or f["key_max"] is None
+                or unprunable
+                or not _ranges_disjoint(f["key_min"], f["key_max"], lo, hi)
             )
         ]
         touched_paths = {f["path"] for f in touched}
@@ -921,10 +927,27 @@ class SnapshotTable:
         fb = {f["path"] for f in m_to["files"]}
         only_a, only_b = sorted(fa - fb), sorted(fb - fa)
         s_from, s_to = self._read_schema(m_from), self._read_schema(m_to)
-        out_schema = (
-            self._evolved_schema(s_to, s_from) if s_from is not None and s_to is not None
-            else (s_to or s_from)
-        )
+        try:
+            out_schema = (
+                self._evolved_schema(s_to, s_from)
+                if s_from is not None and s_to is not None
+                else (s_to or s_from)
+            )
+        except ValueError as exc:
+            # Two legitimately committed versions CAN carry the same column
+            # with different types: restore() branches history, and a
+            # column dropped by the restore can be re-added with a new type
+            # (no conflict at either commit). One feed cannot represent
+            # both types in one column without the silent coercion this
+            # format forbids — fail with the cause and the workaround
+            # instead of a misleading "schema evolution" error (r14
+            # review).
+            raise ValueError(
+                f"changes({from_version}, {to_v}) spans versions whose"
+                f" schemas disagree on a column's type ({exc}); this arises"
+                " from a restore() branch re-adding a column with a new"
+                " type — diff in two hops through the branch point instead"
+            ) from exc
         if out_schema is None:  # legacy manifests predating schema recording
             probe = (
                 only_b or only_a
@@ -993,6 +1016,12 @@ class SnapshotTable:
         outage."""
         if target_file_rows is None:
             target_file_rows = self.target_file_rows
+        elif target_file_rows < 1:
+            # The constructor's validation, mirrored (r14 review): 0 used
+            # to reach the output-count ceiling division as a
+            # ZeroDivisionError, and a negative value silently classified
+            # every file as large and no-opped.
+            raise ValueError("target_file_rows must be >= 1")
         cur = self.current_version()
         m = self._manifest(cur)
         small = [f for f in m["files"] if f["rows"] < target_file_rows]
@@ -1046,6 +1075,19 @@ class SnapshotTable:
         expired = vs[:-keep_last] if len(vs) > keep_last else []
         for v in expired:
             os.unlink(os.path.join(self._mdir, f"v{v}.json"))
+        if expired:
+            # Durability ordering (the _publish discipline, r14 review):
+            # the unlinks must be ON DISK before a subsequent vacuum's
+            # data-file deletions can persist — a power loss that kept the
+            # file deletions but lost the directory-entry removals would
+            # resurrect an expired manifest pointing at vacuumed files (a
+            # corrupt, PATH_NOT_FOUND version instead of a clean
+            # "expired" miss).
+            dfd = os.open(self._mdir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
         return expired
 
     def vacuum(self, retention_seconds: float = 24 * 3600) -> int:
@@ -1114,4 +1156,22 @@ class SnapshotTable:
                     os.rmdir(dirpath)
                 except OSError:
                     pass
+        # Sweep orphaned manifest temp files: a writer killed inside
+        # _publish after the json.dump but before the finally-unlink leaves
+        # a .tmp-<uuid>.json behind, and nothing else ever reclaims the
+        # _manifests directory — a flaky restarting streaming sink would
+        # accumulate them without bound (r14 review). Same retention
+        # window: a younger temp may belong to a publish in flight.
+        try:
+            names = os.listdir(self._mdir)
+        except OSError:
+            names = []
+        for name in names:
+            if name.startswith(".tmp-") and name.endswith(".json"):
+                p = os.path.join(self._mdir, name)
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        os.unlink(p)
+                except OSError:
+                    continue
         return removed

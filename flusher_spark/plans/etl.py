@@ -38,17 +38,35 @@ def _grid_from_table(spark: SparkSession, sf_dir: str, name: str, order_col: str
     return SheetGrid(name, [header, *rows], header=True)
 
 
-def _scratch_root(prefix: str) -> str:
+#: Newest scratch roots per prefix — the in-process retention bound below.
+_SCRATCH_LIVE: dict[str, list[str]] = {}
+
+
+def _scratch_root(prefix: str, retain: int | None = 2) -> str:
     """mkdtemp + atexit cleanup (the _scratch_index discipline, r12 review):
     eleven entries staged fresh /tmp directories per invocation with no
     cleanup path, so a long-lived driver process looping the catalog (bench
     reruns, multi-round correctness) leaked disk linearly toward ENOSPC.
-    Scratch roots now die with the process."""
+
+    ``retain`` bounds the leak DURING the process too (r14 review — atexit
+    alone still grew linearly across a long in-process loop): each prefix
+    keeps only its newest ``retain`` roots and eagerly reclaims older ones.
+    Two generations = the current invocation plus one of slack for a
+    previous invocation's lazily-consumed plan (bench/correctness always
+    materialize an invocation before re-invoking). ``retain=None`` opts a
+    call site out — required for roots whose files are CACHED across
+    invocations (the worksheet CSV cache), where eager reclamation would
+    delete another entry's live backing file mid-plan."""
     import atexit
     import shutil
 
     root = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
+    if retain is not None:
+        live = _SCRATCH_LIVE.setdefault(prefix, [])
+        live.append(root)
+        while len(live) > retain:
+            shutil.rmtree(live.pop(0), ignore_errors=True)
     return root
 
 
@@ -64,7 +82,10 @@ def _worksheet_csv(spark: SparkSession, sf_dir: str, name: str, order_col: str) 
     if path and os.path.exists(path):
         return path
     grid = _grid_from_table(spark, sf_dir, name, order_col)
-    path = os.path.join(_scratch_root("flusher_ws_"), f"{name}.csv")
+    # retain=None: these CSVs are cached across invocations (one per
+    # (sf_dir, table), bounded by the fixture count) — eager per-prefix
+    # reclamation would delete another table's live backing file mid-plan.
+    path = os.path.join(_scratch_root("flusher_ws_", retain=None), f"{name}.csv")
     with open(path, "w", newline="", encoding="utf-8") as f:
         csv.writer(f).writerows(grid.rows)
     _WS_CSV_CACHE[key] = path

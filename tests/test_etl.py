@@ -1716,3 +1716,100 @@ def test_worksheet_datasource_wide_rows_match_read_sheet(spark, tmp_path):
     via_sheet = read_sheet(spark, grid)
     assert via_sheet.columns == ds.columns
     assert {tuple(r) for r in via_sheet.collect()} == got
+
+
+def test_scratch_root_bounded_in_process(tmp_path, monkeypatch):
+    """r14: atexit-only cleanup still leaked scratch roots linearly during
+    a long-lived driver loop; each prefix must retain only its newest two
+    roots (retain=None opts out for cross-invocation caches)."""
+    import os
+    import tempfile
+
+    from flusher_spark.plans.etl import _scratch_root
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    roots = [_scratch_root("t14_") for _ in range(5)]
+    assert [os.path.isdir(r) for r in roots] == [False, False, False, True, True]
+    kept = [_scratch_root("t14_keep_", retain=None) for _ in range(4)]
+    assert all(os.path.isdir(r) for r in kept)
+
+
+class TestSnapshotR14Fixes:
+    def _table(self, spark, tmp_path, key="k", rows=None, schema="k decimal(10,2), v string"):
+        from flusher_spark.io.snapshots import SnapshotTable
+
+        t = SnapshotTable(spark, str(tmp_path / "tbl"), key=key)
+        if rows is not None:
+            t.create(spark.createDataFrame(rows, schema))
+        return t
+
+    def test_merge_empty_source_touches_nothing_on_null_stat_files(self, spark, tmp_path):
+        """r14: Decimal-keyed tables have NULL file stats; an empty merge
+        source used to touch (and rewrite) every such file and publish a
+        version per empty micro-batch. An empty source matches no key:
+        the data files must carry forward by reference."""
+        from decimal import Decimal
+
+        schema = "k decimal(10,2), v string"
+        t = self._table(
+            spark, tmp_path,
+            rows=[(Decimal("1.00"), "a"), (Decimal("2.00"), "b")], schema=schema,
+        )
+        m0 = t._manifest(t.current_version())
+        assert all(f["key_min"] is None for f in m0["files"])  # the premise
+        t.merge(spark.createDataFrame([], schema))
+        m1 = t._manifest(t.current_version())
+        assert {f["path"] for f in m0["files"]} <= {f["path"] for f in m1["files"]}
+        assert {r["v"] for r in t.snapshot().collect()} == {"a", "b"}
+
+    def test_compact_rejects_non_positive_target(self, spark, tmp_path):
+        from decimal import Decimal
+
+        import pytest as _pytest
+
+        t = self._table(spark, tmp_path, rows=[(Decimal("1.00"), "a")])
+        with _pytest.raises(ValueError, match="target_file_rows"):
+            t.compact(target_file_rows=0)
+        with _pytest.raises(ValueError, match="target_file_rows"):
+            t.compact(target_file_rows=-5)
+
+    def test_changes_across_restore_type_branch_raises_actionably(self, spark, tmp_path):
+        """r14: restore() branches history, so two readable versions can
+        disagree on a re-added column's type; changes() must explain the
+        cause and workaround instead of a bare 'schema evolution' error."""
+        import pytest as _pytest
+
+        from flusher_spark.io.snapshots import SnapshotTable
+
+        t = SnapshotTable(spark, str(tmp_path / "tbl"), key="k")
+        t.create(spark.createDataFrame([(1, "a")], "k long, v string"))  # v0
+        t.merge(spark.createDataFrame([(2, "b", "s1")], "k long, v string, s string"))  # v1
+        t.restore(0)  # v2: schema without s
+        t.merge(spark.createDataFrame([(3, "c", 7)], "k long, v string, s int"))  # v3
+        with _pytest.raises(ValueError, match="restore"):
+            t.changes(1, 3)
+        # the straight history still diffs fine
+        assert t.changes(2, 3).count() > 0
+
+    def test_vacuum_sweeps_orphaned_manifest_temps(self, spark, tmp_path):
+        """r14: a writer killed inside _publish leaves .tmp-*.json in
+        _manifests forever; vacuum now reclaims aged ones (younger ones may
+        belong to a publish in flight)."""
+        import os
+        import time
+        from decimal import Decimal
+
+        t = self._table(spark, tmp_path, rows=[(Decimal("1.00"), "a")])
+        mdir = os.path.join(str(tmp_path / "tbl"), "_manifests")
+        old = os.path.join(mdir, ".tmp-deadbeef.json")
+        new = os.path.join(mdir, ".tmp-cafebabe.json")
+        for p in (old, new):
+            with open(p, "w") as f:
+                f.write("{}")
+        past = time.time() - 7 * 24 * 3600
+        os.utime(old, (past, past))
+        t.vacuum(retention_seconds=3600)
+        assert not os.path.exists(old)
+        assert os.path.exists(new)  # inside the retention window
+        # current version still reads
+        assert t.snapshot().count() == 1
