@@ -169,8 +169,15 @@ def decode_wav(payload: bytes) -> dict:
         if w.getsampwidth() != 2:
             raise ValueError(f"only 16-bit PCM supported, got width {w.getsampwidth()}")
         frames = w.readframes(n_samples)
-    samples = struct.unpack(f"<{n_samples * n_channels}h", frames)
-    peak = max((abs(s) for s in samples), default=0)
+    # Vectorized peak (the decimate_wav/r11 convention): the old
+    # struct.unpack materialized every sample as a boxed Python int (a
+    # 100 MB clip became >1 GB of tuple) and scanned in an interpreted
+    # genexpr on the mapInPandas hot path (r14 review). int32 BEFORE abs:
+    # numpy abs of int16 -32768 wraps to -32768.
+    import numpy as np
+
+    arr = np.frombuffer(frames, dtype="<i2")
+    peak = int(np.abs(arr.astype(np.int32)).max()) if arr.size else 0
     return {
         "n_channels": n_channels,
         "sample_rate": sample_rate,
@@ -352,18 +359,15 @@ def decimate_audio(df: DataFrame, factor: int) -> DataFrame:
     boundary, not a side-channel of floats. Non-WAV payloads pass
     through as NULL (drift, not failure)."""
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                try:
-                    out = decimate_wav(bytes(payload), factor)
-                except Exception:
-                    out = None
-                rows.append({"asset_id": aid, "payload": out})
-            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
-
-    return df.mapInPandas(op, "asset_id long, payload binary")
+    # One more hand-rolled copy of the decode-or-NULL loop folded into
+    # _decode_features (r14 review — the helper exists precisely because
+    # the copies had diverged once before).
+    return _decode_features(
+        df,
+        lambda b: {"payload": decimate_wav(b, factor)},
+        ("payload",),
+        "asset_id long, payload binary",
+    )
 
 
 def spectral_features(df: DataFrame) -> DataFrame:
@@ -378,51 +382,35 @@ def spectral_features(df: DataFrame) -> DataFrame:
     harmonics orders of magnitude down), which is what lets the catalog
     oracle recompute the feature arithmetically. Non-WAV payloads yield
     NULLs — drift, not failure, same contract as the other codecs."""
+    return _decode_features(
+        df, decode_spectral,
+        ("n_samples", "dominant_bin", "dominant_freq_hz"),
+        SPECTRAL_SCHEMA,
+    )
+
+
+def decode_spectral(payload: bytes) -> dict:
+    """spectral_features' per-clip decoder, split out so the wrapper is one
+    _decode_features call (r14 review — the hand-rolled loop was the third
+    divergent copy of the decode-or-NULL contract)."""
     import numpy as np
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                try:
-                    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                        if w.getsampwidth() != 2 or w.getnchannels() != 1:
-                            raise ValueError("spectral path expects mono 16-bit PCM")
-                        sr = w.getframerate()
-                        n = w.getnframes()
-                        raw = w.readframes(n)
-                    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
-                    if len(x) != n:
-                        # Truncated data chunk: the header frame count is a
-                        # lie, and dividing by it reports a confidently wrong
-                        # dominant frequency (r9 review: a half-truncated
-                        # tone read 40 Hz for a true 80 Hz). decode_wav
-                        # raises on the identical input — same drift verdict.
-                        raise ValueError("truncated WAV data chunk")
-                    mag = np.abs(np.fft.rfft(x))
-                    k = int(np.argmax(mag[1:])) + 1  # exclude DC
-                    rows.append(
-                        {
-                            "asset_id": aid,
-                            "n_samples": n,
-                            "dominant_bin": k,
-                            "dominant_freq_hz": k * sr / n,
-                        }
-                    )
-                except Exception:
-                    rows.append(
-                        {
-                            "asset_id": aid,
-                            "n_samples": None,
-                            "dominant_bin": None,
-                            "dominant_freq_hz": None,
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=["asset_id", "n_samples", "dominant_bin", "dominant_freq_hz"]
-            )
-
-    return df.mapInPandas(op, SPECTRAL_SCHEMA)
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("spectral path expects mono 16-bit PCM")
+        sr = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    if len(x) != n:
+        # Truncated data chunk: the header frame count is a lie, and
+        # dividing by it reports a confidently wrong dominant frequency
+        # (r9 review: a half-truncated tone read 40 Hz for a true 80 Hz).
+        # decode_wav raises on the identical input — same drift verdict.
+        raise ValueError("truncated WAV data chunk")
+    mag = np.abs(np.fft.rfft(x))
+    k = int(np.argmax(mag[1:])) + 1  # exclude DC
+    return {"n_samples": n, "dominant_bin": k, "dominant_freq_hz": k * sr / n}
 
 
 PPM_FEATURE_SCHEMA = (
@@ -865,18 +853,27 @@ def decode_gif(payload: bytes) -> dict:
             indices = _lzw_decode(bytes(lzw), min_code_size, width * height)
             if len(indices) < width * height:
                 raise ValueError("truncated GIF index stream")
-            sums = [0, 0, 0]
-            for idx in indices[: width * height]:
-                sums[0] += palette[3 * idx]
-                sums[1] += palette[3 * idx + 1]
-                sums[2] += palette[3 * idx + 2]
+            # Vectorized palette resolve + channel sums (the decode_png
+            # palette path; the per-pixel Python loop was the exact
+            # pattern the r11 review vectorized in the other decoders —
+            # r14 review). int64-exact; the explicit range check turns a
+            # corrupt index stream into the documented ValueError instead
+            # of a bare IndexError.
+            import numpy as np
+
             n = width * height
+            idx = np.frombuffer(bytes(indices[:n]), dtype=np.uint8)
+            pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("GIF index out of palette range")
+            px = pal[idx].astype(np.int64)
+            sums = px.sum(axis=0)
             return {
                 "width": width,
                 "height": height,
-                "mean_r": sums[0] / n,
-                "mean_g": sums[1] / n,
-                "mean_b": sums[2] / n,
+                "mean_r": float(sums[0] / n),
+                "mean_g": float(sums[1] / n),
+                "mean_b": float(sums[2] / n),
             }
         elif b == 0x3B:
             break
@@ -1086,8 +1083,13 @@ def parse_avi_meta(payload: bytes) -> dict:
                         "width": w,
                         "height": h,
                         "n_frames": frames,
-                        "fps": 1_000_000 / us,
-                        "duration_s": frames * us / 1_000_000,
+                        # avih's dwMicroSecPerFrame is ADVISORY and 0 is
+                        # legal in real files (strh dwRate/dwScale is
+                        # authoritative): timing goes NULL instead of a
+                        # ZeroDivisionError that turned a fully decodable
+                        # asset into an all-NULL drift row (r14 review).
+                        "fps": 1_000_000 / us if us else None,
+                        "duration_s": frames * us / 1_000_000 if us else None,
                     }
                 inner += 8 + isize + (isize % 2)
         pos += 8 + size + (size % 2)
@@ -1158,10 +1160,14 @@ def synth_jpeg(width: int, height: int) -> bytes:
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     sof0 = (
         b"\xff\xc0"
-        + struct.pack(">H", 11)
+        + struct.pack(">H", 11)  # 2 (itself) + 9 content bytes
         + b"\x08"
         + struct.pack(">HH", height, width)
-        + b"\x01\x11\x00"
+        + b"\x01"  # ncomp = 1 — this byte was MISSING (r14 review): the
+        # component spec doubled as it, the declared length over-read into
+        # the following SOS marker, and any length-respecting parser
+        # mis-framed ("a real SOF0" was not)
+        + b"\x01\x11\x00"  # component: id 1, 1x1 sampling, qtable 0
     )
     sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00" + b"\x00" * 8
     return b"\xff\xd8" + app0 + sof0 + sos + b"\xff\xd9"
@@ -1234,35 +1240,30 @@ def media_meta_features(df: DataFrame) -> DataFrame:
     decisions read these columns so the (stubbed, native-lib) decode
     stage only ever sees the assets it must."""
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                row = {"asset_id": aid, "kind": None, "width": None, "height": None,
-                       "n_frames": None, "duration_s": None, "sample_rate": None}
-                try:
-                    # Inside the try: payload is nullable, and bytes(None)
-                    # outside it killed the task instead of yielding the
-                    # NULL drift row this docstring promises (r9 review).
-                    b = bytes(payload)
-                    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-                        d = parse_avi_meta(b)
-                        row.update(kind="video", width=d["width"], height=d["height"],
-                                   n_frames=d["n_frames"], duration_s=d["duration_s"])
-                    elif b[:2] == b"\xff\xd8":
-                        d = parse_jpeg_meta(b)
-                        row.update(kind="image", width=d["width"], height=d["height"])
-                    elif len(b) > 1 and b[0] == 0xFF and (b[1] & 0xFE) == 0xFA:
-                        d = parse_mp3_meta(b)
-                        row.update(kind="audio", n_frames=d["n_frames"],
-                                   duration_s=d["duration_s"], sample_rate=d["sample_rate"])
-                except Exception:
-                    pass
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=["asset_id", "kind", "width", "height",
-                                              "n_frames", "duration_s", "sample_rate"])
+    return _decode_features(
+        df, sniff_media_meta,
+        ("kind", "width", "height", "n_frames", "duration_s", "sample_rate"),
+        MEDIA_META_SCHEMA,
+    )
 
-    return df.mapInPandas(op, MEDIA_META_SCHEMA)
+
+def sniff_media_meta(payload: bytes) -> dict:
+    """Magic-byte dispatch to the container parsers (media_meta_features'
+    decoder, split out for the shared _decode_features contract — r14
+    review). Unknown formats return {} → the all-NULL drift row; corrupt
+    recognized formats raise → the same row."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        d = parse_avi_meta(payload)
+        return {"kind": "video", "width": d["width"], "height": d["height"],
+                "n_frames": d["n_frames"], "duration_s": d["duration_s"]}
+    if payload[:2] == b"\xff\xd8":
+        d = parse_jpeg_meta(payload)
+        return {"kind": "image", "width": d["width"], "height": d["height"]}
+    if len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xFE) == 0xFA:
+        d = parse_mp3_meta(payload)
+        return {"kind": "audio", "n_frames": d["n_frames"],
+                "duration_s": d["duration_s"], "sample_rate": d["sample_rate"]}
+    return {}
 
 
 def filter_by_meta(df: DataFrame, kind: str | None = None, min_width: int | None = None) -> DataFrame:
@@ -1751,11 +1752,26 @@ def synth_jpeg_gray(width: int, height: int, gray: int, restart_interval: int = 
     )
 
 
+def _decode_jpeg_gray(payload: bytes) -> dict:
+    """decode_jpeg restricted to grayscale — the mirror of
+    _decode_jpeg_color's grayscale rejection (r14 review): a color JPEG
+    through the GRAY feature path used to emit a partially-populated row
+    (width/height/n_components set, mean_gray NULL), breaking the
+    all-or-nothing drift contract a 'width IS NOT NULL = decoded'
+    predicate relies on."""
+    d = decode_jpeg(payload)
+    if d["n_components"] != 1:
+        raise ValueError("color JPEG on the gray feature path (use jpeg_color_features)")
+    return d
+
+
 def jpeg_features(df: DataFrame) -> DataFrame:
-    """Decode baseline-JPEG payloads (real entropy decode + IDCT) via
-    mapInPandas; non-JPEG / unsupported payloads yield NULL features — same
-    drift contract as the other codecs."""
-    return _decode_features(df, decode_jpeg, ("width", "height", "n_components", "mean_gray"), JPEG_FEATURE_SCHEMA)
+    """Decode grayscale baseline-JPEG payloads (real entropy decode + IDCT)
+    via mapInPandas; non-JPEG / unsupported / COLOR payloads yield the
+    all-NULL drift row — same contract as the other codecs (color assets
+    belong to jpeg_color_features, which rejects grayscale the same
+    way)."""
+    return _decode_features(df, _decode_jpeg_gray, ("width", "height", "n_components", "mean_gray"), JPEG_FEATURE_SCHEMA)
 
 
 def synth_avi_rawvideo(width: int, height: int, us_per_frame: int, colors) -> bytes:

@@ -3631,3 +3631,76 @@ def test_fuzzy_join_survives_working_column_collisions(spark):
     assert len(got) == 1 and got[0]["name"] == "acme"
     # the callers' own __-columns pass through untouched
     assert got[0]["__variant"] == "l1" and got[0]["__d"] == "r1"
+
+
+def test_synth_jpeg_sof_is_length_respecting():
+    """r14: synth_jpeg's SOF0 declared 11 length bytes but carried 8 (the
+    ncomp byte was missing) — a length-respecting marker walk mis-framed
+    into the following SOS. Walking every segment by its declared length
+    must now visit SOI..SOS cleanly."""
+    from flusher_spark.operators.multimodal import parse_jpeg_meta, synth_jpeg
+
+    b = synth_jpeg(1024, 768)
+    m = parse_jpeg_meta(b)
+    assert (m["width"], m["height"], m["n_components"]) == (1024, 768, 1)
+    pos = 2
+    seen = []
+    while pos + 4 <= len(b) and b[pos + 1] != 0xD9:
+        assert b[pos] == 0xFF, f"misframed at {pos}"
+        seen.append(b[pos + 1])
+        if b[pos + 1] == 0xDA:
+            break
+        (ln,) = __import__("struct").unpack_from(">H", b, pos + 2)
+        pos += 2 + ln
+    assert 0xC0 in seen and seen[-1] == 0xDA
+
+
+def test_parse_avi_meta_zero_usperframe_is_null_timing(spark):
+    """r14: dwMicroSecPerFrame=0 is legal (advisory field) — dims/frames
+    must survive with NULL timing instead of a ZeroDivisionError that
+    nulled the whole row and dropped every decodable frame."""
+    from flusher_spark.operators.multimodal import (
+        decode_avi_frames, parse_avi_meta, synth_avi_rawvideo,
+    )
+
+    b = synth_avi_rawvideo(4, 2, 0, [(255, 0, 0)])
+    m = parse_avi_meta(b)
+    assert (m["width"], m["height"], m["n_frames"]) == (4, 2, 1)
+    assert m["fps"] is None and m["duration_s"] is None
+    assert len(decode_avi_frames(b)["frames"]) == 1  # frames still decode
+
+
+def test_decode_wav_peak_exact_at_int16_min():
+    """r14 vectorization guard: numpy abs of int16 -32768 wraps; the
+    int32 cast must keep peak == 32768 exactly like the old boxed-int
+    path."""
+    import io
+    import struct
+    import wave
+
+    from flusher_spark.operators.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<3h", -32768, 5, 100))
+    assert decode_wav(buf.getvalue())["peak_amplitude"] == 32768
+
+
+def test_jpeg_features_color_asset_is_all_null_drift(spark):
+    """r14: a color JPEG through the GRAY feature path used to emit a
+    partial row (w/h/ncomp set, mean_gray NULL); the all-or-nothing drift
+    contract requires the full-NULL row (the mirror of
+    jpeg_color_features rejecting grayscale)."""
+    import numpy as np
+
+    from flusher_spark.operators.multimodal import encode_jpeg, jpeg_features
+
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[..., 0] = 200
+    payload = encode_jpeg(rgb)
+    df = spark.createDataFrame([(1, bytearray(payload))], "asset_id long, payload binary")
+    row = jpeg_features(df).collect()[0]
+    assert row["width"] is None and row["mean_gray"] is None
