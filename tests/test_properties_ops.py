@@ -228,12 +228,19 @@ def test_label_propagation_equals_python_reference(spark, edges, iters):
         if s != d:
             adj[s].add(d)
             adj[d].add(s)
-    lab = {n: n for n in adj}
+    # Node set from the RAW edges (r14: a self-loop-only node has an edge —
+    # the documented contract — and keeps its own label every round, having
+    # no non-self neighbor to adopt from).
+    nodes = {n for e in edges for n in e}
+    lab = {n: n for n in nodes}
     for _ in range(iters):
         nxt = {}
-        for n in adj:
-            cnt = Counter(lab[m] for m in adj[n])
-            best = max(cnt.values())
-            nxt[n] = min(l for l, c in cnt.items() if c == best)
+        for n in nodes:
+            if adj[n]:
+                cnt = Counter(lab[m] for m in adj[n])
+                best = max(cnt.values())
+                nxt[n] = min(l for l, c in cnt.items() if c == best)
+            else:
+                nxt[n] = n
         lab = nxt
     assert got == lab
