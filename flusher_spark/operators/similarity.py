@@ -1225,6 +1225,92 @@ def ivf_index_neardup_pairs(
     return pairs.distinct() if n_probe > 1 else pairs
 
 
+def ivf_index_dedup(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    threshold: float = 0.95,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_src_batch: str | None = None,
+    _assigned: DataFrame | None = None,
+) -> DataFrame:
+    """The APPLY half of ``ivf_index_neardup_pairs`` — batch semantic dedup
+    against a persisted IVF index, and THE survivor rule of the streaming
+    SEMANTIC sink (``streaming/dedup_stream.py::semantic_stream_sink``
+    delegates here, so the two call sites cannot drift — the
+    ``minhash_index_dedup`` discipline applied to the vector family): drop
+    every batch vector that clears the cosine threshold against ANY stored
+    vector of its ``n_probe`` nearest centroid lists (parquet partition
+    pruning — probe cost follows the batch, never the corpus) or against a
+    SMALLER-id member of its own batch sharing an assigned list (keep-min,
+    the semantic_dedup_keep convention). Vectors with NULL embeddings can
+    never clear the threshold (NULL cosine) and pass through — the
+    unsigned-doc policy of the text families. Returns the surviving ids
+    (one ``id_col`` column).
+
+    ``_assigned``: optional precomputed ``n_probe`` assignment frame (the
+    streaming sink passes its checkpointed rank-carrying one so the
+    centroid read + assignment job run exactly once per micro-batch — the
+    sig_new precedent); built here otherwise, checkpointed because the
+    probe half and the batch-internal self-join both consume it.
+
+    At scale: one bounded centroid read, one pruned-partition broadcast
+    join (the probe), one batch-sized per-list self-join, one anti-join —
+    never a corpus scan. Like every IVF family member, recall < 1 by
+    construction (a cross-list pair sharing none of the probed lists is
+    missed); an EXACT duplicate always shares its twin's nearest list and
+    is always caught (pinned in tests/test_operators.py)."""
+    if _assigned is None:
+        gen = G.current_gen(path)
+        cents = spark.read.parquet(G.gen_dir(path, "centroids", gen)).select(
+            "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
+        )
+        base = batch.select(
+            F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
+        )
+        _assigned = _nearest_lists(
+            base, cents, n_probe, "__list", id_col, vec_col
+        ).localCheckpoint(eager=False)
+    assigned = _assigned
+    dropped_hist = ivf_index_neardup_pairs(
+        spark,
+        path,
+        batch,
+        threshold,
+        n_probe,
+        id_col,
+        vec_col,
+        exclude_src_batch=exclude_src_batch,
+        _assigned=assigned,
+    ).select(F.col("id_new").alias(id_col))
+    # Batch-internal half: keep-min over shared assigned lists.
+    n = assigned.select(
+        "__list",
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).alias("__nv"),
+        F.col("__nsq").alias("__nn"),
+    )
+    b = assigned.select(
+        "__list",
+        F.col(id_col).alias("__ib"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__nsq").alias("__nb"),
+    )
+    dropped_internal = (
+        n.join(b, "__list")
+        .where(F.col("__nid") < F.col("__ib"))  # keep-min: higher id drops
+        .where(
+            cosine(F.col("__nv"), F.col("__vb"), F.col("__nn"), F.col("__nb"))
+            >= threshold
+        )
+        .select(F.col("__ib").alias(id_col))
+    )
+    dropped = dropped_hist.union(dropped_internal).distinct()
+    return batch.select(F.col(id_col)).join(dropped, id_col, "left_anti")
+
+
 # -- Semantic (embedding-space) near-dedup ------------------------------------
 
 

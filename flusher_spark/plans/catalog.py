@@ -56,32 +56,40 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Names surfaced first by ``registry()``. The driver's correctness harness
 #: covers a bounded prefix of the registry (50 entries per round), so this
 #: list rotates per round toward the entries whose latest driver verdict is
-#: weakest. Round-14 rotation, in order: (1) the two round-14 NEW entries
+#: weakest. Round-14 rotation, in order: (1) the four round-14 NEW entries
 #: (dedup_stream_semantic — the streaming embedding near-dup sink over the
 #: persisted IVF index, rows-only by the approximate-operator convention;
 #: corpus_e2e_incremental_neardup — the composed incremental pipeline with
-#: the MinHash-index near-dup stage, rows-only by the same convention),
-#: getting their FIRST driver verdicts per the freshness-guard convention;
+#: the MinHash-index near-dup stage, rows-only by the same convention;
+#: corpus_e2e_incremental_semantic — the same pipeline with the IVF-index
+#: semantic stage, completing the incremental × index-family matrix,
+#: rows-only by the IVF-bucketed convention;
+#: corpus_e2e_incremental_full — the production funnel chaining all three
+#: persisted-index stages in one composed run, rows-only), getting their
+#: FIRST driver verdicts per the freshness-guard convention;
 #: (2) the seven r8-verdict entries spilled from the r13 window
 #: (count_rows, distinct_values, setop_* ×3, join_cross,
 #: case_when_bucketing — the stalest cohort, six fixture regenerations
-#: old); (3) 41 of the 49 r9-verdict entries. The r13 verdict asked for
+#: old); (3) 39 of the 49 r9-verdict entries. The r13 verdict asked for
 #: "≤6 spill", which is unsatisfiable together with the first-verdict
-#: convention (2 new + 7 r8 + 49 r9 = 58 > 50); first-verdicts win
+#: convention (4 new + 7 r8 + 49 r9 = 60 > 50); first-verdicts win
 #: because a never-driver-checked entry is strictly weaker evidence than
-#: a 6-round-stale one with a pytest twin. The EIGHT spilled r9 entries
-#: (q6_revenue_filter, q10_returned_items, q12_conditional_agg,
-#: q13_order_distribution, q14_promo_ratio, q16_supplier_variety,
+#: a 6-round-stale one with a pytest twin. The TEN spilled r9 entries
+#: (q6_revenue_filter, q10_returned_items, q11_important_parts,
+#: q12_conditional_agg, q13_order_distribution, q14_promo_ratio,
+#: q16_supplier_variety, q17_small_quantity_revenue,
 #: q19_disjunctive_filter, q22_global_avg_anti — the simplest TPC-H
 #: shapes, each a reference-equality pytest twin in tests/test_tpch.py
 #: with plan code untouched since r9) queue first for the r15 window;
 #: after this round the freshness histogram bottoms at r9 with exactly
-#: EIGHT entries. Every name here must exist (asserted in
+#: TEN entries. Every name here must exist (asserted in
 #: tests/test_plans.py); the rest follow in import order.
 PRIORITY = (
     # (1) round-14 additions — first driver verdicts
     "dedup_stream_semantic",  # rows-only: streaming IVF semantic dedup sink
     "corpus_e2e_incremental_neardup",  # rows-only: incremental + MinHash stage
+    "corpus_e2e_incremental_semantic",  # rows-only: incremental + IVF stage
+    "corpus_e2e_incremental_full",  # rows-only: exact→MinHash→semantic funnel
     # (2) the r8-verdict cohort (the seven spilled from r13)
     "count_rows",
     "distinct_values",
@@ -115,8 +123,6 @@ PRIORITY = (
     "join_salted_skew",
     "multimodal_bmp_decode",
     "multimodal_gif_decode",
-    "q11_important_parts",
-    "q17_small_quantity_revenue",
     "q18_large_orders",
     "q1_pricing_summary",
     "q20_qualified_suppliers",
@@ -133,13 +139,15 @@ PRIORITY = (
     "text_tfidf_top_terms",
     "text_token_stats",
     # ---- driver window ends here (50) ----
-    # r15 rotation head: the eight spilled r9 entries
+    # r15 rotation head: the ten spilled r9 entries
     "q6_revenue_filter",
     "q10_returned_items",
+    "q11_important_parts",
     "q12_conditional_agg",
     "q13_order_distribution",
     "q14_promo_ratio",
     "q16_supplier_variety",
+    "q17_small_quantity_revenue",
     "q19_disjunctive_filter",
     "q22_global_avg_anti",
 )

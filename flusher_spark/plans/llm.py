@@ -864,6 +864,111 @@ def corpus_e2e_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register("corpus_e2e_incremental_semantic")  # rows-only: IVF-bucketed approximate operator
+def corpus_e2e_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[corpus_e2e_incremental] with the SEMANTIC (embedding-space) index
+    stage swapped in — completing the incremental-pipeline × index-family
+    matrix (exact r13 / MinHash r14 / semantic r14): batch 2's documents
+    flow through the same quality rules, then dedup against batch 1's
+    persisted IVF index (operators/similarity.py::ivf_index_dedup — the
+    streaming semantic sink's survivor rule: each batch vector probes its
+    2 nearest STORED centroid lists, exact fold-left cosine against only
+    those list partitions, keep-min within-batch collapse), then the
+    mixture downsample. The batch's vectors come from an equi-join of the
+    quality survivors to the embeddings table on doc_id = vec_id (the
+    fixture's 1:1 row correspondence; LEFT join — a doc with no embedding
+    can never near-match and passes through, the unsigned-doc policy).
+    History EMBEDDINGS are reachable only through the index's partitioned
+    vector table; history TEXT is not read at all
+    (never-rescans-history input-file-asserted in tests/test_corpus.py).
+    Threshold 0.4 is the fixture convention (dedup_semantic_embedding).
+    Rows-only by the IVF-bucketed convention (recall < 1 across unprobed
+    lists; exact duplicates always drop — pinned in tests). Output:
+    per-source admitted document/token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] // 2
+    path = _scratch_index(
+        "ivfincr",
+        sf_dir,
+        lambda p: S.ivf_build_index(
+            emb.where(F.col("vec_id") <= k), p, n_lists=8, n_iter=1
+        ),
+        stamp_file="embeddings.parquet",
+    )
+
+    def survivors(s1: DataFrame) -> DataFrame:
+        # id_col must match the index's build-time column name (vec_id) —
+        # the probe reads the STORED vector table by the same name; the
+        # fixture's 1:1 doc_id = vec_id correspondence makes the rename a
+        # pure relabeling.
+        vec = s1.select(F.col("doc_id").alias("vec_id")).join(
+            emb.select("vec_id", "embedding"), "vec_id", "left"
+        )
+        return S.ivf_index_dedup(spark, path, vec, threshold=0.4, n_probe=2).select(
+            F.col("vec_id").alias("doc_id")
+        )
+
+    return _incremental_pipeline(
+        spark, path, docs.where(F.col("doc_id") > k), survivors=survivors
+    )
+
+
+@register("corpus_e2e_incremental_full")  # rows-only: composed approximate stages
+def corpus_e2e_incremental_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FULL PRODUCTION INCREMENTAL SHAPE: one composed run chaining all
+    THREE persisted-index dedup stages — the funnel a real crawl ingest
+    runs, cheapest cut first: quality rules → EXACT dedup against batch
+    1's fingerprint index (md5 anti-join, bucket-pruned) → NEAR-dup
+    against its MinHash index (stored-bands candidates, stored-sigs
+    verification) → SEMANTIC dedup against its IVF vector index
+    (pruned-list exact cosine over the doc's embedding) → mixture
+    downsample. Each stage only re-examines the previous stage's
+    survivors, so the expensive stages see monotonically shrinking
+    batches; history is reachable ONLY through the three index paths
+    (never-rescans-history input-file-asserted over six physically
+    separate directories in tests/test_corpus.py, with each stage's drop
+    demonstrated independently). Stage rules are the exact same batch
+    APIs the single-stage entries and streaming sinks use
+    (fingerprint_index_probe / minhash_index_dedup / ivf_index_dedup) —
+    composition adds no new dedup semantics, which is the point.
+    Rows-only by the approximate-operator convention (MinHash seeded
+    permutations + IVF bucketing). Output: per-source admitted
+    document/token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] // 2
+
+    def _build(p: str) -> None:
+        b1 = docs.where(F.col("doc_id") <= k)
+        DI.fingerprint_index_build(b1, os.path.join(p, "fp"))
+        DI.minhash_index_build(b1, os.path.join(p, "mh"))
+        S.ivf_build_index(
+            emb.where(F.col("vec_id") <= k), os.path.join(p, "ivf"),
+            n_lists=8, n_iter=1,
+        )
+
+    path = _scratch_index("fullincr", sf_dir, _build, stamp_file="documents.parquet")
+    fp, mh, ivf = (os.path.join(path, d) for d in ("fp", "mh", "ivf"))
+
+    def survivors(s1: DataFrame) -> DataFrame:
+        ids1 = DI.fingerprint_index_probe(spark, fp, s1).select("doc_id")
+        s2 = s1.join(ids1, "doc_id")
+        ids2 = DI.minhash_index_dedup(spark, mh, s2, threshold=0.5)
+        vec = (
+            s2.join(ids2, "doc_id")
+            .select(F.col("doc_id").alias("vec_id"))
+            .join(emb.select("vec_id", "embedding"), "vec_id", "left")
+        )
+        return S.ivf_index_dedup(spark, ivf, vec, threshold=0.4, n_probe=2).select(
+            F.col("vec_id").alias("doc_id")
+        )
+
+    return _incremental_pipeline(
+        spark, fp, docs.where(F.col("doc_id") > k), survivors=survivors
+    )
+
+
 @register("dedup_minhash_index")  # rows-only: seeded-hash approximate operator
 def dedup_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup detection — the MinHash twin of

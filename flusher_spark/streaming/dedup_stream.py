@@ -490,8 +490,7 @@ def semantic_stream_sink(
     one partitioned append — all sized by the batch."""
     from flusher_spark.operators.similarity import (
         _nearest_lists,
-        cosine,
-        ivf_index_neardup_pairs,
+        ivf_index_dedup,
         vec_norm_sq,
     )
 
@@ -518,47 +517,24 @@ def semantic_stream_sink(
         assigned = _nearest_lists(
             base, cents, n_probe, "__list", id_col, vec_col, rank_col="__crank"
         ).localCheckpoint(eager=False)
-        # History half: the ONE probe implementation
-        # (operators/similarity.py::ivf_index_neardup_pairs — pruned-list
-        # cosine join, tombstone subtraction, tag self-exclusion), so the
-        # sink's survivor rule and the batch probe API can never drift.
-        dropped_hist = ivf_index_neardup_pairs(
-            spark,
-            index_path,
-            batch_df,
-            threshold,
-            n_probe,
-            id_col,
-            vec_col,
-            exclude_src_batch=tag,
-            _assigned=assigned,
-        ).select(F.col("id_new").alias(id_col))
-        # Batch-internal half: keep-min over shared assigned lists.
-        n = assigned.select(
-            "__list",
-            F.col(id_col).alias("__nid"),
-            F.col(vec_col).alias("__nv"),
-            F.col("__nsq").alias("__nn"),
-        )
-        b = assigned.select(
-            "__list",
-            F.col(id_col).alias("__ib"),
-            F.col(vec_col).alias("__vb"),
-            F.col("__nsq").alias("__nb"),
-        )
-        dropped_internal = (
-            n.join(b, "__list")
-            .where(F.col("__nid") < F.col("__ib"))  # keep-min: higher id drops
-            .where(
-                cosine(F.col("__nv"), F.col("__vb"), F.col("__nn"), F.col("__nb"))
-                >= threshold
-            )
-            .select(F.col("__ib").alias(id_col))
-        )
-        dropped = dropped_hist.union(dropped_internal).distinct()
+        # Survivor rule: the ONE batch implementation
+        # (operators/similarity.py::ivf_index_dedup — pruned-list probe with
+        # tombstone subtraction + tag self-exclusion, keep-min internal
+        # collapse), so the sink and the batch dedup API can never drift —
+        # the neardup_stream_sink/minhash_index_dedup delegation applied to
+        # the vector family.
         (
-            batch_df.select(F.col(id_col))
-            .join(dropped, id_col, "left_anti")
+            ivf_index_dedup(
+                spark,
+                index_path,
+                batch_df,
+                threshold,
+                n_probe,
+                id_col,
+                vec_col,
+                exclude_src_batch=tag,
+                _assigned=assigned,
+            )
             .write.mode("overwrite")
             .parquet(part)
         )

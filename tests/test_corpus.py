@@ -344,6 +344,148 @@ def test_incremental_neardup_pipeline_never_rescans_history(spark, tmp_path):
     assert got == {("src_b", 2)}
 
 
+def test_incremental_semantic_pipeline_never_rescans_history(spark, tmp_path):
+    """r14: [corpus_e2e_incremental_semantic]'s contract — batch-2
+    survivors respect batch-1 history through the PERSISTED IVF index
+    alone (exact pruned-list cosine against the STORED vectors). Proven
+    physically: history text, history embeddings, batch text, and batch
+    embeddings live in four separate parquet directories; the executed
+    plan's input files must include the index's partitioned vector table
+    and must NOT include either history directory. Orthogonal unit
+    embeddings per doc family with n_probe = n_lists make every
+    expectation exact, not statistical."""
+    import os
+
+    from flusher_spark.operators import similarity as S
+    from flusher_spark.plans.llm import _incremental_pipeline
+
+    filler = " ".join(f"tok{i}" for i in range(60))  # clears the 50-word rule
+
+    def v(i):
+        return [1.0 if j == i else 0.0 for j in range(8)]
+
+    hist_rows = [(i, "src_a", f"{filler} history doc {i}") for i in range(1, 6)]
+    hist_vecs = [(i, v(i - 1)) for i in range(1, 6)]
+    batch_rows = (
+        # 11's EMBEDDING duplicates history doc 1's: dropped by the probe
+        [(11, "src_a", f"{filler} fresh doc w")]
+        # 12/13 share an embedding: keep-min collapses 13 into 12
+        + [(12, "src_b", f"{filler} fresh doc x"), (13, "src_b", f"{filler} fresh doc y")]
+        + [(14, "src_b", f"{filler} fresh doc z")]
+    )
+    batch_vecs = [(11, v(0)), (12, v(5)), (13, v(5)), (14, v(6))]
+    dschema = "doc_id long, source string, text string"
+    vschema = "vec_id long, embedding array<float>"
+    hist_dir = str(tmp_path / "hist")
+    hist_emb_dir = str(tmp_path / "histemb")
+    batch_dir = str(tmp_path / "batch")
+    batch_emb_dir = str(tmp_path / "bemb")
+    spark.createDataFrame(hist_rows, dschema).write.parquet(hist_dir)
+    spark.createDataFrame(hist_vecs, vschema).write.parquet(hist_emb_dir)
+    spark.createDataFrame(batch_rows, dschema).write.parquet(batch_dir)
+    spark.createDataFrame(batch_vecs, vschema).write.parquet(batch_emb_dir)
+    idx = str(tmp_path / "ivfidx")
+    S.ivf_build_index(spark.read.parquet(hist_emb_dir), idx, n_lists=2, n_iter=1)
+    bemb = spark.read.parquet(batch_emb_dir)
+
+    def survivors(s1):
+        vec = s1.select(F.col("doc_id").alias("vec_id")).join(bemb, "vec_id", "left")
+        return S.ivf_index_dedup(spark, idx, vec, threshold=0.95, n_probe=2).select(
+            F.col("vec_id").alias("doc_id")
+        )
+
+    out = _incremental_pipeline(
+        spark, idx, spark.read.parquet(batch_dir), survivors=survivors
+    )
+    files = out.inputFiles()
+    assert any(f"ivfidx{os.sep}vectors" in f for f in files), files
+    assert any(f"{os.sep}bemb{os.sep}" in f for f in files), files
+    assert not any(f"{os.sep}hist{os.sep}" in f for f in files), files
+    assert not any(f"{os.sep}histemb{os.sep}" in f for f in files), files
+    got = {(r["source"], r["n_docs"]) for r in out.collect()}
+    # 11 blocked by history (identical vector ⇒ cosine 1.0 ≥ 0.95), 13
+    # collapsed into 12 (keep-min); with one source left the uniform-target
+    # mixture keeps everything (share == target)
+    assert got == {("src_b", 2)}
+
+
+def test_incremental_full_pipeline_stage_isolation(spark, tmp_path):
+    """r14: [corpus_e2e_incremental_full]'s contract — the three-stage
+    funnel drops each doc at exactly the intended stage, and history is
+    reachable ONLY through the three persisted indexes. Doc 11 is a
+    verbatim EXACT dup of history (fresh embedding — only the fingerprint
+    stage can catch it); doc 12 is a one-token-changed NEAR dup of history
+    (distinct md5, fresh embedding — only the MinHash stage can catch it);
+    doc 13 has fresh text but duplicates a history EMBEDDING (only the
+    semantic stage can catch it); doc 14 is fresh everywhere and must
+    survive. Input-file assertion over six physically separate
+    directories: all three index tables read, neither history directory
+    ever touched."""
+    import os
+
+    from flusher_spark.operators import dedup_index as DI
+    from flusher_spark.operators import similarity as S
+    from flusher_spark.plans.llm import _incremental_pipeline
+
+    def filler(fam: str) -> str:
+        return " ".join(f"{fam}tok{i}" for i in range(60))  # clears 50-word rule
+
+    def v(i):
+        return [1.0 if j == i else 0.0 for j in range(10)]
+
+    hist_rows = [(i, "src_a", f"{filler(f'h{i}')} history doc {i}") for i in range(1, 6)]
+    hist_vecs = [(i, v(i - 1)) for i in range(1, 6)]
+    near_dup_of_h2 = f"{filler('h2')} history doc 2".replace("h2tok30", "h2tok30x")
+    batch_rows = [
+        (11, "src_a", f"{filler('h1')} history doc 1"),  # exact dup → fp stage
+        (12, "src_b", near_dup_of_h2),  # near dup, distinct md5 → MinHash stage
+        (13, "src_b", f"{filler('c')} fresh doc x"),  # embedding dup → semantic stage
+        (14, "src_b", f"{filler('d')} fresh doc y"),  # survives everything
+    ]
+    batch_vecs = [(11, v(6)), (12, v(7)), (13, v(2)), (14, v(8))]
+    dschema = "doc_id long, source string, text string"
+    vschema = "vec_id long, embedding array<float>"
+    dirs = {n: str(tmp_path / n) for n in ("hist", "histemb", "batch", "bemb")}
+    spark.createDataFrame(hist_rows, dschema).write.parquet(dirs["hist"])
+    spark.createDataFrame(hist_vecs, vschema).write.parquet(dirs["histemb"])
+    spark.createDataFrame(batch_rows, dschema).write.parquet(dirs["batch"])
+    spark.createDataFrame(batch_vecs, vschema).write.parquet(dirs["bemb"])
+    fp, mh, ivf = (str(tmp_path / n) for n in ("fpidx", "mhidx", "ivfidx"))
+    hist = spark.read.parquet(dirs["hist"])
+    DI.fingerprint_index_build(hist, fp)
+    DI.minhash_index_build(hist, mh)
+    S.ivf_build_index(spark.read.parquet(dirs["histemb"]), ivf, n_lists=2, n_iter=1)
+    bemb = spark.read.parquet(dirs["bemb"])
+
+    def survivors(s1):
+        ids1 = DI.fingerprint_index_probe(spark, fp, s1).select("doc_id")
+        s2 = s1.join(ids1, "doc_id")
+        ids2 = DI.minhash_index_dedup(spark, mh, s2, threshold=0.5)
+        vec = (
+            s2.join(ids2, "doc_id")
+            .select(F.col("doc_id").alias("vec_id"))
+            .join(bemb, "vec_id", "left")
+        )
+        return S.ivf_index_dedup(spark, ivf, vec, threshold=0.95, n_probe=2).select(
+            F.col("vec_id").alias("doc_id")
+        )
+
+    out = _incremental_pipeline(
+        spark, fp, spark.read.parquet(dirs["batch"]), survivors=survivors
+    )
+    files = out.inputFiles()
+    assert any(f"fpidx{os.sep}fingerprints" in f for f in files), files
+    assert any(f"mhidx{os.sep}bands" in f for f in files), files
+    assert any(f"mhidx{os.sep}sigs" in f for f in files), files
+    assert any(f"ivfidx{os.sep}vectors" in f for f in files), files
+    assert not any(f"{os.sep}hist{os.sep}" in f for f in files), files
+    assert not any(f"{os.sep}histemb{os.sep}" in f for f in files), files
+    got = {(r["source"], r["n_docs"]) for r in out.collect()}
+    # 11/12/13 each blocked by their stage; with one source left the
+    # uniform-target mixture keeps the lone survivor (share == target)
+    assert got == {("src_b", 1)}
+
+
 def test_chunk_udtf_matches_twin_on_null_documents(spark, tmp_path):
     """r14: the UDTF chunker used to die with a Python TypeError on a
     NULL-text (or NULL n_chars) document, while the codegen'd twin and the

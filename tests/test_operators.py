@@ -3584,6 +3584,53 @@ def test_ivf_index_neardup_pairs_vs_exact_twin(spark, emb, tmp_path):
     assert hits.count() >= 1
 
 
+def test_ivf_index_dedup_survivor_rule(spark, tmp_path):
+    """r14: the batch APPLY half of the semantic probe — THE survivor rule
+    the streaming semantic sink and [corpus_e2e_incremental_semantic]
+    both delegate to. With n_probe = n_lists the probe is exhaustive, so
+    every expectation here is exact, not statistical: an exact duplicate
+    of history always drops (same vector ⇒ same nearest lists ⇒ always
+    probed), a batch-internal identical pair collapses keep-min, a vector
+    clearing the threshold against nothing survives, a NULL embedding can
+    never match and passes through, and a threshold above 1 drops
+    nothing."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from flusher_spark.operators.similarity import ivf_build_index, ivf_index_dedup
+
+    dim = 4
+
+    def v(i, scale=1.0):
+        return [scale if j == i else 0.0 for j in range(dim)]
+
+    hist = spark.createDataFrame(
+        [(i, v(i)) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "ivf")
+    ivf_build_index(hist, path, n_lists=2, n_iter=1)
+    batch = spark.createDataFrame(
+        [
+            (10, v(0)),  # exact duplicate of history 0 → drops
+            (11, [0.9, 0.1, 0.0, 0.0]),  # cos vs hist 0 ≈ 0.9939 ≥ 0.95 → drops
+            (12, [0.0, 0.0, 0.7071, 0.7071]),  # max cos vs hist ≈ 0.7071 → survives
+            (13, [0.0, 0.0, 0.7071, 0.7071]),  # identical to 12 → keep-min drops 13
+            (14, None),  # NULL embedding: never matches, passes through
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    surv = {
+        r["vec_id"]
+        for r in ivf_index_dedup(spark, path, batch, threshold=0.95, n_probe=2).collect()
+    }
+    assert surv == {12, 14}
+    # cosine tops out at 1.0: a threshold above it can drop nothing
+    everyone = {
+        r["vec_id"]
+        for r in ivf_index_dedup(spark, path, batch, threshold=1.01, n_probe=2).collect()
+    }
+    assert everyone == {10, 11, 12, 13, 14}
+
+
 def test_pagerank_nan_weight_ignored(spark):
     """r14: Spark orders NaN above every numeric, so a NaN edge weight used
     to pass the `w > 0` guard and poison every reachable rank to NaN with

@@ -107,6 +107,18 @@ EXTRA = [
     # stream-executed; its per-micro-batch probe plan is reconstructed
     # below (STREAM_INNER).
     "corpus_e2e_incremental_neardup",
+    # round 14 late: the SEMANTIC composed incremental pipeline — the READ
+    # half's 100 TB evidence is the quality filter + the doc→embedding
+    # equi-join + the partition-pruned IVF probe (broadcast batch side,
+    # stored lists never shuffle) + the keep-min per-list self-join +
+    # broadcast mixture, one lazy plan.
+    "corpus_e2e_incremental_semantic",
+    # round 14 late: the production funnel chaining all three persisted
+    # index stages — the audited READ half is quality filter → md5
+    # anti-join → banded probe → embedding join + pruned-list probe →
+    # broadcast mixture, ONE lazy plan over monotonically shrinking
+    # survivor sets.
+    "corpus_e2e_incremental_full",
 ]
 SKIP_PREFIXES = ("events_tumbling", "events_sliding", "events_sessionize",
                  "events_rollup", "events_stateful", "events_stream_")

@@ -93,6 +93,14 @@ PROBES = [
     # read plan respectively)
     ("dedup_stream_semantic", "semantic survivor sink read"),
     ("corpus_e2e_incremental_neardup", "quality + banded probe + mixture"),
+    # round 14 late (the IVF index build happens once per sf via
+    # _scratch_index; the timed repeats measure the composed
+    # quality + embedding-join + pruned-list probe + mixture read plan)
+    ("corpus_e2e_incremental_semantic", "quality + IVF probe + mixture"),
+    # round 14 late (all three index builds happen once per sf via
+    # _scratch_index; the timed repeats measure the composed three-stage
+    # funnel read plan)
+    ("corpus_e2e_incremental_full", "exact→MinHash→semantic funnel"),
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
