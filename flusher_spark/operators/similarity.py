@@ -1137,6 +1137,7 @@ def ivf_index_neardup_pairs(
     vec_col: str = "embedding",
     exclude_src_batch: str | None = None,
     _assigned: DataFrame | None = None,
+    _gen: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup detection of an incoming batch against a PERSISTED
     IVF index — the embedding-space analogue of ``minhash_index_probe``:
@@ -1164,8 +1165,14 @@ def ivf_index_neardup_pairs(
     ((id, vec, __nsq, __list) rows, extra columns ignored) — the streaming
     sink passes its checkpointed one so the centroid read + assignment
     job run exactly once per micro-batch (the sig_new precedent of
-    minhash_index_dedup)."""
-    gen = G.current_gen(path)
+    minhash_index_dedup).
+
+    ``_gen``: the generation the caller already resolved (ALWAYS passed
+    together with ``_assigned`` — an assignment from gen-N centroids must
+    probe gen-N vectors; a compact flipping the pointer between the two
+    reads would otherwise prune partitions under a DIFFERENT list
+    numbering, the single-gen-read discipline of ``ivf_query_index``)."""
+    gen = G.current_gen(path) if _gen is None else _gen
     if _assigned is None:
         cents = spark.read.parquet(G.gen_dir(path, "centroids", gen)).select(
             "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
@@ -1235,6 +1242,7 @@ def ivf_index_dedup(
     vec_col: str = "embedding",
     exclude_src_batch: str | None = None,
     _assigned: DataFrame | None = None,
+    _gen: int | None = None,
 ) -> DataFrame:
     """The APPLY half of ``ivf_index_neardup_pairs`` — batch semantic dedup
     against a persisted IVF index, and THE survivor rule of the streaming
@@ -1255,6 +1263,11 @@ def ivf_index_dedup(
     centroid read + assignment job run exactly once per micro-batch — the
     sig_new precedent); built here otherwise, checkpointed because the
     probe half and the batch-internal self-join both consume it.
+    ``_gen``: the generation the caller's assignment came from (passed
+    together with ``_assigned``); resolved ONCE here otherwise and
+    threaded through the probe, so the centroid and vector reads can
+    never straddle a compact's pointer flip (the ivf_query_index
+    single-gen-read discipline).
 
     At scale: one bounded centroid read, one pruned-partition broadcast
     join (the probe), one batch-sized per-list self-join, one anti-join —
@@ -1263,8 +1276,9 @@ def ivf_index_dedup(
     missed); an EXACT duplicate always shares its twin's nearest list and
     is always caught (pinned in tests/test_operators.py)."""
     if _assigned is None:
-        gen = G.current_gen(path)
-        cents = spark.read.parquet(G.gen_dir(path, "centroids", gen)).select(
+        if _gen is None:
+            _gen = G.current_gen(path)
+        cents = spark.read.parquet(G.gen_dir(path, "centroids", _gen)).select(
             "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
         )
         base = batch.select(
@@ -1284,6 +1298,7 @@ def ivf_index_dedup(
         vec_col,
         exclude_src_batch=exclude_src_batch,
         _assigned=assigned,
+        _gen=_gen,
     ).select(F.col("id_new").alias(id_col))
     # Batch-internal half: keep-min over shared assigned lists.
     n = assigned.select(

@@ -864,6 +864,31 @@ def corpus_e2e_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _semantic_stage(
+    spark: SparkSession, ivf_path: str, emb: DataFrame, ids: DataFrame, k: int
+) -> DataFrame:
+    """The ONE semantic dedup stage shared by [corpus_e2e_incremental_semantic]
+    and [corpus_e2e_incremental_full] (the sink-delegation discipline applied
+    to the pipeline layer): join the surviving doc_ids to their embeddings on
+    the fixture's 1:1 doc_id = vec_id correspondence (LEFT join — a doc with
+    no embedding can never near-match and passes through, the unsigned-doc
+    policy), probe the persisted IVF index via ivf_index_dedup, rename back.
+    The ``vec_id > k`` cut keeps the plan honest about its own contract:
+    batch doc_ids are all > k so the filter drops no join partner — it
+    exists so the HISTORY half of the embeddings table is pruned at the
+    parquet scan and reachable only through the index's vector partitions
+    (the never-rescans-history input-file assertion). Threshold 0.4 is the
+    fixture convention (dedup_semantic_embedding)."""
+    vec = ids.select(F.col("doc_id").alias("vec_id")).join(
+        emb.select("vec_id", "embedding").where(F.col("vec_id") > k),
+        "vec_id",
+        "left",
+    )
+    return S.ivf_index_dedup(spark, ivf_path, vec, threshold=0.4, n_probe=2).select(
+        F.col("vec_id").alias("doc_id")
+    )
+
+
 @register("corpus_e2e_incremental_semantic")  # rows-only: IVF-bucketed approximate operator
 def corpus_e2e_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[corpus_e2e_incremental] with the SEMANTIC (embedding-space) index
@@ -888,29 +913,22 @@ def corpus_e2e_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFra
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     k = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] // 2
+    # Both fixtures stamp the cache key: the vectors come from embeddings
+    # but the history/batch split point k comes from documents — a
+    # regeneration of EITHER must invalidate the built index.
     path = _scratch_index(
         "ivfincr",
         sf_dir,
         lambda p: S.ivf_build_index(
             emb.where(F.col("vec_id") <= k), p, n_lists=8, n_iter=1
         ),
-        stamp_file="embeddings.parquet",
+        stamp_file=("documents.parquet", "embeddings.parquet"),
     )
-
-    def survivors(s1: DataFrame) -> DataFrame:
-        # id_col must match the index's build-time column name (vec_id) —
-        # the probe reads the STORED vector table by the same name; the
-        # fixture's 1:1 doc_id = vec_id correspondence makes the rename a
-        # pure relabeling.
-        vec = s1.select(F.col("doc_id").alias("vec_id")).join(
-            emb.select("vec_id", "embedding"), "vec_id", "left"
-        )
-        return S.ivf_index_dedup(spark, path, vec, threshold=0.4, n_probe=2).select(
-            F.col("vec_id").alias("doc_id")
-        )
-
     return _incremental_pipeline(
-        spark, path, docs.where(F.col("doc_id") > k), survivors=survivors
+        spark,
+        path,
+        docs.where(F.col("doc_id") > k),
+        survivors=lambda s1: _semantic_stage(spark, path, emb, s1, k),
     )
 
 
@@ -948,21 +966,22 @@ def corpus_e2e_incremental_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_lists=8, n_iter=1,
         )
 
-    path = _scratch_index("fullincr", sf_dir, _build, stamp_file="documents.parquet")
+    # Both fixtures stamp the cache key: the fp/mh stages derive from
+    # documents, the IVF stage from embeddings — a regeneration of EITHER
+    # must invalidate the three built indexes together.
+    path = _scratch_index(
+        "fullincr",
+        sf_dir,
+        _build,
+        stamp_file=("documents.parquet", "embeddings.parquet"),
+    )
     fp, mh, ivf = (os.path.join(path, d) for d in ("fp", "mh", "ivf"))
 
     def survivors(s1: DataFrame) -> DataFrame:
         ids1 = DI.fingerprint_index_probe(spark, fp, s1).select("doc_id")
         s2 = s1.join(ids1, "doc_id")
         ids2 = DI.minhash_index_dedup(spark, mh, s2, threshold=0.5)
-        vec = (
-            s2.join(ids2, "doc_id")
-            .select(F.col("doc_id").alias("vec_id"))
-            .join(emb.select("vec_id", "embedding"), "vec_id", "left")
-        )
-        return S.ivf_index_dedup(spark, ivf, vec, threshold=0.4, n_probe=2).select(
-            F.col("vec_id").alias("doc_id")
-        )
+        return _semantic_stage(spark, ivf, emb, s2.join(ids2, "doc_id"), k)
 
     return _incremental_pipeline(
         spark, fp, docs.where(F.col("doc_id") > k), survivors=survivors
@@ -1775,7 +1794,12 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INDEX_SCRATCH: dict[tuple[str, str, int], str] = {}
 
 
-def _scratch_index(name: str, sf_dir: str, build, stamp_file: str = "embeddings.parquet") -> str:
+def _scratch_index(
+    name: str,
+    sf_dir: str,
+    build,
+    stamp_file: str | tuple[str, ...] = "embeddings.parquet",
+) -> str:
     import atexit
     import shutil
     import tempfile
@@ -1784,13 +1808,19 @@ def _scratch_index(name: str, sf_dir: str, build, stamp_file: str = "embeddings.
     # regenerated mid-process (the driver rewrites testdata between rounds;
     # tests may rebuild tmp fixtures) must invalidate the built index, or a
     # stale artifact would silently answer for the new data (r9 advisor).
-    # ``stamp_file`` is whichever fixture the index derives from (embeddings
-    # for the ANN indexes, documents for the dedup fingerprint indexes).
-    try:
-        stamp = int(os.stat(os.path.join(sf_dir, stamp_file)).st_mtime_ns)
-    except OSError:
-        stamp = -1
-    key = (name, sf_dir, stamp)
+    # ``stamp_file`` is EVERY fixture the index derives from (a tuple for
+    # the composed entries whose build reads documents AND embeddings —
+    # regenerating either alone must invalidate; a bare name otherwise:
+    # embeddings for the ANN indexes, documents for the dedup indexes).
+    files = (stamp_file,) if isinstance(stamp_file, str) else stamp_file
+
+    def _mtime(f: str) -> int:
+        try:
+            return int(os.stat(os.path.join(sf_dir, f)).st_mtime_ns)
+        except OSError:
+            return -1
+
+    key = (name, sf_dir, tuple(_mtime(f) for f in files))
     path = _INDEX_SCRATCH.get(key)
     if path is None:
         root = tempfile.mkdtemp(prefix=f"flusher_{name}_")

@@ -534,6 +534,11 @@ def semantic_stream_sink(
                 vec_col,
                 exclude_src_batch=tag,
                 _assigned=assigned,
+                # The gen this assignment's centroids came from: the probe
+                # must read the SAME generation's vectors (list numberings
+                # are per-generation; a compact flipping the pointer
+                # mid-batch would otherwise prune the wrong partitions).
+                _gen=gen,
             )
             .write.mode("overwrite")
             .parquet(part)
