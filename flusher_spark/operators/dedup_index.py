@@ -488,7 +488,7 @@ def minhash_index_build(
     (banded LSH bucket rows, PARTITIONED BY a stable hash bucket of
     (band, bsig) so a probe's isin filter prunes at the parquet layer).
     All parameters land in the meta table; append/probe read them back."""
-    if bands <= 0 or num_perm % bands != 0:
+    if bands <= 0 or num_perm <= 0 or num_perm % bands != 0:
         raise ValueError(f"num_perm ({num_perm}) must be a positive multiple of bands ({bands})")
     croot = os.path.join(path, "clusters")
     rebuild = os.path.exists(os.path.join(path, "GENERATION")) or os.path.isdir(
@@ -502,9 +502,15 @@ def minhash_index_build(
     # shingle+aggregate pipeline runs exactly once.
     sig.write.mode("overwrite").parquet(_gen_dir(path, "sigs", new_gen))
     stored = df.sparkSession.read.parquet(_gen_dir(path, "sigs", new_gen))
-    _band_rows(stored, num_perm, bands, n_buckets).write.mode("overwrite").partitionBy(
-        "lsh_bucket"
-    ).parquet(_gen_dir(path, "bands", new_gen))
+    # _write_table, not a bare partitioned write: a corpus where no document
+    # clears shingle_n tokens yields ZERO band rows, and an empty bare
+    # partitionBy write emits no readable files — the first probe would die
+    # with UNABLE_TO_INFER_SCHEMA (the fingerprint build / compact guard).
+    _write_table(
+        _band_rows(stored, num_perm, bands, n_buckets),
+        _gen_dir(path, "bands", new_gen),
+        "lsh_bucket",
+    )
     # A REBUILD over a live path lands in a NEW generation and flips the
     # pointer (see fingerprint_index_build — the old life's data and its
     # generation-scoped tombstones stay in scope until one atomic flip).
@@ -527,8 +533,13 @@ def minhash_index_build(
     for tbl in ("sigs", "bands", "mh_tombstones", "meta"):
         _drop_stale_gens(path, tbl, new_gen)
     shutil.rmtree(_gen_dir(path, "mh_tombstones", new_gen), ignore_errors=True)
-    _drop_stale_gens(croot, "base", new_gen)
-    shutil.rmtree(_gen_dir(croot, "base", new_gen), ignore_errors=True)
+    # The WHOLE cluster layer dies with a rebuild — base AND meta AND the
+    # merge ledger. Leaving clusters/meta behind would make
+    # resolve_min_agree silently serve the OLD corpus's frozen cut (frozen
+    # against the old num_perm) to minhash_index_dedup and the streaming
+    # sink; resolve_min_agree also double-checks the base table is alive
+    # for the current generation, covering a crash landing right here.
+    shutil.rmtree(croot, ignore_errors=True)
     return path
 
 
@@ -673,6 +684,19 @@ def _probe_pairs(
             r["lsh_bucket"] for r in bands_new.select("lsh_bucket").distinct().collect()
         ]
         index = index.where(F.col("lsh_bucket").isin(buckets))
+    # Restrict the stored side to the batch's EXACT band keys BEFORE the
+    # fan-out cap: at the default 64 lsh buckets any real batch covers
+    # most partitions, so the coarse prune alone would leave the window
+    # count running over the corpus-sized bands table on every probe — a
+    # full exchange per micro-batch, against this module's probe-cost-
+    # follows-the-batch contract. A semi-join on (band, bsig) keeps WHOLE
+    # buckets, so the per-bucket counts the cap sees are unchanged for
+    # every surviving bucket — identical output, batch-bounded window.
+    index = index.join(
+        F.broadcast(bands_new.select("band", "bsig").distinct()),
+        ["band", "bsig"],
+        "leftsemi",
+    )
     index = _capped_bands(index, max_bucket)
     bands_new = _capped_bands(bands_new, max_bucket)
     cand = (
@@ -780,10 +804,17 @@ def resolve_min_agree(
     defines the cut."""
     # clusters/meta is NOT generation-scoped (no GENERATION pointer is ever
     # written under the clusters root — bootstrap writes the bare table and
-    # overwrites it wholesale), so a plain existence check IS the whole
-    # resolution.
+    # overwrites it wholesale). The base table IS scoped by the INDEX's
+    # generation, so requiring it alongside meta makes this gate mean "the
+    # cluster layer is ALIVE for the current corpus": a rebuild removes the
+    # whole clusters root, but a crash between its pointer flip and that
+    # cleanup could leave a stale meta whose frozen cut belongs to the old
+    # corpus (and its old num_perm) — base missing for the new generation
+    # detects exactly that and falls back to the caller's threshold.
     croot = os.path.join(path, "clusters")
-    if os.path.isdir(os.path.join(croot, "meta")):
+    if os.path.isdir(os.path.join(croot, "meta")) and os.path.isdir(
+        _gen_dir(croot, "base", _current_gen(path))
+    ):
         return int(_read_meta(spark, croot)["min_agree"])
     # ceil(threshold × num_perm) as an exact integer — the float-safe form
     # minhash_cluster_bootstrap freezes.
@@ -1098,9 +1129,11 @@ def minhash_cluster_bootstrap(
         )
     )
     croot = os.path.join(path, "clusters")
-    labels.write.mode("overwrite").partitionBy("c_bucket").parquet(
-        _gen_dir(croot, "base", gen)
-    )
+    # _write_table, not a bare partitioned write: bootstrapping an EMPTY
+    # index (stream_minhash_index_init with no seed) yields zero label rows,
+    # and an empty bare partitionBy write emits no readable files — every
+    # later cluster append/labels read would die with UNABLE_TO_INFER_SCHEMA.
+    _write_table(labels, _gen_dir(croot, "base", gen), "c_bucket")
     spark.createDataFrame([], "old_id long, new_id long").write.mode(
         "overwrite"
     ).parquet(os.path.join(croot, "remap"))
@@ -1249,7 +1282,21 @@ def minhash_cluster_append(
     # the labels table, with nothing anywhere to notice (r12 review).
     # Recovery for every tear stays "re-run the same append" — the probe's
     # fallback_sigs covers the crashed run's own band rows.
-    bands_new.write.mode("append").partitionBy("lsh_bucket").parquet(
+    # Stream-initialized index: every appended file must carry the
+    # src_batch tag column (exactly minhash_index_append's guard — a
+    # tag-less file in the bands/sigs dirs could make a non-mergeSchema
+    # read infer a schema without the column, killing the streaming sink's
+    # self-exclusion or letting a compact strip the tag for good).
+    bands_w, sig_w = bands_new, sig_new
+    if "src_batch" in spark.read.parquet(_gen_dir(path, "sigs", gen)).columns:
+        none = F.lit(None).cast("string")
+        bands_w = bands_new.withColumn("src_batch", none).select(
+            "doc_id", "band", "bsig", "src_batch", "lsh_bucket"
+        )
+        sig_w = sig_new.withColumn("src_batch", none).select(
+            "doc_id", "sig", "src_batch"
+        )
+    bands_w.write.mode("append").partitionBy("lsh_bucket").parquet(
         _gen_dir(path, "bands", gen)
     )
     if remap_new.limit(1).count():
@@ -1278,7 +1325,7 @@ def minhash_cluster_append(
     lab_new.write.mode("append").partitionBy("c_bucket").parquet(
         _gen_dir(croot, "base", gen)
     )
-    sig_new.write.mode("append").parquet(_gen_dir(path, "sigs", gen))
+    sig_w.write.mode("append").parquet(_gen_dir(path, "sigs", gen))
     return lab_new.select("doc_id", "cluster_id")
 
 

@@ -216,7 +216,7 @@ def stream_minhash_index_init(
     index: ``minhash_index_probe/append/delete/compact`` and the cluster
     layer work on it unchanged (batch appends backfill the tag with NULL,
     which no exclusion matches)."""
-    if bands <= 0 or num_perm % bands != 0:
+    if bands <= 0 or num_perm <= 0 or num_perm % bands != 0:
         raise ValueError(
             f"num_perm ({num_perm}) must be a positive multiple of bands ({bands})"
         )
@@ -260,9 +260,11 @@ def stream_minhash_index_init(
     import shutil
 
     shutil.rmtree(G.gen_dir(path, "mh_tombstones", new_gen), ignore_errors=True)
-    croot = os.path.join(path, "clusters")
-    G.drop_stale_gens(croot, "base", new_gen)
-    shutil.rmtree(G.gen_dir(croot, "base", new_gen), ignore_errors=True)
+    # The WHOLE cluster layer dies with a rebuild — base AND meta AND the
+    # merge ledger (the minhash_index_build discipline): a surviving
+    # clusters/meta would make resolve_min_agree silently serve the OLD
+    # corpus's frozen cut to the sink and the batch dedup helper.
+    shutil.rmtree(os.path.join(path, "clusters"), ignore_errors=True)
     return path
 
 

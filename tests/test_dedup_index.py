@@ -747,3 +747,141 @@ class TestMetaGenerationScoping:
             ).collect()
         }
         assert got == set()
+
+
+class TestR14IndexReviewFixes:
+    """r14 review sweep over dedup.py/dedup_index.py — each test pins one
+    of the fixed findings."""
+
+    def test_rebuild_kills_stale_cluster_meta(self, spark, tmp_path):
+        """A rebuild must remove clusters/meta along with base: the old
+        corpus's frozen min_agree was computed against the OLD num_perm,
+        and resolve_min_agree serving it to minhash_index_dedup / the
+        streaming sink after a num_perm=64 rebuild would silently cut at
+        16/64 = 0.25 agreement instead of the requested 0.5."""
+        path = str(tmp_path / "mh")
+        DI.minhash_index_build(_docs(spark, HIST), path, num_perm=32, bands=8)
+        DI.minhash_cluster_bootstrap(spark, path, threshold=0.5)
+        # live cluster layer: the frozen integer wins over the caller arg
+        assert DI.resolve_min_agree(spark, path, 0.9, 32) == 16
+        DI.minhash_index_build(_docs(spark, HIST), path, num_perm=64, bands=8)
+        assert not os.path.isdir(os.path.join(path, "clusters"))
+        # cluster layer dead: caller's threshold defines the cut again
+        assert DI.resolve_min_agree(spark, path, 0.5, 64) == 32
+
+    def test_stream_init_rebuild_kills_stale_cluster_meta(self, spark, tmp_path):
+        from flusher_spark.streaming.dedup_stream import stream_minhash_index_init
+
+        path = str(tmp_path / "mhs")
+        DI.minhash_index_build(_docs(spark, HIST), path, num_perm=32, bands=8)
+        DI.minhash_cluster_bootstrap(spark, path, threshold=0.5)
+        stream_minhash_index_init(spark, path, num_perm=64, bands=8)  # rebuild
+        assert not os.path.isdir(os.path.join(path, "clusters"))
+        assert DI.resolve_min_agree(spark, path, 0.5, 64) == 32
+
+    def test_cluster_append_backfills_src_batch_tag(self, spark, tmp_path):
+        """minhash_cluster_append into a STREAM-initialized index must
+        backfill src_batch on its bands/sigs appends (the
+        minhash_index_append guard): a tag-less file could make a
+        non-mergeSchema read infer a schema without the column, killing
+        the sink's self-exclusion, or let a compact strip the tag."""
+        from flusher_spark.streaming.dedup_stream import stream_minhash_index_init
+
+        path = str(tmp_path / "mhtag")
+        stream_minhash_index_init(
+            spark, path, seed_df=_docs(spark, [(1, _FAM_A), (2, _FAM_B)])
+        )
+        DI.minhash_cluster_bootstrap(spark, path, threshold=0.5)
+        DI.minhash_cluster_append(spark, path, _docs(spark, [(10, _FAM_C)]))
+        # EVERY file of both tables carries the tag (per-file, not just the
+        # directory-inferred union — mixed files are the hazard)
+        import pyarrow.parquet as pq
+
+        for tbl in ("sigs", "bands"):
+            root = os.path.join(path, tbl)
+            files = [
+                os.path.join(r, n)
+                for r, _d, ns in os.walk(root)
+                for n in ns
+                if n.endswith(".parquet")
+            ]
+            assert files
+            for f in files:
+                assert "src_batch" in pq.read_schema(f).names, (tbl, f)
+
+    def test_build_over_signatureless_corpus_stays_readable(self, spark, tmp_path):
+        """A corpus where no document clears shingle_n tokens yields ZERO
+        band rows; the bands table must still be readable (the
+        fingerprint-build _write_table guard) so probes return empty
+        instead of dying with UNABLE_TO_INFER_SCHEMA."""
+        path = str(tmp_path / "mhempty")
+        DI.minhash_index_build(
+            _docs(spark, [(1, "one two"), (2, None)]), path  # < shingle_n=3 tokens
+        )
+        probe = DI.minhash_index_probe(spark, path, _docs(spark, [(10, _FAM_A)]))
+        assert probe.count() == 0
+        # and the index still grows normally afterwards
+        DI.minhash_index_append(spark, path, _docs(spark, [(11, _FAM_A)]))
+        got = {
+            (r["doc_new"], r["doc_hist"])
+            for r in DI.minhash_index_probe(
+                spark, path, _docs(spark, [(12, _FAM_A)])
+            ).collect()
+        }
+        assert got == {(12, 11)}
+
+    def test_bootstrap_empty_index_stays_readable(self, spark, tmp_path):
+        """Bootstrapping a seedless stream index yields zero label rows;
+        clusters/base must still be readable so the first real
+        cluster_append works instead of dying on schema inference."""
+        from flusher_spark.streaming.dedup_stream import stream_minhash_index_init
+
+        path = str(tmp_path / "mhboot")
+        stream_minhash_index_init(spark, path)
+        DI.minhash_cluster_bootstrap(spark, path, threshold=0.5)
+        assert DI.minhash_cluster_labels(spark, path).count() == 0
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in DI.minhash_cluster_append(
+                spark, path, _docs(spark, [(1, _FAM_A), (2, _FAM_A)])
+            ).collect()
+        }
+        assert got == {(1, 1), (2, 1)}
+        assert self_labels(spark, path) == {1: 1, 2: 1}
+
+    def test_probe_bucket_cap_still_applies_to_stored_side(self, spark, tmp_path):
+        """The r14 semi-join rewrite (stored bands restricted to the
+        batch's band keys BEFORE the fan-out window) must not change cap
+        semantics: a degenerate stored bucket larger than max_bucket is
+        still dropped whole, and kept when the cap allows it."""
+        path = str(tmp_path / "mhcap")
+        clones = [(i, _FAM_A) for i in range(1, 6)]  # 5 identical docs
+        DI.minhash_index_build(_docs(spark, clones), path)
+        batch = _docs(spark, [(10, _FAM_A)])
+        assert DI.minhash_index_probe(spark, path, batch, max_bucket=3).count() == 0
+        assert (
+            DI.minhash_index_probe(spark, path, batch, max_bucket=10)
+            .select("doc_hist")
+            .distinct()
+            .count()
+            == 5
+        )
+
+    def test_num_perm_must_be_positive(self, spark, tmp_path):
+        from flusher_spark.streaming.dedup_stream import stream_minhash_index_init
+
+        with pytest.raises(ValueError, match="positive multiple"):
+            DI.minhash_index_build(
+                _docs(spark, HIST), str(tmp_path / "a"), num_perm=0, bands=8
+            )
+        with pytest.raises(ValueError, match="positive multiple"):
+            stream_minhash_index_init(
+                spark, str(tmp_path / "b"), num_perm=-16, bands=8
+            )
+
+
+def self_labels(spark, path):
+    return {
+        r["doc_id"]: r["cluster_id"]
+        for r in DI.minhash_cluster_labels(spark, path).collect()
+    }
