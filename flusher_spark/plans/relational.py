@@ -5,8 +5,13 @@ string/date/math/json/array functions, pivot/unpivot, sessionization, sliding
 windows, and an as-of join.
 
 The reference implements none of these (SURVEY.md §2.B — it is a 413-line ETL
-runner); this module IS the engine's query surface, expressed with built-in
-Spark DataFrame/SQL ops only (whole-stage codegen, no Python UDFs anywhere).
+runner); this module IS the engine's query surface. The relational entries
+are built-in Spark DataFrame/SQL ops only (whole-stage codegen, never
+row-at-a-time Python); the deliberate exceptions are the UDF/UDAF/UDTF
+showcase entries (agg_weighted_median_udaf, events_trend_grouped_map,
+events_minmax_norm_arrow, the applyInPandasWithState streams), which run
+Arrow-batched Python workers BY DESIGN — that family's cost model is the
+Arrow transfer, not codegen.
 
 Scale notes are attached per query: broadcast hints go on genuinely small
 dims (region/nation: 5/25 rows at any SF), fact-fact joins shuffle on their
@@ -20,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+from contextlib import contextmanager as _contextmanager
 
 import pandas as pd  # module-level: postponed annotations make UDF type
 # hints strings, and pyspark resolves 'pd.Series' through module globals
@@ -56,6 +62,36 @@ def _disc():
 
 def _charge():
     return _disc().cast("decimal(18,8)") * (F.lit(1) + dec("l_tax"))
+
+
+def hist_nearest_ranks(h, col: str, cnt: str, ranks, group: str = "event_type"):
+    """Per-``group`` nearest-rank order statistics from a VALUE HISTOGRAM
+    (one row per distinct value of ``col`` with a ``cnt`` count): a running
+    count over the histogram's value order, then for each (alias,
+    rank_expr) pair the minimum value whose running count reaches the
+    rank. ``rank_expr`` is a SQL string that may reference ``n`` — the
+    group's total row count, also emitted as a long ``n`` column. The
+    window runs over DISTINCT VALUES, never raw rows, so its size is
+    bounded by the value domain regardless of fact size — the
+    histogram-running-sum discipline of the exact quantile family, hoisted
+    from five hand-rolled copies (r14 review): the median/quartile/
+    percentile selections of agg_exact_quantile_interpolated,
+    agg_histogram_rollup_percentile, events_winsorized_stats,
+    events_histogram_equidepth, and events_anomaly_mad."""
+    wc = Window.partitionBy(group).orderBy(col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy(group)
+    c = h.select(
+        group, col, F.sum(cnt).over(wc).alias("cum"), F.sum(cnt).over(wn).alias("n")
+    )
+    return c.groupBy(group).agg(
+        F.min("n").cast("long").alias("n"),
+        *[
+            F.min(F.when(F.col("cum") >= F.expr(r), F.col(col))).alias(a)
+            for a, r in ranks
+        ],
+    )
 
 
 @register(
@@ -736,10 +772,14 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: parts never ordered."""
+    """EXCEPT: parts never ordered. ``subtract`` IS SQL's EXCEPT (set
+    semantics: a value present on the right disappears entirely) —
+    ``exceptAll().distinct()`` only matches it when the left side has no
+    duplicate keys (multiplicity subtraction keeps a row the set form
+    drops whenever count_left > count_right > 0; r14 review)."""
     p = load_table(spark, sf_dir, "part").select("p_partkey")
     l = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
-    return p.exceptAll(l).distinct()
+    return p.subtract(l)
 
 
 @register("distinct_values", oracle="SELECT DISTINCT c_mktsegment FROM customer")
@@ -1157,33 +1197,21 @@ def agg_exact_quantile_interpolated(spark: SparkSession, sf_dir: str) -> DataFra
             F.count("*").alias("k")
         )
     )
-    wrun = Window.partitionBy("event_type").orderBy("cv").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.partitionBy("event_type")
-    pos = hist.select(
-        "event_type",
+    sel = hist_nearest_ranks(
+        hist,
         "cv",
-        F.sum("k").over(wrun).alias("cum"),
-        F.sum("k").over(wall).alias("n"),
-    ).selectExpr(
-        "event_type", "cv", "cum", "n",
-        "1 + (n - 1) div 4 AS k25", "(n - 1) % 4 AS r25",
-        "1 + (3 * (n - 1)) div 4 AS k75", "(3 * (n - 1)) % 4 AS r75",
-    )
-    sel = pos.groupBy("event_type").agg(
-        F.min("n").cast("long").alias("n"),
-        F.min("r25").alias("r25"),
-        F.min("r75").alias("r75"),
-        F.min(F.when(F.col("cum") >= F.col("k25"), F.col("cv"))).alias("x25"),
-        F.min(F.when(F.col("cum") >= F.col("k25") + 1, F.col("cv"))).alias("x25n"),
-        F.min(F.when(F.col("cum") >= F.col("k75"), F.col("cv"))).alias("x75"),
-        F.min(F.when(F.col("cum") >= F.col("k75") + 1, F.col("cv"))).alias("x75n"),
+        "k",
+        [
+            ("x25", "1 + (n - 1) div 4"),
+            ("x25n", "2 + (n - 1) div 4"),
+            ("x75", "1 + (3 * (n - 1)) div 4"),
+            ("x75n", "2 + (3 * (n - 1)) div 4"),
+        ],
     )
     return sel.selectExpr(
         "event_type", "n",
-        "CAST((4 - r25) * x25 + r25 * COALESCE(x25n, x25) AS BIGINT) AS q25_cv_x4",
-        "CAST((4 - r75) * x75 + r75 * COALESCE(x75n, x75) AS BIGINT) AS q75_cv_x4",
+        "CAST((4 - (n - 1) % 4) * x25 + ((n - 1) % 4) * COALESCE(x25n, x25) AS BIGINT) AS q25_cv_x4",
+        "CAST((4 - (3 * (n - 1)) % 4) * x75 + ((3 * (n - 1)) % 4) * COALESCE(x75n, x75) AS BIGINT) AS q75_cv_x4",
     ).orderBy("event_type")
 
 
@@ -1340,25 +1368,14 @@ def agg_histogram_rollup_percentile(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count("*").alias("k"))
     )
     merged = daily.groupBy("event_type", "cv").agg(F.sum("k").cast("long").alias("k"))
-    wrun = Window.partitionBy("event_type").orderBy("cv").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.partitionBy("event_type")
-    run = merged.select(
-        "event_type",
-        "cv",
-        F.sum("k").over(wrun).alias("cum"),
-        F.sum("k").over(wall).alias("n"),
-    )
     return (
-        run.groupBy("event_type")
-        .agg(
-            F.min("n").cast("long").alias("n_values"),
-            F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("cv"))).alias("p50_cv"),
-            F.min(
-                F.when(F.col("cum") >= F.expr("(99 * n + 99) div 100"), F.col("cv"))
-            ).alias("p99_cv"),
+        hist_nearest_ranks(
+            merged,
+            "cv",
+            "k",
+            [("p50_cv", "(n + 1) div 2"), ("p99_cv", "(99 * n + 99) div 100")],
         )
+        .withColumnRenamed("n", "n_values")
         .orderBy("event_type")
     )
 
@@ -1800,8 +1817,8 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_ratio",
     oracle=f"""
-    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC} ELSE CAST(0 AS DECIMAL(13,4)) END) AS DOUBLE)
-                 / CAST(SUM({_DISC}) AS DOUBLE) AS promo_revenue_pct
+    SELECT 100.0 * {sql_dsum_exact(f"CASE WHEN p_type = 'PROMO' THEN {_DISC} ELSE CAST(0 AS DECIMAL(13,4)) END")}
+                 / {sql_dsum_exact(_DISC)} AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
     """,
@@ -1809,16 +1826,16 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional revenue ratio (TPC-H Q14 shape): part is a dimension —
     filtered lineitem joins it broadcast. Both sums are exact decimals; the
-    ratio is computed in doubles AFTER casting each sum, so Spark and the
-    oracle perform the identical two IEEE ops (decimal division rules differ
-    between engines — doubles don't). Precision bound (the repo-wide
-    convention, see plans/num.py::dsum_exact and events_linreg_per_type):
-    each scale-4 sum's decimal→double cast is ONE correctly-rounded
-    division while the sum's unscaled value stays ≤ 2^53 (≈ $900 B of
-    month-filtered revenue — far past any fixture and most clusters);
-    beyond that each engine is correct to 1 ulp, which is the stated
-    precision. Deliberately NOT routed through a wider decimal: widening
-    the scale multiplies the unscaled value and only tightens the wall."""
+    ratio is computed in doubles AFTER surfacing each sum through
+    ``dsum_exact``, so Spark and the oracle perform the identical two IEEE
+    ops (decimal division rules differ between engines — doubles don't).
+    The (38,6) rescale is load-bearing (r14 review): ``_disc()`` is a
+    SCALE-8 decimal, so a direct decimal→double cast of its sum stays a
+    single correctly-rounded division only while the unscaled value is
+    ≤ 2^53 — about $90 M of month-filtered revenue, a wall real scale
+    factors already pass — after which Spark's double-rounding can land
+    1 ulp off DuckDB. The expression carries ≤4 real decimal digits, so
+    the rescale to scale 6 is lossless at any corpus size."""
     l = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
@@ -1829,7 +1846,7 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(disc).cast("double"))
+            (F.lit(100.0) * dsum_exact(promo) / dsum_exact(disc))
             .alias("promo_revenue_pct")
         )
     )
@@ -2155,9 +2172,8 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle=f"""
     SELECT o_year,
-           100.0 * CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
-                                 ELSE CAST(0 AS DECIMAL(13,4)) END) AS DOUBLE)
-                 / CAST(SUM(volume) AS DOUBLE) AS mkt_share_pct
+           100.0 * {sql_dsum_exact("CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(13,4)) END")}
+                 / {sql_dsum_exact("volume")} AS mkt_share_pct
     FROM (SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, {_DISC} AS volume, n2.n_name AS nation
           FROM lineitem JOIN part ON p_partkey = l_partkey
           JOIN supplier ON s_suppkey = l_suppkey
@@ -2202,7 +2218,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            (F.lit(100.0) * F.sum(in_nation).cast("double") / F.sum(vol).cast("double"))
+            # dsum_exact, not a direct scale-8 decimal→double cast of the
+            # sum — the q14 r14-review precision fix applied to the same
+            # ratio discipline.
+            (F.lit(100.0) * dsum_exact(in_nation) / dsum_exact(vol))
             .alias("mkt_share_pct")
         )
         .orderBy("o_year")
@@ -2438,21 +2457,33 @@ def q21_sole_flagged_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_STAGE_CACHE: dict[tuple, str] = {}
 
 
-def _run_stream_entry(spark: SparkSession, build, name: str, mode: str, partitions: int = 8):
-    """Drive a bounded stream to completion with shuffle partitions sized to
-    the state volume: every stateful micro-batch instantiates one state
-    store per shuffle partition, so the session-wide 32 would pay 4× the
-    store setup for fixture-sized state. (A real deployment sizes this per
-    query the same way — state partitioning is fixed at first checkpoint.)"""
-    from flusher_spark.streaming.windows import run_stream_to_memory
-
+@_contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, partitions: int = 8):
+    """Shuffle partitions sized to streaming state volume for ONE bounded
+    stream run, restored afterwards: every stateful micro-batch
+    instantiates one state store per shuffle partition, so the
+    session-wide 32 would pay 4× the store setup for fixture-sized state.
+    (A real deployment sizes this per query the same way — state
+    partitioning is fixed at first checkpoint.) ONE copy of the
+    save/set/restore dance — _run_stream_entry and the foreachBatch
+    entries share it (r14 review; events_stream_upsert_latest used to
+    hand-roll it)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
-        q = run_stream_to_memory(build(), name, mode)
-        q.stop()
+        yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _run_stream_entry(spark: SparkSession, build, name: str, mode: str, partitions: int = 8):
+    """Drive a bounded stream to completion under _stream_shuffle_partitions
+    and return its memory-sink table."""
+    from flusher_spark.streaming.windows import run_stream_to_memory
+
+    with _stream_shuffle_partitions(spark, partitions):
+        q = run_stream_to_memory(build(), name, mode)
+        q.stop()
     return spark.table(name)
 
 
@@ -3254,13 +3285,14 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows of cv^2 terms at |value|=10^6), mirroring the oracle's HUGEINT
     sums. Headroom: the largest term is rhs ~ 25*n^3*cv_max^2; with
     |value| <= 10^6 (cv_max = 10^8) that stays inside 38 digits for n up
-    to ~7e6 rows per group. Past that, Spark decimal overflow makes rhs
-    NULL; the flag deliberately has no ``otherwise(0)`` (both WHEN arms are
-    NULL when rhs is), so every row of an overflowed group flags NULL and
-    the group's summed outlier_cnt comes out NULL — loud INSIDE Spark, not
-    just via the cross-engine hash. (With ``otherwise(0)`` the NULL compare
-    would have been silently absorbed as "not an outlier".) A scale-out
-    would shard the group first anyway. Spark computes the
+    to ~7e6 rows per group. Past that the repo's ANSI sessions (the
+    Spark 4 default; session.py never disables it) RAISE
+    NUMERIC_VALUE_OUT_OF_RANGE at the first overflowing multiply — loud
+    by exception, verified empirically (r14 review: the earlier
+    NULL-propagation design here was dead code — overflow-returns-NULL
+    only exists under ``spark.sql.ansi.enabled=false``, which nothing in
+    this repo runs). A scale-out would shard the group first anyway.
+    Spark computes the
     moments as a partial-aggregated groupBy BROADCAST-joined back onto the
     rows (the oracle's join form exactly) — NOT as windows partitioned by
     event_type: with ~5 distinct types, a raw-row window funnels a fifth of
@@ -3310,17 +3342,14 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select(
             "event_type",
             n.alias("n"),
-            F.when(lhs > F.col("rhs"), 1).when(lhs <= F.col("rhs"), 0).alias("f"),
+            # otherwise(0), matching the oracle's ELSE 0: under ANSI a
+            # per-row overflow raises before the WHEN evaluates, so there
+            # is no NULL path to guard (r14 review — the prior two-WHEN +
+            # count-guarded-sum NULL machinery was unreachable).
+            F.when(lhs > F.col("rhs"), 1).otherwise(0).alias("f"),
         )
         .groupBy("event_type")
-        # Loud on PER-ROW overflow too: a single row whose lhs overflows
-        # decimal(38,0) flags NULL, and a bare SUM would silently skip it —
-        # dropping exactly the extreme row the query exists to count. Any
-        # NULL flag in the group makes the whole count NULL.
-        .agg(
-            F.min("n").alias("n"),
-            F.when(F.count("f") == F.count(F.lit(1)), F.sum("f")).alias("outlier_cnt"),
-        )
+        .agg(F.min("n").alias("n"), F.sum("f").alias("outlier_cnt"))
         .orderBy("event_type")
     )
 
@@ -3596,21 +3625,8 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = ev.groupBy("event_type", "cv").agg(F.count("*").alias("c")).localCheckpoint(
         eager=False
     )
-    tot = h.groupBy("event_type").agg(F.sum("c").alias("n"))
-    wc = Window.partitionBy("event_type").orderBy("cv").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = h.select("event_type", "cv", F.sum("c").over(wc).alias("cum"))
-    th = (
-        cum.join(F.broadcast(tot), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.min(F.when(F.col("cum") >= F.expr("(n + 9) div 10"), F.col("cv"))).alias("lo_cv"),
-            F.min(F.when(F.col("cum") >= F.expr("(9 * n + 9) div 10"), F.col("cv"))).alias(
-                "hi_cv"
-            ),
-            F.min("n").alias("n"),
-        )
+    th = hist_nearest_ranks(
+        h, "cv", "c", [("lo_cv", "(n + 9) div 10"), ("hi_cv", "(9 * n + 9) div 10")]
     )
     return (
         ev.join(F.broadcast(th), "event_type")
@@ -3848,14 +3864,10 @@ def events_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         latest_per_user(inc).write.mode("overwrite").parquet(new_snap)
         state["snap"] = new_snap
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _stream_shuffle_partitions(spark):
         q = stream_events(spark, path).writeStream.foreachBatch(merge).start()
         q.processAllAvailable()
         q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert state["snap"] is not None
     return spark.read.parquet(state["snap"]).drop("__ts_us")
 
@@ -4113,38 +4125,24 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", (dec("value", "decimal(8,2)") * 100).cast("long").alias("cv")
     )
 
-    def nearest_rank(h: DataFrame, col: str, tot: DataFrame) -> DataFrame:
-        """Per event_type: min value whose histogram running count reaches
-        rank (n+1) div 2 — the nearest-rank median of ``col``."""
-        wc = Window.partitionBy("event_type").orderBy(col).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        cum = h.select("event_type", col, F.sum("c").over(wc).alias("cum"))
-        return (
-            cum.join(F.broadcast(tot), "event_type")
-            .groupBy("event_type")
-            .agg(
-                F.min(
-                    F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col(col))
-                ).alias(f"{col}_med")
-            )
-        )
-
     h1 = v.groupBy("event_type", "cv").agg(F.count("*").alias("c")).localCheckpoint(
         eager=False
     )
-    tot = h1.groupBy("event_type").agg(F.sum("c").alias("n"))
-    med = nearest_rank(h1, "cv", tot).withColumnRenamed("cv_med", "med")
+    # hist_nearest_ranks both times — the group total n rides the second
+    # call's output (sum over the deviation histogram == sum over the value
+    # histogram), so no separate totals aggregate is needed.
+    med = hist_nearest_ranks(h1, "cv", "c", [("med", "(n + 1) div 2")]).select(
+        "event_type", "med"
+    )
     d = v.join(F.broadcast(med), "event_type").select(
         "event_type", "med", F.abs(F.col("cv") - F.col("med")).alias("dev")
     )
     h2 = d.groupBy("event_type", "med", "dev").agg(F.count("*").alias("c")).localCheckpoint(
         eager=False
     )
-    mad = nearest_rank(h2, "dev", tot).withColumnRenamed("dev_med", "mad")
+    mad = hist_nearest_ranks(h2, "dev", "c", [("mad", "(n + 1) div 2")])
     return (
         h2.join(F.broadcast(mad), "event_type")
-        .join(F.broadcast(tot), "event_type")
         .groupBy("event_type")
         .agg(
             F.min("n").alias("n"),
@@ -4713,17 +4711,17 @@ def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "cv")
         .agg(F.count("*").alias("k"))
     )
-    wc = Window.partitionBy("event_type").orderBy("cv")
-    wn = Window.partitionBy("event_type")
-    c = h.withColumn(
-        "cum", F.sum("k").over(wc.rowsBetween(Window.unboundedPreceding, 0))
-    ).withColumn("n", F.sum("k").over(wn))
-    edges = c.groupBy("event_type").agg(
-        F.min(F.when(F.col("cum") >= F.expr("(n + 3) DIV 4"), F.col("cv"))).alias("q1"),
-        F.min(F.when(F.col("cum") >= F.expr("(2 * n + 3) DIV 4"), F.col("cv"))).alias("q2"),
-        F.min(F.when(F.col("cum") >= F.expr("(3 * n + 3) DIV 4"), F.col("cv"))).alias("q3"),
-    )
-    b = c.join(F.broadcast(edges), "event_type").select(
+    edges = hist_nearest_ranks(
+        h,
+        "cv",
+        "k",
+        [
+            ("q1", "(n + 3) DIV 4"),
+            ("q2", "(2 * n + 3) DIV 4"),
+            ("q3", "(3 * n + 3) DIV 4"),
+        ],
+    ).drop("n")
+    b = h.join(F.broadcast(edges), "event_type").select(
         "event_type",
         "cv",
         "k",

@@ -500,3 +500,21 @@ def test_hll_rollup_union_equals_direct_and_tracks_exact(spark):
         assert r["users_rollup"] == r["users_direct"], r
         true_n = exact[r["event_type"]]
         assert abs(r["users_rollup"] - true_n) <= max(2, 0.05 * true_n), (r, true_n)
+
+
+def test_setop_except_is_set_semantics_on_duplicated_left(spark, tmp_path):
+    """r14 review: EXCEPT drops a value ENTIRELY when it appears on the
+    right; the old exceptAll().distinct() form kept it whenever the left
+    multiplicity exceeded the right's (count_left > count_right > 0). The
+    fixture's part keys are unique so the driver oracle can't see the
+    difference — this synthetic corpus with a duplicated p_partkey can."""
+    from flusher_spark.plans.relational import setop_except
+
+    spark.createDataFrame(
+        [(1,), (1,), (2,)], "p_partkey long"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    spark.createDataFrame([(1,)], "l_partkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = sorted(r["p_partkey"] for r in setop_except(spark, str(tmp_path)).collect())
+    assert got == [2]  # 1 is gone entirely, despite left multiplicity 2 > 1
