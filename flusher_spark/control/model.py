@@ -18,7 +18,7 @@ them; empty means never-ran (epoch 1900-01-01, refresh_interval.py:32).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 JOBS_COLUMNS = [
     "job_id",
@@ -77,7 +77,6 @@ class RunRecord:
     cellrange: str
     status: str
     result: str
-    extra: dict = field(default_factory=dict)
 
     def as_row(self) -> list:
         return [self.start, self.end, self.document, self.sheet, self.cellrange, self.status, self.result]

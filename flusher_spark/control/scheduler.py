@@ -168,11 +168,20 @@ class Scheduler:
                     # Reference: only bigquery is implemented (manager.py:52-58).
                     raise NotImplementedError(f"target system {job.target_system!r}")
                 schema = self.store.get_pinned_schema(job.job_id)
-                if schema is None:
+                pin_after = schema is None
+                if pin_after:
                     schema = infer_schema(df)
-                    self.store.pin_schema(job.job_id, schema)  # drift detection, SURVEY §1.2
                 typed = observed(cast_with_schema(df, schema), obs)
                 result = self.warehouse.load(typed, job.destination, job.incremental)
+                if pin_after:
+                    # Pin only AFTER the load succeeds (drift detection,
+                    # SURVEY §1.2): pinning before it meant a failed first
+                    # run (bad destination, say) froze a schema no data was
+                    # ever loaded under, and later drift was measured
+                    # against a run that never happened (r14 review). A
+                    # crash between load and pin re-infers next run — the
+                    # benign direction.
+                    self.store.pin_schema(job.job_id, schema)
             else:
                 # Export-only job: the CSV is the product (reference manager.py:193).
                 result = to_csv(observed(df, obs), self.export_dir, job.document, job.sheet)
@@ -183,6 +192,10 @@ class Scheduler:
         """One micro-batch: returns [(job_id, status, result)]. ``now`` is
         only the due-predicate's clock; transitions stamp ``self.clock()``."""
         now = now or self.clock()
+        # The control table is live: pick up cross-process edits (CLI job
+        # add/update against the same store root) before computing dueness —
+        # the reference re-reads its sheet every poll.
+        self.store.reload()
         jobs = self.store.jobs()
         interval_seconds, invalid = parse_intervals(jobs)
         # Validation failure disables the schedule and drops the job from
@@ -200,11 +213,19 @@ class Scheduler:
         ]
         # Claim serially FIRST: mark_running consumes refresh_now and takes
         # the lease before any pipeline starts, so a job is never visible as
-        # due to anything else while it runs (no double-dispatch).
+        # due to anything else while it runs (no double-dispatch). Each
+        # claim is isolated: a failing persist (mark_running rolls its job
+        # back and re-raises) skips THAT job for this tick — it stays due —
+        # while the already-claimed jobs still execute; the old
+        # propagate-out-of-the-loop behavior left them wedged in Running
+        # with their one-shot trigger consumed and no run (r14 review).
         claimed: list[tuple[int, Job, str]] = []
         for job_id in due:
             job = self.store.get(job_id)
-            start = self.store.mark_running(job_id, self.clock())
+            try:
+                start = self.store.mark_running(job_id, self.clock())
+            except Exception:  # noqa: BLE001 — per-job claim isolation
+                continue
             claimed.append((job_id, job, start))
 
         def execute(claim: tuple[int, Job, str]) -> tuple[int, Job, str, str, str, str]:

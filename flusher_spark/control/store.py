@@ -75,6 +75,20 @@ class JobStore:
             table = pq.read_table(self._jobs_path).to_pylist()
             self._jobs = {r["job_id"]: Job(**r) for r in table}
 
+    def reload(self) -> None:
+        """Re-read jobs.parquet — the control table is LIVE, exactly like
+        the reference's sheet (read_control_sheet runs every poll,
+        manager.py:33-37): a job added or edited by ANOTHER process (the
+        CLI's ``job add`` while the daemon runs) becomes visible at the
+        daemon's next tick instead of being invisible forever and then
+        silently erased by this process's next ``_save`` (r14 review).
+        Every mutation persists immediately through the atomic tmp+replace
+        swap, so the file is always whole; concurrent writers are
+        last-writer-wins at file granularity — the documented
+        single-scheduler contract, with CLI edits expected between ticks."""
+        with self._lock:
+            self._load()
+
     def _save(self) -> None:
         rows = [j.__dict__ for j in self._jobs.values()]
         schema = pa.schema(
@@ -117,10 +131,20 @@ class JobStore:
         now = now or utcnow_iso()
         with self._lock:
             j = self._jobs[job_id]
+            prior = dict(j.__dict__)
             j.refresh_now = False  # one-shot trigger consumed at run START
             j.state = STATE_RUNNING
             j.lease_ts = now
-            self._save()
+            try:
+                self._save()
+            except BaseException:
+                # Claim is transactional: if the persist fails (disk full,
+                # transient IO), restore the in-memory job so the consumed
+                # refresh_now / Running state can't wedge a job that never
+                # ran — the caller skips it this tick and it stays due
+                # (r14 review).
+                j.__dict__.update(prior)
+                raise
         return now
 
     def refresh_lease(self, job_id: int, now: str | None = None) -> str:
@@ -226,5 +250,11 @@ class JobStore:
             return T.StructType.fromJson(json.load(fh))
 
     def pin_schema(self, job_id: int, schema) -> None:
-        with open(self._schema_path(job_id), "w") as fh:
+        # tmp + atomic replace, the _save discipline: a crash mid-write used
+        # to leave truncated JSON that failed every later run of the job
+        # (get_pinned_schema → JSONDecodeError) until hand-deleted.
+        path = self._schema_path(job_id)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(schema.jsonValue(), fh)
+        os.replace(tmp, path)

@@ -34,12 +34,20 @@ class Warehouse:
         # Reject names that would escape (or BE) the dataset root: an empty
         # destination (the Job dataclass default) used to resolve to the root
         # itself, so a full-refresh load could rmtree the whole dataset.
+        # ':' covers Windows drive-relative names ('C:evil' contains no
+        # separator yet os.path.join resolves it OUTSIDE the root); the
+        # '.__compacting' suffix is reserved — compact() stages into
+        # '<table>.__compacting' and unconditionally rmtrees it, so a real
+        # table carrying the suffix would be silently destroyed by a
+        # compact of its prefix-named sibling (r14 review).
         if (
             not table
             or table in (".", "..")
             or "/" in table
+            or ":" in table
             or os.sep in table
             or (os.altsep and os.altsep in table)
+            or table.endswith(".__compacting")
         ):
             raise ValueError(f"invalid table name: {table!r}")
         return os.path.join(self.root, table)

@@ -419,3 +419,93 @@ def test_r11_control_plane_fixes(spark, tmp_path):
     store.mark_success(1, "ok", "2026-01-01T00:11:00")
     store.refresh_lease(1, "2026-01-01T00:12:00")
     assert store.get(1).lease_ts == ""  # success cleared it; heartbeat no-ops
+
+
+# -- r14 control/sink review fixes -------------------------------------------
+
+
+def test_cross_process_job_add_visible_and_not_erased(spark, tmp_path, _source=None):
+    """r14 review: the control table is LIVE (the reference re-reads its
+    sheet every poll). A job added through a SECOND JobStore over the same
+    root — the CLI-while-daemon-runs shape — must become due at the
+    daemon's next tick, and the daemon's own saves must not erase it."""
+    root = str(tmp_path / "control")
+    daemon_store = JobStore(spark, root)
+    daemon_store.put(Job(1, "doc", "s1", target_system="warehouse", destination="t1",
+                         refresh_now=True))
+    source = SheetSource({"doc": {"s1": GRID}})
+    wh = Warehouse(spark, str(tmp_path / "lake"))
+    sched = Scheduler(spark, daemon_store, source, wh, str(tmp_path / "exp"),
+                      clock=lambda: NOW)
+    assert [r[0] for r in sched.tick(NOW)] == [1]
+    # another process adds job 2
+    cli_store = JobStore(spark, root)
+    cli_store.put(Job(2, "doc", "s1", target_system="warehouse", destination="t2",
+                      refresh_now=True))
+    # the daemon's next tick picks it up (no restart)...
+    assert [r[0] for r in sched.tick("2024-06-01T12:01:00")] == [2]
+    # ...and the daemon's own save (job 2's transitions) kept job 2 on disk
+    assert sorted(j.job_id for j in JobStore(spark, root).jobs()) == [1, 2]
+
+
+def test_pin_schema_atomic_and_only_after_successful_load(env, tmp_path):
+    store, _, wh, sched = env
+    # destination invalid -> load raises AFTER inference; the schema must
+    # NOT be pinned by the failed run
+    store.put(Job(1, "doc", "s1", target_system="warehouse", destination="",
+                  refresh_now=True))
+    assert sched.tick(NOW)[0][1] == "Failure"
+    assert store.get_pinned_schema(1) is None
+    # a successful run pins it
+    store.put(Job(2, "doc", "s1", target_system="warehouse", destination="t1",
+                  refresh_now=True))
+    assert sched.tick("2024-06-01T12:01:00")[0][1] == "Success"
+    assert store.get_pinned_schema(2) is not None
+    # and pinning goes through tmp+replace: no .tmp residue
+    import os
+
+    sdir = os.path.join(store.root, "schemas")
+    assert not [f for f in os.listdir(sdir) if f.endswith(".tmp")]
+
+
+def test_claim_failure_is_isolated_and_rolled_back(env, monkeypatch):
+    """r14 review: a failing claim persist must neither wedge the job
+    (refresh_now consumed, state Running, no run) nor abort the other
+    claims of the tick."""
+    store, _, _, sched = env
+    store.put(Job(1, "doc", "s1", target_system="warehouse", destination="t1",
+                  refresh_now=True))
+    store.put(Job(2, "doc", "s1", target_system="warehouse", destination="t2",
+                  refresh_now=True))
+    real_save = store._save
+    calls = {"n": 0}
+
+    def flaky_save():
+        calls["n"] += 1
+        # First claim of the tick (job 1) fails its persist; everything
+        # else (job 2's claim + transitions) succeeds.
+        if calls["n"] == 1:
+            raise OSError("disk full")
+        real_save()
+
+    monkeypatch.setattr(store, "_save", flaky_save)
+    results = sched.tick(NOW)
+    monkeypatch.setattr(store, "_save", real_save)
+    # whichever job claimed first lost its persist and was skipped — the
+    # OTHER one still ran (claim order follows the due collect, which is
+    # not guaranteed, so the assertion is order-agnostic)
+    ran = [r[0] for r in results]
+    assert len(ran) == 1 and results[0][1] == "Success"
+    skipped = ({1, 2} - set(ran)).pop()
+    js = store.get(skipped)
+    assert js.refresh_now is True and js.state != "Running"
+    # and the skipped job stays due: the next tick claims and runs it
+    assert [r[0] for r in sched.tick("2024-06-01T12:01:00")] == [skipped]
+
+
+def test_warehouse_rejects_drive_relative_and_reserved_names(env):
+    _, _, wh, _ = env
+    with pytest.raises(ValueError):
+        wh._path("C:evil")
+    with pytest.raises(ValueError):
+        wh._path("foo.__compacting")
