@@ -102,3 +102,33 @@ def write_table(df: DataFrame, out: str, part_col: str | None) -> None:
         empty = empty.drop(part_col)
         dst = os.path.join(out, f"{part_col}=0")
     empty.coalesce(1).write.mode("overwrite").parquet(dst)
+
+
+def next_build_gen(path: str, probe_table: str) -> tuple[bool, int]:
+    """(rebuild, new_gen) for a full index (RE)build: rebuild iff the path
+    already hosts an index — a ``GENERATION`` pointer file, or the bare
+    first-generation ``probe_table`` directory from a pre-lifecycle build.
+    One definition of the detection the ANN builds each hand-rolled
+    (r14 review)."""
+    rebuild = os.path.exists(os.path.join(path, "GENERATION")) or os.path.isdir(
+        os.path.join(path, probe_table)
+    )
+    return rebuild, (current_gen(path) + 1 if rebuild else 0)
+
+
+def publish_build(
+    path: str, new_gen: int, rebuild: bool, tables: tuple, tombstone_table: str
+) -> None:
+    """The build-publish epilogue shared by the ANN index builds
+    (``ivf_build_index`` / ``pq_build_index`` / ``stream_ivf_index_init``
+    — three hand-maintained copies before r14): flip the pointer for a
+    rebuild (one atomic cut-over — a crash before this line leaves the old
+    generation fully live, after it the new one), sweep every stale
+    generation of every table, and reclaim any ``tombstone_table``
+    directory of the new generation — a fresh build starts with zero
+    deletions. Call AFTER every table of ``new_gen`` is written."""
+    if rebuild:
+        set_gen(path, new_gen)
+    for tbl in (*tables, tombstone_table):
+        drop_stale_gens(path, tbl, new_gen)
+    shutil.rmtree(gen_dir(path, tombstone_table, new_gen), ignore_errors=True)

@@ -304,7 +304,12 @@ def _seed_centroid_rows(
     built from driver rows in the first place (r12 review)."""
     import numpy as np
 
-    sample = _hash_sample(base, id_col, (id_col, vec_col), sample_size)
+    # NULL embeddings can't train anything and would crash the driver-side
+    # np.array below (r14 review) — the module's NULL policy is pass-through
+    # at query/dedup time, exclusion at train/index time.
+    sample = _hash_sample(
+        base.where(F.col(vec_col).isNotNull()), id_col, (id_col, vec_col), sample_size
+    )
     if not sample:
         raise ValueError("cannot seed IVF centroids from an empty input DataFrame")
     V = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
@@ -447,7 +452,10 @@ def brute_force_topk_arrow(
     from pyspark.sql.functions import pandas_udf
 
     q_rows = (
-        df.where(F.col(id_col).isin(list(query_ids)))
+        # NULL-embedding queries dropped (r14 review): they would crash the
+        # driver-side np.array, and can never produce a real match — the
+        # exact twin carries them only as all-NULL-sim rows.
+        df.where(F.col(id_col).isin(list(query_ids)) & F.col(vec_col).isNotNull())
         .select(id_col, vec_col)
         .collect()
     )
@@ -456,15 +464,25 @@ def brute_force_topk_arrow(
         return df.sparkSession.createDataFrame([], _topk_schema(df, id_col))
     qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     qm /= _safe_norms(qm)
+    dim = qm.shape[1]
 
     @pandas_udf("array<double>")
     def sims(vecs: pd.Series) -> pd.Series:
         if not len(vecs):
             return pd.Series([], dtype=object)
-        m = np.array(vecs.tolist(), dtype=np.float64)
-        m /= _safe_norms(m)
-        s = m @ qm.T  # (batch × queries), one BLAS call
-        return pd.Series(list(s))
+        # NULL/ragged candidate rows score NULL against every query (the
+        # exact twin's NULL-cosine behavior — they rank last, never crash
+        # the batch; r14 review). The valid block stays one BLAS call.
+        lst = vecs.tolist()
+        valid = [i for i, v in enumerate(lst) if v is not None and len(v) == dim]
+        out: list = [[None] * len(q_ids)] * len(lst)
+        if valid:
+            m = np.array([lst[i] for i in valid], dtype=np.float64)
+            m /= _safe_norms(m)
+            s = m @ qm.T  # (valid × queries), one BLAS call
+            for j, i in enumerate(valid):
+                out[i] = [float(x) for x in s[j]]
+        return pd.Series(out)
 
     scored = _explode_query_sims(
         df.select(F.col(id_col), sims(F.col(vec_col)).alias("__sims")),
@@ -605,7 +623,11 @@ def _train_pq_codebooks(
     """
     import numpy as np
 
-    sample = _hash_sample(base, id_col, (vec_col,), sample_size)
+    # NULL embeddings excluded from the sample — the _seed_centroid_rows
+    # discipline (a NULL row crashed the np.array below, r14 review).
+    sample = _hash_sample(
+        base.where(F.col(vec_col).isNotNull()), id_col, (vec_col,), sample_size
+    )
     if not sample:
         raise ValueError("cannot train PQ codebooks on an empty input DataFrame")
     V = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
@@ -673,12 +695,18 @@ def pq_topk(
     books = _train_pq_codebooks(df.select(id_col, vec_col), id_col, vec_col, m, ksub)
     dsub = books.shape[2]
 
-    q_rows = df.where(F.col(id_col).isin(list(query_ids))).select(id_col, vec_col).collect()
+    # NULL-embedding queries dropped — the brute_force_topk_arrow discipline.
+    q_rows = (
+        df.where(F.col(id_col).isin(list(query_ids)) & F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .collect()
+    )
     if not q_rows:
         return df.sparkSession.createDataFrame([], _topk_schema(df, id_col))
     q_ids = [r[id_col] for r in q_rows]
     qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     qm /= _safe_norms(qm)
+    dim = m * dsub
     # T[q, j, c] = dot(query q's subvector j, codebook[j][c]); cnorm[j, c] =
     # ||codebook[j][c]||² — together they score any code row without touching
     # the original vector.
@@ -689,17 +717,26 @@ def pq_topk(
     def adc_sims(vecs: pd.Series) -> pd.Series:
         if not len(vecs):
             return pd.Series([], dtype=object)
-        X = np.array(vecs.tolist(), dtype=np.float64).reshape(len(vecs), m, dsub)
-        # Encode: per subspace argmin L2 to the codebook rows.
-        # dist (n, m, ksub) = ||x||² - 2 x·c + ||c||²; ||x||² is rank-constant.
-        cross = np.einsum("njd,jcd->njc", X, books)
-        codes = (cnorm2[None, :, :] - 2.0 * cross).argmin(axis=2)  # (n, m)
-        jj = np.arange(m)[None, :]
-        approx_dot = T[:, jj, codes].sum(axis=2)  # (queries, n)
-        approx_norm = np.sqrt(cnorm2[jj, codes].sum(axis=1))  # (n,)
-        approx_norm[approx_norm == 0] = 1.0
-        sims = (approx_dot / approx_norm[None, :]).T  # (n, queries)
-        return pd.Series(list(sims))
+        # NULL/ragged rows score NULL (rank-last, never crash — r14 review).
+        lst = vecs.tolist()
+        valid = [i for i, v in enumerate(lst) if v is not None and len(v) == dim]
+        out: list = [[None] * len(q_ids)] * len(lst)
+        if valid:
+            X = np.array([lst[i] for i in valid], dtype=np.float64).reshape(
+                len(valid), m, dsub
+            )
+            # Encode: per subspace argmin L2 to the codebook rows.
+            # dist (n, m, ksub) = ||x||² - 2 x·c + ||c||²; ||x||² is rank-constant.
+            cross = np.einsum("njd,jcd->njc", X, books)
+            codes = (cnorm2[None, :, :] - 2.0 * cross).argmin(axis=2)  # (n, m)
+            jj = np.arange(m)[None, :]
+            approx_dot = T[:, jj, codes].sum(axis=2)  # (queries, n)
+            approx_norm = np.sqrt(cnorm2[jj, codes].sum(axis=1))  # (n,)
+            approx_norm[approx_norm == 0] = 1.0
+            sims = (approx_dot / approx_norm[None, :]).T  # (n, queries)
+            for j, i in enumerate(valid):
+                out[i] = [float(x) for x in sims[j]]
+        return pd.Series(out)
 
     scored = _explode_query_sims(
         df.select(F.col(id_col), adc_sims(F.col(vec_col)).alias("__sims")),
@@ -874,13 +911,13 @@ def pq_build_index(
         codes = (cnorm2[None, :, :] - 2.0 * cross).argmin(axis=2)
         return pd.Series([[int(c) for c in row] for row in codes])
 
-    rebuild = os.path.exists(os.path.join(path, "GENERATION")) or os.path.isdir(
-        os.path.join(path, "codes")
-    )
-    new_gen = G.current_gen(path) + 1 if rebuild else 0
-    df.select(F.col(id_col), encode(F.col(vec_col)).alias("codes")).write.mode(
-        "overwrite"
-    ).parquet(G.gen_dir(path, "codes", new_gen))
+    rebuild, new_gen = G.next_build_gen(path, "codes")
+    # NULL embeddings stay out of the codes table (the ivf_append_index /
+    # streaming-sink policy): an un-encodable row would otherwise crash the
+    # Arrow batch (r14 review).
+    df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), encode(F.col(vec_col)).alias("codes")
+    ).write.mode("overwrite").parquet(G.gen_dir(path, "codes", new_gen))
     rows = [
         (j, c, [float(x) for x in books[j][c]]) for j in range(mm) for c in range(kk)
     ]
@@ -891,13 +928,7 @@ def pq_build_index(
     # pointer (io/generations.py): the old life — data AND its
     # generation-scoped tombstones — stays intact and in scope until one
     # atomic flip.
-    if rebuild:
-        G.set_gen(path, new_gen)
-    for tbl in ("codes", "codebooks", "tombstones"):
-        G.drop_stale_gens(path, tbl, new_gen)
-    import shutil as _sh
-
-    _sh.rmtree(G.gen_dir(path, "tombstones", new_gen), ignore_errors=True)
+    G.publish_build(path, new_gen, rebuild, ("codes", "codebooks"), "tombstones")
     return path
 
 
@@ -973,10 +1004,21 @@ def ivf_build_index(
     into parquet partition pruning at query time. Returns ``path``."""
     assigned = _ivf_assign(df, id_col, vec_col, n_lists, n_iter)
     cents, vectors = assigned
-    rebuild = os.path.exists(os.path.join(path, "GENERATION")) or os.path.isdir(
-        os.path.join(path, "vectors")
-    )
-    new_gen = G.current_gen(path) + 1 if rebuild else 0
+    rebuild, new_gen = G.next_build_gen(path, "vectors")
+    if rebuild:
+        # Rebuilding a STREAM-initialized index (rows carry the src_batch
+        # tag) must keep the column in the new generation with the batch
+        # appends' NULL backfill — dropping it set up the mixed-parquet-
+        # schema hazard the append guard exists to prevent: the sink's next
+        # tagged append would make a non-mergeSchema read resolve a
+        # columnless footer and crash the stream nondeterministically
+        # (r14 review; this is the maintenance rebuild ivf_append_index's
+        # own docstring recommends).
+        old = G.gen_dir(path, "vectors", G.current_gen(path))
+        if os.path.isdir(old) and "src_batch" in df.sparkSession.read.parquet(old).columns:
+            vectors = vectors.withColumn(
+                "src_batch", F.lit(None).cast("string")
+            ).select(id_col, vec_col, "__nsq", "src_batch", "__list")
     vectors.write.mode("overwrite").partitionBy("__list").parquet(
         G.gen_dir(path, "vectors", new_gen)
     )
@@ -986,13 +1028,7 @@ def ivf_build_index(
     # Rebuild lifecycle: new generation + atomic flip (io/generations.py) —
     # centroids and vectors cut over TOGETHER, so a crash mid-rebuild never
     # pairs new centroids with old list assignments.
-    if rebuild:
-        G.set_gen(path, new_gen)
-    for tbl in ("vectors", "centroids", "tombstones"):
-        G.drop_stale_gens(path, tbl, new_gen)
-    import shutil as _sh
-
-    _sh.rmtree(G.gen_dir(path, "tombstones", new_gen), ignore_errors=True)
+    G.publish_build(path, new_gen, rebuild, ("vectors", "centroids"), "tombstones")
     return path
 
 
@@ -1004,7 +1040,14 @@ def _ivf_assign(
     ``keep > 1`` multi-probes the ASSIGNMENT side (each vector lands in its
     ``keep`` nearest lists — Lloyd refinement always uses keep=1)."""
     spark = df.sparkSession
-    base = df.select(F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq"))
+    # NULL embeddings stay out of every IVF assignment (r14 review — the
+    # streaming sink's documented policy, now one definition for build/topk):
+    # a NULL row's all-NULL centroid sims would fall through the argmax
+    # window to an arbitrary "nearest" list as a dead row that can never
+    # attract a match but bloats that list's partition forever.
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
+    )
     # Centroids live DRIVER-SIDE across the Lloyd loop (they are built from
     # driver rows in the first place — collect()ing them back each
     # iteration was a pointless extra Spark job per step, r12 review); the
@@ -1108,7 +1151,11 @@ def ivf_append_index(
     cents = spark.read.parquet(G.gen_dir(path, "centroids", gen)).select(
         "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
     )
-    base = new_df.select(
+    # NULL embeddings stay OUT of the index (r14 review — the streaming
+    # sink's explicit filter, dedup_stream.py): they can never attract a
+    # match (NULL cosine) and would otherwise land in an arbitrary list as
+    # permanent dead rows.
+    base = new_df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
     )
     assigned = _nearest_lists(base, cents, 1, "__list", id_col, vec_col)
@@ -1125,6 +1172,35 @@ def ivf_append_index(
         G.gen_dir(path, "vectors", gen)
     )
     return path
+
+
+def _probe_assignment(
+    spark: SparkSession,
+    path: str,
+    gen: int,
+    batch: DataFrame,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The probe-side assignment fallback shared by ``ivf_index_neardup_pairs``
+    and ``ivf_index_dedup`` (two verbatim copies before the r14 review —
+    the drift class this module's history keeps re-fixing): read ``gen``'s
+    centroids, attach norms, assign each batch vector to its ``n_probe``
+    nearest lists, and lazily checkpoint (the frame is consumed at least
+    twice — the probe-list collect and the pairs join). Taking ``gen`` as
+    an argument makes the single-generation-read discipline structural:
+    the caller resolves it once, so the centroid and vector halves can
+    never straddle a compact's pointer flip."""
+    cents = spark.read.parquet(G.gen_dir(path, "centroids", gen)).select(
+        "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
+    )
+    base = batch.select(
+        F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
+    )
+    return _nearest_lists(base, cents, n_probe, "__list", id_col, vec_col).localCheckpoint(
+        eager=False
+    )
 
 
 def ivf_index_neardup_pairs(
@@ -1174,18 +1250,7 @@ def ivf_index_neardup_pairs(
     numbering, the single-gen-read discipline of ``ivf_query_index``)."""
     gen = G.current_gen(path) if _gen is None else _gen
     if _assigned is None:
-        cents = spark.read.parquet(G.gen_dir(path, "centroids", gen)).select(
-            "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
-        )
-        base = batch.select(
-            F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
-        )
-        # Consumed twice (probe-list collect + the pairs join): checkpoint
-        # so the crossJoin+window assignment runs once, exactly like
-        # ivf_query_index's probes frame.
-        _assigned = _nearest_lists(
-            base, cents, n_probe, "__list", id_col, vec_col
-        ).localCheckpoint(eager=False)
+        _assigned = _probe_assignment(spark, path, gen, batch, n_probe, id_col, vec_col)
     assigned = _assigned
     # Bounded collect (≤ n_lists distinct ints) → parquet partition pruning.
     probe_lists = sorted(
@@ -1225,11 +1290,16 @@ def ivf_index_neardup_pairs(
         .select("id_new", "id_hist", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
-    # Multi-probe can surface one pair through several shared lists; the
-    # duplicates are bit-identical rows (same fold-left arithmetic) — the
-    # semantic_neardup_pairs collapse. Skipped at n_probe=1 (no dups
-    # possible: each stored vector lives in exactly one list).
-    return pairs.distinct() if n_probe > 1 else pairs
+    # Unconditional distinct (r14 review): duplicate pairs come from
+    # RETRY-DUPLICATED appended rows — a retried micro-batch's survivors
+    # land twice until a compact collapses them, and each stored copy emits
+    # one bit-identical pair (same fold-left arithmetic) at ANY n_probe.
+    # (Multi-probe itself can never duplicate a pair here: every stored
+    # vector lives in exactly one list, so at most one join combination
+    # exists per (new, hist) pair — the old n_probe>1 gate guarded the
+    # impossible case and let the real one through.) The distinct runs on
+    # the OUTPUT pairs — batch-bounded, never the corpus.
+    return pairs.distinct()
 
 
 def ivf_index_dedup(
@@ -1278,15 +1348,9 @@ def ivf_index_dedup(
     if _assigned is None:
         if _gen is None:
             _gen = G.current_gen(path)
-        cents = spark.read.parquet(G.gen_dir(path, "centroids", _gen)).select(
-            "__cid", "__cvec", vec_norm_sq(F.col("__cvec")).alias("__cnsq")
+        _assigned = _probe_assignment(
+            spark, path, _gen, batch, n_probe, id_col, vec_col
         )
-        base = batch.select(
-            F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
-        )
-        _assigned = _nearest_lists(
-            base, cents, n_probe, "__list", id_col, vec_col
-        ).localCheckpoint(eager=False)
     assigned = _assigned
     dropped_hist = ivf_index_neardup_pairs(
         spark,

@@ -411,12 +411,11 @@ def stream_ivf_index_init(
             " indexed) and/or train_df (training only)"
         )
     cents, _assigned_train = _ivf_assign(train, id_col, vec_col, n_lists, n_iter)
-    rebuild = os.path.exists(os.path.join(path, "GENERATION")) or os.path.isdir(
-        os.path.join(path, "vectors")
-    )
-    new_gen = G.current_gen(path) + 1 if rebuild else 0
+    rebuild, new_gen = G.next_build_gen(path, "vectors")
     if seed_df is not None:
-        base = seed_df.select(
+        # NULL embeddings stay out of the seed — the sink's own append
+        # filter (they can never attract a match; r14 review).
+        base = seed_df.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col), F.col(vec_col), vec_norm_sq(F.col(vec_col)).alias("__nsq")
         )
         rows = _nearest_lists(base, cents, 1, "__list", id_col, vec_col).select(
@@ -436,13 +435,7 @@ def stream_ivf_index_init(
     cents.select("__cid", "__cvec").coalesce(1).write.mode("overwrite").parquet(
         G.gen_dir(path, "centroids", new_gen)
     )
-    if rebuild:
-        G.set_gen(path, new_gen)
-    for tbl in ("vectors", "centroids", "tombstones"):
-        G.drop_stale_gens(path, tbl, new_gen)
-    import shutil
-
-    shutil.rmtree(G.gen_dir(path, "tombstones", new_gen), ignore_errors=True)
+    G.publish_build(path, new_gen, rebuild, ("vectors", "centroids"), "tombstones")
     return path
 
 

@@ -3751,3 +3751,128 @@ def test_jpeg_features_color_asset_is_all_null_drift(spark):
     df = spark.createDataFrame([(1, bytearray(payload))], "asset_id long, payload binary")
     row = jpeg_features(df).collect()[0]
     assert row["width"] is None and row["mean_gray"] is None
+
+
+class TestR14SimilarityReviewFixes:
+    """r14 similarity.py file-scoped review — each test pins one fix."""
+
+    VSCHEMA = "vec_id long, embedding array<float>"
+
+    @staticmethod
+    def _v(i, dim=4):
+        return [1.0 if j == i % dim else 0.1 for j in range(dim)]
+
+    def test_null_embedding_in_training_sample_tolerated(self, spark, tmp_path):
+        """A NULL embedding landing in the hash-ordered training sample
+        (certain for any sub-1024-row table) used to crash every IVF/PQ
+        entry point on the driver with TypeError. The module's documented
+        policy is pass-through at query time, exclusion at train/index
+        time."""
+        from flusher_spark.operators.similarity import ivf_build_index, ivf_query_index, pq_build_index, pq_query_index
+
+        rows = [(i, self._v(i)) for i in range(8)] + [(99, None)]
+        df = spark.createDataFrame(rows, self.VSCHEMA)
+        ivf = str(tmp_path / "ivf")
+        ivf_build_index(df, ivf, n_lists=2, n_iter=1)
+        q = spark.createDataFrame([(0, self._v(0))], self.VSCHEMA)
+        assert ivf_query_index(spark, ivf, q, k=3).count() == 3
+        pq = str(tmp_path / "pq")
+        pq_build_index(df, pq, m=2, ksub=4)
+        assert pq_query_index(spark, pq, q, k=3).count() == 3
+        # and the NULL row was excluded from both persisted indexes
+        import os
+
+        vecs = spark.read.parquet(os.path.join(ivf, "vectors"))
+        assert vecs.where(F.col("vec_id") == 99).count() == 0
+        codes = spark.read.parquet(os.path.join(pq, "codes"))
+        assert codes.where(F.col("vec_id") == 99).count() == 0
+
+    def test_arrow_topk_tolerates_null_candidates(self, spark):
+        """brute_force_topk_arrow / pq_topk used to kill the Arrow batch on
+        a NULL candidate embedding; the exact twin just carries NULL
+        cosine_sim. NULL candidates now score NULL (rank-last) and the
+        valid block stays one BLAS call."""
+        from flusher_spark.operators.similarity import brute_force_topk_arrow, pq_topk
+
+        rows = [(i, self._v(i, 8)) for i in range(6)] + [(99, None)]
+        df = spark.createDataFrame(rows, self.VSCHEMA)
+        got = brute_force_topk_arrow(df, [0], k=3)
+        ids = {r["vec_id"] for r in got.collect()}
+        assert len(ids) == 3 and 99 not in ids
+        got_pq = pq_topk(df, [0], k=3, m=2, ksub=4)
+        ids_pq = {r["vec_id"] for r in got_pq.collect()}
+        assert len(ids_pq) == 3 and 99 not in ids_pq
+
+    def test_ivf_rebuild_of_stream_index_keeps_tag_column(self, spark, tmp_path):
+        """The maintenance rebuild ivf_append_index's docstring recommends
+        (periodic ivf_build_index over the full corpus) used to DROP the
+        src_batch column from a stream-initialized index's new generation —
+        the mixed-schema hazard the append backfill guards. The rebuild now
+        carries the column with the NULL backfill."""
+        import os
+
+        from flusher_spark.operators.similarity import ivf_build_index
+        from flusher_spark.streaming.dedup_stream import stream_ivf_index_init
+
+        path = str(tmp_path / "idx")
+        seed = spark.createDataFrame(
+            [(i, self._v(i)) for i in range(6)], self.VSCHEMA
+        )
+        stream_ivf_index_init(spark, path, n_lists=2, n_iter=1, seed_df=seed)
+        ivf_build_index(seed, path, n_lists=2, n_iter=1)  # the maintenance rebuild
+        import pyarrow.parquet as pq
+
+        root = os.path.join(path, "vectors_g1")
+        files = [
+            os.path.join(r, n)
+            for r, _d, ns in os.walk(root)
+            for n in ns
+            if n.endswith(".parquet")
+        ]
+        assert files
+        for f in files:
+            assert "src_batch" in pq.read_schema(f).names, f
+
+    def test_neardup_pairs_distinct_at_single_probe(self, spark, tmp_path):
+        """Retry-duplicated appended rows (the documented at-least-once
+        shape) used to emit duplicate pairs at n_probe=1 — the old gate
+        reasoned about multi-probe, which can never duplicate a pair here
+        (each stored vector lives in exactly one list)."""
+        from flusher_spark.operators.similarity import (
+            ivf_append_index,
+            ivf_build_index,
+            ivf_index_neardup_pairs,
+        )
+
+        path = str(tmp_path / "idx")
+        hist = spark.createDataFrame([(i, self._v(i)) for i in range(4)], self.VSCHEMA)
+        ivf_build_index(hist, path, n_lists=2, n_iter=1)
+        dup = spark.createDataFrame([(10, self._v(0))], self.VSCHEMA)
+        ivf_append_index(spark, path, dup)
+        ivf_append_index(spark, path, dup)  # the documented retry re-append
+        probe = spark.createDataFrame([(20, self._v(0))], self.VSCHEMA)
+        pairs = ivf_index_neardup_pairs(
+            spark, path, probe, threshold=0.99, n_probe=1
+        ).collect()
+        assert len(pairs) == len({(r["id_new"], r["id_hist"]) for r in pairs})
+
+    def test_append_excludes_null_embeddings(self, spark, tmp_path):
+        from flusher_spark.operators.similarity import ivf_append_index, ivf_build_index
+
+        path = str(tmp_path / "idx")
+        ivf_build_index(
+            spark.createDataFrame([(i, self._v(i)) for i in range(4)], self.VSCHEMA),
+            path,
+            n_lists=2,
+            n_iter=1,
+        )
+        ivf_append_index(
+            spark,
+            path,
+            spark.createDataFrame([(10, self._v(1)), (11, None)], self.VSCHEMA),
+        )
+        import os
+
+        vecs = spark.read.parquet(os.path.join(path, "vectors"))
+        got = {r["vec_id"] for r in vecs.select("vec_id").collect()}
+        assert 10 in got and 11 not in got
