@@ -45,6 +45,15 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _launcher_owns_master() -> bool:
+    """True when an external launcher (spark-submit / a managed runtime)
+    already owns --master and --driver-memory: the py4j gateway env vars
+    are its signature — the JVM driver exists before this process starts.
+    Builder-set values would silently OVERRIDE the launcher's (a YARN
+    submit used to run local[N] on the driver host; r14 review)."""
+    return "PYSPARK_GATEWAY_PORT" in os.environ
+
+
 def get_session(app_name: str = "flusher_spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) a session tuned for local testing.
 
@@ -55,11 +64,19 @@ def get_session(app_name: str = "flusher_spark", cpus: int | None = None) -> Spa
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    builder = SparkSession.builder.appName(app_name)
+    if not _launcher_owns_master():
+        # Standalone python process (tests, bench, CLI): provide the local
+        # master and driver memory ourselves. Under spark-submit the gateway
+        # env vars are set and the JVM driver ALREADY exists with
+        # --master/--driver-memory applied; builder-set values would
+        # silently override them — .master() on a YARN submit used to run
+        # the whole job local[N] on the driver host (r14 review).
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        )
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        builder.config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.ui.enabled", "false")
         # Progress bars interleave \r into stdout of CLI tools (bench,
         # check_oracle) whose output is machine-parsed.

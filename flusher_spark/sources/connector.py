@@ -48,8 +48,12 @@ class AuthExpiredError(TransientError):
     Retryable like any transient, but ALSO the only fault that should
     invalidate a cached token — a plain 429/5xx says nothing about the
     credential, and discarding a still-valid token on every retry would
-    force a fresh auth exchange per attempt (the auth fetch itself runs
-    outside retry protection)."""
+    force a fresh auth exchange per attempt. The token fetch runs INSIDE
+    the retried closure (``credentials.token()`` in RemoteSheetSource's
+    lambdas), so a transient fault in the auth exchange itself is retried
+    on the same budget as the data call — the provider's cache means only
+    an invalidated or expired token actually pays the exchange (r14
+    review: this docstring used to claim the opposite)."""
 
 
 class PermanentError(Exception):
@@ -178,6 +182,10 @@ class DictTransport(Transport):
 
     def list_worksheets(self, document: str, token: str) -> list[str]:
         self.calls.append(("list", document, token))
+        # fail_script key for the list endpoint is the bare document name
+        # (fetch uses "document/sheet") — without this the retry behavior
+        # of available_sheets was untestable with the double (r14 review).
+        self._maybe_fail(document)
         if document not in self.documents:
             raise PermanentError(f"document not found: {document!r}")
         return sorted(self.documents[document])
@@ -207,6 +215,18 @@ class RemoteSheetSource:
             )
         except PermanentError as exc:
             raise KeyError(str(exc)) from exc
+
+    def open(self, document: str) -> dict[str, SheetGrid]:
+        """Every sheet of the document — the third leg of the documented
+        drop-in ``SheetSource`` interface (r14 review: the module docstring
+        promised open/worksheet/available_sheets but open was missing, so a
+        consumer written against the contract hit AttributeError). One list
+        call plus one fetch per sheet, each through the same retry/auth
+        machinery; control-plane sized by the service's own cell limits."""
+        return {
+            sheet: self.worksheet(document, sheet)
+            for sheet in self.available_sheets(document)
+        }
 
     def worksheet(self, document: str, sheet: str = "") -> SheetGrid:
         return self._call(

@@ -46,7 +46,7 @@ from pyspark.sql.datasource import (
 )
 
 from flusher_spark.functions.a1 import parse_a1_range
-from flusher_spark.sources.sheet import normalize_header_names
+from flusher_spark.sources.sheet import resolve_view
 
 
 def _open(path: str) -> io.TextIOWrapper:
@@ -146,6 +146,8 @@ class WorksheetReader(DataSourceReader):
 class WorksheetDataSource(DataSource):
     """format("worksheet"): untyped worksheet scan with A1 range pushdown."""
 
+    _layout: tuple[list, int] | None = None  # per-instance (header, width) cache
+
     @classmethod
     def name(cls) -> str:
         return "worksheet"
@@ -154,30 +156,19 @@ class WorksheetDataSource(DataSource):
         # Planning reads the header record plus one streamed width pass —
         # the grid can be WIDER than its header row, and those columns must
         # surface as col_<N> exactly like read_sheet's padding (r13 review:
-        # capping at len(header) silently dropped the extra cells, two
-        # readers of the same worksheet model exposing different data).
-        path = self.options["path"]
-        header = _read_header(path)
-        width = max(len(header), _grid_width(path))
-        cellrange = self.options.get("cellrange", "")
-        col_lo, col_hi = 1, width
-        if cellrange:
-            rng = parse_a1_range(cellrange)
-            # parse_a1_range always yields col_end >= 1 (open-ended ranges
-            # are open in ROWS only) — no sentinel branch needed.
-            col_lo = rng.col_start
-            col_hi = min(rng.col_end, width)
-            if col_lo > width:
-                # Same guard as read_sheet (r11 review): a range starting
-                # past the last column must fail at PLANNING with the real
-                # story, not produce a zero-column schema.
-                raise ValueError(
-                    f"cell range {cellrange!r} starts at column {col_lo}, but "
-                    f"the sheet has only {width} column(s)"
-                )
-        names = [str(h) for h in header[col_lo - 1 : col_hi]]
-        names += [""] * ((col_hi - col_lo + 1) - len(names))
-        names = normalize_header_names(names, start_col=col_lo)
+        # capping at len(header) silently dropped the extra cells). The
+        # view resolution itself (clamp, loud past-last-column guard,
+        # padding, col_<N> naming) is sheet.resolve_view — ONE definition
+        # with read_sheet (r14 review). The (header, width) pair is cached
+        # per instance: Spark may call schema() several times during
+        # planning, and each uncached call re-streamed the whole file
+        # twice.
+        if self._layout is None:
+            path = self.options["path"]
+            header = _read_header(path)
+            self._layout = (header, max(len(header), _grid_width(path)))
+        header, width = self._layout
+        _lo, _hi, names = resolve_view(header, width, self.options.get("cellrange", ""))
         return T.StructType([T.StructField(n, T.StringType(), True) for n in names])
 
     def reader(self, schema: T.StructType) -> WorksheetReader:
@@ -277,7 +268,15 @@ class WorksheetWriter(DataSourceWriter):
         # that world.
         with open(f"{self.path}.__lock__", "w") as lk:
             fcntl.flock(lk, fcntl.LOCK_EX)
-            if self.overwrite or not os.path.exists(self.path):
+            # A zero-byte existing file is an UNINITIALIZED sheet, not a
+            # sheet with header [] — without the size check an append onto
+            # a pre-created/truncated file failed the schema-mismatch guard
+            # forever (r14 review).
+            if (
+                self.overwrite
+                or not os.path.exists(self.path)
+                or os.path.getsize(self.path) == 0
+            ):
                 grid = [list(self.field_names), *rows]
             else:
                 grid = _read_grid(self.path)

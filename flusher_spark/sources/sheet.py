@@ -106,6 +106,37 @@ def normalize_header_names(names: list[str], start_col: int = 1) -> list[str]:
     return out
 
 
+def resolve_view(header, width: int, cellrange: str):
+    """Resolve an A1 cell range against a grid of ``width`` columns:
+    ``(col_lo, col_hi, normalized column names)``. ONE definition of the
+    worksheet VIEW semantics — the column clamp, the loud
+    starts-past-last-column guard, header padding to the view width, and
+    ``col_<N>`` naming — shared by :func:`read_sheet` and the registrable
+    DataSource's ``schema()`` (r13 recorded the two hand-kept copies
+    drifting once: the datasource silently truncated cells read_sheet
+    exposed; r14 hoists so the next divergence is impossible). Row bounds
+    stay with the callers — the datasource pushes them into partition
+    planning instead."""
+    col_lo, col_hi = 1, width
+    if cellrange:
+        rng = parse_a1_range(cellrange)
+        col_lo, col_hi = rng.col_start, min(rng.col_end, width)
+        if col_lo > width:
+            # Loud, not a 0-column frame (r11 review): a range starting
+            # past the last column must fail at planning with the real
+            # story, not produce a negative-width schema.
+            raise ValueError(
+                f"cell range {cellrange!r} starts at column {col_lo}, but the "
+                f"sheet has only {width} column(s)"
+            )
+    w = col_hi - col_lo + 1
+    names = [str(h) for h in header[col_lo - 1 : col_hi]]
+    # A header row narrower than the widest data row still names a column
+    # per grid column — pad so the schema covers every cell.
+    names += [""] * (w - len(names))
+    return col_lo, col_hi, normalize_header_names(names, start_col=col_lo)
+
+
 def read_sheet(
     spark: SparkSession,
     grid: SheetGrid,
@@ -117,39 +148,23 @@ def read_sheet(
     (``A2:F``) run to the last row (reference export.py:47-48)."""
     rows = grid.rows
     ncols = grid.num_columns
-    col_lo, col_hi = 1, ncols
     row_lo, row_hi = 1, len(rows)
+    has_header = bool(grid.header and grid.rows)
+    col_lo, col_hi, names = resolve_view(
+        rows[0] if has_header else [], ncols, cellrange
+    )
     if cellrange:
         rng = parse_a1_range(cellrange)
-        col_lo, col_hi = rng.col_start, min(rng.col_end, ncols)
-        if col_lo > ncols:
-            # Loud, not a 0-column frame: a range starting past the sheet's
-            # last column previously produced a NEGATIVE width — every slice
-            # went empty and the job failed much later with a baffling
-            # empty-schema parquet error, after mark_failure had silently
-            # unscheduled it (r11 review).
-            raise ValueError(
-                f"cell range {cellrange!r} starts at column {col_lo}, but the "
-                f"sheet has only {ncols} column(s)"
-            )
         if rng.row_start is not None:
             row_lo = rng.row_start
         if rng.row_end is not None:
             row_hi = min(rng.row_end, len(rows))
-
     width = col_hi - col_lo + 1
-    if grid.header and grid.rows:
-        names = [str(c) for c in rows[0][col_lo - 1 : col_hi]]
-        # A header row narrower than the widest data row still names a
-        # column per grid column — pad so the schema covers every cell
-        # (an unpadded header made createDataFrame reject wider rows).
-        names += [""] * (width - len(names))
+    if has_header:
         # A range that excludes row 1 still needs the header names.
         data_rows = rows[max(row_lo, 2) - 1 : row_hi]
     else:
-        names = ["" for _ in range(width)]
         data_rows = rows[row_lo - 1 : row_hi]
-    names = normalize_header_names(names, start_col=col_lo)
 
     # One slice per row (it was computed twice — once for values, once for
     # the padding length — in the hot driver loop feeding createDataFrame).

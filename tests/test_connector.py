@@ -254,3 +254,25 @@ def test_scheduler_translates_remote_worksheet_error(spark, tmp_path):
     results = sched.tick(NOW)
     assert results[0][1] == "Failure"
     assert "s1" in store.get(1).last_result  # candidates listed
+
+
+def test_remote_source_open_matches_sheetsource_contract():
+    """r14 review: the module docstring promises the exact SheetSource
+    interface (open/worksheet/available_sheets) but open() was missing —
+    any consumer written against the documented drop-in contract hit
+    AttributeError."""
+    g2 = SheetGrid("s2", [["c"], ["9"]])
+    src, _ = _remote({"doc": {"s1": GRID, "s2": g2}})
+    got = src.open("doc")
+    assert set(got) == {"s1", "s2"} and got["s1"].rows == GRID.rows
+
+
+def test_remote_source_retries_flaky_list():
+    """r14 review: list_worksheets now consults fail_script (key = bare
+    document name), so available_sheets' retry path is testable with the
+    double."""
+    src, transport = _remote(
+        {"doc": {"s1": GRID}}, {"doc": [TransientError("429")]}
+    )
+    assert src.available_sheets("doc") == ["s1"]
+    assert [c[0] for c in transport.calls].count("list") == 2  # fail + retry

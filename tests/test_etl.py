@@ -1813,3 +1813,30 @@ class TestSnapshotR14Fixes:
         assert os.path.exists(new)  # inside the retention window
         # current version still reads
         assert t.snapshot().count() == 1
+
+
+def test_worksheet_append_initializes_empty_existing_file(spark, tmp_path):
+    """r14 review: a zero-byte existing file is an UNINITIALIZED sheet, not
+    a sheet with header [] — appending onto a pre-created/truncated file
+    used to fail the schema-mismatch guard forever."""
+    _register_ws(spark)
+    path = str(tmp_path / "sheet.csv")
+    open(path, "w").close()  # touch: exists, zero bytes
+    spark.createDataFrame([("1", "x")], "a string, b string").write.format(
+        "worksheet"
+    ).option("path", path).mode("append").save()
+    got = spark.read.format("worksheet").option("path", path).load().collect()
+    assert [(r["a"], r["b"]) for r in got] == [("1", "x")]
+
+
+def test_get_session_defers_master_to_external_launcher(monkeypatch):
+    """r14 review: under spark-submit (the py4j gateway env vars are its
+    signature) get_session must NOT set master/driver-memory — builder
+    values override the launcher's, so a YARN submit used to run the whole
+    job local[N] on the driver host."""
+    from flusher_spark.session import _launcher_owns_master
+
+    monkeypatch.delenv("PYSPARK_GATEWAY_PORT", raising=False)
+    assert _launcher_owns_master() is False
+    monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "54321")
+    assert _launcher_owns_master() is True
