@@ -2,8 +2,13 @@
 
 Implemented as a composition of built-in DataFrame ops (no UDFs): union the
 two sides, shuffle once on the join keys, and carry the most recent right-side
-row forward with a ``last(..., ignorenulls)`` running window. This is the
-scalable formulation — one shuffle + one in-partition sort, no range
+row forward with a running ``max(payload struct)`` (or ``max_by`` on the
+narrow tie key) over an unbounded-preceding window — ORDER-INSENSITIVE among
+equal sort keys, unlike the ``last(..., ignorenulls)`` formulation this
+module used before r8 and whose description the docstring wrongly kept until
+r14: equal-timestamp right rows resolve deterministically to the LARGEST
+payload struct, not to whichever row the sort happened to place last. This
+is the scalable formulation — one shuffle + one in-partition sort, no range
 explosion, no driver-side work — equivalent to DuckDB's ASOF JOIN
 (``left.ts >= right.ts``, most recent right row wins; ties on identical
 timestamps resolve to the right side, i.e. an equal-timestamp right row is
@@ -23,7 +28,21 @@ _BACK = "__asof_back"
 _FWD = "__asof_fwd"
 
 
-def _align_to_left(left: DataFrame, lhs: DataFrame, rhs: DataFrame) -> DataFrame:
+def _check_suffix_collisions(left_cols, out_cols) -> None:
+    """Raise when a suffixed output column collides with an existing left
+    column (r14 review — the collision class rangejoin guards with
+    _rename_collisions): without the check the join succeeds silently with
+    DUPLICATE column names and the caller's next select dies with
+    AMBIGUOUS_REFERENCE (or positionally picks one)."""
+    clash = sorted(set(out_cols) & set(left_cols))
+    if clash:
+        raise ValueError(
+            f"as-of output column(s) {clash} collide with left columns;"
+            " pass a different suffix"
+        )
+
+
+def _align_to_left(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
     """Give ``rhs`` the full lhs column set (missing left columns as typed
     NULLs) in ONE select — the per-column withColumn loop this replaces
     rebuilt the dtype dict and nested one projection per column, O(cols²)
@@ -74,6 +93,7 @@ def asof_join(
         value_cols = [c for c in right.columns if c not in on and c != right_ts]
 
     out_cols = [f"{c}{suffix}" for c in value_cols]
+    _check_suffix_collisions(left.columns, [*out_cols, f"{right_ts}{suffix}"])
     payload = F.struct(*[F.col(c).alias(c) for c in [right_ts, *value_cols]])
 
     lhs = left.withColumn(_SIDE, F.lit(1)).withColumn(_PAYLOAD, F.lit(None).cast(
@@ -95,7 +115,7 @@ def asof_join(
         *[e.alias(name) for name, e in rhs_extra.items()],
     )
     # Align schemas: left keeps all its columns; right rows carry nulls there.
-    rhs = _align_to_left(left, lhs, rhs)
+    rhs = _align_to_left(lhs, rhs)
 
     # Right rows sort before left rows at equal timestamps (side 0 < 1), so an
     # equal-ts right row is already visible — matching ASOF '>=' semantics.
@@ -220,6 +240,7 @@ def asof_join_nearest(
         return c
 
     out_cols = [f"{c}{suffix}" for c in value_cols]
+    _check_suffix_collisions(left.columns, [*out_cols, f"{right_ts}{suffix}"])
     payload = F.struct(*[F.col(c).alias(c) for c in [right_ts, *value_cols]])
     fwdkey = F.struct((-tnum(F.col(right_ts))).alias("negts"), payload.alias("p"))
     ptype = right.select(payload.alias(_PAYLOAD)).schema[_PAYLOAD].dataType
@@ -237,7 +258,7 @@ def asof_join_nearest(
         payload.alias(_PAYLOAD),
         fwdkey.alias(_FWDKEY),
     )
-    rhs = _align_to_left(left, lhs, rhs)
+    rhs = _align_to_left(lhs, rhs)
 
     order = [F.col(left_ts).asc(), F.col(_SIDE).asc()]
     w_back = (

@@ -153,10 +153,19 @@ def range_join(
         return inner
     matched_ids = inner.select("__rj_rid").distinct()
     unmatched = left.join(matched_ids, "__rj_rid", "left_anti")
-    for c in inner.columns:
-        if c not in left.columns:
-            unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(inner.dtypes)[c]))
-    return inner.unionByName(unmatched.select(*inner.columns)).drop("__rj_rid")
+    # ONE null-extension projection (asof._align_to_left's discipline): the
+    # per-column withColumn loop nested a Project per right column AND
+    # rebuilt dict(inner.dtypes) each iteration — O(cols²) driver-side
+    # analysis on wide right sides (r14 review).
+    itypes = dict(inner.dtypes)
+    have = set(left.columns)
+    unmatched = unmatched.select(
+        *[
+            F.col(c) if c in have else F.lit(None).cast(itypes[c]).alias(c)
+            for c in inner.columns
+        ]
+    )
+    return inner.unionByName(unmatched).drop("__rj_rid")
 
 
 def interval_overlap_join(

@@ -210,6 +210,11 @@ def with_global_ntile(
     q+1 rows. Computed from the global row number plus a broadcast 1-row
     total count.
     """
+    if n < 1:
+        # NTILE(0) is invalid SQL; fail loudly at call time instead of a
+        # mid-job DIVIDE_BY_ZERO from the bucket arithmetic under the
+        # repo's ANSI sessions (r14 review, the zorder_key guard class).
+        raise ValueError(f"ntile bucket count must be >= 1, got {n}")
     rn, counts = _global_row_number_parts(df, order_cols, "__rn", None)
     # Total from the numbering pass's own per-partition counts — they ride
     # the CHECKPOINTED blocks, so this is a tiny aggregate over already-

@@ -97,6 +97,13 @@ def salted_join(
     is fully duplicated."""
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    if n_salt < 1:
+        # Loud at call time (the zorder_key guard class, r14 review): with
+        # n_salt=0 the replication array is empty, so explode drops every
+        # right row, and pmod(hash, 0) dies mid-job with DIVIDE_BY_ZERO
+        # under the repo's ANSI sessions — a late, cryptic failure for a
+        # caller-side mistake.
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
     # Exclude maps at ANY nesting depth (array<map<...>>, struct fields):
     # F.hash rejects MapType wherever it appears in the type tree.
     hashable = [

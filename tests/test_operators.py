@@ -3876,3 +3876,31 @@ class TestR14SimilarityReviewFixes:
         vecs = spark.read.parquet(os.path.join(path, "vectors"))
         got = {r["vec_id"] for r in vecs.select("vec_id").collect()}
         assert 10 in got and 11 not in got
+
+
+class TestR14GuardReviewFixes:
+    """r14 asof/scale/ranking review — loud call-time guards."""
+
+    def test_asof_suffix_collision_raises(self, spark):
+        from flusher_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "x")], "id long, ts long, price_right string"
+        )
+        right = spark.createDataFrame([(1, 5, "p")], "id long, ts long, price string")
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(left, right, ["id"], "ts", "ts")
+
+    def test_salted_join_rejects_nonpositive_salt(self, spark):
+        from flusher_spark.operators.scale import salted_join
+
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        with pytest.raises(ValueError, match="n_salt"):
+            salted_join(df, df, "k", n_salt=0)
+
+    def test_global_ntile_rejects_nonpositive_n(self, spark):
+        from flusher_spark.operators.ranking import with_global_ntile
+
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match=">= 1"):
+            with_global_ntile(df, ["id"], 0)
