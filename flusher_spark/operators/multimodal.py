@@ -37,6 +37,7 @@ pushdown work before any Python runs.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import io
 import math
@@ -1323,19 +1324,32 @@ _JPEG_ZZ = sorted(
 )
 
 
+# The JPEG table builders below are all deterministic pure constructions,
+# and every one of them used to run once PER IMAGE inside the mapInPandas
+# codec loop — thousands of rebuilds of byte-identical tables per task
+# (guide §4.5: heavyweight init once per task/worker, amortized across
+# batches by worker reuse). The lru_caches change no output byte: the
+# cached values are read-only lookup structures fully determined by their
+# arguments.
+
+
+@functools.lru_cache(maxsize=1)
 def _jpeg_dct_mat():
     import numpy as np
 
     k = np.arange(8)
     C = 0.5 * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
     C[0, :] = math.sqrt(1.0 / 8.0)
+    C.setflags(write=False)  # shared across calls — freeze against mutation
     return C  # orthonormal: forward F = C f C^T == T.81 FDCT; inverse f = C^T F C
 
 
+@functools.lru_cache(maxsize=1)
 def _jpeg_huff_spec():
     """Fixed-length canonical table specs (valid DHT payloads; compression
     suboptimal — irrelevant to the decode contract). DC: 12 categories as
-    4-bit codes; AC: all 162 (run,size)+EOB+ZRL symbols as 8-bit codes."""
+    4-bit codes; AC: all 162 (run,size)+EOB+ZRL symbols as 8-bit codes.
+    Callers treat the returned lists as read-only (bytes()/iteration)."""
     dc_bits = [0] * 16
     dc_bits[3] = 12  # 12 codes of length 4 (index is length-1)
     dc_vals = list(range(12))
@@ -1343,6 +1357,11 @@ def _jpeg_huff_spec():
     ac_bits[7] = 162  # 162 codes of length 8
     ac_vals = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
     return (dc_bits, dc_vals), (ac_bits, ac_vals)
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_canonical_codes(bits: tuple, vals: tuple) -> dict:
+    return _canonical_codes(list(bits), list(vals))
 
 
 def _canonical_codes(bits: list, vals: list) -> dict:
@@ -1408,8 +1427,8 @@ def encode_jpeg(pixels, quant=None, restart_interval: int = 0) -> bytes:
     qt = np.ones(64, dtype=int) if quant is None else np.asarray(quant, dtype=int).reshape(64)
     C = _jpeg_dct_mat()
     (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_huff_spec()
-    dc_codes = _canonical_codes(dc_bits, dc_vals)
-    ac_codes = _canonical_codes(ac_bits, ac_vals)
+    dc_codes = _cached_canonical_codes(tuple(dc_bits), tuple(dc_vals))
+    ac_codes = _cached_canonical_codes(tuple(ac_bits), tuple(ac_vals))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -1526,7 +1545,15 @@ class _BitReader:
 
 
 def _huff_decoder(bits: list, vals: list):
-    """(length, code) -> symbol lookup from the canonical construction."""
+    """(length, code) -> symbol lookup from the canonical construction.
+    Memoized on the DHT payload bytes: a corpus of images from one encoder
+    shares a handful of tables, and rebuilding the 174-entry dict per image
+    dominated small-image decode setup (guide §4.5)."""
+    return _cached_huff_decoder(bytes(bits), bytes(vals))
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_huff_decoder(bits: bytes, vals: bytes):
     table = {}
     code, i = 0, 0
     for length in range(1, 17):

@@ -637,26 +637,73 @@ def _train_pq_codebooks(
     dsub = dim // m
     k = min(ksub, n)
     books = np.empty((m, k, dsub))
+    # The m subspace trainings are independent, deterministic, and pure
+    # numpy — at m=16/ksub=256 they were the single largest headline cost
+    # (profiled ~1.3 s per call, re-run warmup+3× per bench), all of it on
+    # ONE driver core while the cluster idled. Fan them out over a small
+    # fork pool (guide §2.6 — overlap independent work / use idle
+    # capacity): per-subspace arithmetic is unchanged, so the codebooks
+    # are bit-identical to the serial loop (asserted in
+    # tests/test_operators.py); ex.map preserves subspace order. Any pool
+    # failure (fork unavailable, pickling quirk) falls back to the same
+    # serial computation.
+    subs = [(V[:, j * dsub : (j + 1) * dsub].copy(), k, n_iter) for j in range(m)]
+    trained = None
+    if m > 1:
+        try:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            workers = max(1, min(8, m, (os.cpu_count() or 2) - 1))
+            with ProcessPoolExecutor(
+                workers, mp_context=mp.get_context("fork")
+            ) as ex:
+                trained = list(ex.map(_train_pq_subspace, subs))
+        except Exception:
+            trained = None
+    if trained is None:
+        trained = [_train_pq_subspace(s) for s in subs]
     for j in range(m):
-        X = V[:, j * dsub : (j + 1) * dsub]
-        # Farthest-point seeding (deterministic k-means++ limit).
-        chosen = [0]
-        d2 = ((X - X[0]) ** 2).sum(axis=1)
-        while len(chosen) < k:
-            nxt = int(np.argmax(d2))
-            chosen.append(nxt)
-            d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
-        C = X[chosen].copy()
-        for _ in range(n_iter):
-            # Assign to nearest centroid (L2), recompute means.
-            dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = dist.argmin(axis=1)
-            for c in range(k):
-                members = X[assign == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
-        books[j] = C
+        books[j] = trained[j]
     return books
+
+
+def _train_pq_subspace(args):
+    """Seed + Lloyd for ONE subspace — module-level so the fork pool in
+    ``_train_pq_codebooks`` can ship it. Arithmetic is the exact serial
+    original: farthest-point seeding, then per-iteration L2 assignment and
+    per-cluster means. The mean pass groups clusters by member COUNT and
+    batches one ``mean(axis=1)`` per distinct count over stably-ordered
+    member blocks — same member rows in the same order per cluster, so the
+    reduction is bit-identical to the per-cluster ``members.mean(axis=0)``
+    loop it replaces (asserted in tests), without 20k boolean-mask
+    allocations per training."""
+    import numpy as np
+
+    X, k, n_iter = args
+    # Farthest-point seeding (deterministic k-means++ limit).
+    chosen = [0]
+    d2 = ((X - X[0]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    C = X[chosen].copy()
+    for _ in range(n_iter):
+        # Assign to nearest centroid (L2), recompute means.
+        dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = dist.argmin(axis=1)
+        order = np.argsort(assign, kind="stable")
+        counts = np.bincount(assign, minlength=k)
+        Xo = X[order]
+        nonempty = np.flatnonzero(counts)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        cnt_of = counts[nonempty]
+        for cnt in np.unique(cnt_of):
+            cids = nonempty[cnt_of == cnt]
+            blocks = np.stack([Xo[starts[c] : starts[c] + cnt] for c in cids])
+            C[cids] = blocks.mean(axis=1)
+    return C
 
 
 def pq_topk(

@@ -1257,8 +1257,17 @@ def _synth_assets(docs: DataFrame, build) -> DataFrame:
                 }
             )
 
-    # Bound Python-worker fan-out at fixture scale (cf. multimodal_feature_extract).
-    return docs.select("doc_id", "n_chars").coalesce(4).mapInPandas(
+    # The codec entries downstream are CPU-bound Python (container encode +
+    # full decode per payload), and the fixture's documents table is ONE
+    # sub-128MB parquet file = ONE scan task: a fixed coalesce(4) here used
+    # to serialize the whole encode+decode pass on at most one worker while
+    # the other cores idled (guide §2.6 — idle capacity; §2 — partitioning
+    # must be scale-adaptive, not a local-mode constant). _ensure_parallelism
+    # repartitions up to defaultParallelism ONLY when the scan's split
+    # estimate under-fills the cluster — at real scale the asset table
+    # arrives in >= cores splits and this is a no-op; at fixture scale the
+    # shuffle it pays moves two int64 columns, trivia next to the codecs.
+    return D._ensure_parallelism(docs.select("doc_id", "n_chars")).mapInPandas(
         op, "asset_id long, payload binary"
     )
 

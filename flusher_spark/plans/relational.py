@@ -40,7 +40,9 @@ from flusher_spark.plans.num import (
     davg,
     dec,
     dsum,
-    dsum_exact,
+    dsum_limbs,
+    limb_sum_exact,
+    money_long,
     sql_davg,
     sql_dsum,
     sql_dsum_exact,
@@ -62,6 +64,34 @@ def _disc():
 
 def _charge():
     return _disc().cast("decimal(18,8)") * (F.lit(1) + dec("l_tax"))
+
+
+# Long-limb twins of the decimal revenue expressions (num.dsum_limbs): the
+# same exact values as integers scaled by 10^4 / 10^6, so the hot per-row
+# path is codegen'd long arithmetic instead of interpreted wide-decimal ops,
+# and the one group-level decimal(38,6)→double conversion stays bit-equal to
+# the dsum_exact form the oracles state. q15_top_supplier deliberately keeps
+# the TPC-H-literal sum-then-cast decimal form as the cross-check twin of
+# this path (its docstring's contract with top_suppliers_revenue).
+
+
+def _disc_cv():
+    """_disc() as an exact long scaled by 1e4: price-in-hundredths times
+    (100 − discount-in-hundredths)."""
+    return money_long("l_extendedprice") * (F.lit(100) - money_long("l_discount"))
+
+
+def _charge_cv():
+    """_charge() as an exact long scaled by 1e6."""
+    return _disc_cv() * (F.lit(100) + money_long("l_tax"))
+
+
+def _dsum_disc():
+    return dsum_limbs(_disc_cv(), 10**4)
+
+
+def _dsum_charge():
+    return dsum_limbs(_charge_cv(), 10**6)
 
 
 def hist_nearest_ranks(h, col: str, cnt: str, ranks, group: str = "event_type"):
@@ -123,8 +153,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum_exact(_disc()).alias("sum_disc_price"),
-            dsum_exact(_charge()).alias("sum_charge"),
+            _dsum_disc().alias("sum_disc_price"),
+            _dsum_charge().alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),
@@ -156,7 +186,8 @@ def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.coalesce(
-                dsum_exact(dec("l_extendedprice") * dec("l_discount")), F.lit(0.0)
+                dsum_limbs(money_long("l_extendedprice") * money_long("l_discount"), 10**4),
+                F.lit(0.0),
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -196,7 +227,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"), "o_orderpriority")
-        .agg(dsum_exact(_disc()).alias("revenue"))
+        .agg(_dsum_disc().alias("revenue"))
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -266,7 +297,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum_exact(_disc()).alias("revenue"))
+        .agg(_dsum_disc().alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -300,7 +331,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum_exact(_disc()).alias("revenue"))
+        .agg(_dsum_disc().alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -325,11 +356,12 @@ def top_suppliers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax via a broadcast 1-row scalar max over the distributed
     per-supplier aggregate (TPC-H Q15 shape) — no single-partition window;
     AQE reuses the aggregate exchange across both branches so the fact is
-    scanned once. Exact decimal sums make the max-equality tie set safe.
+    scanned once. Exact integer sums make the max-equality tie set safe.
     Deliberate near-twin of q15_top_supplier: this entry pins the
-    dsum_exact (widen-before-sum) discipline, q15 pins the TPC-H-literal
-    sum-then-cast decimal(38,6) form — the two must keep agreeing on the
-    same window, which is itself a cross-check of the two decimal paths."""
+    codegen'd long-limb exact-sum discipline (num.dsum_limbs), q15 pins the
+    TPC-H-literal sum-then-cast decimal(38,6) form — the two must keep
+    agreeing on the same window, which is itself a cross-check of the two
+    exact-sum paths."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     rev = (
@@ -338,7 +370,7 @@ def top_suppliers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
         )
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
-        .agg(dsum_exact(_disc()).alias("total_revenue"))
+        .agg(_dsum_disc().alias("total_revenue"))
     )
     # Argmax via a broadcast 1-row scalar max, not an unpartitioned window:
     # rev stays fully distributed, the max is a tiny all-to-one agg.
@@ -375,7 +407,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
-        .agg(dsum_exact(_disc()).alias("revenue"), F.count("*").alias("n_items"))
+        .agg(_dsum_disc().alias("revenue"), F.count("*").alias("n_items"))
         .orderBy("p_brand")
     )
 
@@ -1825,10 +1857,12 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional revenue ratio (TPC-H Q14 shape): part is a dimension —
-    filtered lineitem joins it broadcast. Both sums are exact decimals; the
-    ratio is computed in doubles AFTER surfacing each sum through
-    ``dsum_exact``, so Spark and the oracle perform the identical two IEEE
-    ops (decimal division rules differ between engines — doubles don't).
+    filtered lineitem joins it broadcast. Both sums are exact (long-limb
+    integer sums, num.dsum_limbs — bit-equal to the oracle's decimal SUM by
+    construction); the ratio is computed in doubles AFTER surfacing each sum
+    through the decimal(38,6)→double conversion, so Spark and the oracle
+    perform the identical two IEEE ops (decimal division rules differ
+    between engines — doubles don't).
     The (38,6) rescale is load-bearing (r14 review): ``_disc()`` is a
     SCALE-8 decimal, so a direct decimal→double cast of its sum stays a
     single correctly-rounded division only while the unscaled value is
@@ -1841,12 +1875,12 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
     )
     p = load_table(spark, sf_dir, "part")
-    disc = _disc()
-    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(13,4)"))
+    disc_cv = _disc_cv()
+    promo_cv = F.when(F.col("p_type") == "PROMO", disc_cv).otherwise(F.lit(0).cast("long"))
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            (F.lit(100.0) * dsum_exact(promo) / dsum_exact(disc))
+            (F.lit(100.0) * dsum_limbs(promo_cv, 10**4) / dsum_limbs(disc_cv, 10**4))
             .alias("promo_revenue_pct")
         )
     )
@@ -1922,7 +1956,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .where(cond)
-        .agg(dsum_exact(_disc()).alias("revenue"), F.count("*").alias("n"))
+        .agg(_dsum_disc().alias("revenue"), F.count("*").alias("n"))
     )
 
 
@@ -2163,7 +2197,7 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(dsum_exact(_disc()).alias("revenue"))
+        .agg(_dsum_disc().alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -2204,9 +2238,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     n1 = n.select(F.col("n_nationkey").alias("n1_key"), "n_regionkey")
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
-    vol = _disc()
-    in_nation = F.when(F.col("nation") == "NATION_3", vol).otherwise(
-        F.lit(0).cast("decimal(13,4)")
+    vol_cv = _disc_cv()
+    in_nation_cv = F.when(F.col("nation") == "NATION_3", vol_cv).otherwise(
+        F.lit(0).cast("long")
     )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
@@ -2218,10 +2252,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            # dsum_exact, not a direct scale-8 decimal→double cast of the
-            # sum — the q14 r14-review precision fix applied to the same
-            # ratio discipline.
-            (F.lit(100.0) * dsum_exact(in_nation) / dsum_exact(vol))
+            # dsum_limbs surfaces each exact sum through the same
+            # decimal(38,6)→double conversion as dsum_exact (the q14
+            # r14-review precision fix applied to the same ratio
+            # discipline), with the per-row work in codegen'd longs.
+            (F.lit(100.0) * dsum_limbs(in_nation_cv, 10**4) / dsum_limbs(vol_cv, 10**4))
             .alias("mkt_share_pct")
         )
         .orderBy("o_year")
@@ -2245,15 +2280,22 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profit by supplier nation and year over a name-pattern part filter
     (TPC-H Q9 shape; retail cost stands in for ps_supplycost). amount =
-    disc_price − retail_cost stays decimal end-to-end (≤6 real decimal
-    digits, so dsum_exact is lossless even for negative profits); the part
-    filter broadcasts, the two facts shuffle once on the order key."""
+    disc_price − retail_cost stays exact end-to-end: the long-limb form
+    carries the same ≤4-real-decimal-digit integer value (negative profits
+    split cleanly — arithmetic shiftright floors, the low limb stays
+    non-negative, see num.dsum_limbs); the part filter broadcasts, the two
+    facts shuffle once on the order key."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
-    amount = _disc() - dec("p_retailprice") * dec("l_quantity")
+    # amount as an exact long at 1e-4 scale: retail·qty carries 2 real
+    # decimals (l_quantity is integral by generation), so its 1e-4-unscaled
+    # form is retail-in-hundredths · qty · 100.
+    amount_cv = _disc_cv() - money_long("p_retailprice") * F.round(
+        F.col("l_quantity")
+    ).cast("long") * F.lit(100)
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -2263,7 +2305,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(dsum_exact(amount).alias("sum_profit"))
+        .agg(dsum_limbs(amount_cv, 10**4).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -3532,15 +3574,18 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles in partition order and so drifts in the last bits between
     engines (and between runs with different partitioning). Here both
     columns are 2-decimal money-style values, so x=100·qty, y=100·price
-    are exact longs; the five moments (Σx, Σy, Σxy, Σx², Σy²) are summed
-    in decimal(38,0)/HUGEINT — exact and order-insensitive — and only the
-    final n·Σxy−ΣxΣy and variance terms are cast to double for one
-    division and two correctly-rounded sqrts, evaluated in the SAME
-    expression shape on both engines, making the correlation bit-stable.
-    Headroom: |x|≤5e3·|y|≤1e8 keeps Σxy terms ≤5e11, inside 38 digits to
-    ~1e26 rows. Perf note: the decimal(38) sums run interpreted; past
-    fixture scale the two-limb long split events_zscore_outliers uses
-    applies verbatim to each product sum."""
+    are exact longs; the five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate
+    as codegen'd LONG-LIMB sums (num.limb_sum_exact — the
+    events_zscore_outliers split, applied per moment as that entry's
+    docstring proposed) reassembled into exact decimal(38,0)/HUGEINT at
+    the 3-group level, and only the final n·Σxy−ΣxΣy and variance terms
+    are cast to double for one division and two correctly-rounded sqrts,
+    evaluated in the SAME expression shape on both engines, making the
+    correlation bit-stable. Limb headroom per group: x ≤ 5e3 sums in one
+    plain long to ~1.8e15 rows; the 2-limb y/xy/x² splits are safe to
+    ~8.8e12 rows; y² ≤ 1e16 takes the 3-limb split (same bound). ANSI
+    sessions RAISE on a long-sum overflow past those — shard the group
+    first, exactly as zscore documents."""
     l = load_table(spark, sf_dir, "lineitem")
     d38 = "decimal(38,0)"
     v = l.select(
@@ -3548,14 +3593,14 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dec("l_quantity", "decimal(8,2)") * 100).cast("long").alias("x"),
         (dec("l_extendedprice", "decimal(8,2)") * 100).cast("long").alias("y"),
     )
-    xd, yd = F.col("x").cast(d38), F.col("y").cast(d38)
+    x, y = F.col("x"), F.col("y")
     m = v.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(xd).alias("sx"),
-        F.sum(yd).alias("sy"),
-        F.sum(xd * yd).alias("sxy"),
-        F.sum(xd * xd).alias("sxx"),
-        F.sum(yd * yd).alias("syy"),
+        F.sum(x).cast(d38).alias("sx"),
+        limb_sum_exact(y, 2).alias("sy"),
+        limb_sum_exact(x * y, 2).alias("sxy"),
+        limb_sum_exact(x * x, 2).alias("sxx"),
+        limb_sum_exact(y * y, 3).alias("syy"),
     )
     nd = F.col("n").cast(d38)
     num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")

@@ -903,6 +903,79 @@ def test_pq_codebooks_bounded_and_deterministic(spark, emb):
     assert (b1 == b2).all()
 
 
+def test_dsum_limbs_matches_dsum_exact_bitwise(spark):
+    """The r14 long-limb exact sums (num.dsum_limbs) must surface the
+    bit-identical double that the wide-decimal dsum_exact form produces —
+    including negative amounts (q9 profits), rounding-hostile money values
+    (0.07·100 = 7.000000000000001 in doubles), the contract-maximum
+    magnitude, and multi-group partial aggregation."""
+    from flusher_spark.plans.num import dec, dsum_exact, dsum_limbs, money_long
+
+    rows = [
+        (1, 0.01, 0.00, 0.00), (1, 0.07, 0.05, 0.07), (1, 999999.99, 0.10, 0.08),
+        (2, 123456.78, 0.07, 0.03), (2, 0.03, 0.09, 0.01), (2, 555.55, 0.00, 0.00),
+        (3, 0.29, 0.02, 0.06), (3, 7071.07, 0.04, 0.02),
+    ] * 7  # repeat so partial aggregation merges non-trivial partials
+    df = spark.createDataFrame(
+        rows, "g int, l_extendedprice double, l_discount double, l_tax double"
+    ).repartition(5)
+    disc_dec = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge_dec = disc_dec.cast("decimal(18,8)") * (F.lit(1) + dec("l_tax"))
+    disc_cv = money_long("l_extendedprice") * (F.lit(100) - money_long("l_discount"))
+    charge_cv = disc_cv * (F.lit(100) + money_long("l_tax"))
+    # negative-amount shape (q9): disc − price·qty with qty forcing sign flips
+    amt_dec = disc_dec - dec("l_extendedprice") * F.lit(2).cast("decimal(12,4)")
+    amt_cv = disc_cv - money_long("l_extendedprice") * F.lit(2) * F.lit(100)
+    old = df.groupBy("g").agg(
+        dsum_exact(disc_dec).alias("a"),
+        dsum_exact(charge_dec).alias("b"),
+        dsum_exact(amt_dec).alias("c"),
+    ).orderBy("g").collect()
+    new = df.groupBy("g").agg(
+        dsum_limbs(disc_cv, 10**4).alias("a"),
+        dsum_limbs(charge_cv, 10**6).alias("b"),
+        dsum_limbs(amt_cv, 10**4).alias("c"),
+    ).orderBy("g").collect()
+    for o, n in zip(old, new):
+        for f in ("a", "b", "c"):
+            assert repr(o[f]) == repr(n[f]), (o["g"], f, o[f], n[f])
+
+
+def test_pq_subspace_training_matches_serial_reference():
+    """The r14 optimization round restructured per-subspace k-means (fork
+    pool over subspaces; count-grouped batched means instead of 20k
+    per-cluster boolean masks). Both claims rest on BIT-IDENTICAL
+    arithmetic — this pins _train_pq_subspace against the verbatim
+    pre-optimization serial loop across sizes where member counts span the
+    small/large reduction paths."""
+    import numpy as np
+
+    from flusher_spark.operators.similarity import _train_pq_subspace
+
+    rng = np.random.default_rng(11)
+    for n, dsub, ksub in ((20, 4, 16), (300, 3, 256), (1024, 4, 256)):
+        X = rng.normal(size=(n, dsub))
+        k = min(ksub, n)
+        # Verbatim pre-r14 reference: farthest-point seeding + 5 Lloyd
+        # steps with per-cluster masked means.
+        chosen = [0]
+        d2 = ((X - X[0]) ** 2).sum(axis=1)
+        while len(chosen) < k:
+            nxt = int(np.argmax(d2))
+            chosen.append(nxt)
+            d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+        C = X[chosen].copy()
+        for _ in range(5):
+            dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for c in range(k):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        got = _train_pq_subspace((X.copy(), k, 5))
+        assert np.array_equal(got, C), (n, dsub, ksub)
+
+
 # -- Persisted ANN indexes ---------------------------------------------------
 
 
