@@ -2053,6 +2053,14 @@ def dedup_minhash_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = tf.transform(sets)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feat)
+    # approxSimilarityJoin carries ENTIRE rows through its hash-table
+    # explode and candidate self-join; feat still holds the raw shingle
+    # arrays, which dwarf the sparse vectors. Projecting them off first
+    # (guide §2.3 — project before the exchange; ml's joins are opaque to
+    # column pruning until after the explode) shuffles (doc_id, features)
+    # only. Emitted pairs and distances are unchanged: the join keys are
+    # the hashes and the re-score reads only `features`.
+    feat = feat.select("doc_id", "features")
     pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
     return (
         pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))

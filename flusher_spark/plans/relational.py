@@ -4966,7 +4966,17 @@ def reco_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare items score a meaningless perfect 1.0); top-20 by
     (sim², part_a, part_b) via TakeOrdered — no global sort."""
     l = load_table(spark, sf_dir, "lineitem")
-    items = l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    # The distinct basket-item index feeds TWO consumers (the per-part
+    # occurrence counts and the per-order basket collect) and Spark does
+    # not reuse the exchange across the branches — without truncation the
+    # fact scan + distinct shuffle run twice (guide §2.4: remove repeated
+    # shuffles outright). Same multi-consumer localCheckpoint trade as
+    # operators/dedup.py::minhash_lsh_pairs documents.
+    items = (
+        l.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     cnt = items.groupBy("p").agg(F.count("*").alias("c"))
     baskets = items.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
     pairs = (
