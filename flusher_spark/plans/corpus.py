@@ -489,14 +489,28 @@ BOILER_K = 200
 BOILER_N = 3
 
 
-def _boilerplate_topk(d: DataFrame):
+def _boilerplate_topk(d: DataFrame, g: DataFrame | None = None):
     """(per-doc distinct shingles, top-K boilerplate set) for the
     boilerplate DETECT and MASK entries — one implementation so the mask
     entry provably applies exactly the set the detect half computes (a
     K or tie-break change in one copy used to decouple them silently,
     r10 review). The top-K head is TakeOrderedAndProject (K driver rows,
-    bounded by the constant) and is meant to be broadcast by callers."""
-    g = shingle_rows(d, n=BOILER_N).distinct()
+    bounded by the constant) and is meant to be broadcast by callers.
+
+    ``g`` lets a caller supply the distinct (doc_id, s) pairs from a frame
+    it already holds (the mask entry derives them from its positions frame
+    so the corpus is shingled ONCE); the top-K rule itself stays single-
+    source. The default path materializes g with the repo's multi-consumer
+    localCheckpoint discipline: the detect entry consumes g twice (the
+    top-K aggregate and the scoring join) and Spark does not reuse the
+    exchange across branches (measured, OPTIMIZATION_r14.md), so without
+    the checkpoint the scan+shingle+distinct subtree executes per branch.
+    Interleaved bench A/B at sf0.1 measures detect flat (0.97x, min-of-3)
+    — the fixture trade is a wash, kept for the scale shape: one corpus
+    distinct instead of two at any size (the reco_copurchase §6 keep
+    rationale), bit-equal."""
+    if g is None:
+        g = shingle_rows(d, n=BOILER_N).distinct().localCheckpoint(eager=False)
     b = (
         g.groupBy("s")
         .agg(F.count("*").alias("nd"))
@@ -569,8 +583,16 @@ def _familiarity_per_doc(d: DataFrame) -> DataFrame:
     entry's "same score as the familiarity entry" claim is structural
     rather than two hand-synced copies (which had already been edited
     independently once, r10 review). Integer-exact: counts and sums are
-    bigints on both engines until the caller's final division."""
-    bg = shingle_rows(d, n=2).withColumnRenamed("s", "b")
+    bigints on both engines until the caller's final division.
+
+    bg is materialized (localCheckpoint, the multi-consumer discipline):
+    it feeds both the frequency aggregate and the join-back, and without
+    the checkpoint the tokenize+explode pass executes per consumer (no
+    cross-branch exchange reuse — OPTIMIZATION_r14.md). Interleaved bench
+    A/B at sf0.1, min-of-3: familiarity 1.21 -> 0.93 s (0.77x), and
+    corpus_perplexity_buckets — which shares this helper — 1.48 -> 1.02 s
+    (0.69x), bit-equal."""
+    bg = shingle_rows(d, n=2).withColumnRenamed("s", "b").localCheckpoint(eager=False)
     c = bg.groupBy("b").agg(F.count("*").cast("long").alias("cnt"))
     return (
         bg.join(c, "b")
@@ -657,16 +679,22 @@ def corpus_boilerplate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted by exploding each hit into its BOILER_N positions (derived
     from the constant on both engines) and de-duplicating per document — set arithmetic, not per-hit×3 (which would double-count
     overlapping spans). Scale shape: the top-K set broadcasts (K rows);
-    occurrence positions come from the same row-local shingle transform
-    the detect entry uses, so the mask pass adds one broadcast join, one
-    per-doc distinct on covered positions, and a partial-aggregated
-    source rollup — no new full-corpus shuffle class beyond the detect
-    pass it composes with."""
+    the corpus is shingled ONCE — the positions frame is materialized
+    (localCheckpoint, the repo's multi-consumer discipline) and feeds
+    BOTH the top-K subtree (via its distinct (doc_id, s) projection,
+    handed to _boilerplate_topk so the set rule stays single-source) and
+    the occurrence join, instead of running the tokenize+explode pass per
+    consumer (interleaved bench A/B at sf0.1: 2.05 -> 1.67 s min-of-3,
+    0.82x, bit-equal).
+    The mask pass then adds one broadcast join, one per-doc distinct on
+    covered positions, and a partial-aggregated source rollup — no new
+    full-corpus shuffle class beyond the detect pass it composes with."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
-    _g, b = _boilerplate_topk(d)
+    sh = shingle_rows(d, n=BOILER_N, positions=True).localCheckpoint(eager=False)
+    _g, b = _boilerplate_topk(d, g=sh.select("doc_id", "s").distinct())
     occ = (
-        shingle_rows(d, n=BOILER_N, positions=True)
+        sh
         .join(F.broadcast(b), "s")
         .select("doc_id", (F.col("pos") + 1).alias("j"))
     )

@@ -3545,7 +3545,12 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> groupBy gram for min(doc_id) (the inverted index; map-side partial
     min) -> equi-join back -> one doc_id aggregate. O(corpus tokens)
     shuffle, no all-pairs; novelty is one double division of two exact
-    bigints."""
+    bigints. The distinct-gram frame feeds two consumers (the inverted
+    index and the join-back); a localCheckpoint here was built and
+    A/B-measured in r14 (isolated interleaved bench: 1.40 -> 1.69 s,
+    1.21x) — materializing the distinct costs more at fixture than the
+    saved second pass returns, so the two-pass form stays (the r14
+    restructure attempt lost the same way; see OPTIMIZATION_r14.md)."""
     g = D.shingle_rows(load_table(spark, sf_dir, "documents"), n=3).dropDuplicates(
         ["doc_id", "s"]
     )

@@ -510,3 +510,121 @@ def test_chunk_udtf_matches_twin_on_null_documents(spark, tmp_path):
     assert as_set(udtf) == as_set(twin)
     assert (2, 1, None, None) in as_set(udtf)  # the NULL-chunk row exists
     assert (3, 1, None, None) in as_set(udtf)  # Spark greatest skips NULL
+
+
+def test_single_pass_shingle_entries_match_two_pass_reference(spark):
+    """r14 optimization guard: the shingle-family entries that now
+    materialize their two-consumer gram frame once (localCheckpoint) must
+    emit EXACTLY the rows of the pre-optimization two-pass formulations —
+    rebuilt verbatim here, shingling the corpus per consumer with no
+    checkpoint. Bit-equality, not tolerance: every value either side of
+    the final division is an exact integer in both shapes."""
+    from flusher_spark.operators.dedup import shingle_rows
+    from flusher_spark.plans import llm as L
+
+    d = C.load_table(spark, SF_DIR, "documents")
+    rows = lambda df: [tuple(r) for r in df.collect()]  # noqa: E731
+
+    # --- detect + mask reference: two independent shingle passes.
+    g_ref = shingle_rows(d, n=C.BOILER_N).distinct()
+    b_ref = (
+        g_ref.groupBy("s")
+        .agg(F.count("*").alias("nd"))
+        .orderBy(F.col("nd").desc(), "s")
+        .limit(C.BOILER_K)
+        .select("s")
+    )
+    bhit = b_ref.select("s", F.lit(1).alias("__hit"))
+    detect_ref = (
+        g_ref.join(F.broadcast(bhit), "s", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"), F.count("__hit").alias("n_boiler"))
+        .where(F.col("n_boiler") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "boiler_ratio"
+            ),
+        )
+        .orderBy(F.col("boiler_ratio").desc(), "doc_id")
+        .limit(100)
+    )
+    assert rows(C.docs_boilerplate_ngrams(spark, SF_DIR)) == rows(detect_ref)
+
+    t = d.select("doc_id", "source", C.tokens(F.col("text")).alias("toks"))
+    occ_ref = (
+        shingle_rows(d, n=C.BOILER_N, positions=True)
+        .join(F.broadcast(b_ref), "s")
+        .select("doc_id", (F.col("pos") + 1).alias("j"))
+    )
+    cov_ref = (
+        occ_ref.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(0, {C.BOILER_N - 1}), v -> j + v)")
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_masked"))
+    )
+    mask_ref = (
+        t.join(cov_ref, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("toks")).alias("tokens_total"),
+            F.sum(F.coalesce("n_masked", F.lit(0))).alias("tokens_masked"),
+        )
+        .orderBy("source")
+    )
+    assert rows(C.corpus_boilerplate_mask(spark, SF_DIR)) == rows(mask_ref)
+
+    # --- familiarity reference: bigram pass per consumer.
+    bg_ref = shingle_rows(d, n=2).withColumnRenamed("s", "b")
+    c_ref = bg_ref.groupBy("b").agg(F.count("*").cast("long").alias("cnt"))
+    fam_ref = (
+        bg_ref.join(c_ref, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cnt").cast("long").alias("familiarity_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "familiarity_sum",
+            (
+                F.col("familiarity_sum").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("familiarity"),
+        )
+        .orderBy("doc_id")
+    )
+    assert rows(C.docs_bigram_familiarity(spark, SF_DIR)) == rows(fam_ref)
+
+    # --- novelty reference: distinct-gram pass per consumer.
+    g3_ref = shingle_rows(d, n=3).dropDuplicates(["doc_id", "s"])
+    first_ref = g3_ref.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    nov_ref = (
+        g3_ref.join(first_ref, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+    assert rows(L.docs_ngram_novelty(spark, SF_DIR)) == rows(nov_ref)
