@@ -2060,6 +2060,14 @@ def dedup_minhash_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column pruning until after the explode) shuffles (doc_id, features)
     # only. Emitted pairs and distances are unchanged: the join keys are
     # the hashes and the re-score reads only `features`.
+    # The self-join consumes feat twice (independent subtrees, so the
+    # scan + shingle + collect_set runs per side). A localCheckpoint here
+    # was built and measured in r14: identical pairs, but the interleaved
+    # bench A/B said 2.50 -> 2.94 s (1.18x) — materializing the shared
+    # frame serializes stage waves that otherwise overlap across the two
+    # branches, and at fixture that latency beats the saved duplicate
+    # work (OPTIMIZATION_r14.md records the trade; the duplicated subtree
+    # is total-work-heavier at scale, so revisit with cluster evidence).
     feat = feat.select("doc_id", "features")
     pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
     return (
