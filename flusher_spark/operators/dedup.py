@@ -139,11 +139,26 @@ def _parse_byte_string(raw: str, default: int = 128 << 20) -> int:
     return max(1, int(num) * _BYTE_SUFFIXES[suffix])
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+def _ensure_parallelism(df: DataFrame, bytes_per_task: int | None = None) -> DataFrame:
     """Repartition CPU-bound inputs that arrive under-split (e.g. a single
     row group): the shuffle of a document table is trivia next to running
     the shingle/hash pipeline on one core. No-op when the source already has
-    enough partitions — i.e. always, at real scale."""
+    enough partitions — i.e. always, at real scale.
+
+    ``bytes_per_task`` (optional) caps the fan-out for LIGHT per-row work:
+    the repartition width becomes ceil(total input bytes / bytes_per_task),
+    clamped to [1, defaultParallelism], instead of jumping straight to the
+    core count. The constant encodes per-byte downstream cost (a property
+    of the operator, not of the deployment): a heavyweight codec wants a
+    small bytes_per_task (full fan-out at any realistic size), a
+    magic-byte router wants a large one — r14 measured the full 32-way
+    fan-out on such entries costing 1.07–1.37× at fixture in task/Arrow
+    overhead alone (guide §2.6: 2-3 jobs in flight is plenty; more fight
+    for executors). Still scale-adaptive in both directions: width grows
+    linearly with input size up to the cluster budget, and the helper
+    remains a no-op whenever the scan already arrives in ≥ cores splits.
+    When file sizes cannot be statted the cap is skipped (full fan-out —
+    can only over-shuffle, never under-parallelize)."""
     p = df.sparkSession.sparkContext.defaultParallelism
     # Cheap metadata probe: inputFiles() only analyzes the plan, while any
     # RDD conversion (Python or JVM) compiles a full physical plan (~1 s of
@@ -171,14 +186,67 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
         )
         max_bytes = _parse_byte_string(raw)
         splits = 0
+        total_bytes = 0
         for f in files:
             local = unquote(f.removeprefix("file://").removeprefix("file:"))
-            splits += max(1, -(-os.stat(local).st_size // max_bytes))
+            size = os.stat(local).st_size
+            total_bytes += size
+            splits += max(1, -(-size // max_bytes))
         if splits >= p:
             return df
+        if bytes_per_task:
+            target = min(p, max(1, -(-total_bytes // bytes_per_task)))
+            # Repartitioning DOWN to the cap would reduce parallelism the
+            # scan already has — the cap only ever widens an under-split.
+            if target <= splits:
+                return df
+            return df.repartition(target)
     except OSError:
         pass
     return df.repartition(p)
+
+
+def overlap_materialize(frames: list[DataFrame]) -> None:
+    """Materialize several INDEPENDENT lazily-checkpointed frames
+    concurrently (guide §2.6 — submit independent jobs from driver threads
+    so one job's straggler tail back-fills with the next job's tasks).
+
+    Why this exists: with AQE, the first action on a plan that consumes a
+    ``localCheckpoint(eager=False)`` frame materializes that checkpoint
+    SERIALLY during plan→RDD compilation — r14 measured the corpus_e2e
+    "slow half" to be exactly these builds running one after another while
+    31 cores idled between stage waves. Calling this with the
+    registered checkpoint frames (``frames_out`` hooks below) runs each
+    build as its own labeled job on a driver thread; total build time
+    drops from sum() toward max().
+
+    count() on a lazily-checkpointed frame materializes the FULL backing
+    RDD (the checkpoint RDD holds complete rows; column pruning applies
+    above it, not inside it), so downstream consumers reuse the
+    materialized partitions. Frames must be pairwise independent — two
+    actions racing to materialize a SHARED lazy checkpoint would duplicate
+    its computation (register only the downstream-most frame of a
+    dependent chain; its build materializes the chain once, in order).
+    Any thread failure falls through to the normal lazy path (the plan is
+    unchanged; materialization just happens at first use instead)."""
+    if len(frames) < 2:
+        return  # nothing to overlap — lazy-at-first-use is equivalent
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build(i_f):
+        i, f = i_f
+        sc = f.sparkSession.sparkContext
+        sc.setJobDescription(f"overlap_materialize: checkpoint {i}/{len(frames)}")
+        try:
+            f.count()
+        finally:
+            sc.setJobDescription(None)
+
+    try:
+        with ThreadPoolExecutor(max_workers=len(frames)) as ex:
+            list(ex.map(_build, enumerate(frames, 1)))
+    except Exception:
+        pass  # lazy materialization at first use remains correct
 
 
 def _jaccard_filtered(sized: DataFrame, threshold: float) -> DataFrame:
@@ -205,6 +273,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    frames_out: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join: only
     pairs sharing ≥1 rare shingle are ever materialized (no cartesian).
@@ -217,7 +286,7 @@ def ngram_jaccard_pairs(
     |A∩B| = number of co-occurring shingles (a count over the index join),
     |A∪B| = |A| + |B| − |A∩B|. No collect_set / array_intersect — those are
     interpreted per-pair array scans; this is three codegen'd aggregates."""
-    sized = _ngram_pair_intersections(df, text_col, id_col, n, max_bucket)
+    sized = _ngram_pair_intersections(df, text_col, id_col, n, max_bucket, frames_out)
     return _jaccard_filtered(sized, threshold)
 
 
@@ -253,7 +322,12 @@ def ngram_containment_pairs(
 
 
 def _ngram_pair_intersections(
-    df: DataFrame, text_col: str, id_col: str, n: int, max_bucket: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_bucket: int,
+    frames_out: list | None = None,
 ) -> DataFrame:
     """Shared inverted-index core: (doc_a, doc_b, __inter, __sz_a, __sz_b)
     for every pair sharing ≥1 rare shingle. See ngram_jaccard_pairs for the
@@ -273,6 +347,10 @@ def _ngram_pair_intersections(
         .dropDuplicates(["doc_id", "s"])
         .localCheckpoint(eager=False)
     )
+    if frames_out is not None:
+        # Callers composing this with other independent checkpoint builds
+        # (the e2e pipeline) register the index for overlap_materialize.
+        frames_out.append(inv)
     freq = inv.groupBy("s").agg(F.count("*").alias("df_count"))
     inv_rare = inv.join(freq.where(F.col("df_count") <= max_bucket).select("s"), "s")
     inv_hot = inv.join(freq.where(F.col("df_count") > max_bucket).select("s"), "s")
@@ -365,6 +443,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket: int = 1000,
+    frames_out: list | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified.
 
@@ -413,6 +492,12 @@ def minhash_lsh_pairs(
         .agg(*minhash_min_aggs(num_perm, seed), F.count("*").alias("sz"))
         .localCheckpoint(eager=False)
     )
+    if frames_out is not None:
+        # Register ONLY sig_sz (the downstream-most checkpoint of the
+        # inv→sig_sz chain): its build materializes inv first, in order —
+        # registering both would race two actions on the shared inv
+        # (see overlap_materialize).
+        frames_out.append(sig_sz)
     sig = sig_sz.select("doc_id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig"))
     band_cols = [
         F.struct(

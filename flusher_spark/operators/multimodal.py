@@ -1349,14 +1349,17 @@ def _jpeg_huff_spec():
     """Fixed-length canonical table specs (valid DHT payloads; compression
     suboptimal — irrelevant to the decode contract). DC: 12 categories as
     4-bit codes; AC: all 162 (run,size)+EOB+ZRL symbols as 8-bit codes.
-    Callers treat the returned lists as read-only (bytes()/iteration)."""
+    Returns TUPLES: the lru_cache shares one instance across every encode,
+    so the read-only contract is enforced by the type (the same
+    setflags(write=False) freeze _jpeg_dct_mat applies), not a docstring —
+    callers only bytes()/iterate, which tuples satisfy."""
     dc_bits = [0] * 16
     dc_bits[3] = 12  # 12 codes of length 4 (index is length-1)
-    dc_vals = list(range(12))
+    dc_vals = range(12)
     ac_bits = [0] * 16
     ac_bits[7] = 162  # 162 codes of length 8
     ac_vals = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
-    return (dc_bits, dc_vals), (ac_bits, ac_vals)
+    return (tuple(dc_bits), tuple(dc_vals)), (tuple(ac_bits), tuple(ac_vals))
 
 
 @functools.lru_cache(maxsize=8)

@@ -640,28 +640,30 @@ def _train_pq_codebooks(
     # The m subspace trainings are independent, deterministic, and pure
     # numpy — at m=16/ksub=256 they were the single largest headline cost
     # (profiled ~1.3 s per call, re-run warmup+3× per bench), all of it on
-    # ONE driver core while the cluster idled. Fan them out over a small
-    # fork pool (guide §2.6 — overlap independent work / use idle
-    # capacity): per-subspace arithmetic is unchanged, so the codebooks
-    # are bit-identical to the serial loop (asserted in
-    # tests/test_operators.py); ex.map preserves subspace order. Any pool
-    # failure (fork unavailable, pickling quirk) falls back to the same
+    # ONE driver core while the cluster idled. Fan them out as ONE tiny
+    # Spark job (guide §2.6 — overlap independent work on the cluster's
+    # idle capacity): each subspace is its own partition, so the session's
+    # scheduler sizes the fan-out to the core budget and retries/respawns
+    # sick workers — unlike the r14 fork ProcessPoolExecutor this replaces,
+    # which forked a py4j/BLAS-threaded driver (fork-after-threads children
+    # can HANG, which no except-clause catches; the r14 driver window read
+    # this entry at 21.4 s under load) and sized itself off os.cpu_count()
+    # rather than the session. Per-subspace arithmetic is unchanged and
+    # runs on one host either way, so the codebooks are bit-identical to
+    # the serial loop (asserted in tests/test_operators.py); collect()
+    # preserves partition order = subspace order. The payload is bounded
+    # (sample_size × dsub doubles per task, ~32 KB at the defaults). Any
+    # job failure (no executors, pickling quirk) falls back to the same
     # serial computation.
     subs = [(V[:, j * dsub : (j + 1) * dsub].copy(), k, n_iter) for j in range(m)]
     trained = None
     if m > 1:
         try:
-            import multiprocessing as mp
-            from concurrent.futures import ProcessPoolExecutor
-
-            workers = max(1, min(8, m, (os.cpu_count() or 2) - 1))
-            with ProcessPoolExecutor(
-                workers, mp_context=mp.get_context("fork")
-            ) as ex:
-                trained = list(ex.map(_train_pq_subspace, subs))
+            sc = base.sparkSession.sparkContext
+            trained = sc.parallelize(subs, m).map(_train_pq_subspace).collect()
         except Exception:
             trained = None
-    if trained is None:
+    if trained is None or len(trained) != m:
         trained = [_train_pq_subspace(s) for s in subs]
     for j in range(m):
         books[j] = trained[j]

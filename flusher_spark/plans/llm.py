@@ -1237,11 +1237,14 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _synth_assets(docs: DataFrame, build) -> DataFrame:
+def _synth_assets(docs: DataFrame, build, bytes_per_task: int | None = None) -> DataFrame:
     """(doc_id, n_chars) → (asset_id, payload) via mapInPandas: payloads are
     REAL container bytes built by ``build(doc_id, n_chars)``, so the decode
     stage downstream parses actual WAV/PPM structure, and the oracle can
-    recompute every decoded feature arithmetically from the table."""
+    recompute every decoded feature arithmetically from the table.
+
+    ``bytes_per_task`` (→ _ensure_parallelism) caps the fan-out for entries
+    whose encode+decode is LIGHT per row — see _LIGHT_CODEC_BYTES_PER_TASK."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -1267,9 +1270,9 @@ def _synth_assets(docs: DataFrame, build) -> DataFrame:
     # estimate under-fills the cluster — at real scale the asset table
     # arrives in >= cores splits and this is a no-op; at fixture scale the
     # shuffle it pays moves two int64 columns, trivia next to the codecs.
-    return D._ensure_parallelism(docs.select("doc_id", "n_chars")).mapInPandas(
-        op, "asset_id long, payload binary"
-    )
+    return D._ensure_parallelism(
+        docs.select("doc_id", "n_chars"), bytes_per_task=bytes_per_task
+    ).mapInPandas(op, "asset_id long, payload binary")
 
 
 

@@ -109,7 +109,19 @@ def money_long(col: Column | str) -> Column:
     docstring's contract) as an exact long of hundredths. round() before the
     long cast is load-bearing: v·100 in doubles lands within ~1e-7 of the
     true integer but not ON it (0.07·100 = 7.000000000000001), and a bare
-    long cast truncates."""
+    long cast truncates.
+
+    CONTRACT IS NOT ENFORCED HERE (a per-row guard would put a branch in
+    the hottest codegen path this module exists to keep clean): an
+    out-of-contract column — more than 2 decimal digits, or |v| ≥ 1e6 —
+    silently rounds to hundredths and produces a wrong exact-LOOKING sum,
+    unlike the decimal(8,2) path above which overflows to NULL (and raises
+    under ANSI) as its sanity bound. Any NEW money_long/dsum_limbs call
+    site must re-verify the contract on its column the way the existing
+    ones did: (a) assert max |v| and decimal width across fixture SFs, and
+    (b) keep/extend a decimal-formulation twin that the oracle hash-checks
+    against the limb form (q15_top_supplier and sql_api_revenue_report are
+    the standing cross-check twins for the TPC-H money columns)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c * 100).cast("long")
 

@@ -15,6 +15,7 @@ The load-bearing contracts:
 from __future__ import annotations
 
 import os
+import shutil
 
 import pytest
 from pyspark.sql import functions as F
@@ -248,18 +249,36 @@ _FAM_B = "alpha beta gamma delta epsilon zeta eta theta " * 6
 _FAM_D = "omicron sigma tau upsilon phi chi psi omega " * 6
 
 
+#: The TestMinhashClusters bootstrap corpus — built ONCE per session into a
+#: master directory and copytree'd per test: every test mutates its own copy
+#: (appends/deletes), but the bootstrap input and labels are identical, and
+#: the build+bootstrap pair costs ~6 s of Spark jobs per test (measured r15;
+#: 5 tests × 6 s was pure duplication).
+_MHC_CORPUS = [
+    (1, _FAM_A), (2, _FAM_A),   # cluster {1,2} -> 1
+    (5, _FAM_C), (6, _FAM_C),   # cluster {5,6} -> 5
+    (7, _FAM_B), (8, _FAM_B),   # cluster {7,8} -> 7
+    (9, "one of a kind document with its own tokens"),
+]
+
+
+@pytest.fixture(scope="session")
+def mhc_master(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mhc_master") / "mhc")
+    DI.minhash_index_build(_docs(spark, _MHC_CORPUS), path)
+    DI.minhash_cluster_bootstrap(spark, path, threshold=0.5)
+    return path
+
+
 class TestMinhashClusters:
-    def _bootstrap(self, spark, tmp_path):
+    def _bootstrap(self, spark, tmp_path, master=None):
         path = str(tmp_path / "mhc")
-        corpus = [
-            (1, _FAM_A), (2, _FAM_A),   # cluster {1,2} -> 1
-            (5, _FAM_C), (6, _FAM_C),   # cluster {5,6} -> 5
-            (7, _FAM_B), (8, _FAM_B),   # cluster {7,8} -> 7
-            (9, "one of a kind document with its own tokens"),
-        ]
-        DI.minhash_index_build(_docs(spark, corpus), path)
-        DI.minhash_cluster_bootstrap(spark, path, threshold=0.5)
-        return path, corpus
+        if master is None:
+            DI.minhash_index_build(_docs(spark, _MHC_CORPUS), path)
+            DI.minhash_cluster_bootstrap(spark, path, threshold=0.5)
+        else:
+            shutil.copytree(master, path)
+        return path, list(_MHC_CORPUS)
 
     @staticmethod
     def _labels(spark, path):
@@ -278,14 +297,14 @@ class TestMinhashClusters:
         DI.minhash_cluster_bootstrap(spark, p, threshold=0.5)
         return TestMinhashClusters._labels(spark, p)
 
-    def test_bootstrap_labels_min_member(self, spark, tmp_path):
-        path, _ = self._bootstrap(spark, tmp_path)
+    def test_bootstrap_labels_min_member(self, spark, tmp_path, mhc_master):
+        path, _ = self._bootstrap(spark, tmp_path, mhc_master)
         assert self._labels(spark, path) == {
             1: 1, 2: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 9
         }
 
-    def test_append_extends_without_relabeling_untouched(self, spark, tmp_path):
-        path, corpus = self._bootstrap(spark, tmp_path)
+    def test_append_extends_without_relabeling_untouched(self, spark, tmp_path, mhc_master):
+        path, corpus = self._bootstrap(spark, tmp_path, mhc_master)
         base_dir = os.path.join(path, "clusters", "base")
 
         def _base_files():
@@ -316,8 +335,8 @@ class TestMinhashClusters:
             spark, corpus + batch1, tmp_path / "scratch1"
         )
 
-    def test_bridge_merges_clusters_through_ledger(self, spark, tmp_path):
-        path, corpus = self._bootstrap(spark, tmp_path)
+    def test_bridge_merges_clusters_through_ledger(self, spark, tmp_path, mhc_master):
+        path, corpus = self._bootstrap(spark, tmp_path, mhc_master)
         batch1 = [(22, _BRIDGE_AC), (23, _FAM_B)]
         got = {
             r["doc_id"]: r["cluster_id"]
@@ -339,11 +358,11 @@ class TestMinhashClusters:
             spark, corpus + batch1, tmp_path / "scratch2"
         )
 
-    def test_ledger_path_compression_across_appends(self, spark, tmp_path):
+    def test_ledger_path_compression_across_appends(self, spark, tmp_path, mhc_master):
         """A merge of a prior merge's WINNER must rewrite the old ledger rows
         (stored new_ids stay canonical — reads resolve in one join, never a
         chain)."""
-        path, corpus = self._bootstrap(spark, tmp_path)
+        path, corpus = self._bootstrap(spark, tmp_path, mhc_master)
         b1 = [(22, _BRIDGE_AC)]              # merges {5,6} into 1
         DI.minhash_cluster_append(spark, path, _docs(spark, b1))
         b2 = [(0, _FAM_A)]                   # id 0 < 1: cluster 1 relabels to 0
@@ -367,14 +386,14 @@ class TestMinhashClusters:
             spark, corpus + b1 + b2, tmp_path / "scratch3"
         )
 
-    def test_torn_cluster_append_recovers_by_rerun(self, spark, tmp_path):
+    def test_torn_cluster_append_recovers_by_rerun(self, spark, tmp_path, mhc_master):
         """Crash right after the FIRST write of a cluster append (band rows
         committed, remap/base/sigs not): a plain probe from another batch
         must still detect the tear loudly, but re-running the SAME append —
         the documented recovery — must complete (the probe verifies the
         crashed run's own band rows from the batch's recomputed signatures)
         and converge to the from-scratch labels."""
-        path, corpus = self._bootstrap(spark, tmp_path)
+        path, corpus = self._bootstrap(spark, tmp_path, mhc_master)
         batch = [(11, _FAM_A), (12, _FAM_D), (13, _FAM_D)]
         m = DI._read_meta(spark, path)
         sig = DI._signature_rows(

@@ -239,10 +239,25 @@ def test_entry_contract(spark):
 
 @pytest.mark.parametrize("name", sorted(registry()))
 def test_every_query_builds_a_plan(spark, name):
-    """Every catalog entry must at least produce an analyzable plan."""
+    """Every catalog entry must produce an analyzable plan, and no plan may
+    contain an unbounded nested loop (see _NESTED_LOOP_OK below).
+
+    ONE walk asserting both: these used to be two parametrized walks, which
+    ran every entry's ``fn`` twice — and for the persisted-index and
+    streaming entries the fn executes its build half (index writes, a real
+    bounded StreamingQuery), so the duplicate walk re-ran multi-second
+    builds for a string assert the first walk's plan already carries
+    (~180 s of the suite, measured r15)."""
     df = registry()[name].fn(spark, SF)
     df.schema  # noqa: B018 — forces analysis; an unanalyzable plan raises here
     assert df.columns
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in _NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a BroadcastNestedLoopJoin; add to whitelist only "
+            "with a documented boundedness argument"
+        )
 
 
 #: Entries where a nested-loop/cartesian is BY DESIGN and bounded: either the
@@ -265,19 +280,6 @@ _NESTED_LOOP_OK = {
     "etl_zorder_layout",  # broadcast 1-row global min/max bounds for key normalization
     "skyline_price_quantity",  # broadcast 1-row global x-bounds for bin assignment
 }
-
-
-@pytest.mark.parametrize("name", sorted(registry()))
-def test_no_unbounded_nested_loops_anywhere(spark, name):
-    """Catalog-wide scale guard: no plan may contain a cartesian product, and
-    nested-loop joins only where the whitelist documents a bounded broadcast."""
-    plan = _plan(registry()[name].fn(spark, SF))
-    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
-    if name not in _NESTED_LOOP_OK:
-        assert "BroadcastNestedLoopJoin" not in plan, (
-            f"{name} plans a BroadcastNestedLoopJoin; add to whitelist only "
-            "with a documented boundedness argument"
-        )
 
 
 def test_approx_sketches_accuracy(spark):
