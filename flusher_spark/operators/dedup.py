@@ -206,49 +206,6 @@ def _ensure_parallelism(df: DataFrame, bytes_per_task: int | None = None) -> Dat
     return df.repartition(p)
 
 
-def overlap_materialize(frames: list[DataFrame]) -> None:
-    """Materialize several INDEPENDENT lazily-checkpointed frames
-    concurrently (guide §2.6 — submit independent jobs from driver threads
-    so one job's straggler tail back-fills with the next job's tasks).
-
-    Why this exists: with AQE, the first action on a plan that consumes a
-    ``localCheckpoint(eager=False)`` frame materializes that checkpoint
-    SERIALLY during plan→RDD compilation — r14 measured the corpus_e2e
-    "slow half" to be exactly these builds running one after another while
-    31 cores idled between stage waves. Calling this with the
-    registered checkpoint frames (``frames_out`` hooks below) runs each
-    build as its own labeled job on a driver thread; total build time
-    drops from sum() toward max().
-
-    count() on a lazily-checkpointed frame materializes the FULL backing
-    RDD (the checkpoint RDD holds complete rows; column pruning applies
-    above it, not inside it), so downstream consumers reuse the
-    materialized partitions. Frames must be pairwise independent — two
-    actions racing to materialize a SHARED lazy checkpoint would duplicate
-    its computation (register only the downstream-most frame of a
-    dependent chain; its build materializes the chain once, in order).
-    Any thread failure falls through to the normal lazy path (the plan is
-    unchanged; materialization just happens at first use instead)."""
-    if len(frames) < 2:
-        return  # nothing to overlap — lazy-at-first-use is equivalent
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _build(i_f):
-        i, f = i_f
-        sc = f.sparkSession.sparkContext
-        sc.setJobDescription(f"overlap_materialize: checkpoint {i}/{len(frames)}")
-        try:
-            f.count()
-        finally:
-            sc.setJobDescription(None)
-
-    try:
-        with ThreadPoolExecutor(max_workers=len(frames)) as ex:
-            list(ex.map(_build, enumerate(frames, 1)))
-    except Exception:
-        pass  # lazy materialization at first use remains correct
-
-
 def _jaccard_filtered(sized: DataFrame, threshold: float) -> DataFrame:
     """(doc_a, doc_b, jaccard) from (__inter, __sz_a, __sz_b) columns — the
     ONE copy of the oracle-sensitive |A∩B| / (|A|+|B|−|A∩B|) arithmetic
@@ -273,7 +230,6 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
-    frames_out: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join: only
     pairs sharing ≥1 rare shingle are ever materialized (no cartesian).
@@ -286,7 +242,7 @@ def ngram_jaccard_pairs(
     |A∩B| = number of co-occurring shingles (a count over the index join),
     |A∪B| = |A| + |B| − |A∩B|. No collect_set / array_intersect — those are
     interpreted per-pair array scans; this is three codegen'd aggregates."""
-    sized = _ngram_pair_intersections(df, text_col, id_col, n, max_bucket, frames_out)
+    sized = _ngram_pair_intersections(df, text_col, id_col, n, max_bucket)
     return _jaccard_filtered(sized, threshold)
 
 
@@ -322,12 +278,7 @@ def ngram_containment_pairs(
 
 
 def _ngram_pair_intersections(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int,
-    max_bucket: int,
-    frames_out: list | None = None,
+    df: DataFrame, text_col: str, id_col: str, n: int, max_bucket: int
 ) -> DataFrame:
     """Shared inverted-index core: (doc_a, doc_b, __inter, __sz_a, __sz_b)
     for every pair sharing ≥1 rare shingle. See ngram_jaccard_pairs for the
@@ -347,10 +298,6 @@ def _ngram_pair_intersections(
         .dropDuplicates(["doc_id", "s"])
         .localCheckpoint(eager=False)
     )
-    if frames_out is not None:
-        # Callers composing this with other independent checkpoint builds
-        # (the e2e pipeline) register the index for overlap_materialize.
-        frames_out.append(inv)
     freq = inv.groupBy("s").agg(F.count("*").alias("df_count"))
     inv_rare = inv.join(freq.where(F.col("df_count") <= max_bucket).select("s"), "s")
     inv_hot = inv.join(freq.where(F.col("df_count") > max_bucket).select("s"), "s")
@@ -443,7 +390,6 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket: int = 1000,
-    frames_out: list | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified.
 
@@ -492,12 +438,6 @@ def minhash_lsh_pairs(
         .agg(*minhash_min_aggs(num_perm, seed), F.count("*").alias("sz"))
         .localCheckpoint(eager=False)
     )
-    if frames_out is not None:
-        # Register ONLY sig_sz (the downstream-most checkpoint of the
-        # inv→sig_sz chain): its build materializes inv first, in order —
-        # registering both would race two actions on the shared inv
-        # (see overlap_materialize).
-        frames_out.append(sig_sz)
     sig = sig_sz.select("doc_id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig"))
     band_cols = [
         F.struct(

@@ -95,6 +95,7 @@ def with_group_row_number(
     order_cols: list[str | Column],
     out: str = "rn",
     num_partitions: int | None = None,
+    totals_out: list | None = None,
 ) -> DataFrame:
     """``ROW_NUMBER() OVER (PARTITION BY group ORDER BY ...)`` for LOW-
     cardinality groups, distributed.
@@ -108,6 +109,13 @@ def with_group_row_number(
     The offsets table has ≤ partitions × groups rows — broadcast-joined.
     ``order_cols`` must totally order rows WITHIN a group (add a unique
     tiebreak) for determinism.
+
+    ``totals_out``: callers that ALSO need per-group row counts (the
+    nearest-rank median picks elements by n) pass a list; a
+    (group_cols..., n) DataFrame derived from the SAME per-(partition,
+    group) count table is appended — the totals ride the ranking pass's
+    materialized partitions instead of a second full scan of the fact
+    (guide §2.4: one pass, not two).
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -119,6 +127,10 @@ def with_group_row_number(
     )
     ranged = ranged.localCheckpoint(eager=False)  # same-pid guarantee, freed on GC
     counts = ranged.groupBy("__pid", *group_cols).agg(F.count("*").alias("__cnt"))
+    if totals_out is not None:
+        totals_out.append(
+            counts.groupBy(*group_cols).agg(F.sum("__cnt").cast("long").alias("n"))
+        )
     offsets = counts.select(
         "__pid",
         *group_cols,

@@ -154,11 +154,7 @@ def _gopher_stats():
 
 
 def _decon_counts(
-    eval_src: DataFrame,
-    train: DataFrame,
-    n: int,
-    eval_mod: int,
-    frames_out: list | None = None,
+    eval_src: DataFrame, train: DataFrame, n: int, eval_mod: int
 ) -> DataFrame:
     """Decontamination overlap counts — (doc_id, n_shingles, n_overlap) of
     each training document's distinct n-grams vs the broadcast held-out
@@ -166,15 +162,7 @@ def _decon_counts(
     standalone decontaminate_ngram_overlap entry (eval and train both
     drawn from the full corpus) and the e2e pipeline's stage 4 (train =
     the dedup survivors): same broadcast + left-join + dual-count shape,
-    one shuffle after the eval build.
-
-    ``frames_out``: when the caller composes this with OTHER independent
-    checkpoint builds (the e2e pipeline's near-dup index), the eval shingle
-    set is checkpointed and registered so overlap_materialize can build it
-    CONCURRENTLY with them — the eval pass depends only on ``eval_src``,
-    never on the dedup chain. Standalone callers leave it None and keep
-    the plain broadcast subtree (one consumer — a checkpoint would only
-    serialize its stage waves, the r14 lesson)."""
+    one shuffle after the eval build."""
     # The eval side dedups on s ALONE — a (doc_id, s) pre-distinct was one
     # full extra exchange+aggregate over the eval shingle set for nothing
     # (r12 review); the train side keeps its per-doc distinct, which the
@@ -185,9 +173,13 @@ def _decon_counts(
         .select("s")
         .distinct()
     )
-    if frames_out is not None:
-        ev_set = ev_set.localCheckpoint(eager=False)
-        frames_out.append(ev_set)
+    # frames_out (an overlap_materialize hook) was built and MEASURED this
+    # round, then reverted: checkpointing the eval set cost 1.10× on the
+    # composed e2e A/B — under AQE a lazy localCheckpoint executes its
+    # upstream stages at CALL time (plan construction is single-threaded,
+    # so two checkpoint builds never coexist to overlap), and the plain
+    # broadcast subtree below already overlaps with the action's other
+    # stages under AQE's scheduler. See OPTIMIZATION_r15.md.
     ev = F.broadcast(ev_set)
     tr = shingle_rows(train, n=n).distinct().where(F.col("doc_id") % eval_mod != 0)
     return (
@@ -1222,9 +1214,7 @@ def corpus_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _e2e_pipeline(
         spark, sf_dir,
-        lambda s2, frames: ngram_jaccard_pairs(
-            s2, n=3, threshold=0.5, max_bucket=1000, frames_out=frames
-        ),
+        lambda s2: ngram_jaccard_pairs(s2, n=3, threshold=0.5, max_bucket=1000),
     )
 
 
@@ -1247,30 +1237,23 @@ def corpus_e2e_pipeline_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _e2e_pipeline(
         spark, sf_dir,
-        lambda s2, frames: minhash_lsh_pairs(
-            s2, shingle_n=3, threshold=0.5, max_bucket=1000, frames_out=frames
-        ),
+        lambda s2: minhash_lsh_pairs(s2, shingle_n=3, threshold=0.5, max_bucket=1000),
     )
 
 
 def _e2e_pipeline(spark: SparkSession, sf_dir: str, near_dup_pairs) -> DataFrame:
     """Shared six-stage corpus pipeline body; ``near_dup_pairs`` maps the
-    stage-2 survivor DataFrame (plus a checkpoint-registration list, see
-    below) to a (doc_a, doc_b, ...) near-dup pair DataFrame (higher id
-    drops) — the one pluggable stage.
+    stage-2 survivor DataFrame to a (doc_a, doc_b, ...) near-dup pair
+    DataFrame (higher id drops) — the one pluggable stage.
 
-    Checkpoint overlap (guide §2.6): the pipeline carries two independent
-    corpus-pass checkpoint subtrees — the near-dup inverted index (built
-    from the stage-2 survivors) and the decontamination eval shingle set
-    (built from the RAW corpus, independent of the dedup chain). Left
-    lazy, AQE materializes them serially during the first action's
-    plan→RDC compilation (r14 measured this as the entry's "slow half").
-    Both register in ``frames`` and overlap_materialize builds them as
-    concurrent labeled jobs before the composed plan is returned."""
-    from flusher_spark.operators.dedup import overlap_materialize
+    Checkpoint-overlap was built and MEASURED this round, then reverted
+    (composed-e2e A/B 1.10×): under AQE a lazy localCheckpoint executes
+    its upstream stages at CALL time, so plan construction (single-
+    threaded) never holds two pending checkpoint builds to overlap, and
+    the non-checkpointed subtrees (decon eval broadcast) already overlap
+    inside the action under AQE's scheduler. See OPTIMIZATION_r15.md."""
     from flusher_spark.operators.sampling import hash_bucket
 
-    frames: list = []
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", "source", "n_chars", "text", tokens(F.col("text")).alias("toks"))
     nw, sumlen, nalpha = _gopher_stats()
@@ -1289,11 +1272,11 @@ def _e2e_pipeline(spark: SparkSession, sf_dir: str, near_dup_pairs) -> DataFrame
         .select((-F.col("b.negid")).alias("doc_id"))
     )
     s2 = t.join(kept_url, "doc_id", "left_semi")
-    pairs = near_dup_pairs(s2, frames)
+    pairs = near_dup_pairs(s2)
     s3 = s2.join(
         pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
     )
-    ratio = _decon_counts(d, s3, DECON_N, DECON_EVAL_MOD, frames_out=frames)
+    ratio = _decon_counts(d, s3, DECON_N, DECON_EVAL_MOD)
     s4 = s3.join(ratio, "doc_id").where(2 * F.col("n_overlap") < F.col("n_shingles"))
     per = s4.select("doc_id", "source", F.size("toks").cast("long").alias("nt"))
     _share, frac = _mix_cols()
@@ -1316,7 +1299,6 @@ def _e2e_pipeline(spark: SparkSession, sf_dir: str, near_dup_pairs) -> DataFrame
         .where(hash_bucket(F.col("p.doc_id"), 1_000_000) < F.col("m.keep_below"))
         .select(F.col("p.doc_id").alias("doc_id"), F.col("p.nt").alias("nt"))
     )
-    overlap_materialize(frames)
     return _pack_rollup(s5, "nt")
 
 

@@ -1237,6 +1237,19 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Fan-out cap (→ _ensure_parallelism bytes_per_task) for multimodal entries
+#: whose per-row Python work is LIGHT — magic-byte/header routing, tiny-raster
+#: resizes, small-frame iteration — where r14 measured the full core-count
+#: fan-out costing 1.07–1.37× at fixture in task/Arrow overhead alone. The
+#: constant encodes per-byte downstream cost, not a deployment size: width
+#: still grows linearly with input bytes up to defaultParallelism, and the
+#: whole helper is a no-op once the table arrives in ≥ cores splits (any
+#: realistic scale). Heavy codecs (JPEG entropy decode, PNG zlib+filters,
+#: FFT) keep the uncapped full fan-out — their r14 wins (0.35–0.75×) came
+#: from exactly that.
+_LIGHT_CODEC_BYTES_PER_TASK = 128 << 10
+
+
 def _synth_assets(docs: DataFrame, build, bytes_per_task: int | None = None) -> DataFrame:
     """(doc_id, n_chars) → (asset_id, payload) via mapInPandas: payloads are
     REAL container bytes built by ``build(doc_id, n_chars)``, so the decode
@@ -1469,7 +1482,9 @@ def multimodal_media_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         return synth_mp3(9, c % 3, 30 + (d % 40))
 
     docs = load_table(spark, sf_dir, "documents")
-    return media_meta_features(_synth_assets(docs, build))
+    return media_meta_features(
+        _synth_assets(docs, build, bytes_per_task=_LIGHT_CODEC_BYTES_PER_TASK)
+    )
 
 
 @register(
@@ -1581,7 +1596,10 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).astype(np.uint8)
         return synth_png_pixels(np.tile(row[None, :, :], (h, 1, 1)))
 
-    return resize_images(_synth_assets(docs, build), out_w=4, out_h=2).select(
+    return resize_images(
+        _synth_assets(docs, build, bytes_per_task=_LIGHT_CODEC_BYTES_PER_TASK),
+        out_w=4, out_h=2,
+    ).select(
         "asset_id", "width", "height", "mean_r", "mean_g", "mean_b"
     )
 
@@ -1660,6 +1678,7 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             [((3 * d + i) % 256, (c + 5 * i) % 256, (d + c + i) % 256)
              for i in range(2 + d % 4)],
         ),
+        bytes_per_task=_LIGHT_CODEC_BYTES_PER_TASK,
     )
     return video_frame_features(assets)
 
@@ -3153,7 +3172,9 @@ def multimodal_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).astype(np.uint8)
         return synth_png_interlaced(px) if d % 3 == 2 else synth_png_pixels(px)
 
-    return png_features(_synth_assets(docs, build)).orderBy("asset_id")
+    return png_features(
+        _synth_assets(docs, build, bytes_per_task=_LIGHT_CODEC_BYTES_PER_TASK)
+    ).orderBy("asset_id")
 
 
 @register(

@@ -3780,6 +3780,15 @@ def agg_exact_median_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_group_row_number(
         l, ["l_returnflag"], ["l_extendedprice", "l_orderkey", "l_linenumber"], out="rn"
     )
+    # Deliberately a SECOND scan, not with_group_row_number's totals_out:
+    # riding the ranking pass's count table (built and MEASURED r15) was
+    # 1.18× at fixture — the standalone scan+agg runs as an independent
+    # job subtree OVERLAPPING the ranking sort under AQE, while totals_out
+    # serializes the 3-row broadcast behind the checkpoint materialization
+    # (the r14 multi-consumer-checkpoint lesson). At a scale where the
+    # extra scan's I/O dominates the lost overlap, flip to
+    # totals_out=[...]; the bit-equality is pinned by
+    # test_group_row_number_totals_match_direct_count either way.
     sizes = l.groupBy("l_returnflag").agg(F.count("*").alias("n"))
     return (
         ranked.join(F.broadcast(sizes), "l_returnflag")

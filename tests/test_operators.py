@@ -1696,6 +1696,53 @@ def test_group_row_number_matches_window(spark):
     assert a == b
 
 
+def test_group_row_number_totals_match_direct_count(spark):
+    """r15: totals_out rides the ranking pass's per-(partition, group)
+    count table instead of a second fact scan — the per-group totals must
+    equal a direct groupBy count (including a NULL group), and the rank
+    column must be unaffected by requesting them."""
+    from flusher_spark.operators.ranking import with_group_row_number
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), (None, 2), ("b", 5), ("a", 2), (None, 7)],
+        "g string, v long",
+    )
+    tot: list = []
+    ranked = with_group_row_number(df, ["g"], ["v"], out="rn", totals_out=tot)
+    got = {r["g"]: r["n"] for r in tot[0].collect()}
+    want = {r["g"]: r["count"] for r in df.groupBy("g").count().collect()}
+    assert got == want == {"a": 3, None: 2, "b": 1}
+    # and the ranks are the plain window answer
+    ranks = {(r["g"], r["v"]): r["rn"] for r in ranked.collect()}
+    assert ranks[("a", 1)] == 1 and ranks[("a", 3)] == 3 and ranks[(None, 7)] == 2
+
+
+def test_ensure_parallelism_bytes_per_task_caps_fanout(spark, tmp_path):
+    """r15: the light-codec cap — an under-split scan fans out to
+    ceil(total bytes / bytes_per_task) partitions instead of the full core
+    count, never below the scan's own split estimate, and uncapped
+    callers keep the full defaultParallelism fan-out."""
+    from flusher_spark.operators.dedup import _ensure_parallelism
+
+    path = str(tmp_path / "one_file")
+    spark.range(2000).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    total = sum(
+        __import__("os").stat(__import__("os").path.join(path, f)).st_size
+        for f in __import__("os").listdir(path)
+        if f.endswith(".parquet")
+    )
+    p = spark.sparkContext.defaultParallelism
+    full = _ensure_parallelism(df)
+    assert full.rdd.getNumPartitions() == p
+    capped = _ensure_parallelism(df, bytes_per_task=max(1, total // 3))
+    ncap = capped.rdd.getNumPartitions()
+    assert 1 <= ncap <= 4, ncap  # ceil(total / (total//3)) in [3, 4]
+    # a cap larger than the input never repartitions below the scan
+    assert _ensure_parallelism(df, bytes_per_task=total * 10).rdd.getNumPartitions() \
+        == df.rdd.getNumPartitions()
+
+
 def test_group_row_number_plan_has_no_per_group_window(spark):
     from flusher_spark.operators.ranking import with_group_row_number
 

@@ -2,7 +2,7 @@
 
 Usage: python tools/capture_plans.py <suffix> <name> [name...]
 
-Writes plans/r14/<name>_<suffix>.txt for each query, built against
+Writes plans/$SPARK_GRAFT_PLAN_DIR/<name>_<suffix>.txt (default r15) for each query, built against
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1). Plan construction only —
 no job is executed (entries whose *build half* runs actions, e.g. the
 persisted-index entries, still execute that half; all headline entries are
@@ -24,7 +24,7 @@ def main() -> int:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session("plan_capture")
     reg = registry()
