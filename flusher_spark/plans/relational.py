@@ -3346,49 +3346,79 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     slower than a long SUM on this aggregate), so the per-row work stays in
     pure-long codegen: cv² is exact in a long (≤10¹⁶ < 2⁶³), summed as TWO
     wrap-safe limbs (high = cv²>>32, low = cv² & (2³²−1); the low limb is
-    long-safe to ~2·10⁹ rows/group, high to ~4·10¹²), and s2 is reassembled
-    in decimal only at the 5-row stats level where rhs is also precomputed.
-    The per-row compare is then 3 decimal multiplies (4·dev²·(n−1)) against
-    a per-group constant."""
+    long-safe to ~2·10⁹ rows/group, high to ~4·10¹²).
+
+    r15: the per-row COMPARE is pure long codegen too. The r14 form
+    evaluated 4·dev²·(n−1) > rhs per row — three interpreted decimal(38)
+    multiplies per event. The inequality is monotonic in |dev|, so it
+    folds into one per-group integer THRESHOLD: with K = 4(n−1),
+    R = 25n(n·s2 − s1²), and q = R div K,
+
+        K·dev² > R  ⟺  dev² ≥ q+1  ⟺  |dev| ≥ isqrt(q)+1 =: t
+
+    (integers: R/K ∈ [q, q+1) so dev² > R/K ⟺ dev² ≥ q+1; and
+    min{a ≥ 0 : a² ≥ q+1} = isqrt(q)+1 — exact, including q+1 a perfect
+    square). t is computed on the DRIVER with math.isqrt over exact Python
+    integers from the per-group stats row — the bm25/codebook bounded-
+    collect discipline; event_type is a domain-bounded enum (~5 rows), and
+    the collect replaces the same 5-row broadcast the join form built
+    in-plan. Per row the flag is now |n·cv − s1| ≥ t — one long multiply,
+    subtract, abs, compare, all whole-stage codegen.
+
+    Overflow contract (improved): the stats/threshold arithmetic runs in
+    unbounded Python integers (the r14 decimal(38) rhs raised at ~7e6
+    rows/group); the only in-plan products are n·cv per row and the limb
+    sums, so ANSI now raises first at n·|cv| > 2⁶³ ≈ 9.2e10 rows/group at
+    |value| ≤ 10⁶ — four orders more headroom, still loud-by-exception.
+    Boundary exactness (dev² landing ON q or q+1, K dividing R exactly) is
+    pinned by tests/test_operators.py::
+    test_zscore_threshold_matches_decimal_reference_on_boundaries."""
+    import math
+
     e = load_table(spark, sf_dir, "events")
-    d38 = "decimal(38,0)"
     cv = (dec("value", "decimal(8,2)") * 100).cast("long")
     ev = e.select("event_type", cv.alias("cv"))
-    cvd = F.col("cv").cast(d38)
     sq = F.col("cv") * F.col("cv")
-    n = F.col("n")
-    stats = (
+    srows = (
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum("cv").alias("s1l"),
+            F.sum("cv").alias("s1"),
             F.sum(F.shiftright(sq, 32)).alias("s2q"),
             F.sum(sq.bitwiseAND(F.lit(4294967295))).alias("s2r"),
         )
-        .withColumn("s1", F.col("s1l").cast(d38))
-        .withColumn(
-            "s2",
-            F.lit(4294967296).cast(d38) * F.col("s2q").cast(d38) + F.col("s2r").cast(d38),
-        )
-        .withColumn(
-            "rhs",
-            F.lit(25).cast(d38) * n.cast(d38)
-            * (n.cast(d38) * F.col("s2") - F.col("s1") * F.col("s1")),
-        )
-        .select("event_type", "n", "s1", "rhs")
+        .collect()
+    )
+    lim = []
+    for r in srows:
+        n_g, s1_g = r["n"], (r["s1"] or 0)
+        s2_g = ((r["s2q"] or 0) << 32) + (r["s2r"] or 0)
+        if n_g >= 2:
+            big_r = 25 * n_g * (n_g * s2_g - s1_g * s1_g)
+            t_g = math.isqrt(big_r // (4 * (n_g - 1))) + 1
+        else:
+            # n==1: dev = cv − s1 = 0 and R = 0 — the test 0 > 0 is false,
+            # so no row flags; any positive threshold encodes that.
+            t_g = 1
+        # Clamp to a long. |dev| = |n·cv − s1| ≤ 2⁶³ (past that the per-row
+        # product raises under ANSI), so a threshold at 2⁶²—reachable only
+        # when q ≥ ~2¹²⁴, i.e. groups far beyond the raise bound—flags
+        # nothing, which is also what the exact t would do there.
+        lim.append((r["event_type"], n_g, s1_g, min(t_g, 1 << 62)))
+    stats = ev.sparkSession.createDataFrame(
+        lim, "event_type string, n long, s1 long, t long"
     )
     j = ev.join(F.broadcast(stats), "event_type")
-    dev = (n.cast(d38) * cvd - F.col("s1"))
-    lhs = F.lit(4).cast(d38) * dev * dev * (n - F.lit(1)).cast(d38)
+    dev = F.col("n") * F.col("cv") - F.col("s1")
     return (
         j.select(
             "event_type",
-            n.alias("n"),
+            F.col("n"),
             # otherwise(0), matching the oracle's ELSE 0: under ANSI a
             # per-row overflow raises before the WHEN evaluates, so there
             # is no NULL path to guard (r14 review — the prior two-WHEN +
             # count-guarded-sum NULL machinery was unreachable).
-            F.when(lhs > F.col("rhs"), 1).otherwise(0).alias("f"),
+            F.when(F.abs(dev) >= F.col("t"), 1).otherwise(0).alias("f"),
         )
         .groupBy("event_type")
         .agg(F.min("n").alias("n"), F.sum("f").alias("outlier_cnt"))

@@ -152,6 +152,95 @@ def test_zscore_exact_inequality_matches_double_formulation(spark):
         assert flag == expect, (t, v, flag, expect)
 
 
+def test_zscore_threshold_matches_decimal_reference_on_boundaries(spark):
+    """r15: events_zscore_outliers' per-row compare became |n·cv − s1| ≥ t
+    with t = isqrt(R div K) + 1 computed in exact Python integers (K =
+    4(n−1), R = 25n(n·s2 − s1²)). Two layers pinned here:
+
+    1. the DERIVATION, exhaustively at every boundary: for all small
+       (R, K, a), K·a² > R ⟺ a ≥ isqrt(R // K) + 1 — including K | R,
+       a² == R//K, and a² == R//K + 1;
+    2. the ENTRY, bit-equal to the verbatim r14 decimal(38) join
+       formulation on a frame with a zero-variance group, an n==1 group,
+       NULL values, a NULL event_type, and a clear outlier."""
+    import math
+
+    for R in range(0, 401):
+        for K in range(1, 18):
+            t = math.isqrt(R // K) + 1
+            for a in range(0, 25):
+                assert (K * a * a > R) == (a >= t), (R, K, a, t)
+
+    # Group "a": 8×0 plus one 90 — sample z = 80/30 ≈ 2.67 > 2.5, a real
+    # flag (with one extreme value the max reachable |z| is (n−1)/√n, so
+    # n must be ≥ 9 for any flag at all).
+    rows = [*(("a", 0.00) for _ in range(8)), ("a", 90.00),
+        ("b", 5.00), ("b", 5.00), ("b", 5.00),
+        ("c", 7.25),
+        ("d", 1.00), ("d", 2.00), ("d", 3.00), ("d", 4.00),
+        ("e", None), ("e", 2.00), ("e", 2.00), ("e", -50.25),
+        (None, 3.00), (None, 3.50),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+
+    import flusher_spark.plans.relational as R_
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            tuple(r)
+            for r in R_.events_zscore_outliers(spark, td).collect()
+        }
+
+    # Verbatim r14 decimal(38) reference (the join form the entry shipped
+    # before the threshold rewrite).
+    d38 = "decimal(38,0)"
+    cv = (F.col("value").cast("decimal(8,2)") * 100).cast("long")
+    ev = df.select("event_type", cv.alias("cv"))
+    sq = F.col("cv") * F.col("cv")
+    n = F.col("n")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cv").alias("s1l"),
+            F.sum(F.shiftright(sq, 32)).alias("s2q"),
+            F.sum(sq.bitwiseAND(F.lit(4294967295))).alias("s2r"),
+        )
+        .withColumn("s1", F.col("s1l").cast(d38))
+        .withColumn(
+            "s2",
+            F.lit(4294967296).cast(d38) * F.col("s2q").cast(d38) + F.col("s2r").cast(d38),
+        )
+        .withColumn(
+            "rhs",
+            F.lit(25).cast(d38) * n.cast(d38)
+            * (n.cast(d38) * F.col("s2") - F.col("s1") * F.col("s1")),
+        )
+        .select("event_type", "n", "s1", "rhs")
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    dev = n.cast(d38) * F.col("cv").cast(d38) - F.col("s1")
+    lhs = F.lit(4).cast(d38) * dev * dev * (n - F.lit(1)).cast(d38)
+    ref = {
+        tuple(r)
+        for r in j.select(
+            "event_type", n.alias("n"),
+            F.when(lhs > F.col("rhs"), 1).otherwise(0).alias("f"),
+        )
+        .groupBy("event_type")
+        .agg(F.min("n").alias("n"), F.sum("f").alias("outlier_cnt"))
+        .orderBy("event_type")
+        .collect()
+    }
+    assert got == ref
+    # and the clear outlier really flags (guards against an all-zero wash)
+    assert ("a", 9, 1) in got
+
+
 def test_integer_div_matches_duckdb_including_negatives(spark):
     """Spark's `div` truncates toward zero, and — measured here, contrary
     to what 'floor division' syntax suggests — DuckDB's integer `//` ALSO
