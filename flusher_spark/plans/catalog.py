@@ -56,90 +56,28 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: Names surfaced first by ``registry()``. The driver's correctness harness
 #: covers a bounded prefix of the registry (50 entries per round), so this
 #: list rotates per round toward the entries whose latest driver verdict is
-#: weakest. Round-14 rotation, in order: (1) the four round-14 NEW entries
-#: (dedup_stream_semantic — the streaming embedding near-dup sink over the
-#: persisted IVF index, rows-only by the approximate-operator convention;
-#: corpus_e2e_incremental_neardup — the composed incremental pipeline with
-#: the MinHash-index near-dup stage, rows-only by the same convention;
-#: corpus_e2e_incremental_semantic — the same pipeline with the IVF-index
-#: semantic stage, completing the incremental × index-family matrix,
-#: rows-only by the IVF-bucketed convention;
-#: corpus_e2e_incremental_full — the production funnel chaining all three
-#: persisted-index stages in one composed run, rows-only), getting their
-#: FIRST driver verdicts per the freshness-guard convention;
-#: (2) the seven r8-verdict entries spilled from the r13 window
-#: (count_rows, distinct_values, setop_* ×3, join_cross,
-#: case_when_bucketing — the stalest cohort, six fixture regenerations
-#: old); (3) 39 of the 49 r9-verdict entries. The r13 verdict asked for
-#: "≤6 spill", which is unsatisfiable together with the first-verdict
-#: convention (4 new + 7 r8 + 49 r9 = 60 > 50); first-verdicts win
-#: because a never-driver-checked entry is strictly weaker evidence than
-#: a 6-round-stale one with a pytest twin. The TEN spilled r9 entries
-#: (q6_revenue_filter, q10_returned_items, q11_important_parts,
-#: q12_conditional_agg, q13_order_distribution, q14_promo_ratio,
-#: q16_supplier_variety, q17_small_quantity_revenue,
-#: q19_disjunctive_filter, q22_global_avg_anti — the simplest TPC-H
-#: shapes, each a reference-equality pytest twin in tests/test_tpch.py
-#: with plan code untouched since r9) queue first for the r15 window;
-#: after this round the freshness histogram bottoms at r9 with exactly
-#: TEN entries. Every name here must exist (asserted in
-#: tests/test_plans.py); the rest follow in import order.
+#: weakest. Round-15 rotation (an OPTIMIZATION round — no new entries), in
+#: order: (1) the ten r9-verdict entries the r14 window spilled, exactly as
+#: that round's comment queued them (q6/q10/q11/q12/q13/q14/q16/q17/q19/
+#: q22 — after this window the freshness histogram bottoms at r10);
+#: (2) the six entries whose COMPUTATION this round's optimizations
+#: touched (events_zscore_outliers — the per-row decimal→long threshold
+#: rewrite; the four fan-out-capped light codecs; similarity_topk_pq —
+#: executor-side codebook training, rows-only by the approximate
+#: convention): a changed plan needs a fresh driver verdict more than a
+#: stale-but-untouched one, the same freshness-guard reasoning that gave
+#: new entries first-verdict slots in build rounds; (3) 34 of the 50
+#: r10-verdict entries, oldest cohort first. The 16 spilled r10 entries
+#: (agg_corr_exact, events_winsorized_stats, events_ewma_per_user,
+#: scalar_variant_extract, agg_incremental_merge, events_tz_local_days,
+#: events_anomaly_mad, events_histogram_equiwidth, join_null_safe,
+#: window_rank_distributions, agg_mode_exact, events_linreg_per_type,
+#: events_interval_coverage, events_cusum_changepoint, events_l_diversity,
+#: events_stream_static_join) queue first for the r16 window. Every name
+#: here must exist (asserted in tests/test_plans.py); the rest follow in
+#: import order.
 PRIORITY = (
-    # (1) round-14 additions — first driver verdicts
-    "dedup_stream_semantic",  # rows-only: streaming IVF semantic dedup sink
-    "corpus_e2e_incremental_neardup",  # rows-only: incremental + MinHash stage
-    "corpus_e2e_incremental_semantic",  # rows-only: incremental + IVF stage
-    "corpus_e2e_incremental_full",  # rows-only: exact→MinHash→semantic funnel
-    # (2) the r8-verdict cohort (the seven spilled from r13)
-    "count_rows",
-    "distinct_values",
-    "setop_union",
-    "setop_intersect",
-    "setop_except",
-    "join_cross",
-    "case_when_bucketing",
-    # (3) the r9-verdict cohort (41 of 49)
-    "asof_nearest_view",
-    "decontaminate_ngram_overlap",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_keep_best",
-    "dedup_ngram_jaccard",
-    "dedup_substring_spans_hashed",
-    "docs_chunk_overlap",
-    "docs_ngram_novelty",
-    "docs_repetition_signals",
-    "etl_dynamic_partition_overwrite",
-    "etl_referential_integrity",
-    "etl_snapshot_expire_vacuum",
-    "events_funnel_conversion",
-    "events_minmax_norm_arrow",
-    "events_stream_dedup_native",
-    "events_stream_dedup_watermarked",
-    "events_time_weighted_avg",
-    "join_bucketed_colocated",
-    "join_interval_overlap",
-    "join_range_binned",
-    "join_salted_skew",
-    "multimodal_bmp_decode",
-    "multimodal_gif_decode",
-    "q18_large_orders",
-    "q1_pricing_summary",
-    "q20_qualified_suppliers",
-    "q21_sole_flagged_supplier",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q5_region_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "scalar_business_days",
-    "skyline_price_quantity",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    # ---- driver window ends here (50) ----
-    # r15 rotation head: the ten spilled r9 entries
+    # (1) the r9-verdict cohort (the ten spilled from r14)
     "q6_revenue_filter",
     "q10_returned_items",
     "q11_important_parts",
@@ -150,6 +88,49 @@ PRIORITY = (
     "q17_small_quantity_revenue",
     "q19_disjunctive_filter",
     "q22_global_avg_anti",
+    # (2) entries whose computation the r15 optimizations touched
+    "events_zscore_outliers",
+    "multimodal_media_routing",
+    "multimodal_image_resize",
+    "multimodal_video_frames",
+    "multimodal_png_variants",
+    "similarity_topk_pq",  # rows-only: approximate by construction
+    # (3) the r10-verdict cohort (34 of 50)
+    "text_html_strip",
+    "pack_sequences_fill",
+    "vocab_bigram_counts",
+    "docs_boilerplate_ngrams",
+    "docs_bigram_familiarity",
+    "corpus_k_anonymity",
+    "corpus_domain_quota",
+    "join_dynamic_partition_pruning",
+    "etl_jsonl_ingest",
+    "etl_zorder_layout",
+    "etl_schema_evolution_merge",
+    "etl_sheet_writeback",
+    "etl_orc_roundtrip",
+    "etl_table_diff",
+    "etl_cdc_apply",
+    "etl_backfill_partition_overwrite",
+    "etl_content_checksum",
+    "corpus_source_mix",
+    "corpus_mix_apply",
+    "corpus_mix_upsample",
+    "dedup_containment_ngram",
+    "multimodal_tiff_decode",
+    "similarity_topk_ivf",
+    "similarity_topk_arrow",
+    "similarity_mmr_rerank",
+    "graph_label_propagation",
+    "sample_split_by_source",
+    "corpus_importance_resample",
+    "top_suppliers_revenue",
+    "q15_top_supplier",
+    "events_stream_stream_left_join",
+    "events_top_paths",
+    "events_attribution_first_touch",
+    "events_audience_overlap",
+    # ---- driver window ends here (50) ----
 )
 
 
