@@ -146,7 +146,22 @@ def _gopher_stats():
     definition consumed by the standalone corpus_gopher_rules report AND
     the e2e pipeline's stage-1 filter, so the pipeline provably filters on
     the same statistics the report explains (they were hand-synced copies
-    before, r10 review)."""
+    before, r10 review).
+
+    Formulation — interpreted HOFs KEPT, measured r15: the codegen'd
+    string equivalents (sum of lengths == length of the ''-joined
+    concatenation; alpha-word count == regexp_count of ``[^ ]*[a-z]``
+    over the ' '-joined string — bit-equal, pinned by
+    tests/test_corpus.py::test_gopher_stats_match_hof_reference) were
+    built and A/B'd interleaved at sf0.1: corpus_gopher_rules 0.97×
+    (neutral) and corpus_e2e_pipeline **1.14× — slower**. The joined-
+    string materialization (a full text copy per row) plus the regex
+    scan's per-position backtracking cost more than the two row-local
+    interpreted lambdas they replaced; "HOF drops the stage off codegen"
+    is not a win when the replacement expression is heavier than the
+    whole interpreted fold. Reverted; the reference-equality test stays
+    as the proof either formulation is exchangeable if a future engine
+    version shifts the balance."""
     nw = F.size("toks").cast("long")
     sumlen = F.expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)")
     nalpha = F.expr("size(filter(toks, x -> x rlike '[a-z]'))").cast("long")

@@ -628,3 +628,55 @@ def test_single_pass_shingle_entries_match_two_pass_reference(spark):
         .orderBy("doc_id")
     )
     assert rows(L.docs_ngram_novelty(spark, SF_DIR)) == rows(nov_ref)
+
+
+def test_gopher_stats_match_hof_reference(spark):
+    """r15: the codegen'd string formulations of the Gopher statistics
+    (concat length for the word-length fold, one ``[^ ]*[a-z]`` regex count
+    for the alpha-word filter) are bit-equal to the interpreted-HOF forms
+    _gopher_stats ships — the A/B measured the string forms SLOWER
+    (corpus_e2e_pipeline 1.14×, see _gopher_stats' docstring), so the HOFs
+    stayed, and this equality proof is what makes the two formulations
+    exchangeable if a future engine version shifts the balance.
+    Adversarial token shapes: NULL text (stats must stay NULL, not become
+    0), empty text (tokens() yields ['']), letterless/digit tokens,
+    letters-at-edges, multi-letter tokens (one match each, never two), and
+    the real fixture corpus column-for-column."""
+    texts = [
+        None,
+        "",
+        "   ",
+        "123 456 ...",
+        "a 1a a1 1a1 aa a1a1a",
+        "the quick brown fox 99 ## x",
+        "#### ... #1# z9z9z9",
+        "one-token",
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select("doc_id", C.tokens(F.col("text")).alias("toks"))
+    nw, sumlen, nalpha = C._gopher_stats()
+    notnull = F.col("toks").isNotNull()
+    ref_sumlen = F.when(notnull, F.length(F.concat_ws("", F.col("toks"))).cast("long"))
+    ref_nalpha = F.when(
+        notnull,
+        F.regexp_count(F.concat_ws(" ", F.col("toks")), F.lit(r"[^ ]*[a-z]")).cast("long"),
+    )
+    rows = d.select(
+        "doc_id", nw.alias("nw"), sumlen.alias("sl"), nalpha.alias("na"),
+        ref_sumlen.alias("rsl"), ref_nalpha.alias("rna"),
+    ).collect()
+    for r in rows:
+        assert r["sl"] == r["rsl"], (r["doc_id"], r["sl"], r["rsl"])
+        assert r["na"] == r["rna"], (r["doc_id"], r["na"], r["rna"])
+    # and over the real fixture corpus, column-for-column
+    docs = C.load_table(spark, SF_DIR, "documents").select(
+        "doc_id", C.tokens(F.col("text")).alias("toks")
+    )
+    diff = docs.select(
+        sumlen.alias("sl"), nalpha.alias("na"),
+        ref_sumlen.alias("rsl"), ref_nalpha.alias("rna"),
+    ).where(
+        ~F.col("sl").eqNullSafe(F.col("rsl")) | ~F.col("na").eqNullSafe(F.col("rna"))
+    )
+    assert diff.count() == 0
